@@ -1,0 +1,379 @@
+"""Clustering-validity index suite (reference parity: SURVEY.md §2A).
+
+Implements the four indices of josemarialuna/ClusterIndices — BD-Silhouette,
+BD-Dunn, Davies-Bouldin, WSSSE — as DataFrame dataflows. Formula provenance:
+Luna-Romera et al., "An approach to validity indices for clustering techniques
+in Big Data", Prog. Artif. Intell. 7:81-94 (2018), §3. (/root/reference was
+empty at survey time — SURVEY.md §0 — so no file:line citations are possible;
+the DuckDB oracle encodes the same formulas and is the correctness authority.)
+
+Pinned formula choices (documented per SURVEY.md §7 "hard parts"):
+- BD-Silhouette: per-POINT form. For each point p with own-centroid distance
+  a(p) = ‖x_p − c_own‖ and nearest-other-centroid distance
+  b(p) = min_{k≠own} ‖x_p − c_k‖, s(p) = (b−a)/max(a,b) (0 when both are 0);
+  the index is mean_p s(p).
+- BD-Dunn: min inter-centroid distance ÷ max point-to-own-centroid distance.
+- Davies-Bouldin: (1/K) Σ_i max_{j≠i} (S_i+S_j)/‖c_i−c_j‖ with
+  S_i = mean distance of cluster-i points to c_i.
+- WSSSE: Σ_p ‖x_p − c_own‖².
+
+Architecture (the 100 TB posture — SURVEY.md §2A "key architectural
+consequence"): every index is
+  (one parquet scan) → (broadcast join against a K-row centroid table)
+  → (per-row array math via codegen'd higher-order functions)
+  → (one hash aggregation over ≤K groups).
+The centroid table is carried as ONE broadcast row holding an
+array<struct<cl,c>> of all K centroids, so per-point nearest-other-centroid
+needs no n×K shuffle and no driver collect. The only shuffles are
+groupBy(cluster, dim) for centroids (map-side partial agg reduces it to
+K×dim×partitions records) and groupBy(cluster) for the stats (K groups).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clusterindices_spark.functions.distances import l2, l2sq
+from clusterindices_spark.sources.fixtures import load_table
+
+# ---------------------------------------------------------------------------
+# building blocks
+# ---------------------------------------------------------------------------
+
+
+def labeled_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings as (vec_id, cluster, x: array<double>) using ground-truth
+    labels as the clustering (SURVEY.md §2A A3 note: index math is
+    oracle-checked on GIVEN labels; MLlib fits are property-tested only)."""
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").alias("cluster"), F.col("embedding").alias("x")
+    )
+
+
+def centroids_of(pts: DataFrame) -> DataFrame:
+    """Per-cluster mean vector → (cluster, centroid: array<double>).
+
+    posexplode → groupBy(cluster, dim) avg → re-assemble ordered array.
+    Map-side partial aggregation makes the shuffle K×dim×partitions records
+    regardless of n — scales linearly in data, constant in shuffle width.
+    """
+    per_dim = (
+        pts.select("cluster", F.posexplode("x").alias("dim", "val"))
+        .groupBy("cluster", "dim")
+        .agg(F.avg("val").alias("m"))
+    )
+    return per_dim.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+        ).alias("centroid")
+    )
+
+
+def _centroid_row(cents: DataFrame) -> DataFrame:
+    """All K centroids folded into ONE row: (cents: array<struct<cl,c>>),
+    broadcastable so per-point math against every centroid is shuffle-free."""
+    return cents.agg(
+        F.collect_list(
+            F.struct(F.col("cluster").alias("cl"), F.col("centroid").alias("c"))
+        ).alias("cents")
+    )
+
+
+def point_metrics(pts: DataFrame, cents: DataFrame) -> DataFrame:
+    """Per-point distance frame: (vec_id, cluster, d_own, d2_own,
+    d_nearest_other). One broadcast nested-loop join against a 1-row table;
+    all distance math is codegen'd HOF expressions."""
+    joined = pts.crossJoin(F.broadcast(_centroid_row(cents)))
+    d2s = F.transform(
+        F.col("cents"),
+        lambda s: F.struct(
+            s["cl"].alias("cl"), l2sq(F.col("x"), s["c"]).alias("d2")
+        ),
+    )
+    with_d2s = joined.withColumn("d2s", d2s)
+    own2 = F.get(
+        F.filter(F.col("d2s"), lambda s: s["cl"] == F.col("cluster")), 0
+    )["d2"]
+    other2 = F.array_min(
+        F.transform(
+            F.filter(F.col("d2s"), lambda s: s["cl"] != F.col("cluster")),
+            lambda s: s["d2"],
+        )
+    )
+    return with_d2s.select(
+        "vec_id",
+        "cluster",
+        F.sqrt(own2).alias("d_own"),
+        own2.alias("d2_own"),
+        F.sqrt(other2).alias("d_nearest_other"),
+    )
+
+
+def centroid_pair_dists(cents: DataFrame) -> DataFrame:
+    """K×K inter-centroid distance matrix (i ≠ j) — K² rows, trivially
+    broadcast; this is the O(K²) driver-side arithmetic of the reference
+    re-expressed as a tiny self-join."""
+    a = cents.select(F.col("cluster").alias("i"), F.col("centroid").alias("ca"))
+    b = cents.select(F.col("cluster").alias("j"), F.col("centroid").alias("cb"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("i") != F.col("j"))
+        .select("i", "j", l2("ca", "cb").alias("dist"))
+    )
+
+
+def _silhouette_col() -> F.Column:
+    g = F.greatest(F.col("d_own"), F.col("d_nearest_other"))
+    return F.when(g > 0, (F.col("d_nearest_other") - F.col("d_own")) / g).otherwise(
+        F.lit(0.0)
+    )
+
+
+def index_suite(pts: DataFrame, cents: DataFrame) -> DataFrame:
+    """All four indices in ONE pass over the points (SURVEY.md §4.1: fuse at
+    the API level — one groupBy(cluster) agg feeds every index).
+
+    Returns a 1-row DataFrame
+    (k, bd_silhouette, bd_dunn, davies_bouldin, wssse).
+    """
+    pm = point_metrics(pts, cents)
+    per_cluster = pm.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_silhouette_col()).alias("s_sum"),
+        F.sum("d2_own").alias("ss"),
+        F.max("d_own").alias("max_d"),
+        F.avg("d_own").alias("s_i"),
+    )
+    # global scalars from the K-row frame (second "aggregate" is over K rows)
+    glob = per_cluster.agg(
+        F.count(F.lit(1)).alias("k"),
+        (F.sum("s_sum") / F.sum("n")).alias("bd_silhouette_raw"),
+        F.sum("ss").alias("wssse_raw"),
+        F.max("max_d").alias("max_d_own"),
+    )
+    pairs = centroid_pair_dists(cents)
+    min_inter = pairs.agg(F.min("dist").alias("min_inter"))
+    # Davies-Bouldin from the K-row per_cluster frame + K² pairs
+    s = per_cluster.select("cluster", "s_i")
+    sa = s.select(F.col("cluster").alias("i"), F.col("s_i").alias("si"))
+    sb = s.select(F.col("cluster").alias("j"), F.col("s_i").alias("sj"))
+    db = (
+        pairs.join(F.broadcast(sa), "i")
+        .join(F.broadcast(sb), "j")
+        .select("i", ((F.col("si") + F.col("sj")) / F.nullif(F.col("dist"), F.lit(0.0))).alias("r"))
+        .groupBy("i")
+        .agg(F.max("r").alias("r_i"))
+        .agg(F.avg("r_i").alias("davies_bouldin_raw"))
+    )
+    return (
+        glob.crossJoin(min_inter)
+        .crossJoin(db)
+        .select(
+            "k",
+            F.round("bd_silhouette_raw", 6).alias("bd_silhouette"),
+            F.round(
+                F.col("min_inter") / F.nullif(F.col("max_d_own"), F.lit(0.0)), 6
+            ).alias("bd_dunn"),
+            F.round("davies_bouldin_raw", 6).alias("davies_bouldin"),
+            F.round("wssse_raw", 6).alias("wssse"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries() entries (driver contract) — each self-contained, aliased to match
+# the oracle SQL exactly (driver sorts columns by name before hashing)
+# ---------------------------------------------------------------------------
+
+
+def q_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = labeled_points(spark, sf_dir)
+    return (
+        pts.select("cluster", F.posexplode("x").alias("dim", "val"))
+        .groupBy("cluster", "dim")
+        .agg(F.round(F.avg("val"), 6).alias("c"))
+    )
+
+
+def q_intra_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = labeled_points(spark, sf_dir)
+    pm = point_metrics(pts, centroids_of(pts))
+    return pm.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.avg("d_own"), 6).alias("mean_dist"),
+        F.round(F.max("d_own"), 6).alias("max_dist"),
+        F.round(F.sum("d2_own"), 6).alias("sum_sq"),
+    )
+
+
+def q_inter_centroid_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = labeled_points(spark, sf_dir)
+    pairs = centroid_pair_dists(centroids_of(pts))
+    return pairs.agg(F.round(F.min("dist"), 6).alias("min_inter_dist"))
+
+
+def q_bd_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = labeled_points(spark, sf_dir)
+    pm = point_metrics(pts, centroids_of(pts))
+    return pm.agg(F.round(F.avg(_silhouette_col()), 6).alias("bd_silhouette"))
+
+
+def q_bd_dunn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = labeled_points(spark, sf_dir)
+    cents = centroids_of(pts)
+    pm = point_metrics(pts, cents)
+    min_inter = centroid_pair_dists(cents).agg(F.min("dist").alias("min_inter"))
+    max_own = pm.agg(F.max("d_own").alias("max_d_own"))
+    return min_inter.crossJoin(max_own).select(
+        F.round(
+            F.col("min_inter") / F.nullif(F.col("max_d_own"), F.lit(0.0)), 6
+        ).alias("bd_dunn")
+    )
+
+
+def q_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = labeled_points(spark, sf_dir)
+    cents = centroids_of(pts)
+    pm = point_metrics(pts, cents)
+    s = pm.groupBy("cluster").agg(F.avg("d_own").alias("s_i"))
+    sa = s.select(F.col("cluster").alias("i"), F.col("s_i").alias("si"))
+    sb = s.select(F.col("cluster").alias("j"), F.col("s_i").alias("sj"))
+    return (
+        centroid_pair_dists(cents)
+        .join(F.broadcast(sa), "i")
+        .join(F.broadcast(sb), "j")
+        .select(
+            "i",
+            ((F.col("si") + F.col("sj")) / F.nullif(F.col("dist"), F.lit(0.0))).alias("r"),
+        )
+        .groupBy("i")
+        .agg(F.max("r").alias("r_i"))
+        .agg(F.round(F.avg("r_i"), 6).alias("davies_bouldin"))
+    )
+
+
+def q_wssse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = labeled_points(spark, sf_dir)
+    pm = point_metrics(pts, centroids_of(pts))
+    return pm.agg(F.round(F.sum("d2_own"), 6).alias("wssse"))
+
+
+def q_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = labeled_points(spark, sf_dir)
+    return index_suite(pts, centroids_of(pts))
+
+
+QUERIES = {
+    "centroids_by_label": q_centroids_by_label,
+    "intra_cluster_stats": q_intra_cluster_stats,
+    "inter_centroid_min": q_inter_centroid_min,
+    "bd_silhouette": q_bd_silhouette,
+    "bd_dunn": q_bd_dunn,
+    "davies_bouldin": q_davies_bouldin,
+    "wssse": q_wssse,
+    "index_suite": q_index_suite,
+}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL — same math, same rounding, same column names.
+# Shared CTE prefix; DuckDB prunes unused CTEs. dim is 0-based in both
+# engines (posexplode pos ↔ unnest(range(len(x)))).
+# ---------------------------------------------------------------------------
+
+_PREFIX = """
+WITH pts AS (
+  SELECT vec_id, label AS cluster, CAST(embedding AS DOUBLE[]) AS x
+  FROM embeddings
+),
+dimvals AS (
+  SELECT vec_id, cluster, unnest(range(len(x))) AS dim, unnest(x) AS val FROM pts
+),
+cent AS (
+  SELECT cluster AS cl, dim, AVG(val) AS m FROM dimvals GROUP BY cluster, dim
+),
+centvec AS (
+  SELECT cl, list(m ORDER BY dim) AS c FROM cent GROUP BY cl
+),
+pc AS (
+  SELECT d.vec_id, d.cluster, c.cl, SUM((d.val - c.m) * (d.val - c.m)) AS d2
+  FROM dimvals d JOIN cent c ON d.dim = c.dim
+  GROUP BY d.vec_id, d.cluster, c.cl
+),
+pp AS (
+  SELECT vec_id, cluster,
+         SQRT(MAX(CASE WHEN cl = cluster THEN d2 END)) AS d_own,
+         MAX(CASE WHEN cl = cluster THEN d2 END) AS d2_own,
+         SQRT(MIN(CASE WHEN cl <> cluster THEN d2 END)) AS d_nearest_other
+  FROM pc GROUP BY vec_id, cluster
+),
+sil AS (
+  SELECT *,
+         CASE WHEN GREATEST(d_own, d_nearest_other) > 0
+              THEN (d_nearest_other - d_own) / GREATEST(d_own, d_nearest_other)
+              ELSE 0.0 END AS s_p
+  FROM pp
+),
+cc AS (
+  SELECT a.cl AS i, b.cl AS j, list_distance(a.c, b.c) AS dist
+  FROM centvec a JOIN centvec b ON a.cl <> b.cl
+),
+s AS (
+  SELECT cluster, AVG(d_own) AS s_i FROM pp GROUP BY cluster
+)
+"""
+
+ORACLES = {
+    "centroids_by_label": _PREFIX
+    + """
+SELECT cluster, CAST(dim AS INT) AS dim, ROUND(AVG(val), 6) AS c
+FROM dimvals GROUP BY cluster, dim
+""",
+    "intra_cluster_stats": _PREFIX
+    + """
+SELECT cluster,
+       COUNT(*) AS n_points,
+       ROUND(AVG(d_own), 6) AS mean_dist,
+       ROUND(MAX(d_own), 6) AS max_dist,
+       ROUND(SUM(d2_own), 6) AS sum_sq
+FROM pp GROUP BY cluster
+""",
+    "inter_centroid_min": _PREFIX
+    + """
+SELECT ROUND(MIN(dist), 6) AS min_inter_dist FROM cc
+""",
+    "bd_silhouette": _PREFIX
+    + """
+SELECT ROUND(AVG(s_p), 6) AS bd_silhouette FROM sil
+""",
+    "bd_dunn": _PREFIX
+    + """
+SELECT ROUND((SELECT MIN(dist) FROM cc) / NULLIF((SELECT MAX(d_own) FROM pp), 0.0), 6) AS bd_dunn
+""",
+    "davies_bouldin": _PREFIX
+    + """
+SELECT ROUND(AVG(r_i), 6) AS davies_bouldin FROM (
+  SELECT a.cluster AS i, MAX((a.s_i + b.s_i) / NULLIF(cc.dist, 0.0)) AS r_i
+  FROM s a JOIN s b ON a.cluster <> b.cluster
+  JOIN cc ON cc.i = a.cluster AND cc.j = b.cluster
+  GROUP BY a.cluster
+)
+""",
+    "wssse": _PREFIX
+    + """
+SELECT ROUND(SUM(d2_own), 6) AS wssse FROM pp
+""",
+    "index_suite": _PREFIX
+    + """
+SELECT (SELECT COUNT(*) FROM s) AS k,
+       (SELECT ROUND(AVG(s_p), 6) FROM sil) AS bd_silhouette,
+       ROUND((SELECT MIN(dist) FROM cc) / NULLIF((SELECT MAX(d_own) FROM pp), 0.0), 6) AS bd_dunn,
+       (SELECT ROUND(AVG(r_i), 6) FROM (
+          SELECT a.cluster AS i, MAX((a.s_i + b.s_i) / NULLIF(cc.dist, 0.0)) AS r_i
+          FROM s a JOIN s b ON a.cluster <> b.cluster
+          JOIN cc ON cc.i = a.cluster AND cc.j = b.cluster
+          GROUP BY a.cluster
+       )) AS davies_bouldin,
+       (SELECT ROUND(SUM(d2_own), 6) FROM pp) AS wssse
+""",
+}

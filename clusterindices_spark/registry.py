@@ -1,0 +1,45 @@
+"""Central registry assembling queries() / oracle_sql() from operator modules.
+
+Each operator module exposes ``QUERIES: dict[str, (spark, sf_dir) -> DataFrame]``
+and ``ORACLES: dict[str, str]`` (DuckDB SQL). A key present in QUERIES but
+absent from ORACLES gets the driver's weaker rows-only check (reserved for
+inherently approximate / iterative / streaming ops — SURVEY.md §5.2).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MODULES = [
+    "clusterindices_spark.operators.indices",
+]
+
+
+def _load():
+    import importlib
+
+    queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    oracles: dict[str, str] = {}
+    for modname in _MODULES:
+        mod = importlib.import_module(modname)
+        q = getattr(mod, "QUERIES", {})
+        o = getattr(mod, "ORACLES", {})
+        dup = set(q) & set(queries)
+        if dup:
+            raise ValueError(f"duplicate query keys {dup} from {modname}")
+        unknown = set(o) - set(q)
+        if unknown:
+            raise ValueError(f"{modname} has oracle SQL for unknown keys {unknown}")
+        queries.update(q)
+        oracles.update(o)
+    return queries, oracles
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return _load()[0]
+
+
+def all_oracles() -> dict[str, str]:
+    return _load()[1]

@@ -1,0 +1,127 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every __spark_entry__.queries() key on Spark AND its oracle_sql() on
+DuckDB (views registered over the same parquet), then compares:
+row count, sorted column names, and an order-insensitive multiset of rows
+(columns sorted by name, floats compared exactly post-round with a 1e-9
+closeness fallback reported as CLOSE).
+
+Usage: python tools/check_oracle.py [--sf /root/testdata/sf0.01] [keys...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import math
+import sys
+from decimal import Decimal
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from clusterindices_spark.session import get_spark
+from clusterindices_spark.sources.fixtures import TABLES
+
+
+def _norm(v):
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat(timespec="milliseconds")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return v
+
+
+def _rows(cols_in_order, rows):
+    order = sorted(range(len(cols_in_order)), key=lambda i: cols_in_order[i])
+    out = [tuple(_norm(r[i]) for i in order) for r in rows]
+    return sorted(out, key=repr)
+
+
+def _eq(a, b):
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b or math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+    return a == b
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("keys", nargs="*")
+    args = ap.parse_args()
+
+    import __spark_entry__ as e
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+        )
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    keys = args.keys or list(qs)
+    n_pass = n_fail = n_rowsonly = 0
+    for k in keys:
+        fn = qs[k]
+        try:
+            df = fn(spark, args.sf)
+            scols = df.columns
+            srows = df.collect()
+        except Exception as ex:
+            print(f"FAIL  {k}: spark error: {ex}")
+            n_fail += 1
+            continue
+        if k not in oracles:
+            print(f"ROWS  {k}: {len(srows)} rows (no oracle — rows-only check)")
+            n_rowsonly += 1
+            continue
+        try:
+            res = con.execute(oracles[k])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as ex:
+            print(f"FAIL  {k}: duckdb error: {ex}")
+            n_fail += 1
+            continue
+        problems = []
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"schema: spark={sorted(scols)} duck={sorted(dcols)}")
+        if len(srows) != len(drows):
+            problems.append(f"rowcount: spark={len(srows)} duck={len(drows)}")
+        if not problems:
+            sn = _rows(scols, [tuple(r) for r in srows])
+            dn = _rows(dcols, drows)
+            exact = sn == dn
+            if not exact:
+                close = len(sn) == len(dn) and all(
+                    len(x) == len(y) and all(_eq(a, b) for a, b in zip(x, y))
+                    for x, y in zip(sn, dn)
+                )
+                if close:
+                    print(f"CLOSE {k}: values within 1e-9 but not bit-equal "
+                          f"(driver hash may fail!) rows={len(sn)}")
+                    n_fail += 1
+                    continue
+                diffs = [
+                    (x, y) for x, y in zip(sn, dn)
+                    if not (len(x) == len(y) and all(_eq(a, b) for a, b in zip(x, y)))
+                ][:3]
+                problems.append(f"values differ; first diffs: {diffs}")
+        if problems:
+            print(f"FAIL  {k}: " + " | ".join(problems))
+            n_fail += 1
+        else:
+            print(f"PASS  {k}: {len(srows)} rows")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only, sf={args.sf}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
