@@ -1,0 +1,97 @@
+"""Nearest-centroid assignment + external validation (SURVEY.md §2A A4/A14).
+
+Reference parity: ClusterIndices assigns points with MLlib's
+``model.predict`` (nearest centroid). Here the assignment is a pure dataflow —
+argmin over the broadcast centroid array with a deterministic (d2, cl)
+tie-break — so it is SQL-expressible and oracle-checked, unlike an MLlib fit.
+
+Scale: one broadcast join + per-row O(K·dim) codegen math; zero shuffle for
+assignment itself, one K×L-group shuffle for the contingency table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clusterindices_spark.operators.indices import (
+    centroids_of,
+    labeled_points,
+    with_dist_array,
+)
+
+
+def assign(pts: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cluster, assigned_cluster): argmin_cl ‖x − c_cl‖², ties broken
+    by smallest cluster id via lexicographic struct min — deterministic in
+    both engines."""
+    best = F.array_min(
+        F.transform(
+            F.col("d2s"), lambda s: F.struct(s["d2"].alias("d2"), s["cl"].alias("cl"))
+        )
+    )
+    return with_dist_array(pts, cents).select(
+        "vec_id", "cluster", best["cl"].alias("assigned_cluster")
+    )
+
+
+def q_assign_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = labeled_points(spark, sf_dir)
+    return assign(pts, centroids_of(pts)).select("vec_id", "assigned_cluster")
+
+
+def q_cluster_label_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency of assigned cluster × true label (A14 external validation):
+    with label-derived centroids the diagonal dominates iff labels are
+    geometrically coherent."""
+    pts = labeled_points(spark, sf_dir)
+    assigned = assign(pts, centroids_of(pts))
+    return (
+        assigned.groupBy(
+            F.col("assigned_cluster").alias("cluster"), F.col("cluster").alias("label")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+QUERIES = {
+    "assign_nearest_centroid": q_assign_nearest_centroid,
+    "cluster_label_contingency": q_cluster_label_contingency,
+}
+
+_PC = """
+WITH pts AS (
+  SELECT vec_id, label AS cluster, CAST(embedding AS DOUBLE[]) AS x
+  FROM embeddings
+),
+dimvals AS (
+  SELECT vec_id, cluster, unnest(range(len(x))) AS dim, unnest(x) AS val FROM pts
+),
+cent AS (
+  SELECT cluster AS cl, dim, AVG(val) AS m FROM dimvals GROUP BY cluster, dim
+),
+pc AS (
+  SELECT d.vec_id, d.cluster, c.cl, SUM((d.val - c.m) * (d.val - c.m)) AS d2
+  FROM dimvals d JOIN cent c ON d.dim = c.dim
+  GROUP BY d.vec_id, d.cluster, c.cl
+),
+assigned AS (
+  SELECT vec_id, cluster, CAST(cl AS INT) AS assigned_cluster
+  FROM (
+    SELECT vec_id, cluster, cl,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+    FROM pc
+  )
+  WHERE rn = 1
+)
+"""
+
+ORACLES = {
+    "assign_nearest_centroid": _PC
+    + "SELECT vec_id, assigned_cluster FROM assigned",
+    "cluster_label_contingency": _PC
+    + """
+SELECT a.assigned_cluster AS cluster, a.cluster AS label, COUNT(*) AS n
+FROM assigned a GROUP BY a.assigned_cluster, a.cluster
+""",
+}

@@ -80,10 +80,10 @@ def _centroid_row(cents: DataFrame) -> DataFrame:
     )
 
 
-def point_metrics(pts: DataFrame, cents: DataFrame) -> DataFrame:
-    """Per-point distance frame: (vec_id, cluster, d_own, d2_own,
-    d_nearest_other). One broadcast nested-loop join against a 1-row table;
-    all distance math is codegen'd HOF expressions."""
+def with_dist_array(pts: DataFrame, cents: DataFrame) -> DataFrame:
+    """pts + ``d2s: array<struct<cl,d2>>`` — squared distance from each row's
+    vector to every centroid, via one broadcast join against the 1-row
+    folded-centroid table. Shared by the index suite and assignment."""
     joined = pts.crossJoin(F.broadcast(_centroid_row(cents)))
     d2s = F.transform(
         F.col("cents"),
@@ -91,7 +91,14 @@ def point_metrics(pts: DataFrame, cents: DataFrame) -> DataFrame:
             s["cl"].alias("cl"), l2sq(F.col("x"), s["c"]).alias("d2")
         ),
     )
-    with_d2s = joined.withColumn("d2s", d2s)
+    return joined.withColumn("d2s", d2s).drop("cents")
+
+
+def point_metrics(pts: DataFrame, cents: DataFrame) -> DataFrame:
+    """Per-point distance frame: (vec_id, cluster, d_own, d2_own,
+    d_nearest_other). One broadcast nested-loop join against a 1-row table;
+    all distance math is codegen'd HOF expressions."""
+    with_d2s = with_dist_array(pts, cents)
     own2 = F.get(
         F.filter(F.col("d2s"), lambda s: s["cl"] == F.col("cluster")), 0
     )["d2"]

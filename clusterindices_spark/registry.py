@@ -14,6 +14,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 _MODULES = [
     "clusterindices_spark.operators.indices",
+    "clusterindices_spark.operators.assignment",
+    "clusterindices_spark.operators.sweep",
 ]
 
 
