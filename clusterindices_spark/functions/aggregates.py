@@ -1,0 +1,48 @@
+"""Cross-engine-deterministic aggregate builders.
+
+Floating-point SUM is order-dependent; Spark's partial aggregation order
+varies with partitioning, and DuckDB's differs again, so a raw SUM(double)
+over many rows is not hash-stable even after round(6). The money pattern:
+cast each value to DECIMAL(18,6) (deterministic per-row rounding), sum
+exactly (decimal addition is associative), then cast back to double.
+Shuffle/scale cost is identical to a double sum — partial + final hash agg,
+map-side combine intact.
+
+Oracle-side equivalent:
+    ROUND(CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE), 6)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def exact_sum(col: Column | str, alias: str | None = None) -> Column:
+    """Order-independent sum of a double expression, rounded to 6dp."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.round(F.sum(c.cast("decimal(18,6)")).cast("double"), 6)
+    return out.alias(alias) if alias else out
+
+
+def exact_avg(col: Column | str, alias: str | None = None) -> Column:
+    """Order-independent mean: exact decimal sum ÷ count, rounded to 6dp.
+
+    Oracle: ROUND(CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE)/COUNT(x), 6).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.round(
+        F.sum(c.cast("decimal(18,6)")).cast("double") / F.count(c), 6
+    )
+    return out.alias(alias) if alias else out
+
+
+def sql_exact_sum(expr: str) -> str:
+    return f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE), 6)"
+
+
+def sql_exact_avg(expr: str) -> str:
+    return (
+        f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
+        f" / COUNT({expr}), 6)"
+    )

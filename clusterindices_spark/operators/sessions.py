@@ -1,0 +1,182 @@
+"""Event-time windowing, batch form (SURVEY.md §2B streaming rows).
+
+These are the oracle-checkable batch equivalents of the Structured Streaming
+operators; clusterindices_spark/streaming/streams.py re-expresses the same
+logic over readStream with watermarks (demo-only — streams can't be
+oracle-hashed).
+
+Timestamps are output as epoch milliseconds (unix_millis ↔ epoch_ms): the
+events table is ns-precision parquet that Spark reads at µs; ms-grain output
+is exact in both engines (FIXTURES.md).
+
+Scale: tumbling/sliding aggs are single-shuffle hash aggs keyed on
+(window, type) — low cardinality. Sessionization shuffles once on user_id
+(the gaps-and-islands windows and the final groupBy share that partitioning,
+so Catalyst plans ONE exchange), which is also how the streaming
+session_window state is keyed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clusterindices_spark.functions.aggregates import sql_exact_sum
+from clusterindices_spark.sources.fixtures import load_table
+
+SESSION_GAP_MIN = 30
+
+
+def q_stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6).alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def q_stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 15 min — each event lands in 4 windows."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def sessionize(e: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
+    """Gaps-and-islands sessionization: per user, a new session starts when
+    the gap to the previous event exceeds ``gap_min``. Millisecond arithmetic
+    so both engines compare identical integers."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis("ts")
+    prev_ms = F.lag(ms).over(w)
+    new_sess = F.when(
+        prev_ms.isNull() | ((ms - prev_ms) > gap_min * 60_000), 1
+    ).otherwise(0)
+    sess_id = F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.withColumn("session_id", sess_id)
+
+
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        sessionize(e)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.unix_millis(F.min("ts")).alias("session_start_ms"),
+            F.count(F.lit(1)).alias("n_events"),
+            ((F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))) / 1000.0).alias(
+                "duration_s"
+            ),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6).alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            "user_id",
+            "session_id",
+            "session_start_ms",
+            "n_events",
+            F.round("duration_s", 3).alias("duration_s"),
+            "sum_value",
+        )
+    )
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of dropDuplicatesWithinWatermark: keep the earliest event
+    per (user_id, event_type), deterministic (ts, event_id) tie-break."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("first_event_id"),
+            F.unix_millis("ts").alias("first_ts_ms"),
+        )
+    )
+
+
+QUERIES = {
+    "stream_tumbling_agg": q_stream_tumbling_agg,
+    "stream_sliding_agg": q_stream_sliding_agg,
+    "stream_session_windows": q_stream_session_windows,
+    "stream_dedup": q_stream_dedup,
+}
+
+_EV = "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events)"
+
+ORACLES = {
+    "stream_tumbling_agg": f"""
+SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+       event_type,
+       COUNT(*) AS n,
+       {sql_exact_sum('value')} AS sum_value
+FROM {_EV}
+GROUP BY 1, 2
+""",
+    "stream_sliding_agg": f"""
+SELECT epoch_ms(time_bucket(INTERVAL '15 minutes', ts) - o * INTERVAL '15 minutes') AS window_start_ms,
+       event_type,
+       COUNT(*) AS n
+FROM {_EV}, (SELECT unnest([0, 1, 2, 3]) AS o)
+GROUP BY 1, 2
+""",
+    "stream_session_windows": f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > {SESSION_GAP_MIN} * 60000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM {_EV}
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *,
+         SUM(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       epoch_ms(MIN(ts)) AS session_start_ms,
+       COUNT(*) AS n_events,
+       ROUND((epoch_ms(MAX(ts)) - epoch_ms(MIN(ts))) / 1000.0, 3) AS duration_s,
+       {sql_exact_sum('value')} AS sum_value
+FROM sess
+GROUP BY user_id, session_id
+""",
+    "stream_dedup": f"""
+SELECT user_id, event_type, event_id AS first_event_id, epoch_ms(ts) AS first_ts_ms
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id, event_type ORDER BY ts, event_id
+  ) AS rn
+  FROM {_EV}
+)
+WHERE rn = 1
+""",
+}

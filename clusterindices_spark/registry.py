@@ -16,6 +16,8 @@ _MODULES = [
     "clusterindices_spark.operators.indices",
     "clusterindices_spark.operators.assignment",
     "clusterindices_spark.operators.sweep",
+    "clusterindices_spark.operators.relational",
+    "clusterindices_spark.operators.sessions",
 ]
 
 

@@ -32,6 +32,17 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown fixture table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses outright
+        # (PARQUET_TYPE_ILLEGAL). Read it as raw int64 nanos via the legacy
+        # conf, then convert to a microsecond TIMESTAMP. The data is µs-aligned
+        # (verified: zero sub-µs residue at every sf), and DuckDB presents the
+        # same column as µs TIMESTAMP, so both engines see identical instants.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # integer division — ns values (~1.7e18) exceed 2^53, so a double
+        # division here silently corrupts the low microseconds
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "embeddings":
         df = df.withColumn("embedding", F.col("embedding").cast("array<double>"))
