@@ -1,0 +1,83 @@
+"""Benchmark runner (driver contract: one JSON line on stdout).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>}
+
+Per-query time excludes SparkSession startup and includes full
+materialization (count() for wide results, collect() for small ones —
+BASELINE.md note). A warmup query primes the JVM/codegen caches first.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# headline set: reference index suite + sweep-shaped work + one per operator
+# family (BASELINE.md rows 4-9)
+HEADLINE = [
+    "index_suite",
+    "assign_nearest_centroid",
+    "agg_basic",
+    "join_broadcast",
+    "join_sortmerge",
+    "join_asof",
+    "window_rank",
+    "stream_session_windows",
+    "dedup_exact",
+    "dedup_near_minhash",
+    "similarity_topk_exact",
+    "text_tfidf_topterms",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    os.environ.setdefault("SPARK_GRAFT_CPUS", cpus)
+
+    from clusterindices_spark.registry import all_queries
+    from clusterindices_spark.session import get_spark
+
+    spark = get_spark("clusterindices-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    # warmup: prime codegen/JIT with a cheap query (not timed)
+    queries["topk_orders"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.monotonic() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,289 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2C).
+
+Four tiers, all over ``documents``:
+- exact        : content hash (sha256) — oracle-checked.
+- ngram_jaccard: exact word-3-gram Jaccard on candidate pairs sharing a
+                 shingle — oracle-checked (pure relational algebra).
+- near_minhash : MinHash signatures + banded LSH candidates, exact-Jaccard
+                 verified — hash functions are engine-specific (xxhash64), so
+                 rows-only check + planted-duplicate recall tests.
+- simhash      : 63-bit SimHash + banded candidates + Hamming verify —
+                 rows-only + planted-duplicate tests.
+
+Scale posture: every tier is (scan → per-row expression work → one or two
+hash-key shuffles). MinHash banding shuffles by (band, band_hash) — the
+classic way to avoid the O(n²) pair explosion at 100 TB; candidate
+verification only touches bucket-mates. The exact-Jaccard tier self-joins on
+shingle, which is only safe when shared shingles are rare (it exists as the
+oracle-able ground-truth tier; the LSH tiers are the scale path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clusterindices_spark.functions.text import (
+    SQL_SHINGLES3,
+    SQL_TOKENS,
+    shingles3,
+    tokens,
+)
+from clusterindices_spark.sources.fixtures import load_table
+
+# 8 bands × 1 row: candidate probability 1-(1-J)^8 (≈98% at J=0.4, ≈100% at
+# J≥0.6). r=1 admits more false candidates than r=2, but the exact-Jaccard
+# verify pass prunes them; for a 100 TB corpus tune (b, r) to the target
+# similarity band (classic S-curve tradeoff).
+MINHASH_SEEDS = 8
+SIMHASH_BITS = 63  # 63 keeps the packed value inside a signed int64
+JACCARD_THRESHOLD = 0.2
+# 4×16-bit bands over the 63-bit hash guarantee a shared band only for
+# pairs within Hamming 3; beyond that recall decays, so the verify cutoff
+# matches the banding guarantee.
+HAMMING_MAX = 3
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.sha2(F.col("text"), 256).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (oracle-able ground truth for the LSH tiers)
+# ---------------------------------------------------------------------------
+
+
+def _doc_shingles(d: DataFrame) -> DataFrame:
+    return d.select(
+        "doc_id", shingles3(tokens(F.col("text"))).alias("shingles")
+    ).withColumn("n_shingles", F.size("shingles"))
+
+
+def ngram_jaccard_pairs(d: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Exact Jaccard over word-3-gram sets for every pair sharing ≥1 shingle."""
+    sh = _doc_shingles(d)
+    ex = sh.select("doc_id", "n_shingles", F.explode("shingles").alias("shingle"))
+    a = ex.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n_shingles").alias("na"),
+        "shingle",
+    )
+    b = ex.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n_shingles").alias("nb"),
+        "shingle",
+    )
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.round(
+        F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+    )
+    return (
+        inter.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_pairs(
+    d: DataFrame, threshold: float = 0.5, seeds: int = MINHASH_SEEDS
+) -> DataFrame:
+    """Candidate pairs via banded MinHash (2 rows/band), verified with exact
+    Jaccard ≥ threshold. xxhash64 is the hash family (seeded by prefixing)."""
+    sh = _doc_shingles(d).where(F.col("n_shingles") > 0)
+    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    sig = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.concat(F.lit(f"s{s}:"), F.col("shingle")))).alias(
+                f"h{s}"
+            )
+            for s in range(seeds)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"h{b}").alias("bh")
+                    )
+                    for b in range(seeds)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bh")
+    ca = bands.select(F.col("doc_id").alias("doc_a"), "band", "bh")
+    cb = bands.select(F.col("doc_id").alias("doc_b"), "band", "bh")
+    cands = (
+        ca.join(cb, ["band", "bh"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # exact-Jaccard verification of candidates only
+    sets_ = sh.select("doc_id", "shingles", "n_shingles")
+    verified = (
+        cands.join(
+            sets_.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("shingles").alias("sh_a"),
+                F.col("n_shingles").alias("na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sets_.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("shingles").alias("sh_b"),
+                F.col("n_shingles").alias("nb"),
+            ),
+            "doc_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+    )
+    return verified.where(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(d: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """63-bit SimHash per doc. Double-explode (token × bit) keeps everything
+    in partial-aggregatable groupBy form; the (doc, bit) shuffle is reduced
+    map-side to docs×bits rows regardless of token count."""
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+    ).withColumn("hv", F.xxhash64("tok"))
+    bitvals = spark_bitvals(d.sparkSession, bits)
+    contrib = (
+        tok.crossJoin(F.broadcast(bitvals))
+        .withColumn(
+            "sign",
+            F.when(F.expr("(hv >>> bit) & 1") == 1, 1).otherwise(-1),
+        )
+    )
+    per_bit = contrib.groupBy("doc_id", "bit", "bitval").agg(
+        F.sum("sign").alias("s")
+    )
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("s") > 0, F.col("bitval")).otherwise(0)).alias("simhash")
+    )
+
+
+def spark_bitvals(spark: SparkSession, bits: int) -> DataFrame:
+    return spark.createDataFrame(
+        [(b, 1 << b) for b in range(bits)], "bit INT, bitval BIGINT"
+    )
+
+
+def simhash_pairs(d: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFrame:
+    """Banded candidates (4 × 16-bit bands — pairs within Hamming ≤ 3 of a
+    64-bit hash must share a band; wider radius trades recall) + exact
+    Hamming verification."""
+    sig = simhash_signatures(d)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bv"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bv")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"), "band", "bv"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"), "band", "bv"
+    )
+    return (
+        a.join(b, ["band", "bv"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.expr("bit_count(sa ^ sb)").alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= hamming_max)
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_near_minhash": q_dedup_near_minhash,
+    "dedup_simhash": q_dedup_simhash,
+}
+
+_TOKS = SQL_TOKENS.format(col="text")
+_SH = SQL_SHINGLES3.format(toks="toks")
+
+ORACLES = {
+    "dedup_exact": """
+SELECT sha256(text) AS content_hash,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM documents GROUP BY sha256(text)
+""",
+    "dedup_ngram_jaccard": f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, {_SH} AS shingles FROM tok),
+sized AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh),
+ex AS (SELECT doc_id, n, unnest(shingles) AS shingle FROM sized),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+         COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.n, b.n
+)
+SELECT doc_a, doc_b,
+       ROUND(inter / (na + nb - inter), 6) AS jaccard
+FROM inter
+WHERE ROUND(inter / (na + nb - inter), 6) >= {JACCARD_THRESHOLD}
+""",
+    # dedup_near_minhash / dedup_simhash: engine-specific hash families →
+    # rows-only check; recall is property-tested with planted duplicates.
+}

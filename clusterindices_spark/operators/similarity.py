@@ -1,0 +1,212 @@
+"""Similarity search + multimodal vector stats (SURVEY.md §2C).
+
+- similarity_topk_exact : brute-force cosine top-k for a probe set — the
+  correctness baseline, oracle-checked. Probe side is broadcast; ranking is a
+  window over (rounded sim, neighbor id) so ties are deterministic in both
+  engines.
+- dedup_embedding_cosine: near-duplicate pairs by cosine ≥ 0.99 over all
+  pairs (oracle-checked ground truth; the LSH tier is the scale path).
+- similarity_ann_lsh    : BucketedRandomProjectionLSH over L2-normalized
+  vectors (cosine-equivalent ordering), seed=42 — approximate by
+  construction → rows-only check + recall property test vs the exact baseline.
+- multimodal_vector_stats: per-label embedding stats (reuses the centroid
+  machinery — where reference index math and pipeline ops converge).
+
+Scale: exact top-k broadcasts the probes (n·p rows, no shuffle before the
+per-probe top-k); at 100 TB swap in the LSH/IVF tier and keep this as the
+recall yardstick on samples. The all-pairs cosine tier is O(n²) by definition
+and exists only as oracle ground truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clusterindices_spark.functions.distances import cosine_sim, norm
+from clusterindices_spark.sources.fixtures import load_table
+
+N_PROBES = 10
+TOP_K = 5
+# synthetic embeddings are near-orthogonal (max pairwise cos ≈ 0.51 at
+# sf0.01); 0.4 exercises the operator with non-empty output. Real corpora
+# would use ~0.95+.
+COSINE_DUP_THRESHOLD = 0.4
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("x")
+    )
+
+
+def topk_exact(
+    emb: DataFrame, probes: DataFrame, k: int = TOP_K
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each probe row (probe side broadcast)."""
+    a = probes.select(F.col("vec_id").alias("probe_id"), F.col("x").alias("xa"))
+    b = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("x").alias("xb"))
+    sims = (
+        b.crossJoin(F.broadcast(a))
+        .where(F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(cosine_sim(F.col("xa"), F.col("xb")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("probe_id", "neighbor_id", "sim")
+    )
+
+
+def q_similarity_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return topk_exact(emb, emb.where(F.col("vec_id") < N_PROBES))
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("x").alias("xa"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("x").alias("xb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine_sim(F.col("xa"), F.col("xb")), 6).alias("cos"),
+        )
+        .where(F.col("cos") >= COSINE_DUP_THRESHOLD)
+    )
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    probes: DataFrame,
+    k: int = TOP_K,
+    bucket_length: float = 2.0,
+    num_tables: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via random-projection LSH on unit vectors.
+    approxSimilarityJoin prunes to bucket-mates; exact cosine re-ranks the
+    survivors. On unit vectors cos = 1 − d²/2, so euclidean LSH ≡ cosine LSH."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    unit = lambda df, idc, xc: df.select(  # noqa: E731
+        F.col("vec_id").alias(idc),
+        F.transform("x", lambda v: v / norm(F.col("x"))).alias(xc),
+    )
+    a = unit(probes, "probe_id", "xa").select(
+        "probe_id", array_to_vector("xa").alias("features")
+    )
+    b = unit(emb, "neighbor_id", "xb").select(
+        "neighbor_id", array_to_vector("xb").alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_tables,
+        seed=seed,
+    )
+    model = lsh.fit(b)
+    joined = model.approxSimilarityJoin(
+        a, b, threshold=2.0, distCol="dist"  # unit sphere: bucket pruning only
+    )
+    sims = joined.select(
+        F.col("datasetA.probe_id").alias("probe_id"),
+        F.col("datasetB.neighbor_id").alias("neighbor_id"),
+        F.round(1 - F.col("dist") * F.col("dist") / 2, 6).alias("sim"),
+    ).where(F.col("probe_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("probe_id", "neighbor_id", "sim")
+    )
+
+
+def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return ann_lsh_topk(emb, emb.where(F.col("vec_id") < N_PROBES))
+
+
+def q_multimodal_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.col("embedding")
+    return (
+        emb.select("label", x.alias("x"), norm(x).alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("nrm").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+        )
+    )
+
+
+QUERIES = {
+    "similarity_topk_exact": q_similarity_topk_exact,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "similarity_ann_lsh": q_similarity_ann_lsh,
+    "multimodal_vector_stats": q_multimodal_vector_stats,
+}
+
+# cosine in explicit SQL (list_sum fold order matches Spark's sequential
+# aggregate; divergence is sub-ulp and killed by round 6)
+_COS = (
+    "list_sum(list_transform(range(len({a})), i -> {a}[i+1] * {b}[i+1]))"
+    " / NULLIF(sqrt(list_sum(list_transform({a}, v -> v * v)))"
+    " * sqrt(list_sum(list_transform({b}, v -> v * v))), 0.0)"
+)
+
+ORACLES = {
+    "similarity_topk_exact": f"""
+WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+sims AS (
+  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+         ROUND({_COS.format(a='a.x', b='b.x')}, 6) AS sim
+  FROM pts a JOIN pts b ON a.vec_id < {N_PROBES} AND a.vec_id <> b.vec_id
+)
+SELECT probe_id, neighbor_id, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn
+  FROM sims
+) WHERE rn <= {TOP_K}
+""",
+    "dedup_embedding_cosine": f"""
+WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND({_COS.format(a='a.x', b='b.x')}, 6) AS cos
+FROM pts a JOIN pts b ON a.vec_id < b.vec_id
+WHERE ROUND({_COS.format(a='a.x', b='b.x')}, 6) >= {COSINE_DUP_THRESHOLD}
+""",
+    # similarity_ann_lsh: approximate (seeded MLlib hash family) → rows-only
+    "multimodal_vector_stats": """
+WITH pts AS (
+  SELECT label, CAST(embedding AS DOUBLE[]) AS x,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), v -> v * v))) AS nrm
+  FROM embeddings
+)
+SELECT label,
+       COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_norm,
+       ROUND(MAX(nrm), 6) AS max_norm,
+       ROUND(MIN(nrm), 6) AS min_norm
+FROM pts GROUP BY label
+""",
+}

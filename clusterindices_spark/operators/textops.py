@@ -1,0 +1,228 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2C +
+task north star: language-ID, quality scoring, token counting, TF-IDF,
+document fingerprinting). All pure Catalyst expressions over ``documents``;
+every key is oracle-checked (the heuristics are deterministic rule systems,
+so both engines must agree exactly).
+
+Scale: each operator is scan → per-row HOF work → at most one low-cardinality
+shuffle (by lang, or by term for the DF counts). TF-IDF shuffles by term —
+the one genuinely wide shuffle here; at 100 TB pre-aggregate per partition
+(map-side combine handles it) and consider frequency-capping the vocabulary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clusterindices_spark.functions.text import (
+    SQL_FINGERPRINT,
+    SQL_TOKENS,
+    rolling_fingerprint,
+    tokens,
+)
+from clusterindices_spark.sources.fixtures import load_table
+
+# tiny built-in stopword/marker lexicons (deterministic rule system — the
+# synthetic corpus is shared-vocabulary word soup, so these are exercised as
+# an engine operator, not a linguistic claim)
+LANG_MARKERS = {
+    "de": ("der", "die", "das", "und", "nicht", "ist"),
+    "en": ("the", "and", "of", "to", "is", "a"),
+    "es": ("el", "la", "los", "y", "de", "que"),
+    "fr": ("le", "la", "les", "et", "de", "est"),
+    "zh": ("的", "是", "了", "在", "我", "有"),
+}
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "on")
+
+
+def _with_tokens(d: DataFrame) -> DataFrame:
+    return d.withColumn("toks", tokens(F.col("text")))
+
+
+def q_text_tokens_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _with_tokens(load_table(spark, sf_dir, "documents"))
+    ex = d.select("lang", "doc_id", F.explode("toks").alias("tok"))
+    return ex.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct_tokens"),
+        F.round(F.count(F.lit(1)) / F.countDistinct("doc_id"), 6).alias(
+            "avg_tokens_per_doc"
+        ),
+    )
+
+
+def q_text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per doc; idf = ln(N/df); deterministic
+    (rounded score desc, term asc) ranking."""
+    d = _with_tokens(load_table(spark, sf_dir, "documents"))
+    tf = (
+        d.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    total = d.agg(F.count(F.lit(1)).alias("n_total"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_total") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+def _marker_score(lang: str):
+    markers = LANG_MARKERS[lang]
+    return F.size(F.filter(F.col("toks"), lambda t: t.isin(*markers)))
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language ID with alphabetical-priority tie-break —
+    a deterministic rule cascade (identical CASE chain in the oracle)."""
+    d = _with_tokens(load_table(spark, sf_dir, "documents"))
+    scored = d.select(
+        "doc_id",
+        "lang",
+        *[_marker_score(lg).alias(f"s_{lg}") for lg in LANG_MARKERS],
+    )
+    s = {lg: F.col(f"s_{lg}") for lg in LANG_MARKERS}
+    pred = (
+        F.when(s["de"] >= F.greatest(s["en"], s["es"], s["fr"], s["zh"]), "de")
+        .when(s["en"] >= F.greatest(s["es"], s["fr"], s["zh"]), "en")
+        .when(s["es"] >= F.greatest(s["fr"], s["zh"]), "es")
+        .when(s["fr"] >= s["zh"], "fr")
+        .otherwise("zh")
+    )
+    return scored.select("doc_id", "lang", pred.alias("pred_lang"))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score from length / token-shape / stopword signals,
+    the standard pre-training quality-filter shape."""
+    d = _with_tokens(load_table(spark, sf_dir, "documents"))
+    n_toks = F.size("toks")
+    sum_len = F.aggregate(
+        F.col("toks"), F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    n_stop = F.size(F.filter(F.col("toks"), lambda t: t.isin(*STOPWORDS)))
+    avg_tok_len = F.round(sum_len / F.nullif(n_toks, F.lit(0)), 6)
+    stop_ratio = F.round(n_stop / F.nullif(n_toks, F.lit(0)), 6)
+    score = F.round(
+        F.least(n_toks / F.lit(100.0), F.lit(1.0)) * 0.5
+        + stop_ratio * 0.3
+        + F.least(avg_tok_len / F.lit(10.0), F.lit(1.0)) * 0.2,
+        6,
+    )
+    return d.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        avg_tok_len.alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", rolling_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+QUERIES = {
+    "text_tokens_stats": q_text_tokens_stats,
+    "text_tfidf_topterms": q_text_tfidf_topterms,
+    "text_langid": q_text_langid,
+    "text_quality": q_text_quality,
+    "text_fingerprint": q_text_fingerprint,
+}
+
+_TOKS = SQL_TOKENS.format(col="text")
+
+
+def _sql_markers(lang: str) -> str:
+    lst = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return f"len(list_filter(toks, t -> t IN ({lst})))"
+
+
+_SQL_STOP = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+ORACLES = {
+    "text_tokens_stats": f"""
+WITH tok AS (SELECT doc_id, lang, unnest({_TOKS}) AS tok FROM documents)
+SELECT lang,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_tokens,
+       COUNT(DISTINCT tok) AS n_distinct_tokens,
+       ROUND(COUNT(*) / COUNT(DISTINCT doc_id), 6) AS avg_tokens_per_doc
+FROM tok GROUP BY lang
+""",
+    "text_tfidf_topterms": f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+total AS (SELECT COUNT(*) AS n_total FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, ROUND(tf.tf * ln(total.n_total / df.df), 6) AS tfidf
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN total
+)
+SELECT doc_id, term, tfidf FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+  FROM scored
+) WHERE rn <= 3
+""",
+    "text_langid": f"""
+WITH tok AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+scored AS (
+  SELECT doc_id, lang,
+         {_sql_markers('de')} AS s_de,
+         {_sql_markers('en')} AS s_en,
+         {_sql_markers('es')} AS s_es,
+         {_sql_markers('fr')} AS s_fr,
+         {_sql_markers('zh')} AS s_zh
+  FROM tok
+)
+SELECT doc_id, lang,
+       CASE WHEN s_de >= GREATEST(s_en, s_es, s_fr, s_zh) THEN 'de'
+            WHEN s_en >= GREATEST(s_es, s_fr, s_zh) THEN 'en'
+            WHEN s_es >= GREATEST(s_fr, s_zh) THEN 'es'
+            WHEN s_fr >= s_zh THEN 'fr'
+            ELSE 'zh' END AS pred_lang
+FROM scored
+""",
+    "text_quality": f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         list_sum(list_transform(toks, t -> len(t))) AS sum_len,
+         len(list_filter(toks, t -> t IN ({_SQL_STOP}))) AS n_stop
+  FROM tok
+)
+SELECT doc_id,
+       CAST(n_tokens AS INT) AS n_tokens,
+       ROUND(sum_len / NULLIF(n_tokens, 0), 6) AS avg_token_len,
+       ROUND(n_stop / NULLIF(n_tokens, 0), 6) AS stopword_ratio,
+       ROUND(LEAST(n_tokens / 100.0, 1.0) * 0.5
+             + ROUND(n_stop / NULLIF(n_tokens, 0), 6) * 0.3
+             + LEAST(ROUND(sum_len / NULLIF(n_tokens, 0), 6) / 10.0, 1.0) * 0.2,
+             6) AS quality_score
+FROM m
+""",
+    "text_fingerprint": f"""
+SELECT doc_id, {SQL_FINGERPRINT.format(col='text')} AS fingerprint
+FROM documents
+""",
+}

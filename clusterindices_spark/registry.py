@@ -18,6 +18,10 @@ _MODULES = [
     "clusterindices_spark.operators.sweep",
     "clusterindices_spark.operators.relational",
     "clusterindices_spark.operators.sessions",
+    "clusterindices_spark.operators.dedup",
+    "clusterindices_spark.operators.similarity",
+    "clusterindices_spark.operators.textops",
+    "clusterindices_spark.operators.multimodal",
 ]
 
 

@@ -1,0 +1,108 @@
+"""Planted-duplicate recall properties for the approximate tiers
+(SURVEY.md §5.2.4): hash-based dedup and ANN are not oracle-checkable, so we
+plant known duplicates/neighbors and require the pipelines to find them."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clusterindices_spark.operators.dedup import (
+    minhash_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from clusterindices_spark.operators.similarity import ann_lsh_topk, topk_exact
+
+from tests.conftest import SF_SMOKE
+
+BASE = [
+    "the quick brown fox jumps over the lazy dog near the river bank today",
+    "spark engines shuffle data between executors when keys are wide and hot",
+    "training data pipelines deduplicate documents before tokenizing the corpus",
+    "completely unrelated text about cooking pasta with garlic and fresh basil",
+]
+
+
+def planted_docs(spark):
+    rows = []
+    for i, t in enumerate(BASE):
+        rows.append((i * 10, t))
+        toks = t.split()
+        toks[3] = "EDITED"  # 1-token edit → near-duplicate
+        rows.append((i * 10 + 1, " ".join(toks)))
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+
+def _planted_pairs():
+    return {(i * 10, i * 10 + 1) for i in range(len(BASE))}
+
+
+def test_ngram_jaccard_finds_planted(spark):
+    d = planted_docs(spark)
+    found = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(d, threshold=0.2).collect()
+    }
+    assert _planted_pairs() <= found
+
+
+def test_minhash_finds_planted(spark):
+    d = planted_docs(spark)
+    found = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_pairs(d, threshold=0.2).collect()
+    }
+    # banded MinHash is probabilistic per pair, but a 1-token edit keeps
+    # jaccard ~0.7+ so all planted pairs must bucket together at 4 bands
+    assert _planted_pairs() <= found
+
+
+def test_minhash_no_false_positives_across_bases(spark):
+    d = planted_docs(spark)
+    found = minhash_pairs(d, threshold=0.5).collect()
+    for r in found:
+        assert r["doc_a"] // 10 == r["doc_b"] // 10  # only within-base pairs
+
+
+def test_simhash_finds_exact_copies(spark):
+    rows = [(1, BASE[0]), (2, BASE[0]), (3, BASE[3])]
+    d = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    found = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_pairs(d).collect()}
+    assert found.get((1, 2)) == 0
+    assert (1, 3) not in found
+
+
+def test_ann_lsh_recall_vs_exact(spark):
+    from clusterindices_spark.operators.similarity import _emb
+
+    emb = _emb(spark, SF_SMOKE)
+    probes = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r["probe_id"], r["neighbor_id"]) for r in topk_exact(emb, probes).collect()
+    }
+    approx = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in ann_lsh_topk(emb, probes).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # near-orthogonal synthetic vectors are LSH's worst case; still require
+    # well-above-chance recall (chance ≈ k/n = 5/500 = 1%)
+    assert recall >= 0.3, f"ANN recall {recall:.2f} below floor"
+
+
+def test_multimodal_decode_stub(spark):
+    from clusterindices_spark.operators.multimodal import (
+        decode_binary,
+        with_binary_payload,
+    )
+    from clusterindices_spark.sources.fixtures import load_table
+
+    import pytest
+
+    d = with_binary_payload(load_table(spark, SF_SMOKE, "documents"))
+    out = decode_binary(d, mode="fake")
+    rows = out.limit(5).collect()
+    assert {r["n_bytes"] > 0 for r in rows} == {True}
+    assert all(r["fake_width"] * r["fake_height"] <= r["n_bytes"] for r in rows)
+    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+        decode_binary(d, mode="real").limit(1).collect()
