@@ -21,21 +21,23 @@ def tokens(col: Column | str) -> Column:
 
 
 def shingles3(toks: Column) -> Column:
-    """Distinct word 3-gram shingles; empty array for docs under 3 tokens
-    (guarded: Spark's sequence(0, negative) would count DOWN)."""
+    """Distinct word 3-gram shingles; empty for docs under 3 tokens.
+
+    Built from arrays_zip of three shifted slices, NOT from
+    element_at(toks, i) inside a transform lambda: higher-order lambdas are
+    interpreted, and an outer-column reference in the lambda body re-evaluates
+    its whole expression tree (including the upstream regexp tokenization)
+    once PER ELEMENT — measured 13s for 5k docs at sf0.1, O(tokens²) per doc.
+    The zip form touches only the lambda variable, so inputs are evaluated
+    once per row."""
+    n = F.greatest(F.size(toks) - 2, F.lit(0))
+    z = F.arrays_zip(
+        F.slice(toks, 1, n).alias("w1"),
+        F.slice(toks, 2, n).alias("w2"),
+        F.slice(toks, 3, n).alias("w3"),
+    )
     return F.array_distinct(
-        F.when(
-            F.size(toks) >= 3,
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - 3),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(toks, i + 1),
-                    F.element_at(toks, i + 2),
-                    F.element_at(toks, i + 3),
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+        F.transform(z, lambda s: F.concat_ws(" ", s["w1"], s["w2"], s["w3"]))
     )
 
 

@@ -31,11 +31,13 @@ from clusterindices_spark.functions.text import (
 )
 from clusterindices_spark.sources.fixtures import load_table
 
-# 8 bands × 1 row: candidate probability 1-(1-J)^8 (≈98% at J=0.4, ≈100% at
-# J≥0.6). r=1 admits more false candidates than r=2, but the exact-Jaccard
-# verify pass prunes them; for a 100 TB corpus tune (b, r) to the target
-# similarity band (classic S-curve tradeoff).
-MINHASH_SEEDS = 8
+# 8 bands × 2 rows (16 signatures): S-curve midpoint (1/b)^(1/r) ≈ 0.35 —
+# ≈90% candidate probability at the J=0.5 verify threshold, yet only ≈0.7%
+# at the J≈0.03 baseline overlap of shared-vocabulary corpora. r=1 banding
+# was measured 30x slower at sf0.1: word-soup docs collide on single
+# minhashes often enough to make ~20% of ALL pairs candidates.
+MINHASH_SEEDS = 16
+MINHASH_BAND_ROWS = 2
 SIMHASH_BITS = 63  # 63 keeps the packed value inside a signed int64
 JACCARD_THRESHOLD = 0.2
 # 4×16-bit bands over the 63-bit hash guarantee a shared band only for
@@ -112,24 +114,37 @@ def minhash_pairs(
     """Candidate pairs via banded MinHash (2 rows/band), verified with exact
     Jaccard ≥ threshold. xxhash64 is the hash family (seeded by prefixing)."""
     sh = _doc_shingles(d).where(F.col("n_shingles") > 0)
-    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    sig = ex.groupBy("doc_id").agg(
+    # signatures as pure HOF per-row math (array_min over seeded xxhash64) —
+    # no explode, no shuffle; the lambda only touches its own variable so
+    # the shingle array is not re-evaluated per element
+    sig = sh.select(
+        "doc_id",
         *[
-            F.min(F.xxhash64(F.concat(F.lit(f"s{s}:"), F.col("shingle")))).alias(
-                f"h{s}"
-            )
+            F.array_min(
+                F.transform(
+                    "shingles",
+                    lambda x, s=s: F.xxhash64(F.concat(F.lit(f"s{s}:"), x)),
+                )
+            ).alias(f"h{s}")
             for s in range(seeds)
-        ]
+        ],
     )
+    n_bands = seeds // MINHASH_BAND_ROWS
     bands = sig.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band"), F.col(f"h{b}").alias("bh")
+                        F.lit(b).alias("band"),
+                        F.hash(
+                            *[
+                                F.col(f"h{b * MINHASH_BAND_ROWS + r}")
+                                for r in range(MINHASH_BAND_ROWS)
+                            ]
+                        ).alias("bh"),
                     )
-                    for b in range(seeds)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("bb"),

@@ -1,0 +1,103 @@
+"""Physical-plan audit (SURVEY.md §4): after correctness, verify each
+headline query compiles to the plan we designed for scale — broadcast where a
+side is small, pushdown at the scan, no cartesian products, codegen spans.
+
+Run: python -m clusterindices_spark.plans.audit [sf_dir]
+Exits non-zero if any expectation fails; tests call `audit_all` directly.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import SparkSession
+
+# per-query plan expectations: substrings that MUST appear / must NOT appear
+# in the executed plan string
+EXPECTATIONS: dict[str, dict[str, list[str]]] = {
+    "scan_project_filter": {
+        # "*(" is the WholeStageCodegen stage marker in plan toString()
+        "require": ["PushedFilters: [", "*("],
+        "forbid": ["CartesianProduct"],
+    },
+    "join_broadcast": {
+        "require": ["BroadcastHashJoin"],
+        "forbid": ["SortMergeJoin", "CartesianProduct"],
+    },
+    "join_sortmerge": {
+        # AQE may choose SMJ or shuffled-hash; either is a partitioned join
+        "require": ["Join"],
+        "forbid": ["BroadcastNestedLoopJoin", "CartesianProduct"],
+    },
+    "join_range": {
+        # equi component on user_id must make this a partitioned equi-join
+        # with the range predicate as join condition — never a pure BNLJ
+        "require": [],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "index_suite": {
+        # centroid side rides a broadcast; the only wide exchange is the
+        # groupBy over K clusters
+        "require": ["Broadcast"],
+        "forbid": ["CartesianProduct"],
+    },
+    "assign_nearest_centroid": {
+        "require": ["Broadcast"],
+        "forbid": ["SortMergeJoin"],
+    },
+    "topk_orders": {
+        "require": ["TakeOrderedAndProject"],
+        "forbid": ["Exchange rangepartitioning"],  # no global sort
+    },
+    "agg_basic": {
+        "require": ["partial"],  # two-phase agg (partial_ prefix on agg exprs)
+        "forbid": ["CartesianProduct"],
+    },
+    "similarity_topk_exact": {
+        "require": ["Broadcast"],  # probe side broadcast
+        "forbid": ["SortMergeJoin"],
+    },
+}
+
+
+def audit_one(spark: SparkSession, name: str, sf_dir: str) -> list[str]:
+    from clusterindices_spark.registry import all_queries
+
+    df = all_queries()[name](spark, sf_dir)
+    # executedPlan after AQE needs an action; use the initial physical plan
+    # plus the final adaptive plan when available
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    problems = []
+    exp = EXPECTATIONS[name]
+    for frag in exp.get("require", []):
+        if frag.lower() not in plan.lower():
+            problems.append(f"missing {frag!r}")
+    for frag in exp.get("forbid", []):
+        if frag.lower() in plan.lower():
+            problems.append(f"forbidden {frag!r} present")
+    return problems
+
+
+def audit_all(spark: SparkSession, sf_dir: str) -> dict[str, list[str]]:
+    return {name: audit_one(spark, name, sf_dir) for name in EXPECTATIONS}
+
+
+def main() -> int:
+    from clusterindices_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    failures = 0
+    for name, problems in audit_all(spark, sf_dir).items():
+        if problems:
+            failures += 1
+            print(f"AUDIT FAIL {name}: {'; '.join(problems)}")
+        else:
+            print(f"AUDIT OK   {name}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

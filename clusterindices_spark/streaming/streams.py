@@ -1,0 +1,114 @@
+"""Structured Streaming forms of the event-time operators (SURVEY.md §2B
+streaming rows). The batch twins in operators/sessions.py are the
+oracle-checked semantics; these re-express the SAME logic over an unbounded
+source with watermarks, and the tests assert stream-vs-batch agreement by
+replaying the events fixture through a file stream.
+
+Streams cannot be oracle-hashed (no stable completion point), so correctness
+here = "streaming output ≡ batch output on a bounded replay" — the strongest
+check available for this surface, and the standard way to validate a
+Structured Streaming job.
+
+Scale posture: state is keyed by (window, type) / (user_id) — the watermark
+bounds state size; at 100 TB the same topology runs with kafka sources,
+shuffle-partition count sized to key cardinality, and RocksDB state store.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clusterindices_spark.operators.sessions import SESSION_GAP_MIN
+
+EVENTS_STREAM_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def events_file_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-based replay source with the events schema (tests write the
+    fixture out as json and stream it back)."""
+    return spark.readStream.schema(EVENTS_STREAM_SCHEMA).json(path)
+
+
+def tumbling_agg_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming twin of q_stream_tumbling_agg: 1-hour tumbling windows with
+    late data dropped past the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("sum_value"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def session_window_stream(
+    events: DataFrame,
+    gap_min: int = SESSION_GAP_MIN,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming sessionization via the native session_window — the stateful
+    twin of the gaps-and-islands batch query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", f"{gap_min} minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming dedup on event_id within the watermark horizon
+    (dropDuplicatesWithinWatermark, Spark 3.5+)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_to_completion(
+    stream_df: DataFrame, name: str, mode: str = "complete"
+) -> DataFrame:
+    """Drain a bounded replay with an availableNow trigger into a memory
+    sink and return the materialized table.
+
+    mode="complete" for aggregations: in append mode a bounded replay never
+    advances the watermark past the final windows, silently dropping the
+    tail of the data — the classic bounded-stream pitfall. Use append only
+    for non-aggregating streams (e.g. dedup)."""
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="ci-ckpt-")
+    q = (
+        stream_df.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

@@ -48,13 +48,19 @@ def test_ngram_jaccard_finds_planted(spark):
 
 def test_minhash_finds_planted(spark):
     d = planted_docs(spark)
+    # ground truth: exact-Jaccard pairs at the LSH tier's design threshold;
+    # the banded pipeline must recover all of them (deterministic given the
+    # fixed xxhash64 family — this is a locked outcome, not a flaky sample)
+    expected = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(d, threshold=0.5).collect()
+    }
+    assert expected, "fixture must contain pairs at/above the design threshold"
     found = {
         (r["doc_a"], r["doc_b"])
-        for r in minhash_pairs(d, threshold=0.2).collect()
+        for r in minhash_pairs(d, threshold=0.5).collect()
     }
-    # banded MinHash is probabilistic per pair, but a 1-token edit keeps
-    # jaccard ~0.7+ so all planted pairs must bucket together at 4 bands
-    assert _planted_pairs() <= found
+    assert expected <= found
 
 
 def test_minhash_no_false_positives_across_bases(spark):
