@@ -1,0 +1,307 @@
+"""TPC-H headline queries adapted to the fixture star schema (FIXTURES.md).
+
+The reference (josemarialuna/ClusterIndices) publishes no TPC benchmark
+(SURVEY.md §6, [GH, conf=H]); these queries exist to exercise the engine's
+relational surface on the canonical decision-support shapes and to anchor
+bench.py with industry-recognisable plans. Adaptations forced by the fixture
+schema (no partsupp, no l_shipmode/l_commitdate/l_receiptdate, dates are
+TIMESTAMP): Q12 and Q4's predicates are not expressible and are omitted;
+Q10 drops the address/phone columns; everything else keeps the published
+query shape.
+
+Scale posture:
+- q1/q6: single scan, map-side partial agg over ≤6 groups — the 100 TB plan
+  is scan-bound; predicates reach the parquet reader (PushedFilters).
+- q3/q5/q10/q18: fact⋈fact shuffles on the join key + broadcast dims.
+  At 100 TB, bucket lineitem+orders on orderkey to turn the big shuffle
+  into a co-located join; AQE handles skew splits.
+- q18's HAVING runs on the partial-agg side of the shuffle (groupBy
+  orderkey ≈ pre-bucketed), then semi-joins back — expressed directly with
+  a join on the aggregated result so Catalyst reuses the exchange.
+
+All money sums use the decimal exact-sum pattern (functions/aggregates.py)
+for cross-engine hash stability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clusterindices_spark.functions.aggregates import (
+    exact_avg,
+    exact_sum,
+    sql_exact_avg,
+    sql_exact_sum,
+)
+from clusterindices_spark.sources.fixtures import load_table
+
+_CUTOFF = "1998-09-01"  # q1 shipdate cutoff (fixture dates span 1995..2001)
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary report: one scan, 6-group hash agg."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit(_CUTOFF).cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        exact_sum("l_quantity", "sum_qty"),
+        exact_sum("l_extendedprice", "sum_base_price"),
+        exact_sum(disc_price, "sum_disc_price"),
+        exact_sum(charge, "sum_charge"),
+        exact_avg("l_quantity", "avg_qty"),
+        exact_avg("l_extendedprice", "avg_price"),
+        exact_avg("l_discount", "avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping priority: BUILDING-segment revenue per order, top 10."""
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("o_date"))
+        .agg(
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local supplier volume: revenue per nation where supplier and customer
+    share the nation; dims broadcast, facts shuffle on their keys."""
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+    )
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting revenue change: pure scan + filter + scalar agg; every
+    predicate must appear in PushedFilters."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        exact_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item reporting: revenue lost to returns per customer in a
+    quarter, top 20 (address/phone columns absent from fixtures)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            ),
+            F.round(F.max("c_acctbal"), 6).alias("acctbal"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion effect: PROMO revenue share in a month. Two decimal sums →
+    one scalar; part side broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return joined.agg(
+        F.round(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+                / F.sum(rev)
+            ).cast("double"),
+            6,
+        ).alias("promo_revenue_pct")
+    )
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers: orders whose total quantity exceeds 180.
+    The HAVING aggregate groups on the join key itself, so Catalyst places
+    it before the orders join and the later join reuses the exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(exact_sum("l_quantity", "total_qty"))
+        .where(F.col("total_qty") > 180)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_date"),
+            F.round("o_totalprice", 6).alias("price"),
+            "total_qty",
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+QUERIES = {
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
+    "tpch_q6": q_tpch_q6,
+    "tpch_q10": q_tpch_q10,
+    "tpch_q14": q_tpch_q14,
+    "tpch_q18": q_tpch_q18,
+}
+
+ORACLES = {
+    "tpch_q1": f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_exact_sum('l_quantity')} AS sum_qty,
+       {sql_exact_sum('l_extendedprice')} AS sum_base_price,
+       {sql_exact_sum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {sql_exact_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {sql_exact_avg('l_quantity')} AS avg_qty,
+       {sql_exact_avg('l_extendedprice')} AS avg_price,
+       {sql_exact_avg('l_discount')} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{_CUTOFF} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "tpch_q3": f"""
+SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+       {sql_exact_sum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    "tpch_q5": f"""
+SELECT n_name,
+       {sql_exact_sum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+""",
+    "tpch_q6": f"""
+SELECT {sql_exact_sum('l_extendedprice * l_discount')} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    "tpch_q10": f"""
+SELECT c_custkey, c_name, n_name,
+       {sql_exact_sum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       ROUND(MAX(c_acctbal), 6) AS acctbal
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    "tpch_q14": """
+SELECT ROUND(CAST(
+         100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                          THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                          ELSE 0 END)
+             / SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+       AS DOUBLE), 6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+""",
+    "tpch_q18": f"""
+SELECT c_custkey, c_name, o_orderkey,
+       CAST(o_orderdate AS DATE) AS o_date,
+       ROUND(o_totalprice, 6) AS price, total_qty
+FROM (
+  SELECT l_orderkey, {sql_exact_sum('l_quantity')} AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING {sql_exact_sum('l_quantity')} > 180
+) big
+JOIN orders ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 100
+""",
+}
