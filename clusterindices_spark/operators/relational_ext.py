@@ -1,0 +1,433 @@
+"""Extended relational surface beyond SURVEY.md §2B's minimum: grouping
+sets, statistical aggregates, pivot/unpivot, correlated + IN subqueries,
+distribution window functions, lateral explode, date-series generation,
+conditional expressions, distinct-on, and string-distance scalars.
+
+Several queries use ``spark.sql`` over temp views on purpose — the SQL
+surface (GROUPING SETS, correlated scalar subqueries, IN subqueries) is part
+of the engine's API and has no 1:1 DataFrame equivalent; Catalyst plans both
+identically.
+
+Determinism notes:
+- variance / correlation are derived from exact decimal sums (n, Σx, Σx²,
+  Σxy — functions/aggregates.py pattern) over small-magnitude columns
+  (l_quantity ≤ 50, l_discount ≤ 0.1), so the float arithmetic that follows
+  is on exactly-agreed inputs and round(6) is stable cross-engine.
+- distribution windows (percent_rank/cume_dist) are rationals of row counts
+  — exact; tie-breaks pinned with a key column everywhere.
+
+Scale posture: everything here is a single scan + one hash agg or window
+shuffle; grouping-sets expands rows at the agg (Spark Expand operator) —
+at 100 TB prefer ROLLUP when the lattice allows it (Expand multiplies the
+shuffle write by the number of grouping sets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clusterindices_spark.functions.aggregates import exact_sum, sql_exact_sum
+from clusterindices_spark.sources.fixtures import load_table
+
+# ---------------------------------------------------------------------------
+# grouping sets / stats aggregates
+# ---------------------------------------------------------------------------
+
+
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS lattice with grouping() flags (SQL surface —
+    DataFrame API only has rollup/cube)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).createOrReplaceTempView(
+        "cust_nation_gs"
+    )
+    return spark.sql(
+        f"""
+        SELECT n_name, c_mktsegment,
+               CAST(grouping(n_name) AS INT) AS g_nation,
+               CAST(grouping(c_mktsegment) AS INT) AS g_segment,
+               COUNT(*) AS n_customers,
+               {sql_exact_sum('c_acctbal')} AS sum_acctbal
+        FROM cust_nation_gs
+        GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name),
+                                (c_mktsegment), ())
+        """
+    )
+
+
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance / stddev / correlation / covariance derived from
+    exact decimal sums, plus exact interpolated median. Raw VAR_SAMP/CORR
+    are float-order-dependent across engines; this formulation is not."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(28,6)")  # noqa: E731
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("l_quantity")).alias("sx"),
+        F.sum((dec("l_quantity") * dec("l_quantity")).cast("decimal(28,6)")).alias(
+            "sxx"
+        ),
+        F.sum(dec("l_discount")).alias("sy"),
+        F.sum((dec("l_discount") * dec("l_discount")).cast("decimal(28,6)")).alias(
+            "syy"
+        ),
+        F.sum((dec("l_quantity") * dec("l_discount")).cast("decimal(28,6)")).alias(
+            "sxy"
+        ),
+        F.percentile("l_quantity", F.lit(0.5)).alias("med"),
+    )
+    n = F.col("n").cast("double")
+    sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    sy, syy = F.col("sy").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    var_x = (sxx - sx * sx / n) / (n - 1)
+    var_y = (syy - sy * sy / n) / (n - 1)
+    cov = (sxy - sx * sy / n) / (n - 1)
+    return agg.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        F.round(var_x, 6).alias("var_qty"),
+        F.round(F.sqrt(var_x), 6).alias("stddev_qty"),
+        F.round(cov, 6).alias("covar_qty_disc"),
+        F.round(cov / F.sqrt(var_x * var_y), 6).alias("corr_qty_disc"),
+        F.round("med", 6).alias("median_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pivot / unpivot
+# ---------------------------------------------------------------------------
+
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() with an explicit value list (explicit list keeps the
+    plan single-pass; without it Spark runs an extra distinct job)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .pivot("c_mktsegment", _SEGMENTS)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _SEGMENTS)
+    )
+
+
+def q_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long via DataFrame.unpivot (Spark 3.4+); oracle uses the
+    portable UNION ALL formulation."""
+    p = load_table(spark, sf_dir, "part")
+    wide = p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retailprice"),
+    )
+    return wide.unpivot(
+        ids=["p_partkey"],
+        values=["size", "retailprice"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    ).select("p_partkey", "metric", F.round("val", 6).alias("val"))
+
+
+# ---------------------------------------------------------------------------
+# subqueries
+# ---------------------------------------------------------------------------
+
+
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: orders strictly above their customer's
+    average order value. Catalyst de-correlates to an aggregate + join."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 6) AS price
+        FROM orders_sq o
+        WHERE o_totalprice > 1.5 * (
+          SELECT AVG(o_totalprice) FROM orders_sq i
+          WHERE i.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN / NOT IN subqueries (planned as semi/anti joins)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_in")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_in")
+    return spark.sql(
+        """
+        SELECT o_orderkey, 'rich_customer' AS bucket
+        FROM orders_in
+        WHERE o_custkey IN (SELECT c_custkey FROM customer_in WHERE c_acctbal > 8000)
+        UNION ALL
+        SELECT o_orderkey, 'other' AS bucket
+        FROM orders_in
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer_in WHERE c_acctbal > 8000)
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# distribution windows / lateral explode / sequences
+# ---------------------------------------------------------------------------
+
+
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.first_value(F.col("c_acctbal")).over(full), 6).alias("seg_min"),
+        F.round(F.last_value(F.col("c_acctbal")).over(full), 6).alias("seg_max"),
+    )
+
+
+def q_explode_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (LATERAL VIEW): embedding array → (vec_id, pos, val) rows.
+    Narrow op — no shuffle; at 100 TB this is the canonical row-explosion
+    the optimizer pipelines into the scan."""
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 20)
+    return emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select("vec_id", "pos", F.round("val", 6).alias("val"))
+
+
+def q_sequence_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated month series (sequence + explode) left-joined with order
+    counts — the calendar-spine pattern for gap-free time series."""
+    o = load_table(spark, sf_dir, "orders")
+    months = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("timestamp"),
+                F.lit("2001-08-01").cast("timestamp"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("m")
+    ).select(F.col("m").cast("date").alias("month_start"))
+    per_month = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        exact_sum("o_totalprice", "revenue"),
+    )
+    return (
+        months.join(per_month, "month_start", "left")
+        .select(
+            "month_start",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# conditional / distinct-on / string distance
+# ---------------------------------------------------------------------------
+
+
+def q_cond_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") >= 7500, "platinum")
+        .when(F.col("c_acctbal") >= 5000, "gold")
+        .when(F.col("c_acctbal") >= 0, "standard")
+        .otherwise("delinquent")
+        .alias("tier"),
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("OTHER")
+        ).alias("seg_or_other"),
+        F.round(F.greatest(F.col("c_acctbal"), F.lit(0.0)), 6).alias("bal_floor"),
+        F.round(F.least(F.col("c_acctbal"), F.lit(9000.0)), 6).alias("bal_cap"),
+    )
+
+
+def q_distinct_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT ON-equivalent: latest event per (user, event_type); ms-grain
+    timestamp output per the ns-parquet gotcha."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.unix_millis(F.col("ts")).alias("ts_ms"),
+            F.round("value", 6).alias("value"),
+        )
+    )
+
+
+def q_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") < 500)
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_brand", "p_type").alias("lev_brand_type"),
+        F.reverse(F.col("p_brand")).alias("rev_brand"),
+        F.lpad("p_brand", 12, "_").alias("brand_padded"),
+        F.repeat(F.lit("ab"), 3).alias("rep"),
+        F.replace(F.col("p_type"), F.lit("O"), F.lit("0")).alias("typ0"),
+    )
+
+
+QUERIES = {
+    "agg_grouping_sets": q_agg_grouping_sets,
+    "agg_stats": q_agg_stats,
+    "pivot_wide": q_pivot_wide,
+    "unpivot_long": q_unpivot_long,
+    "subquery_scalar": q_subquery_scalar,
+    "subquery_in": q_subquery_in,
+    "window_distribution": q_window_distribution,
+    "explode_lateral": q_explode_lateral,
+    "sequence_dates": q_sequence_dates,
+    "cond_expr": q_cond_expr,
+    "distinct_latest": q_distinct_latest,
+    "string_distance": q_string_distance,
+}
+
+_EV = "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events)"
+
+ORACLES = {
+    "agg_grouping_sets": f"""
+SELECT n_name, c_mktsegment,
+       CAST(grouping(n_name) AS INT) AS g_nation,
+       CAST(grouping(c_mktsegment) AS INT) AS g_segment,
+       COUNT(*) AS n_customers,
+       {sql_exact_sum('c_acctbal')} AS sum_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), (c_mktsegment), ())
+""",
+    "agg_stats": """
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(l_quantity AS DECIMAL(28,6))) AS sx,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(28,6)) * CAST(l_quantity AS DECIMAL(28,6)) AS DECIMAL(28,6))) AS sxx,
+         SUM(CAST(l_discount AS DECIMAL(28,6))) AS sy,
+         SUM(CAST(CAST(l_discount AS DECIMAL(28,6)) * CAST(l_discount AS DECIMAL(28,6)) AS DECIMAL(28,6))) AS syy,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(28,6)) * CAST(l_discount AS DECIMAL(28,6)) AS DECIMAL(28,6))) AS sxy,
+         quantile_cont(l_quantity, 0.5) AS med
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n AS n_rows,
+       ROUND((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n) / (n-1), 6) AS var_qty,
+       ROUND(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n) / (n-1)), 6) AS stddev_qty,
+       ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/n) / (n-1), 6) AS covar_qty_disc,
+       ROUND(((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/n) / (n-1))
+             / sqrt(((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n) / (n-1))
+                  * ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)/n) / (n-1))), 6) AS corr_qty_disc,
+       ROUND(med, 6) AS median_qty
+FROM s
+""",
+    "pivot_wide": """
+SELECT n_name,
+       CAST(COUNT(*) FILTER (WHERE c_mktsegment = 'AUTOMOBILE') AS BIGINT) AS AUTOMOBILE,
+       CAST(COUNT(*) FILTER (WHERE c_mktsegment = 'BUILDING') AS BIGINT) AS BUILDING,
+       CAST(COUNT(*) FILTER (WHERE c_mktsegment = 'FURNITURE') AS BIGINT) AS FURNITURE,
+       CAST(COUNT(*) FILTER (WHERE c_mktsegment = 'HOUSEHOLD') AS BIGINT) AS HOUSEHOLD,
+       CAST(COUNT(*) FILTER (WHERE c_mktsegment = 'MACHINERY') AS BIGINT) AS MACHINERY
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+    "unpivot_long": """
+SELECT p_partkey, 'size' AS metric, ROUND(CAST(p_size AS DOUBLE), 6) AS val FROM part
+UNION ALL
+SELECT p_partkey, 'retailprice' AS metric, ROUND(p_retailprice, 6) AS val FROM part
+""",
+    "subquery_scalar": """
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 6) AS price
+FROM orders o
+WHERE o_totalprice > 1.5 * (
+  SELECT AVG(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey
+)
+""",
+    "subquery_in": """
+SELECT o_orderkey, 'rich_customer' AS bucket
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 8000)
+UNION ALL
+SELECT o_orderkey, 'other' AS bucket
+FROM orders
+WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal > 8000)
+""",
+    "window_distribution": """
+SELECT c_custkey, c_mktsegment,
+       ntile(4) OVER w AS quartile,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist() OVER w, 6) AS cume,
+       ROUND(first_value(c_acctbal) OVER wf, 6) AS seg_min,
+       ROUND(last_value(c_acctbal) OVER wf, 6) AS seg_max
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey),
+       wf AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+    "explode_lateral": """
+SELECT vec_id,
+       CAST(unnest(range(len(embedding))) AS INT) AS pos,
+       ROUND(CAST(unnest(embedding) AS DOUBLE), 6) AS val
+FROM embeddings WHERE vec_id < 20
+""",
+    "sequence_dates": f"""
+WITH months AS (
+  SELECT CAST(unnest(generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '2001-08-01',
+                                     INTERVAL 1 MONTH)) AS DATE) AS month_start
+),
+per_month AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+         COUNT(*) AS n_orders,
+         {sql_exact_sum('o_totalprice')} AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT m.month_start,
+       COALESCE(p.n_orders, 0) AS n_orders,
+       COALESCE(p.revenue, 0.0) AS revenue
+FROM months m LEFT JOIN per_month p USING (month_start)
+""",
+    "cond_expr": """
+SELECT c_custkey,
+       CASE WHEN c_acctbal >= 7500 THEN 'platinum'
+            WHEN c_acctbal >= 5000 THEN 'gold'
+            WHEN c_acctbal >= 0 THEN 'standard'
+            ELSE 'delinquent' END AS tier,
+       COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg_or_other,
+       ROUND(GREATEST(c_acctbal, 0.0), 6) AS bal_floor,
+       ROUND(LEAST(c_acctbal, 9000.0), 6) AS bal_cap
+FROM customer
+""",
+    "distinct_latest": f"""
+SELECT user_id, event_type, event_id, epoch_ms(ts) AS ts_ms,
+       ROUND(value, 6) AS value
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC
+  ) AS rn
+  FROM {_EV}
+)
+WHERE rn = 1
+""",
+    "string_distance": """
+SELECT p_partkey,
+       CAST(levenshtein(p_brand, p_type) AS INT) AS lev_brand_type,
+       reverse(p_brand) AS rev_brand,
+       lpad(p_brand, 12, '_') AS brand_padded,
+       repeat('ab', 3) AS rep,
+       replace(p_type, 'O', '0') AS typ0
+FROM part WHERE p_partkey < 500
+""",
+}

@@ -18,6 +18,7 @@ _MODULES = [
     "clusterindices_spark.operators.sweep",
     "clusterindices_spark.operators.relational",
     "clusterindices_spark.operators.tpch",
+    "clusterindices_spark.operators.relational_ext",
     "clusterindices_spark.operators.sessions",
     "clusterindices_spark.operators.dedup",
     "clusterindices_spark.operators.similarity",
