@@ -141,6 +141,114 @@ def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(emb, emb.where(F.col("vec_id") < N_PROBES))
 
 
+def ivf_topk(
+    emb: DataFrame,
+    probes: DataFrame,
+    k: int = TOP_K,
+    n_cells: int = 8,
+    n_probe_cells: int = 4,
+    lloyd_iters: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) ANN — the 100 TB scale path for similarity search.
+
+    Build: coarse-quantize vectors into ``n_cells`` Voronoi cells (seeds =
+    lowest vec_ids, refined with ``lloyd_iters`` pure-DataFrame Lloyd passes —
+    fully deterministic, no MLlib randomness). Search: each probe ranks the
+    K-row centroid table (broadcast), keeps its ``n_probe_cells`` nearest
+    cells, and scans only those cells' inverted lists (equi-join on cell →
+    partitioned join, never a full cross join). Exact cosine re-ranks the
+    survivors.
+
+    At 100 TB: the index side is written bucketed by cell, so the search
+    join prunes to n_probe_cells/n_cells of the data with zero shuffle of
+    the big side; n_cells grows to ~sqrt(n) and the centroid table stays
+    broadcastable. Approximate by construction → rows-only check +
+    recall property test vs topk_exact (tests/test_dedup_similarity.py).
+    """
+    from clusterindices_spark.functions.distances import l2sq
+    from clusterindices_spark.operators.indices import centroids_of
+
+    pts = emb.select("vec_id", "x")
+    seeds = (
+        pts.orderBy("vec_id")
+        .limit(n_cells)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cluster"),
+            F.col("x").alias("centroid"),
+        )
+    )
+    cents = seeds
+    for _ in range(lloyd_iters):
+        assigned = (
+            pts.crossJoin(F.broadcast(cents))
+            .select(
+                "vec_id",
+                "x",
+                "cluster",
+                l2sq(F.col("x"), F.col("centroid")).alias("d2"),
+            )
+            .groupBy("vec_id")
+            .agg(
+                F.min_by(F.struct("cluster", "x"), F.struct("d2", "cluster")).alias(
+                    "s"
+                )
+            )
+            .select("vec_id", F.col("s.cluster").alias("cluster"), F.col("s.x"))
+        )
+        cents = centroids_of(assigned)
+    index = (
+        pts.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "x", "cluster", l2sq(F.col("x"), F.col("centroid")).alias("d2")
+        )
+        .groupBy("vec_id")
+        .agg(F.min_by(F.struct("cluster", "x"), F.struct("d2", "cluster")).alias("s"))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("s.cluster").alias("cell"),
+            F.col("s.x").alias("xb"),
+        )
+    )
+    probe_cells = (
+        probes.select(F.col("vec_id").alias("probe_id"), F.col("x").alias("xa"))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "probe_id",
+            "xa",
+            F.col("cluster").alias("cell"),
+            l2sq(F.col("xa"), F.col("centroid")).alias("d2"),
+        )
+        .withColumn(
+            "cell_rank",
+            F.row_number().over(
+                Window.partitionBy("probe_id").orderBy("d2", "cell")
+            ),
+        )
+        .where(F.col("cell_rank") <= n_probe_cells)
+        .select("probe_id", "xa", "cell")
+    )
+    sims = (
+        probe_cells.join(index, "cell")
+        .where(F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(cosine_sim(F.col("xa"), F.col("xb")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("probe_id", "neighbor_id", "sim")
+    )
+
+
+def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return ivf_topk(emb, emb.where(F.col("vec_id") < N_PROBES))
+
+
 def q_multimodal_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     x = F.col("embedding")
@@ -164,6 +272,7 @@ QUERIES = {
     "similarity_topk_exact": q_similarity_topk_exact,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "similarity_ann_lsh": q_similarity_ann_lsh,
+    "similarity_ann_ivf": q_similarity_ann_ivf,
     "multimodal_vector_stats": q_multimodal_vector_stats,
 }
 

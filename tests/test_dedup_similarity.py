@@ -96,6 +96,32 @@ def test_ann_lsh_recall_vs_exact(spark):
     assert recall >= 0.3, f"ANN recall {recall:.2f} below floor"
 
 
+def test_ann_ivf_recall_vs_exact(spark):
+    from clusterindices_spark.operators.similarity import _emb, ivf_topk
+
+    emb = _emb(spark, SF_SMOKE)
+    probes = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r["probe_id"], r["neighbor_id"]) for r in topk_exact(emb, probes).collect()
+    }
+    approx = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, probes).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # probing 4/8 cells scans ~half the lists; near-orthogonal vectors mean
+    # neighbors scatter across cells — require well above the ~50% scan rate
+    assert recall >= 0.5, f"IVF recall {recall:.2f} below floor"
+
+
+def test_ann_ivf_deterministic(spark):
+    from clusterindices_spark.operators.similarity import q_similarity_ann_ivf
+
+    a = sorted(map(tuple, q_similarity_ann_ivf(spark, SF_SMOKE).collect()))
+    b = sorted(map(tuple, q_similarity_ann_ivf(spark, SF_SMOKE).collect()))
+    assert a == b
+
+
 def test_multimodal_decode_stub(spark):
     from clusterindices_spark.operators.multimodal import (
         decode_binary,
