@@ -89,6 +89,78 @@ def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     )
 
 
+USER_STATS_SCHEMA = (
+    "user_id BIGINT, n_events BIGINT, sum_value DOUBLE, max_ts_ms BIGINT"
+)
+_USER_STATE_SCHEMA = "n BIGINT, s DOUBLE, mx BIGINT"
+
+
+def stateful_user_stats_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user running
+    (count, value sum, latest ts) maintained in explicit GroupState across
+    microbatches — the pattern for operators Spark's built-in windowed aggs
+    can't express (per-key custom accumulators, ML feature state, CDC merge).
+
+    Arrow moves each group's batch rows to Python in one block (no per-row
+    Python); state is a single tuple per user. At 100 TB: state store is
+    RocksDB, keys partition across executors, and the watermark bounds how
+    long idle users stay resident (GroupStateTimeout in a real deployment).
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    def update(key, pdf_iter, state):
+        n, s, mx = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            mx = max(mx, int(pdf["ts"].astype("int64").max() // 1_000_000))
+        state.update((n, s, mx))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [round(s, 6)],
+                "max_ts_ms": [mx],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=USER_STATS_SCHEMA,
+            stateStructType=_USER_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
+def write_foreach_batch_parquet(stream_df: DataFrame, out_dir: str, ckpt_dir: str):
+    """foreachBatch sink: idempotent parquet write per microbatch, partitioned
+    by batch id — the escape hatch for sinks without native streaming support
+    (JDBC, multi-table fanout). Re-delivered batches overwrite their own
+    partition, giving effectively-once output on top of at-least-once
+    delivery."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    return (
+        stream_df.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", ckpt_dir)
+        .foreachBatch(write_batch)
+        .start()
+    )
+
+
 def run_to_completion(
     stream_df: DataFrame, name: str, mode: str = "complete"
 ) -> DataFrame:

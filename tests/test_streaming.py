@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import tempfile
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from clusterindices_spark.operators.sessions import (
@@ -80,6 +81,55 @@ def test_session_gap_semantics(spark):
             "t_gap", mode="complete",
         ).collect()
         assert sorted(r["n_events"] for r in got) == [2, 2]
+
+
+def test_stateful_user_stats_matches_batch(spark):
+    from clusterindices_spark.streaming.streams import stateful_user_stats_stream
+
+    with tempfile.TemporaryDirectory() as tmp:
+        stream = events_file_stream(spark, _replay_dir(spark, tmp))
+        got = run_to_completion(
+            stateful_user_stats_stream(stream), "t_state", mode="update"
+        )
+        # update mode re-emits a row per key per microbatch; the final state
+        # per user is the row with the highest n_events
+        final = {
+            r["user_id"]: (r["n_events"], r["sum_value"])
+            for r in got.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+                ),
+            )
+            .where(F.col("rn") == 1)
+            .collect()
+        }
+        want = {
+            r["user_id"]: (r["n"], round(r["s"], 6))
+            for r in load_table(spark, SF_SMOKE, "events")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+            .collect()
+        }
+        assert set(final) == set(want)
+        for u in want:
+            assert final[u][0] == want[u][0]
+            assert abs(final[u][1] - want[u][1]) < 1e-4
+
+
+def test_foreach_batch_parquet_sink(spark):
+    from clusterindices_spark.streaming.streams import write_foreach_batch_parquet
+
+    with tempfile.TemporaryDirectory() as tmp, \
+         tempfile.TemporaryDirectory() as out, \
+         tempfile.TemporaryDirectory() as ckpt:
+        stream = events_file_stream(spark, _replay_dir(spark, tmp))
+        q = write_foreach_batch_parquet(stream, out, ckpt)
+        q.awaitTermination()
+        written = spark.read.parquet(out)
+        n_src = load_table(spark, SF_SMOKE, "events").count()
+        assert written.count() == n_src
+        assert "batch_id" in written.columns
 
 
 def test_dedup_stream_drops_watermark_duplicates(spark):
