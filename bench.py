@@ -33,7 +33,17 @@ HEADLINE = [
     "dedup_exact",
     "dedup_near_minhash",
     "similarity_topk_exact",
+    "similarity_ann_ivf",
     "text_tfidf_topterms",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q10",
+    "tpch_q14",
+    "tpch_q18",
+    "agg_grouping_sets",
+    "window_distribution",
 ]
 
 

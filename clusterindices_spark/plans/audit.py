@@ -57,6 +57,48 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "require": ["Broadcast"],  # probe side broadcast
         "forbid": ["SortMergeJoin"],
     },
+    "tpch_q1": {
+        "require": ["PushedFilters: [", "partial"],
+        "forbid": ["CartesianProduct"],
+    },
+    "tpch_q3": {
+        "require": ["BroadcastHashJoin"],
+        "forbid": ["CartesianProduct"],
+    },
+    "tpch_q5": {
+        "require": ["BroadcastHashJoin"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "tpch_q6": {
+        "require": ["PushedFilters: [", "partial"],
+        "forbid": ["Join"],  # pure scan+agg: no join may appear at all
+    },
+    "tpch_q14": {
+        "require": ["BroadcastHashJoin", "PushedFilters: ["],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "tpch_q18": {
+        "require": ["partial", "TakeOrderedAndProject"],
+        "forbid": ["CartesianProduct"],
+    },
+    "agg_grouping_sets": {
+        "require": ["Expand", "partial"],  # grouping-sets lattice via Expand
+        "forbid": ["CartesianProduct"],
+    },
+    "window_distribution": {
+        "require": ["Window"],
+        "forbid": ["CartesianProduct"],
+    },
+    "sequence_dates": {
+        # 80-row calendar spine must broadcast against the aggregated side
+        "require": ["Broadcast"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "similarity_ann_ivf": {
+        # centroid table rides broadcasts; cell-probe join is an equi join
+        "require": ["Broadcast"],
+        "forbid": ["CartesianProduct"],
+    },
 }
 
 
