@@ -20,7 +20,7 @@ oracle-able ground-truth tier; the LSH tiers are the scale path).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clusterindices_spark.functions.text import (
@@ -266,11 +266,76 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(load_table(spark, sf_dir, "documents"))
 
 
+# ---------------------------------------------------------------------------
+# connected components over near-dup pairs → canonical-document selection
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iters: int = 25
+) -> DataFrame:
+    """Min-label propagation over undirected edges → (node, component) with
+    component = smallest node id reachable. Deterministic.
+
+    Driver loop with one join + min-agg per iteration, converging in
+    O(diameter) rounds; each round persists its label table and checks a
+    scalar convergence sum (one tiny action). Near-dup graphs are
+    overwhelmingly tiny cliques (diameter ≤ ~3), so rounds stay low. At
+    100 TB the same loop runs with the label table checkpointed to break
+    lineage; for adversarially long chains switch to the large-star/
+    small-star algorithm (same primitive ops, fewer rounds).
+    """
+    sym = (
+        edges.select(F.col("src"), F.col("dst"))
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    labels = nodes.select(F.col("node"), F.col("node").alias("label")).persist()
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iters):
+        neighbor_labels = (
+            sym.join(labels, sym.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        new_sum = new_labels.agg(F.sum("label")).first()[0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:  # labels only ever decrease; sum is a fixpoint witness
+            break
+        prev_sum = new_sum
+    return labels.withColumnRenamed("label", "component")
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over exact-Jaccard pairs,
+    canonical doc = min doc_id per component. The downstream "drop all but
+    canonical" filter is `WHERE NOT is_canonical`."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(d.select(F.col("doc_id").alias("node")), pairs)
+    w = Window.partitionBy("component")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("component_id"),
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+        F.count(F.lit(1)).over(w).alias("n_members"),
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_near_minhash": q_dedup_near_minhash,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_components": q_dedup_components,
 }
 
 _TOKS = SQL_TOKENS.format(col="text")
@@ -301,4 +366,40 @@ WHERE ROUND(inter / (na + nb - inter), 6) >= {JACCARD_THRESHOLD}
 """,
     # dedup_near_minhash / dedup_simhash: engine-specific hash families →
     # rows-only check; recall is property-tested with planted duplicates.
+    "dedup_components": f"""
+WITH RECURSIVE
+tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, {_SH} AS shingles FROM tok),
+sized AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh),
+ex AS (SELECT doc_id, n, unnest(shingles) AS shingle FROM sized),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+         COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.n, b.n
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  WHERE ROUND(inter / (na + nb - inter), 6) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+),
+mins AS (SELECT s, MIN(d) AS mn FROM reach GROUP BY s),
+comp AS (
+  SELECT doc_id, LEAST(doc_id, COALESCE(mn, doc_id)) AS component_id
+  FROM documents LEFT JOIN mins ON mins.s = doc_id
+)
+SELECT doc_id, component_id,
+       doc_id = component_id AS is_canonical,
+       COUNT(*) OVER (PARTITION BY component_id) AS n_members
+FROM comp
+""",
 }

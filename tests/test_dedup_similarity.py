@@ -96,6 +96,19 @@ def test_ann_lsh_recall_vs_exact(spark):
     assert recall >= 0.3, f"ANN recall {recall:.2f} below floor"
 
 
+def test_connected_components_chain(spark):
+    from clusterindices_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4 plus isolated 9: multi-hop propagation must collapse the
+    # chain to min-label 1 even though (1,4) is not a direct edge
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 9)], "node BIGINT")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src BIGINT, dst BIGINT"
+    )
+    got = {r["node"]: r["component"] for r in connected_components(nodes, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 9: 9}
+
+
 def test_ann_ivf_recall_vs_exact(spark):
     from clusterindices_spark.operators.similarity import _emb, ivf_topk
 
