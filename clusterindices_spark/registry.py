@@ -24,6 +24,7 @@ _MODULES = [
     "clusterindices_spark.operators.similarity",
     "clusterindices_spark.operators.textops",
     "clusterindices_spark.operators.multimodal",
+    "clusterindices_spark.operators.embeddings",
 ]
 
 
