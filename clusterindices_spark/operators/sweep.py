@@ -12,8 +12,11 @@ The loop itself is driver orchestration by design: K is small and each fit
 saturates the cluster, so parallelizing across K buys nothing (SURVEY.md §3.2).
 
 Not oracle-checked (iterative ML is not SQL-expressible); validated by
-property tests: WSSSE decreases in K, and the sweep recovers K≈10 on the
-10-label embeddings fixture.
+property tests: WSSSE decreases in K, and the sweep recovers the true K on
+planted well-separated blobs (the paper's C-D-I synthetic methodology).
+Note the testdata embeddings fixture does NOT have geometrically separated
+label clusters (BD-silhouette ≈ 0 on given labels), so K-recovery is
+asserted on planted blobs, not on that fixture.
 """
 
 from __future__ import annotations

@@ -22,6 +22,32 @@ def test_sweep_shape_and_wssse_monotonicity(spark):
         assert r["bd_dunn"] is not None
 
 
+def test_sweep_recovers_true_k_on_planted_blobs(spark, tmp_path):
+    """Paper §4 methodology: on synthetic data with known true K, the index
+    curves must select that K. 10 well-separated blobs in 8-D."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    true_k = 10
+    rows = []
+    centers = rng.uniform(-50, 50, size=(true_k, 8))
+    vid = 0
+    for label, c in enumerate(centers):
+        for _ in range(40):
+            rows.append((vid, (c + rng.normal(0, 0.5, 8)).tolist(), label))
+            vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>, label INT"
+    )
+    out = str(tmp_path / "blobs")
+    df.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    res = kmeans_sweep(spark, out, k_min=6, k_max=13, max_iter=20).collect()
+    best_sil = max(res, key=lambda r: r["bd_silhouette"])["k"]
+    best_db = min(res, key=lambda r: r["davies_bouldin"])["k"]
+    assert best_sil == true_k
+    assert best_db == true_k
+
+
 def test_assignment_matches_own_label_centroid_geometry(spark):
     # With centroids DERIVED from labels, every point assigned to its own
     # label's centroid iff labels are geometrically coherent; synthetic
