@@ -134,6 +134,31 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# GPT-2-ish pre-tokenizer shape (lowercased corpus): contraction suffixes,
+# space-prefixed letter runs, digit runs, punctuation runs. Kept to syntax
+# that Java regex (Spark) and RE2 (DuckDB) interpret identically.
+BPE_ISH_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+"
+
+
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways a data pipeline needs it: cheap whitespace
+    count (budget estimates) and a BPE-ish regex count (closer to real
+    tokenizer cost, still pure scan-side expression work — no UDF, no
+    vocab)."""
+    d = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    bpe = F.regexp_extract_all(low, F.lit(BPE_ISH_PATTERN), 0)
+    n_bpe = F.size(bpe)
+    return d.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.round(
+            F.length("text") / F.nullif(n_bpe.cast("double"), F.lit(0.0)), 6
+        ).alias("chars_per_token"),
+    )
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select(
@@ -147,6 +172,7 @@ QUERIES = {
     "text_langid": q_text_langid,
     "text_quality": q_text_quality,
     "text_fingerprint": q_text_fingerprint,
+    "text_token_count": q_text_token_count,
 }
 
 _TOKS = SQL_TOKENS.format(col="text")
@@ -223,6 +249,15 @@ FROM m
 """,
     "text_fingerprint": f"""
 SELECT doc_id, {SQL_FINGERPRINT.format(col='text')} AS fingerprint
+FROM documents
+""",
+    "text_token_count": f"""
+SELECT doc_id,
+       CAST(len({_TOKS}) AS INT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '{BPE_ISH_PATTERN.replace("'", "''")}')) AS INT)
+         AS n_bpe_tokens,
+       ROUND(length(text) / NULLIF(CAST(len(regexp_extract_all(lower(text), '{BPE_ISH_PATTERN.replace("'", "''")}')) AS DOUBLE), 0.0), 6)
+         AS chars_per_token
 FROM documents
 """,
 }
