@@ -1,0 +1,71 @@
+"""Hypothesis property tests (SURVEY.md §5.2.4): determinism under
+partitioning/ordering, and output-domain invariants of the embedding ops.
+Example counts are kept low — each example runs Spark jobs."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from clusterindices_spark.functions.aggregates import exact_sum
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+finite_doubles = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(finite_doubles, min_size=1, max_size=200))
+def test_exact_sum_partition_and_order_invariant(spark, xs):
+    df = spark.createDataFrame([(float(v),) for v in xs], "v DOUBLE")
+    results = {
+        df.repartition(n).agg(exact_sum("v", "s")).first()["s"]
+        for n in (1, 3, 16)
+    }
+    rev = spark.createDataFrame([(float(v),) for v in reversed(xs)], "v DOUBLE")
+    results.add(rev.repartition(5).agg(exact_sum("v", "s")).first()["s"])
+    assert len(results) == 1  # same rounded sum under any partitioning/order
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(finite_doubles, min_size=2, max_size=16),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_quantize_int8_domain(spark, vecs):
+    from clusterindices_spark.operators.embeddings import q_embedding_quantize_int8
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+        ).write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
+        rows = q_embedding_quantize_int8(spark, tmp).collect()
+    for r in rows:
+        for q in r["qvec"]:
+            assert q is None or -128 <= q <= 127
+
+
+def test_normalize_unit_norm(spark):
+    from clusterindices_spark.operators.embeddings import q_embedding_normalize
+    from clusterindices_spark.functions.distances import norm
+
+    from tests.conftest import SF_SMOKE
+
+    out = q_embedding_normalize(spark, SF_SMOKE)
+    bad = out.where(
+        (F.col("l2_norm") > 0)
+        & (F.abs(norm(F.col("unit")) - 1.0) > 1e-4)
+    ).count()
+    assert bad == 0
