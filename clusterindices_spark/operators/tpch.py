@@ -317,6 +317,75 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority checking (adapted: no commit/receipt dates in fixtures —
+    the EXISTS probes for a lineitem shipped >60 days after the order date)."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier(s) by quarterly revenue — aggregate, then keep the max
+    via a broadcast one-row join (the classic VIEW + MAX shape)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue: lineitems below 20% of their part's
+    average quantity. The correlated AVG de-correlates to a pre-aggregation
+    re-joined on partkey (grouping on the join key → exchange reuse)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3")
+    # decimal-exact mean so the 0.2×avg threshold is bit-identical in both
+    # engines (a float avg's fold order could flip boundary rows)
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+            * 0.2
+        ).alias("qty_floor")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("ap_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_floor"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double")
+                / 7.0,
+                6,
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 QUERIES = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
@@ -329,6 +398,9 @@ QUERIES = {
     "tpch_q13": q_tpch_q13,
     "tpch_q19": q_tpch_q19,
     "tpch_q22": q_tpch_q22,
+    "tpch_q4": q_tpch_q4,
+    "tpch_q15": q_tpch_q15,
+    "tpch_q17": q_tpch_q17,
 }
 
 ORACLES = {
@@ -464,5 +536,42 @@ WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
                   AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
 GROUP BY c_mktsegment
+""",
+    "tpch_q4": """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+""",
+    "tpch_q15": f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         {sql_exact_sum('l_extendedprice * (1 - l_discount)')} AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_rev
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+""",
+    "tpch_q17": """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 6)
+         AS avg_yearly,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#3'
+  AND l_quantity < (
+    SELECT CAST(SUM(CAST(i.l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) * 0.2
+    FROM lineitem i WHERE i.l_partkey = lineitem.l_partkey
+  )
 """,
 }
