@@ -56,3 +56,26 @@ def test_scan_pushdown(spark):
     # predicate must reach the parquet scan, projection must prune columns
     assert "PushedFilters: [" in plan
     assert "l_quantity" in plan.split("PushedFilters")[1][:200]
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    """HLL sketches are rows-only checked by the driver; here we bound the
+    error: approx must land within 3x the default 5% rsd of the exact
+    count for every event_type group."""
+    from clusterindices_spark.operators.relational import q_agg_approx
+    from clusterindices_spark.sources.fixtures import load_table
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in q_agg_approx(spark, SF_SMOKE).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(0.15 * n, 2), (k, approx[k], n)
