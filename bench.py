@@ -44,6 +44,8 @@ HEADLINE = [
     "tpch_q18",
     "agg_grouping_sets",
     "window_distribution",
+    "dedup_components",
+    "text_token_count",
 ]
 
 

@@ -285,10 +285,15 @@ def connected_components(
     lineage; for adversarially long chains switch to the large-star/
     small-star algorithm (same primitive ops, fewer rounds).
     """
+    from pyspark.storagelevel import StorageLevel
+
+    # the edge list is usually the output of an expensive candidate pipeline
+    # (shingle joins); persist it or every propagation round replays it
     sym = (
         edges.select(F.col("src"), F.col("dst"))
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = nodes.select(F.col("node"), F.col("node").alias("label")).persist()
     prev_sum = labels.agg(F.sum("label")).first()[0]
@@ -309,6 +314,7 @@ def connected_components(
         if new_sum == prev_sum:  # labels only ever decrease; sum is a fixpoint witness
             break
         prev_sum = new_sum
+    sym.unpersist()
     return labels.withColumnRenamed("label", "component")
 
 
