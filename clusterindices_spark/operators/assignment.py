@@ -54,9 +54,42 @@ def q_cluster_label_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² statistic of the cluster×label contingency (A14's χ²-style external
+    validation): χ² = Σ_cells (O−E)²/E over the FULL K×L grid (zero-observed
+    cells still contribute E), E = row·col/N. The grid is built by cross-
+    joining the two marginal tables — K×L ≤ 100 rows, driver-scale math kept
+    distributed anyway for shape consistency."""
+    cont = q_cluster_label_contingency(spark, sf_dir)
+    row_tot = cont.groupBy("cluster").agg(F.sum("n").alias("row_n"))
+    col_tot = cont.groupBy("label").agg(F.sum("n").alias("col_n"))
+    n_total = cont.agg(F.sum("n").alias("grand_n"))
+    grid = (
+        row_tot.crossJoin(col_tot)
+        .join(F.broadcast(n_total))
+        .join(cont, ["cluster", "label"], "left")
+        .select(
+            "cluster",
+            "label",
+            F.coalesce("n", F.lit(0)).alias("obs"),
+            (F.col("row_n") * F.col("col_n") / F.col("grand_n")).alias("exp"),
+        )
+    )
+    return grid.agg(
+        F.round(
+            F.sum((F.col("obs") - F.col("exp")) ** 2 / F.col("exp")), 6
+        ).alias("chi2"),
+        (
+            (F.countDistinct("cluster") - 1) * (F.countDistinct("label") - 1)
+        ).cast("bigint").alias("dof"),
+        F.sum("obs").alias("n_points"),
+    )
+
+
 QUERIES = {
     "assign_nearest_centroid": q_assign_nearest_centroid,
     "cluster_label_contingency": q_cluster_label_contingency,
+    "cluster_chi2": q_cluster_chi2,
 }
 
 _PC = """
@@ -93,5 +126,26 @@ ORACLES = {
     + """
 SELECT a.assigned_cluster AS cluster, a.cluster AS label, COUNT(*) AS n
 FROM assigned a GROUP BY a.assigned_cluster, a.cluster
+""",
+    "cluster_chi2": _PC
+    + """
+, cont AS (
+  SELECT a.assigned_cluster AS cluster, a.cluster AS label, COUNT(*) AS n
+  FROM assigned a GROUP BY a.assigned_cluster, a.cluster
+),
+row_tot AS (SELECT cluster, SUM(n) AS row_n FROM cont GROUP BY cluster),
+col_tot AS (SELECT label, SUM(n) AS col_n FROM cont GROUP BY label),
+grand AS (SELECT SUM(n) AS grand_n FROM cont),
+grid AS (
+  SELECT r.cluster, c.label,
+         COALESCE(o.n, 0) AS obs,
+         r.row_n * c.col_n / g.grand_n AS exp
+  FROM row_tot r CROSS JOIN col_tot c CROSS JOIN grand g
+  LEFT JOIN cont o ON o.cluster = r.cluster AND o.label = c.label
+)
+SELECT ROUND(SUM((obs - exp) * (obs - exp) / exp), 6) AS chi2,
+       CAST((COUNT(DISTINCT cluster) - 1) * (COUNT(DISTINCT label) - 1) AS BIGINT) AS dof,
+       SUM(obs) AS n_points
+FROM grid
 """,
 }

@@ -54,6 +54,28 @@ def tumbling_agg_stream(events: DataFrame, watermark: str = "10 minutes") -> Dat
     )
 
 
+def sliding_agg_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming twin of q_stream_sliding_agg: 1-hour windows sliding every
+    15 minutes. Each event lands in 4 overlapping windows — state size is
+    4× the tumbling case, still bounded by the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("sum_value"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def session_window_stream(
     events: DataFrame,
     gap_min: int = SESSION_GAP_MIN,

@@ -58,6 +58,26 @@ def test_scan_pushdown(spark):
     assert "l_quantity" in plan.split("PushedFilters")[1][:200]
 
 
+def test_schemad_readers_roundtrip(spark):
+    """CSV/JSON written by the sinks must read back value-identical through
+    the explicit-schema readers (type fidelity: bigint/double/string)."""
+    from clusterindices_spark.sources.readers import read_csv, read_json
+
+    df = q_topk_orders(spark, SF_SMOKE)
+    schema = "o_orderkey BIGINT, o_custkey BIGINT, price DOUBLE"
+    with tempfile.TemporaryDirectory() as d:
+        write_csv(df, f"{d}/c", single_file=True)
+        write_json(df, f"{d}/j")
+        got_csv = read_csv(spark, f"{d}/c", schema)
+        got_json = read_json(spark, f"{d}/j", schema).select(
+            "o_orderkey", "o_custkey", "price"
+        )
+        want = sorted(map(tuple, df.collect()))
+        assert sorted(map(tuple, got_csv.collect())) == want
+        assert sorted(map(tuple, got_json.collect())) == want
+        assert got_csv.schema.simpleString() == df.schema.simpleString()
+
+
 def test_approx_count_distinct_within_rsd(spark):
     """HLL sketches are rows-only checked by the driver; here we bound the
     error: approx must land within 3x the default 5% rsd of the exact

@@ -40,6 +40,19 @@ def test_tumbling_stream_matches_batch(spark):
         assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
+def test_sliding_stream_matches_batch(spark):
+    from clusterindices_spark.operators.sessions import q_stream_sliding_agg
+    from clusterindices_spark.streaming.streams import sliding_agg_stream
+
+    with tempfile.TemporaryDirectory() as tmp:
+        stream = events_file_stream(spark, _replay_dir(spark, tmp))
+        got = run_to_completion(
+            sliding_agg_stream(stream), "t_sliding", mode="complete"
+        ).select("window_start_ms", "event_type", "n")
+        want = q_stream_sliding_agg(spark, SF_SMOKE)
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
 def test_session_stream_matches_batch_session_count(spark):
     with tempfile.TemporaryDirectory() as tmp:
         stream = events_file_stream(spark, _replay_dir(spark, tmp))
