@@ -99,6 +99,57 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "require": ["Broadcast"],
         "forbid": ["CartesianProduct"],
     },
+    "tpch_q7": {
+        "require": ["BroadcastHashJoin"],
+        "forbid": ["CartesianProduct"],
+    },
+    "tpch_q13": {
+        # left outer against pre-filtered orders; no cartesian anywhere
+        "require": ["LeftOuter"],
+        "forbid": ["CartesianProduct"],
+    },
+    "tpch_q15": {
+        # one-row max broadcast back onto the aggregated view
+        "require": ["Broadcast"],
+        "forbid": ["CartesianProduct"],
+    },
+    "tpch_q17": {
+        "require": ["BroadcastHashJoin", "partial"],
+        "forbid": ["CartesianProduct"],
+    },
+    "tpch_q22": {
+        # anti join must plan as a (broadcast) hash anti join
+        "require": ["Anti"],
+        "forbid": ["CartesianProduct"],
+    },
+    "subquery_scalar": {
+        # correlated scalar subquery de-correlates to agg + join — a
+        # surviving correlated subquery would show as a nested plan re-run
+        "require": ["Join"],
+        "forbid": ["CartesianProduct"],
+    },
+    "subquery_in": {
+        "require": ["Semi", "Anti"],
+        "forbid": ["CartesianProduct"],
+    },
+    "distinct_latest": {
+        # rn=1 must trigger the WindowGroupLimit rewrite: per-partition
+        # partial top-1 BEFORE the shuffle (the window analog of map-side
+        # combine) — a bare Window sort here would ship every row
+        "require": ["WindowGroupLimit", "Partial"],
+        "forbid": ["CartesianProduct"],
+    },
+    "join_asof": {
+        # max_by rewrite: hash agg with partial aggregation, not a window sort
+        "require": ["partial_max_by"],
+        "forbid": ["Window", "CartesianProduct"],
+    },
+    "cluster_chi2": {
+        # K-row marginals: everything broadcastable, no wide exchange beyond
+        # the contingency groupBy
+        "require": ["Broadcast"],
+        "forbid": ["SortMergeJoin"],
+    },
 }
 
 

@@ -57,6 +57,20 @@ def test_unbucketed_join_does_shuffle(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
 
+def test_bucket_pruning_on_point_lookup(spark):
+    # a point predicate on the bucket key must scan 1 of N buckets; the
+    # auto-bucketed-scan heuristic turns bucketed reading off for plans
+    # that don't exploit the distribution, which also forfeits pruning —
+    # disable the heuristic to exercise the pruning path
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        df = read_table(spark, "orders_b").where(F.col("o_orderkey") == 42)
+        plan = _executed_plan(df)
+        assert f"SelectedBucketsCount: 1 out of {N_BUCKETS}" in plan, plan
+    finally:
+        spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+
+
 def test_bucketed_join_result_matches_unbucketed(spark):
     bucketed = (
         read_table(spark, "orders_b")
