@@ -273,6 +273,48 @@ def q_distinct_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: parse JSON props to MAP<STRING,INT>, then
+    keys / values / lookup / containment (sorted outputs so the hash is
+    order-stable)."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "MAP<STRING, INT>")
+    return e.select(
+        "event_id",
+        F.array_sort(F.map_keys(m)).alias("keys"),
+        F.array_sort(F.map_values(m)).alias("vals"),
+        m.getItem("k").alias("k_val"),
+        F.array_contains(F.map_keys(m), "k").alias("has_k"),
+    )
+
+
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE frame: per customer, revenue of all orders within
+    the 30 days preceding each order (inclusive). Ordered on epoch days so
+    both engines share exact numeric frame semantics."""
+    o = load_table(spark, sf_dir, "orders")
+    day = F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("bigint")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_day"))
+        .rangeBetween(-30, 0)
+    )
+    return (
+        o.withColumn("o_day", day)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w).cast(
+                    "double"
+                ),
+                6,
+            ).alias("rev_30d"),
+            F.count(F.lit(1)).over(w).alias("n_30d"),
+        )
+    )
+
+
 def q_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") < 500)
     return p.select(
@@ -298,6 +340,8 @@ QUERIES = {
     "cond_expr": q_cond_expr,
     "distinct_latest": q_distinct_latest,
     "string_distance": q_string_distance,
+    "scalar_map": q_scalar_map,
+    "window_range_frame": q_window_range_frame,
 }
 
 _EV = "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events)"
@@ -420,6 +464,26 @@ FROM (
   FROM {_EV}
 )
 WHERE rn = 1
+""",
+    "scalar_map": """
+SELECT event_id,
+       list_sort(json_keys(props)) AS keys,
+       list_sort(list_transform(json_keys(props),
+                 k -> CAST(json_extract_string(props, '$.' || k) AS INT))) AS vals,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+       list_contains(json_keys(props), 'k') AS has_k
+FROM events
+""",
+    "window_range_frame": """
+SELECT o_custkey, o_orderkey,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE), 6) AS rev_30d,
+       COUNT(*) OVER w AS n_30d
+FROM (
+  SELECT *, CAST(FLOOR(epoch(CAST(o_orderdate AS TIMESTAMP)) / 86400) AS BIGINT) AS o_day
+  FROM orders
+)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_day
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
 """,
     "string_distance": """
 SELECT p_partkey,
