@@ -111,6 +111,52 @@ def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     )
 
 
+def click_purchase_join_stream(
+    events: DataFrame, horizon_min: int = 5, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Stream-stream inner join: purchases attributed to a click by the same
+    user within the preceding ``horizon_min`` minutes.
+
+    Both sides carry watermarks and the join condition bounds event time on
+    both ends — that pair of constraints is what lets Spark expire join
+    state (an unbounded-time stream-stream join would buffer forever). At
+    100 TB rates, state is keyed by user and bounded by
+    watermark + horizon; RocksDB store holds it off-heap.
+    """
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {horizon_min} MINUTES")),
+        "inner",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        F.unix_millis(F.col("p_ts")).alias("purchase_ts_ms"),
+        F.round("p_value", 6).alias("p_value"),
+    )
+
+
 USER_STATS_SCHEMA = (
     "user_id BIGINT, n_events BIGINT, sum_value DOUBLE, max_ts_ms BIGINT"
 )

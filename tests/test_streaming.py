@@ -96,6 +96,42 @@ def test_session_gap_semantics(spark):
         assert sorted(r["n_events"] for r in got) == [2, 2]
 
 
+def test_stream_stream_join_matches_batch(spark):
+    from clusterindices_spark.streaming.streams import click_purchase_join_stream
+
+    with tempfile.TemporaryDirectory() as tmp:
+        stream = events_file_stream(spark, _replay_dir(spark, tmp))
+        got = run_to_completion(
+            click_purchase_join_stream(stream), "t_ssjoin", mode="append"
+        )
+        e = load_table(spark, SF_SMOKE, "events")
+        c = e.where(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        p = e.where(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        want = c.join(
+            p,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 5 MINUTES")),
+        ).select(
+            "click_id",
+            "purchase_id",
+            F.col("c_user").alias("user_id"),
+            F.unix_millis(F.col("p_ts")).alias("purchase_ts_ms"),
+            F.round("p_value", 6).alias("p_value"),
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+        assert got.count() > 0  # fixture must actually exercise the join
+
+
 def test_stateful_user_stats_matches_batch(spark):
     from clusterindices_spark.streaming.streams import stateful_user_stats_stream
 
