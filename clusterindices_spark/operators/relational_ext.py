@@ -273,6 +273,28 @@ def q_distinct_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scalar_array_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra on token arrays: intersect/union/except sizes,
+    overlap flag, flatten+distinct. Sorted before output so hashes are
+    order-stable (set-op result order is engine-internal)."""
+    from clusterindices_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    toks = tokens(F.col("text"))
+    head = F.slice(toks, 1, 12)
+    tail = F.slice(toks, 7, 12)
+    return d.select(
+        "doc_id",
+        F.size(F.array_intersect(head, tail)).alias("n_inter"),
+        F.size(F.array_union(head, tail)).alias("n_union"),
+        F.size(F.array_except(head, tail)).alias("n_except"),
+        F.arrays_overlap(head, tail).alias("overlaps"),
+        F.array_sort(F.array_distinct(F.flatten(F.array(head, tail)))).alias(
+            "all_toks"
+        ),
+    )
+
+
 def q_scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-typed column surface: parse JSON props to MAP<STRING,INT>, then
     keys / values / lookup / containment (sorted outputs so the hash is
@@ -342,6 +364,7 @@ QUERIES = {
     "string_distance": q_string_distance,
     "scalar_map": q_scalar_map,
     "window_range_frame": q_window_range_frame,
+    "scalar_array_set": q_scalar_array_set,
 }
 
 _EV = "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events)"
@@ -464,6 +487,23 @@ FROM (
   FROM {_EV}
 )
 WHERE rn = 1
+""",
+    "scalar_array_set": """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents WHERE doc_id < 100
+),
+hs AS (
+  SELECT doc_id, toks[1:12] AS head, toks[7:18] AS tail FROM t
+)
+SELECT doc_id,
+       CAST(len(list_distinct(list_filter(head, x -> list_contains(tail, x)))) AS INT) AS n_inter,
+       CAST(len(list_distinct(head || tail)) AS INT) AS n_union,
+       CAST(len(list_distinct(list_filter(head, x -> NOT list_contains(tail, x)))) AS INT) AS n_except,
+       len(list_distinct(list_filter(head, x -> list_contains(tail, x)))) > 0 AS overlaps,
+       list_sort(list_distinct(head || tail)) AS all_toks
+FROM hs
 """,
     "scalar_map": """
 SELECT event_id,
