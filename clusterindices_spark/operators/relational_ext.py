@@ -273,6 +273,51 @@ def q_distinct_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join: per-nation customer vs supplier presence, keeping
+    nations that have only one side (null-filled counts)."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_rich_cust"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 0)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        c.join(s, "nk", "full_outer")
+        .select(
+            "nk",
+            F.coalesce("n_rich_cust", F.lit(0)).alias("n_rich_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+def q_window_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (gap-fill) via last_value IGNORE NULLS: purchase events
+    carry a value, other event types observe the user's most recent purchase
+    value — the canonical sparse-signal propagation pattern."""
+    e = load_table(spark, sf_dir, "events")
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.last(purchase_val, ignorenulls=True).over(w), 6
+        ).alias("last_purchase_value"),
+    )
+
+
 def q_scalar_array_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array set algebra on token arrays: intersect/union/except sizes,
     overlap flag, flatten+distinct. Sorted before output so hashes are
@@ -365,6 +410,8 @@ QUERIES = {
     "scalar_map": q_scalar_map,
     "window_range_frame": q_window_range_frame,
     "scalar_array_set": q_scalar_array_set,
+    "join_full_outer": q_join_full_outer,
+    "window_fill_forward": q_window_fill_forward,
 }
 
 _EV = "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events)"
@@ -487,6 +534,28 @@ FROM (
   FROM {_EV}
 )
 WHERE rn = 1
+""",
+    "join_full_outer": """
+WITH c AS (
+  SELECT c_nationkey AS nk, COUNT(*) AS n_rich_cust
+  FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey
+),
+s AS (
+  SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+  FROM supplier WHERE s_acctbal > 0 GROUP BY s_nationkey
+)
+SELECT COALESCE(c.nk, s.nk) AS nk,
+       COALESCE(n_rich_cust, 0) AS n_rich_cust,
+       COALESCE(n_supp, 0) AS n_supp
+FROM c FULL OUTER JOIN s ON c.nk = s.nk
+""",
+    "window_fill_forward": f"""
+SELECT event_id, user_id,
+       ROUND(last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+         AS last_purchase_value
+FROM {_EV}
 """,
     "scalar_array_set": """
 WITH t AS (
