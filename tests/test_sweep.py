@@ -48,6 +48,48 @@ def test_sweep_recovers_true_k_on_planted_blobs(spark, tmp_path):
     assert best_db == true_k
 
 
+def test_bd_silhouette_orders_like_mllib_evaluator(spark, tmp_path):
+    """Cross-check vs a known implementation (SURVEY §5.2.5): on planted
+    blobs, Spark's ClusteringEvaluator (squared-euclidean silhouette) and
+    our BD-Silhouette must both pick the true K and agree that it beats a
+    too-small K — ordering agreement, not value equality (formulas differ)."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.evaluation import ClusteringEvaluator
+    from pyspark.ml.functions import array_to_vector
+
+    rng = np.random.default_rng(7)
+    true_k = 6
+    rows = []
+    vid = 0
+    for label, c in enumerate(rng.uniform(-40, 40, size=(true_k, 6))):
+        for _ in range(30):
+            rows.append((vid, (c + rng.normal(0, 0.4, 6)).tolist(), label))
+            vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>, label INT"
+    )
+    out = str(tmp_path / "blobs6")
+    df.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+
+    fv = df.withColumn("fv", array_to_vector("embedding"))
+    mllib_sil = {}
+    for k in (3, true_k):
+        model = KMeans(k=k, seed=42, maxIter=20, featuresCol="fv").fit(fv)
+        pred = model.transform(fv)
+        mllib_sil[k] = ClusteringEvaluator(
+            featuresCol="fv", predictionCol="prediction"
+        ).evaluate(pred)
+    ours = {
+        r["k"]: r["bd_silhouette"]
+        for r in kmeans_sweep(spark, out, k_min=3, k_max=true_k, max_iter=20)
+        .collect()
+        if r["k"] in (3, true_k)
+    }
+    assert mllib_sil[true_k] > mllib_sil[3]
+    assert ours[true_k] > ours[3]
+
+
 def test_assignment_matches_own_label_centroid_geometry(spark):
     # With centroids DERIVED from labels, every point assigned to its own
     # label's centroid iff labels are geometrically coherent; synthetic
