@@ -63,7 +63,13 @@ SQL_SHINGLES3 = (
     "i -> {toks}[i+1] || ' ' || {toks}[i+2] || ' ' || {toks}[i+3]))"
 )
 
+# CASE guard: DuckDB list_reduce raises on an empty list, while the Spark
+# twin (F.aggregate with a 0 seed) returns 0 — make empty documents agree
+# instead of crashing the oracle. (Whitespace chars DO feed the hash on both
+# sides, so only length=0 produces an empty codepoint list.)
 SQL_FINGERPRINT = (
+    "CASE WHEN length({col}) = 0 THEN CAST(0 AS BIGINT) ELSE "
     "list_reduce(list_transform(list_filter(string_split({col}, ''), ch -> ch <> ''), "
     f"ch -> CAST(unicode(ch) AS BIGINT)), (a, b) -> (a * 31 + b) % {FNV_MOD})"
+    " END"
 )

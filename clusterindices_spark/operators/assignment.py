@@ -145,7 +145,7 @@ grid AS (
 )
 SELECT ROUND(SUM((obs - exp) * (obs - exp) / exp), 6) AS chi2,
        CAST((COUNT(DISTINCT cluster) - 1) * (COUNT(DISTINCT label) - 1) AS BIGINT) AS dof,
-       SUM(obs) AS n_points
+       CAST(SUM(obs) AS BIGINT) AS n_points
 FROM grid
 """,
 }

@@ -99,11 +99,26 @@ QUERIES = {
     "multimodal_meta": q_multimodal_meta,
 }
 
+# first_byte is the first UTF-8 *byte*, not the first codepoint (they only
+# coincide for ASCII). DuckDB can't index BLOBs, so derive the UTF-8 lead
+# byte from the first codepoint: cp<128 → cp; <2048 → 0xC0|cp>>6;
+# <65536 → 0xE0|cp>>12; else 0xF0|cp>>18. Empty text → -1, matching the
+# Spark-side fake decode.
 ORACLES = {
     "multimodal_meta": """
+WITH cp AS (
+  SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+         CASE WHEN length(text) = 0 THEN NULL
+              ELSE unicode(substr(text, 1, 1)) END AS c
+  FROM documents
+)
 SELECT doc_id,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       CAST(unicode(substr(text, 1, 1)) AS INT) AS first_byte
-FROM documents
+       CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN c IS NULL THEN -1
+                 WHEN c < 128 THEN c
+                 WHEN c < 2048 THEN 192 + c // 64
+                 WHEN c < 65536 THEN 224 + c // 4096
+                 ELSE 240 + c // 262144 END AS INT) AS first_byte
+FROM cp
 """,
 }

@@ -302,8 +302,11 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
     )
+    # decimal-exact mean (same pattern as q17): a raw float AVG differs
+    # between Spark partial aggregation and DuckDB in the last ulps, which
+    # can flip customers sitting exactly at the threshold in/out
     avg_bal = c.where(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("ab")
+        exact_avg("c_acctbal", "ab")
     )
     return (
         c.join(F.broadcast(avg_bal))
@@ -532,7 +535,7 @@ SELECT c_mktsegment,
        COUNT(*) AS numcust,
        {sql_exact_sum('c_acctbal')} AS totacctbal
 FROM customer c
-WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+WHERE c_acctbal > (SELECT {sql_exact_avg('c_acctbal')} FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
                   AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
 GROUP BY c_mktsegment

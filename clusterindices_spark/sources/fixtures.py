@@ -32,6 +32,11 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown fixture table {name!r}; expected one of {TABLES}")
+    # Datetime field extraction (year/month/quarter/date_trunc/window) resolves
+    # local fields in Spark's *session* timezone, while the DuckDB oracles
+    # treat the same instants as naive/UTC. Pin UTC at the data boundary so
+    # query results don't depend on whatever TZ the driver process runs with.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses outright
         # (PARQUET_TYPE_ILLEGAL). Read it as raw int64 nanos via the legacy

@@ -1,0 +1,103 @@
+"""UDF-surface tests (operators/udfs.py): each Arrow tier must agree with an
+independent JVM-side formulation of the same semantics — that validates the
+plumbing (batch shape, schema, grouping, lateral expansion) for the real
+use-cases whose bodies SQL can't express."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clusterindices_spark.functions.distances import norm
+from clusterindices_spark.operators.udfs import (
+    PROBE_VEC_ID,
+    q_udf_grouped_agg_median,
+    q_udf_scalar_cosine,
+    q_udtf_sentences,
+)
+from clusterindices_spark.sources.fixtures import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_scalar_cosine_matches_builtin_expression(spark):
+    """Scalar pandas UDF cosine == higher-order-function cosine (1e-9)."""
+    got = q_udf_scalar_cosine(spark, SF_SMOKE)
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    probe = emb.where(F.col("vec_id") == PROBE_VEC_ID).select(
+        F.col("embedding").alias("p")
+    )
+    x, p = F.col("embedding"), F.col("p")
+    dot = F.aggregate(
+        F.zip_with(x, p, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    want = (
+        emb.where(F.col("vec_id") != PROBE_VEC_ID)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            F.round(dot / (norm(x) * norm(p)), 6).alias("cos_probe"),
+        )
+    )
+    diff = (
+        got.alias("g")
+        .join(want.alias("w"), "vec_id")
+        .where(F.abs(F.col("g.cos_probe") - F.col("w.cos_probe")) > 1e-9)
+    )
+    assert got.count() == want.count() > 0
+    assert diff.count() == 0
+    bad = got.where((F.col("cos_probe") < -1.000001) | (F.col("cos_probe") > 1.000001))
+    assert bad.count() == 0
+
+
+def test_grouped_agg_median_matches_builtin_median(spark):
+    """Grouped-agg pandas UDF median == Spark's builtin median (1e-9)."""
+    got = q_udf_grouped_agg_median(spark, SF_SMOKE)
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    want = (
+        emb.select("label", norm(F.col("embedding")).alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.median("nrm"), 6).alias("median_norm"),
+        )
+    )
+    joined = got.alias("g").join(want.alias("w"), "label")
+    assert joined.count() == got.count() == want.count() > 0
+    diff = joined.where(
+        (F.col("g.n") != F.col("w.n"))
+        | (F.abs(F.col("g.median_norm") - F.col("w.median_norm")) > 1e-9)
+    )
+    assert diff.count() == 0
+
+
+def test_udtf_sentences_shape_and_counts(spark):
+    """UDTF output: contiguous per-doc sent_idx from 0, non-empty trimmed
+    sentences, n_tokens == whitespace token count, every doc with text
+    containing a word appears."""
+    out = q_udtf_sentences(spark, SF_SMOKE).cache()
+    try:
+        assert out.count() > 0
+        bad_sentence = out.where(
+            (F.trim("sentence") != F.col("sentence")) | (F.length("sentence") == 0)
+        )
+        assert bad_sentence.count() == 0
+        recount = F.size(
+            F.filter(F.split(F.col("sentence"), r"\s+"), lambda t: t != "")
+        )
+        assert out.where(F.col("n_tokens") != recount).count() == 0
+        idx = out.groupBy("doc_id").agg(
+            F.min("sent_idx").alias("lo"),
+            F.max("sent_idx").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        assert idx.where((F.col("lo") != 0) | (F.col("hi") != F.col("n") - 1)).count() == 0
+        n_docs_with_text = (
+            load_table(spark, SF_SMOKE, "documents")
+            .where(F.length(F.regexp_replace("text", r"[.!?\s]+", "")) > 0)
+            .count()
+        )
+        assert idx.count() == n_docs_with_text
+    finally:
+        out.unpersist()

@@ -6,6 +6,12 @@ row count, sorted column names, and an order-insensitive multiset of rows
 (columns sorted by name, floats compared exactly post-round with a 1e-9
 closeness fallback reported as CLOSE).
 
+Type-strict: a DuckDB Decimal/HUGEINT against a Spark int/float is a FAIL
+(reported as TYPE) even when the numeric values agree — the driver's value
+hash distinguishes them (round-1 `cluster_chi2` regression: uncast SUM(obs)
+returned HUGEINT while Spark emitted BIGINT; the old Decimal→float
+normalization here masked it).
+
 Usage: python tools/check_oracle.py [--sf /root/testdata/sf0.01] [keys...]
 """
 
@@ -26,8 +32,6 @@ from clusterindices_spark.sources.fixtures import TABLES
 
 
 def _norm(v):
-    if isinstance(v, Decimal):
-        return float(v)
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat(timespec="milliseconds")
     if isinstance(v, datetime.date):
@@ -46,6 +50,11 @@ def _eq(a, b):
         if math.isnan(a) and math.isnan(b):
             return True
         return a == b or math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+    # type-strict: Decimal vs int/float never matches, bool vs int never matches
+    if type(a) is not type(b) and not (
+        isinstance(a, str) and isinstance(b, str)
+    ):
+        return False
     return a == b
 
 
