@@ -61,8 +61,19 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
-    # warmup: prime codegen/JIT with a cheap query (not timed)
-    queries["topk_orders"](spark, sf_dir).collect()
+    # warmup: prime codegen/JIT per query at the smallest scale factor (not
+    # timed). A single generic warmup query leaves each headline query paying
+    # its own first-execution whole-stage-codegen compile on the timed run —
+    # measured 2.4× inflation on similarity_topk_exact's 64-dim cosine HOF
+    # chain (isolated A/B: first run 3.0s, steady-state 0.87s; BASELINE.md).
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in HEADLINE:
+        try:
+            queries[name](spark, warm_dir).count()
+        except Exception as ex:  # never let warmup sink the bench
+            print(f"# warmup {name} failed: {ex}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
