@@ -141,29 +141,17 @@ def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(emb, emb.where(F.col("vec_id") < N_PROBES))
 
 
-def ivf_topk(
+def ivf_build(
     emb: DataFrame,
-    probes: DataFrame,
-    k: int = TOP_K,
     n_cells: int = 8,
-    n_probe_cells: int = 4,
     lloyd_iters: int = 2,
-) -> DataFrame:
-    """IVF (inverted-file) ANN — the 100 TB scale path for similarity search.
+) -> tuple[DataFrame, DataFrame]:
+    """IVF index build: coarse-quantize vectors into ``n_cells`` Voronoi
+    cells (seeds = lowest vec_ids, refined with ``lloyd_iters`` pure-
+    DataFrame Lloyd passes — fully deterministic, no MLlib randomness).
 
-    Build: coarse-quantize vectors into ``n_cells`` Voronoi cells (seeds =
-    lowest vec_ids, refined with ``lloyd_iters`` pure-DataFrame Lloyd passes —
-    fully deterministic, no MLlib randomness). Search: each probe ranks the
-    K-row centroid table (broadcast), keeps its ``n_probe_cells`` nearest
-    cells, and scans only those cells' inverted lists (equi-join on cell →
-    partitioned join, never a full cross join). Exact cosine re-ranks the
-    survivors.
-
-    At 100 TB: the index side is written bucketed by cell, so the search
-    join prunes to n_probe_cells/n_cells of the data with zero shuffle of
-    the big side; n_cells grows to ~sqrt(n) and the centroid table stays
-    broadcastable. Approximate by construction → rows-only check +
-    recall property test vs topk_exact (tests/test_dedup_similarity.py).
+    Returns ``(cents, index)``: the K-row centroid table and the inverted
+    file ``(neighbor_id, cell, xb)``.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -217,6 +205,22 @@ def ivf_topk(
             F.col("s.x").alias("xb"),
         )
     )
+    return cents, index
+
+
+def _ivf_search(
+    cents: DataFrame,
+    index: DataFrame,
+    probes: DataFrame,
+    k: int,
+    n_probe_cells: int,
+) -> DataFrame:
+    """Search an IVF index: each probe ranks the broadcast centroid table,
+    keeps its ``n_probe_cells`` nearest cells, and scans only those cells'
+    inverted lists (equi-join on cell — never a full cross join). Exact
+    cosine re-ranks the survivors."""
+    from clusterindices_spark.functions.distances import l2sq
+
     probe_cells = (
         probes.select(F.col("vec_id").alias("probe_id"), F.col("x").alias("xa"))
         .crossJoin(F.broadcast(cents))
@@ -237,6 +241,110 @@ def ivf_topk(
     )
     sims = (
         probe_cells.join(index, "cell")
+        .where(F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(cosine_sim(F.col("xa"), F.col("xb")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("probe_id", "neighbor_id", "sim")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    probes: DataFrame,
+    k: int = TOP_K,
+    n_cells: int = 8,
+    n_probe_cells: int = 4,
+    lloyd_iters: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) ANN — the 100 TB scale path for similarity search.
+
+    Inline build + search (see ivf_build/_ivf_search). At 100 TB the index
+    side is written bucketed by cell instead — ivf_write_bucketed /
+    ivf_search_bucketed — so the search scans n_probe_cells/n_cells of the
+    data with zero shuffle of the big side; n_cells grows to ~sqrt(n) and
+    the centroid table stays broadcastable. Approximate by construction →
+    rows-only check + recall property test vs topk_exact
+    (tests/test_dedup_similarity.py).
+    """
+    cents, index = ivf_build(emb, n_cells=n_cells, lloyd_iters=lloyd_iters)
+    return _ivf_search(cents, index, probes, k=k, n_probe_cells=n_probe_cells)
+
+
+def ivf_write_bucketed(
+    emb: DataFrame,
+    table: str,
+    n_cells: int = 8,
+    n_buckets: int | None = None,
+    lloyd_iters: int = 2,
+) -> None:
+    """Persist an IVF index with the inverted file bucketed by ``cell``
+    (table ``{table}``) and the centroid table at ``{table}_cents``.
+
+    Build once, search many: the bucket layout moves the by-cell shuffle to
+    write time, and search-time point predicates on ``cell`` prune whole
+    buckets (SelectedBucketsCount in the scan — tests/test_bucketing.py).
+    """
+    from clusterindices_spark.sources.bucketing import write_bucketed
+
+    cents, index = ivf_build(emb, n_cells=n_cells, lloyd_iters=lloyd_iters)
+    write_bucketed(index, table, "cell", n_buckets or n_cells)
+    spark = emb.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}_cents")
+    cents.write.mode("overwrite").format("parquet").saveAsTable(f"{table}_cents")
+
+
+def ivf_search_bucketed(
+    spark: SparkSession,
+    table: str,
+    probes: DataFrame,
+    k: int = TOP_K,
+    n_probe_cells: int = 4,
+) -> DataFrame:
+    """Search a persisted bucketed IVF index.
+
+    The probe set first ranks the (tiny) centroid table to pick its cells;
+    the union of candidate cells — at most n_probes × n_probe_cells ints —
+    becomes an IN-list predicate on the bucketed scan, so whole buckets of
+    the inverted file are pruned before the equi-join (the parquet-level
+    analogue of IVF's "visit n_probe of n_list postings"). The collect is
+    driver-scale by construction: cell ids, not vectors.
+    """
+    from clusterindices_spark.functions.distances import l2sq
+
+    cents = spark.table(f"{table}_cents")
+    index = spark.table(table)
+    probe_cells = (
+        probes.select(F.col("vec_id").alias("probe_id"), F.col("x").alias("xa"))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "probe_id",
+            "xa",
+            F.col("cluster").alias("cell"),
+            l2sq(F.col("xa"), F.col("centroid")).alias("d2"),
+        )
+        .withColumn(
+            "cell_rank",
+            F.row_number().over(
+                Window.partitionBy("probe_id").orderBy("d2", "cell")
+            ),
+        )
+        .where(F.col("cell_rank") <= n_probe_cells)
+        .select("probe_id", "xa", "cell")
+    )
+    wanted_cells = sorted(
+        r["cell"] for r in probe_cells.select("cell").distinct().collect()
+    )
+    pruned = index.where(F.col("cell").isin(wanted_cells))
+    sims = (
+        probe_cells.join(pruned, "cell")
         .where(F.col("probe_id") != F.col("neighbor_id"))
         .select(
             "probe_id",

@@ -71,6 +71,46 @@ def test_bucket_pruning_on_point_lookup(spark):
         spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
 
 
+def test_ivf_bucketed_search_prunes_and_matches_inline(spark):
+    """The persisted IVF index (bucketed by cell) must (a) return exactly
+    the inline ivf_topk results and (b) prune unvisited cells' buckets at
+    the parquet scan (SelectedBucketsCount < total)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from clusterindices_spark.operators.similarity import (
+        ivf_search_bucketed,
+        ivf_topk,
+        ivf_write_bucketed,
+    )
+    from clusterindices_spark.sources.fixtures import load_table as lt
+
+    emb = lt(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", F.col("embedding").alias("x")
+    )
+    probes = emb.where(F.col("vec_id") < 3)
+    n_cells = 8
+    ivf_write_bucketed(emb, "ivf_idx_t", n_cells=n_cells)
+
+    got = ivf_search_bucketed(spark, "ivf_idx_t", probes, k=5, n_probe_cells=2)
+    want = ivf_topk(emb, probes, k=5, n_cells=n_cells, n_probe_cells=2)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # pruning: 3 probes × 2 cells visit ≤ 6 of 8 cells → scan must select
+    # fewer buckets than it has
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        plan = _executed_plan(
+            ivf_search_bucketed(spark, "ivf_idx_t", probes, k=5, n_probe_cells=2)
+        )
+    finally:
+        spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    import re
+
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, plan
+    assert int(m.group(1)) < int(m.group(2)) == n_cells, m.group(0)
+
+
 def test_bucketed_join_result_matches_unbucketed(spark):
     bucketed = (
         read_table(spark, "orders_b")
