@@ -14,8 +14,10 @@ Scale posture: every tier is (scan → per-row expression work → one or two
 hash-key shuffles). MinHash banding shuffles by (band, band_hash) — the
 classic way to avoid the O(n²) pair explosion at 100 TB; candidate
 verification only touches bucket-mates. The exact-Jaccard tier self-joins on
-shingle, which is only safe when shared shingles are rare (it exists as the
-oracle-able ground-truth tier; the LSH tiers are the scale path).
+shingle with stop-shingles (document frequency > MAX_SHINGLE_DF) removed
+first, so one boilerplate shingle can't quadratically explode the join; it
+exists as the oracle-able ground-truth tier, the LSH tiers are the scale
+path.
 """
 
 from __future__ import annotations
@@ -40,6 +42,14 @@ MINHASH_SEEDS = 16
 MINHASH_BAND_ROWS = 2
 SIMHASH_BITS = 63  # 63 keeps the packed value inside a signed int64
 JACCARD_THRESHOLD = 0.2
+# Stop-shingle cap for the exact-Jaccard tier: a shingle appearing in more
+# than this many documents ("call us now", boilerplate headers) is dropped
+# from every shingle set before the self-join — the join's output is then
+# bounded by Σ df² over df ≤ cap instead of exploding quadratically on one
+# hot key. Jaccard is computed over the capped sets (standard stop-shingle
+# removal); fixture corpora sit far below the cap (max df: 7 at sf0.01,
+# 25 at sf0.1), so fixture results are unchanged.
+MAX_SHINGLE_DF = 100
 # 4×16-bit bands over the 63-bit hash guarantee a shared band only for
 # pairs within Hamming 3; beyond that recall decays, so the verify cutoff
 # matches the banding guarantee.
@@ -70,10 +80,29 @@ def _doc_shingles(d: DataFrame) -> DataFrame:
     ).withColumn("n_shingles", F.size("shingles"))
 
 
-def ngram_jaccard_pairs(d: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
-    """Exact Jaccard over word-3-gram sets for every pair sharing ≥1 shingle."""
+def ngram_jaccard_pairs(
+    d: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    max_shingle_df: int = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Exact Jaccard over word-3-gram sets for every pair sharing ≥1
+    (non-stop) shingle. Shingles with document frequency > max_shingle_df
+    are removed from every set first (see MAX_SHINGLE_DF) — without the cap
+    a single boilerplate shingle shared by m documents contributes m²/2
+    join rows."""
     sh = _doc_shingles(d)
-    ex = sh.select("doc_id", "n_shingles", F.explode("shingles").alias("shingle"))
+    ex_all = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    # hot set is tiny by construction (≤ total_shingle_rows / cap entries) →
+    # broadcast anti-join, no shuffle of the exploded side
+    hot = (
+        ex_all.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_shingle_df)
+        .select("shingle")
+    )
+    ex0 = ex_all.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = ex0.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    ex = ex0.join(sizes, "doc_id")
     a = ex.select(
         F.col("doc_id").alias("doc_a"),
         F.col("n_shingles").alias("na"),
@@ -366,8 +395,11 @@ FROM documents GROUP BY sha256(text)
     "dedup_ngram_jaccard": f"""
 WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 sh AS (SELECT doc_id, {_SH} AS shingles FROM tok),
-sized AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh),
-ex AS (SELECT doc_id, n, unnest(shingles) AS shingle FROM sized),
+ex_all AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+hot AS (SELECT shingle FROM ex_all GROUP BY shingle HAVING COUNT(*) > {MAX_SHINGLE_DF}),
+ex0 AS (SELECT * FROM ex_all WHERE shingle NOT IN (SELECT shingle FROM hot)),
+sized AS (SELECT doc_id, COUNT(*) AS n FROM ex0 GROUP BY doc_id),
+ex AS (SELECT ex0.doc_id, sized.n, ex0.shingle FROM ex0 JOIN sized USING (doc_id)),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
          COUNT(*) AS inter
@@ -385,8 +417,11 @@ WHERE ROUND(inter / (na + nb - inter), 6) >= {JACCARD_THRESHOLD}
 WITH RECURSIVE
 tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 sh AS (SELECT doc_id, {_SH} AS shingles FROM tok),
-sized AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh),
-ex AS (SELECT doc_id, n, unnest(shingles) AS shingle FROM sized),
+ex_all AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+hot AS (SELECT shingle FROM ex_all GROUP BY shingle HAVING COUNT(*) > {MAX_SHINGLE_DF}),
+ex0 AS (SELECT * FROM ex_all WHERE shingle NOT IN (SELECT shingle FROM hot)),
+sized AS (SELECT doc_id, COUNT(*) AS n FROM ex0 GROUP BY doc_id),
+ex AS (SELECT ex0.doc_id, sized.n, ex0.shingle FROM ex0 JOIN sized USING (doc_id)),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
          COUNT(*) AS inter

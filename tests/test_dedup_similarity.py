@@ -46,6 +46,51 @@ def test_ngram_jaccard_finds_planted(spark):
     assert _planted_pairs() <= found
 
 
+def test_ngram_jaccard_stop_shingle_cap(spark):
+    """A boilerplate sentence shared by every document must not explode the
+    exact tier into all-pairs: with the DF cap active only genuinely
+    duplicated content pairs survive; uncapped, the same corpus produces
+    O(n²) pairs (which is what the cap exists to prevent)."""
+    boiler = "please subscribe to our free newsletter for daily updates and exclusive offers"
+    rows = [
+        (i, f"{boiler} unique{i} token{i} filler{i} extra{i} end{i}")
+        for i in range(60)
+    ]
+    # planted true near-dups: identical non-boilerplate tail
+    rows += [
+        (100, f"{boiler} planted duplicate content here matches fully"),
+        (101, f"{boiler} planted duplicate content here matches fully"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(d, threshold=0.2, max_shingle_df=10).collect()
+    }
+    assert capped == {(100, 101)}
+
+    uncapped = ngram_jaccard_pairs(
+        d, threshold=0.2, max_shingle_df=10**9
+    ).count()
+    assert uncapped == 62 * 61 // 2  # every pair shares the hot shingles
+
+
+def test_ngram_jaccard_cap_inactive_on_planted_fixture(spark):
+    """Fixture corpora sit far below MAX_SHINGLE_DF — the capped default must
+    return exactly the uncapped result."""
+    d = planted_docs(spark)
+    with_cap = sorted(
+        map(tuple, ngram_jaccard_pairs(d, threshold=0.2).collect())
+    )
+    no_cap = sorted(
+        map(
+            tuple,
+            ngram_jaccard_pairs(d, threshold=0.2, max_shingle_df=10**9).collect(),
+        )
+    )
+    assert with_cap == no_cap
+
+
 def test_minhash_finds_planted(spark):
     d = planted_docs(spark)
     # ground truth: exact-Jaccard pairs at the LSH tier's design threshold;
