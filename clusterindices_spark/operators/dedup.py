@@ -316,12 +316,14 @@ def connected_components(
     component = smallest node id reachable. Deterministic.
 
     Driver loop with one join + min-agg per iteration, converging in
-    O(diameter) rounds; each round persists its label table and checks a
-    scalar convergence sum (one tiny action). Near-dup graphs are
-    overwhelmingly tiny cliques (diameter ≤ ~3), so rounds stay low. At
-    100 TB the same loop runs with the label table checkpointed to break
-    lineage; for adversarially long chains switch to the large-star/
-    small-star algorithm (same primitive ops, fewer rounds).
+    O(diameter) rounds; each round localCheckpoints its label table (the
+    label table is referenced twice per round, so without lineage
+    truncation the logical plan doubles every round and planning OOMs on
+    long chains) and checks a scalar convergence sum (one tiny action).
+    Near-dup graphs are overwhelmingly tiny cliques (diameter ≤ ~3), so
+    rounds stay low. At 100 TB swap localCheckpoint for checkpoint() to
+    reliable storage; for adversarially long chains switch to
+    connected_components_star (same primitive ops, O(log n) rounds).
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -344,7 +346,7 @@ def connected_components(
             labels.unionByName(neighbor_labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         new_sum = new_labels.agg(F.sum("label")).first()[0]
         labels.unpersist()
@@ -356,15 +358,95 @@ def connected_components(
     return labels.withColumnRenamed("label", "component")
 
 
-def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clusters: connected components over exact-Jaccard pairs,
-    canonical doc = min doc_id per component. The downstream "drop all but
-    canonical" filter is `WHERE NOT is_canonical`."""
-    d = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d).select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+def connected_components_star(
+    nodes: DataFrame, edges: DataFrame, max_iters: int = 15
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star rounds —
+    the O(log n)-round upgrade over min-label propagation (O(diameter)) for
+    adversarially long chains (per the two-phase star algorithm of Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC'14 —
+    public literature, re-derived here as pure DataFrame ops).
+
+    Representation: edges are kept big→small (u > v) throughout.
+    - large-star: each node u links every LARGER neighbor to u's minimum
+      neighborhood label m = min(Γ(u) ∪ {u}) — long tails collapse toward
+      minima from below.
+    - small-star: each node u re-points itself and its smaller neighbors at
+      m — stars flatten to depth 1.
+    At the joint fixpoint every edge is (x, component_min(x)). Each round is
+    two (groupBy-min + join) shuffles and a distinct; the fixpoint witness
+    is one tiny agg action (count + an order-free bit_xor-of-xxhash64 set
+    fingerprint).
+
+    Same output contract as connected_components: (node, component).
+
+    Each round's edge set is localCheckpoint'ed, not merely persisted: a
+    round references the previous edge set ~4× (symmetric view + both
+    joins), so without lineage truncation the logical plan itself grows
+    exponentially in the round count and planning OOMs long before any
+    data does. On a real cluster, swap localCheckpoint for checkpoint()
+    to reliable storage so a lost executor can't drop checkpoint blocks.
+    """
+    # canonical big→small direction; self-loops dropped
+    e = (
+        edges.select(
+            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
-    comp = connected_components(d.select(F.col("doc_id").alias("node")), pairs)
+    prev = None
+    for _ in range(max_iters):
+        # large-star over the symmetric view
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        mins = mins.select("u", F.least("mv", F.col("u")).alias("m"))
+        ls = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star on big→small edges
+        sm = ls.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            ls.join(sm, "u")
+            .select(F.col("v").alias("x"), "m")
+            .unionByName(sm.select(F.col("u").alias("x"), "m"))
+            .where(F.col("x") != F.col("m"))
+            .select(F.col("x").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # order-free, overflow-free set fingerprint (a SUM of int64 hashes
+        # would overflow under ANSI mode)
+        state = ss.agg(
+            F.count(F.lit(1)),
+            F.expr("bit_xor(xxhash64(u, v))"),
+        ).first()
+        e = ss
+        cur = tuple(state)
+        if cur == prev:
+            break
+        prev = cur
+    labels = e.groupBy("u").agg(F.min("v").alias("component"))
+    out = (
+        nodes.join(labels, nodes.node == labels.u, "left")
+        .select(
+            "node", F.coalesce("component", F.col("node")).alias("component")
+        )
+    )
+    return out
+
+
+def _component_report(comp: DataFrame) -> DataFrame:
+    """(node, component) → the dedup report shape: canonical doc = min
+    doc_id per component; the downstream "drop all but canonical" filter is
+    `WHERE NOT is_canonical`."""
     w = Window.partitionBy("component")
     return comp.select(
         F.col("node").alias("doc_id"),
@@ -374,12 +456,35 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_pair_edges(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    return d.select(F.col("doc_id").alias("node")), pairs
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters via min-label propagation (O(diameter) rounds)."""
+    nodes, pairs = _doc_pair_edges(spark, sf_dir)
+    return _component_report(connected_components(nodes, pairs))
+
+
+def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clusters via alternating large-star/small-star (O(log n) rounds
+    — the adversarial-chain-safe variant). Identical output contract, so it
+    shares dedup_components' oracle."""
+    nodes, pairs = _doc_pair_edges(spark, sf_dir)
+    return _component_report(connected_components_star(nodes, pairs))
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_near_minhash": q_dedup_near_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_components": q_dedup_components,
+    "dedup_components_star": q_dedup_components_star,
 }
 
 _TOKS = SQL_TOKENS.format(col="text")
@@ -453,3 +558,7 @@ SELECT doc_id, component_id,
 FROM comp
 """,
 }
+
+# the star variant computes the same (node → component-min) fixpoint over
+# the same edges — byte-identical output contract, same oracle
+ORACLES["dedup_components_star"] = ORACLES["dedup_components"]

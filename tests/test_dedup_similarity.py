@@ -123,6 +123,46 @@ def test_simhash_finds_exact_copies(spark):
     assert (1, 3) not in found
 
 
+def test_star_components_long_chain(spark):
+    """A 200-node path graph is the adversarial case for min-label
+    propagation (O(diameter)=200 rounds); the star algorithm must collapse
+    it to one component within its default O(log n) iteration budget."""
+    from clusterindices_spark.operators.dedup import connected_components_star
+
+    n = 200
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    comp = connected_components_star(nodes, edges).collect()
+    assert len(comp) == n
+    assert {r["component"] for r in comp} == {0}
+
+
+def test_star_components_match_label_propagation(spark):
+    """On a multi-component graph (cliques + chain + singletons) the star
+    variant must produce exactly the label-propagation result."""
+    import random
+
+    from clusterindices_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(42)
+    edges = []
+    # three cliques
+    for base in (0, 10, 20):
+        ids = list(range(base, base + 6))
+        edges += [(a, b) for a in ids for b in ids if a < b and rng.random() < 0.6]
+    edges += [(30 + i, 31 + i) for i in range(8)]  # small chain
+    nodes = spark.range(45).select(F.col("id").alias("node"))  # 39..44 singletons
+    e = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    star = sorted(map(tuple, connected_components_star(nodes, e).collect()))
+    prop = sorted(map(tuple, connected_components(nodes, e).collect()))
+    assert star == prop
+
+
 def test_ann_lsh_recall_vs_exact(spark):
     from clusterindices_spark.operators.similarity import _emb
 
