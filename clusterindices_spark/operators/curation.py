@@ -1,0 +1,294 @@
+"""Corpus-curation operators: the end-to-end shapes a training-data pipeline
+runs after the per-document analyses (SURVEY.md §2C north star).
+
+Three operators over ``documents``:
+
+- curation_split      : deterministic content-hash train/val split. The split
+                        must be a pure function of the stable document id —
+                        never rand() — so re-runs, retries, and incremental
+                        backfills land every document in the same fold. The
+                        fold comes from the first hex byte-pair of
+                        md5(doc_id): bucket < 'f3' (243/256 ≈ 94.9%) → train.
+                        Engine-portable because both Spark and DuckDB emit
+                        lowercase-hex md5 of the same decimal string.
+- curation_pack_greedy: sequence packing — greedy first-fit of documents into
+                        fixed-capacity token bins (context windows). The
+                        packing is stateful-sequential per group, so it runs
+                        as repartition(grp) → sortWithinPartitions →
+                        mapInPandas with running state carried across Arrow
+                        batches. That keeps memory bounded by the batch size,
+                        not the group size — the applyInPandas alternative
+                        materializes a whole group per call and dies on a
+                        100 TB group. Oracle: a recursive CTE replays the
+                        same fold exactly.
+- curation_pipeline   : quality-filter → langid-agreement filter → exact-dedup
+                        (canonical doc per sha256) → per-lang corpus summary.
+                        One composed DataFrame plan: Catalyst fuses the three
+                        per-row filters into the scan, and the only shuffles
+                        are the dedup's hash-groupBy and the final per-lang
+                        agg — the whole curation pass is two shuffles at any
+                        scale.
+
+Scale posture: curation_split is pure scan-side expression work (zero
+shuffles). Packing shuffles once by group key; group count G sets parallelism
+— pick G ≈ cluster cores, and the per-partition state is O(#groups in the
+partition), bytes. The pipeline's filters are ordinary predicates: at 100 TB
+they push into the parquet scan before either shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clusterindices_spark.functions.text import SQL_TOKENS, tokens
+from clusterindices_spark.sources.fixtures import load_table
+
+# train share = 243/256 ≈ 94.9%: folds are hex-string prefix ranges so both
+# engines compare identically ('f3' = 243)
+TRAIN_BUCKET_MAX = "f3"
+PACK_CAPACITY = 512  # tokens per bin (context window)
+PACK_GROUPS = 16  # independent packing streams (parallelism knob)
+QUALITY_MIN = 0.45
+
+_TOKS = SQL_TOKENS.format(col="text")
+
+
+# ---------------------------------------------------------------------------
+# deterministic train/val split
+# ---------------------------------------------------------------------------
+
+
+def hash_split(d: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    bucket = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+    return d.select(
+        id_col,
+        bucket.alias("bucket"),
+        F.when(bucket < TRAIN_BUCKET_MAX, "train").otherwise("val").alias("split"),
+    )
+
+
+def q_curation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hash_split(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (greedy first-fit into token bins)
+# ---------------------------------------------------------------------------
+
+_PACK_SCHEMA = "doc_id bigint, grp int, bin int, n_tokens int"
+
+
+def _pack_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Greedy first-fit over (grp, doc_id)-sorted rows. State = (current bin,
+    current fill) per group, carried across Arrow batches; partitions are
+    hash-partitioned by grp and sorted, so each group's rows arrive
+    contiguously and in order."""
+    state: dict[int, tuple[int, int]] = {}
+    for pdf in batches:
+        bins = []
+        for grp, t in zip(pdf["grp"], pdf["t"]):
+            b, fill = state.get(grp, (0, 0))
+            if fill + t > PACK_CAPACITY and fill > 0:
+                b, fill = b + 1, 0
+            state[grp] = (b, fill + t)
+            bins.append(b)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "grp": pdf["grp"],
+                "bin": pd.Series(bins, dtype="int32"),
+                "n_tokens": pdf["t"],
+            }
+        )
+
+
+def pack_greedy(d: DataFrame, n_groups: int = PACK_GROUPS) -> DataFrame:
+    sized = d.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(n_groups)).cast("int").alias("grp"),
+        F.least(F.size(tokens(F.col("text"))), F.lit(PACK_CAPACITY))
+        .cast("int")
+        .alias("t"),
+    )
+    return (
+        sized.repartition(n_groups, "grp")
+        .sortWithinPartitions("grp", "doc_id")
+        .mapInPandas(_pack_batches, schema=_PACK_SCHEMA)
+    )
+
+
+def q_curation_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_greedy(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# end-to-end curation pipeline
+# ---------------------------------------------------------------------------
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang curation funnel. A document is retained when it (a) clears
+    the quality floor, (b) has ≥1 language-marker token for its stored lang
+    (langid agreement), and (c) is the canonical (min doc_id) copy of its
+    exact content. The output reports the funnel — how many docs survive
+    each filter per lang — plus token volume and mean quality of the
+    retained slice, the numbers a curation run is monitored by."""
+    from clusterindices_spark.operators.textops import LANG_MARKERS, STOPWORDS
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", tokens(F.col("text"))
+    )
+    n_toks = F.size("toks")
+    sum_len = F.aggregate(F.col("toks"), F.lit(0), lambda a, t: a + F.length(t))
+    n_stop = F.size(F.filter(F.col("toks"), lambda t: t.isin(*STOPWORDS)))
+    quality = F.round(
+        F.least(n_toks / F.lit(100.0), F.lit(1.0)) * 0.5
+        + F.round(n_stop / F.nullif(n_toks, F.lit(0)), 6) * 0.3
+        + F.least(
+            F.round(sum_len / F.nullif(n_toks, F.lit(0)), 6) / 10.0, F.lit(1.0)
+        )
+        * 0.2,
+        6,
+    )
+    # langid agreement: the stored lang's own markers must appear
+    def _hits(markers):
+        return F.size(F.filter(F.col("toks"), lambda t: t.isin(*markers)))
+
+    marker_hits = F.lit(0)
+    for lg, markers in LANG_MARKERS.items():
+        marker_hits = F.when(F.col("lang") == lg, _hits(markers)).otherwise(
+            marker_hits
+        )
+    scored = d.select(
+        "doc_id",
+        "lang",
+        n_toks.alias("n_tokens"),
+        quality.alias("quality"),
+        marker_hits.alias("marker_hits"),
+    )
+    canonical = (
+        d.groupBy(F.sha2(F.col("text"), 256).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.lit(True).alias("is_canon"))
+    )
+    fl = scored.join(canonical, "doc_id", "left").withColumn(
+        "is_canon", F.coalesce("is_canon", F.lit(False))
+    )
+    q_ok = F.col("quality") >= QUALITY_MIN
+    l_ok = F.col("marker_hits") >= 1
+    retained = q_ok & l_ok & F.col("is_canon")
+    bcount = lambda c: F.sum(c.cast("int")).cast("bigint")  # noqa: E731
+    return fl.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        bcount(q_ok).alias("n_quality_ok"),
+        bcount(l_ok).alias("n_langid_ok"),
+        bcount(retained).alias("n_retained"),
+        F.coalesce(
+            F.sum(F.when(retained, F.col("n_tokens"))).cast("bigint"), F.lit(0)
+        ).alias("n_tokens_retained"),
+        F.round(F.avg(F.when(retained, F.col("quality"))), 6).alias(
+            "avg_quality_retained"
+        ),
+    )
+
+
+QUERIES = {
+    "curation_split": q_curation_split,
+    "curation_pack_greedy": q_curation_pack_greedy,
+    "curation_pipeline": q_curation_pipeline,
+}
+
+
+def _sql_quality() -> str:
+    from clusterindices_spark.operators.textops import STOPWORDS
+
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+  SELECT doc_id, lang, text, {_TOKS} AS toks,
+         len({_TOKS}) AS n_tokens,
+         list_sum(list_transform({_TOKS}, t -> len(t))) AS sum_len,
+         len(list_filter({_TOKS}, t -> t IN ({stop}))) AS n_stop
+  FROM documents
+"""
+
+
+def _sql_marker_hits() -> str:
+    from clusterindices_spark.operators.textops import LANG_MARKERS
+
+    cases = []
+    for lg, markers in LANG_MARKERS.items():
+        lst = ", ".join(f"'{m}'" for m in markers)
+        cases.append(
+            f"WHEN lang = '{lg}' THEN len(list_filter(toks, t -> t IN ({lst})))"
+        )
+    return "CASE " + " ".join(cases) + " ELSE 0 END"
+
+
+ORACLES = {
+    "curation_split": f"""
+SELECT doc_id,
+       substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{TRAIN_BUCKET_MAX}'
+            THEN 'train' ELSE 'val' END AS split
+FROM documents
+""",
+    "curation_pack_greedy": f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         CAST(doc_id % {PACK_GROUPS} AS INT) AS grp,
+         CAST(LEAST(len({_TOKS}), {PACK_CAPACITY}) AS INT) AS t
+  FROM documents
+),
+seq AS (
+  SELECT *, row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS rn
+  FROM toks
+),
+pack AS (
+  SELECT grp, rn, doc_id, t, 0 AS bin, t AS fill FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.grp, s.rn, s.doc_id, s.t,
+         CASE WHEN p.fill + s.t <= {PACK_CAPACITY} OR p.fill = 0
+              THEN p.bin ELSE p.bin + 1 END,
+         CASE WHEN p.fill + s.t <= {PACK_CAPACITY} OR p.fill = 0
+              THEN p.fill + s.t ELSE s.t END
+  FROM pack p JOIN seq s ON s.grp = p.grp AND s.rn = p.rn + 1
+)
+SELECT doc_id, grp, CAST(bin AS INT) AS bin, t AS n_tokens FROM pack
+""",
+    "curation_pipeline": f"""
+WITH m AS ({_sql_quality()}),
+scored AS (
+  SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+         ROUND(LEAST(n_tokens / 100.0, 1.0) * 0.5
+               + ROUND(n_stop / NULLIF(n_tokens, 0), 6) * 0.3
+               + LEAST(ROUND(sum_len / NULLIF(n_tokens, 0), 6) / 10.0, 1.0) * 0.2,
+               6) AS quality,
+         {_sql_marker_hits()} AS marker_hits
+  FROM m
+),
+canon AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+fl AS (
+  SELECT s.*,
+         (c.doc_id IS NOT NULL) AS is_canon,
+         (s.quality >= {QUALITY_MIN}) AS q_ok,
+         (s.marker_hits >= 1) AS l_ok
+  FROM scored s LEFT JOIN canon c USING (doc_id)
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok,
+       CAST(SUM(CASE WHEN l_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_langid_ok,
+       CAST(SUM(CASE WHEN q_ok AND l_ok AND is_canon THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_retained,
+       CAST(COALESCE(SUM(CASE WHEN q_ok AND l_ok AND is_canon THEN n_tokens END), 0)
+            AS BIGINT) AS n_tokens_retained,
+       ROUND(AVG(CASE WHEN q_ok AND l_ok AND is_canon THEN quality END), 6)
+         AS avg_quality_retained
+FROM fl
+GROUP BY lang
+""",
+}

@@ -1,0 +1,78 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_split_deterministic_and_stable(spark):
+    """The fold must be a pure function of doc_id: two evaluations agree
+    row-for-row, and the train share sits near the 243/256 design point."""
+    from clusterindices_spark.operators.curation import q_curation_split
+
+    a = {r["doc_id"]: r["split"] for r in q_curation_split(spark, SF_SMOKE).collect()}
+    b = {r["doc_id"]: r["split"] for r in q_curation_split(spark, SF_SMOKE).collect()}
+    assert a == b
+    share = sum(v == "train" for v in a.values()) / len(a)
+    assert 0.85 < share < 1.0  # 50 docs at sf0.001 — loose binomial bounds
+
+
+def test_pack_respects_capacity_and_covers_all_docs(spark):
+    from clusterindices_spark.operators.curation import (
+        PACK_CAPACITY,
+        q_curation_pack_greedy,
+    )
+    from clusterindices_spark.sources.fixtures import load_table
+
+    packed = q_curation_pack_greedy(spark, SF_SMOKE)
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    rows = packed.collect()
+    assert len(rows) == n_docs
+    fills = (
+        packed.groupBy("grp", "bin")
+        .agg(F.sum("n_tokens").alias("fill"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    # a bin may exceed capacity only via a single over-long (capped) doc
+    assert all(r["fill"] <= PACK_CAPACITY for r in fills)
+
+
+def test_pack_greedy_is_order_deterministic(spark):
+    """Greedy fold over (grp, doc_id) order: independent of input
+    partitioning, so a repartitioned input must pack identically."""
+    from clusterindices_spark.operators.curation import pack_greedy
+    from clusterindices_spark.sources.fixtures import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    base = sorted(map(tuple, pack_greedy(d).collect()))
+    shuffled = sorted(map(tuple, pack_greedy(d.repartition(7)).collect()))
+    assert base == shuffled
+
+
+def test_pack_bins_are_contiguous_per_group(spark):
+    """Bins within a group must be 0..max with no gaps (greedy never skips),
+    and doc order within a group maps to non-decreasing bin ids."""
+    from clusterindices_spark.operators.curation import q_curation_pack_greedy
+
+    rows = q_curation_pack_greedy(spark, SF_SMOKE).collect()
+    by_grp: dict[int, list] = {}
+    for r in rows:
+        by_grp.setdefault(r["grp"], []).append((r["doc_id"], r["bin"]))
+    for docs in by_grp.values():
+        docs.sort()
+        bins = [b for _, b in docs]
+        assert bins == sorted(bins)
+        assert set(bins) == set(range(max(bins) + 1))
+
+
+def test_pipeline_funnel_monotone(spark):
+    from clusterindices_spark.operators.curation import q_curation_pipeline
+
+    rows = q_curation_pipeline(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["n_retained"] <= r["n_quality_ok"] <= r["n_docs"]
+        assert r["n_retained"] <= r["n_langid_ok"] <= r["n_docs"]
+        if r["n_retained"] == 0:
+            assert r["n_tokens_retained"] == 0
+            assert r["avg_quality_retained"] is None
