@@ -28,6 +28,57 @@ def test_salted_join_equals_plain_join(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
+def test_aqe_splits_skewed_smj(spark):
+    """AQE skew-join demonstration (SURVEY.md §4.3): a sort-merge join whose
+    left side is 95% one hot key must be re-planned at runtime with the hot
+    partition split — the final adaptive plan carries SortMergeJoin(skew=true).
+
+    Two traps this test had to dodge, both worth keeping on record: a
+    payload built from literals is constant-folded (length(pay) → 256) and
+    the column pruned before the shuffle, and a post-join projection that
+    drops the payload prunes it too — either way the shuffle is no longer
+    skewed in BYTES even though the key histogram is. The payload must be
+    row-dependent and actually consumed above the join."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        pay = F.concat(F.repeat(F.lit("x"), 256), F.col("id").cast("string"))
+        big = spark.range(0, 400_000).select(
+            F.when(F.col("id") % 20 != 0, 1)
+            .otherwise(F.col("id"))
+            .cast("int")
+            .alias("k"),
+            pay.alias("pay"),
+        )
+        small = spark.range(0, 50_000).select(
+            F.col("id").cast("int").alias("k"), F.lit("v").alias("v")
+        )
+        j = big.join(small, "k").agg(F.sum(F.length("pay")).alias("bytes"))
+        got = j.collect()[0]["bytes"]
+        # small's keys are exactly 0..49999, so the join is a filter on big
+        expected = (
+            big.where(F.col("k") < 50_000)
+            .agg(F.sum(F.length("pay")).alias("bytes"))
+            .collect()[0]["bytes"]
+        )
+        assert got == expected
+        plan = j._jdf.queryExecution().toString()
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_salt_spreads_hot_key(spark):
     # one pathologically hot key: every row joins key=1; salts must spread
     # rows across all 8 replicas rather than one partition
