@@ -292,12 +292,12 @@ def ivf_write_bucketed(
     write time, and search-time point predicates on ``cell`` prune whole
     buckets (SelectedBucketsCount in the scan — tests/test_bucketing.py).
     """
-    from clusterindices_spark.sources.bucketing import write_bucketed
+    from clusterindices_spark.sources.bucketing import drop_table, write_bucketed
 
     cents, index = ivf_build(emb, n_cells=n_cells, lloyd_iters=lloyd_iters)
     write_bucketed(index, table, "cell", n_buckets or n_cells)
     spark = emb.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table}_cents")
+    drop_table(spark, f"{table}_cents")
     cents.write.mode("overwrite").format("parquet").saveAsTable(f"{table}_cents")
 
 

@@ -23,6 +23,22 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 
 
+def drop_table(spark: SparkSession, table: str) -> None:
+    """DROP TABLE IF EXISTS, plus orphan-location cleanup: a crashed or
+    previous-JVM write leaves the managed directory behind while the local
+    (ephemeral) catalog has no entry, so the DROP no-ops and the next
+    saveAsTable fails with LOCATION_ALREADY_EXISTS. Only local-filesystem
+    leftovers are swept — on a cluster with a persistent metastore the DROP
+    itself removes the location."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    if warehouse.startswith("file:"):
+        warehouse = warehouse[len("file:") :]
+    leftover = os.path.join(warehouse, table.lower())
+    if os.path.isdir(leftover):
+        shutil.rmtree(leftover)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -34,15 +50,7 @@ def write_bucketed(
     sort on read."""
     keys = [bucket_key] if isinstance(bucket_key, str) else list(bucket_key)
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    # a crashed earlier write can leave the managed location behind with no
-    # metastore entry; Spark then refuses the CREATE outright
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    if warehouse.startswith("file:"):
-        warehouse = warehouse[len("file:") :]
-    leftover = os.path.join(warehouse, table)
-    if os.path.isdir(leftover):
-        shutil.rmtree(leftover)
+    drop_table(spark, table)
     (
         df.write.mode("overwrite")
         .bucketBy(n_buckets, *keys)
