@@ -271,6 +271,181 @@ def q_index_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index_suite(pts, centroids_of(pts))
 
 
+# ---------------------------------------------------------------------------
+# extended validity indices (beyond the reference's four): Calinski-Harabasz,
+# Xie-Beni, and silhouette in both its scale form (squared-Euclidean via
+# per-cluster sufficient statistics — the closed form MLlib's
+# ClusteringEvaluator uses, O(n·K) with a broadcast K-row table) and its
+# exact pairwise form (O(n²) ground-truth tier, same role as
+# ngram_jaccard_pairs for the LSH dedup tiers).
+# ---------------------------------------------------------------------------
+
+
+def _global_centroid_row(pts: DataFrame) -> DataFrame:
+    """1-row (g: array<double>) — the all-points mean vector."""
+    return (
+        pts.select(F.posexplode("x").alias("dim", "val"))
+        .groupBy("dim")
+        .agg(F.avg("val").alias("gm"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "gm"))),
+                lambda s: s["gm"],
+            ).alias("g")
+        )
+    )
+
+
+def calinski_harabasz_of(pts: DataFrame) -> DataFrame:
+    """CH = (B/(K−1)) / (W/(n−K)); B = Σ_i n_i·‖c_i − c̄‖², W = WSSSE.
+    B comes from the K-row centroid table against a broadcast 1-row global
+    centroid — no extra pass over the points beyond the WSSSE scan."""
+    cents = centroids_of(pts)
+    counts = pts.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_i"))
+    b = (
+        cents.join(F.broadcast(counts), "cluster")
+        .crossJoin(F.broadcast(_global_centroid_row(pts)))
+        .agg(F.sum(F.col("n_i") * l2sq(F.col("centroid"), F.col("g"))).alias("b"))
+    )
+    w = point_metrics(pts, cents).agg(
+        F.sum("d2_own").alias("w"), F.count(F.lit(1)).alias("n")
+    )
+    k = cents.agg(F.count(F.lit(1)).alias("k"))
+    return (
+        b.crossJoin(w)
+        .crossJoin(k)
+        .select(
+            F.round(
+                (F.col("b") / F.nullif((F.col("k") - 1).cast("double"), F.lit(0.0)))
+                / F.nullif(
+                    F.col("w")
+                    / F.nullif((F.col("n") - F.col("k")).cast("double"), F.lit(0.0)),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("calinski_harabasz")
+        )
+    )
+
+
+def q_calinski_harabasz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return calinski_harabasz_of(labeled_points(spark, sf_dir))
+
+
+def xie_beni_of(pts: DataFrame) -> DataFrame:
+    """XB = WSSSE / (n · min_{i≠j}‖c_i−c_j‖²) — compactness over the worst
+    centroid separation; all inputs already exist as K-scale frames."""
+    cents = centroids_of(pts)
+    w = point_metrics(pts, cents).agg(
+        F.sum("d2_own").alias("w"), F.count(F.lit(1)).alias("n")
+    )
+    min_inter = centroid_pair_dists(cents).agg(F.min("dist").alias("min_inter"))
+    return w.crossJoin(min_inter).select(
+        F.round(
+            F.col("w")
+            / F.nullif(
+                F.col("n") * F.col("min_inter") * F.col("min_inter"), F.lit(0.0)
+            ),
+            6,
+        ).alias("xie_beni")
+    )
+
+
+def q_xie_beni(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return xie_beni_of(labeled_points(spark, sf_dir))
+
+
+def silhouette_sqeuclid_of(pts: DataFrame) -> DataFrame:
+    """Squared-Euclidean silhouette via per-cluster sufficient statistics:
+    meanSqDist(p, C) = ‖x_p − μ_C‖² + (avg_ssq_C − ‖μ_C‖²), so the whole
+    index is the existing per-point distance array plus a broadcast K-row
+    (cluster, delta, n) correction table — O(n·K), no pairwise join. This is
+    the closed form MLlib's ClusteringEvaluator uses, including its
+    own-cluster self-exclusion correction a(p) = msd·n/(n−1) (verified
+    against ClusteringEvaluator in tests/test_indices.py); singleton
+    clusters score 0 by convention."""
+    cents = centroids_of(pts)
+    nsq = F.aggregate(F.col("x"), F.lit(0.0), lambda a, v: a + v * v)
+    cstat = pts.select("cluster", nsq.alias("nsq")).groupBy("cluster").agg(
+        F.avg("nsq").alias("avg_ssq"), F.count(F.lit(1)).alias("n_i")
+    )
+    mnorm = F.aggregate(F.col("centroid"), F.lit(0.0), lambda a, v: a + v * v)
+    deltas_row = (
+        cstat.join(cents, "cluster")
+        .select(
+            F.struct(
+                F.col("cluster").alias("cl"),
+                (F.col("avg_ssq") - mnorm).alias("delta"),
+                F.col("n_i").alias("n"),
+            ).alias("d")
+        )
+        .agg(F.collect_list("d").alias("deltas"))
+    )
+    wd = with_dist_array(pts, cents).crossJoin(F.broadcast(deltas_row))
+    own_delta = F.get(
+        F.filter(F.col("deltas"), lambda d: d["cl"] == F.col("cluster")), 0
+    )
+    a = (
+        F.get(F.filter(F.col("d2s"), lambda s: s["cl"] == F.col("cluster")), 0)["d2"]
+        + own_delta["delta"]
+    ) * own_delta["n"] / F.nullif((own_delta["n"] - 1).cast("double"), F.lit(0.0))
+    b = F.array_min(
+        F.transform(
+            F.filter(F.col("d2s"), lambda s: s["cl"] != F.col("cluster")),
+            lambda s: s["d2"]
+            + F.get(F.filter(F.col("deltas"), lambda d: d["cl"] == s["cl"]), 0)[
+                "delta"
+            ],
+        )
+    )
+    g = F.greatest(a, b)
+    s_p = (
+        F.when(own_delta["n"] == 1, F.lit(0.0))
+        .when(g > 0, (b - a) / g)
+        .otherwise(F.lit(0.0))
+    )
+    return wd.agg(F.round(F.avg(s_p), 6).alias("silhouette_sqeuclid"))
+
+
+def q_silhouette_sqeuclid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return silhouette_sqeuclid_of(labeled_points(spark, sf_dir))
+
+
+def silhouette_exact_of(pts: DataFrame) -> DataFrame:
+    """Classical silhouette, exact pairwise form: a(p) = mean distance to
+    the REST of p's cluster, b(p) = min over other clusters of mean distance
+    to that cluster. O(n²) — the ground-truth yardstick for
+    silhouette_sqeuclid, not the scale path (at 100 TB use the sufficient-
+    statistics form; this tier exists to validate it on samples)."""
+    a_side = pts.select(
+        F.col("vec_id").alias("pid"), F.col("cluster").alias("pcl"), F.col("x").alias("xa")
+    )
+    b_side = pts.select(
+        F.col("vec_id").alias("qid"), F.col("cluster").alias("qcl"), F.col("x").alias("xb")
+    )
+    md = (
+        a_side.crossJoin(F.broadcast(b_side))
+        .where(F.col("pid") != F.col("qid"))
+        .groupBy("pid", "pcl", "qcl")
+        .agg(F.avg(l2("xa", "xb")).alias("md"))
+    )
+    per = md.groupBy("pid", "pcl").agg(
+        F.max(F.when(F.col("qcl") == F.col("pcl"), F.col("md"))).alias("a"),
+        F.min(F.when(F.col("qcl") != F.col("pcl"), F.col("md"))).alias("b"),
+    )
+    g = F.greatest(F.col("a"), F.col("b"))
+    s_p = (
+        F.when(F.col("a").isNull(), F.lit(0.0))
+        .when(g > 0, (F.col("b") - F.col("a")) / g)
+        .otherwise(F.lit(0.0))
+    )
+    return per.agg(F.round(F.avg(s_p), 6).alias("silhouette_exact"))
+
+
+def q_silhouette_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return silhouette_exact_of(labeled_points(spark, sf_dir))
+
+
 QUERIES = {
     "centroids_by_label": q_centroids_by_label,
     "intra_cluster_stats": q_intra_cluster_stats,
@@ -280,6 +455,10 @@ QUERIES = {
     "davies_bouldin": q_davies_bouldin,
     "wssse": q_wssse,
     "index_suite": q_index_suite,
+    "calinski_harabasz": q_calinski_harabasz,
+    "xie_beni": q_xie_beni,
+    "silhouette_sqeuclid": q_silhouette_sqeuclid,
+    "silhouette_exact": q_silhouette_exact,
 }
 
 # ---------------------------------------------------------------------------
@@ -327,6 +506,24 @@ cc AS (
 ),
 s AS (
   SELECT cluster, AVG(d_own) AS s_i FROM pp GROUP BY cluster
+),
+gcent AS (
+  SELECT dim, AVG(val) AS gm FROM dimvals GROUP BY dim
+),
+nn AS (
+  SELECT cluster AS cl, COUNT(*) AS n_i FROM pts GROUP BY cluster
+),
+pnorm AS (
+  SELECT vec_id, cluster, list_sum(list_transform(x, v -> v * v)) AS nsq FROM pts
+),
+mnorm AS (
+  SELECT cl, SUM(m * m) AS mn FROM cent GROUP BY cl
+),
+cdelta AS (
+  SELECT c.cl, c.avg_ssq - m.mn AS delta, c.n_i
+  FROM (SELECT cluster AS cl, AVG(nsq) AS avg_ssq, COUNT(*) AS n_i
+        FROM pnorm GROUP BY cluster) c
+  JOIN mnorm m USING (cl)
 )
 """
 
@@ -382,5 +579,64 @@ SELECT (SELECT COUNT(*) FROM s) AS k,
           GROUP BY a.cluster
        )) AS davies_bouldin,
        (SELECT ROUND(SUM(d2_own), 6) FROM pp) AS wssse
+""",
+    "calinski_harabasz": _PREFIX
+    + """
+SELECT ROUND(
+  (b / NULLIF((SELECT COUNT(*) FROM nn) - 1, 0))
+  / NULLIF((SELECT SUM(d2_own) FROM pp)
+           / NULLIF((SELECT COUNT(*) FROM pts) - (SELECT COUNT(*) FROM nn), 0),
+           0.0),
+  6) AS calinski_harabasz
+FROM (
+  SELECT SUM(n_i * bd2) AS b FROM (
+    SELECT c.cl, SUM((c.m - g.gm) * (c.m - g.gm)) AS bd2
+    FROM cent c JOIN gcent g USING (dim) GROUP BY c.cl
+  ) t JOIN nn USING (cl)
+)
+""",
+    "xie_beni": _PREFIX
+    + """
+SELECT ROUND(
+  (SELECT SUM(d2_own) FROM pp)
+  / NULLIF((SELECT COUNT(*) FROM pts)
+           * (SELECT MIN(dist) FROM cc) * (SELECT MIN(dist) FROM cc), 0.0),
+  6) AS xie_beni
+""",
+    "silhouette_sqeuclid": _PREFIX
+    + """
+SELECT ROUND(AVG(CASE WHEN n_own = 1 THEN 0.0
+                      WHEN GREATEST(a, b) > 0 THEN (b - a) / GREATEST(a, b)
+                      ELSE 0.0 END), 6) AS silhouette_sqeuclid
+FROM (
+  SELECT m.vec_id, m.cluster,
+         MAX(CASE WHEN m.cl = m.cluster
+             THEN m.msd * m.n_i / NULLIF(m.n_i - 1, 0) END) AS a,
+         MIN(CASE WHEN m.cl <> m.cluster THEN m.msd END) AS b,
+         MAX(CASE WHEN m.cl = m.cluster THEN m.n_i END) AS n_own
+  FROM (
+    SELECT pc.vec_id, pc.cluster, pc.cl, pc.d2 + cd.delta AS msd, cd.n_i
+    FROM pc JOIN cdelta cd USING (cl)
+  ) m
+  GROUP BY m.vec_id, m.cluster
+)
+""",
+    "silhouette_exact": _PREFIX
+    + """
+SELECT ROUND(AVG(CASE WHEN a IS NULL THEN 0.0
+                      WHEN GREATEST(a, b) > 0 THEN (b - a) / GREATEST(a, b)
+                      ELSE 0.0 END), 6) AS silhouette_exact
+FROM (
+  SELECT pid, pcl,
+         MAX(CASE WHEN qcl = pcl THEN md END) AS a,
+         MIN(CASE WHEN qcl <> pcl THEN md END) AS b
+  FROM (
+    SELECT a.vec_id AS pid, a.cluster AS pcl, b.cluster AS qcl,
+           AVG(list_distance(a.x, b.x)) AS md
+    FROM pts a JOIN pts b ON a.vec_id <> b.vec_id
+    GROUP BY 1, 2, 3
+  )
+  GROUP BY pid, pcl
+)
 """,
 }

@@ -92,3 +92,143 @@ def test_translation_invariance(spark):
     a = index_suite(pts, centroids_of(pts)).collect()[0].asDict()
     b = index_suite(shifted, centroids_of(shifted)).collect()[0].asDict()
     assert a == b
+
+
+# --- extended indices: CH / Xie-Beni / silhouettes -------------------------
+
+
+def _np_points(rows):
+    import numpy as np
+
+    X = np.array([r[2] for r in rows])
+    lab = np.array([r[1] for r in rows])
+    return X, lab
+
+
+def ext_fixture(spark):
+    rows = [
+        (0, 0, [0.0, 0.0]),
+        (1, 0, [0.0, 2.0]),
+        (2, 0, [1.0, 1.0]),
+        (3, 1, [10.0, 0.0]),
+        (4, 1, [10.0, 2.0]),
+        (5, 2, [5.0, 5.0]),  # singleton cluster
+    ]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, cluster INT, x ARRAY<DOUBLE>")
+    return rows, df
+
+
+def test_calinski_harabasz_matches_bruteforce(spark):
+    import numpy as np
+
+    from clusterindices_spark.operators.indices import calinski_harabasz_of
+
+    rows, df = ext_fixture(spark)
+    X, lab = _np_points(rows)
+    g = X.mean(axis=0)
+    ks = np.unique(lab)
+    B = sum(
+        (lab == k).sum() * ((X[lab == k].mean(axis=0) - g) ** 2).sum() for k in ks
+    )
+    W = sum(((X[lab == k] - X[lab == k].mean(axis=0)) ** 2).sum() for k in ks)
+    expected = (B / (len(ks) - 1)) / (W / (len(X) - len(ks)))
+    got = calinski_harabasz_of(df).collect()[0]["calinski_harabasz"]
+    assert got == pytest.approx(expected, abs=1e-5)
+
+
+def test_xie_beni_matches_bruteforce(spark):
+    import numpy as np
+
+    from clusterindices_spark.operators.indices import xie_beni_of
+
+    rows, df = ext_fixture(spark)
+    X, lab = _np_points(rows)
+    ks = np.unique(lab)
+    cents = {k: X[lab == k].mean(axis=0) for k in ks}
+    W = sum(((X[lab == k] - cents[k]) ** 2).sum() for k in ks)
+    min2 = min(
+        ((cents[i] - cents[j]) ** 2).sum()
+        for i in ks
+        for j in ks
+        if i != j
+    )
+    expected = W / (len(X) * min2)
+    got = xie_beni_of(df).collect()[0]["xie_beni"]
+    assert got == pytest.approx(expected, abs=1e-5)
+
+
+def test_silhouettes_match_bruteforce(spark):
+    import numpy as np
+
+    from clusterindices_spark.operators.indices import (
+        silhouette_exact_of,
+        silhouette_sqeuclid_of,
+    )
+
+    rows, df = ext_fixture(spark)
+    X, lab = _np_points(rows)
+    ks = np.unique(lab)
+
+    # squared-euclidean sufficient statistics, MLlib semantics: own-cluster
+    # mean-square distance gets the self-exclusion correction n/(n-1)
+    s_sq = []
+    for p in range(len(X)):
+        msd = {
+            k: ((X[p] - X[lab == k].mean(axis=0)) ** 2).sum()
+            + (X[lab == k] ** 2).sum(axis=1).mean()
+            - (X[lab == k].mean(axis=0) ** 2).sum()
+            for k in ks
+        }
+        n_own = (lab == lab[p]).sum()
+        if n_own == 1:
+            s_sq.append(0.0)
+            continue
+        a = msd[lab[p]] * n_own / (n_own - 1)
+        b = min(v for k, v in msd.items() if k != lab[p])
+        s_sq.append((b - a) / max(a, b) if max(a, b) > 0 else 0.0)
+    got_sq = silhouette_sqeuclid_of(df).collect()[0]["silhouette_sqeuclid"]
+    assert got_sq == pytest.approx(np.mean(s_sq), abs=1e-5)
+
+    # classical pairwise (self excluded from a)
+    s_ex = []
+    for p in range(len(X)):
+        same = [q for q in range(len(X)) if q != p and lab[q] == lab[p]]
+        if not same:
+            s_ex.append(0.0)
+            continue
+        a = np.mean([np.linalg.norm(X[p] - X[q]) for q in same])
+        b = min(
+            np.mean([np.linalg.norm(X[p] - X[q]) for q in range(len(X)) if lab[q] == k])
+            for k in ks
+            if k != lab[p]
+        )
+        s_ex.append((b - a) / max(a, b) if max(a, b) > 0 else 0.0)
+    got_ex = silhouette_exact_of(df).collect()[0]["silhouette_exact"]
+    assert got_ex == pytest.approx(np.mean(s_ex), abs=1e-5)
+
+
+def test_silhouette_sqeuclid_matches_mllib(spark):
+    """Same closed form as MLlib's ClusteringEvaluator (squaredEuclidean) —
+    independent implementations must agree to float precision on the
+    fixture embeddings (no singleton clusters there)."""
+    from pyspark.ml.evaluation import ClusteringEvaluator
+    from pyspark.ml.functions import array_to_vector
+
+    from clusterindices_spark.operators.indices import (
+        labeled_points,
+        silhouette_sqeuclid_of,
+    )
+
+    pts = labeled_points(spark, SF_SMOKE)
+    ours = silhouette_sqeuclid_of(pts).collect()[0]["silhouette_sqeuclid"]
+    ml_df = pts.select(
+        array_to_vector(F.col("x")).alias("features"),
+        F.col("cluster").cast("int").alias("prediction"),
+    )
+    theirs = ClusteringEvaluator(
+        featuresCol="features",
+        predictionCol="prediction",
+        metricName="silhouette",
+        distanceMeasure="squaredEuclidean",
+    ).evaluate(ml_df)
+    assert ours == pytest.approx(theirs, abs=1e-5)
