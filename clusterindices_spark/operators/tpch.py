@@ -175,6 +175,60 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share: NATION_6's share of STANDARD-part volume sold
+    into AMERICA, per order year. Every dim (part, customer, supplier, the
+    two nation roles, region) broadcasts; the only big shuffle is
+    lineitem ⋈ orders on orderkey. The share divides two decimal-exact sums
+    so boundary rows can't flip cross-engine (q14 pattern)."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("nation")
+    )
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("c_nkey"))
+        .join(F.broadcast(r), F.col("c_rkey") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("s_nkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            "nation",
+        )
+    )
+    return joined.groupBy("o_year").agg(
+        F.round(
+            (
+                F.sum(
+                    F.when(F.col("nation") == "NATION_6", F.col("volume")).otherwise(
+                        F.lit(0)
+                    )
+                )
+                / F.sum("volume")
+            ).cast("double"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
 def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Large-volume customers: orders whose total quantity exceeds 180.
     The HAVING aggregate groups on the join key itself, so Catalyst places
@@ -393,6 +447,7 @@ QUERIES = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
+    "tpch_q8": q_tpch_q8,
     "tpch_q6": q_tpch_q6,
     "tpch_q10": q_tpch_q10,
     "tpch_q14": q_tpch_q14,
@@ -447,6 +502,27 @@ WHERE r_name = 'ASIA'
   AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY n_name
+""",
+    "tpch_q8": """
+WITH vol AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS volume,
+         n2.n_name AS nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+  JOIN orders ON l_orderkey = o_orderkey
+   AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+   AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+)
+SELECT o_year,
+       ROUND(CAST(SUM(CASE WHEN nation = 'NATION_6' THEN volume ELSE 0 END)
+                  / SUM(volume) AS DOUBLE), 6) AS mkt_share
+FROM vol GROUP BY o_year
 """,
     "tpch_q6": f"""
 SELECT {sql_exact_sum('l_extendedprice * l_discount')} AS revenue,

@@ -1,0 +1,93 @@
+"""Partitioned-layout properties: directory pruning reaches the scan (and is
+physically real), and dynamic partition overwrite touches only the
+partitions it carries."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import pathlib
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from clusterindices_spark.sources.fixtures import load_table
+from clusterindices_spark.sources.partitioned import (
+    overwrite_partitions,
+    read_partitioned,
+    write_partitioned,
+)
+
+from tests.conftest import SF_SMOKE
+
+
+def _events_with_day(spark):
+    return load_table(spark, SF_SMOKE, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+
+
+def test_partition_filter_prunes_directories(spark, tmp_path):
+    path = str(tmp_path / "events_by_day")
+    ev = _events_with_day(spark)
+    write_partitioned(ev, path, ["event_date"])
+
+    full = read_partitioned(spark, path)
+    days = sorted(r["event_date"] for r in full.select("event_date").distinct().collect())
+    assert len(days) > 1
+    target = days[0]
+    one_day = full.where(F.col("event_date") == F.lit(str(target)).cast("date"))
+    expected = one_day.count()
+    assert expected > 0
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        one_day.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "event_date" in plan
+
+    # physical proof: with every OTHER partition's files deleted out from
+    # under the already-listed FileIndex, the pruned query still answers
+    # (it never opens those files) while an unpruned scan must fail trying
+    for d in pathlib.Path(path).glob("event_date=*"):
+        if d.name != f"event_date={target}":
+            shutil.rmtree(d)
+    assert one_day.count() == expected
+    with pytest.raises(Exception):
+        full.where(F.col("value") >= -1e18).count()
+
+
+def test_dynamic_overwrite_touches_only_carried_partitions(spark, tmp_path):
+    path = str(tmp_path / "events_dyn")
+    ev = _events_with_day(spark).select("event_id", "value", "event_date")
+    write_partitioned(ev, path, ["event_date"])
+
+    days = sorted(
+        r["event_date"] for r in ev.select("event_date").distinct().collect()
+    )
+    target, untouched = days[0], days[1]
+    before_untouched = sorted(
+        map(
+            tuple,
+            read_partitioned(spark, path)
+            .where(F.col("event_date") == untouched)
+            .collect(),
+        )
+    )
+
+    replacement = (
+        ev.where(F.col("event_date") == target)
+        .limit(3)
+        .withColumn("value", F.lit(-1.0))
+    )
+    overwrite_partitions(replacement, path, ["event_date"])
+
+    after = read_partitioned(spark, path)
+    got_target = after.where(F.col("event_date") == target).collect()
+    assert len(got_target) == 3  # fully replaced, not appended
+    assert all(r["value"] == -1.0 for r in got_target)
+    after_untouched = sorted(
+        map(tuple, after.where(F.col("event_date") == untouched).collect())
+    )
+    assert after_untouched == before_untouched
