@@ -46,6 +46,11 @@ HEADLINE = [
     "window_distribution",
     "dedup_components",
     "text_token_count",
+    # round-2 additions (BASELINE.md "Measured r2" rows)
+    "silhouette_sqeuclid",
+    "curation_pack_greedy",
+    "curation_pipeline",
+    "tpch_q8",
 ]
 
 

@@ -1,0 +1,34 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clusterindices_spark.sources.fixtures import load_table
+from clusterindices_spark.sources.maintenance import (
+    compact_path,
+    data_files,
+    plan_compaction,
+)
+
+from tests.conftest import SF_SMOKE
+
+
+def test_compaction_reduces_files_and_preserves_rows(spark, tmp_path):
+    path = str(tmp_path / "shattered")
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "value")
+    ev.repartition(64).write.parquet(path)
+    assert len(data_files(path)) == 64
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    _, total, _ = plan_compaction(path)
+    # size the target so the whole dataset lands in exactly 2 files
+    n_after = compact_path(spark, path, target_file_bytes=(total + 1) // 2)
+    assert n_after == len(data_files(path)) == 2
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
+
+
+def test_compaction_noops_when_already_compact(spark, tmp_path):
+    path = str(tmp_path / "compact")
+    spark.range(100).select(F.col("id")).coalesce(1).write.parquet(path)
+    files_before = data_files(path)
+    assert compact_path(spark, path) == 1
+    assert data_files(path) == files_before  # untouched, not rewritten
