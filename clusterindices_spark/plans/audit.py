@@ -150,6 +150,39 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "require": ["Broadcast"],
         "forbid": ["SortMergeJoin"],
     },
+    "tpch_q8": {
+        # every dim (part, customer, supplier, 2×nation, region) broadcasts;
+        # the only SMJ-eligible join is lineitem⋈orders
+        "require": ["BroadcastHashJoin", "partial"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "silhouette_sqeuclid": {
+        # per-point math against 1-row folded centroid + correction tables:
+        # broadcasts only, never a partitioned join of the points
+        "require": ["Broadcast"],
+        "forbid": ["SortMergeJoin", "Exchange rangepartitioning"],
+    },
+    "calinski_harabasz": {
+        "require": ["Broadcast", "partial"],
+        "forbid": ["SortMergeJoin"],
+    },
+    "curation_split": {
+        # pure scan-side fold: no exchange of any kind in the plan
+        "require": ["*("],
+        "forbid": ["Exchange", "Join"],
+    },
+    "curation_pipeline": {
+        # quality/langid predicates fuse into the scan stage; dedup groupBy
+        # and per-lang agg are the only exchanges, both with partial aggs
+        "require": ["partial"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "curation_pack_greedy": {
+        # one round-robin/hash repartition feeding ArrowEvalPython-free
+        # mapInPandas (MapInPandas node), sorted within partitions
+        "require": ["MapInPandas", "Sort"],
+        "forbid": ["Exchange rangepartitioning", "CartesianProduct"],
+    },
 }
 
 
