@@ -41,22 +41,48 @@ def plan_compaction(
     return len(files), total, max(1, math.ceil(total / target_file_bytes))
 
 
+def detect_partition_cols(path: str) -> list[str]:
+    """Hive-layout partition columns, outermost first, read off the
+    ``col=value`` directory names."""
+    cols: list[str] = []
+    cur = pathlib.Path(path)
+    while True:
+        sub = [d for d in cur.iterdir() if d.is_dir() and "=" in d.name]
+        if not sub:
+            return cols
+        cols.append(sub[0].name.split("=", 1)[0])
+        cur = sub[0]
+
+
 def compact_path(
     spark: SparkSession,
     path: str,
     target_file_bytes: int = DEFAULT_TARGET_BYTES,
 ) -> int:
-    """Rewrite the parquet dataset at ``path`` into the target file count.
+    """Rewrite the parquet dataset at ``path`` into ~the target file count.
     Returns the new file count. No-ops (returns current count) when the
     dataset already has no more files than the target — compaction that
-    rewrites 100 TB to save nothing is the real anti-pattern."""
+    rewrites 100 TB to save nothing is the real anti-pattern.
+
+    Hive-partitioned layouts are preserved: rows are shuffled BY the
+    partition columns (so each ``col=value`` directory lands in as few
+    tasks as possible — one file per directory in the common case) and the
+    rewrite goes through ``partitionBy``. A plain ``repartition(n)`` here
+    would scatter every partition's rows across every task and emit
+    n × n_partitions files — the opposite of compaction."""
     n_now, _, n_target = plan_compaction(path, target_file_bytes)
     if n_now <= n_target:
         return n_now
+    cols = detect_partition_cols(path)
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "__compact_tmp"
     old = path.rstrip("/") + "__compact_old"
-    df.repartition(n_target).write.mode("overwrite").parquet(tmp)
+    if cols:
+        df.repartition(n_target, *cols).write.mode("overwrite").partitionBy(
+            *cols
+        ).parquet(tmp)
+    else:
+        df.repartition(n_target).write.mode("overwrite").parquet(tmp)
     shutil.rmtree(old, ignore_errors=True)
     pathlib.Path(path).rename(old)
     pathlib.Path(tmp).rename(path)

@@ -1,0 +1,77 @@
+"""End-to-end corpus curation CLI: the full training-data pass, composed
+from the package's operators.
+
+    python examples/curation_main.py <sf_dir> <out_dir>
+    python examples/curation_main.py /root/testdata/sf0.001 /tmp/corpus_out
+
+Stages (each a module this repo ships, here simply composed):
+1. score + filter   — quality floor, langid agreement (operators/curation)
+2. exact dedup      — canonical doc per sha256 (operators/dedup pattern)
+3. train/val fold   — deterministic md5-prefix split (operators/curation)
+4. sequence packing — greedy first-fit into 512-token bins (operators/curation)
+5. write            — parquet partitioned by split (sources/partitioned),
+                      then small-file compaction (sources/maintenance)
+
+Prints the per-lang funnel and the output layout. Everything is a lazy
+DataFrame until the single write at the end — Catalyst sees the whole
+pipeline and fuses the scan-side stages.
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str]) -> int:
+    if len(argv) != 2:
+        print(__doc__, file=sys.stderr)
+        return 2
+    sf_dir, out_dir = argv
+
+    from pyspark.sql import functions as F
+
+    from clusterindices_spark.operators.curation import (
+        hash_split,
+        pack_greedy,
+        q_curation_pipeline,
+    )
+    from clusterindices_spark.session import get_spark
+    from clusterindices_spark.sources.fixtures import load_table
+    from clusterindices_spark.sources.maintenance import compact_path, data_files
+    from clusterindices_spark.sources.partitioned import write_partitioned
+
+    spark = get_spark("corpus-curation")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    print("== curation funnel (per lang) ==")
+    for r in q_curation_pipeline(spark, sf_dir).orderBy("lang").collect():
+        print(
+            f"  {r['lang']}: {r['n_docs']} docs -> quality_ok {r['n_quality_ok']}"
+            f" -> langid_ok {r['n_langid_ok']} -> retained {r['n_retained']}"
+            f" ({r['n_tokens_retained']} tokens)"
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_greedy(docs)
+    folds = hash_split(docs)
+    corpus = (
+        docs.join(packed.select("doc_id", "grp", "bin", "n_tokens"), "doc_id")
+        .join(folds.select("doc_id", "split"), "doc_id")
+        .select("doc_id", "lang", "text", "n_tokens", "grp", "bin", "split")
+    )
+    write_partitioned(corpus, out_dir, ["split"])
+    n_before = len(data_files(out_dir))
+    n_after = compact_path(spark, out_dir, target_file_bytes=64 << 20)
+    print(f"== wrote {out_dir} (files: {n_before} -> {n_after} after compaction) ==")
+    for d in sorted(pathlib.Path(out_dir).glob("split=*")):
+        n = spark.read.parquet(str(d)).count()
+        print(f"  {d.name}: {n} rows")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

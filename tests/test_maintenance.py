@@ -32,3 +32,24 @@ def test_compaction_noops_when_already_compact(spark, tmp_path):
     files_before = data_files(path)
     assert compact_path(spark, path) == 1
     assert data_files(path) == files_before  # untouched, not rewritten
+
+
+def test_compaction_preserves_hive_partitioning(spark, tmp_path):
+    path = str(tmp_path / "part_shatter")
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("event_id", "value", F.to_date("ts").alias("event_date"))
+    )
+    ev.repartition(16).write.partitionBy("event_date").parquet(path)
+    n_days = ev.select("event_date").distinct().count()
+    assert len(data_files(path)) > n_days  # genuinely shattered
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    n_after = compact_path(spark, path, target_file_bytes=1 << 40)
+    # layout intact: hive dirs survive, one file per day
+    import pathlib
+
+    dirs = sorted(p.name for p in pathlib.Path(path).glob("event_date=*"))
+    assert len(dirs) == n_days
+    assert n_after == n_days
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
