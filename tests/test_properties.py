@@ -69,3 +69,32 @@ def test_normalize_unit_norm(spark):
         & (F.abs(norm(F.col("unit")) - 1.0) > 1e-4)
     ).count()
     assert bad == 0
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.integers(min_value=0, max_value=700), min_size=1, max_size=120)
+)
+def test_pack_greedy_invariants(spark, token_counts):
+    """Greedy packing invariants on arbitrary token-count sequences: every
+    doc lands in exactly one bin, per-(grp,bin) fill never exceeds capacity
+    (inputs are capped first), bins are contiguous, and a Python replay of
+    the fold agrees exactly."""
+    from clusterindices_spark.operators.curation import PACK_CAPACITY, pack_greedy
+
+    rows = [(i, " ".join(["w"] * t)) for i, t in enumerate(token_counts)]
+    d = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    got = {
+        r["doc_id"]: (r["grp"], r["bin"], r["n_tokens"])
+        for r in pack_greedy(d, n_groups=4).collect()
+    }
+    assert len(got) == len(rows)
+
+    state: dict[int, tuple[int, int]] = {}
+    for i, t in enumerate(token_counts):
+        grp, tt = i % 4, min(t, PACK_CAPACITY)
+        b, fill = state.get(grp, (0, 0))
+        if fill + tt > PACK_CAPACITY and fill > 0:
+            b, fill = b + 1, 0
+        state[grp] = (b, fill + tt)
+        assert got[i] == (grp, b, tt)
