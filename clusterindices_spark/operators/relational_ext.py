@@ -57,6 +57,23 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE lattice over (nation, segment) — all 2² grouping
+    combinations in one Expand pass (completes the rollup / grouping-sets /
+    cube family)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .cube("n_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            exact_sum("c_acctbal", "sum_acctbal"),
+        )
+    )
+
+
 def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample variance / stddev / correlation / covariance derived from
     exact decimal sums, plus exact interpolated median. Raw VAR_SAMP/CORR
@@ -396,6 +413,7 @@ def q_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "agg_grouping_sets": q_agg_grouping_sets,
+    "agg_cube": q_agg_cube,
     "agg_stats": q_agg_stats,
     "pivot_wide": q_pivot_wide,
     "unpivot_long": q_unpivot_long,
@@ -417,6 +435,13 @@ QUERIES = {
 _EV = "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events)"
 
 ORACLES = {
+    "agg_cube": f"""
+SELECT n_name, c_mktsegment,
+       COUNT(*) AS n_customers,
+       {sql_exact_sum('c_acctbal')} AS sum_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY CUBE (n_name, c_mktsegment)
+""",
     "agg_grouping_sets": f"""
 SELECT n_name, c_mktsegment,
        CAST(grouping(n_name) AS INT) AS g_nation,

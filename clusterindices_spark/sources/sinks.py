@@ -27,3 +27,7 @@ def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
 
 def write_json(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").orc(path)

@@ -13,7 +13,12 @@ from clusterindices_spark.operators.relational import (
     q_scan_project_filter,
     q_topk_orders,
 )
-from clusterindices_spark.sources.sinks import write_csv, write_json, write_parquet
+from clusterindices_spark.sources.sinks import (
+    write_csv,
+    write_json,
+    write_orc,
+    write_parquet,
+)
 
 from tests.conftest import SF_SMOKE
 
@@ -24,10 +29,13 @@ def test_sink_roundtrips(spark):
         write_parquet(df, f"{d}/p", partition_by=None)
         write_csv(df, f"{d}/c", single_file=True)
         write_json(df, f"{d}/j")
+        write_orc(df, f"{d}/o")
         back_p = spark.read.parquet(f"{d}/p")
         back_c = spark.read.option("header", "true").csv(f"{d}/c")
         back_j = spark.read.json(f"{d}/j")
+        back_o = spark.read.orc(f"{d}/o")
         assert back_p.count() == back_c.count() == back_j.count() == 10
+        assert back_o.count() == 10 and back_o.schema == back_p.schema
         assert sorted(back_p.columns) == sorted(df.columns)
 
 
