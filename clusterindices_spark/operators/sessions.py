@@ -119,16 +119,125 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: a user advances a
+    stage only with a strictly-later event of the next type. Three same-key
+    (user_id) aggregations chained by joins — the hash partitioning is
+    established once and reused by every stage (exchange reuse), so the
+    funnel costs ~one wide shuffle at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    pur = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click")))
+        .crossJoin(pur.agg(F.count(F.lit(1)).alias("n_purchase")))
+        .select(
+            "n_view",
+            "n_click",
+            "n_purchase",
+            F.round(F.col("n_click") / F.nullif(F.col("n_view"), F.lit(0)), 6).alias(
+                "view_to_click"
+            ),
+            F.round(
+                F.col("n_purchase") / F.nullif(F.col("n_click"), F.lit(0)), 6
+            ).alias("click_to_purchase"),
+        )
+    )
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: cohort = Monday-truncated week of a user's
+    first event; a user counts as retained in week k if active k weeks
+    later (k ≤ 3). Two user_id-keyed aggs + one distinct count per
+    (cohort, k) — all map-side-combinable."""
+    e = load_table(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    act = (
+        e.join(first, "user_id")
+        .select(
+            "user_id",
+            F.date_trunc("week", "t0").cast("date").alias("cohort"),
+            F.expr(
+                "CAST(datediff(date_trunc('week', ts), date_trunc('week', t0)) DIV 7 AS INT)"
+            ).alias("k"),
+        )
+        .where(F.col("k") <= 3)
+    )
+    return act.groupBy("cohort", "k").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+
 QUERIES = {
     "stream_tumbling_agg": q_stream_tumbling_agg,
     "stream_sliding_agg": q_stream_sliding_agg,
     "stream_session_windows": q_stream_session_windows,
     "stream_dedup": q_stream_dedup,
+    "events_funnel": q_events_funnel,
+    "events_retention": q_events_retention,
 }
 
 _EV = "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events)"
 
 ORACLES = {
+    "events_funnel": f"""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM {_EV} WHERE event_type = 'view'
+  GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM {_EV} e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM {_EV} e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM v) AS n_view,
+       (SELECT COUNT(*) FROM c) AS n_click,
+       (SELECT COUNT(*) FROM p) AS n_purchase,
+       ROUND((SELECT COUNT(*) FROM c) / NULLIF((SELECT COUNT(*) FROM v), 0), 6)
+         AS view_to_click,
+       ROUND((SELECT COUNT(*) FROM p) / NULLIF((SELECT COUNT(*) FROM c), 0), 6)
+         AS click_to_purchase
+""",
+    "events_retention": f"""
+WITH first AS (
+  SELECT user_id, MIN(ts) AS t0 FROM {_EV} GROUP BY user_id
+),
+act AS (
+  SELECT e.user_id,
+         CAST(date_trunc('week', f.t0) AS DATE) AS cohort,
+         CAST(date_diff('day', date_trunc('week', f.t0), date_trunc('week', e.ts)) // 7 AS INT) AS k
+  FROM {_EV} e JOIN first f USING (user_id)
+)
+SELECT cohort, k, COUNT(DISTINCT user_id) AS n_users
+FROM act WHERE k <= 3
+GROUP BY cohort, k
+""",
     "stream_tumbling_agg": f"""
 SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
        event_type,
