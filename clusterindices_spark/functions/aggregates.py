@@ -46,3 +46,20 @@ def sql_exact_avg(expr: str) -> str:
         f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
         f" / COUNT({expr}), 6)"
     )
+
+
+def round6_stable(col):
+    """Cross-engine-stable 6dp rounding: floor(x·1e6 + 0.5)/1e6. round()'s
+    half-case convention differs across engines (Spark HALF_UP on the
+    decimal rendering vs DuckDB's scaled-multiply), which flips outputs
+    landing exactly on a .xxxxxx5 boundary — text_quality's weighted score
+    hit 0.4284375 at sf0.1. floor on identical doubles is deterministic.
+    Pair with SQL_ROUND6 in the oracle. Non-negative inputs only (floor
+    rounds toward −∞)."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+
+SQL_ROUND6 = "(floor(({x}) * 1000000.0 + 0.5) / 1000000.0)"

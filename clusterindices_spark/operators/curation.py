@@ -44,6 +44,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from clusterindices_spark.functions.aggregates import SQL_ROUND6
 from clusterindices_spark.functions.text import SQL_TOKENS, tokens
 from clusterindices_spark.sources.fixtures import load_table
 
@@ -55,6 +56,8 @@ PACK_GROUPS = 16  # independent packing streams (parallelism knob)
 QUALITY_MIN = 0.45
 
 _TOKS = SQL_TOKENS.format(col="text")
+_R6_AVG = SQL_ROUND6.format(x="(sum_len / NULLIF(n_tokens, 0))")
+_R6_STOP = SQL_ROUND6.format(x="(n_stop / NULLIF(n_tokens, 0))")
 
 
 # ---------------------------------------------------------------------------
@@ -142,17 +145,21 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").withColumn(
         "toks", tokens(F.col("text"))
     )
+    from clusterindices_spark.functions.aggregates import round6_stable
+
     n_toks = F.size("toks")
     sum_len = F.aggregate(F.col("toks"), F.lit(0), lambda a, t: a + F.length(t))
     n_stop = F.size(F.filter(F.col("toks"), lambda t: t.isin(*STOPWORDS)))
-    quality = F.round(
+    # floor-based stable rounds (same formula as q_text_quality — the
+    # weighted sum lands on exact .xxxxxx5 boundaries where engine round()
+    # conventions disagree)
+    quality = round6_stable(
         F.least(n_toks / F.lit(100.0), F.lit(1.0)) * 0.5
-        + F.round(n_stop / F.nullif(n_toks, F.lit(0)), 6) * 0.3
+        + round6_stable(n_stop / F.nullif(n_toks, F.lit(0))) * 0.3
         + F.least(
-            F.round(sum_len / F.nullif(n_toks, F.lit(0)), 6) / 10.0, F.lit(1.0)
+            round6_stable(sum_len / F.nullif(n_toks, F.lit(0))) / 10.0, F.lit(1.0)
         )
-        * 0.2,
-        6,
+        * 0.2
     )
     # langid agreement: the stored lang's own markers must appear
     def _hits(markers):
@@ -263,10 +270,7 @@ SELECT doc_id, grp, CAST(bin AS INT) AS bin, t AS n_tokens FROM pack
 WITH m AS ({_sql_quality()}),
 scored AS (
   SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
-         ROUND(LEAST(n_tokens / 100.0, 1.0) * 0.5
-               + ROUND(n_stop / NULLIF(n_tokens, 0), 6) * 0.3
-               + LEAST(ROUND(sum_len / NULLIF(n_tokens, 0), 6) / 10.0, 1.0) * 0.2,
-               6) AS quality,
+         {SQL_ROUND6.format(x=f"LEAST(n_tokens / 100.0, 1.0) * 0.5 + {_R6_STOP} * 0.3 + LEAST({_R6_AVG} / 10.0, 1.0) * 0.2")} AS quality,
          {_sql_marker_hits()} AS marker_hits
   FROM m
 ),

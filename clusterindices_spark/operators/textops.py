@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from clusterindices_spark.functions.aggregates import SQL_ROUND6
 from clusterindices_spark.functions.text import (
     SQL_FINGERPRINT,
     SQL_TOKENS,
@@ -110,20 +111,24 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality score from length / token-shape / stopword signals,
-    the standard pre-training quality-filter shape."""
+    the standard pre-training quality-filter shape. All three rounds use the
+    floor-based stable form: the weighted sum lands exactly on .xxxxxx5
+    boundaries (0.4284375 observed at sf0.1) where engine round() halves
+    disagree."""
+    from clusterindices_spark.functions.aggregates import round6_stable
+
     d = _with_tokens(load_table(spark, sf_dir, "documents"))
     n_toks = F.size("toks")
     sum_len = F.aggregate(
         F.col("toks"), F.lit(0), lambda acc, t: acc + F.length(t)
     )
     n_stop = F.size(F.filter(F.col("toks"), lambda t: t.isin(*STOPWORDS)))
-    avg_tok_len = F.round(sum_len / F.nullif(n_toks, F.lit(0)), 6)
-    stop_ratio = F.round(n_stop / F.nullif(n_toks, F.lit(0)), 6)
-    score = F.round(
+    avg_tok_len = round6_stable(sum_len / F.nullif(n_toks, F.lit(0)))
+    stop_ratio = round6_stable(n_stop / F.nullif(n_toks, F.lit(0)))
+    score = round6_stable(
         F.least(n_toks / F.lit(100.0), F.lit(1.0)) * 0.5
         + stop_ratio * 0.3
-        + F.least(avg_tok_len / F.lit(10.0), F.lit(1.0)) * 0.2,
-        6,
+        + F.least(avg_tok_len / F.lit(10.0), F.lit(1.0)) * 0.2
     )
     return d.select(
         "doc_id",
@@ -176,6 +181,8 @@ QUERIES = {
 }
 
 _TOKS = SQL_TOKENS.format(col="text")
+_R6_AVG = SQL_ROUND6.format(x="(sum_len / NULLIF(n_tokens, 0))")
+_R6_STOP = SQL_ROUND6.format(x="(n_stop / NULLIF(n_tokens, 0))")
 
 
 def _sql_markers(lang: str) -> str:
@@ -239,12 +246,9 @@ m AS (
 )
 SELECT doc_id,
        CAST(n_tokens AS INT) AS n_tokens,
-       ROUND(sum_len / NULLIF(n_tokens, 0), 6) AS avg_token_len,
-       ROUND(n_stop / NULLIF(n_tokens, 0), 6) AS stopword_ratio,
-       ROUND(LEAST(n_tokens / 100.0, 1.0) * 0.5
-             + ROUND(n_stop / NULLIF(n_tokens, 0), 6) * 0.3
-             + LEAST(ROUND(sum_len / NULLIF(n_tokens, 0), 6) / 10.0, 1.0) * 0.2,
-             6) AS quality_score
+       {_R6_AVG} AS avg_token_len,
+       {_R6_STOP} AS stopword_ratio,
+       {SQL_ROUND6.format(x=f"LEAST(n_tokens / 100.0, 1.0) * 0.5 + {_R6_STOP} * 0.3 + LEAST({_R6_AVG} / 10.0, 1.0) * 0.2")} AS quality_score
 FROM m
 """,
     "text_fingerprint": f"""
