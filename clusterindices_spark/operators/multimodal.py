@@ -86,6 +86,55 @@ def decode_binary(binary_df: DataFrame, mode: str = "fake") -> DataFrame:
     )
 
 
+FRAME_CHARS = 64  # "frame" width in decoded units
+FRAME_STRIDE = 4  # sample every 4th frame
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_len int, frame_hash bigint"
+_FNV_MOD = 1_000_000_007
+
+
+def frame_sample(binary_df: DataFrame) -> DataFrame:
+    """Frame-sampling plumbing: slice the decoded payload into fixed-width
+    frames, keep every FRAME_STRIDE-th, and emit a per-frame feature (the
+    repo's rolling codepoint hash — the stand-in for a real per-frame
+    embedding). Row→rows expansion in Arrow-batched Python, the exact shape
+    of video frame extraction; the fake 'decode' is utf-8, so a DuckDB
+    oracle replays the slicing and hash character-for-character (no ASCII
+    coupling — both sides slice by decoded units)."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lens, hashes = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                text = bytes(payload).decode("utf-8")
+                n_frames = (len(text) + FRAME_CHARS - 1) // FRAME_CHARS
+                for i in range(0, n_frames, FRAME_STRIDE):
+                    seg = text[i * FRAME_CHARS : (i + 1) * FRAME_CHARS]
+                    h = 0
+                    for ch in seg:
+                        h = (h * 31 + ord(ch)) % _FNV_MOD
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    lens.append(len(seg))
+                    hashes.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_len": pd.Series(lens, dtype="int32"),
+                    "frame_hash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        _frames, schema=FRAME_SCHEMA
+    )
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return frame_sample(with_binary_payload(d))
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked slice of the decode output: byte length + first byte
     must equal DuckDB's view of the same UTF-8 payload."""
@@ -97,6 +146,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "multimodal_meta": q_multimodal_meta,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
 }
 
 # first_byte is the first UTF-8 *byte*, not the first codepoint (they only
@@ -122,3 +172,22 @@ SELECT doc_id,
 FROM cp
 """,
 }
+
+from clusterindices_spark.functions.text import SQL_FINGERPRINT  # noqa: E402
+
+_FRAME_EXPR = f"substr(text, frame_idx * {FRAME_CHARS} + 1, {FRAME_CHARS})"
+
+ORACLES["multimodal_frame_sample"] = f"""
+WITH f AS (
+  SELECT doc_id, text,
+         unnest(range(0, CAST(ceil(length(text) / {FRAME_CHARS}.0) AS BIGINT),
+                      {FRAME_STRIDE})) AS frame_idx
+  FROM documents
+  WHERE length(text) > 0
+)
+SELECT doc_id,
+       CAST(frame_idx AS INT) AS frame_idx,
+       CAST(length({_FRAME_EXPR}) AS INT) AS frame_len,
+       {SQL_FINGERPRINT.format(col=_FRAME_EXPR)} AS frame_hash
+FROM f
+"""
