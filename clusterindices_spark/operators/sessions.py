@@ -125,7 +125,10 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user_id) aggregations chained by joins — the hash partitioning is
     established once and reused by every stage (exchange reuse), so the
     funnel costs ~one wide shuffle at any scale."""
-    e = load_table(spark, sf_dir, "events")
+    return funnel_of(load_table(spark, sf_dir, "events"))
+
+
+def funnel_of(e: DataFrame) -> DataFrame:
     v = (
         e.where(F.col("event_type") == "view")
         .groupBy("user_id")
@@ -168,7 +171,10 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     first event; a user counts as retained in week k if active k weeks
     later (k ≤ 3). Two user_id-keyed aggs + one distinct count per
     (cohort, k) — all map-side-combinable."""
-    e = load_table(spark, sf_dir, "events")
+    return retention_of(load_table(spark, sf_dir, "events"))
+
+
+def retention_of(e: DataFrame) -> DataFrame:
     first = e.groupBy("user_id").agg(F.min("ts").alias("t0"))
     act = (
         e.join(first, "user_id")

@@ -98,3 +98,49 @@ def test_pack_greedy_invariants(spark, token_counts):
             b, fill = b + 1, 0
         state[grp] = (b, fill + tt)
         assert got[i] == (grp, b, tt)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),          # user_id
+            st.integers(min_value=0, max_value=500_000),    # ts offset (s)
+            st.sampled_from(["view", "click", "purchase", "error"]),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_events_funnel_matches_python_replay(spark, events):
+    """The ordered view→click→purchase funnel must agree with a direct
+    Python evaluation of its definition on arbitrary event streams."""
+    import datetime
+
+    from clusterindices_spark.operators.sessions import funnel_of
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, u, base + datetime.timedelta(seconds=s), t)
+        for i, (u, s, t) in enumerate(events)
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id BIGINT, user_id BIGINT, ts TIMESTAMP, event_type STRING"
+    )
+    got = funnel_of(e).collect()[0]
+
+    def first_after(user, typ, after):
+        ts = [r[2] for r in rows if r[1] == user and r[3] == typ
+              and (after is None or r[2] > after)]
+        return min(ts) if ts else None
+
+    users = {r[1] for r in rows}
+    v = {u: first_after(u, "view", None) for u in users}
+    v = {u: t for u, t in v.items() if t is not None}
+    c = {u: first_after(u, "click", v[u]) for u in v}
+    c = {u: t for u, t in c.items() if t is not None}
+    p = {u: first_after(u, "purchase", c[u]) for u in c}
+    p = {u: t for u, t in p.items() if t is not None}
+    assert (got["n_view"], got["n_click"], got["n_purchase"]) == (
+        len(v), len(c), len(p),
+    )
