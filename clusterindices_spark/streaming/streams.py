@@ -252,3 +252,61 @@ def run_to_completion(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+FUNNEL_SCHEMA = (
+    "user_id BIGINT, stage INT, t_view_ms BIGINT, t_click_ms BIGINT, "
+    "t_purchase_ms BIGINT"
+)
+_FUNNEL_STATE_SCHEMA = "v BIGINT, c BIGINT, p BIGINT"
+
+
+def funnel_state_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Per-user conversion-funnel state machine (view → click → purchase,
+    strictly-later ordering) in explicit GroupState — the stateful-streaming
+    twin of operators/sessions.funnel_of. Each batch's rows are processed in
+    ts order, so on an in-order (or single-batch bounded) stream the reached
+    stages equal the batch funnel exactly; a genuinely out-of-order deploy
+    additionally buffers events within the watermark before folding them
+    into state (same pattern, more state), which this demo omits.
+
+    State per user is three timestamps (µs; 0 = stage not reached) — bytes,
+    not event history, so state size is O(users) regardless of traffic.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    def update(key, pdf_iter, state):
+        v, c, p = state.get if state.exists else (0, 0, 0)
+        ev = pd.concat(list(pdf_iter), ignore_index=True)
+        ev = ev.sort_values("ts", kind="mergesort")
+        for ts, typ in zip(ev["ts"].astype("int64"), ev["event_type"]):
+            t = int(ts)  # ns since epoch from pandas; keep units consistent
+            if typ == "view" and (v == 0 or t < v):
+                v = t
+            elif typ == "click" and v and t > v and (c == 0 or t < c):
+                c = t
+            elif typ == "purchase" and c and t > c and (p == 0 or t < p):
+                p = t
+        state.update((v, c, p))
+        stage = 3 if p else 2 if c else 1 if v else 0
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "stage": [stage],
+                "t_view_ms": [v // 1_000_000],
+                "t_click_ms": [c // 1_000_000],
+                "t_purchase_ms": [p // 1_000_000],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=FUNNEL_SCHEMA,
+            stateStructType=_FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )

@@ -196,3 +196,24 @@ def test_dedup_stream_drops_watermark_duplicates(spark):
             dedup_stream(events_file_stream(spark, tmp)), "t_dedup", mode="append"
         )
         assert sorted(r["event_id"] for r in got.collect()) == [1, 2]
+
+
+def test_funnel_stream_matches_batch(spark):
+    """The stateful streaming funnel's per-stage user counts must equal the
+    batch funnel on a bounded replay."""
+    from clusterindices_spark.operators.sessions import funnel_of
+    from clusterindices_spark.streaming.streams import funnel_state_stream
+
+    with tempfile.TemporaryDirectory() as tmp:
+        stream = events_file_stream(spark, _replay_dir(spark, tmp))
+        got = run_to_completion(
+            funnel_state_stream(stream), "t_funnel", mode="update"
+        )
+        stages = {r["user_id"]: r["stage"] for r in got.collect()}
+        n_view = sum(1 for s in stages.values() if s >= 1)
+        n_click = sum(1 for s in stages.values() if s >= 2)
+        n_purchase = sum(1 for s in stages.values() if s >= 3)
+        want = funnel_of(load_table(spark, SF_SMOKE, "events")).collect()[0]
+        assert (n_view, n_click, n_purchase) == (
+            want["n_view"], want["n_click"], want["n_purchase"],
+        )
