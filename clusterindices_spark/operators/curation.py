@@ -203,10 +203,61 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# deterministic sampling (stratified Bernoulli + per-stratum top-k)
+# ---------------------------------------------------------------------------
+
+# per-lang keep thresholds on the first 4 hex digits of md5(doc_id):
+# downsample the overrepresented 'en' stratum to 16/64k ≈ 25%, keep the
+# rest at 75% — the training-mixture rebalancing shape. Hex-string
+# comparison is engine-portable (both emit lowercase-hex md5).
+SAMPLE_THRESHOLDS = {"en": "4000"}
+SAMPLE_DEFAULT_THRESHOLD = "c000"
+TOPK_PER_STRATUM = 40
+
+
+def q_curation_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic Bernoulli sample: keep a document iff the
+    md5 of its stable id falls under its stratum's threshold. A pure
+    function of the id — re-runs, retries, and incremental backfills make
+    identical keep/drop decisions (rand() cannot), and the filter is pure
+    scan-side expression work: zero shuffles at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    thr = F.lit(SAMPLE_DEFAULT_THRESHOLD)
+    for lg, t in SAMPLE_THRESHOLDS.items():
+        thr = F.when(F.col("lang") == lg, F.lit(t)).otherwise(thr)
+    return d.select(
+        "doc_id", "lang", "source", bucket.alias("bucket")
+    ).where(F.col("bucket") < thr)
+
+
+def q_curation_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size per-stratum sample: rank documents inside each lang by
+    the md5 of their id (a deterministic shuffle-order) and keep the first
+    K — the reservoir-sample shape with replayable results. The rank is a
+    window row_number, so Spark's WindowGroupLimit prunes to K rows per
+    partition BEFORE the exchange — the shuffle moves O(K·strata) rows,
+    not the corpus."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "lang", "source", h.alias("h"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOPK_PER_STRATUM)
+        .select("doc_id", "lang", "source", F.col("rk").cast("int").alias("rk"))
+    )
+
+
 QUERIES = {
     "curation_split": q_curation_split,
     "curation_pack_greedy": q_curation_pack_greedy,
     "curation_pipeline": q_curation_pipeline,
+    "curation_sample_stratified": q_curation_sample_stratified,
+    "curation_sample_topk": q_curation_sample_topk,
 }
 
 
@@ -294,5 +345,25 @@ SELECT lang,
          AS avg_quality_retained
 FROM fl
 GROUP BY lang
+""",
+    "curation_sample_stratified": f"""
+SELECT doc_id, lang, source,
+       substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bucket
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+      < (CASE WHEN lang = 'en' THEN '{SAMPLE_THRESHOLDS["en"]}'
+              ELSE '{SAMPLE_DEFAULT_THRESHOLD}' END)
+""",
+    "curation_sample_topk": f"""
+SELECT doc_id, lang, source, CAST(rk AS INT) AS rk
+FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+         ) AS rk
+  FROM documents
+)
+WHERE rk <= {TOPK_PER_STRATUM}
 """,
 }

@@ -171,6 +171,28 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# boilerplate/blocklist scrub: terms stripped before training (the
+# HTML-boilerplate / contraband-term removal shape). Token-level HOF filter
+# instead of regex so both engines share one tokenizer and no regex-dialect
+# coupling; stays inside whole-stage codegen.
+BLOCKLIST = ("customer", "spark", "the", "a")
+
+
+def q_text_scrub_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strip blocklisted tokens from each document; report the cleaned text
+    and how much was removed. Pure scan-side expression work — zero
+    shuffles at any scale, and the filter composes with downstream
+    tokenized ops without re-tokenizing."""
+    d = _with_tokens(load_table(spark, sf_dir, "documents"))
+    kept = F.filter(F.col("toks"), lambda t: ~t.isin(*BLOCKLIST))
+    return d.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).alias("n_removed"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )
+
+
 QUERIES = {
     "text_tokens_stats": q_text_tokens_stats,
     "text_tfidf_topterms": q_text_tfidf_topterms,
@@ -178,6 +200,7 @@ QUERIES = {
     "text_quality": q_text_quality,
     "text_fingerprint": q_text_fingerprint,
     "text_token_count": q_text_token_count,
+    "text_scrub_blocklist": q_text_scrub_blocklist,
 }
 
 _TOKS = SQL_TOKENS.format(col="text")
@@ -263,5 +286,17 @@ SELECT doc_id,
        ROUND(length(text) / NULLIF(CAST(len(regexp_extract_all(lower(text), '{BPE_ISH_PATTERN.replace("'", "''")}')) AS DOUBLE), 0.0), 6)
          AS chars_per_token
 FROM documents
+""",
+    "text_scrub_blocklist": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_tokens,
+       CAST(len(toks) - len(list_filter(toks,
+            t -> t NOT IN ({", ".join(f"'{b}'" for b in BLOCKLIST)}))) AS INT)
+         AS n_removed,
+       array_to_string(list_filter(toks,
+            t -> t NOT IN ({", ".join(f"'{b}'" for b in BLOCKLIST)})), ' ')
+         AS clean_text
+FROM t
 """,
 }

@@ -76,3 +76,47 @@ def test_pipeline_funnel_monotone(spark):
         if r["n_retained"] == 0:
             assert r["n_tokens_retained"] == 0
             assert r["avg_quality_retained"] is None
+
+
+def test_sample_stratified_is_scan_side_and_stratified(spark):
+    """The stratified sample must be pure scan-side work (no exchange in
+    the executed plan) and must actually downsample the 'en' stratum
+    relative to the rest (thresholds 0x4000 vs 0xc000)."""
+    from clusterindices_spark.operators.curation import (
+        q_curation_sample_stratified,
+    )
+    from clusterindices_spark.sources.fixtures import load_table
+
+    df = q_curation_sample_stratified(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    kept = df.groupBy("lang").count().collect()
+    total = (
+        load_table(spark, SF_SMOKE, "documents").groupBy("lang").count().collect()
+    )
+    kept_by = {r["lang"]: r["count"] for r in kept}
+    tot_by = {r["lang"]: r["count"] for r in total}
+    en_rate = kept_by.get("en", 0) / tot_by["en"]
+    rest_kept = sum(v for k, v in kept_by.items() if k != "en")
+    rest_tot = sum(v for k, v in tot_by.items() if k != "en")
+    assert en_rate < rest_kept / rest_tot
+
+
+def test_sample_topk_prunes_before_shuffle(spark):
+    """row_number ≤ K must compile to WindowGroupLimit in both the partial
+    (pre-shuffle) and final positions, and yield exactly K rows per stratum
+    when the stratum has ≥ K documents."""
+    from clusterindices_spark.operators.curation import (
+        TOPK_PER_STRATUM,
+        q_curation_sample_topk,
+    )
+
+    df = q_curation_sample_topk(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") == 2, plan
+    per = {r["lang"]: r["count"] for r in df.groupBy("lang").count().collect()}
+    assert all(v <= TOPK_PER_STRATUM for v in per.values())
+    # two runs agree row-for-row (deterministic reservoir)
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, q_curation_sample_topk(spark, SF_SMOKE).collect()))
+    assert a == b
