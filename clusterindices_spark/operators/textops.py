@@ -193,6 +193,49 @@ def q_text_scrub_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring: mean unigram log-probability per
+    document under the corpus's own MLE unigram model (the classic
+    perplexity-filter shape for training-data curation — low scores flag
+    out-of-distribution documents).
+
+    Determinism: ln() differs between the JVM and libm in the last ulp
+    (measured 43/1999 fixture-range values), so each token's logprob is
+    floor-scaled to BIGINT micros before the per-doc sum — a 1-ulp ln
+    disagreement only flips a micro when ln(p)*1e6+0.5 sits within ~1e-9
+    of an integer.
+
+    Scale: vocabulary counts shuffle by term (map-side combined, vocab ≪
+    corpus); scoring joins the exploded corpus to the broadcast vocab.
+    At 100 TB the vocab (even millions of terms) still broadcasts; the
+    per-doc agg shuffles by doc_id — the same key the explode preserved,
+    so AQE coalesces it tightly."""
+    d = _with_tokens(load_table(spark, sf_dir, "documents"))
+    ex = d.select("doc_id", F.explode("toks").alias("term"))
+    vocab = ex.groupBy("term").agg(F.count(F.lit(1)).alias("tc"))
+    total = ex.agg(F.count(F.lit(1)).alias("n_total"))
+    lp_micros = F.floor(
+        F.log(F.col("tc") / F.col("n_total")) * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("bigint")
+    scored = ex.join(F.broadcast(vocab), "term").crossJoin(F.broadcast(total))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(lp_micros).alias("lp_sum_micros"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.col("lp_sum_micros")
+                / F.col("n_tokens")
+                / F.lit(1000000.0)
+            ).alias("avg_logprob"),
+        )
+    )
+
+
 QUERIES = {
     "text_tokens_stats": q_text_tokens_stats,
     "text_tfidf_topterms": q_text_tfidf_topterms,
@@ -201,6 +244,7 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "text_token_count": q_text_token_count,
     "text_scrub_blocklist": q_text_scrub_blocklist,
+    "text_unigram_logprob": q_text_unigram_logprob,
 }
 
 _TOKS = SQL_TOKENS.format(col="text")
@@ -298,5 +342,16 @@ SELECT doc_id,
             t -> t NOT IN ({", ".join(f"'{b}'" for b in BLOCKLIST)})), ' ')
          AS clean_text
 FROM t
+""",
+    "text_unigram_logprob": f"""
+WITH ex AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+vocab AS (SELECT term, COUNT(*) AS tc FROM ex GROUP BY term),
+tot AS (SELECT COUNT(*) AS n_total FROM ex)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(CAST(floor(ln(CAST(tc AS DOUBLE) / n_total) * 1000000.0 + 0.5)
+                     AS BIGINT)) AS DOUBLE)
+         / COUNT(*) / 1000000.0 AS avg_logprob
+FROM ex JOIN vocab USING (term) CROSS JOIN tot
+GROUP BY doc_id
 """,
 }
