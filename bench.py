@@ -51,6 +51,13 @@ HEADLINE = [
     "curation_pack_greedy",
     "curation_pipeline",
     "tpch_q8",
+    # round-2b additions: the heaviest of the TPC-H completion (q9 joins the
+    # derived partsupp at fact scale; q21 is the double-semi/anti shape) and
+    # the new curation/text surface
+    "tpch_q9",
+    "tpch_q21",
+    "text_unigram_logprob",
+    "curation_sample_topk",
 ]
 
 

@@ -411,7 +411,50 @@ def q_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE (upsert + delete) without a table format: apply a change
+    set to the orders snapshot and return the post-merge table. The change
+    set is derived deterministically from the snapshot itself so the
+    result is oracle-checkable: orderkeys ≡ 0 (mod 10) get a 10% price
+    update, ≡ 3 (mod 23) are deleted, and one synthetic insert per
+    customer with c_custkey ≡ 0 (mod 100).
+
+    Plan shape: MERGE = one left-anti join (drop updated+deleted keys from
+    the base) + union of the update/insert images — a single shuffle on
+    the merge key. At 100 TB this is the partition-overwrite upsert
+    pattern (rewrite only affected partitions); with a managed table
+    format (Delta/Iceberg) the same logical change set feeds MERGE INTO
+    directly."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = (
+        o.where(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 1.1, 6))
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    deletes = o.where(F.col("o_orderkey") % 23 == 3).select("o_orderkey")
+    inserts = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 100 == 0)
+        .select(
+            (F.col("c_custkey") + F.lit(1000000000)).alias("o_orderkey"),
+            F.col("c_custkey").alias("o_custkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.lit(0.0).alias("o_totalprice"),
+        )
+    )
+    touched = updates.select("o_orderkey").union(deletes)
+    return (
+        o.join(touched, "o_orderkey", "left_anti")
+        .withColumn("o_totalprice", F.round("o_totalprice", 6))
+        .unionByName(updates.withColumn("o_totalprice", F.round("o_totalprice", 6)))
+        .unionByName(inserts)
+    )
+
+
 QUERIES = {
+    "merge_upsert_cdc": q_merge_upsert_cdc,
     "agg_grouping_sets": q_agg_grouping_sets,
     "agg_cube": q_agg_cube,
     "agg_stats": q_agg_stats,
@@ -435,6 +478,30 @@ QUERIES = {
 _EV = "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events)"
 
 ORACLES = {
+    "merge_upsert_cdc": """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+),
+updates AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         ROUND(o_totalprice * 1.1, 6) AS o_totalprice
+  FROM base WHERE o_orderkey % 10 = 0
+),
+deletes AS (SELECT o_orderkey FROM base WHERE o_orderkey % 23 = 3),
+inserts AS (
+  SELECT c_custkey + 1000000000 AS o_orderkey, c_custkey AS o_custkey,
+         'N' AS o_orderstatus, 0.0 AS o_totalprice
+  FROM customer WHERE c_custkey % 100 = 0
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, ROUND(o_totalprice, 6) AS o_totalprice
+FROM base
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+  AND o_orderkey NOT IN (SELECT o_orderkey FROM deletes)
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM updates
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM inserts
+""",
     "agg_cube": f"""
 SELECT n_name, c_mktsegment,
        COUNT(*) AS n_customers,
