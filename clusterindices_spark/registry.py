@@ -32,6 +32,7 @@ _MODULES = [
     "clusterindices_spark.operators.relational",
     "clusterindices_spark.operators.tpch",
     "clusterindices_spark.operators.relational_ext",
+    "clusterindices_spark.sql",
 ]
 
 
