@@ -1,0 +1,285 @@
+"""Analytics-depth operators: profiling, histograms, outlier detection, and
+event-path mining — the data-quality / exploration surface an analytics
+engine is expected to carry alongside its query operators (SURVEY.md §2E).
+
+Scale posture per operator:
+
+- profile_orders      : every per-column statistic folds in ONE pass over the
+                        table (multi-agg, map-side partial), then a constant
+                        unpivot of the 1-row result — no per-column scans.
+- events_histogram    : bucket id is scan-side integer arithmetic; the agg
+                        groups on ≤ n_bins keys (tiny shuffle).
+- events_outliers     : per-type sufficient statistics (count + floor-micro
+                        sums of value and value², exact and order-free) fold
+                        map-side into ≤ |event_type| rows, broadcast back,
+                        and the z-filter runs scan-side — the two-pass
+                        z-score shape with no wide shuffle.
+- events_path_trigrams: one shuffle by user_id to assemble ordered per-user
+                        sequences (array_sort on (event_id, type) structs —
+                        collect_list alone is partition-order-dependent),
+                        then explode→count over low-cardinality trigrams.
+                        Sequences key on event_id, which the fixture
+                        generator emits in timestamp order — using ts
+                        directly would couple the oracle to the ns-vs-µs
+                        parquet timestamp mismatch (TESTDATA.md).
+
+Cross-engine determinism: value² and mean·mean products are floor-scaled to
+integer micros before summing (the DECIMAL cast's half-way convention
+differs between engines on arbitrary doubles — see functions/aggregates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clusterindices_spark.sources.fixtures import load_table
+
+HIST_LO = 0.0
+HIST_HI = 500.0
+HIST_BINS = 20
+Z_THRESHOLD = 3.0
+TRIGRAM_TOP = 20
+
+
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data profile of ``orders``: null count, distinct count,
+    min/max — numerics and strings in typed columns (double-to-string
+    formatting is not engine-portable). One scan, one 1-row aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    str_cols = ["o_orderstatus", "o_orderpriority"]
+    num_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in str_cols + num_cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+        ]
+    for c in str_cols:
+        aggs += [F.min(c).alias(f"{c}__min_s"), F.max(c).alias(f"{c}__max_s")]
+    for c in num_cols:
+        aggs += [
+            F.round(F.min(c), 6).alias(f"{c}__min_n"),
+            F.round(F.max(c), 6).alias(f"{c}__max_n"),
+        ]
+    one = o.agg(*aggs)
+    rows = []
+    for c in str_cols:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.lit(None).cast("double").alias("min_num"),
+                F.lit(None).cast("double").alias("max_num"),
+                F.col(f"{c}__min_s").alias("min_str"),
+                F.col(f"{c}__max_s").alias("max_str"),
+            )
+        )
+    for c in num_cols:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min_n").cast("double").alias("min_num"),
+                F.col(f"{c}__max_n").cast("double").alias("max_num"),
+                F.lit(None).cast("string").alias("min_str"),
+                F.lit(None).cast("string").alias("max_str"),
+            )
+        )
+    return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+def q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values: bucket = clamped
+    floor((x-lo)/width); emits bucket bounds and counts."""
+    ev = load_table(spark, sf_dir, "events")
+    width = (HIST_HI - HIST_LO) / HIST_BINS
+    raw = F.floor((F.col("value") - F.lit(HIST_LO)) / F.lit(width))
+    bucket = F.least(
+        F.greatest(raw, F.lit(0)), F.lit(HIST_BINS - 1)
+    ).cast("int")
+    return (
+        ev.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            (F.lit(HIST_LO) + F.col("bucket") * F.lit(width)).alias("lo"),
+            (F.lit(HIST_LO) + (F.col("bucket") + 1) * F.lit(width)).alias("hi"),
+            "n",
+        )
+    )
+
+
+def _micros(col):
+    return F.floor(col * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+
+
+def q_events_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outliers per event type: |value - mean| > 3·stddev, with the
+    per-type moments computed from exact integer-micro sufficient
+    statistics (population variance). Returns the outlier events with
+    their z-scores."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_micros(F.col("value"))).alias("s1"),
+        F.sum(_micros(F.col("value") * F.col("value"))).alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n") / F.lit(1000000.0)
+    var = (
+        F.col("s2") / F.col("n") / F.lit(1000000.0) - mean * mean
+    )
+    enriched = ev.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+        mean.alias("mean"),
+        F.sqrt(var).alias("std"),
+    )
+    z = (F.col("value") - F.col("mean")) / F.col("std")
+    return (
+        enriched.where(F.abs(z) > Z_THRESHOLD)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round("mean", 6).alias("mean"),
+            F.round("std", 6).alias("std"),
+        )
+    )
+
+
+def q_events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-type trigrams across per-user journeys (the path-mining
+    shape): assemble each user's type sequence in event_id order, slide a
+    window of 3, count globally, keep the deterministic top-K."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.struct("event_id", "event_type").alias("e")
+    )
+    seqs = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list("e")).alias("arr")
+    )
+    types = F.transform(F.col("arr"), lambda x: x.event_type)
+    tri = F.transform(
+        F.sequence(F.lit(0), F.size("arr") - 3),
+        lambda i: F.concat_ws(
+            ">",
+            F.get(types, i),
+            F.get(types, i + 1),
+            F.get(types, i + 2),
+        ),
+    )
+    return (
+        seqs.where(F.size("arr") >= 3)
+        .select(F.explode(tri).alias("trigram"))
+        .groupBy("trigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "trigram")
+        .limit(TRIGRAM_TOP)
+    )
+
+
+QUERIES = {
+    "profile_orders": q_profile_orders,
+    "events_histogram": q_events_histogram,
+    "events_outliers": q_events_outliers,
+    "events_path_trigrams": q_events_path_trigrams,
+}
+
+_W = (HIST_HI - HIST_LO) / HIST_BINS
+
+ORACLES = {
+    "profile_orders": """
+WITH one AS (
+  SELECT COUNT(*) AS n_rows,
+         SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS st_nulls,
+         COUNT(DISTINCT o_orderstatus) AS st_distinct,
+         MIN(o_orderstatus) AS st_min, MAX(o_orderstatus) AS st_max,
+         SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS pr_nulls,
+         COUNT(DISTINCT o_orderpriority) AS pr_distinct,
+         MIN(o_orderpriority) AS pr_min, MAX(o_orderpriority) AS pr_max,
+         SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS ok_nulls,
+         COUNT(DISTINCT o_orderkey) AS ok_distinct,
+         ROUND(MIN(o_orderkey), 6) AS ok_min, ROUND(MAX(o_orderkey), 6) AS ok_max,
+         SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS ck_nulls,
+         COUNT(DISTINCT o_custkey) AS ck_distinct,
+         ROUND(MIN(o_custkey), 6) AS ck_min, ROUND(MAX(o_custkey), 6) AS ck_max,
+         SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS tp_nulls,
+         COUNT(DISTINCT o_totalprice) AS tp_distinct,
+         ROUND(MIN(o_totalprice), 6) AS tp_min, ROUND(MAX(o_totalprice), 6) AS tp_max
+  FROM orders
+)
+SELECT 'o_orderstatus' AS "column", n_rows, CAST(st_nulls AS BIGINT) AS n_nulls,
+       CAST(st_distinct AS BIGINT) AS n_distinct,
+       CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+       st_min AS min_str, st_max AS max_str FROM one
+UNION ALL
+SELECT 'o_orderpriority', n_rows, CAST(pr_nulls AS BIGINT),
+       CAST(pr_distinct AS BIGINT),
+       NULL, NULL, pr_min, pr_max FROM one
+UNION ALL
+SELECT 'o_orderkey', n_rows, CAST(ok_nulls AS BIGINT), CAST(ok_distinct AS BIGINT),
+       CAST(ok_min AS DOUBLE), CAST(ok_max AS DOUBLE), NULL, NULL FROM one
+UNION ALL
+SELECT 'o_custkey', n_rows, CAST(ck_nulls AS BIGINT), CAST(ck_distinct AS BIGINT),
+       CAST(ck_min AS DOUBLE), CAST(ck_max AS DOUBLE), NULL, NULL FROM one
+UNION ALL
+SELECT 'o_totalprice', n_rows, CAST(tp_nulls AS BIGINT), CAST(tp_distinct AS BIGINT),
+       CAST(tp_min AS DOUBLE), CAST(tp_max AS DOUBLE), NULL, NULL FROM one
+""",
+    "events_histogram": f"""
+WITH b AS (
+  SELECT CAST(LEAST(GREATEST(floor((value - {HIST_LO}) / {_W}), 0),
+                    {HIST_BINS - 1}) AS INT) AS bucket
+  FROM events
+)
+SELECT bucket,
+       {HIST_LO} + bucket * {_W} AS lo,
+       {HIST_LO} + (bucket + 1) * {_W} AS hi,
+       COUNT(*) AS n
+FROM b GROUP BY bucket
+""",
+    "events_outliers": f"""
+WITH stats AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS s1,
+         SUM(CAST(floor(value * value * 1000000.0 + 0.5) AS BIGINT)) AS s2
+  FROM events GROUP BY event_type
+),
+m AS (
+  SELECT event_type, n,
+         CAST(s1 AS DOUBLE) / n / 1000000.0 AS mean,
+         CAST(s2 AS DOUBLE) / n / 1000000.0
+           - (CAST(s1 AS DOUBLE) / n / 1000000.0)
+             * (CAST(s1 AS DOUBLE) / n / 1000000.0) AS var
+  FROM stats
+)
+SELECT event_id, e.event_type, ROUND(value, 6) AS value,
+       ROUND(mean, 6) AS mean, ROUND(sqrt(var), 6) AS std
+FROM events e JOIN m ON e.event_type = m.event_type
+WHERE abs(ROUND(value, 6) - mean) / sqrt(var) > {Z_THRESHOLD}
+""",
+    "events_path_trigrams": f"""
+WITH seqs AS (
+  SELECT user_id, list(event_type ORDER BY event_id) AS types
+  FROM events GROUP BY user_id
+),
+tri AS (
+  SELECT unnest(list_transform(range(1, len(types) - 1),
+                i -> types[i] || '>' || types[i+1] || '>' || types[i+2]))
+           AS trigram
+  FROM seqs WHERE len(types) >= 3
+)
+SELECT trigram, COUNT(*) AS n
+FROM tri GROUP BY trigram
+ORDER BY n DESC, trigram
+LIMIT {TRIGRAM_TOP}
+""",
+}

@@ -29,6 +29,7 @@ _MODULES = [
     "clusterindices_spark.operators.udfs",
     "clusterindices_spark.operators.sessions",
     "clusterindices_spark.operators.curation",
+    "clusterindices_spark.operators.analytics",
     "clusterindices_spark.operators.relational",
     "clusterindices_spark.operators.tpch",
     "clusterindices_spark.operators.relational_ext",
