@@ -446,6 +446,73 @@ def q_silhouette_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return silhouette_exact_of(labeled_points(spark, sf_dir))
 
 
+def index_suite_ext_of(pts: DataFrame) -> DataFrame:
+    """Four more validity indices in one fused pass (standard definitions
+    per Desgraupes' clusterCrit documentation — public reference):
+
+    - ball_hall       = (1/K) Σ_k WSS_k / n_k   (mean per-cluster dispersion)
+    - banfeld_raftery = Σ_k n_k · ln(WSS_k / n_k)
+    - pbm             = ((1/K) · (E_T / E_W) · D_B)² with
+                        E_T = Σ_i ‖x_i − ḡ‖, E_W = Σ_i d_own,
+                        D_B = max inter-centroid distance
+    - log_ss_ratio    = ln(BGSS / WGSS)
+
+    Everything reuses the suite's sufficient statistics: one point-scale
+    pass for (WSS_k, E_W, n_k), one broadcast 1-row global centroid for
+    E_T and BGSS, K-scale arithmetic for the rest — same 100 TB posture
+    as index_suite (the added E_T term rides the same broadcast join)."""
+    cents = centroids_of(pts)
+    pm = point_metrics(pts, cents)
+    per_cluster = pm.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_k"),
+        F.sum("d2_own").alias("wss_k"),
+        F.sum("d_own").alias("ew_k"),
+    )
+    folded = per_cluster.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.avg(F.col("wss_k") / F.col("n_k")).alias("ball_hall_raw"),
+        F.sum(F.col("n_k") * F.log(F.col("wss_k") / F.col("n_k"))).alias(
+            "banfeld_raw"
+        ),
+        F.sum("ew_k").alias("e_w"),
+        F.sum("wss_k").alias("wgss"),
+    )
+    g = _global_centroid_row(pts)
+    e_t = pts.crossJoin(F.broadcast(g)).agg(
+        F.sum(F.sqrt(l2sq(F.col("x"), F.col("g")))).alias("e_t")
+    )
+    counts = pts.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_i"))
+    bgss = (
+        cents.join(F.broadcast(counts), "cluster")
+        .crossJoin(F.broadcast(g))
+        .agg(F.sum(F.col("n_i") * l2sq(F.col("centroid"), F.col("g"))).alias("bgss"))
+    )
+    d_b = centroid_pair_dists(cents).agg(F.max("dist").alias("d_b"))
+    pbm = (
+        (F.lit(1.0) / F.col("k"))
+        * (F.col("e_t") / F.nullif(F.col("e_w"), F.lit(0.0)))
+        * F.col("d_b")
+    )
+    return (
+        folded.crossJoin(e_t)
+        .crossJoin(bgss)
+        .crossJoin(d_b)
+        .select(
+            "k",
+            F.round("ball_hall_raw", 6).alias("ball_hall"),
+            F.round("banfeld_raw", 6).alias("banfeld_raftery"),
+            F.round(pbm * pbm, 6).alias("pbm"),
+            F.round(
+                F.log(F.col("bgss") / F.nullif(F.col("wgss"), F.lit(0.0))), 6
+            ).alias("log_ss_ratio"),
+        )
+    )
+
+
+def q_index_suite_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return index_suite_ext_of(labeled_points(spark, sf_dir))
+
+
 QUERIES = {
     "centroids_by_label": q_centroids_by_label,
     "intra_cluster_stats": q_intra_cluster_stats,
@@ -459,6 +526,7 @@ QUERIES = {
     "xie_beni": q_xie_beni,
     "silhouette_sqeuclid": q_silhouette_sqeuclid,
     "silhouette_exact": q_silhouette_exact,
+    "index_suite_ext": q_index_suite_ext,
 }
 
 # ---------------------------------------------------------------------------
@@ -638,5 +706,29 @@ FROM (
   )
   GROUP BY pid, pcl
 )
+""",
+    "index_suite_ext": _PREFIX
+    + """
+SELECT (SELECT COUNT(*) FROM nn) AS k,
+       (SELECT ROUND(AVG(wss_k / n_k), 6)
+        FROM (SELECT cluster, COUNT(*) AS n_k, SUM(d2_own) AS wss_k
+              FROM pp GROUP BY cluster)) AS ball_hall,
+       (SELECT ROUND(SUM(n_k * ln(wss_k / n_k)), 6)
+        FROM (SELECT cluster, COUNT(*) AS n_k, SUM(d2_own) AS wss_k
+              FROM pp GROUP BY cluster)) AS banfeld_raftery,
+       (SELECT ROUND(pbm_raw * pbm_raw, 6) FROM (
+          SELECT (1.0 / (SELECT COUNT(*) FROM nn))
+                 * ((SELECT SUM(list_distance(p.x, g.g))
+                     FROM pts p CROSS JOIN (SELECT list(gm ORDER BY dim) AS g
+                                            FROM gcent) g)
+                    / NULLIF((SELECT SUM(d_own) FROM pp), 0.0))
+                 * (SELECT MAX(dist) FROM cc) AS pbm_raw
+       )) AS pbm,
+       ROUND(LN(
+         (SELECT SUM(n_i * bd2) FROM (
+            SELECT c.cl, SUM((c.m - g.gm) * (c.m - g.gm)) AS bd2
+            FROM cent c JOIN gcent g USING (dim) GROUP BY c.cl
+         ) t JOIN nn USING (cl))
+         / NULLIF((SELECT SUM(d2_own) FROM pp), 0.0)), 6) AS log_ss_ratio
 """,
 }
