@@ -95,8 +95,65 @@ def q_kmeans_sweep_small(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def best_k(sweep: DataFrame) -> DataFrame:
+    """The sweep's decision output (reference parity: the index curves are
+    computed so a user can PICK K): one row per index with its chosen K.
+
+    - bd_silhouette, bd_dunn: argmax (higher = better separation)
+    - davies_bouldin: argmin (lower = tighter/more separated)
+    - wssse: knee — argmax of the drop ratio
+      (w[k−1] − w[k]) / (w[k] − w[k+1]). WSSSE decreases monotonically in
+      K so argmin is useless; at the true K the incoming drop is
+      structural (a real cluster got its own centroid) while the outgoing
+      drop is an overfit split, so the ratio spikes. (The additive second
+      difference mis-picks when pre-knee drops are still large in absolute
+      terms — observed on planted 10-blob data, where it chose 7.)
+
+    All window work runs on the K-row sweep frame — driver-scale by
+    construction, like the reference's own selection step."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.orderBy("k")
+    with_diff = sweep.select(
+        "k",
+        "bd_silhouette",
+        "bd_dunn",
+        "davies_bouldin",
+        "wssse",
+        (
+            (F.lag("wssse", 1).over(w) - F.col("wssse"))
+            / F.nullif(F.col("wssse") - F.lead("wssse", 1).over(w), F.lit(0.0))
+        ).alias("elbow"),
+    )
+
+    def _pick(col: str, ascending: bool, out_name: str) -> DataFrame:
+        ordered = with_diff.where(F.col(col).isNotNull()).orderBy(
+            F.col(col).asc() if ascending else F.col(col).desc(),
+            F.col("k").asc(),
+        )
+        return ordered.limit(1).select(
+            F.lit(out_name).alias("index"),
+            F.col("k").alias("chosen_k"),
+            F.round(col, 6).alias("value"),
+        )
+
+    return (
+        _pick("bd_silhouette", False, "bd_silhouette")
+        .unionByName(_pick("bd_dunn", False, "bd_dunn"))
+        .unionByName(_pick("davies_bouldin", True, "davies_bouldin"))
+        .unionByName(_pick("elbow", False, "wssse_elbow"))
+    )
+
+
+def q_kmeans_sweep_best_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: the per-index K choice over a small sweep."""
+    return best_k(kmeans_sweep(spark, sf_dir, k_min=2, k_max=6, max_iter=10))
+
+
 QUERIES = {
     "kmeans_sweep_small": q_kmeans_sweep_small,
+    "kmeans_sweep_best_k": q_kmeans_sweep_best_k,
 }
 
 ORACLES: dict[str, str] = {}  # iterative ML — rows-only check by design

@@ -41,11 +41,20 @@ def test_sweep_recovers_true_k_on_planted_blobs(spark, tmp_path):
     )
     out = str(tmp_path / "blobs")
     df.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
-    res = kmeans_sweep(spark, out, k_min=6, k_max=13, max_iter=20).collect()
+    sweep_df = kmeans_sweep(spark, out, k_min=6, k_max=13, max_iter=20)
+    res = sweep_df.collect()
     best_sil = max(res, key=lambda r: r["bd_silhouette"])["k"]
     best_db = min(res, key=lambda r: r["davies_bouldin"])["k"]
     assert best_sil == true_k
     assert best_db == true_k
+    # the selection operator must agree with the hand argbest (and the
+    # WSSSE elbow must also knee at the true K on well-separated blobs)
+    from clusterindices_spark.operators.sweep import best_k
+
+    chosen = {r["index"]: r["chosen_k"] for r in best_k(sweep_df).collect()}
+    assert chosen["bd_silhouette"] == true_k
+    assert chosen["davies_bouldin"] == true_k
+    assert chosen["wssse_elbow"] == true_k
 
 
 def test_bd_silhouette_orders_like_mllib_evaluator(spark, tmp_path):
