@@ -119,6 +119,46 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ATTRIBUTION_HORIZON_MIN = 5
+
+
+def q_stream_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the stream-stream attribution join
+    (streaming/streams.click_purchase_join_stream): purchases attributed
+    to a same-user click within the preceding 5 minutes. The oracle-facing
+    twin compares at millisecond grain on both sides — raw timestamp
+    comparisons would couple the check to the ns-vs-µs parquet mismatch
+    (TESTDATA.md). Plan: one user_id-keyed shuffle; the time band is a
+    post-join range predicate (streaming runs the same join with
+    watermark-bounded state)."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.unix_millis("ts").alias("c_ms"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.unix_millis("ts").alias("p_ms"),
+        F.col("value").alias("p_value"),
+    )
+    horizon_ms = ATTRIBUTION_HORIZON_MIN * 60_000
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ms") > F.col("c_ms"))
+        & (F.col("p_ms") <= F.col("c_ms") + F.lit(horizon_ms)),
+        "inner",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        F.col("p_ms").alias("purchase_ts_ms"),
+        F.round("p_value", 6).alias("p_value"),
+    )
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel view → click → purchase: a user advances a
     stage only with a strictly-later event of the next type. Three same-key
@@ -198,6 +238,7 @@ QUERIES = {
     "stream_sliding_agg": q_stream_sliding_agg,
     "stream_session_windows": q_stream_session_windows,
     "stream_dedup": q_stream_dedup,
+    "stream_join_clicks": q_stream_join_clicks,
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
 }
@@ -205,6 +246,21 @@ QUERIES = {
 _EV = "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events)"
 
 ORACLES = {
+    "stream_join_clicks": f"""
+WITH c AS (
+  SELECT user_id AS c_user, event_id AS click_id, epoch_ms(ts) AS c_ms
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id AS p_user, event_id AS purchase_id, epoch_ms(ts) AS p_ms,
+         value AS p_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT click_id, purchase_id, c_user AS user_id, p_ms AS purchase_ts_ms,
+       ROUND(p_value, 6) AS p_value
+FROM c JOIN p ON c_user = p_user
+  AND p_ms > c_ms AND p_ms <= c_ms + {ATTRIBUTION_HORIZON_MIN * 60_000}
+""",
     "events_funnel": f"""
 WITH v AS (
   SELECT user_id, MIN(ts) AS t_view FROM {_EV} WHERE event_type = 'view'
