@@ -183,6 +183,59 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "require": ["MapInPandas", "Sort"],
         "forbid": ["Exchange rangepartitioning", "CartesianProduct"],
     },
+    "tpch_q2": {
+        # supplier/nation/region/part broadcast; per-part min re-joined
+        # without any nested-loop fallback
+        "require": ["BroadcastHashJoin", "partial"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "tpch_q9": {
+        # supplycost via window MIN over (partkey,suppkey): exactly one
+        # lineitem scan (the groupBy-join-back variant had two)
+        "require": ["Window", "BroadcastHashJoin"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "tpch_q16": {
+        # complaint-supplier exclusion is a broadcast ANTI join; distinct
+        # pair derivation carries partial aggregation
+        "require": ["Anti", "partial"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "tpch_q21": {
+        # EXISTS/NOT-EXISTS pair → semi + anti joins, dims broadcast
+        "require": ["Semi", "Anti", "BroadcastHashJoin"],
+        "forbid": ["CartesianProduct"],
+    },
+    "curation_sample_stratified": {
+        # pure scan-side filter: no exchange of any kind
+        "require": ["*("],
+        "forbid": ["Exchange", "Join"],
+    },
+    "curation_sample_topk": {
+        # partial + final WindowGroupLimit around the one exchange
+        "require": ["WindowGroupLimit", "Partial"],
+        "forbid": ["CartesianProduct", "Join"],
+    },
+    "text_unigram_logprob": {
+        # vocab broadcasts back onto the exploded corpus
+        "require": ["Broadcast", "partial"],
+        "forbid": ["SortMergeJoin", "CartesianProduct"],
+    },
+    "merge_upsert_cdc": {
+        # MERGE = anti join + union; no nested-loop anywhere
+        "require": ["Anti", "Union"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "events_outliers": {
+        # per-type moments broadcast back over the scan
+        "require": ["Broadcast", "partial"],
+        "forbid": ["SortMergeJoin", "CartesianProduct"],
+    },
+    "index_suite_ext": {
+        # same posture as index_suite: centroids/global centroid broadcast
+        "require": ["Broadcast", "partial"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
 }
 
 
