@@ -7,9 +7,12 @@ from the package's operators.
 Stages (each a module this repo ships, here simply composed):
 1. score + filter   — quality floor, langid agreement (operators/curation)
 2. exact dedup      — canonical doc per sha256 (operators/dedup pattern)
-3. train/val fold   — deterministic md5-prefix split (operators/curation)
-4. sequence packing — greedy first-fit into 512-token bins (operators/curation)
-5. write            — parquet partitioned by split (sources/partitioned),
+3. scrub            — blocklist-term removal (operators/textops)
+4. LM scoring       — unigram mean log-prob floor (operators/textops)
+5. mixture sampling — per-lang deterministic Bernoulli (operators/curation)
+6. train/val fold   — deterministic md5-prefix split (operators/curation)
+7. sequence packing — greedy first-fit into 512-token bins (operators/curation)
+8. write            — parquet partitioned by split (sources/partitioned),
                       then small-file compaction (sources/maintenance)
 
 Prints the per-lang funnel and the output layout. Everything is a lazy
@@ -55,13 +58,48 @@ def main(argv: list[str]) -> int:
             f" ({r['n_tokens_retained']} tokens)"
         )
 
+    from clusterindices_spark.operators.curation import (
+        q_curation_sample_stratified,
+    )
+    from clusterindices_spark.operators.textops import (
+        q_text_scrub_blocklist,
+        q_text_unigram_logprob,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
+
+    # LM-score floor: drop the lowest-scoring tail (bottom ~5% by mean
+    # unigram log-prob — out-of-distribution documents)
+    lp = q_text_unigram_logprob(spark, sf_dir).select("doc_id", "avg_logprob")
+    floor = lp.approxQuantile("avg_logprob", [0.05], 0.001)[0]
+    keep_ids = lp.where(F.col("avg_logprob") >= floor).select("doc_id")
+    print(f"== LM floor: avg_logprob >= {floor:.4f} ==")
+
+    # mixture rebalancing: deterministic per-lang Bernoulli keep
+    sampled_ids = q_curation_sample_stratified(spark, sf_dir).select("doc_id")
+
+    # blocklist scrub supplies the cleaned text downstream
+    scrubbed = q_text_scrub_blocklist(spark, sf_dir).select(
+        "doc_id", "clean_text", "n_removed"
+    )
+
+    docs = (
+        docs.join(keep_ids, "doc_id", "left_semi")
+        .join(sampled_ids, "doc_id", "left_semi")
+        .join(scrubbed, "doc_id")
+    )
+    n_kept = docs.count()
+    print(f"== after LM floor + mixture sampling: {n_kept} docs ==")
+
     packed = pack_greedy(docs)
     folds = hash_split(docs)
     corpus = (
         docs.join(packed.select("doc_id", "grp", "bin", "n_tokens"), "doc_id")
         .join(folds.select("doc_id", "split"), "doc_id")
-        .select("doc_id", "lang", "text", "n_tokens", "grp", "bin", "split")
+        .select(
+            "doc_id", "lang", "clean_text", "n_removed",
+            "n_tokens", "grp", "bin", "split",
+        )
     )
     write_partitioned(corpus, out_dir, ["split"])
     n_before = len(data_files(out_dir))
