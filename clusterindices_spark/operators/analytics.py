@@ -186,10 +186,55 @@ def q_events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAD_Z = 3.5  # Iglewicz–Hoaglin modified-z cutoff
+MAD_C = 0.6745  # Φ⁻¹(0.75): scales MAD to σ-equivalents
+
+
+def q_events_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outliers per event type — the heavy-tail-safe
+    complement to the z-score operator (a few extreme values inflate the
+    mean and stddev; the median and MAD don't move). modified z =
+    0.6745·(x − median)/MAD, cutoff 3.5 (Iglewicz–Hoaglin).
+
+    Two grouped exact interpolated medians (value, then |value − median|),
+    each folding to ≤ |event_type| rows that broadcast back over the scan —
+    same no-wide-shuffle posture as the z-score pass, one extra pass for
+    the second median."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    with_med = ev.join(F.broadcast(med), "event_type")
+    mad = with_med.groupBy("event_type").agg(
+        F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias(
+            "mad"
+        )
+    )
+    z = (
+        F.lit(MAD_C)
+        * (F.col("value") - F.col("med"))
+        / F.nullif(F.col("mad"), F.lit(0.0))
+    )
+    return (
+        with_med.join(F.broadcast(mad), "event_type")
+        .where(F.abs(z) > MAD_Z)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+        )
+    )
+
+
 QUERIES = {
     "profile_orders": q_profile_orders,
     "events_histogram": q_events_histogram,
     "events_outliers": q_events_outliers,
+    "events_outliers_mad": q_events_outliers_mad,
     "events_path_trigrams": q_events_path_trigrams,
 }
 
@@ -265,6 +310,21 @@ SELECT event_id, e.event_type, ROUND(value, 6) AS value,
        ROUND(mean, 6) AS mean, ROUND(sqrt(var), 6) AS std
 FROM events e JOIN m ON e.event_type = m.event_type
 WHERE abs(ROUND(value, 6) - mean) / sqrt(var) > {Z_THRESHOLD}
+""",
+    "events_outliers_mad": f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY e.event_type
+)
+SELECT event_id, e.event_type, ROUND(value, 6) AS value,
+       ROUND(med, 6) AS med, ROUND(mad, 6) AS mad
+FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
+WHERE abs({MAD_C} * (value - med) / NULLIF(mad, 0.0)) > {MAD_Z}
 """,
     "events_path_trigrams": f"""
 WITH seqs AS (

@@ -53,3 +53,34 @@ def test_compaction_preserves_hive_partitioning(spark, tmp_path):
     assert len(dirs) == n_days
     assert n_after == n_days
     assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Schema evolution on a growing dataset: a later writer adds a column;
+    mergeSchema reads the union schema with NULLs for pre-evolution rows,
+    and predicate pushdown still reaches the merged scan."""
+    path = str(tmp_path / "evolving")
+    v1 = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    v1.write.parquet(path)
+    v2 = (
+        load_table(spark, SF_SMOKE, "orders")
+        .select(
+            (F.col("o_orderkey") + 1_000_000).alias("o_orderkey"),
+            "o_totalprice",
+            F.lit("batch2").alias("ingest_tag"),
+        )
+    )
+    v2.write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"o_orderkey", "o_totalprice", "ingest_tag"}
+    n1 = v1.count()
+    # pre-evolution rows surface NULL in the new column
+    assert merged.where(F.col("ingest_tag").isNull()).count() == n1
+    assert merged.where(F.col("ingest_tag") == "batch2").count() == n1
+    # pushdown still reaches the merged scan
+    q = merged.where(F.col("o_orderkey") == 42).select("o_orderkey")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_orderkey" in plan, plan
