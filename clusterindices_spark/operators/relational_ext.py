@@ -453,7 +453,57 @@ def q_merge_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INTERVAL_TOLERANCE_MS = 60_000
+
+
+def q_join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless interval join at fact scale: every (click, error) pair within
+    ±1 minute, with NO equi key — the shape Spark would otherwise plan as a
+    broadcast-nested-loop / cartesian scan. The scale technique: quantize
+    time into tolerance-width buckets, explode one side to its bucket and
+    both neighbors, equi-join on bucket, then apply the exact band filter.
+    Each row joins only its ±1-bucket neighborhood, so the plan is a
+    partitioned hash join whose width is the bucket occupancy, not n² —
+    this is the range-join-binning optimization expressed manually.
+
+    A candidate pair lands in ≤2 shared buckets, so the pre-filter
+    distinct() on (click, error) keeps multiplicity correct."""
+    ev = load_table(spark, sf_dir, "events")
+    tol = INTERVAL_TOLERANCE_MS
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.unix_millis("ts").alias("c_ms"),
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.unix_millis("ts").alias("e_ms"),
+    )
+    cbucket = F.floor(F.col("c_ms") / F.lit(tol)).cast("bigint")
+    exploded = clicks.select(
+        "click_id",
+        "c_ms",
+        F.explode(
+            F.array(cbucket - 1, cbucket, cbucket + 1)
+        ).alias("bucket"),
+    )
+    binned = errors.withColumn(
+        "bucket", F.floor(F.col("e_ms") / F.lit(tol)).cast("bigint")
+    )
+    return (
+        exploded.join(binned, "bucket")
+        .select("click_id", "error_id", "c_ms", "e_ms")
+        .distinct()
+        .where(F.abs(F.col("c_ms") - F.col("e_ms")) <= tol)
+        .select(
+            "click_id",
+            "error_id",
+            (F.col("e_ms") - F.col("c_ms")).alias("delta_ms"),
+        )
+    )
+
+
 QUERIES = {
+    "join_interval_binned": q_join_interval_binned,
     "merge_upsert_cdc": q_merge_upsert_cdc,
     "agg_grouping_sets": q_agg_grouping_sets,
     "agg_cube": q_agg_cube,
@@ -478,6 +528,20 @@ QUERIES = {
 _EV = "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events)"
 
 ORACLES = {
+    # the oracle states the semantics directly (DuckDB's IEJoin plans raw
+    # interval predicates natively; Spark needs the binning technique)
+    "join_interval_binned": f"""
+WITH c AS (
+  SELECT event_id AS click_id, epoch_ms(ts) AS c_ms
+  FROM events WHERE event_type = 'click'
+),
+e AS (
+  SELECT event_id AS error_id, epoch_ms(ts) AS e_ms
+  FROM events WHERE event_type = 'error'
+)
+SELECT click_id, error_id, e_ms - c_ms AS delta_ms
+FROM c JOIN e ON abs(c_ms - e_ms) <= {INTERVAL_TOLERANCE_MS}
+""",
     "merge_upsert_cdc": """
 WITH base AS (
   SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders

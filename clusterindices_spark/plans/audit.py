@@ -236,6 +236,12 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "require": ["Broadcast", "partial"],
         "forbid": ["CartesianProduct", "SortMergeJoin"],
     },
+    "join_interval_binned": {
+        # keyless interval join MUST plan as a bucket equi-join — the naive
+        # plan for this query is a nested-loop scan
+        "require": ["Join"],
+        "forbid": ["BroadcastNestedLoopJoin", "CartesianProduct"],
+    },
 }
 
 
