@@ -144,9 +144,58 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AUDIO_WINDOW = 32  # analysis window width in decoded units
+AUDIO_HOP = 24  # hop < width → 25% overlap (the STFT frame shape)
+AUDIO_SCHEMA = (
+    "doc_id bigint, win_start int, win_len int, energy bigint, peak int"
+)
+
+
+def audio_windows(binary_df: DataFrame) -> DataFrame:
+    """Audio-analysis plumbing: overlapping fixed-width windows (hop <
+    width, the STFT framing shape) over the decoded payload, with
+    integer-exact per-window features — energy = Σ code², peak = max code
+    (stand-ins for RMS/peak over real samples; all-integer so the oracle
+    can't drift). Same Arrow-batched row→rows expansion as frame_sample;
+    a real decoder would swap the utf-8 'decode' for PCM samples."""
+
+    def _wins(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, starts, lens, energies, peaks = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                text = bytes(payload).decode("utf-8")
+                for s in range(0, len(text), AUDIO_HOP):
+                    seg = text[s : s + AUDIO_WINDOW]
+                    codes = [ord(ch) for ch in seg]
+                    ids.append(doc_id)
+                    starts.append(s)
+                    lens.append(len(seg))
+                    energies.append(sum(c * c for c in codes))
+                    peaks.append(max(codes) if codes else 0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "win_start": pd.Series(starts, dtype="int32"),
+                    "win_len": pd.Series(lens, dtype="int32"),
+                    "energy": pd.Series(energies, dtype="int64"),
+                    "peak": pd.Series(peaks, dtype="int32"),
+                }
+            )
+
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        _wins, schema=AUDIO_SCHEMA
+    )
+
+
+def q_multimodal_audio_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return audio_windows(with_binary_payload(d))
+
+
 QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_frame_sample": q_multimodal_frame_sample,
+    "multimodal_audio_window": q_multimodal_audio_window,
 }
 
 # first_byte is the first UTF-8 *byte*, not the first codepoint (they only
@@ -190,4 +239,27 @@ SELECT doc_id,
        CAST(length({_FRAME_EXPR}) AS INT) AS frame_len,
        {SQL_FINGERPRINT.format(col=_FRAME_EXPR)} AS frame_hash
 FROM f
+"""
+
+_SEG_EXPR = f"substr(text, win_start + 1, {AUDIO_WINDOW})"
+
+ORACLES["multimodal_audio_window"] = f"""
+WITH w AS (
+  SELECT doc_id, text,
+         unnest(range(0, length(text), {AUDIO_HOP})) AS win_start
+  FROM documents
+),
+seg AS (
+  SELECT doc_id, win_start, {_SEG_EXPR} AS seg,
+         list_transform(range(length({_SEG_EXPR})),
+                        i -> unicode(substr({_SEG_EXPR}, i + 1, 1))) AS codes
+  FROM w
+)
+SELECT doc_id,
+       CAST(win_start AS INT) AS win_start,
+       CAST(length(seg) AS INT) AS win_len,
+       CAST(COALESCE(list_sum(list_transform(codes, c -> c * c)), 0)
+            AS BIGINT) AS energy,
+       CAST(COALESCE(list_max(codes), 0) AS INT) AS peak
+FROM seg
 """
