@@ -133,8 +133,12 @@ def q_events_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_micros(F.col("value") * F.col("value"))).alias("s2"),
     )
     mean = F.col("s1") / F.col("n") / F.lit(1000000.0)
-    var = (
-        F.col("s2") / F.col("n") / F.lit(1000000.0) - mean * mean
+    # clamp at 0: the floor-micro moments are exact, but a genuinely
+    # constant column can yield a tiny negative s2/n − mean² (and DuckDB's
+    # sqrt hard-errors on negatives where Spark would emit NaN)
+    var = F.greatest(
+        F.col("s2") / F.col("n") / F.lit(1000000.0) - mean * mean,
+        F.lit(0.0),
     )
     enriched = ev.join(F.broadcast(stats), "event_type").select(
         "event_id",
@@ -143,7 +147,12 @@ def q_events_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean.alias("mean"),
         F.sqrt(var).alias("std"),
     )
-    z = (F.col("value") - F.col("mean")) / F.col("std")
+    # nullif guard: std = 0 (constant stratum) must select nothing in BOTH
+    # engines — unguarded, Spark's x/0.0 → Inf/NaN (and NaN > 3.0 is TRUE)
+    # while DuckDB's x/0 → NULL, a silent cross-engine divergence
+    z = (F.col("value") - F.col("mean")) / F.nullif(
+        F.col("std"), F.lit(0.0)
+    )
     return (
         enriched.where(F.abs(z) > Z_THRESHOLD)
         .select(
@@ -286,8 +295,8 @@ WITH b AS (
   FROM events
 )
 SELECT bucket,
-       {HIST_LO} + bucket * {_W} AS lo,
-       {HIST_LO} + (bucket + 1) * {_W} AS hi,
+       CAST({HIST_LO} + bucket * {_W} AS DOUBLE) AS lo,
+       CAST({HIST_LO} + (bucket + 1) * {_W} AS DOUBLE) AS hi,
        COUNT(*) AS n
 FROM b GROUP BY bucket
 """,
@@ -301,15 +310,15 @@ WITH stats AS (
 m AS (
   SELECT event_type, n,
          CAST(s1 AS DOUBLE) / n / 1000000.0 AS mean,
-         CAST(s2 AS DOUBLE) / n / 1000000.0
+         GREATEST(CAST(s2 AS DOUBLE) / n / 1000000.0
            - (CAST(s1 AS DOUBLE) / n / 1000000.0)
-             * (CAST(s1 AS DOUBLE) / n / 1000000.0) AS var
+             * (CAST(s1 AS DOUBLE) / n / 1000000.0), 0.0) AS var
   FROM stats
 )
 SELECT event_id, e.event_type, ROUND(value, 6) AS value,
        ROUND(mean, 6) AS mean, ROUND(sqrt(var), 6) AS std
 FROM events e JOIN m ON e.event_type = m.event_type
-WHERE abs(ROUND(value, 6) - mean) / sqrt(var) > {Z_THRESHOLD}
+WHERE abs(ROUND(value, 6) - mean) / NULLIF(sqrt(var), 0.0) > {Z_THRESHOLD}
 """,
     "events_outliers_mad": f"""
 WITH med AS (

@@ -468,12 +468,18 @@ def index_suite_ext_of(pts: DataFrame) -> DataFrame:
         F.sum("d2_own").alias("wss_k"),
         F.sum("d_own").alias("ew_k"),
     )
+    # zero-dispersion clusters (singletons / exact duplicates — routine at
+    # high K) contribute 0 to Banfeld-Raftery by convention: unguarded,
+    # Spark's log(0) → NULL silently drops the term while DuckDB's ln(0)
+    # hard-errors the whole oracle
+    banfeld_term = F.when(
+        F.col("wss_k") > 0,
+        F.col("n_k") * F.log(F.col("wss_k") / F.col("n_k")),
+    ).otherwise(F.lit(0.0))
     folded = per_cluster.agg(
         F.count(F.lit(1)).alias("k"),
         F.avg(F.col("wss_k") / F.col("n_k")).alias("ball_hall_raw"),
-        F.sum(F.col("n_k") * F.log(F.col("wss_k") / F.col("n_k"))).alias(
-            "banfeld_raw"
-        ),
+        F.sum(banfeld_term).alias("banfeld_raw"),
         F.sum("ew_k").alias("e_w"),
         F.sum("wss_k").alias("wgss"),
     )
@@ -713,7 +719,8 @@ SELECT (SELECT COUNT(*) FROM nn) AS k,
        (SELECT ROUND(AVG(wss_k / n_k), 6)
         FROM (SELECT cluster, COUNT(*) AS n_k, SUM(d2_own) AS wss_k
               FROM pp GROUP BY cluster)) AS ball_hall,
-       (SELECT ROUND(SUM(n_k * ln(wss_k / n_k)), 6)
+       (SELECT ROUND(SUM(CASE WHEN wss_k > 0
+                              THEN n_k * ln(wss_k / n_k) ELSE 0.0 END), 6)
         FROM (SELECT cluster, COUNT(*) AS n_k, SUM(d2_own) AS wss_k
               FROM pp GROUP BY cluster)) AS banfeld_raftery,
        (SELECT ROUND(pbm_raw * pbm_raw, 6) FROM (

@@ -428,12 +428,16 @@ def q_merge_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
+    deletes = o.where(F.col("o_orderkey") % 23 == 3).select("o_orderkey")
+    # MERGE precedence: a key matched by both an update and a delete image
+    # is DELETED (e.g. orderkey 210 ≡ 0 mod 10 and ≡ 3 mod 23) — the
+    # update set excludes deleted keys so a dead row can't resurrect
     updates = (
         o.where(F.col("o_orderkey") % 10 == 0)
+        .join(deletes, "o_orderkey", "left_anti")
         .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 1.1, 6))
         .withColumn("o_orderstatus", F.lit("U"))
     )
-    deletes = o.where(F.col("o_orderkey") % 23 == 3).select("o_orderkey")
     inserts = (
         load_table(spark, sf_dir, "customer")
         .where(F.col("c_custkey") % 100 == 0)
@@ -466,8 +470,11 @@ def q_join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned hash join whose width is the bucket occupancy, not n² —
     this is the range-join-binning optimization expressed manually.
 
-    A candidate pair lands in ≤2 shared buckets, so the pre-filter
-    distinct() on (click, error) keeps multiplicity correct."""
+    No dedup is needed: only the click side is exploded, the error side
+    keeps its single home bucket, and the click's three exploded buckets
+    are distinct — so each (click, error) pair meets in at most one
+    bucket. (Exploding BOTH sides would need a distinct() — an extra
+    fact-scale shuffle this formulation avoids.)"""
     ev = load_table(spark, sf_dir, "events")
     tol = INTERVAL_TOLERANCE_MS
     clicks = ev.where(F.col("event_type") == "click").select(
@@ -491,8 +498,6 @@ def q_join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         exploded.join(binned, "bucket")
-        .select("click_id", "error_id", "c_ms", "e_ms")
-        .distinct()
         .where(F.abs(F.col("c_ms") - F.col("e_ms")) <= tol)
         .select(
             "click_id",
@@ -546,12 +551,13 @@ FROM c JOIN e ON abs(c_ms - e_ms) <= {INTERVAL_TOLERANCE_MS}
 WITH base AS (
   SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
 ),
+deletes AS (SELECT o_orderkey FROM base WHERE o_orderkey % 23 = 3),
 updates AS (
   SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
          ROUND(o_totalprice * 1.1, 6) AS o_totalprice
   FROM base WHERE o_orderkey % 10 = 0
+    AND o_orderkey NOT IN (SELECT o_orderkey FROM deletes)
 ),
-deletes AS (SELECT o_orderkey FROM base WHERE o_orderkey % 23 = 3),
 inserts AS (
   SELECT c_custkey + 1000000000 AS o_orderkey, c_custkey AS o_custkey,
          'N' AS o_orderstatus, 0.0 AS o_totalprice

@@ -15,9 +15,9 @@ Stages (each a module this repo ships, here simply composed):
 8. write            — parquet partitioned by split (sources/partitioned),
                       then small-file compaction (sources/maintenance)
 
-Prints the per-lang funnel and the output layout. Everything is a lazy
-DataFrame until the single write at the end — Catalyst sees the whole
-pipeline and fuses the scan-side stages.
+Prints the per-lang funnel and the output layout. The two frames that feed
+multiple actions (the LM scores and the filtered corpus) are persisted;
+everything else stays lazy so Catalyst fuses the scan-side stages.
 """
 
 from __future__ import annotations
@@ -69,8 +69,14 @@ def main(argv: list[str]) -> int:
     docs = load_table(spark, sf_dir, "documents")
 
     # LM-score floor: drop the lowest-scoring tail (bottom ~5% by mean
-    # unigram log-prob — out-of-distribution documents)
-    lp = q_text_unigram_logprob(spark, sf_dir).select("doc_id", "avg_logprob")
+    # unigram log-prob — out-of-distribution documents). persist: the
+    # logprob pipeline (explode → vocab groupBy → join) feeds two actions
+    # (the quantile and the semi-join) and must not replay per action
+    lp = (
+        q_text_unigram_logprob(spark, sf_dir)
+        .select("doc_id", "avg_logprob")
+        .persist()
+    )
     floor = lp.approxQuantile("avg_logprob", [0.05], 0.001)[0]
     keep_ids = lp.where(F.col("avg_logprob") >= floor).select("doc_id")
     print(f"== LM floor: avg_logprob >= {floor:.4f} ==")
@@ -78,7 +84,9 @@ def main(argv: list[str]) -> int:
     # mixture rebalancing: deterministic per-lang Bernoulli keep
     sampled_ids = q_curation_sample_stratified(spark, sf_dir).select("doc_id")
 
-    # blocklist scrub supplies the cleaned text downstream
+    # blocklist scrub: the cleaned text REPLACES the raw text so every
+    # downstream stage (token counts, bin packing, the written corpus)
+    # describes the text actually shipped
     scrubbed = q_text_scrub_blocklist(spark, sf_dir).select(
         "doc_id", "clean_text", "n_removed"
     )
@@ -87,8 +95,12 @@ def main(argv: list[str]) -> int:
         docs.join(keep_ids, "doc_id", "left_semi")
         .join(sampled_ids, "doc_id", "left_semi")
         .join(scrubbed, "doc_id")
+        .drop("text")
+        .withColumnRenamed("clean_text", "text")
+        .persist()  # feeds count, packing, fold, and the final write
     )
     n_kept = docs.count()
+    lp.unpersist()
     print(f"== after LM floor + mixture sampling: {n_kept} docs ==")
 
     packed = pack_greedy(docs)
@@ -97,7 +109,7 @@ def main(argv: list[str]) -> int:
         docs.join(packed.select("doc_id", "grp", "bin", "n_tokens"), "doc_id")
         .join(folds.select("doc_id", "split"), "doc_id")
         .select(
-            "doc_id", "lang", "clean_text", "n_removed",
+            "doc_id", "lang", "text", "n_removed",
             "n_tokens", "grp", "bin", "split",
         )
     )

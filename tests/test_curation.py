@@ -114,8 +114,18 @@ def test_sample_topk_prunes_before_shuffle(spark):
     df = q_curation_sample_topk(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("WindowGroupLimit") == 2, plan
+    from clusterindices_spark.sources.fixtures import load_table
+
+    totals = {
+        r["lang"]: r["count"]
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .groupBy("lang")
+        .count()
+        .collect()
+    }
     per = {r["lang"]: r["count"] for r in df.groupBy("lang").count().collect()}
-    assert all(v <= TOPK_PER_STRATUM for v in per.values())
+    for lang, total in totals.items():
+        assert per.get(lang, 0) == min(total, TOPK_PER_STRATUM), (lang, per)
     # two runs agree row-for-row (deterministic reservoir)
     a = sorted(map(tuple, df.collect()))
     b = sorted(map(tuple, q_curation_sample_topk(spark, SF_SMOKE).collect()))
