@@ -106,6 +106,22 @@ def main():
         if not problems:
             sn = _rows(scols, [tuple(r) for r in srows])
             dn = _rows(dcols, drows)
+            # per-column Python-type signatures BEFORE the multiset compare:
+            # tuple equality is numeric (Decimal('25.0') == 25.0 is True), so
+            # a DuckDB Decimal/HUGEINT column sails through the exact path
+            # even though the driver's value hash distinguishes it
+            cols_sorted = sorted(scols)
+            for ci, cname in enumerate(cols_sorted):
+                st = {type(r[ci]).__name__ for r in sn if r[ci] is not None}
+                dt = {type(r[ci]).__name__ for r in dn if r[ci] is not None}
+                if st != dt:
+                    problems.append(
+                        f"TYPE {cname}: spark={sorted(st)} duck={sorted(dt)}"
+                    )
+            if problems:
+                print(f"FAIL  {k}: " + " | ".join(problems))
+                n_fail += 1
+                continue
             exact = sn == dn
             if not exact:
                 close = len(sn) == len(dn) and all(
