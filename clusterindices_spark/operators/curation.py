@@ -252,12 +252,52 @@ def q_curation_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mixture interleaving (stride scheduling): order a
+    multi-source corpus into one training stream where each source appears
+    in proportion to its mixture weight. Every document gets an
+    interleave key = rank-within-source × stride (stride ∝ 1/weight, as
+    integers so the arithmetic is exact in both engines); sorting the
+    stream by the key yields the weighted round-robin order.
+
+    Strides here: sources src0–4 every step (stride 1), src5–9 half rate
+    (2), the long tail quarter rate (4) — the upsample-head/downsample-tail
+    mixture shape. Scale: the per-source rank is a window with
+    WindowGroupLimit-free full output but partitioned by source (≤ |sources|
+    shuffle keys); no global window — consumers sort by the key, which a
+    distributed range sort handles at any scale."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    stride = (
+        F.when(src_num <= 4, F.lit(1))
+        .when(src_num <= 9, F.lit(2))
+        .otherwise(F.lit(4))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        rk.alias("rk"),
+        stride.alias("stride"),
+    ).withColumn(
+        "interleave_key",
+        (F.col("rk").cast("bigint") * F.col("stride").cast("bigint")),
+    )
+
+
 QUERIES = {
     "curation_split": q_curation_split,
     "curation_pack_greedy": q_curation_pack_greedy,
     "curation_pipeline": q_curation_pipeline,
     "curation_sample_stratified": q_curation_sample_stratified,
     "curation_sample_topk": q_curation_sample_topk,
+    "curation_mixture_interleave": q_curation_mixture_interleave,
 }
 
 
@@ -365,5 +405,21 @@ FROM (
   FROM documents
 )
 WHERE rk <= {TOPK_PER_STRATUM}
+""",
+    "curation_mixture_interleave": """
+WITH ranked AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+         ) AS INT) AS rk,
+         CAST(CASE WHEN CAST(substr(source, 4) AS INT) <= 4 THEN 1
+                   WHEN CAST(substr(source, 4) AS INT) <= 9 THEN 2
+                   ELSE 4 END AS INT) AS stride
+  FROM documents
+)
+SELECT doc_id, source, rk, stride,
+       CAST(rk AS BIGINT) * CAST(stride AS BIGINT) AS interleave_key
+FROM ranked
 """,
 }
