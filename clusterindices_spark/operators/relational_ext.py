@@ -507,7 +507,62 @@ def q_join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics parity suite: the corner where engines quietly
+    disagree. Fixtures ship no NULLs, so they are derived deterministically
+    (NULLIF on modular predicates), then the key NULL behaviors are
+    exercised in one result: grouping by a nullable key (the NULL group
+    must survive), COUNT(*) vs COUNT(col), null-skipping SUM/AVG, COALESCE,
+    and a null-safe-equality self-join (Spark eqNullSafe ≡ SQL IS NOT
+    DISTINCT FROM) counted per group on a bounded slice."""
+    o = load_table(spark, sf_dir, "orders")
+    k = F.nullif(F.col("o_orderkey") % 7, F.lit(3))
+    s = F.when(F.col("o_orderkey") % 5 == 0, F.lit(None)).otherwise(
+        F.col("o_orderstatus")
+    )
+    base = o.select(
+        "o_orderkey",
+        k.alias("k"),
+        s.alias("s"),
+        F.col("o_totalprice").alias("price"),
+    )
+    grouped = base.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("s").alias("n_s_nonnull"),
+        F.round(F.sum(F.col("price").cast("decimal(18,6)")).cast("double"), 6).alias(
+            "sum_price"
+        ),
+        F.countDistinct(F.coalesce("s", F.lit("<null>"))).alias(
+            "n_distinct_coalesced"
+        ),
+    )
+    # null-safe self-join on a bounded slice: NULL <=> NULL matches
+    small = base.where(F.col("o_orderkey") < 200).select(
+        F.col("o_orderkey").alias("ok_a"), F.col("k").alias("k_a")
+    )
+    small_b = base.where(F.col("o_orderkey") < 200).select(
+        F.col("o_orderkey").alias("ok_b"), F.col("k").alias("k_b")
+    )
+    ns = (
+        small.join(small_b, F.col("k_a").eqNullSafe(F.col("k_b")))
+        .groupBy(F.col("k_a").alias("k_ns"))
+        .agg(F.count(F.lit(1)).alias("n_nullsafe_pairs"))
+    )
+    # the re-join must itself be null-safe or the NULL group's row drops out
+    return grouped.join(
+        ns, F.col("k").eqNullSafe(F.col("k_ns")), "left"
+    ).select(
+        "k",
+        "n_rows",
+        "n_s_nonnull",
+        "sum_price",
+        "n_distinct_coalesced",
+        F.coalesce("n_nullsafe_pairs", F.lit(0)).alias("n_nullsafe_pairs"),
+    )
+
+
 QUERIES = {
+    "null_semantics": q_null_semantics,
     "join_interval_binned": q_join_interval_binned,
     "merge_upsert_cdc": q_merge_upsert_cdc,
     "agg_grouping_sets": q_agg_grouping_sets,
@@ -533,6 +588,35 @@ QUERIES = {
 _EV = "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events)"
 
 ORACLES = {
+    "null_semantics": """
+WITH base AS (
+  SELECT o_orderkey,
+         NULLIF(o_orderkey % 7, 3) AS k,
+         CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderstatus END AS s,
+         o_totalprice AS price
+  FROM orders
+),
+grouped AS (
+  SELECT k,
+         COUNT(*) AS n_rows,
+         COUNT(s) AS n_s_nonnull,
+         ROUND(CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE), 6)
+           AS sum_price,
+         COUNT(DISTINCT COALESCE(s, '<null>')) AS n_distinct_coalesced
+  FROM base GROUP BY k
+),
+ns AS (
+  SELECT a.k AS k_ns, COUNT(*) AS n_nullsafe_pairs
+  FROM (SELECT o_orderkey, k FROM base WHERE o_orderkey < 200) a
+  JOIN (SELECT o_orderkey, k FROM base WHERE o_orderkey < 200) b
+    ON a.k IS NOT DISTINCT FROM b.k
+  GROUP BY a.k
+)
+SELECT k, n_rows, CAST(n_s_nonnull AS BIGINT) AS n_s_nonnull, sum_price,
+       CAST(n_distinct_coalesced AS BIGINT) AS n_distinct_coalesced,
+       CAST(COALESCE(n_nullsafe_pairs, 0) AS BIGINT) AS n_nullsafe_pairs
+FROM grouped LEFT JOIN ns ON k IS NOT DISTINCT FROM k_ns
+""",
     # the oracle states the semantics directly (DuckDB's IEJoin plans raw
     # interval predicates natively; Spark needs the binning technique)
     "join_interval_binned": f"""
