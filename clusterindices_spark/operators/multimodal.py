@@ -192,10 +192,63 @@ def q_multimodal_audio_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_windows(with_binary_payload(d))
 
 
+RESIZE_SRC_W = 16  # fake-decoded image width (decoded units per row)
+RESIZE_OUT = 4  # output is RESIZE_OUT × RESIZE_OUT
+RESIZE_SCHEMA = "doc_id bigint, src_h int, pixels array<int>, checksum bigint"
+
+
+def resize_nearest(binary_df: DataFrame) -> DataFrame:
+    """Resize plumbing (the image-thumbnail shape): treat the decoded
+    payload as a row-major RESIZE_SRC_W-wide pixel grid (full rows only)
+    and nearest-neighbor downsample to RESIZE_OUT². All-integer index
+    arithmetic — out(r,c) = grid(r·H÷4, c·W÷4) — so the DuckDB oracle
+    replays it exactly; a real decoder would swap codepoints for pixel
+    values, the sampling logic is unchanged."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs, pix, cks = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                text = bytes(payload).decode("utf-8")
+                h = len(text) // RESIZE_SRC_W
+                if h < 1:
+                    continue  # too small to form one full row
+                out = []
+                for r in range(RESIZE_OUT):
+                    for c in range(RESIZE_OUT):
+                        idx = (
+                            (r * h) // RESIZE_OUT * RESIZE_SRC_W
+                            + (c * RESIZE_SRC_W) // RESIZE_OUT
+                        )
+                        out.append(ord(text[idx]))
+                ids.append(doc_id)
+                hs.append(h)
+                pix.append(out)
+                cks.append(sum(out))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "src_h": pd.Series(hs, dtype="int32"),
+                    "pixels": pd.Series(pix, dtype="object"),
+                    "checksum": pd.Series(cks, dtype="int64"),
+                }
+            )
+
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        _resize, schema=RESIZE_SCHEMA
+    )
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return resize_nearest(with_binary_payload(d))
+
+
 QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_audio_window": q_multimodal_audio_window,
+    "multimodal_resize": q_multimodal_resize,
 }
 
 # first_byte is the first UTF-8 *byte*, not the first codepoint (they only
@@ -262,4 +315,25 @@ SELECT doc_id,
             AS BIGINT) AS energy,
        CAST(COALESCE(list_max(codes), 0) AS INT) AS peak
 FROM seg
+"""
+
+ORACLES["multimodal_resize"] = f"""
+WITH g AS (
+  SELECT doc_id, text, length(text) // {RESIZE_SRC_W} AS h
+  FROM documents
+  WHERE length(text) // {RESIZE_SRC_W} >= 1
+),
+px AS (
+  SELECT doc_id, CAST(h AS INT) AS src_h,
+         list_transform(range({RESIZE_OUT * RESIZE_OUT}),
+           k -> CAST(unicode(substr(text,
+                  CAST(((k // {RESIZE_OUT}) * h) // {RESIZE_OUT}
+                       * {RESIZE_SRC_W}
+                       + ((k % {RESIZE_OUT}) * {RESIZE_SRC_W})
+                         // {RESIZE_OUT} AS INT) + 1, 1)) AS INT)) AS pixels
+  FROM g
+)
+SELECT doc_id, src_h, pixels,
+       CAST(list_sum(pixels) AS BIGINT) AS checksum
+FROM px
 """
