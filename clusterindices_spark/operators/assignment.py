@@ -86,10 +86,94 @@ def q_cluster_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def external_agreement(cont: DataFrame) -> DataFrame:
+    """ARI + NMI + Cramér's V from a (cluster, label, n) contingency table —
+    the standard external-agreement trio over the same K×L counts χ² uses.
+
+    - ARI (Hubert–Arabie): pair-counting index from ΣC(n_ij,2) and the
+      marginal pair sums; every pair count is an exact BIGINT, only the
+      final ratio is floating.
+    - NMI (sqrt normalization): MI = (Σ n·ln n over cells − rows − cols
+      + N·ln N)/N, H from the marginals — the n·ln n formulation keeps
+      every term a function of an integer count, so both engines feed ln
+      identical arguments.
+    - Cramér's V via χ² = N·(Σ n_ij²/(a_i·b_j) − 1): the sum form needs no
+      zero-cell grid (empty cells contribute nothing), unlike the (O−E)²/E
+      grid in q_cluster_chi2.
+
+    Scale: cont is K×L ≤ ~100 rows; marginals broadcast; all math is one
+    tiny agg + a 1-row cross-join — driver-scale kept distributed for
+    shape consistency with the rest of the suite.
+    """
+    row_tot = cont.groupBy("cluster").agg(F.sum("n").alias("a"))
+    col_tot = cont.groupBy("label").agg(F.sum("n").alias("b"))
+    cells = (
+        cont.join(F.broadcast(row_tot), "cluster")
+        .join(F.broadcast(col_tot), "label")
+        .agg(
+            F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("bigint").alias("pc"),
+            F.sum(F.col("n").cast("double") * F.log(F.col("n").cast("double"))).alias(
+                "nln_c"
+            ),
+            F.sum(
+                (F.col("n") * F.col("n")).cast("double")
+                / (F.col("a") * F.col("b")).cast("double")
+            ).alias("nsq_ab"),
+        )
+    )
+    rows_m = row_tot.agg(
+        F.sum(F.col("a") * (F.col("a") - 1) / 2).cast("bigint").alias("pr"),
+        F.sum(F.col("a").cast("double") * F.log(F.col("a").cast("double"))).alias(
+            "nln_r"
+        ),
+        F.sum("a").cast("bigint").alias("n_points"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    cols_m = col_tot.agg(
+        F.sum(F.col("b") * (F.col("b") - 1) / 2).cast("bigint").alias("pl"),
+        F.sum(F.col("b").cast("double") * F.log(F.col("b").cast("double"))).alias(
+            "nln_l"
+        ),
+        F.count(F.lit(1)).alias("l"),
+    )
+    j = cells.join(F.broadcast(rows_m)).join(F.broadcast(cols_m))
+    n = F.col("n_points").cast("double")
+    exp_idx = (
+        F.col("pr").cast("double") * F.col("pl").cast("double") / (n * (n - 1) / 2)
+    )
+    max_idx = (F.col("pr") + F.col("pl")).cast("double") / 2
+    mi = (F.col("nln_c") - F.col("nln_r") - F.col("nln_l")) / n + F.log(n)
+    h_c = F.log(n) - F.col("nln_r") / n
+    h_l = F.log(n) - F.col("nln_l") / n
+    return j.select(
+        F.round(
+            (F.col("pc").cast("double") - exp_idx)
+            / F.nullif(max_idx - exp_idx, F.lit(0.0)),
+            6,
+        ).alias("ari"),
+        F.round(mi / F.nullif(F.sqrt(h_c * h_l), F.lit(0.0)), 6).alias("nmi"),
+        F.round(
+            F.sqrt(
+                (F.col("nsq_ab") - 1)
+                / F.least(F.col("k") - 1, F.col("l") - 1).cast("double")
+            ),
+            6,
+        ).alias("cramers_v"),
+        F.col("n_points"),
+    )
+
+
+def q_cluster_external_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 external-validation depth beyond χ²: ARI, NMI, Cramér's V of
+    assigned cluster × true label."""
+    return external_agreement(q_cluster_label_contingency(spark, sf_dir))
+
+
 QUERIES = {
     "assign_nearest_centroid": q_assign_nearest_centroid,
     "cluster_label_contingency": q_cluster_label_contingency,
     "cluster_chi2": q_cluster_chi2,
+    "cluster_external_agreement": q_cluster_external_agreement,
 }
 
 _PC = """
@@ -147,5 +231,50 @@ SELECT ROUND(SUM((obs - exp) * (obs - exp) / exp), 6) AS chi2,
        CAST((COUNT(DISTINCT cluster) - 1) * (COUNT(DISTINCT label) - 1) AS BIGINT) AS dof,
        CAST(SUM(obs) AS BIGINT) AS n_points
 FROM grid
+""",
+    "cluster_external_agreement": _PC
+    + """
+, cont AS (
+  SELECT a.assigned_cluster AS cluster, a.cluster AS label, COUNT(*) AS n
+  FROM assigned a GROUP BY a.assigned_cluster, a.cluster
+),
+row_tot AS (SELECT cluster, SUM(n) AS a FROM cont GROUP BY cluster),
+col_tot AS (SELECT label, SUM(n) AS b FROM cont GROUP BY label),
+cells AS (
+  SELECT CAST(SUM(o.n * (o.n - 1) / 2) AS BIGINT) AS pc,
+         SUM(CAST(o.n AS DOUBLE) * ln(CAST(o.n AS DOUBLE))) AS nln_c,
+         SUM(CAST(o.n * o.n AS DOUBLE) / CAST(r.a * c.b AS DOUBLE)) AS nsq_ab
+  FROM cont o
+  JOIN row_tot r USING (cluster)
+  JOIN col_tot c USING (label)
+),
+rows_m AS (
+  SELECT CAST(SUM(a * (a - 1) / 2) AS BIGINT) AS pr,
+         SUM(CAST(a AS DOUBLE) * ln(CAST(a AS DOUBLE))) AS nln_r,
+         CAST(SUM(a) AS BIGINT) AS n_points,
+         COUNT(*) AS k
+  FROM row_tot
+),
+cols_m AS (
+  SELECT CAST(SUM(b * (b - 1) / 2) AS BIGINT) AS pl,
+         SUM(CAST(b AS DOUBLE) * ln(CAST(b AS DOUBLE))) AS nln_l,
+         COUNT(*) AS l
+  FROM col_tot
+)
+SELECT
+  ROUND((CAST(pc AS DOUBLE)
+         - CAST(pr AS DOUBLE) * CAST(pl AS DOUBLE)
+           / (CAST(n_points AS DOUBLE) * (n_points - 1) / 2))
+        / NULLIF(CAST(pr + pl AS DOUBLE) / 2
+                 - CAST(pr AS DOUBLE) * CAST(pl AS DOUBLE)
+                   / (CAST(n_points AS DOUBLE) * (n_points - 1) / 2), 0.0),
+        6) AS ari,
+  ROUND(((nln_c - nln_r - nln_l) / n_points + ln(CAST(n_points AS DOUBLE)))
+        / NULLIF(sqrt((ln(CAST(n_points AS DOUBLE)) - nln_r / n_points)
+                      * (ln(CAST(n_points AS DOUBLE)) - nln_l / n_points)), 0.0),
+        6) AS nmi,
+  ROUND(sqrt((nsq_ab - 1) / CAST(least(k - 1, l - 1) AS DOUBLE)), 6) AS cramers_v,
+  n_points
+FROM cells, rows_m, cols_m
 """,
 }

@@ -232,3 +232,58 @@ def test_silhouette_sqeuclid_matches_mllib(spark):
         distanceMeasure="squaredEuclidean",
     ).evaluate(ml_df)
     assert ours == pytest.approx(theirs, abs=1e-5)
+
+
+def _cont(spark, rows):
+    return spark.createDataFrame(rows, "cluster INT, label INT, n BIGINT")
+
+
+def test_external_agreement_perfect(spark):
+    """Identical partitions → ARI = NMI = 1 and V = 1 (diagonal table)."""
+    from clusterindices_spark.operators.assignment import external_agreement
+
+    row = external_agreement(
+        _cont(spark, [(0, 0, 30), (1, 1, 20), (2, 2, 50)])
+    ).collect()[0]
+    assert row["ari"] == pytest.approx(1.0, abs=1e-6)
+    assert row["nmi"] == pytest.approx(1.0, abs=1e-6)
+    assert row["cramers_v"] == pytest.approx(1.0, abs=1e-6)
+    assert row["n_points"] == 100
+
+
+def test_external_agreement_independent(spark):
+    """Counts exactly proportional to the marginal product (statistical
+    independence) → NMI = 0 and V = 0 exactly; ARI is slightly NEGATIVE
+    (its expectation is taken over the permutation null, not the
+    independence table itself) — asserted against the hand formula."""
+    from clusterindices_spark.operators.assignment import external_agreement
+
+    # rows 60/40, cols 50/50, every cell = row*col/N
+    row = external_agreement(
+        _cont(spark, [(0, 0, 30), (0, 1, 30), (1, 0, 20), (1, 1, 20)])
+    ).collect()[0]
+    pc = 435 * 2 + 190 * 2  # C(30,2)·2 + C(20,2)·2
+    pr, pl, c2n = 1770 + 780, 1225 * 2, 4950.0
+    exp = pr * pl / c2n
+    assert row["ari"] == pytest.approx((pc - exp) / ((pr + pl) / 2 - exp), abs=1e-6)
+    assert row["ari"] < 0
+    assert row["nmi"] == pytest.approx(0.0, abs=1e-6)
+    assert row["cramers_v"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_external_agreement_hand_ari(spark):
+    """Hand-computed Hubert–Arabie ARI on the classic 2×2 example."""
+    from clusterindices_spark.operators.assignment import external_agreement
+
+    # contingency [[10, 2], [3, 15]]: N=30
+    row = external_agreement(
+        _cont(spark, [(0, 0, 10), (0, 1, 2), (1, 0, 3), (1, 1, 15)])
+    ).collect()[0]
+    pc = 45 + 1 + 3 + 105  # C(10,2)+C(2,2? no: C(2,2)... see below
+    # C(10,2)=45, C(2,2)=1, C(3,2)=3, C(15,2)=105 -> 154
+    pr = 66 + 153  # C(12,2)+C(18,2)
+    pl = 78 + 136  # C(13,2)+C(17,2)
+    c2n = 435.0  # C(30,2)
+    exp = pr * pl / c2n
+    ari = (154 - exp) / ((pr + pl) / 2 - exp)
+    assert row["ari"] == pytest.approx(ari, abs=1e-6)
