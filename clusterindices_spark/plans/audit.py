@@ -245,6 +245,14 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
 }
 
 
+def formatted_plan(df) -> str:
+    """The EXPLAIN FORMATTED string for a DataFrame (pre-execution physical
+    plan incl. optimizer-injected runtime-filter subqueries)."""
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
 def audit_one(spark: SparkSession, name: str, sf_dir: str) -> list[str]:
     from clusterindices_spark.registry import all_queries
 
