@@ -519,6 +519,59 @@ def q_index_suite_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index_suite_ext_of(labeled_points(spark, sf_dir))
 
 
+def ratkowsky_lance_of(pts: DataFrame) -> DataFrame:
+    """Ratkowsky–Lance index (Ratkowsky & Lance 1978): per dimension j,
+    BGSS_j = Σ_k n_k (c_kj − m_j)² and TSS_j = Σ_i (x_ij − m_j)²; with
+    c̄² = (1/p) Σ_j BGSS_j/TSS_j the index is c̄ / √K. (The literature
+    also carries a mean-of-sqrt variant; this module pins the
+    sqrt-of-mean form used by the NbClust/clusterCrit tradition, and the
+    DuckDB oracle encodes the identical formula.) Larger is better; the
+    1/√K penalty is what turns it into a K-selection criterion.
+
+    Scale: same shuffle topology as centroids_of — one posexplode pass,
+    groupBy(cluster, dim) and groupBy(dim) with map-side partial aggs
+    (K·p and p groups), global centroid broadcast back over both; every
+    post-agg step is p-scale arithmetic."""
+    dimvals = pts.select("cluster", F.posexplode("x").alias("dim", "val"))
+    gcent = dimvals.groupBy("dim").agg(F.avg("val").alias("gm"))
+    cent = dimvals.groupBy("cluster", "dim").agg(
+        F.avg("val").alias("m"), F.count(F.lit(1)).alias("n_i")
+    )
+    cdiff = F.col("m") - F.col("gm")
+    bgss = (
+        cent.join(F.broadcast(gcent), "dim")
+        .groupBy("dim")
+        .agg(
+            F.sum(F.col("n_i") * cdiff * cdiff).alias("bgss"),
+            F.count(F.lit(1)).alias("k"),
+        )
+    )
+    vdiff = F.col("val") - F.col("gm")
+    tss = (
+        dimvals.join(F.broadcast(gcent), "dim")
+        .groupBy("dim")
+        .agg(F.sum(vdiff * vdiff).alias("tss"))
+    )
+    # BGSS_j ≤ TSS_j mathematically; the greatest() guards ulp-negative
+    # ratios on dimensions with no between-cluster structure
+    ratio = F.greatest(
+        F.col("bgss") / F.nullif(F.col("tss"), F.lit(0.0)), F.lit(0.0)
+    )
+    return (
+        bgss.join(tss, "dim")
+        .agg(
+            F.round(F.sqrt(F.avg(ratio) / F.max("k")), 6).alias(
+                "ratkowsky_lance"
+            ),
+            F.max("k").alias("k"),
+        )
+    )
+
+
+def q_ratkowsky_lance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ratkowsky_lance_of(labeled_points(spark, sf_dir))
+
+
 QUERIES = {
     "centroids_by_label": q_centroids_by_label,
     "intra_cluster_stats": q_intra_cluster_stats,
@@ -533,6 +586,7 @@ QUERIES = {
     "silhouette_sqeuclid": q_silhouette_sqeuclid,
     "silhouette_exact": q_silhouette_exact,
     "index_suite_ext": q_index_suite_ext,
+    "ratkowsky_lance": q_ratkowsky_lance,
 }
 
 # ---------------------------------------------------------------------------
@@ -737,5 +791,24 @@ SELECT (SELECT COUNT(*) FROM nn) AS k,
             FROM cent c JOIN gcent g USING (dim) GROUP BY c.cl
          ) t JOIN nn USING (cl))
          / NULLIF((SELECT SUM(d2_own) FROM pp), 0.0)), 6) AS log_ss_ratio
+""",
+    "ratkowsky_lance": _PREFIX
+    + """
+, rk_b AS (
+  SELECT c.dim,
+         SUM(n.n_i * (c.m - g.gm) * (c.m - g.gm)) AS bgss,
+         COUNT(*) AS k
+  FROM cent c JOIN gcent g USING (dim) JOIN nn n USING (cl)
+  GROUP BY c.dim
+),
+rk_t AS (
+  SELECT d.dim, SUM((d.val - g.gm) * (d.val - g.gm)) AS tss
+  FROM dimvals d JOIN gcent g USING (dim)
+  GROUP BY d.dim
+)
+SELECT ROUND(SQRT(AVG(GREATEST(bgss / NULLIF(tss, 0.0), 0.0)) / MAX(k)), 6)
+         AS ratkowsky_lance,
+       MAX(k) AS k
+FROM rk_b JOIN rk_t USING (dim)
 """,
 }

@@ -287,3 +287,24 @@ def test_external_agreement_hand_ari(spark):
     exp = pr * pl / c2n
     ari = (154 - exp) / ((pr + pl) / 2 - exp)
     assert row["ari"] == pytest.approx(ari, abs=1e-6)
+
+
+def test_ratkowsky_lance_hand_value(spark):
+    """1-D hand case duplicated into 2 dims: clusters {0,2} and {10,12} →
+    per dim gm=6, BGSS=100, TSS=104, R = sqrt((100/104)/2)."""
+    from clusterindices_spark.operators.indices import ratkowsky_lance_of
+
+    rows = [
+        (0, 0, [0.0, 0.0]),
+        (1, 0, [2.0, 2.0]),
+        (2, 1, [10.0, 10.0]),
+        (3, 1, [12.0, 12.0]),
+    ]
+    pts = spark.createDataFrame(
+        rows, "vec_id BIGINT, cluster INT, x ARRAY<DOUBLE>"
+    )
+    row = ratkowsky_lance_of(pts).collect()[0]
+    assert row["k"] == 2
+    assert row["ratkowsky_lance"] == pytest.approx(
+        math.sqrt((100.0 / 104.0) / 2.0), abs=1e-6
+    )
