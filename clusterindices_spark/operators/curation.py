@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from clusterindices_spark.functions.aggregates import SQL_ROUND6
-from clusterindices_spark.functions.text import SQL_TOKENS, tokens
+from clusterindices_spark.functions.text import SQL_SHINGLES3, SQL_TOKENS, tokens
 from clusterindices_spark.sources.fixtures import load_table
 
 # train share = 243/256 ≈ 94.9%: folds are hex-string prefix ranges so both
@@ -291,6 +291,54 @@ def q_curation_mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# eval set = docs whose md5(doc_id) starts with '0' (1/16 of the corpus) —
+# a deterministic stand-in for a held-out benchmark suite
+DECON_EVAL_PREFIX = "0"
+
+
+def decontaminate(d: DataFrame) -> DataFrame:
+    """Eval-set decontamination: flag training documents that share ANY word
+    3-gram shingle with the held-out eval set (the n-gram-overlap
+    contamination check run before training on scraped corpora; 13-grams in
+    the GPT-3/PaLM write-ups — 3-grams here because fixture docs are short).
+
+    Input: (doc_id, toks, is_eval). Output: (doc_id, n_shared_shingles) for
+    every CONTAMINATED training doc — the scrub step is then an anti-join
+    of the corpus against this frame.
+
+    Scale: the eval side (a benchmark suite) is tiny next to the corpus, so
+    its distinct-shingle set BROADCASTS — the corpus-side scan streams past
+    it with no shuffle; the per-doc count then shuffles only the matching
+    (doc, shingle) pairs by doc_id. If the eval set ever outgrows broadcast,
+    drop to an equi-join keyed by shingle hash (same plan as
+    dedup_ngram_jaccard's candidate stage, stop-shingle cap included).
+    """
+    sh = d.select(
+        "doc_id", "is_eval", F.explode(F.col("shingles")).alias("sh")
+    )
+    ev = sh.where(F.col("is_eval")).select("sh").distinct()
+    return (
+        sh.where(~F.col("is_eval"))
+        .join(F.broadcast(ev), "sh")
+        .groupBy("doc_id")
+        .agg(F.count_distinct(F.col("sh")).alias("n_shared_shingles"))
+    )
+
+
+def q_curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clusterindices_spark.functions.text import shingles3
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        shingles3(tokens(F.col("text"))).alias("shingles"),
+        (
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+            == DECON_EVAL_PREFIX
+        ).alias("is_eval"),
+    )
+    return decontaminate(d)
+
+
 QUERIES = {
     "curation_split": q_curation_split,
     "curation_pack_greedy": q_curation_pack_greedy,
@@ -298,6 +346,7 @@ QUERIES = {
     "curation_sample_stratified": q_curation_sample_stratified,
     "curation_sample_topk": q_curation_sample_topk,
     "curation_mixture_interleave": q_curation_mixture_interleave,
+    "curation_decontaminate": q_curation_decontaminate,
 }
 
 
@@ -333,6 +382,23 @@ SELECT doc_id,
        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{TRAIN_BUCKET_MAX}'
             THEN 'train' ELSE 'val' END AS split
 FROM documents
+""",
+    "curation_decontaminate": f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '{DECON_EVAL_PREFIX}'
+           AS is_eval
+  FROM documents
+),
+s AS (
+  SELECT doc_id, is_eval, unnest({SQL_SHINGLES3.format(toks="toks")}) AS sh
+  FROM t
+),
+ev AS (SELECT DISTINCT sh FROM s WHERE is_eval)
+SELECT doc_id, COUNT(DISTINCT sh) AS n_shared_shingles
+FROM s JOIN ev USING (sh)
+WHERE NOT is_eval
+GROUP BY doc_id
 """,
     "curation_pack_greedy": f"""
 WITH RECURSIVE toks AS (

@@ -236,6 +236,61 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals per document (the Gopher/MassiveText
+    rule family: heavily repetitious documents are low-quality training
+    data): duplicate-token fraction (1 − distinct/total), most-frequent-token
+    share, and duplicate word-2-gram fraction.
+
+    Determinism: each ratio is ONE division of two integers, identical in
+    both engines; 6dp via round6_stable (floor form) because n-token
+    denominators that are high powers of two land ratios exactly on
+    .xxxxxx5 half-boundaries where ROUND conventions differ.
+
+    Scale: the fraction columns are pure scan-side HOF work (zero shuffle);
+    the top-token share is one explode + (doc_id, tok) count with map-side
+    combine — shuffle keyed by the same doc_id the final agg reuses."""
+    from clusterindices_spark.functions.aggregates import round6_stable
+
+    d = _with_tokens(load_table(spark, sf_dir, "documents"))
+    n = F.size("toks")
+    n2 = F.greatest(n - 1, F.lit(0))
+    z = F.arrays_zip(
+        F.slice("toks", 1, n2).alias("w1"), F.slice("toks", 2, n2).alias("w2")
+    )
+    grams = F.transform(z, lambda s: F.concat_ws(" ", s["w1"], s["w2"]))
+    base = d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("nd"),
+        n2.alias("n_2g"),
+        F.size(F.array_distinct(grams)).alias("nd2"),
+    )
+    ex = d.select("doc_id", F.explode("toks").alias("tok"))
+    top = (
+        ex.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    frac = lambda num, den: F.when(  # noqa: E731
+        den > 0, round6_stable(num.cast("double") / den)
+    ).otherwise(F.lit(0.0))
+    return base.join(top, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        frac(F.col("n_tokens") - F.col("nd"), F.col("n_tokens")).alias(
+            "dup_token_frac"
+        ),
+        frac(F.coalesce(F.col("top_c"), F.lit(0)), F.col("n_tokens")).alias(
+            "top_token_share"
+        ),
+        frac(F.col("n_2g") - F.col("nd2"), F.col("n_2g")).alias(
+            "dup_2gram_frac"
+        ),
+    )
+
+
 QUERIES = {
     "text_tokens_stats": q_text_tokens_stats,
     "text_tfidf_topterms": q_text_tfidf_topterms,
@@ -245,11 +300,17 @@ QUERIES = {
     "text_token_count": q_text_token_count,
     "text_scrub_blocklist": q_text_scrub_blocklist,
     "text_unigram_logprob": q_text_unigram_logprob,
+    "text_repetition_stats": q_text_repetition_stats,
 }
 
 _TOKS = SQL_TOKENS.format(col="text")
 _R6_AVG = SQL_ROUND6.format(x="(sum_len / NULLIF(n_tokens, 0))")
 _R6_STOP = SQL_ROUND6.format(x="(n_stop / NULLIF(n_tokens, 0))")
+
+
+_R6_DUPTOK = SQL_ROUND6.format(x="(CAST(n_tokens - nd AS DOUBLE) / n_tokens)")
+_R6_TOPSHARE = SQL_ROUND6.format(x="(CAST(COALESCE(top_c, 0) AS DOUBLE) / n_tokens)")
+_R6_DUP2G = SQL_ROUND6.format(x="(CAST(n_2g - nd2 AS DOUBLE) / n_2g)")
 
 
 def _sql_markers(lang: str) -> str:
@@ -342,6 +403,26 @@ SELECT doc_id,
             t -> t NOT IN ({", ".join(f"'{b}'" for b in BLOCKLIST)})), ' ')
          AS clean_text
 FROM t
+""",
+    "text_repetition_stats": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id, toks,
+       list_transform(range(greatest(len(toks) - 1, 0)),
+                      i -> toks[i+1] || ' ' || toks[i+2]) AS g2
+      FROM t),
+base AS (SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS nd,
+                len(g2) AS n_2g, len(list_distinct(g2)) AS nd2
+         FROM g),
+ex AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+top AS (SELECT doc_id, MAX(c) AS top_c FROM
+        (SELECT doc_id, tok, COUNT(*) AS c FROM ex GROUP BY doc_id, tok)
+        GROUP BY doc_id)
+SELECT b.doc_id,
+       CAST(n_tokens AS INT) AS n_tokens,
+       CASE WHEN n_tokens > 0 THEN {_R6_DUPTOK} ELSE 0.0 END AS dup_token_frac,
+       CASE WHEN n_tokens > 0 THEN {_R6_TOPSHARE} ELSE 0.0 END AS top_token_share,
+       CASE WHEN n_2g > 0 THEN {_R6_DUP2G} ELSE 0.0 END AS dup_2gram_frac
+FROM base b LEFT JOIN top USING (doc_id)
 """,
     "text_unigram_logprob": f"""
 WITH ex AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),

@@ -130,3 +130,54 @@ def test_sample_topk_prunes_before_shuffle(spark):
     a = sorted(map(tuple, df.collect()))
     b = sorted(map(tuple, q_curation_sample_topk(spark, SF_SMOKE).collect()))
     assert a == b
+
+
+def test_decontaminate_planted(spark):
+    """A train doc sharing a 3-gram with the eval doc is flagged with the
+    right overlap count; a disjoint train doc is not flagged."""
+    from pyspark.sql import functions as F
+
+    from clusterindices_spark.functions.text import shingles3, tokens
+    from clusterindices_spark.operators.curation import decontaminate
+
+    rows = [
+        (1, "alpha beta gamma delta", True),   # eval: shingles {a b g, b g d}
+        (2, "zz alpha beta gamma yy", False),  # shares "alpha beta gamma"
+        (3, "one two three four", False),      # disjoint
+        (4, "alpha beta gamma delta", False),  # shares both eval shingles
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, is_eval BOOLEAN"
+    ).select(
+        "doc_id", shingles3(tokens(F.col("text"))).alias("shingles"), "is_eval"
+    )
+    got = {r["doc_id"]: r["n_shared_shingles"] for r in decontaminate(d).collect()}
+    assert got == {2: 1, 4: 2}
+
+
+def test_repetition_stats_hand(spark, tmp_path):
+    """Hand-checked fractions on a fully repetitious vs an all-distinct doc."""
+    import pytest as pt
+
+    from clusterindices_spark.operators.textops import q_text_repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam", "en", "s", 19),
+            (2, "all words are different", "en", "s", 23),
+        ],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    path = str(tmp_path / "docs")
+    docs.write.parquet(path + "/documents.parquet")
+    got = {
+        r["doc_id"]: r for r in q_text_repetition_stats(spark, path).collect()
+    }
+    r1, r2 = got[1], got[2]
+    assert r1["n_tokens"] == 4
+    assert r1["dup_token_frac"] == pt.approx(0.75)      # 1 distinct of 4
+    assert r1["top_token_share"] == pt.approx(1.0)
+    assert r1["dup_2gram_frac"] == pt.approx(2.0 / 3.0, abs=1e-6)
+    assert r2["dup_token_frac"] == pt.approx(0.0)
+    assert r2["top_token_share"] == pt.approx(0.25)
+    assert r2["dup_2gram_frac"] == pt.approx(0.0)
