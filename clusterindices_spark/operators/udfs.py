@@ -10,6 +10,7 @@ can't express (model inference, scipy stats, tokenizers):
 - scalar ``pandas_udf``   — Arrow-vectorized per-row math (embedding scoring)
 - grouped-agg ``pandas_udf`` — one scalar per group (median, trimmed stats)
 - Python UDTF (Spark 4.x) — one input row → many output rows (sentence split)
+- cogrouped-map ``applyInPandas`` — two keyed inputs per call (as-of merge)
 
 Each demo is deliberately SQL-expressible so the Arrow plumbing itself is
 oracle-checked bit-exact; a real model-scoring UDF swaps the body, not the
@@ -137,10 +138,71 @@ def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ASOF_SCHEMA = (
+    "user_id bigint, purchase_id bigint, purchase_ms bigint, "
+    "click_id bigint, click_ms bigint"
+)
+
+
+def _attach_clicks(purch: pd.DataFrame, clk: pd.DataFrame) -> pd.DataFrame:
+    """Per-user as-of attribution via pandas.merge_asof. Tie-break: both
+    frames sorted by (ms, event_id) and merge_asof takes the LAST right row
+    with click_ms ≤ purchase_ms, i.e. max click_ms then max click_id —
+    exactly the oracle's ORDER BY click_ms DESC, click_id DESC."""
+    cols = ["user_id", "purchase_id", "purchase_ms", "click_id", "click_ms"]
+    if purch.empty:
+        return pd.DataFrame({c: pd.Series([], dtype="Int64") for c in cols})
+    p = purch.sort_values(["ms", "event_id"]).rename(
+        columns={"event_id": "purchase_id", "ms": "purchase_ms"}
+    )
+    if clk.empty:
+        p["click_id"] = pd.Series([pd.NA] * len(p), dtype="Int64")
+        p["click_ms"] = pd.Series([pd.NA] * len(p), dtype="Int64")
+        return p[cols]
+    c = (
+        clk.sort_values(["ms", "event_id"])
+        .rename(columns={"event_id": "click_id", "ms": "click_ms"})
+        .drop(columns=["user_id"])
+    )
+    out = pd.merge_asof(
+        p, c, left_on="purchase_ms", right_on="click_ms", direction="backward"
+    )
+    out["click_id"] = out["click_id"].astype("Int64")
+    out["click_ms"] = out["click_ms"].astype("Int64")
+    return out[cols]
+
+
+def q_udf_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map ``applyInPandas`` — the fourth Pandas API tier (two
+    keyed inputs, one pandas call per key): attribute every purchase to the
+    user's latest click at-or-before it. Same attribution semantics as the
+    DataFrame-native join_asof / stream_join_clicks family, so the cogroup
+    Arrow plumbing itself is oracle-checked bit-exact (ms-grain timestamps:
+    events.ts is ns parquet — unix_millis ↔ epoch_ms is the portable grain).
+
+    Scale: cogroup shuffles BOTH sides once, partitioned by user_id, and
+    hands each key's two frames to one task — memory bounds by the largest
+    single key (not partition), and the per-key merge is O(n log n)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_millis("ts").alias("ms"),
+        "event_type",
+    )
+    purchases = e.where(F.col("event_type") == "purchase").drop("event_type")
+    clicks = e.where(F.col("event_type") == "click").drop("event_type")
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(_attach_clicks, _ASOF_SCHEMA)
+    )
+
+
 QUERIES = {
     "udf_scalar_cosine": q_udf_scalar_cosine,
     "udf_grouped_agg_median": q_udf_grouped_agg_median,
     "udtf_sentences": q_udtf_sentences,
+    "udf_cogrouped_asof": q_udf_cogrouped_asof,
 }
 
 ORACLES = {
@@ -178,5 +240,21 @@ SELECT doc_id,
        CAST(len(list_filter(regexp_split_to_array(unnest(ss), '\s+'), t -> t <> ''))
             AS INT) AS n_tokens
 FROM sents
+""",
+    "udf_cogrouped_asof": """
+WITH e AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type FROM events
+),
+p AS (SELECT user_id, event_id AS purchase_id, ms AS purchase_ms
+      FROM e WHERE event_type = 'purchase'),
+c AS (SELECT user_id, event_id AS click_id, ms AS click_ms
+      FROM e WHERE event_type = 'click')
+SELECT user_id, purchase_id, purchase_ms, click_id, click_ms FROM (
+  SELECT p.user_id, p.purchase_id, p.purchase_ms, c.click_id, c.click_ms,
+         row_number() OVER (PARTITION BY p.user_id, p.purchase_id
+                            ORDER BY c.click_ms DESC, c.click_id DESC) AS rn
+  FROM p LEFT JOIN c
+    ON c.user_id = p.user_id AND c.click_ms <= p.purchase_ms
+) WHERE rn = 1
 """,
 }

@@ -101,3 +101,63 @@ def test_udtf_sentences_shape_and_counts(spark):
         assert idx.count() == n_docs_with_text
     finally:
         out.unpersist()
+
+
+def test_cogrouped_asof_matches_dataframe_native(spark):
+    """The cogroup/merge_asof path must agree row-for-row with an
+    independent DataFrame-native formulation (join + max_by)."""
+    from pyspark.sql import functions as F
+
+    from clusterindices_spark.operators.udfs import q_udf_cogrouped_asof
+    from clusterindices_spark.sources.fixtures import load_table
+
+    got = sorted(map(tuple, q_udf_cogrouped_asof(spark, SF_SMOKE).collect()))
+
+    e = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "event_id", F.unix_millis("ts").alias("ms"), "event_type"
+    )
+    p = e.where(F.col("event_type") == "purchase")
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("event_id").alias("click_id"),
+        F.col("ms").alias("click_ms"),
+    )
+    native = (
+        p.join(c, (p.user_id == c.cu) & (c.click_ms <= p.ms), "left")
+        .groupBy("user_id", "event_id", "ms")
+        .agg(
+            F.max_by(
+                F.struct("click_id", "click_ms"),
+                F.struct("click_ms", "click_id"),
+            ).alias("s")
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ms").alias("purchase_ms"),
+            F.col("s.click_id").alias("click_id"),
+            F.col("s.click_ms").alias("click_ms"),
+        )
+    )
+    assert got == sorted(map(tuple, native.collect()))
+
+
+def test_cogrouped_asof_edge_keys(spark):
+    """Users present on only one side: clicks-only users emit nothing;
+    purchases-only users emit NULL attribution; equal-ts tie → max click_id."""
+    from clusterindices_spark.operators.udfs import _ASOF_SCHEMA, _attach_clicks
+
+    rows_p = [(1, 10, 1000), (2, 20, 2000)]
+    rows_c = [(1, 5, 1000), (1, 6, 1000), (3, 7, 500)]
+    p = spark.createDataFrame(rows_p, "user_id BIGINT, event_id BIGINT, ms BIGINT")
+    c = spark.createDataFrame(rows_c, "user_id BIGINT, event_id BIGINT, ms BIGINT")
+    out = {
+        r["purchase_id"]: r
+        for r in p.groupBy("user_id")
+        .cogroup(c.groupBy("user_id"))
+        .applyInPandas(_attach_clicks, _ASOF_SCHEMA)
+        .collect()
+    }
+    assert set(out) == {10, 20}
+    assert out[10]["click_id"] == 6  # tie on ms=1000 → larger event_id
+    assert out[20]["click_id"] is None  # user 2 has no clicks
