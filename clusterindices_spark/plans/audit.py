@@ -236,6 +236,33 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "require": ["Broadcast", "partial"],
         "forbid": ["CartesianProduct", "SortMergeJoin"],
     },
+    "cluster_external_agreement": {
+        # marginals broadcast back over the K×L contingency
+        "require": ["Broadcast"],
+        "forbid": ["SortMergeJoin"],
+    },
+    "ratkowsky_lance": {
+        # per-dim stats partial-agg'd; global centroid broadcast back
+        "require": ["Broadcast", "partial"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "text_repetition_stats": {
+        # fraction columns scan-side; the only shuffle is the (doc,tok)
+        # count with map-side combine
+        "require": ["partial"],
+        "forbid": ["CartesianProduct"],
+    },
+    "curation_decontaminate": {
+        # eval shingle set must BROADCAST — the corpus side never shuffles
+        # for the probe
+        "require": ["BroadcastHashJoin"],
+        "forbid": ["SortMergeJoin", "CartesianProduct"],
+    },
+    "udf_cogrouped_asof": {
+        # the cogroup tier's physical operator
+        "require": ["FlatMapCoGroupsInPandas"],
+        "forbid": ["CartesianProduct"],
+    },
     "join_interval_binned": {
         # keyless interval join MUST plan as a bucket equi-join — the naive
         # plan for this query is a nested-loop scan
