@@ -58,6 +58,13 @@ HEADLINE = [
     "tpch_q21",
     "text_unigram_logprob",
     "curation_sample_topk",
+    # round-2c additions: decontamination is the new heavy (shingle explode
+    # + broadcast probe), cogroup exercises the Arrow cogroup path, the
+    # other two are scan-side/K-scale and should stay sub-second
+    "curation_decontaminate",
+    "udf_cogrouped_asof",
+    "text_repetition_stats",
+    "ratkowsky_lance",
 ]
 
 

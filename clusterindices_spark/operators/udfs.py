@@ -152,6 +152,15 @@ def _attach_clicks(purch: pd.DataFrame, clk: pd.DataFrame) -> pd.DataFrame:
     cols = ["user_id", "purchase_id", "purchase_ms", "click_id", "click_ms"]
     if purch.empty:
         return pd.DataFrame({c: pd.Series([], dtype="Int64") for c in cols})
+    # Catalyst prunes cogroup INPUT columns when the plan consumes none of
+    # the output data columns (e.g. a bare count()): the non-driving side
+    # arrives as key-only. Output cardinality is one row per purchase either
+    # way, so a key-only clicks frame is equivalent to an empty one here —
+    # the attribution values it can't produce are exactly the columns the
+    # consumer pruned.
+    if "ms" not in clk.columns:
+        clk = clk.iloc[0:0].assign(ms=pd.Series([], dtype="int64"),
+                                   event_id=pd.Series([], dtype="int64"))
     p = purch.sort_values(["ms", "event_id"]).rename(
         columns={"event_id": "purchase_id", "ms": "purchase_ms"}
     )
