@@ -10,9 +10,12 @@ Stages (each a module this repo ships, here simply composed):
 3. scrub            — blocklist-term removal (operators/textops)
 4. LM scoring       — unigram mean log-prob floor (operators/textops)
 5. mixture sampling — per-lang deterministic Bernoulli (operators/curation)
-6. train/val fold   — deterministic md5-prefix split (operators/curation)
-7. sequence packing — greedy first-fit into 512-token bins (operators/curation)
-8. write            — parquet partitioned by split (sources/partitioned),
+6. decontamination  — drop docs overlapping the held-out eval set's
+                      3-gram shingles (operators/curation)
+7. repetition floor — drop mostly-repeated documents (operators/textops)
+8. train/val fold   — deterministic md5-prefix split (operators/curation)
+9. sequence packing — greedy first-fit into 512-token bins (operators/curation)
+10. write           — parquet partitioned by split (sources/partitioned),
                       then small-file compaction (sources/maintenance)
 
 Prints the per-lang funnel and the output layout. The two frames that feed
@@ -84,6 +87,23 @@ def main(argv: list[str]) -> int:
     # mixture rebalancing: deterministic per-lang Bernoulli keep
     sampled_ids = q_curation_sample_stratified(spark, sf_dir).select("doc_id")
 
+    # eval-set decontamination: anti-join the corpus against train docs
+    # sharing any 3-gram shingle with the held-out set
+    from clusterindices_spark.operators.curation import q_curation_decontaminate
+
+    contaminated = q_curation_decontaminate(spark, sf_dir).select("doc_id")
+    n_contaminated = contaminated.count()
+    print(f"== decontamination: dropping {n_contaminated} overlapping docs ==")
+
+    # repetition floor: drop documents that are mostly one repeated 2-gram
+    from clusterindices_spark.operators.textops import q_text_repetition_stats
+
+    rep_ok = (
+        q_text_repetition_stats(spark, sf_dir)
+        .where(F.col("dup_2gram_frac") <= 0.9)
+        .select("doc_id")
+    )
+
     # blocklist scrub: the cleaned text REPLACES the raw text so every
     # downstream stage (token counts, bin packing, the written corpus)
     # describes the text actually shipped
@@ -94,6 +114,8 @@ def main(argv: list[str]) -> int:
     docs = (
         docs.join(keep_ids, "doc_id", "left_semi")
         .join(sampled_ids, "doc_id", "left_semi")
+        .join(contaminated, "doc_id", "left_anti")
+        .join(rep_ok, "doc_id", "left_semi")
         .join(scrubbed, "doc_id")
         .drop("text")
         .withColumnRenamed("clean_text", "text")
