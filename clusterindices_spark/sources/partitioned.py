@@ -42,3 +42,28 @@ def overwrite_partitions(
 
 def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def write_range_clustered(
+    df: DataFrame, path: str, cluster_cols: list[str], n_files: int
+) -> None:
+    """Range-clustered parquet layout: ``repartitionByRange`` splits the
+    data into ``n_files`` contiguous key ranges (sampled range boundaries),
+    and the within-partition sort makes every row group's min/max stats
+    tight. The result: each file covers a DISJOINT slice of the cluster
+    key, so a range predicate touches ~1/n of the files instead of all of
+    them — parquet row-group stats skip within files, and manifest-based
+    engines skip whole files.
+
+    This is the time-series complement to hive partitioning (directory
+    pruning at date grain) and bucketing (hash co-location for joins):
+    cluster WITHIN a partition by the range-scanned column (ts, id). The
+    range exchange is one extra shuffle at write time, amortized over
+    every read. Row-count caveat: range boundaries come from sampling, so
+    files are near-equal, not exactly equal, in size."""
+    (
+        df.repartitionByRange(n_files, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

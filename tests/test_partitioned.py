@@ -91,3 +91,56 @@ def test_dynamic_overwrite_touches_only_carried_partitions(spark, tmp_path):
         map(tuple, after.where(F.col("event_date") == untouched).collect())
     )
     assert after_untouched == before_untouched
+
+
+def test_range_clustered_files_are_disjoint(spark, tmp_path):
+    """write_range_clustered must produce files whose parquet footer
+    min/max ranges on the cluster key are pairwise DISJOINT (that is the
+    skipping guarantee); a plain write leaves every file spanning nearly
+    the full key range."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    from clusterindices_spark.sources.fixtures import load_table
+    from clusterindices_spark.sources.partitioned import write_range_clustered
+
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "user_id", "ts")
+
+    def file_ranges(path):
+        out = []
+        for f in pathlib.Path(path).glob("*.parquet"):
+            md = pq.ParquetFile(str(f)).metadata
+            idx = md.schema.to_arrow_schema().get_field_index("event_id")
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                los.append(st.min)
+                his.append(st.max)
+            out.append((min(los), max(his)))
+        return sorted(out)
+
+    clustered = str(tmp_path / "clustered")
+    write_range_clustered(ev, clustered, ["event_id"], n_files=4)
+    ranges = file_ranges(clustered)
+    assert len(ranges) == 4
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
+        assert hi_a < lo_b, ranges  # disjoint, ordered slices
+
+    plain = str(tmp_path / "plain")
+    ev.repartition(4).write.parquet(plain)
+    overlapping = file_ranges(plain)
+    n_total = ev.count()
+    span = max(h for _, h in overlapping) - min(lo for lo, _ in overlapping)
+    # round-robin files each span ~the whole key range
+    assert all((h - lo) > span // 2 for lo, h in overlapping), overlapping
+
+    # and the clustered layout reads back complete + filter-correct
+    got = (
+        spark.read.parquet(clustered)
+        .where(F.col("event_id") < 100)
+        .count()
+    )
+    want = ev.where(F.col("event_id") < 100).count()
+    assert got == want
+    assert spark.read.parquet(clustered).count() == n_total
