@@ -135,7 +135,25 @@ def main(argv: list[str]) -> int:
             "n_tokens", "grp", "bin", "split",
         )
     )
+    # pipeline accounting rides the write action itself (df.observe):
+    # the counters are computed by the same job that writes the corpus —
+    # no second pass over the data, which at 100 TB is the difference
+    # between free metrics and doubling the pipeline cost
+    from pyspark.sql import Observation
+
+    obs = Observation("corpus_metrics")
+    corpus = corpus.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum("n_tokens").alias("tokens"),
+        F.max("bin").alias("max_bin"),
+    )
     write_partitioned(corpus, out_dir, ["split"])
+    m = obs.get
+    print(
+        f"== observed on the write: {m['rows']} rows, {m['tokens']} tokens,"
+        f" max bin {m['max_bin']} =="
+    )
     n_before = len(data_files(out_dir))
     n_after = compact_path(spark, out_dir, target_file_bytes=64 << 20)
     print(f"== wrote {out_dir} (files: {n_before} -> {n_after} after compaction) ==")

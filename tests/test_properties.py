@@ -144,3 +144,39 @@ def test_events_funnel_matches_python_replay(spark, events):
     assert (got["n_view"], got["n_click"], got["n_purchase"]) == (
         len(v), len(c), len(p),
     )
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),  # cluster
+            st.integers(min_value=0, max_value=4),  # label
+            st.integers(min_value=1, max_value=50),  # count
+        ),
+        min_size=2,
+        max_size=12,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_external_agreement_label_permutation_invariant(spark, cells):
+    """ARI/NMI/V are functions of the PARTITION, not the label names:
+    any bijective relabeling of cluster ids must leave all three fixed;
+    and all three live in their documented ranges."""
+    from clusterindices_spark.operators.assignment import external_agreement
+
+    cont = spark.createDataFrame(cells, "cluster INT, label INT, n BIGINT")
+    base = external_agreement(cont).collect()[0]
+    # bijective relabel: cluster -> 7 - cluster
+    relabeled = spark.createDataFrame(
+        [(7 - c, l, n) for c, l, n in cells], "cluster INT, label INT, n BIGINT"
+    )
+    alt = external_agreement(relabeled).collect()[0]
+    for col in ("ari", "nmi", "cramers_v", "n_points"):
+        assert base[col] == alt[col], (col, base[col], alt[col])
+    if base["ari"] is not None:
+        assert -1.0 <= base["ari"] <= 1.0 + 1e-9
+    if base["nmi"] is not None:
+        assert -1e-9 <= base["nmi"] <= 1.0 + 1e-9
+    if base["cramers_v"] is not None:
+        assert -1e-9 <= base["cramers_v"] <= 1.0 + 1e-9
