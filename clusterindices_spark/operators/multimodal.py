@@ -144,6 +144,71 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BYTES_ARROW_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, head_byte int, tail_byte int"
+)
+
+
+def bytes_stats_arrow(binary_df: DataFrame) -> DataFrame:
+    """Byte-level payload stats via ``mapInArrow`` — the lowest Python
+    boundary tier: the function receives raw ``pyarrow.RecordBatch``es and
+    never converts to pandas. The loop body reads the BinaryArray's
+    offsets/data buffers zero-copy through numpy — this buffer-level access
+    is exactly what mapInArrow exists for (a pandas round-trip would copy
+    every payload byte into Python objects).
+
+    Emits (doc_id, n_bytes, head_byte, tail_byte); empty payloads → -1
+    bytes sentinel, mirroring decode_binary's convention."""
+
+    def _stats(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for rb in batches:
+            arr = rb.column(rb.schema.get_field_index("payload"))
+            ids = rb.column(rb.schema.get_field_index("doc_id"))
+            off0 = arr.offset
+            offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+                off0 : off0 + len(arr) + 1
+            ]
+            lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+            data_buf = arr.buffers()[2]
+            if data_buf is None or len(data_buf) == 0:
+                head = np.full(len(arr), -1, dtype=np.int32)
+                tail = np.full(len(arr), -1, dtype=np.int32)
+            else:
+                data = np.frombuffer(data_buf, dtype=np.uint8)
+                hi = len(data) - 1
+                head = np.where(
+                    lens > 0,
+                    data[np.clip(offsets[:-1], 0, hi)].astype(np.int32),
+                    np.int32(-1),
+                )
+                tail = np.where(
+                    lens > 0,
+                    data[np.clip(offsets[1:] - 1, 0, hi)].astype(np.int32),
+                    np.int32(-1),
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(lens, type=pa.int64()),
+                    pa.array(head, type=pa.int32()),
+                    pa.array(tail, type=pa.int32()),
+                ],
+                names=["doc_id", "n_bytes", "head_byte", "tail_byte"],
+            )
+
+    return binary_df.select("doc_id", "payload").mapInArrow(
+        _stats, BYTES_ARROW_SCHEMA
+    )
+
+
+def q_multimodal_bytes_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return bytes_stats_arrow(with_binary_payload(d))
+
+
 AUDIO_WINDOW = 32  # analysis window width in decoded units
 AUDIO_HOP = 24  # hop < width → 25% overlap (the STFT frame shape)
 AUDIO_SCHEMA = (
@@ -246,6 +311,7 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "multimodal_meta": q_multimodal_meta,
+    "multimodal_bytes_arrow": q_multimodal_bytes_arrow,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_audio_window": q_multimodal_audio_window,
     "multimodal_resize": q_multimodal_resize,
@@ -271,6 +337,29 @@ SELECT doc_id,
                  WHEN c < 2048 THEN 192 + c // 64
                  WHEN c < 65536 THEN 224 + c // 4096
                  ELSE 240 + c // 262144 END AS INT) AS first_byte
+FROM cp
+""",
+    # tail byte of a UTF-8 sequence: cp<128 → cp, else the final
+    # continuation byte 0x80 | (cp & 0x3F)
+    "multimodal_bytes_arrow": """
+WITH cp AS (
+  SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+         CASE WHEN length(text) = 0 THEN NULL
+              ELSE unicode(substr(text, 1, 1)) END AS hc,
+         CASE WHEN length(text) = 0 THEN NULL
+              ELSE unicode(substr(text, length(text), 1)) END AS tc
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN hc IS NULL THEN -1
+                 WHEN hc < 128 THEN hc
+                 WHEN hc < 2048 THEN 192 + hc // 64
+                 WHEN hc < 65536 THEN 224 + hc // 4096
+                 ELSE 240 + hc // 262144 END AS INT) AS head_byte,
+       CAST(CASE WHEN tc IS NULL THEN -1
+                 WHEN tc < 128 THEN tc
+                 ELSE 128 + tc % 64 END AS INT) AS tail_byte
 FROM cp
 """,
 }

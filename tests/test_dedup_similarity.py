@@ -236,3 +236,29 @@ def test_multimodal_decode_stub(spark):
     assert all(r["fake_width"] * r["fake_height"] <= r["n_bytes"] for r in rows)
     with pytest.raises(Exception, match="NotImplementedError|media decode"):
         decode_binary(d, mode="real").limit(1).collect()
+
+
+def test_bytes_arrow_non_ascii(spark):
+    """mapInArrow byte stats must equal the true UTF-8 encoding for
+    multi-byte leading/trailing characters, not just the ASCII fixture."""
+    from pyspark.sql import functions as F
+
+    from clusterindices_spark.operators.multimodal import (
+        bytes_stats_arrow,
+        with_binary_payload,
+    )
+
+    texts = ["éclair", "中文 text", "data 🚀", "", "plain"]
+    d = spark.createDataFrame(
+        [(i, t, "xx", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in bytes_stats_arrow(with_binary_payload(d)).collect()
+    }
+    for i, t in enumerate(texts):
+        b = t.encode("utf-8")
+        assert got[i]["n_bytes"] == len(b)
+        assert got[i]["head_byte"] == (b[0] if b else -1)
+        assert got[i]["tail_byte"] == (b[-1] if b else -1)
