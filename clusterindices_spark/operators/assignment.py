@@ -152,10 +152,16 @@ def external_agreement(cont: DataFrame) -> DataFrame:
             6,
         ).alias("ari"),
         F.round(mi / F.nullif(F.sqrt(h_c * h_l), F.lit(0.0)), 6).alias("nmi"),
+        # undefined for a single cluster or single label (k=1 or l=1): NULL,
+        # not an ANSI divide-by-zero; numerator clamped at 0 because float
+        # summation can land epsilon below the mathematical floor nsq_ab >= 1
         F.round(
             F.sqrt(
-                (F.col("nsq_ab") - 1)
-                / F.least(F.col("k") - 1, F.col("l") - 1).cast("double")
+                F.greatest(F.col("nsq_ab") - 1, F.lit(0.0))
+                / F.nullif(
+                    F.least(F.col("k") - 1, F.col("l") - 1).cast("double"),
+                    F.lit(0.0),
+                )
             ),
             6,
         ).alias("cramers_v"),
@@ -273,7 +279,8 @@ SELECT
         / NULLIF(sqrt((ln(CAST(n_points AS DOUBLE)) - nln_r / n_points)
                       * (ln(CAST(n_points AS DOUBLE)) - nln_l / n_points)), 0.0),
         6) AS nmi,
-  ROUND(sqrt((nsq_ab - 1) / CAST(least(k - 1, l - 1) AS DOUBLE)), 6) AS cramers_v,
+  ROUND(sqrt(greatest(nsq_ab - 1, 0.0)
+             / NULLIF(CAST(least(k - 1, l - 1) AS DOUBLE), 0.0)), 6) AS cramers_v,
   n_points
 FROM cells, rows_m, cols_m
 """,

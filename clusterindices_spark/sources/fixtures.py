@@ -38,16 +38,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # query results don't depend on whatever TZ the driver process runs with.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses outright
-        # (PARQUET_TYPE_ILLEGAL). Read it as raw int64 nanos via the legacy
-        # conf, then convert to a microsecond TIMESTAMP. The data is µs-aligned
-        # (verified: zero sub-µs residue at every sf), and DuckDB presents the
-        # same column as µs TIMESTAMP, so both engines see identical instants.
+        # events.ts has shipped as BOTH parquet TIMESTAMP(NANOS) (round-1
+        # testdata) and TIMESTAMP(MICROS) (regenerated round-2 testdata), so
+        # resolve by the type the scan actually reports rather than assuming:
+        # - NANOS: Spark 4 refuses it outright (PARQUET_TYPE_ILLEGAL) unless
+        #   read as raw int64 via the legacy conf; convert with integer
+        #   division (ns values ~1.7e18 exceed 2^53 — double division would
+        #   silently corrupt the low microseconds).
+        # - MICROS (no tz): arrives as TIMESTAMP_NTZ; cast to the session-TZ
+        #   TIMESTAMP (UTC pinned above), preserving the same instants the
+        #   DuckDB oracle reads natively.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # integer division — ns values (~1.7e18) exceed 2^53, so a double
-        # division here silently corrupts the low microseconds
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "embeddings":
         df = df.withColumn("embedding", F.col("embedding").cast("array<double>"))
