@@ -1,0 +1,86 @@
+"""Loader regression tests: events.ts has shipped as both parquet
+TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across testdata generations, and
+``load_table`` must land the SAME instants for either encoding (SURVEY §1.1;
+the nanos path needs the legacy int64 read + integer-division conversion,
+the micros path a plain NTZ→session-TZ cast)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from clusterindices_spark.sources.fixtures import load_table
+
+# µs-aligned instants, same invariant the real testdata satisfies (fixtures.py
+# converts ns→µs by integer division, so sub-µs residue would be dropped)
+_INSTANTS_US = [
+    1_700_000_000_000_000,  # 2023-11-14T22:13:20Z
+    1_700_000_000_123_456,
+    1_712_345_678_901_234,
+]
+
+
+def _write_events(tmp_path, unit: str) -> str:
+    ts = pa.array([v * 1000 for v in _INSTANTS_US] if unit == "ns" else _INSTANTS_US,
+                  type=pa.timestamp(unit))
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], type=pa.int64()),
+            "ts": ts,
+        }
+    )
+    sf_dir = tmp_path / f"sf_{unit}"
+    sf_dir.mkdir()
+    pq.write_table(t, sf_dir / "events.parquet")
+    return str(sf_dir)
+
+
+@pytest.mark.parametrize("unit", ["ns", "us"])
+def test_events_loader_lands_identical_instants(spark, tmp_path, unit):
+    sf_dir = _write_events(tmp_path, unit)
+    df = load_table(spark, sf_dir, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    got = [
+        r["us"]
+        for r in df.selectExpr("unix_micros(ts) AS us").orderBy("us").collect()
+    ]
+    assert got == _INSTANTS_US
+
+
+def test_events_loader_both_units_agree(spark, tmp_path):
+    a = load_table(spark, _write_events(tmp_path, "ns"), "events")
+    b = load_table(spark, _write_events(tmp_path, "us"), "events")
+    rows_a = [tuple(r) for r in a.orderBy("event_id").collect()]
+    rows_b = [tuple(r) for r in b.orderBy("event_id").collect()]
+    assert rows_a == rows_b
+
+
+def test_events_loader_real_testdata_is_utc_pinned(spark):
+    # whatever generation is on disk, the loaded instants must not depend on
+    # the driver's process TZ: the loader pins spark.sql.session.timeZone=UTC
+    df = load_table(spark, "/root/testdata/sf0.001", "events")
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    assert df.limit(1).count() == 1
+
+
+def test_events_loader_ns_truncation_is_integer_exact(spark, tmp_path):
+    # a ns value just under the next µs must floor, not round up (double
+    # division at ~1.7e18 would corrupt the low digits)
+    sf_dir = tmp_path / "sf_edge"
+    sf_dir.mkdir()
+    t = pa.table(
+        {
+            "event_id": pa.array([1], type=pa.int64()),
+            "ts": pa.array(
+                pd.Series([1_700_000_000_000_000_999], dtype="int64"),
+                type=pa.timestamp("ns"),
+            ),
+        }
+    )
+    pq.write_table(t, sf_dir / "events.parquet")
+    df = load_table(spark, str(sf_dir), "events")
+    [row] = df.selectExpr("unix_micros(ts) AS us").collect()
+    assert row["us"] == 1_700_000_000_000_000
