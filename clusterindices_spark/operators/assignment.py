@@ -111,7 +111,10 @@ def external_agreement(cont: DataFrame) -> DataFrame:
         cont.join(F.broadcast(row_tot), "cluster")
         .join(F.broadcast(col_tot), "label")
         .agg(
-            F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("bigint").alias("pc"),
+            # pair counts stay in integer arithmetic end-to-end: n*(n-1) is
+            # even, so div 2 is exact — float division would round above 2^53
+            # (n ≈ 1.35e8 per cell) and truncate differently per engine
+            F.expr("sum(n * (n - 1)) div 2").cast("bigint").alias("pc"),
             F.sum(F.col("n").cast("double") * F.log(F.col("n").cast("double"))).alias(
                 "nln_c"
             ),
@@ -122,7 +125,7 @@ def external_agreement(cont: DataFrame) -> DataFrame:
         )
     )
     rows_m = row_tot.agg(
-        F.sum(F.col("a") * (F.col("a") - 1) / 2).cast("bigint").alias("pr"),
+        F.expr("sum(a * (a - 1)) div 2").cast("bigint").alias("pr"),
         F.sum(F.col("a").cast("double") * F.log(F.col("a").cast("double"))).alias(
             "nln_r"
         ),
@@ -130,7 +133,7 @@ def external_agreement(cont: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("k"),
     )
     cols_m = col_tot.agg(
-        F.sum(F.col("b") * (F.col("b") - 1) / 2).cast("bigint").alias("pl"),
+        F.expr("sum(b * (b - 1)) div 2").cast("bigint").alias("pl"),
         F.sum(F.col("b").cast("double") * F.log(F.col("b").cast("double"))).alias(
             "nln_l"
         ),
@@ -247,7 +250,7 @@ FROM grid
 row_tot AS (SELECT cluster, SUM(n) AS a FROM cont GROUP BY cluster),
 col_tot AS (SELECT label, SUM(n) AS b FROM cont GROUP BY label),
 cells AS (
-  SELECT CAST(SUM(o.n * (o.n - 1) / 2) AS BIGINT) AS pc,
+  SELECT CAST(SUM(o.n * (o.n - 1)) // 2 AS BIGINT) AS pc,
          SUM(CAST(o.n AS DOUBLE) * ln(CAST(o.n AS DOUBLE))) AS nln_c,
          SUM(CAST(o.n * o.n AS DOUBLE) / CAST(r.a * c.b AS DOUBLE)) AS nsq_ab
   FROM cont o
@@ -255,14 +258,14 @@ cells AS (
   JOIN col_tot c USING (label)
 ),
 rows_m AS (
-  SELECT CAST(SUM(a * (a - 1) / 2) AS BIGINT) AS pr,
+  SELECT CAST(SUM(a * (a - 1)) // 2 AS BIGINT) AS pr,
          SUM(CAST(a AS DOUBLE) * ln(CAST(a AS DOUBLE))) AS nln_r,
          CAST(SUM(a) AS BIGINT) AS n_points,
          COUNT(*) AS k
   FROM row_tot
 ),
 cols_m AS (
-  SELECT CAST(SUM(b * (b - 1) / 2) AS BIGINT) AS pl,
+  SELECT CAST(SUM(b * (b - 1)) // 2 AS BIGINT) AS pl,
          SUM(CAST(b AS DOUBLE) * ln(CAST(b AS DOUBLE))) AS nln_l,
          COUNT(*) AS l
   FROM col_tot

@@ -55,6 +55,24 @@ MAX_SHINGLE_DF = 100
 # matches the banding guarantee.
 HAMMING_MAX = 3
 
+# One persisted generation per pipeline stage: the returned frames are lazy,
+# so an eager unpersist would defeat the cache — instead each NEW invocation
+# releases the previous invocation's pin. Repeated full-registry sweeps in
+# one session then hold a bounded working set instead of accumulating a
+# cache entry per run.
+_PINNED: dict[str, DataFrame] = {}
+
+
+def _repin(tag: str, df: DataFrame) -> DataFrame:
+    old = _PINNED.pop(tag, None)
+    if old is not None:
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    _PINNED[tag] = df
+    return df
+
 
 # ---------------------------------------------------------------------------
 # exact
@@ -97,8 +115,11 @@ def ngram_jaccard_pairs(
     # per-doc sizes, and both self-join sides — without the cache each
     # consumer replays tokenize→shingle→explode (measured 1.7s extra at
     # sf0.1 just for the hot-set pass)
-    ex_all = sh.select("doc_id", F.explode("shingles").alias("shingle")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    ex_all = _repin(
+        "ngram_exploded",
+        sh.select("doc_id", F.explode("shingles").alias("shingle")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        ),
     )
     # hot set is tiny by construction (≤ total_shingle_rows / cap entries) →
     # broadcast anti-join, no shuffle of the exploded side
@@ -154,10 +175,11 @@ def minhash_pairs(
 
     # persisted: read twice (signatures + exact-Jaccard verification), and
     # shingling is the expensive expression work
-    sh = (
+    sh = _repin(
+        "minhash_shingles",
         _doc_shingles(d)
         .where(F.col("n_shingles") > 0)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.MEMORY_AND_DISK),
     )
     # signatures via explode → codegen'd seeded xxhash64 columns → min per
     # doc. Higher-order transform() lambdas are INTERPRETED (no codegen);
@@ -368,7 +390,7 @@ def connected_components(
             break
         prev_sum = new_sum
     sym.unpersist()
-    return labels.withColumnRenamed("label", "component")
+    return _repin("cc_labels", labels).withColumnRenamed("label", "component")
 
 
 def connected_components_star(

@@ -167,8 +167,14 @@ def bytes_stats_arrow(binary_df: DataFrame) -> DataFrame:
         for rb in batches:
             arr = rb.column(rb.schema.get_field_index("payload"))
             ids = rb.column(rb.schema.get_field_index("doc_id"))
+            # offset width follows the arrow type: binary carries int32
+            # offsets, large_binary (spark.sql.execution.arrow.useLargeVarTypes)
+            # int64 — hardcoding int32 would silently misread int64 buffers
+            off_dtype = (
+                np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+            )
             off0 = arr.offset
-            offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+            offsets = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
                 off0 : off0 + len(arr) + 1
             ]
             lens = (offsets[1:] - offsets[:-1]).astype(np.int64)

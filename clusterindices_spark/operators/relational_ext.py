@@ -442,7 +442,10 @@ def q_merge_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "customer")
         .where(F.col("c_custkey") % 100 == 0)
         .select(
-            (F.col("c_custkey") + F.lit(1000000000)).alias("o_orderkey"),
+            # negated custkey: TPC-H orderkeys are strictly positive, so the
+            # synthetic insert key space is disjoint at EVERY scale factor
+            # (an additive offset collides once base keys pass it, ~SF 167)
+            (-F.col("c_custkey")).alias("o_orderkey"),
             F.col("c_custkey").alias("o_custkey"),
             F.lit("N").alias("o_orderstatus"),
             F.lit(0.0).alias("o_totalprice"),
@@ -643,7 +646,7 @@ updates AS (
     AND o_orderkey NOT IN (SELECT o_orderkey FROM deletes)
 ),
 inserts AS (
-  SELECT c_custkey + 1000000000 AS o_orderkey, c_custkey AS o_custkey,
+  SELECT -c_custkey AS o_orderkey, c_custkey AS o_custkey,
          'N' AS o_orderstatus, 0.0 AS o_totalprice
   FROM customer WHERE c_custkey % 100 = 0
 )

@@ -111,14 +111,18 @@ def q_udf_grouped_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 @udtf(returnType="sent_idx int, sentence string, n_tokens int")
 class SplitSentences:
     """UDTF: one document row → one row per sentence (split on [.!?]+,
-    trimmed, empties dropped) with a whitespace token count."""
+    space-trimmed, empties dropped) with a whitespace token count.
+
+    Trim is SPACE-only — strip(' ') not strip() — pinned to the oracle's
+    DuckDB ``trim()``, which removes spaces only; Python's default strip
+    would also eat tabs/newlines and diverge on any non-space whitespace."""
 
     def eval(self, text: str):
         if text is None:
             return
         idx = 0
         for raw in re.split(r"[.!?]+", text):
-            s = raw.strip()
+            s = raw.strip(" ")
             if not s:
                 continue
             yield idx, s, len(s.split())
@@ -158,6 +162,19 @@ def _attach_clicks(purch: pd.DataFrame, clk: pd.DataFrame) -> pd.DataFrame:
     # way, so a key-only clicks frame is equivalent to an empty one here —
     # the attribution values it can't produce are exactly the columns the
     # consumer pruned.
+    if "ms" not in purch.columns:
+        # key-only PURCHASES side (same pruning, driving side): cardinality
+        # is the contract — one output row per purchase — so emit NA values
+        # for every pruned column
+        return pd.DataFrame(
+            {
+                "user_id": purch["user_id"],
+                **{
+                    c: pd.Series([pd.NA] * len(purch), dtype="Int64")
+                    for c in cols[1:]
+                },
+            }
+        )[cols]
     if "ms" not in clk.columns:
         clk = clk.iloc[0:0].assign(ms=pd.Series([], dtype="int64"),
                                    event_id=pd.Series([], dtype="int64"))

@@ -270,8 +270,9 @@ def funnel_state_stream(events: DataFrame, watermark: str = "30 minutes") -> Dat
     additionally buffers events within the watermark before folding them
     into state (same pattern, more state), which this demo omits.
 
-    State per user is three timestamps (µs; 0 = stage not reached) — bytes,
-    not event history, so state size is O(users) regardless of traffic.
+    State per user is three NANOSECOND timestamps (0 = stage not reached) —
+    bytes, not event history, so state size is O(users) regardless of
+    traffic; the output converts to ms at emit time.
     """
     import pandas as pd  # noqa: PLC0415
 
@@ -279,6 +280,9 @@ def funnel_state_stream(events: DataFrame, watermark: str = "30 minutes") -> Dat
         v, c, p = state.get if state.exists else (0, 0, 0)
         ev = pd.concat(list(pdf_iter), ignore_index=True)
         ev = ev.sort_values("ts", kind="mergesort")
+        # the // 1_000_000 ms conversion below is only correct for ns
+        # input — guard against a pandas/Arrow version delivering µs
+        assert str(ev["ts"].dtype).startswith("datetime64[ns"), ev["ts"].dtype
         for ts, typ in zip(ev["ts"].astype("int64"), ev["event_type"]):
             t = int(ts)  # ns since epoch from pandas; keep units consistent
             if typ == "view" and (v == 0 or t < v):
