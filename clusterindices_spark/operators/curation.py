@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 
 from clusterindices_spark.functions.aggregates import SQL_ROUND6
 from clusterindices_spark.functions.text import SQL_SHINGLES3, SQL_TOKENS, tokens
-from clusterindices_spark.sources.fixtures import load_table
+from clusterindices_spark.sources.fixtures import fan_out, load_table
 
 # train share = 243/256 ≈ 94.9%: folds are hex-string prefix ranges so both
 # engines compare identically ('f3' = 243)
@@ -110,7 +110,10 @@ def _pack_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def pack_greedy(d: DataFrame, n_groups: int = PACK_GROUPS) -> DataFrame:
-    sized = d.select(
+    # fan_out BEFORE the token-count projection: the repartition(grp) below
+    # parallelizes the pandas fold, but the tokenize in `sized` runs in the
+    # scan stage and would serialize on a 1-file input
+    sized = fan_out(d).select(
         "doc_id",
         F.pmod(F.col("doc_id"), F.lit(n_groups)).cast("int").alias("grp"),
         F.least(F.size(tokens(F.col("text"))), F.lit(PACK_CAPACITY))
@@ -142,7 +145,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     retained slice, the numbers a curation run is monitored by."""
     from clusterindices_spark.operators.textops import LANG_MARKERS, STOPWORDS
 
-    d = load_table(spark, sf_dir, "documents").withColumn(
+    d = fan_out(load_table(spark, sf_dir, "documents")).withColumn(
         "toks", tokens(F.col("text"))
     )
     from clusterindices_spark.functions.aggregates import round6_stable
@@ -328,7 +331,7 @@ def decontaminate(d: DataFrame) -> DataFrame:
 def q_curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clusterindices_spark.functions.text import shingles3
 
-    d = load_table(spark, sf_dir, "documents").select(
+    d = fan_out(load_table(spark, sf_dir, "documents")).select(
         "doc_id",
         shingles3(tokens(F.col("text"))).alias("shingles"),
         (

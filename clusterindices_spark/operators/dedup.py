@@ -31,7 +31,7 @@ from clusterindices_spark.functions.text import (
     shingles3,
     tokens,
 )
-from clusterindices_spark.sources.fixtures import load_table
+from clusterindices_spark.sources.fixtures import fan_out, load_table
 
 # 8 bands × 2 rows (16 signatures): S-curve midpoint (1/b)^(1/r) ≈ 0.35 —
 # ≈90% candidate probability at the J=0.5 verify threshold, yet only ≈0.7%
@@ -93,7 +93,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _doc_shingles(d: DataFrame) -> DataFrame:
-    return d.select(
+    # fan_out: the shingle HOF chain is the most CPU-bound expression work
+    # in the repo — never let a 1-file scan serialize it on one core
+    return fan_out(d).select(
         "doc_id", shingles3(tokens(F.col("text"))).alias("shingles")
     ).withColumn("n_shingles", F.size("shingles"))
 

@@ -35,18 +35,30 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from clusterindices_spark.functions.distances import l2, l2sq
-from clusterindices_spark.sources.fixtures import load_table
+from clusterindices_spark.sources.fixtures import fan_out, load_table
 
 # ---------------------------------------------------------------------------
 # building blocks
 # ---------------------------------------------------------------------------
 
 
-def labeled_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+def labeled_points(
+    spark: SparkSession, sf_dir: str, fan: bool = False
+) -> DataFrame:
     """embeddings as (vec_id, cluster, x: array<double>) using ground-truth
     labels as the clustering (SURVEY.md §2A A3 note: index math is
-    oracle-checked on GIVEN labels; MLlib fits are property-tested only)."""
-    return load_table(spark, sf_dir, "embeddings").select(
+    oracle-checked on GIVEN labels; MLlib fits are property-tested only).
+
+    ``fan=True`` normalizes input parallelism (fixtures.fan_out) and is set
+    only by consumers whose plan does heavy per-point work BEFORE any
+    shuffle (silhouettes: the distance array vs every centroid builds in
+    the scan stage). The suite/centroid paths shuffle immediately
+    (posexplode → groupBy), which already spreads the work — for them the
+    extra exchange measured as a net loss at sf0.1."""
+    df = load_table(spark, sf_dir, "embeddings")
+    if fan:
+        df = fan_out(df)
+    return df.select(
         "vec_id", F.col("label").alias("cluster"), F.col("embedding").alias("x")
     )
 
@@ -408,7 +420,7 @@ def silhouette_sqeuclid_of(pts: DataFrame) -> DataFrame:
 
 
 def q_silhouette_sqeuclid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return silhouette_sqeuclid_of(labeled_points(spark, sf_dir))
+    return silhouette_sqeuclid_of(labeled_points(spark, sf_dir, fan=True))
 
 
 def silhouette_exact_of(pts: DataFrame) -> DataFrame:
@@ -443,7 +455,7 @@ def silhouette_exact_of(pts: DataFrame) -> DataFrame:
 
 
 def q_silhouette_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return silhouette_exact_of(labeled_points(spark, sf_dir))
+    return silhouette_exact_of(labeled_points(spark, sf_dir, fan=True))
 
 
 def index_suite_ext_of(pts: DataFrame) -> DataFrame:

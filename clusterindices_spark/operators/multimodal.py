@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from clusterindices_spark.sources.fixtures import load_table
+from clusterindices_spark.sources.fixtures import fan_out, load_table
 
 DECODE_SCHEMA = (
     "doc_id BIGINT, n_bytes BIGINT, first_byte INT, fake_width INT, fake_height INT"
@@ -34,7 +34,11 @@ DECODE_SCHEMA = (
 
 def with_binary_payload(d: DataFrame) -> DataFrame:
     """documents with an opaque binary column (UTF-8 bytes of text stand in
-    for a media payload) + typed metadata, the multimodal table shape."""
+    for a media payload) + typed metadata, the multimodal table shape.
+
+    fan_out first: every consumer feeds Arrow-batched Python (mapInPandas /
+    mapInArrow), where a 1-partition input means zero parallelism."""
+    d = fan_out(d)
     return d.select(
         "doc_id",
         F.encode(F.col("text"), "UTF-8").alias("payload"),

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clusterindices_spark.functions.distances import cosine_sim, norm
-from clusterindices_spark.sources.fixtures import load_table
+from clusterindices_spark.sources.fixtures import fan_out, load_table
 
 N_PROBES = 10
 TOP_K = 5
@@ -35,7 +35,9 @@ COSINE_DUP_THRESHOLD = 0.4
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings").select(
+    # fan_out: per-row O(dim) vector math on a 1-file scan would run on one
+    # core; no-op when the input is already well-partitioned
+    return fan_out(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").alias("x")
     )
 

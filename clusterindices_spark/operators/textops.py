@@ -22,7 +22,7 @@ from clusterindices_spark.functions.text import (
     rolling_fingerprint,
     tokens,
 )
-from clusterindices_spark.sources.fixtures import load_table
+from clusterindices_spark.sources.fixtures import fan_out, load_table
 
 # tiny built-in stopword/marker lexicons (deterministic rule system — the
 # synthetic corpus is shared-vocabulary word soup, so these are exercised as
@@ -37,7 +37,13 @@ LANG_MARKERS = {
 STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "on")
 
 
-def _with_tokens(d: DataFrame) -> DataFrame:
+def _with_tokens(d: DataFrame, fan: bool = False) -> DataFrame:
+    # fan=True normalizes input parallelism (fixtures.fan_out) for consumers
+    # doing heavy scan-stage work before any shuffle (unigram logprob's
+    # per-token fold). The explode→groupBy ops shuffle immediately, which
+    # already spreads the work — there the extra exchange measured net-loss.
+    if fan:
+        d = fan_out(d)
     return d.withColumn("toks", tokens(F.col("text")))
 
 
@@ -205,12 +211,15 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     disagreement only flips a micro when ln(p)*1e6+0.5 sits within ~1e-9
     of an integer.
 
+    fan=True: the tokenize + explode feeding both the vocab count and the
+    scoring join is scan-stage work (measured ~0.2 s win at sf0.1).
+
     Scale: vocabulary counts shuffle by term (map-side combined, vocab ≪
     corpus); scoring joins the exploded corpus to the broadcast vocab.
     At 100 TB the vocab (even millions of terms) still broadcasts; the
     per-doc agg shuffles by doc_id — the same key the explode preserved,
     so AQE coalesces it tightly."""
-    d = _with_tokens(load_table(spark, sf_dir, "documents"))
+    d = _with_tokens(load_table(spark, sf_dir, "documents"), fan=True)
     ex = d.select("doc_id", F.explode("toks").alias("term"))
     vocab = ex.groupBy("term").agg(F.count(F.lit(1)).alias("tc"))
     total = ex.agg(F.count(F.lit(1)).alias("n_total"))

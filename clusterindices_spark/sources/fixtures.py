@@ -58,3 +58,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "embeddings":
         df = df.withColumn("embedding", F.col("embedding").cast("array<double>"))
     return df
+
+
+def fan_out(df: DataFrame) -> DataFrame:
+    """Normalize input parallelism before CPU-bound per-row expression work
+    (tokenize→shingle HOF chains, per-point vector math, Arrow-batch UDFs).
+
+    A small table arriving as one parquet file scans as ONE partition, so
+    everything downstream until the first shuffle serializes onto a single
+    core no matter how many the cluster has (measured: the sf0.1 shingle
+    explode runs 4.5 s on the 1-partition scan vs 0.7 s repartitioned to 32).
+    When the scan's parallelism is below the cluster's default, round-robin
+    repartition up to it. On a well-partitioned production input (a 100 TB
+    table is thousands of files) the condition is false and this is a no-op —
+    no shuffle is ever inserted at scale; the repartition only exists in the
+    small-input degenerate case, where shuffling the input is cheap by
+    definition.
+
+    Filters still push down: Catalyst moves predicates through Repartition,
+    so scan-side pruning is unaffected. Do NOT use on operators contracted
+    to be exchange-free (curation_split, curation_sample_stratified) or on
+    pre-bucketed/partitioned layouts whose scan partitioning IS the plan.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
