@@ -501,6 +501,86 @@ def _doc_pair_edges(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
     return d.select(F.col("doc_id").alias("node")), pairs
 
 
+def triangle_census(edges: DataFrame) -> DataFrame:
+    """Triangle count + transitivity of an undirected graph given as an
+    id-normalized edge list (a < b, no duplicates) — the density diagnostic
+    for a near-dup graph: transitivity ≈ 1 means the candidate pairs form
+    clean cliques (safe to collapse to components); low transitivity flags
+    chained false positives that component-collapse would over-merge.
+
+    Degree-ordered orientation (the MPC-standard trick): every edge points
+    from its lower (degree, id) endpoint to the higher. Each triangle then
+    has EXACTLY one node with two out-edges in it, so wedges built at the
+    common source count each triangle once, and — the scale property — every
+    node's out-degree is O(√m) regardless of how skewed the raw degree
+    distribution is, so the wedge self-join's fan-out per key is bounded:
+    a celebrity node with 10⁸ neighbors contributes no 10¹⁶-row wedge
+    explosion, because its edges all point INTO it. Plain id-ordering has
+    no such bound (a low-id hub keeps its full fan-out).
+
+    Output (1 row): n_nodes, n_edges, n_triangles, n_wedges (= Σ C(deg,2),
+    integer-exact), transitivity = 3·triangles / wedges.
+    """
+    e = edges.select(F.col("a"), F.col("b"))
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ed = (
+        e.join(deg.select(F.col("v").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    )
+    x, y = o.alias("x"), o.alias("y")
+    wedges = (
+        x.join(y, "src")
+        .where(F.col("x.dst") < F.col("y.dst"))
+        .select(F.col("x.dst").alias("wa"), F.col("y.dst").alias("wb"))
+    )
+    # close the wedge against the id-normalized edge list (wa < wb by
+    # construction, matching e's a < b)
+    tri = wedges.join(e, (wedges.wa == e.a) & (wedges.wb == e.b)).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    gstats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.expr("sum(deg * (deg - 1)) div 2").cast("bigint").alias("n_wedges"),
+    )
+    ecount = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        tri.join(F.broadcast(gstats))
+        .join(F.broadcast(ecount))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.round(
+                F.lit(3.0)
+                * F.col("n_triangles")
+                / F.nullif(F.col("n_wedges").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("transitivity"),
+        )
+    )
+
+
+def q_dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    e = ngram_jaccard_pairs(d).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    return triangle_census(e)
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters via min-label propagation (O(diameter) rounds)."""
     nodes, pairs = _doc_pair_edges(spark, sf_dir)
@@ -522,6 +602,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_components": q_dedup_components,
     "dedup_components_star": q_dedup_components_star,
+    "dedup_graph_triangles": q_dedup_graph_triangles,
 }
 
 _TOKS = SQL_TOKENS.format(col="text")
@@ -555,6 +636,50 @@ WHERE ROUND(inter / (na + nb - inter), 6) >= {JACCARD_THRESHOLD}
 """,
     # dedup_near_minhash / dedup_simhash: engine-specific hash families →
     # rows-only check; recall is property-tested with planted duplicates.
+    #
+    # triangle oracle: id-ordered 3-way join (a<b<c ⇒ edges (a,b),(b,c),
+    # (a,c)) counts each triangle exactly once — same census the Spark
+    # side's degree-ordered orientation produces, by a different (and
+    # skew-unbounded, hence oracle-only) join order.
+    "dedup_graph_triangles": f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, {_SH} AS shingles FROM tok),
+ex_all AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+hot AS (SELECT shingle FROM ex_all GROUP BY shingle HAVING COUNT(*) > {MAX_SHINGLE_DF}),
+ex0 AS (SELECT * FROM ex_all WHERE shingle NOT IN (SELECT shingle FROM hot)),
+sized AS (SELECT doc_id, COUNT(*) AS n FROM ex0 GROUP BY doc_id),
+ex AS (SELECT ex0.doc_id, sized.n, ex0.shingle FROM ex0 JOIN sized USING (doc_id)),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+         COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.n, b.n
+),
+pairs AS (
+  SELECT doc_a AS a, doc_b AS b FROM inter
+  WHERE ROUND(inter / (na + nb - inter), 6) >= {JACCARD_THRESHOLD}
+),
+deg AS (
+  SELECT v, COUNT(*) AS deg FROM (
+    SELECT a AS v FROM pairs UNION ALL SELECT b AS v FROM pairs
+  ) GROUP BY v
+),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM pairs x JOIN pairs y ON y.a = x.b JOIN pairs z
+    ON z.a = x.a AND z.b = y.b
+),
+gs AS (
+  SELECT COUNT(*) AS n_nodes,
+         CAST(SUM(deg * (deg - 1)) // 2 AS BIGINT) AS n_wedges
+  FROM deg
+),
+ec AS (SELECT COUNT(*) AS n_edges FROM pairs)
+SELECT n_nodes, n_edges, n_triangles, n_wedges,
+       ROUND(3.0 * n_triangles / NULLIF(CAST(n_wedges AS DOUBLE), 0.0), 6)
+         AS transitivity
+FROM tri, gs, ec
+""",
     "dedup_components": f"""
 WITH RECURSIVE
 tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

@@ -262,3 +262,46 @@ def test_bytes_arrow_non_ascii(spark):
         assert got[i]["n_bytes"] == len(b)
         assert got[i]["head_byte"] == (b[0] if b else -1)
         assert got[i]["tail_byte"] == (b[-1] if b else -1)
+
+
+def test_triangle_census_planted_k4_plus_path(spark):
+    """K4 (4 triangles, 12 closed wedges) plus a 3-node path (1 open wedge):
+    transitivity = 3*4 / 13."""
+    from clusterindices_spark.operators.dedup import triangle_census
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    path = [(5, 6), (6, 7)]
+    e = spark.createDataFrame(k4 + path, "a BIGINT, b BIGINT")
+    [row] = triangle_census(e).collect()
+    assert row["n_nodes"] == 7
+    assert row["n_edges"] == 8
+    assert row["n_triangles"] == 4
+    assert row["n_wedges"] == 13
+    assert row["transitivity"] == round(12 / 13, 6)
+
+
+def test_triangle_census_hub_star_orientation(spark):
+    """A hub with 10 leaves + one leaf-leaf edge: exactly 1 triangle. The
+    degree orientation points every spoke INTO the hub, so the wedge join
+    never fans out on the hub's degree — this is the case the docstring's
+    skew bound is about."""
+    from clusterindices_spark.operators.dedup import triangle_census
+
+    star = [(i, 100) for i in range(1, 11)]  # id-normalized: leaf < hub
+    e = spark.createDataFrame(star + [(1, 2)], "a BIGINT, b BIGINT")
+    [row] = triangle_census(e).collect()
+    assert row["n_triangles"] == 1
+    assert row["n_edges"] == 11
+    # wedges: hub C(10,2)=45, leaves 1 and 2 have deg 2 -> 1 each
+    assert row["n_wedges"] == 47
+    assert row["transitivity"] == round(3 / 47, 6)
+
+
+def test_triangle_census_no_triangles(spark):
+    from clusterindices_spark.operators.dedup import triangle_census
+
+    e = spark.createDataFrame([(1, 2), (3, 4)], "a BIGINT, b BIGINT")
+    [row] = triangle_census(e).collect()
+    assert row["n_triangles"] == 0
+    assert row["n_wedges"] == 0
+    assert row["transitivity"] is None
