@@ -1,0 +1,113 @@
+"""End-to-end near-duplicate removal CLI: every dedup tier this repo ships,
+composed into the pass a training-data pipeline actually runs.
+
+    python examples/dedup_main.py <sf_dir> <out_dir>
+    python examples/dedup_main.py /root/testdata/sf0.001 /tmp/dedup_out
+
+Stages:
+1. exact tier       — sha256 groupBy; only canonical copies continue
+                      (operators/dedup.q_dedup_exact pattern)
+2. candidate tier   — banded MinHash LSH candidates, exact-Jaccard verified
+                      (operators/dedup.minhash_pairs) — the scale path;
+                      the exact shingle-join tier is the ground-truth
+                      yardstick, not run here
+3. graph diagnostic — triangle census of the candidate graph
+                      (operators/dedup.triangle_census): transitivity ≈ 1
+                      means clean cliques, low transitivity warns that
+                      component-collapse would over-merge chains
+4. components       — large-star/small-star connected components
+                      (operators/dedup.connected_components_star)
+5. scrub + write    — keep one canonical doc per component, write the
+                      deduplicated corpus + a dup-report parquet
+
+Scale shape: two content shuffles (sha256 groupBy, LSH band buckets), the
+CC rounds on the (tiny) candidate edge set, and one write. Nothing here
+collects to the driver beyond 1-row summaries.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str]) -> int:
+    if len(argv) != 2:
+        print(__doc__, file=sys.stderr)
+        return 2
+    sf_dir, out_dir = argv
+
+    from pyspark.sql import functions as F
+
+    from clusterindices_spark.operators.dedup import (
+        _component_report,
+        connected_components_star,
+        minhash_pairs,
+        triangle_census,
+    )
+    from clusterindices_spark.session import get_spark
+    from clusterindices_spark.sources.fixtures import load_table
+
+    spark = get_spark("dedup-main")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    d = load_table(spark, sf_dir, "documents")
+    n_in = d.count()
+
+    # 1. exact tier: canonical copy per content hash
+    canon = (
+        d.groupBy(F.sha2(F.col("text"), 256).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    d1 = d.join(canon, "doc_id", "left_semi").persist()
+    n_exact = d1.count()
+
+    # 2. near-dup candidates (LSH-banded, Jaccard-verified)
+    pairs = minhash_pairs(d1).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+
+    # 3. graph density diagnostic BEFORE collapsing components
+    census = triangle_census(pairs).collect()
+    if census and census[0]["n_edges"]:
+        c = census[0]
+        print(
+            f"dup graph: {c['n_edges']} edges over {c['n_nodes']} docs, "
+            f"{c['n_triangles']} triangles, transitivity={c['transitivity']}"
+        )
+        if c["transitivity"] is not None and c["transitivity"] < 0.3:
+            print(
+                "WARNING: low transitivity — candidate chains, components "
+                "may over-merge; consider raising the verify threshold"
+            )
+
+    # 4. components over the near-dup graph
+    nodes = d1.select(F.col("doc_id").alias("node"))
+    report = _component_report(
+        connected_components_star(
+            nodes, pairs.selectExpr("a AS src", "b AS dst")
+        )
+    ).persist()
+
+    # 5. keep canonical member per component; write corpus + report
+    keep = report.where(F.col("is_canonical")).select("doc_id")
+    out = d1.join(keep, "doc_id", "left_semi")
+    out.write.mode("overwrite").parquet(f"{out_dir}/documents")
+    report.where(~F.col("is_canonical")).write.mode("overwrite").parquet(
+        f"{out_dir}/dropped"
+    )
+    n_out = out.count()
+    print(
+        f"in={n_in} after_exact={n_exact} after_near={n_out} "
+        f"(removed {n_in - n_out}) -> {out_dir}"
+    )
+    d1.unpersist()
+    report.unpersist()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

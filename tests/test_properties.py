@@ -180,3 +180,36 @@ def test_external_agreement_label_permutation_invariant(spark, cells):
         assert -1e-9 <= base["nmi"] <= 1.0 + 1e-9
     if base["cramers_v"] is not None:
         assert -1e-9 <= base["cramers_v"] <= 1.0 + 1e-9
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=19),
+            st.integers(min_value=0, max_value=19),
+        ).map(lambda p: (min(p), max(p))),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda p: p,
+    ).map(lambda es: [e for e in es if e[0] != e[1]])
+)
+def test_triangle_census_relabel_invariant(spark, edges):
+    """Triangle count / wedge count / transitivity are graph invariants:
+    any id relabeling (here id -> 1000 - id, which REVERSES every id
+    comparison the implementation uses for normalization, orientation
+    tie-breaks, and wedge ordering) must leave all of them fixed."""
+    from hypothesis import assume
+
+    from clusterindices_spark.operators.dedup import triangle_census
+
+    assume(edges)
+    base_df = spark.createDataFrame(edges, "a BIGINT, b BIGINT")
+    relabeled = spark.createDataFrame(
+        [(min(1000 - a, 1000 - b), max(1000 - a, 1000 - b)) for a, b in edges],
+        "a BIGINT, b BIGINT",
+    )
+    got = triangle_census(base_df).collect()[0]
+    alt = triangle_census(relabeled).collect()[0]
+    for col in ("n_nodes", "n_edges", "n_triangles", "n_wedges", "transitivity"):
+        assert got[col] == alt[col], (col, got[col], alt[col])
