@@ -58,6 +58,8 @@ HEADLINE = [
     "tpch_q21",
     "text_unigram_logprob",
     "curation_sample_topk",
+    # late-r2: triangle census rides the persisted candidate pipeline
+    "dedup_graph_triangles",
     # round-2c additions: decontamination is the new heavy (shingle explode
     # + broadcast probe), cogroup exercises the Arrow cogroup path, the
     # other two are scan-side/K-scale and should stay sub-second

@@ -221,6 +221,15 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "require": ["Broadcast", "partial"],
         "forbid": ["SortMergeJoin", "CartesianProduct"],
     },
+    "dedup_graph_triangles": {
+        # wedge build + closure are partitioned equi-joins (HashJoin nodes);
+        # two-phase aggs for degrees/counts. The only nested-loop is the
+        # final 1-row broadcast combine of the three summary frames — so
+        # forbid CartesianProduct (an unbroadcast pair enumeration), not
+        # BroadcastNestedLoopJoin.
+        "require": ["partial", "HashJoin"],
+        "forbid": ["CartesianProduct"],
+    },
     "merge_upsert_cdc": {
         # MERGE = anti join + union; no nested-loop anywhere
         "require": ["Anti", "Union"],
