@@ -157,8 +157,26 @@ def ivf_build(
     """
     from pyspark.storagelevel import StorageLevel
 
-    from clusterindices_spark.functions.distances import l2sq
-    from clusterindices_spark.operators.indices import centroids_of
+    from clusterindices_spark.operators.indices import (
+        centroids_of,
+        with_dist_array,
+    )
+
+    def _assign_argmin(p: DataFrame, cs: DataFrame) -> DataFrame:
+        # per-row argmin over the broadcast folded-centroid row — ZERO
+        # shuffle, unlike the min_by groupBy(vec_id) formulation this
+        # replaced (which shuffled every vector once per Lloyd round;
+        # isolated A/B at sf0.1: see BASELINE.md). Tie-break (d2, cl)
+        # matches min_by(struct(cluster,x), struct(d2, cluster)).
+        best = F.array_min(
+            F.transform(
+                F.col("d2s"),
+                lambda s: F.struct(s["d2"].alias("d2"), s["cl"].alias("cl")),
+            )
+        )
+        return with_dist_array(p, cs).select(
+            "vec_id", best["cl"].alias("cluster"), "x"
+        )
 
     pts = emb.select("vec_id", "x").persist(StorageLevel.MEMORY_AND_DISK)
     seeds = (
@@ -177,35 +195,11 @@ def ivf_build(
     # slower at sf0.1 from pure job-scheduling overhead.)
     cents = seeds
     for _ in range(lloyd_iters):
-        assigned = (
-            pts.crossJoin(F.broadcast(cents))
-            .select(
-                "vec_id",
-                "x",
-                "cluster",
-                l2sq(F.col("x"), F.col("centroid")).alias("d2"),
-            )
-            .groupBy("vec_id")
-            .agg(
-                F.min_by(F.struct("cluster", "x"), F.struct("d2", "cluster")).alias(
-                    "s"
-                )
-            )
-            .select("vec_id", F.col("s.cluster").alias("cluster"), F.col("s.x"))
-        )
-        cents = centroids_of(assigned)
-    index = (
-        pts.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id", "x", "cluster", l2sq(F.col("x"), F.col("centroid")).alias("d2")
-        )
-        .groupBy("vec_id")
-        .agg(F.min_by(F.struct("cluster", "x"), F.struct("d2", "cluster")).alias("s"))
-        .select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("s.cluster").alias("cell"),
-            F.col("s.x").alias("xb"),
-        )
+        cents = centroids_of(_assign_argmin(pts, cents))
+    index = _assign_argmin(pts, cents).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cluster").alias("cell"),
+        F.col("x").alias("xb"),
     )
     return cents, index
 
