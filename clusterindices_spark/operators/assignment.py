@@ -146,8 +146,11 @@ def external_agreement(cont: DataFrame) -> DataFrame:
     )
     max_idx = (F.col("pr") + F.col("pl")).cast("double") / 2
     mi = (F.col("nln_c") - F.col("nln_r") - F.col("nln_l")) / n + F.log(n)
-    h_c = F.log(n) - F.col("nln_r") / n
-    h_l = F.log(n) - F.col("nln_l") / n
+    # entropies are >= 0 mathematically; float error can land a hair below
+    # (single-cluster case: ln n − (n·ln n)/n), and a negative product under
+    # sqrt would emit NaN instead of the NULL the k=1/l=1 case contracts
+    h_c = F.greatest(F.log(n) - F.col("nln_r") / n, F.lit(0.0))
+    h_l = F.greatest(F.log(n) - F.col("nln_l") / n, F.lit(0.0))
     return j.select(
         F.round(
             (F.col("pc").cast("double") - exp_idx)
@@ -279,8 +282,8 @@ SELECT
                    / (CAST(n_points AS DOUBLE) * (n_points - 1) / 2), 0.0),
         6) AS ari,
   ROUND(((nln_c - nln_r - nln_l) / n_points + ln(CAST(n_points AS DOUBLE)))
-        / NULLIF(sqrt((ln(CAST(n_points AS DOUBLE)) - nln_r / n_points)
-                      * (ln(CAST(n_points AS DOUBLE)) - nln_l / n_points)), 0.0),
+        / NULLIF(sqrt(greatest(ln(CAST(n_points AS DOUBLE)) - nln_r / n_points, 0.0)
+                      * greatest(ln(CAST(n_points AS DOUBLE)) - nln_l / n_points, 0.0)), 0.0),
         6) AS nmi,
   ROUND(sqrt(greatest(nsq_ab - 1, 0.0)
              / NULLIF(CAST(least(k - 1, l - 1) AS DOUBLE), 0.0)), 6) AS cramers_v,
