@@ -575,8 +575,17 @@ def triangle_census(edges: DataFrame) -> DataFrame:
 
 def q_dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    e = ngram_jaccard_pairs(d).select(
-        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    # the census consumes the edge list four times (degrees, orientation,
+    # closure probe, edge count); eager localCheckpoint materializes the
+    # candidate-pair pipeline ONCE — lazy persist still races the four
+    # subtrees of the single census action into recomputes (measured
+    # 5–7 s lazy vs ~3.5 s eager at sf0.1). The edge list is the near-dup
+    # graph, tiny next to the corpus; on a cluster swap for checkpoint()
+    # to reliable storage, as with connected_components.
+    e = (
+        ngram_jaccard_pairs(d)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .localCheckpoint(eager=True)
     )
     return triangle_census(e)
 
