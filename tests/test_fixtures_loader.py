@@ -84,3 +84,28 @@ def test_events_loader_ns_truncation_is_integer_exact(spark, tmp_path):
     df = load_table(spark, str(sf_dir), "events")
     [row] = df.selectExpr("unix_micros(ts) AS us").collect()
     assert row["us"] == 1_700_000_000_000_000
+
+
+def test_fan_out_repartitions_single_partition_scan(spark, tmp_path):
+    from clusterindices_spark.sources.fixtures import fan_out
+
+    p = str(tmp_path / "one")
+    spark.range(1000).coalesce(1).write.parquet(p)
+    df = spark.read.parquet(p)
+    assert df.rdd.getNumPartitions() == 1
+    fanned = fan_out(df)
+    assert (
+        fanned.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    assert fanned.count() == 1000
+
+
+def test_fan_out_noop_on_well_partitioned_input(spark):
+    from clusterindices_spark.sources.fixtures import fan_out
+
+    target = spark.sparkContext.defaultParallelism
+    df = spark.range(1000).repartition(target + 4)
+    fanned = fan_out(df)
+    # already at/above cluster parallelism: no exchange inserted
+    assert fanned is df
