@@ -305,3 +305,35 @@ def test_triangle_census_no_triangles(spark):
     assert row["n_triangles"] == 0
     assert row["n_wedges"] == 0
     assert row["transitivity"] is None
+
+
+def test_bytes_arrow_large_var_types(spark):
+    """With useLargeVarTypes the payload arrives as large_binary (int64
+    offsets); the stats must read the offsets buffer at the declared width
+    — hardcoded int32 would silently emit garbage."""
+    from clusterindices_spark.operators.multimodal import (
+        bytes_stats_arrow,
+        with_binary_payload,
+    )
+
+    key = "spark.sql.execution.arrow.useLargeVarTypes"
+    old = spark.conf.get(key, "false")
+    spark.conf.set(key, "true")
+    try:
+        texts = ["éclair", "", "plain text"]
+        d = spark.createDataFrame(
+            [(i, t, "xx", "s", len(t)) for i, t in enumerate(texts)],
+            "doc_id BIGINT, text STRING, lang STRING, source STRING,"
+            " n_chars BIGINT",
+        )
+        got = {
+            r["doc_id"]: r
+            for r in bytes_stats_arrow(with_binary_payload(d)).collect()
+        }
+        for i, t in enumerate(texts):
+            b = t.encode("utf-8")
+            assert got[i]["n_bytes"] == len(b)
+            assert got[i]["head_byte"] == (b[0] if b else -1)
+            assert got[i]["tail_byte"] == (b[-1] if b else -1)
+    finally:
+        spark.conf.set(key, old)
