@@ -507,7 +507,9 @@ def index_suite_ext_of(pts: DataFrame) -> DataFrame:
     )
     d_b = centroid_pair_dists(cents).agg(F.max("dist").alias("d_b"))
     pbm = (
-        (F.lit(1.0) / F.col("k"))
+        # k=0 only on an EMPTY input table (global agg still emits its one
+        # row): NULL, matching DuckDB's native x/0 → NULL, not an ANSI error
+        (F.lit(1.0) / F.nullif(F.col("k").cast("double"), F.lit(0.0)))
         * (F.col("e_t") / F.nullif(F.col("e_w"), F.lit(0.0)))
         * F.col("d_b")
     )

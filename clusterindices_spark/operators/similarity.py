@@ -102,10 +102,22 @@ def ann_lsh_topk(
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    unit = lambda df, idc, xc: df.select(  # noqa: E731
-        F.col("vec_id").alias(idc),
-        F.transform("x", lambda v: v / norm(F.col("x"))).alias(xc),
-    )
+    # zero-norm vectors have no direction — they can't participate in
+    # cosine similarity, so they're filtered out. The normalization must
+    # ALSO be total on zero rows: Catalyst merges the norm>0 guard with
+    # MLlib's own UDF predicates into one Filter whose conjunct order is
+    # unspecified, so the features expression can evaluate on a zero row
+    # before the guard conjunct drops it (observed: ANSI DIVIDE_BY_ZERO
+    # with a bare division; MLlib's non-null vector assert with nullif).
+    # CASE WHEN evaluates branches conditionally per row — the zero row
+    # speculatively maps to a valid all-zero vector, then the guard
+    # conjunct removes it from every result.
+    def unit(df: DataFrame, idc: str, xc: str) -> DataFrame:
+        n = norm(F.col("x"))
+        safe = F.transform(
+            "x", lambda v: F.when(n > 0, v / n).otherwise(F.lit(0.0))
+        )
+        return df.where(n > 0).select(F.col("vec_id").alias(idc), safe.alias(xc))
     a = unit(probes, "probe_id", "xa").select(
         "probe_id", array_to_vector("xa").alias("features")
     )

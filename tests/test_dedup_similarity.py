@@ -337,3 +337,22 @@ def test_bytes_arrow_large_var_types(spark):
             assert got[i]["tail_byte"] == (b[-1] if b else -1)
     finally:
         spark.conf.set(key, old)
+
+
+def test_ann_lsh_drops_zero_norm_vectors(spark):
+    """A zero vector has no direction: it must be excluded from the unit
+    normalization (0/0 would be an ANSI divide-by-zero), not crash the
+    search or appear as a neighbor."""
+    from clusterindices_spark.operators.similarity import ann_lsh_topk
+
+    vecs = [
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.0, 0.0]),  # zero-norm
+        (4, [0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id BIGINT, x ARRAY<DOUBLE>")
+    probes = emb.where("vec_id = 1")
+    got = ann_lsh_topk(emb, probes, k=3).collect()
+    assert got, "search must still return neighbors"
+    assert all(r["neighbor_id"] != 3 for r in got)

@@ -308,3 +308,16 @@ def test_ratkowsky_lance_hand_value(spark):
     assert row["ratkowsky_lance"] == pytest.approx(
         math.sqrt((100.0 / 104.0) / 2.0), abs=1e-6
     )
+
+
+def test_index_suite_ext_empty_input_yields_nulls(spark):
+    """An empty points table must produce NULL indices (DuckDB's x/0 → NULL
+    convention), never an ANSI divide-by-zero — the k=0 guard on PBM."""
+    from clusterindices_spark.operators.indices import index_suite_ext_of
+
+    pts = spark.createDataFrame(
+        [], "vec_id BIGINT, cluster INT, x ARRAY<DOUBLE>"
+    )
+    rows = index_suite_ext_of(pts).collect()
+    assert len(rows) == 1
+    assert rows[0]["pbm"] is None
