@@ -49,15 +49,31 @@ def with_binary_payload(d: DataFrame) -> DataFrame:
     )
 
 
-def decode_binary(binary_df: DataFrame, mode: str = "fake") -> DataFrame:
+def decode_binary(
+    binary_df: DataFrame,
+    mode: str = "fake",
+    target_partition_bytes: int | None = None,
+) -> DataFrame:
     """Arrow-batched 'decode' of a binary payload column via mapInPandas.
 
     mode="real" is the integration point for actual image/audio decoding
     (PIL/ffmpeg/etc.) and deliberately raises NotImplementedError here;
     mode="fake" computes deterministic metadata from the raw bytes.
+
+    ``target_partition_bytes`` opts into byte-weighted repartitioning
+    (fixtures.fan_out_by_bytes) before the decode: media rows vary by
+    orders of magnitude (thumbnail vs video), so production decodes size
+    partitions by Σ payload bytes, not row count. Left off for the fixture
+    corpus, whose rows are uniformly narrow.
     """
     if mode not in ("fake", "real"):
         raise ValueError(f"unknown decode mode {mode!r}")
+    if target_partition_bytes is not None:
+        from clusterindices_spark.sources.fixtures import fan_out_by_bytes
+
+        binary_df = fan_out_by_bytes(
+            binary_df, F.octet_length("payload"), target_partition_bytes
+        )
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if mode == "real":

@@ -12,7 +12,7 @@ parquet reader (verify with ``.explain``: PushedFilters / ReadSchema).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 TABLES = (
@@ -84,3 +84,27 @@ def fan_out(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def fan_out_by_bytes(
+    df: DataFrame, weight: Column, target_partition_bytes: int = 64 << 20
+) -> DataFrame:
+    """Repartition sized by BYTES, not row count — for tables whose rows
+    vary wildly in width (binary media payloads: one 4 KB thumbnail row vs
+    one 400 MB video row). Row-count partitioning puts equal ROWS per task
+    and lets a few wide rows blow past executor memory; sizing the partition
+    COUNT by Σ weight / target keeps the average partition at a bounded
+    byte budget, and the round-robin spread decorrelates adjacent wide rows.
+
+    ``weight`` is a per-row byte estimate expression (e.g.
+    ``F.length(payload)``). Costs one aggregate action at plan-build time —
+    the same class of data-boundary probe as fan_out's partition check.
+    Floors at defaultParallelism so small inputs still use the cluster.
+    """
+    total = df.agg(F.sum(weight.cast("bigint"))).first()[0] or 0
+    sc = df.sparkSession.sparkContext
+    n = max(
+        sc.defaultParallelism,
+        -(-int(total) // int(target_partition_bytes)),  # ceil
+    )
+    return df.repartition(n)

@@ -109,3 +109,49 @@ def test_fan_out_noop_on_well_partitioned_input(spark):
     fanned = fan_out(df)
     # already at/above cluster parallelism: no exchange inserted
     assert fanned is df
+
+
+def test_fan_out_by_bytes_sizes_partitions_by_weight(spark):
+    from pyspark.sql import functions as F
+
+    from clusterindices_spark.sources.fixtures import fan_out_by_bytes
+
+    # 100 rows x 1 MiB estimated weight = 100 MiB; 10 MiB target -> 10
+    # partitions, unless the parallelism floor is higher
+    df = spark.range(100).select("id", F.lit(1 << 20).alias("w"))
+    out = fan_out_by_bytes(df, F.col("w"), target_partition_bytes=10 << 20)
+    floor = spark.sparkContext.defaultParallelism
+    assert out.rdd.getNumPartitions() == max(10, floor)
+    assert out.count() == 100
+
+
+def test_fan_out_by_bytes_floors_at_default_parallelism(spark):
+    from pyspark.sql import functions as F
+
+    from clusterindices_spark.sources.fixtures import fan_out_by_bytes
+
+    df = spark.range(5).select("id", F.lit(10).alias("w"))  # 50 bytes total
+    out = fan_out_by_bytes(df, F.col("w"), target_partition_bytes=1 << 20)
+    assert (
+        out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    )
+
+
+def test_decode_binary_byte_weighted_repartition(spark):
+    from clusterindices_spark.operators.multimodal import (
+        decode_binary,
+        with_binary_payload,
+    )
+
+    d = spark.createDataFrame(
+        [(i, "x" * 2048, "en", "s", 2048) for i in range(64)],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING,"
+        " n_chars BIGINT",
+    )
+    out = decode_binary(
+        with_binary_payload(d), target_partition_bytes=16 << 10
+    )
+    # 64 x 2 KiB = 128 KiB at 16 KiB/partition -> 8, or the floor
+    rows = out.collect()
+    assert len(rows) == 64
+    assert all(r["n_bytes"] == 2048 for r in rows)
