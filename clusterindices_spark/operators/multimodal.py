@@ -32,13 +32,17 @@ DECODE_SCHEMA = (
 )
 
 
-def with_binary_payload(d: DataFrame) -> DataFrame:
+def with_binary_payload(d: DataFrame, fan: bool = True) -> DataFrame:
     """documents with an opaque binary column (UTF-8 bytes of text stand in
     for a media payload) + typed metadata, the multimodal table shape.
 
     fan_out first: every consumer feeds Arrow-batched Python (mapInPandas /
-    mapInArrow), where a 1-partition input means zero parallelism."""
-    d = fan_out(d)
+    mapInArrow), where a 1-partition input means zero parallelism. Pass
+    ``fan=False`` when the consumer repartitions itself anyway (e.g.
+    decode_binary with ``target_partition_bytes``) — stacking both would
+    shuffle every payload byte twice."""
+    if fan:
+        d = fan_out(d)
     return d.select(
         "doc_id",
         F.encode(F.col("text"), "UTF-8").alias("payload"),

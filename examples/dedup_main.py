@@ -56,18 +56,32 @@ def main(argv: list[str]) -> int:
     d = load_table(spark, sf_dir, "documents")
     n_in = d.count()
 
-    # 1. exact tier: canonical copy per content hash
-    canon = (
-        d.groupBy(F.sha2(F.col("text"), 256).alias("h"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    # 1. exact tier: canonical copy per content hash. The exact-tier drops
+    # go into the report too — an auditor of {out_dir}/dropped must see
+    # EVERY removed doc, not just the near-dup ones.
+    hashed = d.select("doc_id", F.sha2(F.col("text"), 256).alias("h"))
+    canon = hashed.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    exact_drops = (
+        hashed.join(canon, "h")
+        .where(F.col("doc_id") != F.col("keep_id"))
+        .select(
+            "doc_id",
+            F.col("keep_id").alias("component_id"),
+            F.lit("exact").alias("tier"),
+        )
     )
-    d1 = d.join(canon, "doc_id", "left_semi").persist()
+    d1 = d.join(canon.select(F.col("keep_id").alias("doc_id")), "doc_id",
+                "left_semi").persist()
     n_exact = d1.count()
 
-    # 2. near-dup candidates (LSH-banded, Jaccard-verified)
-    pairs = minhash_pairs(d1).select(
-        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    # 2. near-dup candidates (LSH-banded, Jaccard-verified). Eagerly
+    # materialized: the census reads the edge list in four subtrees of one
+    # action and CC replays it across rounds — lazy, each replays the whole
+    # candidate pipeline (same pitfall q_dedup_graph_triangles documents).
+    pairs = (
+        minhash_pairs(d1)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .localCheckpoint(eager=True)
     )
 
     # 3. graph density diagnostic BEFORE collapsing components
@@ -92,14 +106,24 @@ def main(argv: list[str]) -> int:
         )
     ).persist()
 
-    # 5. keep canonical member per component; write corpus + report
+    # 5. keep canonical member per component; write corpus + full report
+    # (near-dup drops ∪ exact-tier drops). observe() rides the write job —
+    # no second evaluation just for the summary count.
     keep = report.where(F.col("is_canonical")).select("doc_id")
-    out = d1.join(keep, "doc_id", "left_semi")
+    from pyspark.sql import Observation
+
+    obs = Observation("dedup_out")
+    out = d1.join(keep, "doc_id", "left_semi").observe(
+        obs, F.count(F.lit(1)).alias("n")
+    )
     out.write.mode("overwrite").parquet(f"{out_dir}/documents")
-    report.where(~F.col("is_canonical")).write.mode("overwrite").parquet(
+    near_drops = report.where(~F.col("is_canonical")).select(
+        "doc_id", "component_id", F.lit("near").alias("tier")
+    )
+    near_drops.unionByName(exact_drops).write.mode("overwrite").parquet(
         f"{out_dir}/dropped"
     )
-    n_out = out.count()
+    n_out = obs.get["n"]
     print(
         f"in={n_in} after_exact={n_exact} after_near={n_out} "
         f"(removed {n_in - n_out}) -> {out_dir}"

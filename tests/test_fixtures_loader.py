@@ -148,8 +148,10 @@ def test_decode_binary_byte_weighted_repartition(spark):
         "doc_id BIGINT, text STRING, lang STRING, source STRING,"
         " n_chars BIGINT",
     )
+    # fan=False: the byte-weighted repartition below replaces the generic
+    # fan_out (stacked, they'd shuffle the payloads twice)
     out = decode_binary(
-        with_binary_payload(d), target_partition_bytes=16 << 10
+        with_binary_payload(d, fan=False), target_partition_bytes=16 << 10
     )
     # 64 x 2 KiB = 128 KiB at 16 KiB/partition -> 8, or the floor
     rows = out.collect()
