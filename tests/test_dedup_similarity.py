@@ -356,3 +356,23 @@ def test_ann_lsh_drops_zero_norm_vectors(spark):
     got = ann_lsh_topk(emb, probes, k=3).collect()
     assert got, "search must still return neighbors"
     assert all(r["neighbor_id"] != 3 for r in got)
+
+
+def test_repin_bounds_cache_generations(spark):
+    """Repeated invocations of the persisted dedup pipelines must not
+    accumulate pinned cache entries: each new call releases the previous
+    generation (the full-registry-sweep leak class)."""
+    from clusterindices_spark.operators.dedup import ngram_jaccard_pairs
+    from clusterindices_spark.sources.fixtures import load_table
+
+    def n_persistent():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    ngram_jaccard_pairs(d).count()
+    first = n_persistent()
+    for _ in range(3):
+        ngram_jaccard_pairs(d).count()
+    assert n_persistent() <= first, (
+        "cache generations accumulated across invocations"
+    )
