@@ -59,19 +59,38 @@ HAMMING_MAX = 3
 # so an eager unpersist would defeat the cache — instead each NEW invocation
 # releases the previous invocation's pin. Repeated full-registry sweeps in
 # one session then hold a bounded working set instead of accumulating a
-# cache entry per run.
+# cache entry per run. When the new invocation's logical plan is THE SAME
+# (e.g. dedup_components → dedup_components_star → dedup_graph_triangles all
+# deriving the same exploded shingles from the same sf_dir), the existing
+# materialized generation is returned instead of being torn down and
+# rebuilt — consecutive keys share one cache.
 _PINNED: dict[str, DataFrame] = {}
 
 
-def _repin(tag: str, df: DataFrame) -> DataFrame:
-    old = _PINNED.pop(tag, None)
+def _repin(tag: str, df: DataFrame, storage_level=None) -> DataFrame:
+    """Register ``df`` (unpersisted) as tag's cache generation and return
+    the persisted frame — either ``df`` newly pinned, or the previous
+    generation when its plan is identical."""
+    from pyspark.storagelevel import StorageLevel
+
+    old = _PINNED.get(tag)
     if old is not None:
+        try:
+            same = old._jdf.queryExecution().analyzed().sameResult(
+                df._jdf.queryExecution().analyzed()
+            )
+        except Exception:
+            same = False
+        if same:
+            return old
+        _PINNED.pop(tag, None)
         try:
             old.unpersist()
         except Exception:
             pass
-    _PINNED[tag] = df
-    return df
+    pinned = df.persist(storage_level or StorageLevel.MEMORY_AND_DISK)
+    _PINNED[tag] = pinned
+    return pinned
 
 
 # ---------------------------------------------------------------------------
@@ -110,7 +129,6 @@ def ngram_jaccard_pairs(
     are removed from every set first (see MAX_SHINGLE_DF) — without the cap
     a single boilerplate shingle shared by m documents contributes m²/2
     join rows."""
-    from pyspark.storagelevel import StorageLevel
 
     sh = _doc_shingles(d)
     # persisted: the exploded frame feeds the hot-set aggregation, the
@@ -119,9 +137,7 @@ def ngram_jaccard_pairs(
     # sf0.1 just for the hot-set pass)
     ex_all = _repin(
         "ngram_exploded",
-        sh.select("doc_id", F.explode("shingles").alias("shingle")).persist(
-            StorageLevel.MEMORY_AND_DISK
-        ),
+        sh.select("doc_id", F.explode("shingles").alias("shingle")),
     )
     # hot set is tiny by construction (≤ total_shingle_rows / cap entries) →
     # broadcast anti-join, no shuffle of the exploded side
@@ -173,15 +189,12 @@ def minhash_pairs(
 ) -> DataFrame:
     """Candidate pairs via banded MinHash (2 rows/band), verified with exact
     Jaccard ≥ threshold. xxhash64 is the hash family (seeded by prefixing)."""
-    from pyspark.storagelevel import StorageLevel
 
     # persisted: read twice (signatures + exact-Jaccard verification), and
     # shingling is the expensive expression work
     sh = _repin(
         "minhash_shingles",
-        _doc_shingles(d)
-        .where(F.col("n_shingles") > 0)
-        .persist(StorageLevel.MEMORY_AND_DISK),
+        _doc_shingles(d).where(F.col("n_shingles") > 0),
     )
     # signatures via explode → codegen'd seeded xxhash64 columns → min per
     # doc. Higher-order transform() lambdas are INTERPRETED (no codegen);
@@ -392,7 +405,17 @@ def connected_components(
             break
         prev_sum = new_sum
     sym.unpersist()
-    return _repin("cc_labels", labels).withColumnRenamed("label", "component")
+    # labels is already persisted by the loop; register it directly so the
+    # next CC invocation releases it (no same-plan reuse here — the frame
+    # was materialized through a data-dependent number of rounds)
+    old_cc = _PINNED.pop("cc_labels", None)
+    if old_cc is not None:
+        try:
+            old_cc.unpersist()
+        except Exception:
+            pass
+    _PINNED["cc_labels"] = labels
+    return labels.withColumnRenamed("label", "component")
 
 
 def connected_components_star(

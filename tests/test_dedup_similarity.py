@@ -376,3 +376,20 @@ def test_repin_bounds_cache_generations(spark):
     assert n_persistent() <= first, (
         "cache generations accumulated across invocations"
     )
+
+
+def test_repin_reuses_identical_plan_generation(spark):
+    """Two invocations deriving the SAME plan (same input, same sf) must
+    share one materialized cache generation instead of tearing it down and
+    rebuilding — the components → star → triangles sequence relies on it."""
+    from clusterindices_spark.operators import dedup
+    from clusterindices_spark.sources.fixtures import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    dedup.ngram_jaccard_pairs(d).count()
+    gen1 = dedup._PINNED["ngram_exploded"]
+    dedup.ngram_jaccard_pairs(d).count()
+    assert dedup._PINNED["ngram_exploded"] is gen1
+    # a DIFFERENT plan must swap the generation
+    dedup.ngram_jaccard_pairs(d.where("doc_id < 100")).count()
+    assert dedup._PINNED["ngram_exploded"] is not gen1
