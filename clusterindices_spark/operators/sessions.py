@@ -21,7 +21,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from clusterindices_spark.functions.aggregates import sql_exact_sum
+from clusterindices_spark.functions.aggregates import (
+    SQL_ROUND6,
+    exact_sum,
+    round6_stable,
+    sql_exact_sum,
+)
 from clusterindices_spark.sources.fixtures import load_table
 
 SESSION_GAP_MIN = 30
@@ -33,9 +38,7 @@ def q_stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6).alias(
-                "sum_value"
-            ),
+            exact_sum("value", "sum_value"),
         )
         .select(
             F.unix_millis(F.col("w.start")).alias("window_start_ms"),
@@ -62,8 +65,12 @@ def q_stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sessionize(e: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
     """Gaps-and-islands sessionization: per user, a new session starts when
-    the gap to the previous event exceeds ``gap_min``. Millisecond arithmetic
-    so both engines compare identical integers."""
+    the gap to the previous event EXCEEDS ``gap_min`` (strict >: pinned
+    empirically against the native ``session_window`` twin, which MERGES an
+    event arriving exactly gap after the previous one — its per-event range
+    [ts, ts+gap] is end-inclusive for the overlap test; see
+    tests/test_streaming.py boundary test). Millisecond arithmetic so both
+    engines compare identical integers."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ms = F.unix_millis("ts")
     prev_ms = F.lag(ms).over(w)
@@ -87,9 +94,7 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))) / 1000.0).alias(
                 "duration_s"
             ),
-            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6).alias(
-                "sum_value"
-            ),
+            exact_sum("value", "sum_value"),
         )
         .select(
             "user_id",
@@ -103,8 +108,12 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch form of dropDuplicatesWithinWatermark: keep the earliest event
-    per (user_id, event_type), deterministic (ts, event_id) tie-break."""
+    """Keep-first reduction by SEMANTIC key: the earliest event per
+    (user_id, event_type), deterministic (ts, event_id) tie-break — the
+    batch shape of keyed stateful dedup. NOT the same operation as
+    streams.dedup_stream, which is delivery dedup on event_id
+    (dropDuplicatesWithinWatermark — collapses at-least-once redelivery of
+    the SAME event; this collapses distinct events sharing a key)."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     return (
@@ -155,7 +164,7 @@ def q_stream_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         F.col("c_user").alias("user_id"),
         F.col("p_ms").alias("purchase_ts_ms"),
-        F.round("p_value", 6).alias("p_value"),
+        round6_stable(F.col("p_value")).alias("p_value"),
     )
 
 
@@ -196,11 +205,13 @@ def funnel_of(e: DataFrame) -> DataFrame:
             "n_view",
             "n_click",
             "n_purchase",
-            F.round(F.col("n_click") / F.nullif(F.col("n_view"), F.lit(0)), 6).alias(
-                "view_to_click"
-            ),
-            F.round(
-                F.col("n_purchase") / F.nullif(F.col("n_click"), F.lit(0)), 6
+            # integer-ratio scores CAN land exactly on .xxxxxx5 — the
+            # half-boundary class round6_stable exists for
+            round6_stable(
+                F.col("n_click") / F.nullif(F.col("n_view"), F.lit(0))
+            ).alias("view_to_click"),
+            round6_stable(
+                F.col("n_purchase") / F.nullif(F.col("n_click"), F.lit(0))
             ).alias("click_to_purchase"),
         )
     )
@@ -257,7 +268,7 @@ p AS (
   FROM events WHERE event_type = 'purchase'
 )
 SELECT click_id, purchase_id, c_user AS user_id, p_ms AS purchase_ts_ms,
-       ROUND(p_value, 6) AS p_value
+       {SQL_ROUND6.format(x='p_value')} AS p_value
 FROM c JOIN p ON c_user = p_user
   AND p_ms > c_ms AND p_ms <= c_ms + {ATTRIBUTION_HORIZON_MIN * 60_000}
 """,
@@ -281,9 +292,9 @@ p AS (
 SELECT (SELECT COUNT(*) FROM v) AS n_view,
        (SELECT COUNT(*) FROM c) AS n_click,
        (SELECT COUNT(*) FROM p) AS n_purchase,
-       ROUND((SELECT COUNT(*) FROM c) / NULLIF((SELECT COUNT(*) FROM v), 0), 6)
+       {SQL_ROUND6.format(x='(SELECT COUNT(*) FROM c) / NULLIF((SELECT COUNT(*) FROM v), 0)')}
          AS view_to_click,
-       ROUND((SELECT COUNT(*) FROM p) / NULLIF((SELECT COUNT(*) FROM c), 0), 6)
+       {SQL_ROUND6.format(x='(SELECT COUNT(*) FROM p) / NULLIF((SELECT COUNT(*) FROM c), 0)')}
          AS click_to_purchase
 """,
     "events_retention": f"""

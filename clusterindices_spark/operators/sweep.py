@@ -128,14 +128,26 @@ def best_k(sweep: DataFrame) -> DataFrame:
     )
 
     def _pick(col: str, ascending: bool, out_name: str) -> DataFrame:
+        # the output contract is exactly one row PER INDEX: when no non-null
+        # value exists (a 2-point sweep has no interior elbow; a flat-WSSSE
+        # plateau nullifs every ratio), emit the row with NULL chosen_k
+        # rather than silently dropping it — consumers key on 'index'
         ordered = with_diff.where(F.col(col).isNotNull()).orderBy(
             F.col(col).asc() if ascending else F.col(col).desc(),
             F.col("k").asc(),
         )
-        return ordered.limit(1).select(
+        one = ordered.limit(1).select(
             F.lit(out_name).alias("index"),
             F.col("k").alias("chosen_k"),
             F.round(col, 6).alias("value"),
+        )
+        placeholder = sweep.sparkSession.createDataFrame(
+            [(out_name, None, None)], "index STRING, chosen_k INT, value DOUBLE"
+        )
+        return (
+            one.unionByName(
+                placeholder.join(one.select("index"), "index", "left_anti")
+            )
         )
 
     return (

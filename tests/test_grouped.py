@@ -36,11 +36,27 @@ def test_zscore_matches_window_formula(spark):
         assert abs(got[k] - want[k]) < 1e-9
 
 
-def test_zscore_constant_group_is_zero(spark):
+def test_zscore_degenerate_groups_are_null(spark):
+    """Zero-variance and singleton groups give NULL z — matching the window
+    formulation (stddev_samp NULL for one row; /0 NULL under the repo's
+    nullif convention), never NaN or a fabricated 0.0."""
     df = spark.createDataFrame(
         [(1, "a", 5.0), (2, "a", 5.0), (3, "b", 1.0)],
         "event_id BIGINT, event_type STRING, value DOUBLE",
     )
     rows = zscore_per_group(df, "event_type", "value").collect()
     z = {r["event_id"]: r["z"] for r in rows}
-    assert z[1] == 0.0 and z[2] == 0.0 and z[3] == 0.0
+    assert z[1] is None and z[2] is None and z[3] is None
+
+
+def test_zscore_null_input_gives_null_not_nan(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", None), (3, "a", 3.0)],
+        "event_id BIGINT, event_type STRING, value DOUBLE",
+    )
+    z = {
+        r["event_id"]: r["z"]
+        for r in zscore_per_group(df, "event_type", "value").collect()
+    }
+    assert z[2] is None
+    assert z[1] is not None and z[3] is not None

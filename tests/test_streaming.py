@@ -217,3 +217,40 @@ def test_funnel_stream_matches_batch(spark):
         assert (n_view, n_click, n_purchase) == (
             want["n_view"], want["n_click"], want["n_purchase"],
         )
+
+
+def test_sessionize_gap_boundary_matches_session_window(spark):
+    """An event exactly SESSION_GAP_MIN after the previous one stays in the
+    SAME session in BOTH forms: Spark's native session_window treats the
+    per-event range [ts, ts+gap] as end-inclusive for the merge test
+    (verified here against the engine), so the batch gaps-and-islands form
+    must use strict > — a >= would split where the native twin merges."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from clusterindices_spark.operators.sessions import (
+        SESSION_GAP_MIN,
+        sessionize,
+    )
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    gap = pd.Timedelta(minutes=SESSION_GAP_MIN)
+    rows = [
+        (1, 7, base.to_pydatetime(), "view", 1.0),
+        (2, 7, (base + gap).to_pydatetime(), "view", 1.0),          # == gap
+        (3, 7, (base + gap + gap / 2).to_pydatetime(), "view", 1.0),  # < gap
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id BIGINT, user_id BIGINT, ts TIMESTAMP,"
+        " event_type STRING, value DOUBLE"
+    )
+    batch = sessionize(e).select("event_id", "session_id").collect()
+    sess_of = {r["event_id"]: r["session_id"] for r in batch}
+    assert sess_of[1] == sess_of[2], "exact-gap event merges (end-inclusive)"
+    assert sess_of[2] == sess_of[3]
+    native = (
+        e.groupBy(F.session_window("ts", f"{SESSION_GAP_MIN} minutes"), "user_id")
+        .count()
+        .collect()
+    )
+    assert len(native) == len(set(sess_of.values())) == 1

@@ -111,3 +111,21 @@ def test_assignment_matches_own_label_centroid_geometry(spark):
     agree = a.where("cluster = assigned_cluster").count()
     assert agree > 0
     assert a.select("assigned_cluster").distinct().count() <= 10
+
+
+def test_best_k_two_point_sweep_keeps_all_index_rows(spark):
+    """A sweep too short for an interior elbow still emits the wssse_elbow
+    row (NULL chosen_k) — one row per index is the output contract."""
+    from clusterindices_spark.operators.sweep import best_k
+
+    sweep = spark.createDataFrame(
+        [(2, 0.5, 0.1, 1.0, 100.0, 0.1), (3, 0.6, 0.2, 0.9, 50.0, 0.1)],
+        "k INT, bd_silhouette DOUBLE, bd_dunn DOUBLE, davies_bouldin DOUBLE,"
+        " wssse DOUBLE, time_s DOUBLE",
+    )
+    rows = {r["index"]: r for r in best_k(sweep).collect()}
+    assert set(rows) == {
+        "bd_silhouette", "bd_dunn", "davies_bouldin", "wssse_elbow",
+    }
+    assert rows["wssse_elbow"]["chosen_k"] is None
+    assert rows["bd_silhouette"]["chosen_k"] == 3
