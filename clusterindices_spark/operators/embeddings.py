@@ -11,9 +11,16 @@ so they are oracle-checkable and run at scan speed.
   differs across engines (Spark HALF_UP vs DuckDB HALF_EVEN) while floor is
   universal.
 
-Both queries emit per-element rounded arrays; the driver's value-hash covers
-full array contents, so these are strong cross-engine checks of the HOF
-pipeline (transform/aggregate/zip_with ↔ list_transform/list_sum).
+Registry output encoding: the driver canonicalizes results with pandas
+``sort_values`` over every column, which dies on list-typed cells
+(``unhashable type: 'list'`` — CORRECTNESS_r02.json). The registry queries
+therefore emit the vector as ONE SORTABLE STRING: each element is scaled to
+integer micros via the floor-stable round (floor(x·1e6 + 0.5), the
+round6_stable convention) and comma-joined. Integers format identically in
+every engine — float→string rendering does not — so the string is a strong
+cross-engine check of full array contents AND driver-hashable. The
+array-typed variants remain available as the ``normalize_embeddings`` /
+``quantize_int8`` library helpers (non-registry).
 """
 
 from __future__ import annotations
@@ -25,8 +32,8 @@ from clusterindices_spark.functions.distances import norm
 from clusterindices_spark.sources.fixtures import load_table
 
 
-def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+def normalize_embeddings(emb: DataFrame) -> DataFrame:
+    """Library form: L2 unit-normalize, array-typed ``unit`` output."""
     x = F.col("embedding")
     n = norm(x)
     return emb.select(
@@ -38,8 +45,8 @@ def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+def quantize_int8(emb: DataFrame) -> DataFrame:
+    """Library form: affine int8 quantization, array-typed ``qvec`` output."""
     x = F.col("embedding")
     mn = F.array_min(x)
     mx = F.array_max(x)
@@ -53,6 +60,51 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         q.alias("qvec"),
+        F.round(mn, 6).alias("q_min"),
+        F.round(mx, 6).alias("q_max"),
+    )
+
+
+def _int_csv(arr) -> F.Column:
+    """Comma-join an integer array into one sortable STRING cell (identical
+    rendering in Spark and DuckDB; concat_ws and array_to_string both skip
+    NULL elements, but callers NULL the whole cell on degenerate input so
+    element-level NULLs never reach the join)."""
+    return F.concat_ws(",", F.transform(arr, lambda v: v.cast("string")))
+
+
+def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.col("embedding")
+    n = norm(x)
+    micros = F.transform(
+        x, lambda v: F.floor(v / n * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    )
+    return emb.select(
+        "vec_id",
+        F.when(n == 0.0, F.lit(None).cast("string"))
+        .otherwise(_int_csv(micros))
+        .alias("unit_micros"),
+        F.round(n, 6).alias("l2_norm"),
+    )
+
+
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.col("embedding")
+    mn = F.array_min(x)
+    mx = F.array_max(x)
+    q = F.transform(
+        x,
+        lambda v: (
+            F.floor((v - mn) / (mx - mn) * F.lit(255.0) + F.lit(0.5)) - F.lit(128)
+        ).cast("int"),
+    )
+    return emb.select(
+        "vec_id",
+        F.when(mx == mn, F.lit(None).cast("string"))
+        .otherwise(_int_csv(q))
+        .alias("qvec_csv"),
         F.round(mn, 6).alias("q_min"),
         F.round(mx, 6).alias("q_max"),
     )
@@ -113,15 +165,25 @@ _NORM = f"sqrt(list_sum(list_transform({_X}, v -> v * v)))"
 ORACLES = {
     "embedding_normalize": f"""
 SELECT vec_id,
-       list_transform({_X}, v -> ROUND(v / NULLIF({_NORM}, 0.0), 6)) AS unit,
+       CASE WHEN {_NORM} = 0.0 THEN NULL
+            ELSE array_to_string(
+                   list_transform({_X},
+                     v -> CAST(FLOOR(v / {_NORM} * 1000000.0 + 0.5) AS BIGINT)),
+                   ',')
+       END AS unit_micros,
        ROUND({_NORM}, 6) AS l2_norm
 FROM embeddings
 """,
     "embedding_quantize_int8": f"""
 SELECT vec_id,
-       list_transform({_X},
-         v -> CAST(FLOOR((v - list_min({_X})) / NULLIF(list_max({_X}) - list_min({_X}), 0.0)
-                         * 255.0 + 0.5) AS INT) - 128) AS qvec,
+       CASE WHEN list_max({_X}) = list_min({_X}) THEN NULL
+            ELSE array_to_string(
+                   list_transform({_X},
+                     v -> CAST(FLOOR((v - list_min({_X}))
+                                     / (list_max({_X}) - list_min({_X}))
+                                     * 255.0 + 0.5) AS INT) - 128),
+                   ',')
+       END AS qvec_csv,
        ROUND(CAST(list_min({_X}) AS DOUBLE), 6) AS q_min,
        ROUND(CAST(list_max({_X}) AS DOUBLE), 6) AS q_max
 FROM embeddings

@@ -423,12 +423,30 @@ def q_silhouette_sqeuclid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return silhouette_sqeuclid_of(labeled_points(spark, sf_dir, fan=True))
 
 
-def silhouette_exact_of(pts: DataFrame) -> DataFrame:
+def silhouette_exact_of(
+    pts: DataFrame,
+    sample_fraction: float | None = None,
+    max_rows: int | None = None,
+) -> DataFrame:
     """Classical silhouette, exact pairwise form: a(p) = mean distance to
     the REST of p's cluster, b(p) = min over other clusters of mean distance
     to that cluster. O(n²) — the ground-truth yardstick for
     silhouette_sqeuclid, not the scale path (at 100 TB use the sufficient-
-    statistics form; this tier exists to validate it on samples)."""
+    statistics form; this tier validates it on samples). Guarded: refuses
+    inputs beyond the quadratic cap unless an explicit deterministic
+    hash-sample is requested (functions/guards.py)."""
+    from clusterindices_spark.functions.guards import (
+        QUADRATIC_MAX_ROWS,
+        cap_quadratic,
+    )
+
+    pts = cap_quadratic(
+        pts,
+        "silhouette_exact",
+        "vec_id",
+        max_rows=max_rows if max_rows is not None else QUADRATIC_MAX_ROWS,
+        sample_fraction=sample_fraction,
+    )
     a_side = pts.select(
         F.col("vec_id").alias("pid"), F.col("cluster").alias("pcl"), F.col("x").alias("xa")
     )

@@ -335,8 +335,21 @@ def resize_nearest(binary_df: DataFrame) -> DataFrame:
 
 
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The registry emits `pixels` comma-joined into one STRING cell: the
+    # driver's canonicalizer (pandas sort_values over all columns) cannot
+    # hash list-typed cells (CORRECTNESS_r02 ERR). Integer CSV renders
+    # identically in both engines; resize_nearest keeps the array form for
+    # library users.
     d = load_table(spark, sf_dir, "documents")
-    return resize_nearest(with_binary_payload(d))
+    out = resize_nearest(with_binary_payload(d))
+    return out.select(
+        "doc_id",
+        "src_h",
+        F.concat_ws(
+            ",", F.transform("pixels", lambda v: v.cast("string"))
+        ).alias("pixels_csv"),
+        "checksum",
+    )
 
 
 QUERIES = {
@@ -452,7 +465,8 @@ px AS (
                          // {RESIZE_OUT} AS INT) + 1, 1)) AS INT)) AS pixels
   FROM g
 )
-SELECT doc_id, src_h, pixels,
+SELECT doc_id, src_h,
+       array_to_string(pixels, ',') AS pixels_csv,
        CAST(list_sum(pixels) AS BIGINT) AS checksum
 FROM px
 """

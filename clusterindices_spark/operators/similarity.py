@@ -72,8 +72,28 @@ def q_similarity_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_exact(emb, emb.where(F.col("vec_id") < N_PROBES))
 
 
-def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
+def dedup_embedding_cosine(
+    emb: DataFrame,
+    threshold: float = COSINE_DUP_THRESHOLD,
+    sample_fraction: float | None = None,
+    max_rows: int | None = None,
+) -> DataFrame:
+    """All-pairs cosine near-dup pairs — O(n²) ground-truth yardstick.
+    Guarded: refuses inputs beyond the quadratic cap unless an explicit
+    deterministic hash-sample is requested (functions/guards.py). The scale
+    path is the LSH/IVF tier; this tier validates it on samples."""
+    from clusterindices_spark.functions.guards import (
+        QUADRATIC_MAX_ROWS,
+        cap_quadratic,
+    )
+
+    emb = cap_quadratic(
+        emb,
+        "dedup_embedding_cosine",
+        "vec_id",
+        max_rows=max_rows if max_rows is not None else QUADRATIC_MAX_ROWS,
+        sample_fraction=sample_fraction,
+    )
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("x").alias("xa"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("x").alias("xb"))
     return (
@@ -84,8 +104,12 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_b",
             F.round(cosine_sim(F.col("xa"), F.col("xb")), 6).alias("cos"),
         )
-        .where(F.col("cos") >= COSINE_DUP_THRESHOLD)
+        .where(F.col("cos") >= threshold)
     )
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_embedding_cosine(_emb(spark, sf_dir))
 
 
 def ann_lsh_topk(

@@ -13,10 +13,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 # Order matters: the driver's per-round correctness gate checks the first
-# ~50 queries() keys, so the highest-value surface (reference-parity cluster
-# indices + the LLM-pipeline ops) must come first; the TPC-H / relational_ext
-# widening is emitted last (round-1 driver run confirmed every emitted key
-# except cluster_chi2 bit-exact — see CORRECTNESS_r01.json + VERDICT.md).
+# ~50 queries() keys per round. Rounds 1+2 drove 88 distinct keys green;
+# _FRONT (below) lists the keys that still need a driver row — the 47 keys
+# the driver has never reached plus the 3 keys that ERR'd in r2 on
+# list-typed output (now emitting sortable strings) — so round 3's window
+# covers exactly the remaining gap. Keys outside _FRONT keep module order.
 _MODULES = [
     "clusterindices_spark.operators.indices",
     "clusterindices_spark.operators.assignment",
@@ -34,6 +35,70 @@ _MODULES = [
     "clusterindices_spark.operators.tpch",
     "clusterindices_spark.operators.relational_ext",
     "clusterindices_spark.sql",
+]
+
+# Round-3 driver-window priority: every key without a green driver row after
+# rounds 1+2 (CORRECTNESS_r01 ∪ CORRECTNESS_r02; see VERDICT.md r2 "Next
+# round" #1-2). Exactly 50 keys = the driver's per-round check budget.
+_FRONT = [
+    # r2 driver-ERR trio, re-emitted as sortable strings this round
+    "embedding_normalize",
+    "embedding_quantize_int8",
+    "multimodal_resize",
+    # UDF tier remainder
+    "udf_grouped_agg_median",
+    "udtf_sentences",
+    "udf_cogrouped_asof",
+    # streaming batch-twins + session analytics
+    "stream_tumbling_agg",
+    "stream_sliding_agg",
+    "stream_session_windows",
+    "stream_dedup",
+    "stream_join_clicks",
+    "events_funnel",
+    "events_retention",
+    # curation surface
+    "curation_split",
+    "curation_pack_greedy",
+    "curation_pipeline",
+    "curation_sample_stratified",
+    "curation_sample_topk",
+    "curation_mixture_interleave",
+    "curation_decontaminate",
+    # analytics / data-quality surface
+    "profile_orders",
+    "events_histogram",
+    "events_outliers",
+    "events_outliers_mad",
+    "events_path_trigrams",
+    # TPC-H shapes the driver never reached
+    "tpch_q2",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q16",
+    "tpch_q20",
+    "tpch_q21",
+    # relational_ext remainder
+    "null_semantics",
+    "join_interval_binned",
+    "merge_upsert_cdc",
+    "agg_cube",
+    "subquery_in",
+    "window_distribution",
+    "explode_lateral",
+    "sequence_dates",
+    "cond_expr",
+    "distinct_latest",
+    "string_distance",
+    "scalar_map",
+    "window_range_frame",
+    "scalar_array_set",
+    "join_full_outer",
+    "window_fill_forward",
+    # SQL entry point
+    "sql_interface",
 ]
 
 
@@ -54,7 +119,14 @@ def _load():
             raise ValueError(f"{modname} has oracle SQL for unknown keys {unknown}")
         queries.update(q)
         oracles.update(o)
-    return queries, oracles
+    missing = [k for k in _FRONT if k not in queries]
+    if missing:
+        raise ValueError(f"_FRONT names unknown keys {missing}")
+    if len(_FRONT) != len(set(_FRONT)):
+        raise ValueError("_FRONT has duplicate keys")
+    ordered = {k: queries[k] for k in _FRONT}
+    ordered.update((k, v) for k, v in queries.items() if k not in ordered)
+    return ordered, oracles
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

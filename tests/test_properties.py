@@ -43,32 +43,54 @@ def test_exact_sum_partition_and_order_invariant(spark, xs):
     )
 )
 def test_quantize_int8_domain(spark, vecs):
-    from clusterindices_spark.operators.embeddings import q_embedding_quantize_int8
-    import tempfile
+    from clusterindices_spark.operators.embeddings import quantize_int8
 
-    with tempfile.TemporaryDirectory() as tmp:
-        spark.createDataFrame(
-            [(i, v) for i, v in enumerate(vecs)],
-            "vec_id BIGINT, embedding ARRAY<DOUBLE>",
-        ).write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
-        rows = q_embedding_quantize_int8(spark, tmp).collect()
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    rows = quantize_int8(df).collect()
     for r in rows:
         for q in r["qvec"]:
             assert q is None or -128 <= q <= 127
 
 
 def test_normalize_unit_norm(spark):
-    from clusterindices_spark.operators.embeddings import q_embedding_normalize
+    from clusterindices_spark.operators.embeddings import normalize_embeddings
     from clusterindices_spark.functions.distances import norm
+    from clusterindices_spark.sources.fixtures import load_table
 
     from tests.conftest import SF_SMOKE
 
-    out = q_embedding_normalize(spark, SF_SMOKE)
+    out = normalize_embeddings(load_table(spark, SF_SMOKE, "embeddings"))
     bad = out.where(
         (F.col("l2_norm") > 0)
         & (F.abs(norm(F.col("unit")) - 1.0) > 1e-4)
     ).count()
     assert bad == 0
+
+
+def test_registry_vector_keys_are_driver_hashable(spark):
+    """The three array-output keys must emit only scalar (sortable) columns:
+    the driver canonicalizes with pandas sort_values, which raises on
+    list-typed cells (CORRECTNESS_r02 ERR class)."""
+    from clusterindices_spark.operators.embeddings import (
+        q_embedding_normalize,
+        q_embedding_quantize_int8,
+    )
+    from clusterindices_spark.operators.multimodal import q_multimodal_resize
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from tests.conftest import SF_SMOKE
+
+    for q in (q_embedding_normalize, q_embedding_quantize_int8, q_multimodal_resize):
+        df = q(spark, SF_SMOKE)
+        for f in df.schema.fields:
+            assert not isinstance(f.dataType, (ArrayType, MapType, StructType)), (
+                q.__name__,
+                f.name,
+            )
+        assert df.limit(1).count() >= 0  # executes
 
 
 @settings(**_SETTINGS)
