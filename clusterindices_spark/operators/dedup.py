@@ -31,6 +31,7 @@ from clusterindices_spark.functions.text import (
     shingles3,
     tokens,
 )
+from clusterindices_spark.functions.aggregates import SQL_ROUND6, round6_stable
 from clusterindices_spark.sources.fixtures import fan_out, load_table
 
 # 8 bands × 2 rows (16 signatures): S-curve midpoint (1/b)^(1/r) ≈ 0.35 —
@@ -64,7 +65,24 @@ HAMMING_MAX = 3
 # deriving the same exploded shingles from the same sf_dir), the existing
 # materialized generation is returned instead of being torn down and
 # rebuilt — consecutive keys share one cache.
+#
+# ASSUMPTION: fixture files are immutable within a session. Same-plan reuse
+# compares analyzed plans (sameResult), not data — if the parquet under an
+# sf_dir is regenerated mid-session, the stale materialized generation is
+# silently returned. Call clear_pins() after any in-session regeneration
+# (test fixtures that rewrite paths must do this).
 _PINNED: dict[str, DataFrame] = {}
+
+
+def clear_pins() -> None:
+    """Unpersist and forget every cached generation — required after
+    regenerating fixture files mid-session (see _PINNED note above)."""
+    for tag in list(_PINNED):
+        df = _PINNED.pop(tag)
+        try:
+            df.unpersist()
+        except Exception:
+            pass
 
 
 def _repin(tag: str, df: DataFrame, storage_level=None) -> DataFrame:
@@ -586,11 +604,14 @@ def triangle_census(edges: DataFrame) -> DataFrame:
             "n_edges",
             "n_triangles",
             "n_wedges",
-            F.round(
+            # round6_stable, not F.round: 3·t/w is an integer ratio, the
+            # half-boundary class where Spark's HALF_UP and DuckDB's
+            # scaled-multiply round() can disagree (the funnel/sessions
+            # convention).
+            round6_stable(
                 F.lit(3.0)
                 * F.col("n_triangles")
-                / F.nullif(F.col("n_wedges").cast("double"), F.lit(0.0)),
-                6,
+                / F.nullif(F.col("n_wedges").cast("double"), F.lit(0.0))
             ).alias("transitivity"),
         )
     )
@@ -639,6 +660,9 @@ QUERIES = {
 
 _TOKS = SQL_TOKENS.format(col="text")
 _SH = SQL_SHINGLES3.format(toks="toks")
+TRI_R6 = SQL_ROUND6.format(
+    x="3.0 * n_triangles / NULLIF(CAST(n_wedges AS DOUBLE), 0.0)"
+)
 
 ORACLES = {
     "dedup_exact": """
@@ -708,8 +732,7 @@ gs AS (
 ),
 ec AS (SELECT COUNT(*) AS n_edges FROM pairs)
 SELECT n_nodes, n_edges, n_triangles, n_wedges,
-       ROUND(3.0 * n_triangles / NULLIF(CAST(n_wedges AS DOUBLE), 0.0), 6)
-         AS transitivity
+       {TRI_R6} AS transitivity
 FROM tri, gs, ec
 """,
     "dedup_components": f"""

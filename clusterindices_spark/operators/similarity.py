@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from clusterindices_spark.functions.distances import cosine_sim, norm
+from clusterindices_spark.functions.distances import cosine_sim, l2sq, norm
 from clusterindices_spark.sources.fixtures import fan_out, load_table
 
 N_PROBES = 10
@@ -179,6 +179,77 @@ def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(emb, emb.where(F.col("vec_id") < N_PROBES))
 
 
+def _assign_folded(pts: DataFrame, folded: DataFrame) -> DataFrame:
+    """(vec_id, cluster, x): per-row argmin over the broadcast 1-row folded
+    centroid table — ZERO shuffle per Lloyd assignment. Tie-break (d2, cl)
+    matches min_by(struct(cluster,x), struct(d2, cluster))."""
+    best = F.array_min(
+        F.transform(
+            "cents",
+            lambda s: F.struct(
+                l2sq(F.col("x"), s["c"]).alias("d2"), s["cl"].alias("cl")
+            ),
+        )
+    )
+    return (
+        pts.crossJoin(F.broadcast(folded))
+        .select("vec_id", best["cl"].alias("cluster"), "x")
+    )
+
+
+def _centroids_folded(assigned: DataFrame) -> DataFrame:
+    """Per-cluster mean vectors folded STRAIGHT into the 1-row broadcast
+    form (cents: array<struct<cl,c>>, cl-sorted).
+
+    One posexplode→groupBy(cluster, dim) shuffle (map-side combined:
+    K×dim×partitions records regardless of n) + one global agg of the K×dim
+    result; the per-cluster array reassembly happens inside the single row
+    with HOFs. This deletes the intermediate groupBy(cluster) assembly stage
+    AND the downstream re-fold agg that the K-row `centroids_of` +
+    `_centroid_row` pairing costs per Lloyd round — measured ~0.3 s/round of
+    pure stage overhead at sf0.1 (the data volume is trivial; the stages
+    are not)."""
+    per_dim = (
+        assigned.select("cluster", F.posexplode("x").alias("dim", "val"))
+        .groupBy("cluster", "dim")
+        .agg(F.avg("val").alias("m"))
+    )
+    flat = per_dim.agg(
+        F.array_sort(
+            F.collect_list(F.struct("cluster", "dim", "m"))
+        ).alias("a")
+    )
+    cls_ = F.array_distinct(F.transform("a", lambda s: s["cluster"]))
+    return flat.select(
+        F.transform(
+            cls_,  # already ascending: `a` is sorted by (cluster, dim)
+            lambda cl: F.struct(
+                cl.alias("cl"),
+                F.transform(
+                    F.filter("a", lambda s: s["cluster"] == cl),
+                    lambda s: s["m"],
+                ).alias("c"),
+            ),
+        ).alias("cents")
+    )
+
+
+def fold_cents_table(cents: DataFrame) -> DataFrame:
+    """Fold a K-row (cluster, centroid) table into the 1-row broadcast form."""
+    return cents.agg(
+        F.collect_list(
+            F.struct(F.col("cluster").alias("cl"), F.col("centroid").alias("c"))
+        ).alias("cents")
+    )
+
+
+def unfold_cents(folded: DataFrame) -> DataFrame:
+    """1-row folded centroids → K-row (cluster, centroid) table."""
+    return folded.select(F.explode("cents").alias("s")).select(
+        F.col("s.cl").alias("cluster"), F.col("s.c").alias("centroid")
+    )
+
+
 def ivf_build(
     emb: DataFrame,
     n_cells: int = 8,
@@ -188,60 +259,88 @@ def ivf_build(
     cells (seeds = lowest vec_ids, refined with ``lloyd_iters`` pure-
     DataFrame Lloyd passes — fully deterministic, no MLlib randomness).
 
-    Returns ``(cents, index)``: the K-row centroid table and the inverted
-    file ``(neighbor_id, cell, xb)``.
-    """
+    Returns ``(folded_cents, index)``: the 1-row folded centroid table
+    (``unfold_cents`` gives the K-row form) and the inverted file
+    ``(neighbor_id, cell, xb)``. The whole build carries centroids in the
+    folded broadcast form — K-row tables only materialize at the storage
+    boundary (ivf_write_bucketed)."""
     from pyspark.storagelevel import StorageLevel
-
-    from clusterindices_spark.operators.indices import (
-        centroids_of,
-        with_dist_array,
-    )
-
-    def _assign_argmin(p: DataFrame, cs: DataFrame) -> DataFrame:
-        # per-row argmin over the broadcast folded-centroid row — ZERO
-        # shuffle, unlike the min_by groupBy(vec_id) formulation this
-        # replaced (which shuffled every vector once per Lloyd round;
-        # isolated A/B at sf0.1: see BASELINE.md). Tie-break (d2, cl)
-        # matches min_by(struct(cluster,x), struct(d2, cluster)).
-        best = F.array_min(
-            F.transform(
-                F.col("d2s"),
-                lambda s: F.struct(s["d2"].alias("d2"), s["cl"].alias("cl")),
-            )
-        )
-        return with_dist_array(p, cs).select(
-            "vec_id", best["cl"].alias("cluster"), "x"
-        )
 
     pts = emb.select("vec_id", "x").persist(StorageLevel.MEMORY_AND_DISK)
     seeds = (
         pts.orderBy("vec_id")
         .limit(n_cells)
+        .agg(F.array_sort(F.collect_list(F.struct("vec_id", "x"))).alias("sv"))
         .select(
-            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cluster"),
-            F.col("x").alias("centroid"),
+            F.transform(
+                "sv",
+                lambda s, i: F.struct(
+                    i.cast("int").alias("cl"), s["x"].alias("c")
+                ),
+            ).alias("cents")
         )
     )
 
-    # Lineage note: each Lloyd round's centroid table enters the next round
-    # as a broadcast subplan, so ONE final action computes each round once
-    # over the persisted points — no driver round-trips needed, no
-    # exponential replay. (A collect-per-round variant was measured ~2s
-    # slower at sf0.1 from pure job-scheduling overhead.)
-    cents = seeds
+    # Lineage note: each Lloyd round's centroid row enters the next round
+    # as a broadcast subplan, so ONE action computes each round once over
+    # the persisted points — no per-round driver round-trips (a
+    # collect-per-round variant was measured ~2s slower at sf0.1 from pure
+    # job-scheduling overhead). The FINAL centroid row, however, is
+    # materialized once: both downstream consumers (index assignment and
+    # probe-cell selection) embed it as a subplan, and leaving it lazy
+    # re-executes the whole Lloyd chain per consumer (measured ~0.8 s of
+    # duplicated stages at sf0.1). One row of K×dim doubles —
+    # driver-scale by construction.
+    folded = seeds
     for _ in range(lloyd_iters):
-        cents = centroids_of(_assign_argmin(pts, cents))
-    index = _assign_argmin(pts, cents).select(
+        folded = _centroids_folded(_assign_folded(pts, folded))
+    spark = emb.sparkSession
+    folded = spark.createDataFrame(folded.collect(), folded.schema)
+    index = _assign_folded(pts, folded).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("cluster").alias("cell"),
         F.col("x").alias("xb"),
     )
-    return cents, index
+    return folded, index
+
+
+def _probe_cells(
+    probes: DataFrame, folded: DataFrame, n_probe_cells: int
+) -> DataFrame:
+    """(probe_id, xa, cell) — each probe's n_probe_cells nearest cells,
+    selected with per-row array math over the broadcast 1-row folded
+    centroid table (zero shuffle; tie-break (d2, cell) matches the window
+    formulation this replaced)."""
+    return (
+        probes.select(F.col("vec_id").alias("probe_id"), F.col("x"))
+        .crossJoin(F.broadcast(folded))
+        .select(
+            "probe_id",
+            F.col("x").alias("xa"),
+            F.explode(
+                F.transform(
+                    F.slice(
+                        F.array_sort(
+                            F.transform(
+                                "cents",
+                                lambda s: F.struct(
+                                    l2sq(F.col("x"), s["c"]).alias("d2"),
+                                    s["cl"].alias("cl"),
+                                ),
+                            )
+                        ),
+                        1,
+                        n_probe_cells,
+                    ),
+                    lambda s: s["cl"],
+                )
+            ).alias("cell"),
+        )
+    )
 
 
 def _ivf_search(
-    cents: DataFrame,
+    folded_cents: DataFrame,
     index: DataFrame,
     probes: DataFrame,
     k: int,
@@ -250,29 +349,18 @@ def _ivf_search(
     """Search an IVF index: each probe ranks the broadcast centroid table,
     keeps its ``n_probe_cells`` nearest cells, and scans only those cells'
     inverted lists (equi-join on cell — never a full cross join). Exact
-    cosine re-ranks the survivors."""
-    from clusterindices_spark.functions.distances import l2sq
+    cosine re-ranks the survivors.
 
-    probe_cells = (
-        probes.select(F.col("vec_id").alias("probe_id"), F.col("x").alias("xa"))
-        .crossJoin(F.broadcast(cents))
-        .select(
-            "probe_id",
-            "xa",
-            F.col("cluster").alias("cell"),
-            l2sq(F.col("xa"), F.col("centroid")).alias("d2"),
-        )
-        .withColumn(
-            "cell_rank",
-            F.row_number().over(
-                Window.partitionBy("probe_id").orderBy("d2", "cell")
-            ),
-        )
-        .where(F.col("cell_rank") <= n_probe_cells)
-        .select("probe_id", "xa", "cell")
-    )
+    Cell selection is per-row array math (sort the broadcast d2 structs,
+    slice the first n_probe_cells), NOT a row_number window — the window
+    formulation shuffled every (probe × cell) row just to rank K broadcast
+    cells (measured ~0.6 s of pure stage overhead at sf0.1). array_sort on
+    struct(d2, cl) keeps the same (d2, cell) tie-break. The probe side of
+    the inverted-list join is broadcast: probes × n_probe_cells rows vs a
+    corpus-scale index — at 100 TB the index never shuffles."""
     sims = (
-        probe_cells.join(index, "cell")
+        F.broadcast(_probe_cells(probes, folded_cents, n_probe_cells))
+        .join(index, "cell")
         .where(F.col("probe_id") != F.col("neighbor_id"))
         .select(
             "probe_id",
@@ -326,11 +414,13 @@ def ivf_write_bucketed(
     """
     from clusterindices_spark.sources.bucketing import drop_table, write_bucketed
 
-    cents, index = ivf_build(emb, n_cells=n_cells, lloyd_iters=lloyd_iters)
+    folded, index = ivf_build(emb, n_cells=n_cells, lloyd_iters=lloyd_iters)
     write_bucketed(index, table, "cell", n_buckets or n_cells)
     spark = emb.sparkSession
     drop_table(spark, f"{table}_cents")
-    cents.write.mode("overwrite").format("parquet").saveAsTable(f"{table}_cents")
+    unfold_cents(folded).write.mode("overwrite").format("parquet").saveAsTable(
+        f"{table}_cents"
+    )
 
 
 def ivf_search_bucketed(
@@ -349,34 +439,15 @@ def ivf_search_bucketed(
     analogue of IVF's "visit n_probe of n_list postings"). The collect is
     driver-scale by construction: cell ids, not vectors.
     """
-    from clusterindices_spark.functions.distances import l2sq
-
     cents = spark.table(f"{table}_cents")
     index = spark.table(table)
-    probe_cells = (
-        probes.select(F.col("vec_id").alias("probe_id"), F.col("x").alias("xa"))
-        .crossJoin(F.broadcast(cents))
-        .select(
-            "probe_id",
-            "xa",
-            F.col("cluster").alias("cell"),
-            l2sq(F.col("xa"), F.col("centroid")).alias("d2"),
-        )
-        .withColumn(
-            "cell_rank",
-            F.row_number().over(
-                Window.partitionBy("probe_id").orderBy("d2", "cell")
-            ),
-        )
-        .where(F.col("cell_rank") <= n_probe_cells)
-        .select("probe_id", "xa", "cell")
-    )
+    probe_cells = _probe_cells(probes, fold_cents_table(cents), n_probe_cells)
     wanted_cells = sorted(
         r["cell"] for r in probe_cells.select("cell").distinct().collect()
     )
     pruned = index.where(F.col("cell").isin(wanted_cells))
     sims = (
-        probe_cells.join(pruned, "cell")
+        F.broadcast(probe_cells).join(pruned, "cell")
         .where(F.col("probe_id") != F.col("neighbor_id"))
         .select(
             "probe_id",
@@ -393,7 +464,14 @@ def ivf_search_bucketed(
 
 
 def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
+    # No fan_out here: IVF's per-row work is an argmin over K broadcast
+    # centroids (trivial), so repartitioning a small input only multiplies
+    # task count across the build's many tiny stages (A/B at sf0.1:
+    # ~0.15 s). At scale the scan arrives well-partitioned and fan_out
+    # would be a no-op anyway.
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("x")
+    )
     return ivf_topk(emb, emb.where(F.col("vec_id") < N_PROBES))
 
 
