@@ -2,10 +2,19 @@
 
 Images/audio/video are opaque ``binary`` columns with typed metadata. The
 Spark-side machinery — schema, Arrow batching via mapInPandas, partitioning —
-is real and tested; the actual media decode is STUBBED (decode libs are not
-in this container): ``decode_binary(..., mode="real")`` raises
-NotImplementedError, ``mode="fake"`` derives deterministic pseudo-metadata
-from the bytes so the pipeline shape is exercised end-to-end.
+is real and tested. Two decode tiers:
+
+- ``mode="fake"`` derives deterministic pseudo-metadata from the raw bytes
+  so the pipeline shape is exercised end-to-end on any payload.
+- ``mode="real"`` ACTUALLY DECODES the two formats a pure-stdlib parser can
+  handle — binary PPM (P6) images and RIFF/WAV PCM audio (struct-based
+  header walk + sample decode, no third-party libs). Payloads in any other
+  format hit an explicit NotImplementedError: that is the seam where
+  PIL/torchaudio/ffmpeg plug in for jpeg/png/mp3/mp4 (not installed in
+  this container). ``synth_media`` plants real PPM/WAV payloads generated
+  from doc_id arithmetic, so the DuckDB oracle can replay the decoded
+  sample statistics without ever seeing the bytes — a header-offset or
+  endianness bug in the parser breaks the value hash.
 
 ``multimodal_meta`` is oracle-checked: byte-level metadata (length, first
 byte) is SQL-computable in DuckDB over the same UTF-8 bytes, which validates
@@ -60,9 +69,10 @@ def decode_binary(
 ) -> DataFrame:
     """Arrow-batched 'decode' of a binary payload column via mapInPandas.
 
-    mode="real" is the integration point for actual image/audio decoding
-    (PIL/ffmpeg/etc.) and deliberately raises NotImplementedError here;
-    mode="fake" computes deterministic metadata from the raw bytes.
+    mode="real" routes to ``decode_media`` (stdlib PPM/WAV parsers; other
+    formats raise at the documented PIL/ffmpeg seam) and returns
+    REAL_DECODE_SCHEMA; mode="fake" computes deterministic metadata from
+    the raw bytes and returns DECODE_SCHEMA.
 
     ``target_partition_bytes`` opts into byte-weighted repartitioning
     (fixtures.fan_out_by_bytes) before the decode: media rows vary by
@@ -79,12 +89,10 @@ def decode_binary(
             binary_df, F.octet_length("payload"), target_partition_bytes
         )
 
+    if mode == "real":
+        return decode_media(binary_df)
+
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if mode == "real":
-            raise NotImplementedError(
-                "media decode libs not available in this environment; "
-                "plug PIL/torchaudio/ffmpeg here"
-            )
         for pdf in batches:
             payloads = pdf["payload"]
             yield pd.DataFrame(
@@ -108,6 +116,194 @@ def decode_binary(
     return binary_df.select("doc_id", "payload").mapInPandas(
         _decode, schema=DECODE_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# real decode tier: stdlib PPM (P6) + RIFF/WAV PCM parsers
+# ---------------------------------------------------------------------------
+
+PPM_W, PPM_H = 4, 4  # planted image dims (48 RGB bytes)
+WAV_N, WAV_RATE = 32, 8000  # planted clip: 32 samples of 16-bit mono PCM
+REAL_DECODE_SCHEMA = (
+    "doc_id bigint, fmt string, width int, height int, "
+    "n_samples int, sample_rate int, value_sum bigint, value_peak int"
+)
+
+
+def _synth_ppm(doc_id: int) -> bytes:
+    """Binary PPM (P6): planted pixel bytes are pure doc_id arithmetic so
+    the oracle can replay the decoded stats without seeing the bytes."""
+    pix = bytes(
+        (doc_id * 31 + i * 7) % 256 for i in range(PPM_W * PPM_H * 3)
+    )
+    return f"P6\n{PPM_W} {PPM_H}\n255\n".encode("ascii") + pix
+
+
+def _synth_wav(doc_id: int) -> bytes:
+    """Minimal RIFF/WAVE with one fmt chunk (PCM, mono, 16-bit) and one
+    data chunk of WAV_N planted samples."""
+    import struct
+
+    samples = [
+        ((doc_id * 13 + i * 5) % 65536) - 32768 for i in range(WAV_N)
+    ]
+    data = struct.pack(f"<{WAV_N}h", *samples)
+    byte_rate = WAV_RATE * 2
+    fmt = struct.pack("<HHIIHH", 1, 1, WAV_RATE, byte_rate, 2, 16)
+    riff_size = 4 + (8 + len(fmt)) + (8 + len(data))
+    return (
+        b"RIFF"
+        + struct.pack("<I", riff_size)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def synth_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): plant REAL media bytes — PPM for even doc_ids,
+    WAV for odd — via Arrow-batched mapInPandas. This is the test-fixture
+    encoder for the real-decode tier; a production pipeline lands actual
+    media files in the binary column instead."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [
+                        _synth_ppm(int(i)) if int(i) % 2 == 0 else _synth_wav(int(i))
+                        for i in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        _synth, schema="doc_id bigint, payload binary"
+    )
+
+
+def _parse_ppm(data: bytes) -> tuple[int, int, int, bytes]:
+    """Parse binary PPM (P6): header tokens (magic, width, height, maxval)
+    separated by whitespace, then raw RGB bytes. Returns
+    (width, height, maxval, pixels)."""
+    if not data.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    tokens: list[bytes] = []
+    pos = 2
+    while len(tokens) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":  # comment runs to end of line
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(data[start:pos])
+    pos += 1  # single whitespace after maxval, then raster
+    w, h, maxval = (int(t) for t in tokens)
+    pixels = data[pos : pos + w * h * 3]
+    if len(pixels) != w * h * 3:
+        raise ValueError(f"PPM raster truncated: {len(pixels)} of {w * h * 3}")
+    return w, h, maxval, pixels
+
+
+def _parse_wav(data: bytes) -> tuple[int, int, int, list[int]]:
+    """Walk a RIFF/WAVE chunk list; decode the PCM data chunk. Returns
+    (n_channels, sample_rate, bits, samples). 16-bit little-endian only —
+    the seam raises for other encodings."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    n_channels = sample_rate = bits = None
+    samples: list[int] | None = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, n_channels, sample_rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", body
+            )
+            if audio_fmt != 1:
+                raise ValueError(f"non-PCM WAV (format {audio_fmt})")
+        elif cid == b"data":
+            if bits != 16:
+                raise ValueError(f"only 16-bit PCM supported, got {bits}")
+            samples = list(struct.unpack(f"<{size // 2}h", body[: size // 2 * 2]))
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if samples is None or n_channels is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return n_channels, sample_rate, bits, samples
+
+
+def decode_media(binary_df: DataFrame) -> DataFrame:
+    """REAL decode of a binary media column (Arrow-batched mapInPandas):
+    PPM images → dims + pixel-byte stats; WAV PCM → sample stats. Any
+    other payload raises NotImplementedError — the explicit seam where
+    real media decode libs (PIL/torchaudio/ffmpeg) plug in for
+    jpeg/png/mp3/mp4; they are not available in this container."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b.startswith(b"P6"):
+                    w, h, maxval, pix = _parse_ppm(b)
+                    rows.append(
+                        (doc_id, "ppm", w, h, len(pix), None, sum(pix), max(pix))
+                    )
+                elif b.startswith(b"RIFF"):
+                    _, rate, _, samples = _parse_wav(b)
+                    rows.append(
+                        (
+                            doc_id,
+                            "wav",
+                            None,
+                            None,
+                            len(samples),
+                            rate,
+                            sum(samples),
+                            max(abs(s) for s in samples),
+                        )
+                    )
+                else:
+                    raise NotImplementedError(
+                        "unrecognized media format; real media decode libs "
+                        "(PIL/torchaudio/ffmpeg) plug in here"
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "fmt",
+                    "width",
+                    "height",
+                    "n_samples",
+                    "sample_rate",
+                    "value_sum",
+                    "value_peak",
+                ],
+            )
+
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        _decode, schema=REAL_DECODE_SCHEMA
+    )
+
+
+def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    return decode_media(synth_media(d))
 
 
 FRAME_CHARS = 64  # "frame" width in decoded units
@@ -358,6 +554,7 @@ QUERIES = {
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_audio_window": q_multimodal_audio_window,
     "multimodal_resize": q_multimodal_resize,
+    "multimodal_decode_real": q_multimodal_decode_real,
 }
 
 # first_byte is the first UTF-8 *byte*, not the first codepoint (they only
@@ -469,4 +666,39 @@ SELECT doc_id, src_h,
        array_to_string(pixels, ',') AS pixels_csv,
        CAST(list_sum(pixels) AS BIGINT) AS checksum
 FROM px
+"""
+
+# multimodal_decode_real: the oracle replays the PLANTED GENERATOR
+# arithmetic (pixel[i] = (doc_id·31 + i·7) mod 256; sample[i] =
+# ((doc_id·13 + i·5) mod 65536) − 32768) and never touches the bytes —
+# the Spark side must synthesize real PPM/WAV files and parse them back
+# (header walk, endianness, chunk alignment) to land on the same sums.
+ORACLES["multimodal_decode_real"] = f"""
+WITH ppm AS (
+  SELECT doc_id,
+         list_transform(range({PPM_W * PPM_H * 3}),
+                        i -> (doc_id * 31 + i * 7) % 256) AS vals
+  FROM documents WHERE doc_id % 2 = 0
+),
+wav AS (
+  SELECT doc_id,
+         list_transform(range({WAV_N}),
+                        i -> ((doc_id * 13 + i * 5) % 65536) - 32768) AS vals
+  FROM documents WHERE doc_id % 2 = 1
+)
+SELECT doc_id, 'ppm' AS fmt,
+       CAST({PPM_W} AS INT) AS width, CAST({PPM_H} AS INT) AS height,
+       CAST({PPM_W * PPM_H * 3} AS INT) AS n_samples,
+       CAST(NULL AS INT) AS sample_rate,
+       CAST(list_sum(vals) AS BIGINT) AS value_sum,
+       CAST(list_max(vals) AS INT) AS value_peak
+FROM ppm
+UNION ALL
+SELECT doc_id, 'wav' AS fmt,
+       CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+       CAST({WAV_N} AS INT) AS n_samples,
+       CAST({WAV_RATE} AS INT) AS sample_rate,
+       CAST(list_sum(vals) AS BIGINT) AS value_sum,
+       CAST(list_max(list_transform(vals, v -> abs(v))) AS INT) AS value_peak
+FROM wav
 """

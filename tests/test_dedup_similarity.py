@@ -393,3 +393,82 @@ def test_repin_reuses_identical_plan_generation(spark):
     # a DIFFERENT plan must swap the generation
     dedup.ngram_jaccard_pairs(d.where("doc_id < 100")).count()
     assert dedup._PINNED["ngram_exploded"] is not gen1
+
+
+def test_ppm_parser_roundtrip_and_comments():
+    """The stdlib P6 parser must survive header comments and reject
+    truncated rasters — real-file robustness, not just the planted shape."""
+    import pytest
+
+    from clusterindices_spark.operators.multimodal import _parse_ppm, _synth_ppm
+
+    w, h, maxval, pix = _parse_ppm(_synth_ppm(42))
+    assert (w, h, maxval) == (4, 4, 255)
+    assert list(pix) == [(42 * 31 + i * 7) % 256 for i in range(48)]
+
+    with_comment = b"P6\n# a comment line\n2 1\n255\n" + bytes(6)
+    assert _parse_ppm(with_comment)[:2] == (2, 1)
+
+    with pytest.raises(ValueError, match="truncated"):
+        _parse_ppm(b"P6\n2 2\n255\n" + bytes(5))
+    with pytest.raises(ValueError, match="not a P6"):
+        _parse_ppm(b"P3\n1 1\n255\n0 0 0")
+
+
+def test_wav_parser_chunk_walk():
+    """The RIFF walker must skip unknown chunks (LIST metadata before
+    data) and honor word alignment of odd-sized chunks."""
+    import struct
+
+    import pytest
+
+    from clusterindices_spark.operators.multimodal import _parse_wav, _synth_wav
+
+    ch, rate, bits, samples = _parse_wav(_synth_wav(7))
+    assert (ch, rate, bits) == (1, 8000, 16)
+    assert samples == [((7 * 13 + i * 5) % 65536) - 32768 for i in range(32)]
+
+    # inject an odd-sized LIST chunk between fmt and data
+    base = _synth_wav(7)
+    fmt_chunk = base[12 : 12 + 8 + 16]
+    data_chunk = base[12 + 8 + 16 :]
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # padded
+    body = fmt_chunk + junk + data_chunk
+    riff = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    assert _parse_wav(riff)[3] == samples
+
+    with pytest.raises(ValueError, match="not a RIFF"):
+        _parse_wav(b"OggS" + bytes(40))
+    # non-PCM format code refused at the seam
+    bad_fmt = struct.pack("<HHIIHH", 3, 1, 8000, 16000, 2, 16)
+    bad = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(bad_fmt)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(bad_fmt)) + bad_fmt
+    )
+    with pytest.raises(ValueError, match="non-PCM"):
+        _parse_wav(bad)
+
+
+def test_decode_media_real_path(spark):
+    """End-to-end real tier: synth plants actual PPM/WAV bytes, decode
+    parses them back; stats must equal the generator arithmetic."""
+    from clusterindices_spark.operators.multimodal import (
+        decode_binary,
+        synth_media,
+    )
+
+    docs = spark.range(6).selectExpr("id AS doc_id")
+    rows = {
+        r["doc_id"]: r
+        for r in decode_binary(synth_media(docs), mode="real").collect()
+    }
+    for i in range(6):
+        r = rows[i]
+        if i % 2 == 0:
+            assert r["fmt"] == "ppm" and (r["width"], r["height"]) == (4, 4)
+            vals = [(i * 31 + j * 7) % 256 for j in range(48)]
+        else:
+            assert r["fmt"] == "wav" and r["sample_rate"] == 8000
+            vals = [((i * 13 + j * 5) % 65536) - 32768 for j in range(32)]
+            assert r["value_peak"] == max(abs(v) for v in vals)
+        assert r["value_sum"] == sum(vals)
