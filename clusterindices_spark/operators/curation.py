@@ -136,20 +136,15 @@ def q_curation_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-lang curation funnel. A document is retained when it (a) clears
-    the quality floor, (b) has ≥1 language-marker token for its stored lang
-    (langid agreement), and (c) is the canonical (min doc_id) copy of its
-    exact content. The output reports the funnel — how many docs survive
-    each filter per lang — plus token volume and mean quality of the
-    retained slice, the numbers a curation run is monitored by."""
+def score_documents(d: DataFrame) -> DataFrame:
+    """Per-document curation signals — the scan-side stage both the batch
+    funnel and the streaming foreachBatch funnel share:
+    (doc_id, lang, h: sha256(text), n_tokens, quality, marker_hits).
+    Pure per-row expressions, zero shuffles."""
+    from clusterindices_spark.functions.aggregates import round6_stable
     from clusterindices_spark.operators.textops import LANG_MARKERS, STOPWORDS
 
-    d = fan_out(load_table(spark, sf_dir, "documents")).withColumn(
-        "toks", tokens(F.col("text"))
-    )
-    from clusterindices_spark.functions.aggregates import round6_stable
-
+    d = d.withColumn("toks", tokens(F.col("text")))
     n_toks = F.size("toks")
     sum_len = F.aggregate(F.col("toks"), F.lit(0), lambda a, t: a + F.length(t))
     n_stop = F.size(F.filter(F.col("toks"), lambda t: t.isin(*STOPWORDS)))
@@ -173,15 +168,26 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         marker_hits = F.when(F.col("lang") == lg, _hits(markers)).otherwise(
             marker_hits
         )
-    scored = d.select(
+    return d.select(
         "doc_id",
         "lang",
+        F.sha2(F.col("text"), 256).alias("h"),
         n_toks.alias("n_tokens"),
         quality.alias("quality"),
         marker_hits.alias("marker_hits"),
     )
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang curation funnel. A document is retained when it (a) clears
+    the quality floor, (b) has ≥1 language-marker token for its stored lang
+    (langid agreement), and (c) is the canonical (min doc_id) copy of its
+    exact content. The output reports the funnel — how many docs survive
+    each filter per lang — plus token volume and mean quality of the
+    retained slice, the numbers a curation run is monitored by."""
+    scored = score_documents(fan_out(load_table(spark, sf_dir, "documents")))
     canonical = (
-        d.groupBy(F.sha2(F.col("text"), 256).alias("h"))
+        scored.groupBy("h")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id", F.lit(True).alias("is_canon"))
     )

@@ -229,6 +229,101 @@ def write_foreach_batch_parquet(stream_df: DataFrame, out_dir: str, ckpt_dir: st
     )
 
 
+DOCS_STREAM_SCHEMA = (
+    "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+)
+
+
+def docs_file_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-based replay source with the documents schema — the arrival
+    path of a streaming curation ingest (crawler output landing in files).
+    ``max_files_per_trigger`` splits a bounded replay into one microbatch
+    per file (tests use it to exercise multi-batch incrementality)."""
+    reader = spark.readStream.schema(DOCS_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(path)
+
+
+def curation_funnel_foreach_batch(
+    stream_docs: DataFrame, out_dir: str, ckpt_dir: str
+):
+    """Incremental curation funnel over a document stream (foreachBatch
+    composition of streaming/streams.py + operators/curation.py).
+
+    Per microbatch: score docs (curation.score_documents, the same
+    scan-side stage the batch funnel runs) → within-batch exact-dedup
+    canonical (min doc_id per sha256) → cross-batch dedup via LEFT ANTI
+    join against the hashes already in the sink → evaluate quality floor
+    + langid agreement on the surviving canonicals → append them ALL,
+    flagged ``retained``, partitioned by batch_id. Non-retained canonicals
+    are written too: the sink doubles as the dedup state, and a hash whose
+    canonical copy failed the filters must still block later copies —
+    exactly the batch funnel's "canonical first, then filter" order.
+    Dynamic partition overwrite + excluding the current batch_id from the
+    seen-hash read make redelivery idempotent (effectively-once on top of
+    at-least-once).
+
+    Equivalence contract (tested): when documents arrive in doc_id order,
+    the sink's retained set equals the batch funnel's — first-arrival
+    canonical coincides with min-doc_id canonical. Out-of-order arrival
+    keeps the first copy instead; that is the honest streaming-dedup
+    semantic (state = the sink itself, bounded by distinct content).
+    """
+    import os
+
+    from pyspark.sql import Window
+
+    from clusterindices_spark.operators.curation import (
+        QUALITY_MIN,
+        score_documents,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        canon = (
+            score_documents(batch_df)
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("h").orderBy("doc_id")
+                ),
+            )
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+        if os.path.isdir(out_dir) and any(
+            not e.startswith(("_", ".")) for e in os.listdir(out_dir)
+        ):
+            seen = (
+                spark.read.parquet(out_dir)
+                .where(F.col("batch_id") != batch_id)  # redelivery-safe
+                .select("h")
+                .distinct()
+            )
+            canon = canon.join(seen, "h", "left_anti")
+        (
+            canon.withColumn(
+                "retained",
+                (F.col("quality") >= QUALITY_MIN) & (F.col("marker_hits") >= 1),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    return (
+        stream_docs.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", ckpt_dir)
+        .foreachBatch(write_batch)
+        .start()
+    )
+
+
 def run_to_completion(
     stream_df: DataFrame, name: str, mode: str = "complete"
 ) -> DataFrame:
