@@ -101,6 +101,13 @@ _FRONT = [
     "sql_interface",
 ]
 
+# Immediately after the 50-slot window: new round-3 keys that should be the
+# FIRST to get driver rows if the window is wider than 50 (and the head of
+# round 4's window otherwise).
+_NEXT = [
+    "multimodal_decode_real",
+]
+
 
 def _load():
     import importlib
@@ -119,12 +126,13 @@ def _load():
             raise ValueError(f"{modname} has oracle SQL for unknown keys {unknown}")
         queries.update(q)
         oracles.update(o)
-    missing = [k for k in _FRONT if k not in queries]
+    head = _FRONT + [k for k in _NEXT if k not in _FRONT]
+    missing = [k for k in head if k not in queries]
     if missing:
-        raise ValueError(f"_FRONT names unknown keys {missing}")
-    if len(_FRONT) != len(set(_FRONT)):
+        raise ValueError(f"_FRONT/_NEXT name unknown keys {missing}")
+    if len(head) != len(set(head)):
         raise ValueError("_FRONT has duplicate keys")
-    ordered = {k: queries[k] for k in _FRONT}
+    ordered = {k: queries[k] for k in head}
     ordered.update((k, v) for k, v in queries.items() if k not in ordered)
     return ordered, oracles
 
