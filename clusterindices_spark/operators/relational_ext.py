@@ -27,7 +27,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from clusterindices_spark.functions.aggregates import exact_sum, sql_exact_sum
+from clusterindices_spark.functions.aggregates import (
+    SQL_ROUND6,
+    exact_sum,
+    sql_exact_sum,
+)
 from clusterindices_spark.sources.fixtures import load_table
 
 # ---------------------------------------------------------------------------
@@ -564,8 +568,31 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped quantiles (p25/p50/p75/p90/p99) of events.value per
+    event_type — the percentile ladder every data-quality dashboard needs.
+    Spark's `percentile` and DuckDB's `quantile_cont` share the definition
+    (linear interpolation at index p·(n−1)); round6_stable guards the
+    interpolation's last-ulp. One hash agg over ≤ a handful of event types;
+    at 100 TB the per-group sort is the cost — prefer `approx_percentile`
+    (t-digest, map-side combinable) when ±0.1% error is acceptable, exact
+    percentile only on pre-aggregated or sampled inputs."""
+    from clusterindices_spark.functions.aggregates import round6_stable
+
+    ev = load_table(spark, sf_dir, "events")
+    ps = {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p90": 0.9, "p99": 0.99}
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            round6_stable(F.percentile("value", F.lit(p))).alias(name)
+            for name, p in ps.items()
+        ],
+    )
+
+
 QUERIES = {
     "null_semantics": q_null_semantics,
+    "agg_quantiles": q_agg_quantiles,
     "join_interval_binned": q_join_interval_binned,
     "merge_upsert_cdc": q_merge_upsert_cdc,
     "agg_grouping_sets": q_agg_grouping_sets,
@@ -591,6 +618,16 @@ QUERIES = {
 _EV = "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events)"
 
 ORACLES = {
+    "agg_quantiles": f"""
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       {SQL_ROUND6.format(x="quantile_cont(value, 0.25)")} AS p25,
+       {SQL_ROUND6.format(x="quantile_cont(value, 0.5)")} AS p50,
+       {SQL_ROUND6.format(x="quantile_cont(value, 0.75)")} AS p75,
+       {SQL_ROUND6.format(x="quantile_cont(value, 0.9)")} AS p90,
+       {SQL_ROUND6.format(x="quantile_cont(value, 0.99)")} AS p99
+FROM events GROUP BY event_type
+""",
     "null_semantics": """
 WITH base AS (
   SELECT o_orderkey,

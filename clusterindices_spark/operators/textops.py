@@ -300,6 +300,60 @@ def q_text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII scrub: redact emails / phone numbers / IPv4 addresses before training.
+# The synthetic corpus carries no real PII, so each doc PLANTS deterministic
+# PII derived from doc_id (emails on ~2/3 of docs, phones on 1/2, an IP on
+# every doc) and then scrubs it — the oracle replays the same plant+scrub, so
+# a regex that over- or under-matches breaks counts AND the redacted text
+# hash. Patterns stay inside the syntax Java regex (Spark) and RE2 (DuckDB)
+# interpret identically: character classes + bounded quantifiers, no
+# lookaround, no backrefs. Scan-side expression work only — zero shuffles.
+PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE = r"\+[0-9]{1,2}-555-[0-9]{4}"
+PII_IP = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count and redact planted PII. Replacement order matters and is pinned
+    (email → phone → IP): the IP pattern is a sub-language of neither other
+    pattern on the planted grammar, but ordering removes any ambiguity if a
+    future pattern overlaps."""
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    email = F.concat(
+        F.lit(" user"), s(did), F.lit("@mail"), s(did % 7), F.lit(".example.com")
+    )
+    phone = F.concat(
+        F.lit(" +"), s(did % 89 + 1), F.lit("-555-"),
+        F.lpad(s(did % 10000), 4, "0"),
+    )
+    ip = F.concat(
+        F.lit(" "), s(did % 200 + 10), F.lit("."), s((did * 7) % 256),
+        F.lit("."), s((did * 13) % 256), F.lit("."), s(did % 254 + 1),
+    )
+    planted = F.concat(
+        F.col("text"),
+        F.when(did % 3 < 2, email).otherwise(F.lit("")),
+        F.when(did % 2 == 0, phone).otherwise(F.lit("")),
+        ip,
+    )
+    red = F.regexp_replace(planted, PII_EMAIL, "<EMAIL>")
+    red = F.regexp_replace(red, PII_PHONE, "<PHONE>")
+    red = F.regexp_replace(red, PII_IP, "<IP>")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(planted, F.lit(PII_EMAIL), 0)).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(planted, F.lit(PII_PHONE), 0)).alias(
+            "n_phones"
+        ),
+        F.size(F.regexp_extract_all(planted, F.lit(PII_IP), 0)).alias("n_ips"),
+        red.alias("redacted"),
+    )
+
+
 QUERIES = {
     "text_tokens_stats": q_text_tokens_stats,
     "text_tfidf_topterms": q_text_tfidf_topterms,
@@ -310,6 +364,7 @@ QUERIES = {
     "text_scrub_blocklist": q_text_scrub_blocklist,
     "text_unigram_logprob": q_text_unigram_logprob,
     "text_repetition_stats": q_text_repetition_stats,
+    "text_pii_scrub": q_text_pii_scrub,
 }
 
 _TOKS = SQL_TOKENS.format(col="text")
@@ -445,3 +500,39 @@ FROM ex JOIN vocab USING (term) CROSS JOIN tot
 GROUP BY doc_id
 """,
 }
+
+# text_pii_scrub oracle: replays the deterministic plant, then the same
+# pattern cascade. DuckDB's regexp_replace is first-match-only without the
+# 'g' flag (Spark's replaces all) — 'g' keeps the semantics identical even
+# though the plant emits at most one instance of each PII class per doc.
+# Built with .format (not an f-string): the email pattern's {2,} quantifier
+# would read as a replacement field.
+ORACLES["text_pii_scrub"] = """
+WITH p AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 < 2
+                 THEN ' user' || CAST(doc_id AS VARCHAR) || '@mail'
+                      || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 2 = 0
+                 THEN ' +' || CAST(doc_id % 89 + 1 AS VARCHAR) || '-555-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || ' ' || CAST(doc_id % 200 + 10 AS VARCHAR)
+         || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+         || '.' || CAST((doc_id * 13) % 256 AS VARCHAR)
+         || '.' || CAST(doc_id % 254 + 1 AS VARCHAR) AS planted
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(planted, '{email}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(planted, '{phone}')) AS INT) AS n_phones,
+       CAST(len(regexp_extract_all(planted, '{ip}')) AS INT) AS n_ips,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(planted, '{email}', '<EMAIL>', 'g'),
+           '{phone}', '<PHONE>', 'g'),
+         '{ip}', '<IP>', 'g') AS redacted
+FROM p
+""".format(email=PII_EMAIL, phone=PII_PHONE, ip=PII_IP)

@@ -106,6 +106,8 @@ _FRONT = [
 # round 4's window otherwise).
 _NEXT = [
     "multimodal_decode_real",
+    "text_pii_scrub",
+    "agg_quantiles",
 ]
 
 

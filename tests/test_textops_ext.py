@@ -1,0 +1,58 @@
+"""Round-3 text/agg surface: PII scrub and exact grouped quantiles."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from clusterindices_spark.operators.relational_ext import q_agg_quantiles
+from clusterindices_spark.operators.textops import (
+    PII_EMAIL,
+    PII_IP,
+    PII_PHONE,
+    q_text_pii_scrub,
+)
+from clusterindices_spark.sources.fixtures import load_table
+
+from tests.conftest import SF_SMOKE
+
+
+def test_pii_scrub_counts_follow_plant_rules(spark):
+    rows = q_text_pii_scrub(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.n_emails == (1 if r.doc_id % 3 < 2 else 0)
+        assert r.n_phones == (1 if r.doc_id % 2 == 0 else 0)
+        assert r.n_ips == 1
+
+
+def test_pii_scrub_redaction_is_complete(spark):
+    # After redaction none of the PII patterns may match, and the planted
+    # classes must appear as placeholder tokens per the plant rules.
+    rows = q_text_pii_scrub(spark, SF_SMOKE).collect()
+    for r in rows:
+        for pat in (PII_EMAIL, PII_PHONE, PII_IP):
+            assert not re.search(pat, r.redacted), (r.doc_id, pat)
+        assert ("<EMAIL>" in r.redacted) == (r.doc_id % 3 < 2)
+        assert ("<PHONE>" in r.redacted) == (r.doc_id % 2 == 0)
+        assert "<IP>" in r.redacted
+
+
+def test_agg_quantiles_match_numpy(spark):
+    got = {r.event_type: r for r in q_agg_quantiles(spark, SF_SMOKE).collect()}
+    vals = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("event_type", "value")
+        .collect()
+    )
+    by_type: dict[str, list[float]] = {}
+    for r in vals:
+        by_type.setdefault(r.event_type, []).append(r.value)
+    assert set(got) == set(by_type)
+    for et, xs in by_type.items():
+        r = got[et]
+        assert r.n_rows == len(xs)
+        for name, p in (("p25", 25), ("p50", 50), ("p75", 75), ("p90", 90), ("p99", 99)):
+            # numpy 'linear' interpolation is the same p*(n-1) definition
+            assert abs(getattr(r, name) - float(np.percentile(xs, p))) < 1e-6
