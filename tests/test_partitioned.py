@@ -144,3 +144,73 @@ def test_range_clustered_files_are_disjoint(spark, tmp_path):
     want = ev.where(F.col("event_id") < 100).count()
     assert got == want
     assert spark.read.parquet(clustered).count() == n_total
+
+
+def test_zorder_skips_files_on_both_dimensions(spark, tmp_path):
+    """Z-order layout must let a box predicate on EITHER clustered column
+    skip files via footer min/max stats, where a single-column range
+    clustering is tight only on its leading column. Verified by counting
+    files whose stats intersect the predicate range."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    from clusterindices_spark.sources.fixtures import load_table
+    from clusterindices_spark.sources.partitioned import write_zorder_clustered
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "value"
+    )
+
+    def file_stats(path, col):
+        out = []
+        for f in pathlib.Path(path).glob("*.parquet"):
+            md = pq.ParquetFile(str(f)).metadata
+            idx = md.schema.to_arrow_schema().get_field_index(col)
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                los.append(st.min)
+                his.append(st.max)
+            out.append((min(los), max(his)))
+        return out
+
+    def files_matching(path, col, lo, hi):
+        return sum(
+            1 for flo, fhi in file_stats(path, col) if fhi >= lo and flo <= hi
+        )
+
+    zpath = str(tmp_path / "zorder")
+    write_zorder_clustered(ev, zpath, ["user_id", "value"], n_files=16)
+    n_files = len(list(pathlib.Path(zpath).glob("*.parquet")))
+    assert n_files == 16
+
+    # selective (decile-mass) predicates on each dimension independently:
+    # each must skip at least half the files. Mass-based, not range-based —
+    # `value` is heavy-tailed, so a quarter of its RANGE holds ~3/4 of the
+    # rows and legitimately touches most files in any layout. A random
+    # layout matches all 16 on both; a 1-D layout is tight on its leading
+    # column only.
+    u_lo, u_q = (
+        ev.approxQuantile("user_id", [0.0, 0.1], 0.001)
+    )
+    assert files_matching(zpath, "user_id", u_lo, u_q) <= n_files // 2
+
+    v_lo, v_q = ev.approxQuantile("value", [0.0, 0.1], 0.001)
+    assert files_matching(zpath, "value", v_lo, v_q) <= n_files // 2
+
+    # control: round-robin matches (nearly) everything on both columns
+    plain = str(tmp_path / "plainz")
+    ev.repartition(16).write.parquet(plain)
+    assert files_matching(plain, "user_id", u_lo, u_q) >= n_files - 2
+    assert files_matching(plain, "value", v_lo, v_q) >= n_files - 2
+
+    # and the layout is lossless + filter-correct
+    got = (
+        spark.read.parquet(zpath)
+        .where((F.col("user_id") <= u_q) & (F.col("value") <= v_q))
+        .count()
+    )
+    want = ev.where((F.col("user_id") <= u_q) & (F.col("value") <= v_q)).count()
+    assert got == want
+    assert spark.read.parquet(zpath).count() == ev.count()
