@@ -475,6 +475,59 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, emb.where(F.col("vec_id") < N_PROBES))
 
 
+def knn_graph(
+    emb: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe_cells: int = 2,
+    lloyd_iters: int = 2,
+) -> DataFrame:
+    """Approximate k-NN GRAPH (every vector is a probe) — the neighbor
+    graph behind near-dup clustering, label propagation, and graph-based
+    diversity sampling over an embedding corpus.
+
+    All-pairs is O(n²); instead each vector searches only its
+    ``n_probe_cells`` nearest IVF cells, and candidates meet by an
+    EQUI-JOIN on cell between the probe-expanded corpus and the inverted
+    file. Unlike `_ivf_search` (few probes → probe side broadcast), BOTH
+    sides here are corpus-scale, so the join shuffles both by cell —
+    per-cell fan-out is (n/K)·n_probe_cells, bounded by Lloyd-balanced
+    cells; at 100 TB grow n_cells ~ √n so per-cell work stays ~n^1.5/K ≈
+    linear per partition. Each (probe, neighbor) candidate meets exactly
+    once (the neighbor's home cell is unique in the index), so no dedup
+    shuffle is needed before the per-probe top-k, which compiles to
+    partial+final WindowGroupLimit — the rank shuffle moves O(n·k) rows,
+    not all candidates. Approximate by construction (boundary neighbors in
+    unprobed cells are missed) → rows-only check + recall property test
+    vs brute force."""
+    folded, index = ivf_build(emb, n_cells=n_cells, lloyd_iters=lloyd_iters)
+    cand = (
+        _probe_cells(emb, folded, n_probe_cells)
+        .join(index, "cell")
+        .where(F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(cosine_sim(F.col("xa"), F.col("xb")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("probe_id", "neighbor_id", "sim")
+    )
+
+
+def q_similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("x")
+    )
+    return knn_graph(emb)
+
+
 def q_multimodal_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     x = F.col("embedding")
@@ -499,6 +552,7 @@ QUERIES = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "similarity_ann_lsh": q_similarity_ann_lsh,
     "similarity_ann_ivf": q_similarity_ann_ivf,
+    "similarity_knn_graph": q_similarity_knn_graph,
     "multimodal_vector_stats": q_multimodal_vector_stats,
 }
 

@@ -108,6 +108,7 @@ _NEXT = [
     "multimodal_decode_real",
     "text_pii_scrub",
     "agg_quantiles",
+    "similarity_knn_graph",
 ]
 
 
