@@ -1,0 +1,240 @@
+"""Product quantization (PQ) — the compression leg of the ANN stack
+(complements similarity.py's IVF cell-pruning leg; together they are the
+IVF-PQ layout every billion-vector system runs).
+
+PQ splits each d-dim vector into M subvectors and vector-quantizes each
+subspace independently with its own K-centroid codebook: a vector becomes M
+small integer codes (here 8 codes of 4 bits = 4 bytes vs 256 bytes of
+float32 — 64×), and approximate distances are computed WITHOUT decoding via
+a per-probe distance table (ADC: d²(q, x) ≈ Σ_m T[m][code_m(x)]).
+
+Spark-first shape:
+- training/encoding works on ONE exploded frame (vec_id, m, sub) — all M
+  subspaces train in the same Lloyd round (groupBy (m, code) instead of M
+  separate jobs), codebooks stay M broadcastable rows;
+- the corpus-side cost of search is a scan of the CODES table (4 bytes/vec
+  + the per-row M-term table-lookup fold) with zero shuffle before the
+  per-probe top-k (partial+final WindowGroupLimit moves O(n·k) rows);
+- the per-probe distance tables are M×K doubles — broadcast by
+  construction, computed from the M-row codebook without touching the
+  corpus.
+
+Determinism: codebook seeds are the PQ_K lowest vec_ids' subvectors; every
+collect_list is array_sort'ed by an explicit key; ties in argmin break on
+(d2, code). Approximate by construction → rows-only driver check + recall /
+determinism / shape tests (tests/test_pq.py).
+
+Scale (100 TB): encoding is one scan + (m, code)-keyed Lloyd shuffles over
+M·K·dim-scale aggregates; search never shuffles the corpus (codes scan +
+broadcast tables) until the top-k. Compose with IVF cells (assign codes
+within each cell's residual space) to prune the scan itself; the codes
+table is small enough (4 bytes/vec) that even the unpruned scan is ~25 GB
+per 6G vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clusterindices_spark.functions.distances import l2sq, norm
+from clusterindices_spark.sources.fixtures import fan_out, load_table
+
+M_SUBSPACES = 8  # 64-dim fixtures → 8 subvectors of 8 dims
+PQ_K = 16  # centroids per subspace → 4-bit codes
+PQ_TOP_K = 5
+PQ_N_PROBES = 10
+
+
+def _unit(emb: DataFrame) -> DataFrame:
+    """L2-normalize so PQ's L2-based ADC ranking is cosine-equivalent
+    (‖a−b‖² = 2 − 2·cos on unit vectors) — keeps the recall yardstick
+    (cosine topk_exact) apples-to-apples."""
+    n = F.nullif(norm(F.col("x")), F.lit(0.0))
+    return emb.select(
+        "vec_id", F.transform("x", lambda v: v / n).alias("x")
+    ).where(F.col("x").isNotNull())
+
+
+def _subvectors(emb: DataFrame, m: int = M_SUBSPACES) -> DataFrame:
+    """(vec_id, m, sub) — one row per subspace; dims must divide evenly."""
+    d_sub = F.size("x") / m  # constant per fixture (64/8); int division below
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda i: F.slice(
+            F.col("x"), (i * d_sub + 1).cast("int"), d_sub.cast("int")
+        ),
+    )
+    return emb.select(
+        "vec_id", F.posexplode(subs).alias("m", "sub")
+    )
+
+
+def _fold_codebook(cents: DataFrame) -> DataFrame:
+    """(m, code, c) rows → M rows (m, book ARRAY<STRUCT<code,c>>) for
+    broadcast argmin; book sorted by code for deterministic iteration."""
+    return cents.groupBy("m").agg(
+        F.array_sort(F.collect_list(F.struct("code", "c"))).alias("book")
+    )
+
+
+def _assign_codes(sub: DataFrame, folded: DataFrame) -> DataFrame:
+    """argmin over the broadcast per-subspace codebook; (d2, code)
+    tie-break like the IVF assignment."""
+    best = F.get(
+        F.array_sort(
+            F.transform(
+                "book",
+                lambda s: F.struct(
+                    l2sq(F.col("sub"), s["c"]).alias("d2"),
+                    s["code"].alias("code"),
+                ),
+            )
+        ),
+        0,
+    )
+    return sub.join(F.broadcast(folded), "m").select(
+        "vec_id", "m", "sub", best["code"].alias("code")
+    )
+
+
+def _update_codebook(assigned: DataFrame) -> DataFrame:
+    """Lloyd update: per-(m, code) per-dimension mean, reassembled into
+    arrays ordered by dimension position."""
+    ex = assigned.select("m", "code", F.posexplode("sub").alias("pos", "v"))
+    dims = ex.groupBy("m", "code", "pos").agg(F.avg("v").alias("mu"))
+    return dims.groupBy("m", "code").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mu"))),
+            lambda s: s["mu"],
+        ).alias("c")
+    )
+
+
+def pq_train_encode(
+    emb: DataFrame,
+    m: int = M_SUBSPACES,
+    k: int = PQ_K,
+    lloyd_iters: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Train per-subspace codebooks and encode the corpus.
+
+    Returns ``(codebook, codes)``: codebook = M rows (m, book), codes =
+    (vec_id, codes ARRAY<INT> length M). Seeds are the k lowest vec_ids'
+    subvectors (fully deterministic, mirrors ivf_build); the codebook is
+    materialized once (M×k×d_sub doubles — driver-scale) so both encode
+    and search consume a literal table instead of re-running Lloyd."""
+    sub = _subvectors(_unit(emb), m)
+    seed_ids = emb.select("vec_id").orderBy("vec_id").limit(k)
+    seeds = _subvectors(_unit(emb.join(F.broadcast(seed_ids), "vec_id")), m)
+    cents0 = seeds.groupBy("m").agg(
+        F.array_sort(F.collect_list(F.struct("vec_id", "sub"))).alias("sv")
+    )
+    folded = cents0.select(
+        "m",
+        F.transform(
+            "sv",
+            lambda s, i: F.struct(
+                i.cast("int").alias("code"), s["sub"].alias("c")
+            ),
+        ).alias("book"),
+    )
+    for _ in range(lloyd_iters):
+        folded = _fold_codebook(_update_codebook(_assign_codes(sub, folded)))
+    spark = emb.sparkSession
+    folded = spark.createDataFrame(folded.collect(), folded.schema)
+    codes = (
+        _assign_codes(sub, folded)
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "code"))),
+                lambda s: s["code"],
+            ).alias("codes")
+        )
+    )
+    return folded, codes
+
+
+def pq_adc_topk(
+    codebook: DataFrame,
+    codes: DataFrame,
+    probes: DataFrame,
+    k: int = PQ_TOP_K,
+    m: int = M_SUBSPACES,
+) -> DataFrame:
+    """ADC search: per-probe distance tables against the broadcast
+    codebook, then one codes-table scan with an M-term lookup fold per row
+    — the corpus is never decoded and never shuffled before the top-k."""
+    psub = _subvectors(_unit(probes), m).withColumnRenamed("vec_id", "probe_id")
+    # (probe_id, m, d2s ARRAY<DOUBLE> indexed by code)
+    dtab = (
+        psub.join(F.broadcast(codebook), "m")
+        .select(
+            "probe_id",
+            "m",
+            F.transform(
+                F.array_sort("book"),
+                lambda s: l2sq(F.col("sub"), s["c"]),
+            ).alias("d2s"),
+        )
+    )
+    # 1 row per probe: tabs ARRAY<ARRAY<DOUBLE>> indexed [m][code]
+    ptabs = dtab.groupBy("probe_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "d2s"))),
+            lambda s: s["d2s"],
+        ).alias("tabs")
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, i: acc + F.get(F.get("tabs", i), F.get("codes", i)),
+    )
+    scored = (
+        codes.withColumnRenamed("vec_id", "neighbor_id")
+        .crossJoin(F.broadcast(ptabs))
+        .where(F.col("probe_id") != F.col("neighbor_id"))
+        .select("probe_id", "neighbor_id", F.round(adc, 6).alias("adc_d2"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("adc_d2").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("probe_id", "neighbor_id", "adc_d2")
+    )
+
+
+def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encoder output — codes emitted as a CSV string (sortable scalar;
+    the gate canonicalizer cannot sort list cells)."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").alias("x")
+    )
+    _, codes = pq_train_encode(emb)
+    return codes.select(
+        "vec_id", F.concat_ws(",", F.col("codes")).alias("code_csv")
+    )
+
+
+def q_similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").alias("x")
+    )
+    codebook, codes = pq_train_encode(emb)
+    probes = emb.where(F.col("vec_id") < PQ_N_PROBES)
+    return pq_adc_topk(codebook, codes, probes)
+
+
+QUERIES = {
+    "embedding_pq_codes": q_embedding_pq_codes,
+    "similarity_ann_pq": q_similarity_ann_pq,
+}
+
+# Approximate/iterative by construction (Lloyd codebooks + ADC ranking):
+# rows-only driver check; correctness is pinned by tests/test_pq.py
+# (determinism, code-range/shape, ADC-vs-true-distance agreement, recall
+# vs the exact cosine yardstick).
+ORACLES: dict[str, str] = {}

@@ -24,6 +24,7 @@ _MODULES = [
     "clusterindices_spark.operators.sweep",
     "clusterindices_spark.operators.dedup",
     "clusterindices_spark.operators.similarity",
+    "clusterindices_spark.operators.pq",
     "clusterindices_spark.operators.textops",
     "clusterindices_spark.operators.multimodal",
     "clusterindices_spark.operators.embeddings",

@@ -1,0 +1,80 @@
+"""Product-quantization tier: determinism, code shape, ADC fidelity,
+recall vs the exact cosine yardstick."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from clusterindices_spark.operators.pq import (
+    M_SUBSPACES,
+    PQ_K,
+    pq_adc_topk,
+    pq_train_encode,
+    q_embedding_pq_codes,
+)
+from clusterindices_spark.operators.similarity import _emb, topk_exact
+from clusterindices_spark.sources.fixtures import load_table
+
+from tests.conftest import SF_SMOKE
+
+
+def test_pq_codes_shape_and_determinism(spark):
+    a = {r.vec_id: r.code_csv for r in q_embedding_pq_codes(spark, SF_SMOKE).collect()}
+    b = {r.vec_id: r.code_csv for r in q_embedding_pq_codes(spark, SF_SMOKE).collect()}
+    assert a == b  # deterministic seeds + deterministic Lloyd
+    n_vecs = load_table(spark, SF_SMOKE, "embeddings").count()
+    assert len(a) == n_vecs
+    for csv in a.values():
+        codes = [int(c) for c in csv.split(",")]
+        assert len(codes) == M_SUBSPACES
+        assert all(0 <= c < PQ_K for c in codes)
+    # codebooks must actually discriminate: far more distinct code strings
+    # than a collapsed quantizer would produce
+    assert len(set(a.values())) > n_vecs // 4
+
+
+def test_pq_adc_approximates_true_distance(spark):
+    """ADC distance must track the true unit-vector L2²: for each probe the
+    ADC-nearest neighbor's TRUE distance should be far below the corpus
+    median distance (quantization error is bounded by cell radii)."""
+    emb = _emb(spark, SF_SMOKE)
+    codebook, codes = pq_train_encode(emb)
+    probes = emb.where(F.col("vec_id") < 5)
+    top = pq_adc_topk(codebook, codes, probes, k=1).collect()
+
+    import numpy as np
+
+    vecs = {r["vec_id"]: np.array(r["x"]) for r in emb.collect()}
+    unit = {k: v / np.linalg.norm(v) for k, v in vecs.items()}
+
+    def true_d2(a, b):
+        d = unit[a] - unit[b]
+        return float(d @ d)
+
+    ids = sorted(unit)
+    for r in top:
+        p = r["probe_id"]
+        d_star = true_d2(p, r["neighbor_id"])
+        all_d = sorted(true_d2(p, o) for o in ids if o != p)
+        median = all_d[len(all_d) // 2]
+        assert d_star < median, (p, d_star, median)
+
+
+def test_pq_recall_vs_exact(spark):
+    emb = _emb(spark, SF_SMOKE)
+    probes = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in topk_exact(emb, probes, k=5).collect()
+    }
+    codebook, codes = pq_train_encode(emb)
+    approx = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in pq_adc_topk(codebook, codes, probes, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # 4-bit-per-subspace codes on near-orthogonal synthetic vectors: well
+    # above chance (5/500 = 1%) demonstrates the codes carry geometry
+    assert recall >= 0.2, f"PQ recall {recall:.2f} below floor"
