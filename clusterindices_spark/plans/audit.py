@@ -278,6 +278,37 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "require": ["Join"],
         "forbid": ["BroadcastNestedLoopJoin", "CartesianProduct"],
     },
+    # --- round-3 keys ---
+    "text_pii_scrub": {
+        # pure scan-side regexp work: no join, no exchange of any kind
+        "require": ["*("],
+        "forbid": ["Join", "Exchange"],
+    },
+    "agg_quantiles": {
+        # exact percentile is a typed (object-hash) aggregate with a
+        # partial phase — map-side state merge still applies
+        "require": ["ObjectHashAggregate", "partial"],
+        "forbid": ["Join", "CartesianProduct"],
+    },
+    "similarity_knn_graph": {
+        # folded centroids broadcast; candidate meet is an equi-join on
+        # cell; per-probe top-k prunes before the rank shuffle
+        "require": ["Broadcast", "WindowGroupLimit"],
+        "forbid": ["CartesianProduct"],
+    },
+    "embedding_pq_codes": {
+        # codebook rides broadcasts; the only wide exchanges are the
+        # (m, code)-keyed Lloyd aggregates and the vec_id reassembly
+        "require": ["Broadcast"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "similarity_ann_pq": {
+        # per-probe distance tables are an explicit tiny broadcast against
+        # the codes scan (BroadcastNestedLoopJoin is the INTENDED operator
+        # for that 10-row side); the corpus must not hit a cartesian
+        "require": ["Broadcast", "WindowGroupLimit"],
+        "forbid": ["CartesianProduct"],
+    },
 }
 
 
