@@ -207,6 +207,46 @@ def pq_adc_topk(
     )
 
 
+def pq_topk_reranked(
+    codebook: DataFrame,
+    codes: DataFrame,
+    emb: DataFrame,
+    probes: DataFrame,
+    k: int = PQ_TOP_K,
+    expand: int = 8,
+    m: int = M_SUBSPACES,
+) -> DataFrame:
+    """ADC over-retrieve + exact re-rank — how PQ is actually deployed:
+    the codes scan returns k·expand candidates per probe (cheap, 4 B/vec),
+    then ONLY those candidates fetch their full vectors for exact cosine.
+    The re-rank join is candidate-scale (probes·k·expand rows vs the
+    corpus — broadcast), so the full-precision vectors are read for a
+    vanishing fraction of the corpus; recall is set by the ADC candidate
+    set, precision of the final order is exact."""
+    cand = pq_adc_topk(codebook, codes, probes, k=k * expand, m=m)
+    xb = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("x").alias("xb"))
+    xa = probes.select(F.col("vec_id").alias("probe_id"), F.col("x").alias("xa"))
+    from clusterindices_spark.functions.distances import cosine_sim
+
+    scored = (
+        xb.join(F.broadcast(cand.select("probe_id", "neighbor_id")), "neighbor_id")
+        .join(F.broadcast(xa), "probe_id")
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(cosine_sim(F.col("xa"), F.col("xb")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("probe_id", "neighbor_id", "sim")
+    )
+
+
 def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ encoder output — codes emitted as a CSV string (sortable scalar;
     the gate canonicalizer cannot sort list cells)."""
@@ -220,12 +260,14 @@ def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deployed-shape PQ search: ADC candidates from the codes scan, exact
+    re-rank of only those candidates (pq_topk_reranked)."""
     emb = fan_out(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").alias("x")
     )
     codebook, codes = pq_train_encode(emb)
     probes = emb.where(F.col("vec_id") < PQ_N_PROBES)
-    return pq_adc_topk(codebook, codes, probes)
+    return pq_topk_reranked(codebook, codes, emb, probes)
 
 
 QUERIES = {

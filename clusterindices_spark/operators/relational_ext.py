@@ -590,9 +590,30 @@ def q_agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path for the percentile ladder: `approx_percentile`
+    (KLL/t-digest-family sketch) keeps BOUNDED per-group state and
+    map-side-combines, where exact `percentile` holds every value. Sketches
+    are engine-specific → rows-only driver check; the accuracy contract
+    (relative rank error ≤ 1/accuracy) is pinned against the exact ladder
+    in tests/test_textops_ext.py."""
+    ev = load_table(spark, sf_dir, "events")
+    ps = {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p90": 0.9, "p99": 0.99}
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.round(
+                F.percentile_approx("value", F.lit(p), F.lit(10000)), 6
+            ).alias(name)
+            for name, p in ps.items()
+        ],
+    )
+
+
 QUERIES = {
     "null_semantics": q_null_semantics,
     "agg_quantiles": q_agg_quantiles,
+    "agg_quantiles_approx": q_agg_quantiles_approx,
     "join_interval_binned": q_join_interval_binned,
     "merge_upsert_cdc": q_merge_upsert_cdc,
     "agg_grouping_sets": q_agg_grouping_sets,

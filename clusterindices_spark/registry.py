@@ -110,6 +110,7 @@ _NEXT = [
     "text_pii_scrub",
     "agg_quantiles",
     "similarity_knn_graph",
+    "agg_quantiles_approx",
 ]
 
 

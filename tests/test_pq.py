@@ -63,6 +63,8 @@ def test_pq_adc_approximates_true_distance(spark):
 
 
 def test_pq_recall_vs_exact(spark):
+    from clusterindices_spark.operators.pq import pq_topk_reranked
+
     emb = _emb(spark, SF_SMOKE)
     probes = emb.where(F.col("vec_id") < 10)
     exact = {
@@ -70,11 +72,22 @@ def test_pq_recall_vs_exact(spark):
         for r in topk_exact(emb, probes, k=5).collect()
     }
     codebook, codes = pq_train_encode(emb)
-    approx = {
+    adc = {
         (r["probe_id"], r["neighbor_id"])
         for r in pq_adc_topk(codebook, codes, probes, k=5).collect()
     }
-    recall = len(exact & approx) / len(exact)
-    # 4-bit-per-subspace codes on near-orthogonal synthetic vectors: well
-    # above chance (5/500 = 1%) demonstrates the codes carry geometry
-    assert recall >= 0.2, f"PQ recall {recall:.2f} below floor"
+    adc_recall = len(exact & adc) / len(exact)
+    # pure 4-bit ADC on near-orthogonal synthetic vectors: above chance
+    # (5/500 = 1%) demonstrates the codes carry geometry at all
+    assert adc_recall >= 0.1, f"pure-ADC recall {adc_recall:.2f} below floor"
+
+    rr = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in pq_topk_reranked(codebook, codes, emb, probes, k=5).collect()
+    }
+    rr_recall = len(exact & rr) / len(exact)
+    # deployed shape: over-retrieve 8x + exact re-rank must recover most of
+    # the true neighborhood and never lose to pure ADC
+    assert rr_recall >= max(0.5, adc_recall), (
+        f"re-ranked recall {rr_recall:.2f} (pure ADC {adc_recall:.2f})"
+    )

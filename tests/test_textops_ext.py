@@ -56,3 +56,36 @@ def test_agg_quantiles_match_numpy(spark):
         for name, p in (("p25", 25), ("p50", 50), ("p75", 75), ("p90", 90), ("p99", 99)):
             # numpy 'linear' interpolation is the same p*(n-1) definition
             assert abs(getattr(r, name) - float(np.percentile(xs, p))) < 1e-6
+
+
+def test_agg_quantiles_approx_tracks_exact(spark):
+    """approx_percentile at accuracy 10000 must land within tight rank
+    error of the exact ladder (the documented scale-path contract)."""
+    from clusterindices_spark.operators.relational_ext import (
+        q_agg_quantiles_approx,
+    )
+
+    exact = {r.event_type: r for r in q_agg_quantiles(spark, SF_SMOKE).collect()}
+    approx = {
+        r.event_type: r for r in q_agg_quantiles_approx(spark, SF_SMOKE).collect()
+    }
+    assert set(exact) == set(approx)
+    vals = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("event_type", "value")
+        .collect()
+    )
+    by_type: dict[str, list[float]] = {}
+    for r in vals:
+        by_type.setdefault(r.event_type, []).append(r.value)
+    for et in exact:
+        xs = sorted(by_type[et])
+        n = len(xs)
+        for name, p in (("p25", 0.25), ("p50", 0.5), ("p75", 0.75), ("p90", 0.9), ("p99", 0.99)):
+            got = getattr(approx[et], name)
+            # rank-error contract: the returned value's rank must be within
+            # n/accuracy (+1 slack for interpolation vs selection) of p*n
+            import bisect
+
+            rank = bisect.bisect_right(xs, got)
+            assert abs(rank - p * n) <= n / 10000 + 1, (et, name, got, rank, p * n)
