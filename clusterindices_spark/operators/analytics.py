@@ -239,8 +239,116 @@ def q_events_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_analytics_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation over orders: recency (days since last
+    order, anchored to the corpus max date), frequency (order count),
+    monetary (exact decimal spend), each scored 1–5 against quintile
+    boundaries, plus a rule-based segment label.
+
+    Scale shape: one orders scan → one custkey groupBy; the date anchor
+    and the 12 quintile boundaries are 1-row aggregates broadcast back, so
+    scoring is scan-side CASE arithmetic — deliberately NOT ntile() (a
+    global ntile is a single-partition window; boundary-threshold scoring
+    is the distributed formulation). Boundaries are round6_stable'd before
+    comparison so a value landing exactly on an interpolated boundary
+    cannot flip on a cross-engine last-ulp difference."""
+    from clusterindices_spark.functions.aggregates import round6_stable
+
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    anchor = o.agg(F.max("o_orderdate").alias("anchor"))
+    cust = cust.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        # explicit to_date on both sides: o_orderdate is TIMESTAMP and
+        # engines disagree on whether a raw timestamp diff counts day
+        # boundaries or 24h periods
+        F.datediff(F.to_date("anchor"), F.to_date("last_order")).alias(
+            "recency_days"
+        ),
+        "frequency",
+        F.round("monetary", 6).alias("monetary"),
+    )
+    qs = [0.2, 0.4, 0.6, 0.8]
+    bounds = cust.agg(
+        *[
+            round6_stable(
+                F.percentile(c, F.lit(p))
+            ).alias(f"{c[:1]}q{int(p*10)}")
+            for c in ("recency_days", "frequency", "monetary")
+            for p in qs
+        ]
+    )
+
+    def score(col, prefix, invert):
+        s = F.lit(1)
+        for p in qs:
+            s = s + (F.col(col) > F.col(f"{prefix}q{int(p*10)}")).cast("int")
+        return (F.lit(6) - s) if invert else s
+
+    scored = cust.crossJoin(F.broadcast(bounds)).select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        score("recency_days", "r", invert=True).alias("r_score"),
+        score("frequency", "f", invert=False).alias("f_score"),
+        score("monetary", "m", invert=False).alias("m_score"),
+    )
+    seg = (
+        F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4), "champion")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "new")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "at_risk_loyal")
+        .when((F.col("r_score") <= 2) & (F.col("m_score") <= 2), "hibernating")
+        .otherwise("regular")
+    )
+    return scored.withColumn("segment", seg)
+
+
+def q_events_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix between event types along each
+    user's journey: P(next = t | current = s) with counts. Ordering keys on
+    event_id (generator emits in ts order — ts itself would couple the
+    oracle to the ns/µs parquet mismatch, as events_path_trigrams notes).
+
+    One user_id shuffle for the lag window, then a |types|²-key count —
+    the transition matrix is always broadcast-scale regardless of corpus
+    size."""
+    from pyspark.sql import Window
+
+    from clusterindices_spark.functions.aggregates import round6_stable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    steps = ev.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).where(F.col("from_type").isNotNull())
+    counts = steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wf = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        round6_stable(
+            F.col("n") / F.sum("n").over(wf).cast("double")
+        ).alias("p"),
+    )
+
+
 QUERIES = {
     "profile_orders": q_profile_orders,
+    "analytics_rfm": q_analytics_rfm,
+    "events_markov_transition": q_events_markov_transition,
     "events_histogram": q_events_histogram,
     "events_outliers": q_events_outliers,
     "events_outliers_mad": q_events_outliers_mad,
@@ -352,3 +460,68 @@ ORDER BY n DESC, trigram
 LIMIT {TRIGRAM_TOP}
 """,
 }
+
+from clusterindices_spark.functions.aggregates import SQL_ROUND6  # noqa: E402
+
+_RFM_BOUNDS = ", ".join(
+    SQL_ROUND6.format(x=f"quantile_cont({col}, {p})") + f" AS {col[:1]}q{int(p*10)}"
+    for col in ("recency_days", "frequency", "monetary")
+    for p in (0.2, 0.4, 0.6, 0.8)
+)
+
+
+def _sql_rfm_score(col: str, prefix: str, invert: bool) -> str:
+    s = " + ".join(
+        f"CAST({col} > {prefix}q{q} AS INT)" for q in (2, 4, 6, 8)
+    )
+    return f"CAST(6 - (1 + {s}) AS INT)" if invert else f"CAST(1 + {s} AS INT)"
+
+
+ORACLES["analytics_rfm"] = f"""
+WITH cust AS (
+  SELECT o_custkey,
+         MAX(CAST(o_orderdate AS DATE)) AS last_order,
+         COUNT(*) AS frequency,
+         ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6)
+           AS monetary
+  FROM orders GROUP BY o_custkey
+),
+anchor AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS anchor FROM orders),
+c2 AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', last_order, anchor) AS INT) AS recency_days,
+         frequency, monetary
+  FROM cust CROSS JOIN anchor
+),
+b AS (SELECT {_RFM_BOUNDS} FROM c2),
+scored AS (
+  SELECT o_custkey, recency_days, frequency, monetary,
+         {_sql_rfm_score("recency_days", "r", True)} AS r_score,
+         {_sql_rfm_score("frequency", "f", False)} AS f_score,
+         {_sql_rfm_score("monetary", "m", False)} AS m_score
+  FROM c2 CROSS JOIN b
+)
+SELECT *,
+       CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+            WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+            WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk_loyal'
+            WHEN r_score <= 2 AND m_score <= 2 THEN 'hibernating'
+            ELSE 'regular' END AS segment
+FROM scored
+"""
+
+ORACLES["events_markov_transition"] = f"""
+WITH steps AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+           AS from_type,
+         event_type AS to_type
+  FROM events
+),
+c AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM steps WHERE from_type IS NOT NULL GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       {SQL_ROUND6.format(x="n / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE)")} AS p
+FROM c
+"""

@@ -111,6 +111,8 @@ _NEXT = [
     "agg_quantiles",
     "similarity_knn_graph",
     "agg_quantiles_approx",
+    "analytics_rfm",
+    "events_markov_transition",
 ]
 
 

@@ -89,3 +89,38 @@ def test_agg_quantiles_approx_tracks_exact(spark):
 
             rank = bisect.bisect_right(xs, got)
             assert abs(rank - p * n) <= n / 10000 + 1, (et, name, got, rank, p * n)
+
+
+def test_rfm_scores_and_segments(spark):
+    from clusterindices_spark.operators.analytics import q_analytics_rfm
+
+    rows = q_analytics_rfm(spark, SF_SMOKE).collect()
+    assert rows
+    n_cust = len({r.o_custkey for r in rows})
+    assert n_cust == len(rows)  # one row per customer
+    for r in rows:
+        assert 1 <= r.r_score <= 5 and 1 <= r.f_score <= 5 and 1 <= r.m_score <= 5
+        assert r.segment in {"champion", "new", "at_risk_loyal", "hibernating", "regular"}
+    # scores must be monotone in their metric: the max-monetary customer
+    # scores m=5, the min-monetary one m=1 (quintile boundaries)
+    top_m = max(rows, key=lambda r: r.monetary)
+    bot_m = min(rows, key=lambda r: r.monetary)
+    assert top_m.m_score == 5 and bot_m.m_score == 1
+    # recency is inverted: most recent orderer scores r=5
+    most_recent = min(rows, key=lambda r: (r.recency_days, r.o_custkey))
+    assert most_recent.r_score == 5
+
+
+def test_markov_rows_are_proper_distributions(spark):
+    from clusterindices_spark.operators.analytics import (
+        q_events_markov_transition,
+    )
+
+    rows = q_events_markov_transition(spark, SF_SMOKE).collect()
+    by_from: dict[str, float] = {}
+    for r in rows:
+        assert 0.0 < r.p <= 1.0
+        by_from[r.from_type] = by_from.get(r.from_type, 0.0) + r.p
+    assert by_from
+    for ft, total in by_from.items():
+        assert abs(total - 1.0) < 1e-4, (ft, total)  # rows sum to 1
