@@ -56,59 +56,18 @@ MAX_SHINGLE_DF = 100
 # matches the banding guarantee.
 HAMMING_MAX = 3
 
-# One persisted generation per pipeline stage: the returned frames are lazy,
-# so an eager unpersist would defeat the cache — instead each NEW invocation
-# releases the previous invocation's pin. Repeated full-registry sweeps in
-# one session then hold a bounded working set instead of accumulating a
-# cache entry per run. When the new invocation's logical plan is THE SAME
-# (e.g. dedup_components → dedup_components_star → dedup_graph_triangles all
-# deriving the same exploded shingles from the same sf_dir), the existing
-# materialized generation is returned instead of being torn down and
-# rebuilt — consecutive keys share one cache.
-#
-# ASSUMPTION: fixture files are immutable within a session. Same-plan reuse
-# compares analyzed plans (sameResult), not data — if the parquet under an
-# sf_dir is regenerated mid-session, the stale materialized generation is
-# silently returned. Call clear_pins() after any in-session regeneration
-# (test fixtures that rewrite paths must do this).
-_PINNED: dict[str, DataFrame] = {}
-
-
-def clear_pins() -> None:
-    """Unpersist and forget every cached generation — required after
-    regenerating fixture files mid-session (see _PINNED note above)."""
-    for tag in list(_PINNED):
-        df = _PINNED.pop(tag)
-        try:
-            df.unpersist()
-        except Exception:
-            pass
-
-
-def _repin(tag: str, df: DataFrame, storage_level=None) -> DataFrame:
-    """Register ``df`` (unpersisted) as tag's cache generation and return
-    the persisted frame — either ``df`` newly pinned, or the previous
-    generation when its plan is identical."""
-    from pyspark.storagelevel import StorageLevel
-
-    old = _PINNED.get(tag)
-    if old is not None:
-        try:
-            same = old._jdf.queryExecution().analyzed().sameResult(
-                df._jdf.queryExecution().analyzed()
-            )
-        except Exception:
-            same = False
-        if same:
-            return old
-        _PINNED.pop(tag, None)
-        try:
-            old.unpersist()
-        except Exception:
-            pass
-    pinned = df.persist(storage_level or StorageLevel.MEMORY_AND_DISK)
-    _PINNED[tag] = pinned
-    return pinned
+# One persisted generation per pipeline stage, with same-plan reuse —
+# consecutive keys (components → star → triangles) share one exploded-
+# shingle cache, and repeated sweeps hold a bounded working set. The
+# mechanism (incl. the fixtures-immutable assumption and clear_pins) lives
+# in functions/pins.py; re-exported here because the dedup family is its
+# primary user and tests/docs reference dedup.clear_pins.
+from clusterindices_spark.functions.pins import (  # noqa: E402
+    _PINNED,
+    clear_pins,
+    pin_materialized,
+)
+from clusterindices_spark.functions.pins import repin as _repin  # noqa: E402
 
 
 # ---------------------------------------------------------------------------
@@ -431,34 +390,13 @@ def connected_components(
             break
         prev_sum = new_sum
     # sym stays materialized under its pin (released by the next
-    # invocation's _repin or clear_pins); labels is already persisted by
-    # the loop; register it so the next CC
-    # invocation releases it. Replacement MUST be same-plan-aware: the
-    # round count is data-dependent but deterministic, so a repeat
-    # invocation on the same inputs derives a sameResult-identical final
-    # plan, and CacheManager dedupes both persist() calls into ONE cache
-    # entry — blindly unpersisting the old pin destroyed the new
-    # generation's cache with it, leaving a dead InMemoryRelation that
-    # recomputed the whole candidate pipeline on EVERY downstream action
-    # (measured at sf0.1: component report 0.5 s cached → 14–16 s after
-    # the shared entry was killed, compounding across bench warmup+timed
-    # runs).
-    old_cc = _PINNED.pop("cc_labels", None)
-    if old_cc is not None:
-        try:
-            same = old_cc._jdf.queryExecution().analyzed().sameResult(
-                labels._jdf.queryExecution().analyzed()
-            )
-        except Exception:
-            same = False
-        if same:
-            _PINNED["cc_labels"] = old_cc
-            return old_cc.withColumnRenamed("label", "component")
-        try:
-            old_cc.unpersist()
-        except Exception:
-            pass
-    _PINNED["cc_labels"] = labels
+    # invocation's _repin or clear_pins). The loop-materialized label table
+    # registers via pin_materialized — replacement MUST be same-plan-aware
+    # (the round count is data-dependent but deterministic, so a repeat
+    # invocation derives a sameResult-identical plan and the two pins share
+    # ONE CacheManager entry; the r3 regression documented in pins.py and
+    # BASELINE.md came from unpersisting that shared entry blindly).
+    labels = pin_materialized("cc_labels", labels)
     return labels.withColumnRenamed("label", "component")
 
 

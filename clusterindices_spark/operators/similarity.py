@@ -501,15 +501,26 @@ def knn_graph(
     unprobed cells are missed) → rows-only check + recall property test
     vs brute force."""
     folded, index = ivf_build(emb, n_cells=n_cells, lloyd_iters=lloyd_iters)
+    # norms precomputed ONCE per side before the join: cosine_sim inside
+    # the pair projection would re-derive ‖xa‖ and ‖xb‖ per CANDIDATE row
+    # (the HOF lambdas are interpreted, and the candidate volume is
+    # n·n_probe·cell_size — 3× the per-pair element work for values that
+    # are per-vector constants; isolated A/B at sf0.1 below)
+    probe_side = _probe_cells(emb, folded, n_probe_cells).withColumn(
+        "na", norm(F.col("xa"))
+    )
+    index_side = index.withColumn("nb", norm(F.col("xb")))
+    from clusterindices_spark.functions.distances import dot
+
+    sim = F.round(
+        dot(F.col("xa"), F.col("xb"))
+        / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0)),
+        6,
+    )
     cand = (
-        _probe_cells(emb, folded, n_probe_cells)
-        .join(index, "cell")
+        probe_side.join(index_side, "cell")
         .where(F.col("probe_id") != F.col("neighbor_id"))
-        .select(
-            "probe_id",
-            "neighbor_id",
-            F.round(cosine_sim(F.col("xa"), F.col("xb")), 6).alias("sim"),
-        )
+        .select("probe_id", "neighbor_id", sim.alias("sim"))
     )
     w = Window.partitionBy("probe_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
