@@ -66,6 +66,17 @@ HEADLINE = [
     "curation_decontaminate",
     "text_repetition_stats",
     "ratkowsky_lance",
+    # round-3 additions (BASELINE.md "Measured r3" rows): four scan-side/
+    # one-shuffle scalar keys, the real media-decode tier, and the two
+    # heavy ANN additions (corpus-probe knn graph; PQ train+encode+ADC+
+    # re-rank end to end)
+    "text_pii_scrub",
+    "agg_quantiles",
+    "analytics_rfm",
+    "events_markov_transition",
+    "multimodal_decode_real",
+    "similarity_knn_graph",
+    "similarity_ann_pq",
 ]
 
 # Measured and reported, but EXCLUDED from the headline total: these keys
