@@ -345,10 +345,65 @@ def q_events_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BASKET_MIN_PAIR = 3  # support floor: pairs co-ordered fewer times are noise
+
+
+def q_basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence mining over lineitem: for every pair of
+    parts ordered together, support count and lift
+    (P(a,b) / (P(a)·P(b))), support floor BASKET_MIN_PAIR.
+
+    Scale shape — the co-occurrence self-join is the same skew bomb as the
+    shingle join (a basket with d items contributes C(d,2) pairs), bounded
+    here by the natural basket size (TPC-H orders carry ≤ 7 lines; retail
+    baskets ~10²). The join shuffles by orderkey — per-key fan-out is
+    C(basket,2), NOT corpus-scale; pair counts then shuffle by (a,b) with
+    map-side combine. Per-part marginals attach to the aggregated PAIR
+    table (the dedup-pipeline lesson — never widen the self-join input
+    with data a later broadcast can supply). For web-scale baskets add a
+    per-basket item cap or frequency-prune items first (the stop-shingle
+    pattern, MAX_SHINGLE_DF)."""
+    from clusterindices_spark.functions.aggregates import round6_stable
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()  # multiplicity within an order is not co-occurrence
+    tot = li.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("n_orders")
+    )  # 1-row broadcast, keeps the query fully lazy
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "o")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .where(F.col("n_both") >= BASKET_MIN_PAIR)
+    )
+    marg = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    ma = marg.select(F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a"))
+    mb = marg.select(F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b"))
+    lift = round6_stable(
+        (F.col("n_both") / F.col("n_orders"))
+        / F.nullif(
+            (F.col("n_a") / F.col("n_orders"))
+            * (F.col("n_b") / F.col("n_orders")),
+            F.lit(0.0),
+        )
+    )
+    return (
+        pairs.join(F.broadcast(ma), "part_a")
+        .join(F.broadcast(mb), "part_b")
+        .crossJoin(F.broadcast(tot))
+        .select("part_a", "part_b", "n_both", "n_a", "n_b", lift.alias("lift"))
+    )
+
+
 QUERIES = {
     "profile_orders": q_profile_orders,
     "analytics_rfm": q_analytics_rfm,
     "events_markov_transition": q_events_markov_transition,
+    "basket_pair_lift": q_basket_pair_lift,
     "events_histogram": q_events_histogram,
     "events_outliers": q_events_outliers,
     "events_outliers_mad": q_events_outliers_mad,
@@ -524,4 +579,24 @@ c AS (
 SELECT from_type, to_type, n,
        {SQL_ROUND6.format(x="n / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE)")} AS p
 FROM c
+"""
+
+ORACLES["basket_pair_lift"] = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+tot AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n_orders FROM li),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_both
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= {BASKET_MIN_PAIR}
+),
+marg AS (SELECT l_partkey, COUNT(*) AS n_part FROM li GROUP BY l_partkey)
+SELECT part_a, part_b, n_both,
+       ma.n_part AS n_a, mb.n_part AS n_b,
+       {SQL_ROUND6.format(x="(n_both / n_orders) / NULLIF((ma.n_part / n_orders) * (mb.n_part / n_orders), 0.0)")} AS lift
+FROM pairs
+JOIN marg ma ON ma.l_partkey = part_a
+JOIN marg mb ON mb.l_partkey = part_b
+CROSS JOIN tot
 """

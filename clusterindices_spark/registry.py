@@ -113,6 +113,7 @@ _NEXT = [
     "agg_quantiles_approx",
     "analytics_rfm",
     "events_markov_transition",
+    "basket_pair_lift",
 ]
 
 
