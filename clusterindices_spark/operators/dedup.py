@@ -604,6 +604,83 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _component_report(connected_components(nodes, pairs))
 
 
+PR_ITERS = 6
+PR_SCALE = 10**12  # integer mass units; 85·total_mass ≈ 8.5e13 ≪ int64 max
+
+
+def graph_pagerank(
+    nodes: DataFrame, edges: DataFrame, iters: int = PR_ITERS
+) -> DataFrame:
+    """PageRank over an undirected edge list — centrality for the near-dup
+    graph (which canonical doc is the hub of its duplicate cluster) and
+    the third iterative-graph primitive after min-label CC and the star
+    rounds.
+
+    Cross-engine determinism: float PageRank is unfixable across engines
+    (per-node contribution sums in arbitrary order), so ALL arithmetic is
+    int64 at PR_SCALE units with floor division — contributions
+    ``v div deg``, damping as the rational 85/100, dangling mass
+    redistributed as ``dm div n``. Integer sums are order-free, so both
+    engines produce bit-identical mass vectors and the oracle (the same
+    recurrence unrolled as chained CTEs) hash-matches exactly.
+
+    Scale: per iteration one src-keyed join (edges ⋈ ranks) + one
+    dst-keyed sum + a 1-row dangling agg — the CC shuffle budget with a
+    degree join folded in. The rank table is referenced twice per round
+    (contribs + dangling), so lineage doubles per round: every 3rd round
+    localCheckpoints exactly like connected_components (at 100 TB swap
+    for checkpoint() to reliable storage)."""
+    n = nodes.count()
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    sym_deg = _repin("pr_sym_deg", sym.join(deg, "src"))
+    base = F.lit((15 * PR_SCALE) // (100 * n)).cast("long")
+    pr = nodes.select("node", F.lit(PR_SCALE // n).cast("long").alias("v")).persist()
+    for i in range(iters):
+        contribs = (
+            sym_deg.join(pr, sym_deg.src == pr.node)
+            .select(F.col("dst").alias("node"), F.expr("v div deg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        dangling = (
+            pr.join(deg, pr.node == deg.src, "left_anti")
+            .agg(F.coalesce(F.sum("v"), F.lit(0)).alias("dm"))
+        )
+        new_pr = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    base
+                    + F.expr(f"85 * (coalesce(s, 0) + dm div {n}) div 100")
+                ).cast("long").alias("v"),
+            )
+        )
+        new_pr = (
+            new_pr.localCheckpoint(eager=True)
+            if i % 3 == 2
+            else new_pr.persist()
+        )
+        new_pr.count()
+        pr.unpersist()
+        pr = new_pr
+    pr = pin_materialized("pr_ranks", pr)
+    return pr.select(
+        "node",
+        F.col("v").alias("pr_units"),
+        (F.col("v").cast("double") / F.lit(float(PR_SCALE))).alias("pr"),
+    )
+
+
+def q_dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, pairs = _doc_pair_edges(spark, sf_dir)
+    return graph_pagerank(nodes, pairs)
+
+
 def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same clusters via alternating large-star/small-star (O(log n) rounds
     — the adversarial-chain-safe variant). Identical output contract, so it
@@ -620,6 +697,7 @@ QUERIES = {
     "dedup_components": q_dedup_components,
     "dedup_components_star": q_dedup_components_star,
     "dedup_graph_triangles": q_dedup_graph_triangles,
+    "dedup_graph_pagerank": q_dedup_graph_pagerank,
 }
 
 _TOKS = SQL_TOKENS.format(col="text")
@@ -743,3 +821,72 @@ FROM comp
 # the star variant computes the same (node → component-min) fixpoint over
 # the same edges — byte-identical output contract, same oracle
 ORACLES["dedup_components_star"] = ORACLES["dedup_components"]
+
+
+def _pagerank_oracle_sql(iters: int = PR_ITERS, scale: int = PR_SCALE) -> str:
+    """The same all-integer PageRank recurrence unrolled as chained CTEs —
+    standard SQL (no aggregation inside a recursive term), one CTE pair
+    per iteration, generated mechanically so Spark and oracle can never
+    drift on the formula.
+
+    The multiply-referenced CTEs (ex, pairs, each pr_i — referenced by the
+    next iteration's contribs AND dangling) carry explicit MATERIALIZED
+    hints: DuckDB inlines CTEs by default, so each pr_i would re-execute
+    its whole ancestry per reference — 2^iters replays of the shingle
+    self-join (measured at sf0.01: 121.5 s inlined → 0.1 s materialized)."""
+    head = f"""
+WITH
+tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, {_SH} AS shingles FROM tok),
+ex_all AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+hot AS (SELECT shingle FROM ex_all GROUP BY shingle HAVING COUNT(*) > {MAX_SHINGLE_DF}),
+ex0 AS (SELECT * FROM ex_all WHERE shingle NOT IN (SELECT shingle FROM hot)),
+sized AS (SELECT doc_id, COUNT(*) AS n FROM ex0 GROUP BY doc_id),
+ex AS MATERIALIZED (SELECT ex0.doc_id, sized.n, ex0.shingle FROM ex0 JOIN sized USING (doc_id)),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+         COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.n, b.n
+),
+pairs AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM inter
+  WHERE ROUND(inter / (na + nb - inter), 6) >= {JACCARD_THRESHOLD}
+),
+nodes AS (SELECT doc_id AS node FROM documents),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY src),
+cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+pr0 AS MATERIALIZED (SELECT node, CAST({scale} AS BIGINT) // n AS v FROM nodes CROSS JOIN cnt)"""
+    steps = []
+    for i in range(1, iters + 1):
+        p = f"pr{i-1}"
+        steps.append(f"""
+c{i} AS (
+  SELECT s.dst AS node, SUM(p.v // d.deg) AS s
+  FROM sym s JOIN {p} p ON p.node = s.src JOIN deg d ON d.src = s.src
+  GROUP BY s.dst
+),
+dang{i} AS (
+  SELECT COALESCE(SUM(v), 0) AS dm FROM {p}
+  WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.src = {p}.node)
+),
+pr{i} AS MATERIALIZED (
+  SELECT nodes.node,
+         (15 * CAST({scale} AS BIGINT)) // (100 * cnt.n)
+         + (85 * (COALESCE(c.s, 0) + dang.dm // cnt.n)) // 100 AS v
+  FROM nodes
+  LEFT JOIN c{i} c ON c.node = nodes.node
+  CROSS JOIN dang{i} dang CROSS JOIN cnt
+)""")
+    tail = f"""
+SELECT node, v AS pr_units, CAST(v AS DOUBLE) / {float(scale)} AS pr
+FROM pr{iters}"""
+    return head + "," + ",".join(steps) + tail
+
+
+ORACLES["dedup_graph_pagerank"] = _pagerank_oracle_sql()

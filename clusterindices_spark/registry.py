@@ -114,6 +114,7 @@ _NEXT = [
     "analytics_rfm",
     "events_markov_transition",
     "basket_pair_lift",
+    "dedup_graph_pagerank",
 ]
 
 

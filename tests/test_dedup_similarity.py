@@ -498,3 +498,32 @@ def test_knn_graph_recall_and_shape(spark):
     approx = {(r["probe_id"], r["neighbor_id"]) for r in got}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.35, f"knn-graph recall {recall:.2f} below floor"
+
+
+def test_pagerank_hand_graph(spark):
+    from clusterindices_spark.operators.dedup import PR_SCALE, graph_pagerank
+
+    # star: center 0 linked to 1..4, plus isolated node 9 (dangling)
+    nodes = spark.createDataFrame([(i,) for i in (0, 1, 2, 3, 4, 9)], "node BIGINT")
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4)], "src BIGINT, dst BIGINT"
+    )
+    got = {r["node"]: r["pr_units"] for r in graph_pagerank(nodes, edges).collect()}
+    assert set(got) == {0, 1, 2, 3, 4, 9}
+    # the hub dominates; leaves tie exactly (identical integer recurrence);
+    # the dangling node holds only base + dangling-redistribution mass
+    assert got[0] > got[1]
+    assert got[1] == got[2] == got[3] == got[4]
+    assert got[9] < got[1]
+    # integer mass can only leak via floor losses: total ≤ 1.0, close to it
+    total = sum(got.values())
+    assert 0.9 * PR_SCALE <= total <= PR_SCALE
+
+
+def test_pagerank_deterministic_across_invocations(spark):
+    from clusterindices_spark.operators.dedup import q_dedup_graph_pagerank
+    from tests.conftest import SF_SMOKE
+
+    a = sorted((r["node"], r["pr_units"]) for r in q_dedup_graph_pagerank(spark, SF_SMOKE).collect())
+    b = sorted((r["node"], r["pr_units"]) for r in q_dedup_graph_pagerank(spark, SF_SMOKE).collect())
+    assert a == b
