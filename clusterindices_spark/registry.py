@@ -115,6 +115,7 @@ _NEXT = [
     "events_markov_transition",
     "basket_pair_lift",
     "dedup_graph_pagerank",
+    "similarity_ann_ivfpq",
 ]
 
 

@@ -91,3 +91,22 @@ def test_pq_recall_vs_exact(spark):
     assert rr_recall >= max(0.5, adc_recall), (
         f"re-ranked recall {rr_recall:.2f} (pure ADC {adc_recall:.2f})"
     )
+
+
+def test_ivfpq_recall_vs_exact(spark):
+    from clusterindices_spark.operators.pq import ivfpq_topk
+
+    emb = _emb(spark, SF_SMOKE)
+    probes = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in topk_exact(emb, probes, k=5).collect()
+    }
+    got = ivfpq_topk(emb, probes, k=5).collect()
+    approx = {(r["probe_id"], r["neighbor_id"]) for r in got}
+    assert len({r["probe_id"] for r in got}) == 10  # every probe answered
+    recall = len(exact & approx) / len(exact)
+    # cells bound recall (4/8 probed, IVF alone reaches 0.92 here); the
+    # residual-PQ shortlist + exact re-rank must stay well above the
+    # pure-ADC floor
+    assert recall >= 0.4, f"IVF-PQ recall {recall:.2f} below floor"
