@@ -82,6 +82,13 @@ def main(argv: list[str]) -> int:
     rec = len(exact & got) / len(exact)
     print(f"PQ/ADC + re-rank   : {len(got):4d} pairs  {time.monotonic()-t0:5.1f}s  recall {rec:.2f}")
 
+    from clusterindices_spark.operators.pq import ivfpq_topk
+
+    t0 = time.monotonic()
+    got = pairs(ivfpq_topk(emb, probes))
+    rec = len(exact & got) / len(exact)
+    print(f"IVF-PQ (composed)  : {len(got):4d} pairs  {time.monotonic()-t0:5.1f}s  recall {rec:.2f}")
+
     t0 = time.monotonic()
     g = knn_graph(emb).count()
     print(f"k-NN graph         : {g:4d} edges  {time.monotonic()-t0:5.1f}s  (all vectors probed)")
