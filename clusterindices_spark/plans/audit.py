@@ -309,6 +309,29 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "require": ["Broadcast", "WindowGroupLimit"],
         "forbid": ["CartesianProduct"],
     },
+    "similarity_ann_ivfpq": {
+        # probed-cell pruning is a cell equi-join against broadcast tables;
+        # shortlists + re-rank are candidate-scale broadcasts
+        "require": ["Broadcast", "WindowGroupLimit"],
+        "forbid": ["CartesianProduct"],
+    },
+    "analytics_rfm": {
+        # quintile boundaries and the date anchor are 1-row broadcasts;
+        # scoring must not introduce a global-sort window
+        "require": ["Broadcast"],
+        "forbid": ["CartesianProduct", "Window"],
+    },
+    "events_markov_transition": {
+        "require": ["Window", "partial"],
+        "forbid": ["CartesianProduct"],
+    },
+    "basket_pair_lift": {
+        # orderkey self-join (partitioned equi) + post-agg broadcast
+        # marginals; the 1-row total crossJoin compiles to an intended
+        # BroadcastNestedLoopJoin, so only a true cartesian is forbidden
+        "require": ["Join", "partial"],
+        "forbid": ["CartesianProduct"],
+    },
 }
 
 
