@@ -235,3 +235,51 @@ def test_triangle_census_relabel_invariant(spark, edges):
     alt = triangle_census(relabeled).collect()[0]
     for col in ("n_nodes", "n_edges", "n_triangles", "n_wedges", "transitivity"):
         assert got[col] == alt[col], (col, got[col], alt[col])
+
+
+def test_pagerank_partition_invariance(spark):
+    """Rank vectors are integer-exact, so repartitioning the inputs must
+    not move a single mass unit."""
+    from pyspark.sql import functions as F
+
+    from clusterindices_spark.operators.dedup import graph_pagerank
+
+    nodes = spark.range(0, 30).select(F.col("id").alias("node"))
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 3) % 30) for i in range(30) if i != (i * 7 + 3) % 30],
+        "src BIGINT, dst BIGINT",
+    )
+    a = {r["node"]: r["pr_units"] for r in graph_pagerank(nodes, edges).collect()}
+    b = {
+        r["node"]: r["pr_units"]
+        for r in graph_pagerank(
+            nodes.repartition(7), edges.repartition(5)
+        ).collect()
+    }
+    assert a == b
+
+
+def test_rfm_partition_invariance(spark):
+    from clusterindices_spark.operators.analytics import q_analytics_rfm
+    from tests.conftest import SF_SMOKE
+
+    base = sorted(map(tuple, q_analytics_rfm(spark, SF_SMOKE).collect()))
+    # boundary scoring must be stable when upstream partitioning changes:
+    # quintile boundaries come from exact interpolated percentiles, which
+    # are partition-count-independent
+    import clusterindices_spark.sources.fixtures as fx
+
+    orig = fx.load_table
+
+    def shuffled(spark_, sf_dir, name):
+        return orig(spark_, sf_dir, name).repartition(13)
+
+    fx_load = fx.load_table
+    try:
+        import clusterindices_spark.operators.analytics as an
+
+        an.load_table = shuffled
+        other = sorted(map(tuple, q_analytics_rfm(spark, SF_SMOKE).collect()))
+    finally:
+        an.load_table = fx_load
+    assert base == other
