@@ -409,3 +409,67 @@ def funnel_state_stream(events: DataFrame, watermark: str = "30 minutes") -> Dat
             timeoutConf="NoTimeout",
         )
     )
+
+
+ANOMALY_SCHEMA = (
+    "event_type STRING, n BIGINT, s1 BIGINT, s2 BIGINT, n_anomalies BIGINT"
+)
+_ANOMALY_STATE_SCHEMA = "n BIGINT, s1 BIGINT, s2 BIGINT"
+ANOMALY_Z = 3.0
+
+
+def anomaly_state_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Online z-score anomaly detection — the streaming twin of
+    operators/analytics.q_events_outliers. Per event type the state is the
+    SAME integer-micro sufficient statistics the batch operator aggregates
+    (count + floor-micro sums of value and value²), so after a bounded
+    replay the final state equals the batch moments EXACTLY (integer sums
+    are order- and batch-boundary-free); each microbatch emits the updated
+    moments plus how many of its events exceed z=3 under them.
+
+    Mid-stream flag counts depend on how much history the moments have
+    seen at that point — inherent to ANY online detector — but on a
+    single-batch bounded replay the flags equal the batch operator's
+    outlier rows exactly (tests/test_streaming.py). State is 3 ints per
+    event type: O(|types|) resident bytes, RocksDB-ready."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    def update(key, pdf_iter, state):
+        n, s1, s2 = state.get if state.exists else (0, 0, 0)
+        flags = 0
+        frames = [pdf for pdf in pdf_iter if len(pdf)]
+        for pdf in frames:
+            v = pdf["value"].to_numpy(dtype="float64")
+            n += len(v)
+            s1 += int(np.floor(v * 1e6 + 0.5).astype("int64").sum())
+            s2 += int(np.floor(v * v * 1e6 + 0.5).astype("int64").sum())
+        state.update((n, s1, s2))
+        mean = s1 / n / 1e6 if n else 0.0
+        var = max(s2 / n / 1e6 - mean * mean, 0.0) if n else 0.0
+        std = var ** 0.5
+        if std > 0.0:
+            for pdf in frames:
+                v = pdf["value"].to_numpy(dtype="float64")
+                flags += int((np.abs(v - mean) > ANOMALY_Z * std).sum())
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n": [n],
+                "s1": [s1],
+                "s2": [s2],
+                "n_anomalies": [flags],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=ANOMALY_SCHEMA,
+            stateStructType=_ANOMALY_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )

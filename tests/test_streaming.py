@@ -310,3 +310,50 @@ def test_curation_funnel_foreach_batch_matches_batch(spark):
             .collect()
         )
         assert got == want and len(got) > 0
+
+
+def test_anomaly_state_stream_matches_batch_outliers(spark):
+    """Final state = the batch operator's integer-micro moments EXACTLY
+    (order/batch-boundary-free integer sums), and on the single-batch
+    bounded replay the online flags equal the batch outlier rows."""
+    from clusterindices_spark.operators.analytics import q_events_outliers
+    from clusterindices_spark.streaming.streams import anomaly_state_stream
+
+    with tempfile.TemporaryDirectory() as tmp:
+        stream = events_file_stream(spark, _replay_dir(spark, tmp))
+        got = run_to_completion(
+            anomaly_state_stream(stream), "t_anom", mode="update"
+        )
+        w = Window.partitionBy("event_type").orderBy(F.col("n").desc())
+        final = {
+            r["event_type"]: (r["n"], r["s1"], r["s2"], r["n_anomalies"])
+            for r in got.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .collect()
+        }
+
+        ev = load_table(spark, SF_SMOKE, "events")
+        micros = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("bigint")  # noqa: E731
+        want = {
+            r["event_type"]: (r["n"], r["s1"], r["s2"])
+            for r in ev.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(micros(F.col("value"))).alias("s1"),
+                F.sum(micros(F.col("value") * F.col("value"))).alias("s2"),
+            )
+            .collect()
+        }
+        assert set(final) == set(want)
+        for et, (n, s1, s2) in want.items():
+            assert final[et][:3] == (n, s1, s2), et
+
+        outliers = {
+            r["event_type"]: r["cnt"]
+            for r in q_events_outliers(spark, SF_SMOKE)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        for et in final:
+            assert final[et][3] == outliers.get(et, 0), et
