@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from clusterindices_spark.functions.aggregates import SQL_ROUND6
 from clusterindices_spark.operators.indices import (
     centroids_of,
     labeled_points,
@@ -181,11 +182,93 @@ def q_cluster_external_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return external_agreement(q_cluster_label_contingency(spark, sf_dir))
 
 
+def agreement_ext(cont: DataFrame) -> DataFrame:
+    """Second external-agreement family over the same contingency counts:
+
+    - Fowlkes–Mallows: pc/√(pr·pl) — TP/√((TP+FP)(TP+FN)) in the pair
+      formulation; exact BIGINT pair counts, one floating ratio.
+    - homogeneity / completeness / V-measure (Rosenberg & Hirschberg 2007,
+      sklearn conventions pinned): h = 1 − H(L|C)/H(L) with the n·ln n
+      formulation — H(L|C) = (nln_r − nln_c)/N, H(L) = ln N − nln_l/N —
+      so both engines feed ln identical integer arguments; h := 1 when
+      H(L) = 0, c := 1 when H(C) = 0, V := 0 when h + c = 0.
+    - purity: Σ_i max_j n_ij / N.
+
+    Scale: identical posture to external_agreement — K×L ≤ ~100-row
+    contingency, broadcast marginals, 1-row result."""
+    from clusterindices_spark.functions.aggregates import round6_stable
+
+    row_tot = cont.groupBy("cluster").agg(F.sum("n").alias("a"))
+    col_tot = cont.groupBy("label").agg(F.sum("n").alias("b"))
+    cells = cont.agg(
+        F.expr("sum(n * (n - 1)) div 2").cast("bigint").alias("pc"),
+        F.sum(F.col("n").cast("double") * F.log(F.col("n").cast("double"))).alias(
+            "nln_c"
+        ),
+    )
+    rows_m = row_tot.agg(
+        F.expr("sum(a * (a - 1)) div 2").cast("bigint").alias("pr"),
+        F.sum(F.col("a").cast("double") * F.log(F.col("a").cast("double"))).alias(
+            "nln_r"
+        ),
+        F.sum("a").cast("bigint").alias("n_points"),
+    )
+    cols_m = col_tot.agg(
+        F.expr("sum(b * (b - 1)) div 2").cast("bigint").alias("pl"),
+        F.sum(F.col("b").cast("double") * F.log(F.col("b").cast("double"))).alias(
+            "nln_l"
+        ),
+    )
+    pure = (
+        cont.groupBy("cluster")
+        .agg(F.max("n").alias("maxn"))
+        .agg(F.sum("maxn").cast("bigint").alias("pure_n"))
+    )
+    j = (
+        cells.join(F.broadcast(rows_m))
+        .join(F.broadcast(cols_m))
+        .join(F.broadcast(pure))
+    )
+    n = F.col("n_points").cast("double")
+    # H(L) and H(C) scaled by N (avoids a needless /N on both sides of the
+    # ratio); clamped at 0 like external_agreement's entropies
+    nh_l = F.greatest(n * F.log(n) - F.col("nln_l"), F.lit(0.0))
+    nh_c = F.greatest(n * F.log(n) - F.col("nln_r"), F.lit(0.0))
+    h = F.when(nh_l == 0.0, F.lit(1.0)).otherwise(
+        F.lit(1.0)
+        - F.greatest(F.col("nln_r") - F.col("nln_c"), F.lit(0.0)) / nh_l
+    )
+    c = F.when(nh_c == 0.0, F.lit(1.0)).otherwise(
+        F.lit(1.0)
+        - F.greatest(F.col("nln_l") - F.col("nln_c"), F.lit(0.0)) / nh_c
+    )
+    v = F.when(h + c == 0.0, F.lit(0.0)).otherwise(2.0 * h * c / (h + c))
+    return j.select(
+        round6_stable(
+            F.col("pc").cast("double")
+            / F.nullif(
+                F.sqrt(F.col("pr").cast("double") * F.col("pl").cast("double")),
+                F.lit(0.0),
+            )
+        ).alias("fowlkes_mallows"),
+        round6_stable(h).alias("homogeneity"),
+        round6_stable(c).alias("completeness"),
+        round6_stable(v).alias("v_measure"),
+        round6_stable(F.col("pure_n").cast("double") / n).alias("purity"),
+        F.col("n_points"),
+    )
+
+
+def q_cluster_agreement_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agreement_ext(q_cluster_label_contingency(spark, sf_dir))
+
+
 QUERIES = {
     "assign_nearest_centroid": q_assign_nearest_centroid,
     "cluster_label_contingency": q_cluster_label_contingency,
     "cluster_chi2": q_cluster_chi2,
     "cluster_external_agreement": q_cluster_external_agreement,
+    "cluster_agreement_ext": q_cluster_agreement_ext,
 }
 
 _PC = """
@@ -289,5 +372,70 @@ SELECT
              / NULLIF(CAST(least(k - 1, l - 1) AS DOUBLE), 0.0)), 6) AS cramers_v,
   n_points
 FROM cells, rows_m, cols_m
+""",
+    "cluster_agreement_ext": _PC
+    + """
+, cont AS (
+  SELECT a.assigned_cluster AS cluster, a.cluster AS label, COUNT(*) AS n
+  FROM assigned a GROUP BY a.assigned_cluster, a.cluster
+),
+row_tot AS (SELECT cluster, SUM(n) AS a FROM cont GROUP BY cluster),
+col_tot AS (SELECT label, SUM(n) AS b FROM cont GROUP BY label),
+cells AS (
+  SELECT CAST(SUM(n * (n - 1)) // 2 AS BIGINT) AS pc,
+         SUM(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) AS nln_c
+  FROM cont
+),
+rows_m AS (
+  SELECT CAST(SUM(a * (a - 1)) // 2 AS BIGINT) AS pr,
+         SUM(CAST(a AS DOUBLE) * ln(CAST(a AS DOUBLE))) AS nln_r,
+         CAST(SUM(a) AS BIGINT) AS n_points
+  FROM row_tot
+),
+cols_m AS (
+  SELECT CAST(SUM(b * (b - 1)) // 2 AS BIGINT) AS pl,
+         SUM(CAST(b AS DOUBLE) * ln(CAST(b AS DOUBLE))) AS nln_l
+  FROM col_tot
+),
+pure AS (
+  SELECT CAST(SUM(maxn) AS BIGINT) AS pure_n
+  FROM (SELECT MAX(n) AS maxn FROM cont GROUP BY cluster)
+),
+hc AS (
+  SELECT *,
+    greatest(CAST(n_points AS DOUBLE) * ln(CAST(n_points AS DOUBLE)) - nln_l, 0.0) AS nh_l,
+    greatest(CAST(n_points AS DOUBLE) * ln(CAST(n_points AS DOUBLE)) - nln_r, 0.0) AS nh_c
+  FROM cells, rows_m, cols_m, pure
+),
+hv AS (
+  SELECT *,
+    CASE WHEN nh_l = 0.0 THEN 1.0
+         ELSE 1.0 - greatest(nln_r - nln_c, 0.0) / nh_l END AS h,
+    CASE WHEN nh_c = 0.0 THEN 1.0
+         ELSE 1.0 - greatest(nln_l - nln_c, 0.0) / nh_c END AS c
+  FROM hc
+)
+SELECT
+  """
+    + SQL_ROUND6.format(
+        x="CAST(pc AS DOUBLE) / NULLIF(sqrt(CAST(pr AS DOUBLE) * CAST(pl AS DOUBLE)), 0.0)"
+    )
+    + """ AS fowlkes_mallows,
+  """
+    + SQL_ROUND6.format(x="h")
+    + """ AS homogeneity,
+  """
+    + SQL_ROUND6.format(x="c")
+    + """ AS completeness,
+  """
+    + SQL_ROUND6.format(
+        x="CASE WHEN h + c = 0.0 THEN 0.0 ELSE 2.0 * h * c / (h + c) END"
+    )
+    + """ AS v_measure,
+  """
+    + SQL_ROUND6.format(x="CAST(pure_n AS DOUBLE) / n_points")
+    + """ AS purity,
+  n_points
+FROM hv
 """,
 }

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 # covers exactly the remaining gap. Keys outside _FRONT keep module order.
 _MODULES = [
     "clusterindices_spark.operators.indices",
+    "clusterindices_spark.operators.validity",
     "clusterindices_spark.operators.assignment",
     "clusterindices_spark.operators.sweep",
     "clusterindices_spark.operators.dedup",
@@ -116,6 +117,12 @@ _NEXT = [
     "basket_pair_lift",
     "dedup_graph_pagerank",
     "similarity_ann_ivfpq",
+    # round-3b: validity-surface widening (operators/validity.py)
+    "wemmert_gancarski",
+    "sd_index",
+    "s_dbw",
+    "c_index",
+    "cluster_agreement_ext",
 ]
 
 

@@ -321,3 +321,74 @@ def test_index_suite_ext_empty_input_yields_nulls(spark):
     rows = index_suite_ext_of(pts).collect()
     assert len(rows) == 1
     assert rows[0]["pbm"] is None
+
+
+def test_agreement_ext_perfect(spark):
+    """Identical partitions → FM = h = c = V = purity = 1."""
+    from clusterindices_spark.operators.assignment import agreement_ext
+
+    row = agreement_ext(
+        _cont(spark, [(0, 0, 30), (1, 1, 20), (2, 2, 50)])
+    ).collect()[0]
+    for col in ("fowlkes_mallows", "homogeneity", "completeness", "v_measure", "purity"):
+        assert row[col] == pytest.approx(1.0, abs=1e-6), col
+    assert row["n_points"] == 100
+
+
+def test_agreement_ext_independent(spark):
+    """Statistical independence → h = c = V = 0; FM equals the marginal
+    pair-overlap baseline pc/sqrt(pr·pl); purity = max col share (0.5)."""
+    from clusterindices_spark.operators.assignment import agreement_ext
+
+    row = agreement_ext(
+        _cont(spark, [(0, 0, 30), (0, 1, 30), (1, 0, 20), (1, 1, 20)])
+    ).collect()[0]
+    pc = 435 * 2 + 190 * 2
+    pr, pl = 1770 + 780, 1225 * 2
+    assert row["fowlkes_mallows"] == pytest.approx(pc / math.sqrt(pr * pl), abs=1e-6)
+    assert row["homogeneity"] == pytest.approx(0.0, abs=1e-6)
+    assert row["completeness"] == pytest.approx(0.0, abs=1e-6)
+    assert row["v_measure"] == pytest.approx(0.0, abs=1e-6)
+    assert row["purity"] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_agreement_ext_single_cluster_conventions(spark):
+    """One cluster holding every label: H(C) = 0 → completeness := 1
+    (sklearn convention); homogeneity = 0; V = 0 (h + c > 0 path)."""
+    from clusterindices_spark.operators.assignment import agreement_ext
+
+    row = agreement_ext(_cont(spark, [(0, 0, 50), (0, 1, 50)])).collect()[0]
+    assert row["completeness"] == pytest.approx(1.0, abs=1e-6)
+    assert row["homogeneity"] == pytest.approx(0.0, abs=1e-6)
+    assert row["v_measure"] == pytest.approx(0.0, abs=1e-6)
+    assert row["purity"] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_agreement_ext_hand_vmeasure(spark):
+    """sklearn cross-check values for contingency [[10,2],[3,15]]
+    (homogeneity_completeness_v_measure on the expanded label vectors)."""
+    from clusterindices_spark.operators.assignment import agreement_ext
+
+    row = agreement_ext(
+        _cont(spark, [(0, 0, 10), (0, 1, 2), (1, 0, 3), (1, 1, 15)])
+    ).collect()[0]
+    n = 30.0
+    h_l = -(13 / n) * math.log(13 / n) - (17 / n) * math.log(17 / n)
+    h_c = -(12 / n) * math.log(12 / n) - (18 / n) * math.log(18 / n)
+    h_l_given_c = -sum(
+        (nij / n) * math.log(nij / a)
+        for nij, a in [(10, 12), (2, 12), (3, 18), (15, 18)]
+    )
+    h_c_given_l = -sum(
+        (nij / n) * math.log(nij / b)
+        for nij, b in [(10, 13), (2, 17), (3, 13), (15, 17)]
+    )
+    h = 1 - h_l_given_c / h_l
+    c = 1 - h_c_given_l / h_c
+    assert row["homogeneity"] == pytest.approx(h, abs=1e-6)
+    assert row["completeness"] == pytest.approx(c, abs=1e-6)
+    assert row["v_measure"] == pytest.approx(2 * h * c / (h + c), abs=1e-6)
+    assert row["purity"] == pytest.approx(25 / 30, abs=1e-6)
+    assert row["fowlkes_mallows"] == pytest.approx(
+        154 / math.sqrt((66 + 153) * (78 + 136)), abs=1e-6
+    )
