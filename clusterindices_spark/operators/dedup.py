@@ -689,7 +689,80 @@ def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _component_report(connected_components_star(nodes, pairs))
 
 
+# ---------------------------------------------------------------------------
+# substring-span duplication (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better": repeated token spans across documents are
+# the unit of memorization, not whole-document near-duplication). Here the
+# span inverted index is aggregated to per-document COVERAGE: what fraction
+# of each document's token n-gram spans also occurs in another document.
+# ---------------------------------------------------------------------------
+
+SPAN_N = 5  # span length in tokens; Lee et al. use 50 BPE tokens — 5 word
+# tokens is the same mechanism scaled to the fixture's short synthetic docs
+
+
+def _spans_n(toks: F.Column, n: int) -> F.Column:
+    """All token n-gram spans WITH multiplicity (occurrence-level, unlike
+    shingles3's distinct sets). Built from arrays_zip of n shifted slices —
+    same reason as shingles3: a lambda referencing the outer token column
+    re-evaluates its expression tree per element (O(tokens²) per doc)."""
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    z = F.arrays_zip(
+        *[F.slice(toks, i + 1, m).alias(f"w{i}") for i in range(n)]
+    )
+    return F.transform(
+        z, lambda s: F.concat_ws(" ", *[s[f"w{i}"] for i in range(n)])
+    )
+
+
+def span_coverage(d: DataFrame, n: int = SPAN_N) -> DataFrame:
+    """(doc_id, n_spans, n_dup_spans, dup_frac): occurrence-level span counts
+    and the fraction whose span text occurs in ≥ 2 distinct documents.
+    Documents shorter than n tokens keep n_spans = 0 and NULL dup_frac.
+
+    Scale: two span-keyed shuffles (df aggregate with map-side combine, then
+    the join back) + one doc-keyed aggregate — the standard inverted-index
+    shape, linear in total spans. At 100 TB, map the span string to
+    xxhash64(span) before the shuffle to cut the exchange width ~10×; the
+    string form is kept here so the DuckDB oracle can replay it verbatim
+    (a hash collision at 2⁻⁶⁴ would merely merge two span families)."""
+    ex = (
+        fan_out(d)
+        .select("doc_id", tokens(F.col("text")).alias("t"))
+        .select("doc_id", F.explode(_spans_n(F.col("t"), n)).alias("span"))
+    )
+    dfreq = ex.groupBy("span").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    per = (
+        ex.join(dfreq, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("s"),
+            F.sum((F.col("df") >= 2).cast("int")).alias("dup"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("s"), F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce(F.col("dup"), F.lit(0)).cast("bigint").alias("n_dup_spans"),
+            round6_stable(
+                F.col("dup").cast("double")
+                / F.nullif(F.col("s"), F.lit(0)).cast("double")
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def q_dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return span_coverage(load_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
+    "dedup_span_coverage": q_dedup_span_coverage,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_near_minhash": q_dedup_near_minhash,
@@ -706,7 +779,33 @@ TRI_R6 = SQL_ROUND6.format(
     x="3.0 * n_triangles / NULLIF(CAST(n_wedges AS DOUBLE), 0.0)"
 )
 
+_SPAN_JOIN = " || ' ' || ".join(f"toks[i+{k}]" for k in range(1, 6))
+
 ORACLES = {
+    "dedup_span_coverage": f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sp AS (
+  SELECT doc_id,
+         unnest(list_transform(range(greatest(len(toks) - 4, 0)),
+                               i -> {_SPAN_JOIN})) AS span
+  FROM tok
+),
+dfreq AS (SELECT span, COUNT(DISTINCT doc_id) AS df FROM sp GROUP BY span),
+per AS (
+  SELECT sp.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS s,
+         CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup
+  FROM sp JOIN dfreq USING (span) GROUP BY sp.doc_id
+),
+r AS (
+  SELECT d.doc_id, COALESCE(s, 0) AS n_spans, COALESCE(dup, 0) AS n_dup_spans,
+         CAST(dup AS DOUBLE) / NULLIF(s, 0) AS frac
+  FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+)
+SELECT doc_id, n_spans, n_dup_spans,
+       {SQL_ROUND6.format(x="frac")} AS dup_frac
+FROM r
+""",
     "dedup_exact": """
 SELECT sha256(text) AS content_hash,
        MIN(doc_id) AS keep_doc_id,

@@ -36,6 +36,7 @@ _MODULES = [
     "clusterindices_spark.operators.relational",
     "clusterindices_spark.operators.tpch",
     "clusterindices_spark.operators.relational_ext",
+    "clusterindices_spark.operators.sql_features",
     "clusterindices_spark.sql",
 ]
 
@@ -123,6 +124,14 @@ _NEXT = [
     "s_dbw",
     "c_index",
     "cluster_agreement_ext",
+    "dedup_span_coverage",
+    # Spark 4 SQL features (operators/sql_features.py)
+    "sql_recursive_months",
+    "scalar_variant",
+    # iterative ML — rows-only
+    "bisecting_sweep_small",
+    "gmm_sweep_small",
+    "gap_statistic",
 ]
 
 

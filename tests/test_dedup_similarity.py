@@ -527,3 +527,26 @@ def test_pagerank_deterministic_across_invocations(spark):
     a = sorted((r["node"], r["pr_units"]) for r in q_dedup_graph_pagerank(spark, SF_SMOKE).collect())
     b = sorted((r["node"], r["pr_units"]) for r in q_dedup_graph_pagerank(spark, SF_SMOKE).collect())
     assert a == b
+
+
+def test_span_coverage_planted_duplicate_spans(spark):
+    """A 5-token span copied between two docs is flagged in both; a doc with
+    no shared span has dup_frac 0; a doc under 5 tokens has 0 spans and
+    NULL dup_frac."""
+    from clusterindices_spark.operators.dedup import span_coverage
+
+    shared = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, f"{shared} one two three"),
+        (2, f"zero {shared} nine"),
+        (3, "totally different words here avoiding overlap entirely"),
+        (4, "too short"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = {r["doc_id"]: r for r in span_coverage(d).collect()}
+    # doc 1: 8 tokens -> 4 spans, exactly 1 of them ("alpha..epsilon") shared
+    assert out[1]["n_spans"] == 4 and out[1]["n_dup_spans"] == 1
+    assert out[1]["dup_frac"] == 0.25
+    assert out[2]["n_dup_spans"] == 1
+    assert out[3]["n_dup_spans"] == 0 and out[3]["dup_frac"] == 0.0
+    assert out[4]["n_spans"] == 0 and out[4]["dup_frac"] is None
