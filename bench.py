@@ -77,6 +77,16 @@ HEADLINE = [
     "multimodal_decode_real",
     "similarity_knn_graph",
     "similarity_ann_pq",
+    # round-3b additions: the widened validity/agreement surface (all
+    # K-scale tails over one scan), span-dedup inverted index, and the
+    # Spark-4 SQL feature keys (recursive ladder, VARIANT roundtrip)
+    "wemmert_gancarski",
+    "sd_index",
+    "s_dbw",
+    "cluster_agreement_ext",
+    "dedup_span_coverage",
+    "sql_recursive_months",
+    "scalar_variant",
 ]
 
 # Measured and reported, but EXCLUDED from the headline total: these keys
