@@ -332,6 +332,45 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "require": ["Join", "partial"],
         "forbid": ["CartesianProduct"],
     },
+    # --- round-3b additions ---
+    "wemmert_gancarski": {
+        # rides point_metrics: 1-row folded-centroid broadcast, K-group agg
+        "require": ["Broadcast", "partial"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "sd_index": {
+        # per-dim variance aggs with map-side combine; K²-scale tail only
+        "require": ["Broadcast", "partial"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "s_dbw": {
+        # pair-density probe must be the broadcast equi-join on cluster
+        # (the explode'd pair table), never a shuffled or nested-loop pair
+        # scan over the points
+        "require": ["BroadcastHashJoin", "partial"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "cluster_agreement_ext": {
+        # contingency marginals broadcast back over the K×L counts
+        "require": ["Broadcast", "partial"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "dedup_span_coverage": {
+        # inverted index: span-keyed agg must carry a map-side partial;
+        # the df join back may be SMJ or SHJ (both partitioned equi-joins)
+        "require": ["partial"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "sql_recursive_months": {
+        # 80-row recursive ladder must broadcast against the orders scan
+        "require": ["Broadcast"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "scalar_variant": {
+        # pure scan-side expression work: no exchange at all
+        "require": ["*("],
+        "forbid": ["Exchange", "Join"],
+    },
 }
 
 

@@ -214,3 +214,24 @@ def test_zorder_skips_files_on_both_dimensions(spark, tmp_path):
     want = ev.where((F.col("user_id") <= u_q) & (F.col("value") <= v_q)).count()
     assert got == want
     assert spark.read.parquet(zpath).count() == ev.count()
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched(spark, tmp_path):
+    """partitionOverwriteMode=dynamic: an overwrite whose input holds only
+    some partition values must replace exactly those partitions and leave
+    the rest intact (static mode would truncate the whole table) — the
+    incremental-backfill contract for a partitioned 100 TB lake table."""
+    path = str(tmp_path / "dpo")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "v INT, p STRING"
+    )
+    base.write.partitionBy("p").mode("overwrite").parquet(path)
+    patch = spark.createDataFrame([(20, "b")], "v INT, p STRING")
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        patch.write.partitionBy("p").mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    got = sorted((r["v"], r["p"]) for r in spark.read.parquet(path).collect())
+    assert got == [(1, "a"), (3, "c"), (20, "b")]

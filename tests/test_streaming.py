@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import tempfile
 
+import pytest
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -357,3 +359,112 @@ def test_anomaly_state_stream_matches_batch_outliers(spark):
         }
         for et in final:
             assert final[et][3] == outliers.get(et, 0), et
+
+
+def test_distinct_users_tws_stream_matches_batch_count_distinct(spark):
+    """transformWithStateInPandas census: the final per-type distinct_users
+    equals batch countDistinct(user_id) exactly (set union is order- and
+    batch-boundary-free), and new_users totals reconcile to the final
+    count. The TWS runner speaks protobuf to its state server — skipped
+    where google.protobuf is absent (this container; the processor logic
+    is still covered by the fake-handle unit test below)."""
+    pytest.importorskip("google.protobuf")
+    from clusterindices_spark.streaming.streams import (
+        distinct_users_tws_stream,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        stream = events_file_stream(spark, _replay_dir(spark, tmp))
+        got = run_to_completion(
+            distinct_users_tws_stream(stream), "t_tws", mode="update"
+        )
+        w = Window.partitionBy("event_type").orderBy(
+            F.col("distinct_users").desc()
+        )
+        final = {
+            r["event_type"]: r["distinct_users"]
+            for r in got.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .collect()
+        }
+        news = {
+            r["event_type"]: r["s"]
+            for r in got.groupBy("event_type")
+            .agg(F.sum("new_users").alias("s"))
+            .collect()
+        }
+        want = {
+            r["event_type"]: r["d"]
+            for r in load_table(spark, SF_SMOKE, "events")
+            .groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("d"))
+            .collect()
+        }
+        assert final == want
+        assert news == want  # every user is new exactly once
+
+
+def test_distinct_users_processor_logic_with_fake_state():
+    """Unit-drive the StatefulProcessor against fake MapState/ValueState:
+    dedup across batches, running count, per-batch new_users."""
+    import pandas as pd
+
+    from clusterindices_spark.streaming.streams import (
+        make_distinct_users_processor,
+    )
+
+    class FakeValue:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeMap:
+        def __init__(self):
+            self._m = {}
+
+        def containsKey(self, k):
+            return k in self._m
+
+        def updateValue(self, k, v):
+            self._m[k] = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.value = FakeValue()
+            self.map = FakeMap()
+
+        def getMapState(self, *a, **kw):
+            return self.map
+
+        def getValueState(self, *a, **kw):
+            return self.value
+
+    proc = make_distinct_users_processor()
+    proc.init(FakeHandle())
+    b1 = list(
+        proc.handleInputRows(
+            ("view",), [pd.DataFrame({"user_id": [1, 2, 2, 3]})], None
+        )
+    )[0]
+    assert (
+        b1["distinct_users"][0] == 3 and b1["new_users"][0] == 3
+    )
+    b2 = list(
+        proc.handleInputRows(
+            ("view",), [pd.DataFrame({"user_id": [2, 3, 4]})], None
+        )
+    )[0]
+    assert b2["distinct_users"][0] == 4 and b2["new_users"][0] == 1
