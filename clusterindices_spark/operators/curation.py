@@ -261,6 +261,55 @@ def q_curation_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WEIGHTED_K = 10
+_ES_A = 2654435761  # Knuth multiplicative constant
+_ES_M = 1000003  # prime modulus for the arithmetic u01
+
+
+def q_curation_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted per-stratum sampling (Efraimidis–Spirakis A-ES): per lang,
+    keep the K docs with the smallest exponential clocks −ln(u)/w, where
+    w = n_chars — longer documents proportionally likelier, the standard
+    size-weighted corpus subsample.
+
+    u is a pure-ARITHMETIC hash, (doc_id·A mod M + 0.5)/M (Knuth
+    multiplicative; +0.5 keeps u in (0,1) so ln never sees 0): unlike
+    xxhash64 it is computable verbatim in any SQL engine, so selection is
+    replay-deterministic AND oracle-checkable. ln/division on identical
+    doubles order identically in both engines; ties are impossible (u
+    injective per doc_id below M).
+
+    Scale: same WindowGroupLimit shape as curation_sample_topk — per-
+    partition top-K prune BEFORE the exchange, shuffle carries O(K·strata)
+    rows."""
+    from pyspark.sql.window import Window
+
+    from clusterindices_spark.functions.aggregates import round6_stable
+
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.pmod(F.col("doc_id") * F.lit(_ES_A), F.lit(_ES_M)).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(_ES_M))
+    w_col = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    key = -F.log(u) / w_col
+    win = Window.partitionBy("lang").orderBy(F.col("es_key").asc())
+    return (
+        d.select(
+            "doc_id", "lang", "n_chars", key.alias("es_key")
+        )
+        .withColumn("rk", F.row_number().over(win))
+        .where(F.col("rk") <= WEIGHTED_K)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            round6_stable(F.col("es_key")).alias("es_key"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
 def q_curation_mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted mixture interleaving (stride scheduling): order a
     multi-source corpus into one training stream where each source appears
@@ -354,6 +403,7 @@ QUERIES = {
     "curation_pipeline": q_curation_pipeline,
     "curation_sample_stratified": q_curation_sample_stratified,
     "curation_sample_topk": q_curation_sample_topk,
+    "curation_sample_weighted": q_curation_sample_weighted,
     "curation_mixture_interleave": q_curation_mixture_interleave,
     "curation_decontaminate": q_curation_decontaminate,
 }
@@ -480,6 +530,23 @@ FROM (
   FROM documents
 )
 WHERE rk <= {TOPK_PER_STRATUM}
+""",
+    "curation_sample_weighted": f"""
+SELECT doc_id, lang, n_chars,
+       {SQL_ROUND6.format(x="es_key")} AS es_key,
+       CAST(rk AS INT) AS rk
+FROM (
+  SELECT doc_id, lang, n_chars,
+         -ln(((doc_id * {_ES_A}) % {_ES_M} + 0.5) / {_ES_M}.0)
+           / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS es_key,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY -ln(((doc_id * {_ES_A}) % {_ES_M} + 0.5) / {_ES_M}.0)
+                    / CAST(GREATEST(n_chars, 1) AS DOUBLE) ASC
+         ) AS rk
+  FROM documents
+)
+WHERE rk <= {WEIGHTED_K}
 """,
     "curation_mixture_interleave": """
 WITH ranked AS (

@@ -354,7 +354,42 @@ def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus vocabulary profile: vocab size, total token
+    occurrences, hapax count (corpus frequency 1 — the Zipf tail that
+    dominates vocab growth), hapax share, and the modal token.
+
+    Modal-token tie-break pinned as max(struct(cnt, token)) — the
+    lexicographically LARGEST token among equal counts — because struct/
+    row comparison orders identically in Spark and DuckDB (arg_max's
+    tie-break is unspecified in both engines, so it is not used).
+
+    Scale: explode → (lang, token) count with map-side combine (the
+    vocab-sized shuffle), then a lang-group fold — the same two-shuffle
+    topology as tfidf; no token list ever collects."""
+    from clusterindices_spark.functions.aggregates import round6_stable
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = fan_out(d).select(
+        "lang", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    per_tok = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    top = F.max(F.struct(F.col("cnt").alias("cnt"), F.col("token").alias("token")))
+    return per_tok.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("cnt").cast("bigint").alias("total_tokens"),
+        F.sum((F.col("cnt") == 1).cast("int")).cast("bigint").alias("n_hapax"),
+        round6_stable(
+            F.sum((F.col("cnt") == 1).cast("int"))
+            / F.count(F.lit(1)).cast("double")
+        ).alias("hapax_share"),
+        top["token"].alias("top_token"),
+        top["cnt"].alias("top_count"),
+    )
+
+
 QUERIES = {
+    "text_vocab_stats": q_text_vocab_stats,
     "text_tokens_stats": q_text_tokens_stats,
     "text_tfidf_topterms": q_text_tfidf_topterms,
     "text_langid": q_text_langid,
@@ -368,6 +403,10 @@ QUERIES = {
 }
 
 _TOKS = SQL_TOKENS.format(col="text")
+_TOKS_PLACEHOLDER = _TOKS
+_R6_HAPAX = SQL_ROUND6.format(
+    x="SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE)"
+)
 _R6_AVG = SQL_ROUND6.format(x="(sum_len / NULLIF(n_tokens, 0))")
 _R6_STOP = SQL_ROUND6.format(x="(n_stop / NULLIF(n_tokens, 0))")
 
@@ -385,6 +424,19 @@ def _sql_markers(lang: str) -> str:
 _SQL_STOP = ", ".join(f"'{s}'" for s in STOPWORDS)
 
 ORACLES = {
+    "text_vocab_stats": f"""
+WITH tok AS (SELECT lang, unnest({_TOKS_PLACEHOLDER}) AS token FROM documents),
+per_tok AS (SELECT lang, token, COUNT(*) AS cnt FROM tok GROUP BY lang, token)
+SELECT lang,
+       COUNT(*) AS vocab_size,
+       CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       {_R6_HAPAX} AS hapax_share,
+       MAX(struct_pack(cnt := cnt, token := token)).token AS top_token,
+       MAX(struct_pack(cnt := cnt, token := token)).cnt AS top_count
+FROM per_tok
+GROUP BY lang
+""",
     "text_tokens_stats": f"""
 WITH tok AS (SELECT doc_id, lang, unnest({_TOKS}) AS tok FROM documents)
 SELECT lang,

@@ -128,6 +128,9 @@ _NEXT = [
     # Spark 4 SQL features (operators/sql_features.py)
     "sql_recursive_months",
     "scalar_variant",
+    # round-3c: weighted sampling + corpus vocab profile
+    "curation_sample_weighted",
+    "text_vocab_stats",
     # iterative ML — rows-only
     "bisecting_sweep_small",
     "gmm_sweep_small",

@@ -181,3 +181,54 @@ def test_repetition_stats_hand(spark, tmp_path):
     assert r2["dup_token_frac"] == pt.approx(0.0)
     assert r2["top_token_share"] == pt.approx(0.25)
     assert r2["dup_2gram_frac"] == pt.approx(0.0)
+
+
+def test_sample_weighted_determinism_and_formula(spark):
+    """A-ES weighted sample: replay-identical, ≤K per stratum, ranks dense
+    ascending in the exponential clock, and the clock matches the hand
+    formula −ln((doc_id·A mod M + 0.5)/M)/max(n_chars,1)."""
+    import math
+
+    from clusterindices_spark.operators.curation import (
+        _ES_A,
+        _ES_M,
+        WEIGHTED_K,
+        q_curation_sample_weighted,
+    )
+
+    a = q_curation_sample_weighted(spark, SF_SMOKE).collect()
+    b = q_curation_sample_weighted(spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    by_lang = {}
+    for r in a:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_lang.items():
+        assert len(rows) <= WEIGHTED_K
+        rows.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+        keys = [r["es_key"] for r in rows]
+        assert keys == sorted(keys), lang
+        for r in rows:
+            u = ((r["doc_id"] * _ES_A) % _ES_M + 0.5) / _ES_M
+            want = -math.log(u) / max(r["n_chars"], 1)
+            assert abs(r["es_key"] - want) < 1e-6
+
+
+def test_sample_weighted_prefers_heavier_docs(spark):
+    """Size-weighting sanity: the sampled docs' mean n_chars exceeds the
+    stratum mean (longer docs get smaller exponential clocks on average)."""
+    from pyspark.sql import functions as F
+
+    from clusterindices_spark.operators.curation import (
+        q_curation_sample_weighted,
+    )
+    from clusterindices_spark.sources.fixtures import load_table
+
+    samp = q_curation_sample_weighted(spark, SF_SMOKE)
+    mean_s = samp.agg(F.avg("n_chars")).collect()[0][0]
+    mean_all = (
+        load_table(spark, SF_SMOKE, "documents")
+        .agg(F.avg("n_chars"))
+        .collect()[0][0]
+    )
+    assert mean_s > mean_all

@@ -124,3 +124,30 @@ def test_markov_rows_are_proper_distributions(spark):
     assert by_from
     for ft, total in by_from.items():
         assert abs(total - 1.0) < 1e-4, (ft, total)  # rows sum to 1
+
+
+def test_vocab_stats_hand_values_and_tiebreak(spark, tmp_path):
+    """Hand fixture: counts, hapax share, and the pinned modal-token
+    tie-break (lexicographically largest among equal counts)."""
+    df = spark.createDataFrame(
+        [
+            (1, "en", "a b b", "s", 5),
+            (2, "en", "b c", "s", 3),
+            (3, "fr", "x y", "s", 3),
+        ],
+        "doc_id BIGINT, lang STRING, text STRING, source STRING, n_chars BIGINT",
+    )
+    out = str(tmp_path / "vs")
+    df.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    from clusterindices_spark.operators.textops import q_text_vocab_stats
+
+    rows = {r["lang"]: r for r in q_text_vocab_stats(spark, out).collect()}
+    en = rows["en"]
+    # en: a:1 b:3 c:1 -> vocab 3, total 5, hapax 2
+    assert en["vocab_size"] == 3 and en["total_tokens"] == 5
+    assert en["n_hapax"] == 2
+    assert en["top_token"] == "b" and en["top_count"] == 3
+    fr = rows["fr"]
+    # fr: x:1 y:1 -> tie at cnt=1 resolves to the LARGER token 'y'
+    assert fr["top_token"] == "y" and fr["top_count"] == 1
+    assert fr["hapax_share"] == 1.0
