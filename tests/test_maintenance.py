@@ -84,3 +84,35 @@ def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
     q = merged.where(F.col("o_orderkey") == 42).select("o_orderkey")
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "o_orderkey" in plan, plan
+
+
+def test_read_text_lines_and_wholetext(spark, tmp_path):
+    from clusterindices_spark.sources.readers import read_text_lines
+
+    p = tmp_path / "t"
+    p.mkdir()
+    (p / "a.txt").write_text("l1\nl2\n")
+    (p / "b.txt").write_text("l3\n")
+    lines = read_text_lines(spark, str(p))
+    assert sorted(r["value"] for r in lines.collect()) == ["l1", "l2", "l3"]
+    whole = read_text_lines(spark, str(p), whole=True)
+    got = sorted(r["value"] for r in whole.collect())
+    assert got == ["l1\nl2\n", "l3\n"]
+
+
+def test_read_binary_files_glob_and_length_pushdown(spark, tmp_path):
+    from clusterindices_spark.sources.readers import read_binary_files
+
+    p = tmp_path / "b"
+    p.mkdir()
+    (p / "x.bin").write_bytes(b"\x00\x01\x02")
+    (p / "y.bin").write_bytes(b"\xff" * 10)
+    (p / "skip.dat").write_bytes(b"zz")
+    df = read_binary_files(spark, str(p), glob="*.bin")
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"x.bin", "y.bin"}
+    assert bytes(rows["x.bin"]["content"]) == b"\x00\x01\x02"
+    assert rows["y.bin"]["length"] == 10
+    # length predicate prunes before content read (listing-level filter)
+    small = df.where("length < 5")
+    assert [bytes(r["content"]) for r in small.collect()] == [b"\x00\x01\x02"]
