@@ -37,6 +37,7 @@ _MODULES = [
     "clusterindices_spark.operators.tpch",
     "clusterindices_spark.operators.relational_ext",
     "clusterindices_spark.operators.sql_features",
+    "clusterindices_spark.sources.pysource",
     "clusterindices_spark.sql",
 ]
 
@@ -128,9 +129,10 @@ _NEXT = [
     # Spark 4 SQL features (operators/sql_features.py)
     "sql_recursive_months",
     "scalar_variant",
-    # round-3c: weighted sampling + corpus vocab profile
+    # round-3c: weighted sampling + corpus vocab profile + Python source
     "curation_sample_weighted",
     "text_vocab_stats",
+    "source_python_datasource",
     # iterative ML — rows-only
     "bisecting_sweep_small",
     "gmm_sweep_small",

@@ -157,3 +157,28 @@ def test_decode_binary_byte_weighted_repartition(spark):
     rows = out.collect()
     assert len(rows) == 64
     assert all(r["n_bytes"] == 2048 for r in rows)
+
+
+def test_python_datasource_partitions_and_determinism(spark):
+    """Custom Python DataSource: partition planning is honored (parts →
+    scan partitions), output is a pure function of n (replay-identical
+    across different partitionings), and rows follow the generator
+    formula."""
+    from clusterindices_spark.sources.pysource import (
+        _A,
+        _M,
+        _BASE_TS_MS,
+        _STEP_MS,
+        read_synthlogs,
+    )
+
+    a = read_synthlogs(spark, n=500, parts=2)
+    b = read_synthlogs(spark, n=500, parts=7)
+    assert a.rdd.getNumPartitions() == 2
+    assert b.rdd.getNumPartitions() == 7
+    ra, rb = sorted(map(tuple, a.collect())), sorted(map(tuple, b.collect()))
+    assert ra == rb and len(ra) == 500
+    levels = ("debug", "info", "warn", "error")
+    for i in (0, 1, 123, 499):
+        h = (i * _A) % _M
+        assert ra[i] == (i, _BASE_TS_MS + i * _STEP_MS, levels[h % 4], h % 100000)
