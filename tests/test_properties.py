@@ -283,3 +283,86 @@ def test_rfm_partition_invariance(spark):
     finally:
         an.load_table = fx_load
     assert base == other
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.lists(finite_doubles, min_size=3, max_size=3),
+        ),
+        min_size=4,
+        max_size=16,
+    )
+)
+def test_validity_indices_match_numpy_bruteforce(spark, labeled):
+    """WG, SD-Scat and C-index against a direct numpy evaluation of the
+    published formulas, on arbitrary small labeled point sets."""
+    import math
+
+    import numpy as np
+    from hypothesis import assume
+
+    from clusterindices_spark.operators.validity import (
+        c_index_of,
+        sd_index_of,
+        wemmert_gancarski_of,
+    )
+
+    labels = np.array([l for l, _ in labeled])
+    X = np.array([v for _, v in labeled], dtype=float)
+    ks = sorted(set(labels))
+    assume(len(ks) >= 2)
+    cents = {k: X[labels == k].mean(axis=0) for k in ks}
+    # degenerate geometry (coincident centroids / zero distances) exercises
+    # NULL conventions tested elsewhere — exclude here
+    dists = {
+        k: np.linalg.norm(X - cents[k], axis=1) for k in ks
+    }
+    d_own = np.array([dists[l][i] for i, l in enumerate(labels)])
+    d_other = np.array(
+        [min(dists[k][i] for k in ks if k != l) for i, l in enumerate(labels)]
+    )
+    assume(float(d_other.min()) > 1e-9)
+
+    pts = spark.createDataFrame(
+        [(i, int(l), [float(x) for x in v]) for i, (l, v) in enumerate(labeled)],
+        "vec_id BIGINT, cluster INT, x ARRAY<DOUBLE>",
+    )
+
+    # Wemmert-Gancarski
+    r = d_own / d_other
+    wg = sum(
+        (labels == k).sum() * max(0.0, 1.0 - r[labels == k].mean()) for k in ks
+    ) / len(labels)
+    got = wemmert_gancarski_of(pts).collect()[0]
+    assert got["k"] == len(ks)
+    assert abs(got["wemmert_gancarski"] - wg) < 1e-5
+
+    # SD scat (variance-norm ratio); skip Dis when any centroid pair is
+    # closer than fp noise (1/dmin blows up)
+    norm_k = [np.linalg.norm(X[labels == k].var(axis=0)) for k in ks]
+    norm_g = np.linalg.norm(X.var(axis=0))
+    if norm_g > 1e-12:
+        scat = float(np.mean(norm_k) / norm_g)
+        got_sd = sd_index_of(pts).collect()[0]
+        assert abs(got_sd["sd_scat"] - scat) < 1e-5
+
+    # C-index
+    n = len(labels)
+    pd_ = [
+        (np.linalg.norm(X[i] - X[j]), labels[i] == labels[j])
+        for i in range(n)
+        for j in range(i + 1, n)
+    ]
+    n_w = sum(1 for _, w in pd_ if w)
+    if n_w > 0:
+        svals = sorted(d for d, _ in pd_)
+        s_w = sum(d for d, w in pd_ if w)
+        s_min, s_max = sum(svals[:n_w]), sum(svals[-n_w:])
+        if s_max - s_min > 1e-9:
+            want = (s_w - s_min) / (s_max - s_min)
+            got_c = c_index_of(pts).collect()[0]
+            assert got_c["n_w"] == n_w
+            assert abs(got_c["c_index"] - want) < 1e-5
