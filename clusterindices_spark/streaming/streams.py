@@ -546,3 +546,48 @@ def make_distinct_users_processor():
             pass
 
     return DistinctUsers()
+
+
+def purchase_click_left_join_stream(
+    events: DataFrame, horizon_min: int = 5, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every purchase, attributed to a
+    preceding click within the horizon when one exists, NULL-attributed
+    otherwise — the "unattributed conversions" feed the inner join drops.
+
+    Outer semantics need the watermark to PASS a purchase's join window
+    before its NULL row can emit (until then a matching click could still
+    arrive). On a bounded replay that means the tail of the data never
+    flushes unless something advances the watermark — the standard fix is
+    a sentinel event beyond the horizon (tests do exactly that); in
+    production the next real events play that role continuously."""
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {horizon_min} MINUTES")),
+        "leftOuter",
+    ).select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        "click_id",
+        F.unix_millis(F.col("p_ts")).alias("purchase_ts_ms"),
+    )

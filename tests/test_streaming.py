@@ -468,3 +468,75 @@ def test_distinct_users_processor_logic_with_fake_state():
         )
     )[0]
     assert b2["distinct_users"][0] == 4 and b2["new_users"][0] == 1
+
+
+def test_left_outer_stream_join_matches_batch(spark):
+    """Stream-stream LEFT OUTER attribution ≡ the batch left join, once the
+    watermark passes every purchase's join window. Outer rows only emit in
+    a batch whose watermark has already advanced — so the replay appends
+    TWO far-future sentinel click files (watermark for batch N is computed
+    from batch N−1) and processes one file per trigger."""
+    import time as _time
+
+    from clusterindices_spark.streaming.streams import (
+        EVENTS_STREAM_SCHEMA,
+        purchase_click_left_join_stream,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        _replay_dir(spark, tmp)
+        far = "2031-01-01 00:00:00"
+        for i in range(2):
+            _time.sleep(1.1)  # file source orders batches by modTime
+            # sentinels on BOTH branches: the query watermark is the MIN
+            # over both withWatermark operators, so a click-only sentinel
+            # would leave the purchases-side watermark holding back the
+            # final outer emissions
+            spark.createDataFrame(
+                [
+                    (10_000_000 + 2 * i, far, -1, "click", 0.0, "{}"),
+                    (10_000_001 + 2 * i, far, -1, "purchase", 0.0, "{}"),
+                ],
+                EVENTS_STREAM_SCHEMA.replace("ts TIMESTAMP", "ts STRING"),
+            ).selectExpr(
+                "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+                "event_type", "value", "props",
+            ).coalesce(1).write.mode("append").json(tmp)
+        stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).option(
+            "maxFilesPerTrigger", 1
+        ).json(tmp)
+        got = run_to_completion(
+            purchase_click_left_join_stream(stream), "t_louter", mode="append"
+        )
+        got_rows = sorted(
+            (r["purchase_id"], r["click_id"])
+            for r in got.collect()
+            if r["purchase_id"] < 10_000_000  # drop the sentinels
+        )
+
+        ev = load_table(spark, SF_SMOKE, "events")
+        clicks = ev.where(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        purchases = ev.where(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        want = sorted(
+            (r["purchase_id"], r["click_id"])
+            for r in purchases.join(
+                clicks,
+                (F.col("c_user") == F.col("p_user"))
+                & (F.col("p_ts") > F.col("c_ts"))
+                & (
+                    F.col("p_ts")
+                    <= F.col("c_ts") + F.expr("INTERVAL 5 MINUTES")
+                ),
+                "leftOuter",
+            ).collect()
+        )
+        assert got_rows == want
+        assert any(c is None for _, c in got_rows)  # unattributed exist
