@@ -161,3 +161,38 @@ def test_cogrouped_asof_edge_keys(spark):
     assert set(out) == {10, 20}
     assert out[10]["click_id"] == 6  # tie on ms=1000 → larger event_id
     assert out[20]["click_id"] is None  # user 2 has no clicks
+
+
+def test_arrow_optimized_python_udf_parity(spark):
+    """Spark 4 arrow-optimized Python UDFs (useArrow=True): same results as
+    the row-at-a-time pickle path and as the native expression — the
+    migration story for legacy @udf code that can't move to pandas_udf
+    wholesale (Arrow batches the serialization without changing per-row
+    semantics)."""
+    from pyspark.sql.functions import udf
+
+    import math
+
+    # floor(x·100 + 0.5), not Python round(): round() is banker's
+    # round-half-even while F.round is HALF_UP — 128.545 diverges
+    # (128.54 vs 128.55). Same boundary class round6_stable exists for.
+    def _score(price, pri):
+        return math.floor(price / 100.0 * 100.0 + 0.5) / 100.0 + (
+            1.0 if pri == "1-URGENT" else 0.0
+        )
+
+    row_udf = udf(_score, "double")
+    arrow_udf = udf(_score, "double", useArrow=True)
+    o = load_table(spark, SF_SMOKE, "orders").limit(500)
+    native = F.floor(F.col("o_totalprice") / 100.0 * 100.0 + 0.5) / 100.0 + F.when(
+        F.col("o_orderpriority") == "1-URGENT", 1.0
+    ).otherwise(0.0)
+    got = o.select(
+        "o_orderkey",
+        row_udf("o_totalprice", "o_orderpriority").alias("r"),
+        arrow_udf("o_totalprice", "o_orderpriority").alias("a"),
+        native.alias("n"),
+    ).collect()
+    assert len(got) == 500
+    for r in got:
+        assert r["r"] == r["a"] == r["n"], r["o_orderkey"]
