@@ -276,8 +276,8 @@ def q_curation_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiplicative; +0.5 keeps u in (0,1) so ln never sees 0): unlike
     xxhash64 it is computable verbatim in any SQL engine, so selection is
     replay-deterministic AND oracle-checkable. ln/division on identical
-    doubles order identically in both engines; ties are impossible (u
-    injective per doc_id below M).
+    doubles order identically in both engines; u is injective only below
+    M, so the rank carries a doc_id tie-break for >1M-doc corpora.
 
     Scale: same WindowGroupLimit shape as curation_sample_topk — per-
     partition top-K prune BEFORE the exchange, shuffle carries O(K·strata)
@@ -293,7 +293,12 @@ def q_curation_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / F.lit(float(_ES_M))
     w_col = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
     key = -F.log(u) / w_col
-    win = Window.partitionBy("lang").orderBy(F.col("es_key").asc())
+    # doc_id tie-break: u is injective only below M, so two docs ≥ M apart
+    # with equal n_chars can share a clock — without the tie-break the
+    # rank-K pick would be partitioning-dependent on >1M-doc corpora
+    win = Window.partitionBy("lang").orderBy(
+        F.col("es_key").asc(), F.col("doc_id").asc()
+    )
     return (
         d.select(
             "doc_id", "lang", "n_chars", key.alias("es_key")
@@ -542,7 +547,8 @@ FROM (
          row_number() OVER (
            PARTITION BY lang
            ORDER BY -ln(((doc_id * {_ES_A}) % {_ES_M} + 0.5) / {_ES_M}.0)
-                    / CAST(GREATEST(n_chars, 1) AS DOUBLE) ASC
+                    / CAST(GREATEST(n_chars, 1) AS DOUBLE) ASC,
+                    doc_id ASC
          ) AS rk
   FROM documents
 )

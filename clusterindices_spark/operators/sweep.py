@@ -220,12 +220,19 @@ def clusterer_sweep(
         .withColumn("fv", array_to_vector("x"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    n_dim = len(pts.select("x").first()["x"])
-    if algo == "gmm" and n_dim > gmm_pca_dim:
-        pca = PCA(k=gmm_pca_dim, inputCol="fv", outputCol="pv").fit(pts)
-        reduced = pca.transform(pts).persist(StorageLevel.MEMORY_AND_DISK)
-        pts.unpersist()
-        pts = reduced.drop("fv").withColumnRenamed("pv", "fv")
+    if algo == "gmm":
+        n_dim = len(pts.select("x").first()["x"])
+        if n_dim > gmm_pca_dim:
+            pca = PCA(k=gmm_pca_dim, inputCol="fv", outputCol="pv").fit(pts)
+            reduced = (
+                pca.transform(pts)
+                .drop("fv")
+                .withColumnRenamed("pv", "fv")
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            reduced.count()  # materialize BEFORE dropping the parent cache
+            pts.unpersist()
+            pts = reduced
     pts.count()
     results = []
     try:

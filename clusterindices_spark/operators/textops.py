@@ -403,7 +403,6 @@ QUERIES = {
 }
 
 _TOKS = SQL_TOKENS.format(col="text")
-_TOKS_PLACEHOLDER = _TOKS
 _R6_HAPAX = SQL_ROUND6.format(
     x="SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE)"
 )
@@ -425,7 +424,7 @@ _SQL_STOP = ", ".join(f"'{s}'" for s in STOPWORDS)
 
 ORACLES = {
     "text_vocab_stats": f"""
-WITH tok AS (SELECT lang, unnest({_TOKS_PLACEHOLDER}) AS token FROM documents),
+WITH tok AS (SELECT lang, unnest({_TOKS}) AS token FROM documents),
 per_tok AS (SELECT lang, token, COUNT(*) AS cnt FROM tok GROUP BY lang, token)
 SELECT lang,
        COUNT(*) AS vocab_size,

@@ -373,11 +373,21 @@ def test_distinct_users_tws_stream_matches_batch_count_distinct(spark):
         distinct_users_tws_stream,
     )
 
+    prior = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider",
     )
+    try:
+        _run_tws_case(spark)
+    finally:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", prior
+        )
+
+
+def _run_tws_case(spark):
     with tempfile.TemporaryDirectory() as tmp:
         stream = events_file_stream(spark, _replay_dir(spark, tmp))
         got = run_to_completion(

@@ -113,5 +113,5 @@ def test_c_index_guard_trips(spark):
     pts = labeled_points(spark, SF_SMOKE)
     with pytest.raises(ValueError, match="c_index is O"):
         c_index_of(pts, max_rows=10)
-    # deterministic hash-sample unlocks it
-    assert c_index_of(pts, max_rows=500).count() == 1
+    # a deterministic hash-sample brings the input under the same cap
+    assert c_index_of(pts, max_rows=10, sample_fraction=0.01).count() == 1
