@@ -13,9 +13,11 @@ Stages (each a module this repo ships, here simply composed):
 6. decontamination  — drop docs overlapping the held-out eval set's
                       3-gram shingles (operators/curation)
 7. repetition floor — drop mostly-repeated documents (operators/textops)
-8. train/val fold   — deterministic md5-prefix split (operators/curation)
-9. sequence packing — greedy first-fit into 512-token bins (operators/curation)
-10. write           — parquet partitioned by split (sources/partitioned),
+8. span floor       — drop docs whose 5-gram spans are mostly copies of
+                      other documents (operators/dedup span coverage)
+9. train/val fold   — deterministic md5-prefix split (operators/curation)
+10. sequence packing — greedy first-fit into 512-token bins (operators/curation)
+11. write           — parquet partitioned by split (sources/partitioned),
                       then small-file compaction (sources/maintenance)
 
 Prints the per-lang funnel and the output layout. The two frames that feed
@@ -104,6 +106,21 @@ def main(argv: list[str]) -> int:
         .select("doc_id")
     )
 
+    # cross-document span floor (Lee et al. 2022): drop documents whose
+    # token 5-gram spans are mostly copies of other documents — catches
+    # boilerplate/mirror content that whole-document dedup keeps
+    from clusterindices_spark.operators.dedup import q_dedup_span_coverage
+
+    span_ok = (
+        q_dedup_span_coverage(spark, sf_dir)
+        .where(
+            F.col("dup_frac").isNull() | (F.col("dup_frac") <= 0.8)
+        )
+        .select("doc_id")
+    )
+    n_span_dropped = docs.join(span_ok, "doc_id", "left_anti").count()
+    print(f"== span floor: dropping {n_span_dropped} mostly-duplicated docs ==")
+
     # blocklist scrub: the cleaned text REPLACES the raw text so every
     # downstream stage (token counts, bin packing, the written corpus)
     # describes the text actually shipped
@@ -116,6 +133,7 @@ def main(argv: list[str]) -> int:
         .join(sampled_ids, "doc_id", "left_semi")
         .join(contaminated, "doc_id", "left_anti")
         .join(rep_ok, "doc_id", "left_semi")
+        .join(span_ok, "doc_id", "left_semi")
         .join(scrubbed, "doc_id")
         .drop("text")
         .withColumnRenamed("clean_text", "text")
