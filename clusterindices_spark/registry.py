@@ -38,6 +38,7 @@ _MODULES = [
     "clusterindices_spark.operators.relational_ext",
     "clusterindices_spark.operators.sql_features",
     "clusterindices_spark.sources.pysource",
+    "clusterindices_spark.sources.versioned",
     "clusterindices_spark.sql",
 ]
 
@@ -133,6 +134,7 @@ _NEXT = [
     "curation_sample_weighted",
     "text_vocab_stats",
     "source_python_datasource",
+    "versioned_merge_snapshot",
     # iterative ML — rows-only
     "bisecting_sweep_small",
     "gmm_sweep_small",

@@ -9,11 +9,11 @@ Layout:
     <root>/data/<uuid>/part-*.parquet      immutable data file groups
     <root>/_manifests/v{N}.json            snapshot = list of file groups
 
-Commit protocol: a manifest is written to a temp name and os.rename'd to
-``v{N}.json`` — rename is atomic on POSIX, and because a manifest name
-encodes its version, two writers racing to commit v{N} cannot both win:
-the loser's rename lands on an existing path and the commit RAISES
-(optimistic concurrency — retry on top of the new snapshot). Readers list
+Commit protocol: a manifest is written to a temp name and hard-linked to
+``v{N}.json`` — link() fails with EEXIST atomically where rename would
+OVERWRITE an existing target, so of two writers racing to commit v{N}
+exactly one wins and the loser's commit RAISES (optimistic concurrency —
+retry on top of the new snapshot). Readers list
 manifests and read the named file groups only; a crashed writer leaves an
 orphaned data directory that no manifest references (invisible; vacuum is
 a deliberate non-goal here).
@@ -165,3 +165,75 @@ def merge_cdc(
 
 def history(root: str) -> list[dict]:
     return [_read_manifest(root, v) for v in _versions(root)]
+
+
+# --- registry surface -------------------------------------------------------
+
+
+def q_versioned_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ACID path INSIDE the correctness gate: create a versioned
+    table from a deterministic orders slice, merge a deterministic CDC
+    batch (deletes ∪ repriced upserts ∪ inserts), and return the final
+    snapshot — every step is a pure function of the fixture, so the DuckDB
+    oracle replays the same algebra relationally and the value hash checks
+    the entire create→write→commit→merge→time-travel-read machinery."""
+    import tempfile
+
+    from clusterindices_spark.sources.fixtures import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    # floor-based 2dp reprice: ROUND(price*1.1, 2) lands on .xx5
+    # half-boundaries constantly (2dp inputs × 1.1) and Spark HALF_UP vs
+    # DuckDB diverge there — same boundary class round6_stable pins
+    r2 = lambda c: F.floor(c * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)  # noqa: E731
+    base = o.where(F.col("k") % 4 != 0)
+    changes = (
+        o.where(F.col("k") % 5 == 0)
+        .select(
+            "k",
+            F.when(F.col("k") % 3 == 0, "D").otherwise("U").alias("op"),
+            F.col("status"),
+            r2(F.col("price") * 1.1).alias("price"),
+        )
+    )
+    root = tempfile.mkdtemp(prefix="ci-versioned-")
+    create(base, root)
+    merge_cdc(spark, root, changes, "k")
+    snap = read_versioned(spark, root)
+    return snap.select(
+        "k", "status", (F.floor(F.col("price") * 100.0 + 0.5) / 100.0).alias("price")
+    )
+
+
+QUERIES = {"versioned_merge_snapshot": q_versioned_merge_snapshot}
+
+ORACLES = {
+    "versioned_merge_snapshot": """
+WITH o AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS price
+  FROM orders
+),
+base AS (SELECT * FROM o WHERE k % 4 <> 0),
+changes AS (
+  SELECT k,
+         CASE WHEN k % 3 = 0 THEN 'D' ELSE 'U' END AS op,
+         status,
+         floor(price * 1.1 * 100.0 + 0.5) / 100.0 AS price
+  FROM o WHERE k % 5 = 0
+),
+kept AS (
+  SELECT b.* FROM base b
+  WHERE b.k NOT IN (SELECT k FROM changes)
+),
+ups AS (
+  SELECT k, status, price FROM changes WHERE op = 'U'
+)
+SELECT k, status, floor(price * 100.0 + 0.5) / 100.0 AS price FROM kept
+UNION ALL
+SELECT k, status, floor(price * 100.0 + 0.5) / 100.0 AS price FROM ups
+""",
+}
