@@ -167,6 +167,32 @@ def history(root: str) -> list[dict]:
     return [_read_manifest(root, v) for v in _versions(root)]
 
 
+def vacuum(root: str, keep_last: int = 1) -> dict:
+    """Drop manifests older than the last ``keep_last`` versions and delete
+    data groups no retained manifest references (including orphans from
+    crashed writers). Time travel shrinks to the retained window; the
+    latest snapshot is never touched. Returns {removed_versions,
+    removed_groups} counts."""
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    vs = _versions(root)
+    drop, keep = vs[:-keep_last], vs[-keep_last:]
+    referenced = {
+        g for v in keep for g in _read_manifest(root, v)["groups"]
+    }
+    data_dir = os.path.join(root, "data")
+    removed_groups = 0
+    for name in os.listdir(data_dir) if os.path.isdir(data_dir) else []:
+        if os.path.join("data", name) not in referenced:
+            shutil.rmtree(os.path.join(data_dir, name), ignore_errors=True)
+            removed_groups += 1
+    for v in drop:
+        os.remove(os.path.join(_manifest_dir(root), f"v{v}.json"))
+    return {"removed_versions": len(drop), "removed_groups": removed_groups}
+
+
 # --- registry surface -------------------------------------------------------
 
 

@@ -128,3 +128,27 @@ def test_merge_cdc_distributed_shape(spark, tmp_path):
     # 1000 base − 500 touched + 400 upserts (100 of the 500 are deletes)
     assert out.count() == 1000 - 500 + 400
     assert out.where("val = 'new'").count() == 400
+
+
+def test_vacuum_drops_unreferenced_groups_keeps_latest(spark, tmp_path):
+    import os
+
+    from clusterindices_spark.sources.versioned import (
+        _write_data_group,
+        history,
+        vacuum,
+    )
+
+    root = str(tmp_path / "t")
+    create(_df(spark, [(1, "a")]), root)
+    overwrite(_df(spark, [(2, "b")]), root)   # v0's group now unreferenced
+    _write_data_group(_df(spark, [(9, "x")]), root)  # crashed-writer orphan
+    out = vacuum(root, keep_last=1)
+    assert out == {"removed_versions": 1, "removed_groups": 2}
+    # latest snapshot intact; history collapsed to the retained window
+    assert [r["k"] for r in read_versioned(spark, root).collect()] == [2]
+    assert [h["version"] for h in history(root)] == [1]
+    # exactly one data group remains on disk
+    assert len(os.listdir(os.path.join(root, "data"))) == 1
+    with pytest.raises(FileNotFoundError):
+        read_versioned(spark, root, 0)
