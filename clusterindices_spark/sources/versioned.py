@@ -167,6 +167,64 @@ def history(root: str) -> list[dict]:
     return [_read_manifest(root, v) for v in _versions(root)]
 
 
+def committed_batch_ids(root: str) -> set[int]:
+    """Streaming batch ids already committed to this table (see
+    append_stream_batch)."""
+    return {
+        m["batch_id"]
+        for m in history(root)
+        if m.get("batch_id") is not None
+    }
+
+
+def append_stream_batch(df: DataFrame, root: str, batch_id: int) -> int | None:
+    """Effectively-once streaming append: the foreachBatch body for writing
+    a stream into a versioned table. Structured Streaming re-delivers a
+    microbatch after a failure with the SAME batch_id; recording the id in
+    the manifest makes the append idempotent — a replayed batch is skipped
+    instead of double-appended, and a commit race with a concurrent writer
+    surfaces as FileExistsError for the stream to retry. Returns the new
+    version, or None when the batch was already committed."""
+    if batch_id in committed_batch_ids(root):
+        return None
+    v = latest_version(root)
+    if v is None:
+        raise FileNotFoundError(f"no versioned table at {root}")
+    groups = _read_manifest(root, v)["groups"] + [_write_data_group(df, root)]
+    d = _manifest_dir(root)
+    final = os.path.join(d, f"v{v + 1}.json")
+    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "version": v + 1,
+                "op": "stream_append",
+                "groups": groups,
+                "batch_id": batch_id,
+            },
+            f,
+        )
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise FileExistsError(
+            f"concurrent commit: {root} v{v + 1} already exists"
+        ) from None
+    finally:
+        os.remove(tmp)
+    return v + 1
+
+
+def stream_writer(root: str):
+    """foreachBatch callback: stream.writeStream.foreachBatch(
+    stream_writer(root))."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        append_stream_batch(batch_df, root, batch_id)
+
+    return _write
+
+
 def vacuum(root: str, keep_last: int = 1) -> dict:
     """Drop manifests older than the last ``keep_last`` versions and delete
     data groups no retained manifest references (including orphans from
