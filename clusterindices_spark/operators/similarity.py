@@ -423,6 +423,48 @@ def ivf_write_bucketed(
     )
 
 
+def ivf_append_bucketed(
+    new_emb: DataFrame,
+    table: str,
+    n_buckets: int | None = None,
+) -> int:
+    """Incremental index maintenance: absorb NEW vectors into a persisted
+    bucketed IVF index WITHOUT retraining — the 100 TB operating mode,
+    where the corpus grows continuously and a coarse-quantizer rebuild is
+    a scheduled event, not a per-ingest cost.
+
+    New vectors are assigned to their nearest EXISTING cell (one broadcast
+    argmin against the persisted centroid table, zero shuffle) and
+    appended with the SAME bucket spec, so bucket pruning keeps holding:
+    the appended rows land in their cell's bucket files. Centroids drift
+    as data grows — embeddings.centroid_drift is the monitoring signal
+    for when to schedule the rebuild. Returns the number of rows appended.
+    """
+    spark = new_emb.sparkSession
+    cents = spark.table(f"{table}_cents")
+    folded = cents.agg(
+        F.collect_list(
+            F.struct(F.col("cluster").alias("cl"), F.col("centroid").alias("c"))
+        ).alias("cents")
+    )
+    folded = spark.createDataFrame(folded.collect(), folded.schema)
+    rows = _assign_folded(new_emb.select("vec_id", "x"), folded).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cluster").alias("cell"),
+        F.col("x").alias("xb"),
+    )
+    nb = n_buckets if n_buckets is not None else cents.count()
+    n = rows.count()
+    (
+        rows.write.mode("append")
+        .bucketBy(nb, "cell")
+        .sortBy("cell")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    return n
+
+
 def ivf_search_bucketed(
     spark: SparkSession,
     table: str,

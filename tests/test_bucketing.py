@@ -131,3 +131,50 @@ def test_bucketed_join_result_matches_unbucketed(spark):
     assert sorted(map(tuple, bucketed.collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+def test_ivf_append_bucketed_absorbs_new_vectors(spark):
+    """Incremental IVF maintenance: vectors appended after the build are
+    searchable (a probe equal to an appended vector returns itself as the
+    nearest neighbor), counts add up, and the table keeps its bucket spec
+    (appended rows still prune by cell)."""
+    from pyspark.sql import functions as F
+
+    from clusterindices_spark.operators.similarity import (
+        ivf_append_bucketed,
+        ivf_search_bucketed,
+        ivf_write_bucketed,
+    )
+    from clusterindices_spark.sources.bucketing import drop_table
+    from clusterindices_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", F.col("embedding").alias("x")
+    )
+    old = emb.where(F.col("vec_id") % 5 != 0)
+    new = emb.where(F.col("vec_id") % 5 == 0)
+    table = "t_ivf_append"
+    try:
+        ivf_write_bucketed(
+            old.select("vec_id", "x"), table, n_cells=8
+        )
+        n_old = spark.table(table).count()
+        appended = ivf_append_bucketed(new.select("vec_id", "x"), table)
+        assert appended == new.count()
+        assert spark.table(table).count() == n_old + appended
+        # a probe placed exactly at an appended vector (fresh id — search
+        # excludes identical ids) must retrieve that vector at sim 1.0:
+        # the probe's nearest cell IS the appended row's assigned cell
+        probe = new.limit(3).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "x"
+        )
+        hits = ivf_search_bucketed(spark, table, probe, k=1)
+        got = {
+            (r["probe_id"] - 1_000_000, r["neighbor_id"]) for r in hits.collect()
+        }
+        assert got == {
+            (v, v) for v, in new.limit(3).select("vec_id").collect()
+        }
+    finally:
+        drop_table(spark, table)
+        drop_table(spark, f"{table}_cents")
