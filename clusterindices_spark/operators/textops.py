@@ -388,8 +388,74 @@ def q_text_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BIGRAM_LAMBDA = 0.75  # interpolation weight on the bigram MLE term
+
+
+def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order LM quality scoring: mean interpolated bigram
+    log-probability per document, P(w2|w1) = λ·c(w1,w2)/c(w1) +
+    (1−λ)·c(w2)/N — the standard Jelinek–Mercer backoff that keeps unseen
+    continuations finite. Extends text_unigram_logprob's tier: a document
+    of in-vocabulary words in IMPLAUSIBLE ORDER scores low here while the
+    unigram filter passes it.
+
+    Same determinism device as the unigram key: per-position logprobs are
+    floor-scaled to BIGINT micros before the per-doc sum (ln differs
+    between JVM and libm in the last ulp). Docs under 2 tokens carry no
+    bigram and drop from the result (the unigram key's 0-token rule).
+
+    Scale: bigram counts shuffle by (w1,w2) with map-side combine (bigram
+    vocab ≪ corpus positions); unigram vocab broadcasts; the per-doc agg
+    shuffles by the explode-preserved doc_id."""
+    d = _with_tokens(load_table(spark, sf_dir, "documents"), fan=True)
+    n_b = F.greatest(F.size("toks") - 1, F.lit(0))
+    z = F.arrays_zip(
+        F.slice("toks", 1, n_b).alias("w1"), F.slice("toks", 2, n_b).alias("w2")
+    )
+    big = d.select("doc_id", F.explode(z).alias("s")).select(
+        "doc_id", F.col("s.w1").alias("w1"), F.col("s.w2").alias("w2")
+    )
+    ex = d.select(F.explode("toks").alias("term"))
+    vocab = ex.groupBy("term").agg(F.count(F.lit(1)).alias("tc"))
+    total = ex.agg(F.count(F.lit(1)).alias("n_total"))
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bc"))
+    p = F.lit(BIGRAM_LAMBDA) * (
+        F.col("bc").cast("double") / F.col("c1").cast("double")
+    ) + F.lit(1.0 - BIGRAM_LAMBDA) * (
+        F.col("c2").cast("double") / F.col("n_total").cast("double")
+    )
+    lp_micros = F.floor(F.log(p) * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+    scored = (
+        big.join(bc, ["w1", "w2"])
+        .join(
+            F.broadcast(vocab.select(F.col("term").alias("w1"), F.col("tc").alias("c1"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(vocab.select(F.col("term").alias("w2"), F.col("tc").alias("c2"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(lp_micros).alias("lp"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (F.col("lp") / F.col("n_bigrams") / F.lit(1000000.0)).alias(
+                "avg_bigram_logprob"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "text_vocab_stats": q_text_vocab_stats,
+    "text_bigram_logprob": q_text_bigram_logprob,
     "text_tokens_stats": q_text_tokens_stats,
     "text_tfidf_topterms": q_text_tfidf_topterms,
     "text_langid": q_text_langid,
@@ -538,6 +604,32 @@ SELECT b.doc_id,
        CASE WHEN n_tokens > 0 THEN {_R6_TOPSHARE} ELSE 0.0 END AS top_token_share,
        CASE WHEN n_2g > 0 THEN {_R6_DUP2G} ELSE 0.0 END AS dup_2gram_frac
 FROM base b LEFT JOIN top USING (doc_id)
+""",
+    "text_bigram_logprob": f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(range(greatest(len(toks) - 1, 0)), i -> toks[i+1])) AS w1,
+         unnest(list_transform(range(greatest(len(toks) - 1, 0)), i -> toks[i+2])) AS w2
+  FROM tok
+),
+ex AS (SELECT unnest(toks) AS term FROM tok),
+vocab AS (SELECT term, COUNT(*) AS tc FROM ex GROUP BY term),
+tot AS (SELECT COUNT(*) AS n_total FROM ex),
+bc AS (SELECT w1, w2, COUNT(*) AS bc FROM big GROUP BY w1, w2)
+SELECT b.doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(CAST(floor(ln(
+           {BIGRAM_LAMBDA} * (CAST(bc.bc AS DOUBLE) / CAST(v1.tc AS DOUBLE))
+           + {1.0 - BIGRAM_LAMBDA} * (CAST(v2.tc AS DOUBLE) / CAST(t.n_total AS DOUBLE))
+         ) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         / COUNT(*) / 1000000.0 AS avg_bigram_logprob
+FROM big b
+JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+JOIN vocab v1 ON v1.term = b.w1
+JOIN vocab v2 ON v2.term = b.w2
+CROSS JOIN tot t
+GROUP BY b.doc_id
 """,
     "text_unigram_logprob": f"""
 WITH ex AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),

@@ -135,6 +135,7 @@ _NEXT = [
     "text_vocab_stats",
     "source_python_datasource",
     "versioned_merge_snapshot",
+    "text_bigram_logprob",
     # iterative ML — rows-only
     "bisecting_sweep_small",
     "gmm_sweep_small",

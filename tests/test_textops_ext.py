@@ -151,3 +151,37 @@ def test_vocab_stats_hand_values_and_tiebreak(spark, tmp_path):
     # fr: x:1 y:1 -> tie at cnt=1 resolves to the LARGER token 'y'
     assert fr["top_token"] == "y" and fr["top_count"] == 1
     assert fr["hapax_share"] == 1.0
+
+
+def test_bigram_logprob_orders_scrambled_below_natural(spark, tmp_path):
+    """The bigram tier's discriminative property: the same multiset of
+    tokens in implausible order scores LOWER than the natural order —
+    exactly what the unigram filter cannot see."""
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    scrambled = " ".join(reversed(base.split()))
+    # corpus context: many natural-order docs make natural bigrams frequent
+    rows = [(i, "en", base, "s", 9) for i in range(10)]
+    rows.append((100, "en", scrambled, "s", 9))
+    df = spark.createDataFrame(
+        rows, "doc_id BIGINT, lang STRING, text STRING, source STRING, n_chars BIGINT"
+    )
+    out = str(tmp_path / "bg")
+    df.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    from clusterindices_spark.operators.textops import q_text_bigram_logprob
+
+    got = {r["doc_id"]: r["avg_bigram_logprob"] for r in q_text_bigram_logprob(spark, out).collect()}
+    assert got[100] < got[0]
+
+
+def test_bigram_logprob_short_docs_drop(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "en", "solo", "s", 4), (2, "en", "two words", "s", 9)],
+        "doc_id BIGINT, lang STRING, text STRING, source STRING, n_chars BIGINT",
+    )
+    out = str(tmp_path / "bg2")
+    df.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    from clusterindices_spark.operators.textops import q_text_bigram_logprob
+
+    rows = {r["doc_id"]: r for r in q_text_bigram_logprob(spark, out).collect()}
+    assert set(rows) == {2}
+    assert rows[2]["n_bigrams"] == 1
