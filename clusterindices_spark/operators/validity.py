@@ -287,11 +287,81 @@ def q_c_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c_index_of(labeled_points(spark, sf_dir, fan=True))
 
 
+def pair_validity_of(
+    pts: DataFrame,
+    sample_fraction: float | None = None,
+    max_rows: int | None = None,
+) -> DataFrame:
+    """The remaining pair-statistic indices, one pass over the i<j pair
+    distances (same guarded-quadratic contract as c_index):
+
+    - point_biserial = (m_between − m_within)·√(n_w·n_b)/n_t / s_all,
+      with s_all the POPULATION std of all pair distances (pinned; the
+      literature also carries the sample-std variant). Larger = better.
+    - mcclain_rao = m_within / m_between. Smaller = better.
+
+    Unlike c_index there is no rank, so this pass is a plain aggregate —
+    still O(n²) work, guarded identically."""
+    from clusterindices_spark.functions.guards import (
+        QUADRATIC_MAX_ROWS,
+        cap_quadratic,
+    )
+
+    pts = cap_quadratic(
+        pts,
+        "pair_validity",
+        "vec_id",
+        max_rows=max_rows if max_rows is not None else QUADRATIC_MAX_ROWS,
+        sample_fraction=sample_fraction,
+    )
+    a = pts.select(
+        F.col("vec_id").alias("pid"), F.col("cluster").alias("pcl"), F.col("x").alias("xa")
+    )
+    b = pts.select(
+        F.col("vec_id").alias("qid"), F.col("cluster").alias("qcl"), F.col("x").alias("xb")
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("pid") < F.col("qid"))
+        .select(
+            l2("xa", "xb").alias("d"),
+            (F.col("pcl") == F.col("qcl")).cast("int").alias("w"),
+        )
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n_t"),
+        F.sum("w").cast("bigint").alias("n_w"),
+        F.avg(F.when(F.col("w") == 1, F.col("d"))).alias("m_w"),
+        F.avg(F.when(F.col("w") == 0, F.col("d"))).alias("m_b"),
+        F.stddev_pop("d").alias("s_all"),
+    )
+    n_b_ = (F.col("n_t") - F.col("n_w")).cast("double")
+    pb = (
+        (F.col("m_b") - F.col("m_w"))
+        * F.sqrt(F.col("n_w").cast("double") * n_b_)
+        / F.col("n_t").cast("double")
+        / F.nullif(F.col("s_all"), F.lit(0.0))
+    )
+    return agg.select(
+        "n_w",
+        (F.col("n_t") - F.col("n_w")).cast("bigint").alias("n_b"),
+        round6_stable(pb).alias("point_biserial"),
+        round6_stable(
+            F.col("m_w") / F.nullif(F.col("m_b"), F.lit(0.0))
+        ).alias("mcclain_rao"),
+    )
+
+
+def q_pair_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pair_validity_of(labeled_points(spark, sf_dir, fan=True))
+
+
 QUERIES = {
     "wemmert_gancarski": q_wemmert_gancarski,
     "sd_index": q_sd_index,
     "s_dbw": q_s_dbw,
     "c_index": q_c_index,
+    "pair_validity": q_pair_validity,
 }
 
 # ---------------------------------------------------------------------------
@@ -408,6 +478,34 @@ SELECT k,
     + SQL_ROUND6.format(x="scat + dens_bw")
     + """ AS s_dbw
 FROM scat, dens
+""",
+    "pair_validity": _PREFIX
+    + """
+, pd AS (
+  SELECT list_distance(a.x, b.x) AS d,
+         CASE WHEN a.cluster = b.cluster THEN 1 ELSE 0 END AS w
+  FROM pts a JOIN pts b ON a.vec_id < b.vec_id
+),
+agg AS (
+  SELECT COUNT(*) AS n_t,
+         CAST(SUM(w) AS BIGINT) AS n_w,
+         AVG(CASE WHEN w = 1 THEN d END) AS m_w,
+         AVG(CASE WHEN w = 0 THEN d END) AS m_b,
+         stddev_pop(d) AS s_all
+  FROM pd
+)
+SELECT n_w,
+       CAST(n_t - n_w AS BIGINT) AS n_b,
+       """
+    + SQL_ROUND6.format(
+        x="(m_b - m_w) * sqrt(CAST(n_w AS DOUBLE) * CAST(n_t - n_w AS DOUBLE))"
+        " / CAST(n_t AS DOUBLE) / NULLIF(s_all, 0)"
+    )
+    + """ AS point_biserial,
+       """
+    + SQL_ROUND6.format(x="m_w / NULLIF(m_b, 0)")
+    + """ AS mcclain_rao
+FROM agg
 """,
     "c_index": _PREFIX
     + """

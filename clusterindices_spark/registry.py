@@ -136,6 +136,7 @@ _NEXT = [
     "source_python_datasource",
     "versioned_merge_snapshot",
     "text_bigram_logprob",
+    "pair_validity",
     # iterative ML — rows-only
     "bisecting_sweep_small",
     "gmm_sweep_small",

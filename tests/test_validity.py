@@ -115,3 +115,28 @@ def test_c_index_guard_trips(spark):
         c_index_of(pts, max_rows=10)
     # a deterministic hash-sample brings the input under the same cap
     assert c_index_of(pts, max_rows=10, sample_fraction=0.01).count() == 1
+
+
+def test_pair_validity_hand_values(spark):
+    """tiny_clusters pairs: within {2,2}, between {10,10,sqrt104,sqrt104}.
+    Hand point-biserial (population std) and McClain-Rao."""
+    from clusterindices_spark.operators.validity import pair_validity_of
+
+    row = pair_validity_of(tiny_clusters(spark)).collect()[0]
+    ds = [2.0, 2.0, 10.0, 10.0, math.sqrt(104), math.sqrt(104)]
+    m_w, m_b = 2.0, (10 + 10 + 2 * math.sqrt(104)) / 4
+    mean = sum(ds) / 6
+    s_all = math.sqrt(sum((d - mean) ** 2 for d in ds) / 6)
+    pb = (m_b - m_w) * math.sqrt(2 * 4) / 6 / s_all
+    assert row["n_w"] == 2 and row["n_b"] == 4
+    assert row["point_biserial"] == pytest.approx(pb, abs=1e-6)
+    assert row["mcclain_rao"] == pytest.approx(m_w / m_b, abs=1e-6)
+
+
+def test_pair_validity_guard_trips(spark):
+    from clusterindices_spark.operators.indices import labeled_points
+    from clusterindices_spark.operators.validity import pair_validity_of
+
+    pts = labeled_points(spark, SF_SMOKE)
+    with pytest.raises(ValueError, match="pair_validity is O"):
+        pair_validity_of(pts, max_rows=10)
