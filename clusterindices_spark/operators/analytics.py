@@ -399,7 +399,46 @@ def q_basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_outliers_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline outliers: z-score against the (event_type,
+    hour-of-day) stratum instead of the global per-type moments — a value
+    normal at the daily peak can be anomalous at 3am and vice versa; the
+    flat baseline (q_events_outliers) cannot see that. Same exact
+    integer-micro moment machinery, one more group key.
+
+    Scale: 24× the stats rows, still broadcastable; hour extraction is
+    scan-side and safe at any timestamp grain (ns↔µs truncation never
+    moves an hour)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.hour("ts").alias("hh"),
+        "value",
+    )
+    stats = ev.groupBy("event_type", "hh").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_micros(F.col("value"))).alias("s1"),
+        F.sum(_micros(F.col("value") * F.col("value"))).alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n") / F.lit(1000000.0)
+    var = F.greatest(
+        F.col("s2") / F.col("n") / F.lit(1000000.0) - mean * mean,
+        F.lit(0.0),
+    )
+    enriched = ev.join(F.broadcast(stats), ["event_type", "hh"]).select(
+        "event_id",
+        "event_type",
+        F.col("hh").cast("int").alias("hh"),
+        F.round("value", 6).alias("value"),
+        F.round(mean, 6).alias("mean"),
+        F.round(F.sqrt(var), 6).alias("std"),
+    )
+    z = (F.col("value") - F.col("mean")) / F.nullif(F.col("std"), F.lit(0.0))
+    return enriched.where(F.abs(z) > Z_THRESHOLD)
+
+
 QUERIES = {
+    "events_outliers_seasonal": q_events_outliers_seasonal,
     "profile_orders": q_profile_orders,
     "analytics_rfm": q_analytics_rfm,
     "events_markov_transition": q_events_markov_transition,
@@ -462,6 +501,29 @@ SELECT bucket,
        CAST({HIST_LO} + (bucket + 1) * {_W} AS DOUBLE) AS hi,
        COUNT(*) AS n
 FROM b GROUP BY bucket
+""",
+    "events_outliers_seasonal": f"""
+WITH ev AS (
+  SELECT event_id, event_type, CAST(hour(ts) AS INT) AS hh, value FROM events
+),
+stats AS (
+  SELECT event_type, hh, COUNT(*) AS n,
+         SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS s1,
+         SUM(CAST(floor(value * value * 1000000.0 + 0.5) AS BIGINT)) AS s2
+  FROM ev GROUP BY event_type, hh
+),
+m AS (
+  SELECT event_type, hh, n,
+         CAST(s1 AS DOUBLE) / n / 1000000.0 AS mean,
+         GREATEST(CAST(s2 AS DOUBLE) / n / 1000000.0
+           - (CAST(s1 AS DOUBLE) / n / 1000000.0)
+             * (CAST(s1 AS DOUBLE) / n / 1000000.0), 0.0) AS var
+  FROM stats
+)
+SELECT event_id, e.event_type, e.hh, ROUND(value, 6) AS value,
+       ROUND(mean, 6) AS mean, ROUND(sqrt(var), 6) AS std
+FROM ev e JOIN m ON e.event_type = m.event_type AND e.hh = m.hh
+WHERE abs(ROUND(value, 6) - ROUND(mean, 6)) / NULLIF(ROUND(sqrt(var), 6), 0.0) > {Z_THRESHOLD}
 """,
     "events_outliers": f"""
 WITH stats AS (

@@ -137,6 +137,7 @@ _NEXT = [
     "versioned_merge_snapshot",
     "text_bigram_logprob",
     "pair_validity",
+    "events_outliers_seasonal",
     # iterative ML — rows-only
     "bisecting_sweep_small",
     "gmm_sweep_small",

@@ -366,3 +366,41 @@ def test_validity_indices_match_numpy_bruteforce(spark, labeled):
             got_c = c_index_of(pts).collect()[0]
             assert got_c["n_w"] == n_w
             assert abs(got_c["c_index"] - want) < 1e-5
+
+
+def test_seasonal_outliers_catch_hourly_anomalies_flat_misses(spark, tmp_path):
+    """A value normal globally but anomalous FOR ITS HOUR is flagged by the
+    seasonal baseline and invisible to the flat one (and vice-versa safe:
+    seasonal flags ⊅ flat flags in general — planted here specifically)."""
+    import datetime as dt
+
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 1, 1)
+    # hour 2 values cluster at 10, hour 14 at 100; plant one 100-value at
+    # hour 2 (globally unremarkable, seasonally extreme)
+    for day in range(30):
+        for hh, v in ((2, 10.0), (14, 100.0)):
+            for j in range(4):
+                rows.append(
+                    (eid, base + dt.timedelta(days=day, hours=hh, minutes=j),
+                     1, "m", v + (j - 1.5) * 0.1, "{}")
+                )
+                eid += 1
+    rows.append((eid, base + dt.timedelta(hours=2), 1, "m", 100.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING,"
+        " value DOUBLE, props STRING",
+    )
+    out = str(tmp_path / "ev")
+    df.write.mode("overwrite").parquet(f"{out}/events.parquet")
+    from clusterindices_spark.operators.analytics import (
+        q_events_outliers,
+        q_events_outliers_seasonal,
+    )
+
+    seasonal = {r["event_id"] for r in q_events_outliers_seasonal(spark, out).collect()}
+    flat = {r["event_id"] for r in q_events_outliers(spark, out).collect()}
+    assert eid in seasonal      # anomalous for hour 2
+    assert eid not in flat      # ~100 is a normal global value
