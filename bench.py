@@ -87,6 +87,15 @@ HEADLINE = [
     "dedup_span_coverage",
     "sql_recursive_months",
     "scalar_variant",
+    # round-3c additions: bigram LM scoring (the heaviest text key after
+    # tfidf), the guarded pair-statistic pass, the seasonal anomaly
+    # baseline, the end-to-end versioned COW merge, and the custom
+    # Python-DataSource aggregate
+    "text_bigram_logprob",
+    "pair_validity",
+    "events_outliers_seasonal",
+    "versioned_merge_snapshot",
+    "source_python_datasource",
 ]
 
 # Measured and reported, but EXCLUDED from the headline total: these keys

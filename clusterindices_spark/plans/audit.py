@@ -371,6 +371,23 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "require": ["*("],
         "forbid": ["Exchange", "Join"],
     },
+    # --- round-3c additions ---
+    "text_bigram_logprob": {
+        # bigram counts shuffle with map-side combine; the two unigram
+        # vocab attachments must be broadcast joins, never shuffled
+        "require": ["BroadcastHashJoin", "partial"],
+        "forbid": ["CartesianProduct"],
+    },
+    "pair_validity": {
+        # guarded yardstick: broadcast NLJ over the capped input is the
+        # intended plan; only a true cartesian (no condition) is forbidden
+        "require": ["partial"],
+        "forbid": ["CartesianProduct"],
+    },
+    "events_outliers_seasonal": {
+        "require": ["BroadcastHashJoin", "partial"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
 }
 
 
