@@ -681,6 +681,82 @@ def q_dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_pagerank(nodes, pairs)
 
 
+HOPS_MAX_ITERS = 30
+
+
+def graph_hops(nodes: DataFrame, edges: DataFrame, max_iters: int = HOPS_MAX_ITERS) -> DataFrame:
+    """(node, component, hops): component = min reachable id (as
+    connected_components) AND hops = the BFS shortest-path distance to
+    that canonical node — the joint (label, distance) fixpoint, fully
+    oracle-checkable because everything is integer min-plus (no float
+    order sensitivity; same device as the integer PageRank).
+
+    Per round each node takes min(struct(l, d)) over itself and its
+    neighbors' (l, d+1): labels converge to the component min and, once
+    they have, d Bellman-Ford-relaxes to the BFS distance. Same
+    O(diameter) round budget, per-round shuffle pair, pin and
+    3rd-round-checkpoint lineage policy as connected_components; the
+    symmetric edge pin is byte-identical to CC's, so the two operators
+    share one materialized generation."""
+    from pyspark.storagelevel import StorageLevel  # noqa: F401
+
+    sym = _repin(
+        "cc_sym",
+        edges.select(F.col("src"), F.col("dst"))
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct(),
+    )
+    state = nodes.select(
+        "node",
+        F.col("node").alias("l"),
+        F.lit(0).cast("bigint").alias("d"),
+    ).persist()
+    prev = state.agg(
+        F.sum("l").alias("sl"), F.sum("d").alias("sd")
+    ).first()
+    prev_key = (prev["sl"], prev["sd"])
+    for i in range(max_iters):
+        nbr = sym.join(state, sym.src == state.node).select(
+            F.col("dst").alias("node"), "l", (F.col("d") + 1).alias("d")
+        )
+        merged = (
+            state.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min(F.struct("l", "d")).alias("s"))
+            .select("node", F.col("s.l").alias("l"), F.col("s.d").alias("d"))
+        )
+        merged = (
+            merged.localCheckpoint(eager=True)
+            if i % 3 == 2
+            else merged.persist()
+        )
+        row = merged.agg(F.sum("l").alias("sl"), F.sum("d").alias("sd")).first()
+        key = (row["sl"], row["sd"])
+        state.unpersist()
+        state = merged
+        if key == prev_key:  # (l, d) pairs only ever lexicographically decrease
+            break
+        prev_key = key
+    state = pin_materialized("hops_state", state)
+    return state.select(
+        F.col("node"), F.col("l").alias("component"), F.col("d").alias("hops")
+    )
+
+
+def q_dedup_graph_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distance of every doc to its duplicate cluster's canonical —
+    the triage signal for HOW a component formed (hops > 1 = transitive
+    merges, the chained-near-dup shape a high transitivity census rules
+    out)."""
+    nodes, pairs = _doc_pair_edges(spark, sf_dir)
+    out = graph_hops(nodes, pairs)
+    return out.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("component_id"),
+        F.col("hops").cast("bigint").alias("hops"),
+    )
+
+
 def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same clusters via alternating large-star/small-star (O(log n) rounds
     — the adversarial-chain-safe variant). Identical output contract, so it
@@ -763,6 +839,7 @@ def q_dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "dedup_span_coverage": q_dedup_span_coverage,
+    "dedup_graph_hops": q_dedup_graph_hops,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_near_minhash": q_dedup_near_minhash,
@@ -916,6 +993,30 @@ SELECT doc_id, component_id,
 FROM comp
 """,
 }
+
+# hops oracle: same candidate pipeline + components fixpoint, then a
+# bounded recursive BFS from each component's canonical node. The WHERE
+# d < 30 bound matches HOPS_MAX_ITERS (a (node, d+1) row is always
+# distinct, so an unbounded recursion on a cyclic graph never reaches the
+# UNION fixpoint); MIN(d) after the recursion is the BFS distance.
+ORACLES["dedup_graph_hops"] = (
+    ORACLES["dedup_components"].split("SELECT doc_id, component_id,")[0]
+    + """, seeds AS (
+  SELECT doc_id AS node FROM comp WHERE doc_id = component_id
+),
+bfs(node, d) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT e.d, r.d + 1 FROM bfs r JOIN edges e ON e.s = r.node
+  WHERE r.d < """
+    + str(HOPS_MAX_ITERS)
+    + """
+),
+hops AS (SELECT node, MIN(d) AS hops FROM bfs GROUP BY node)
+SELECT c.doc_id, c.component_id, CAST(h.hops AS BIGINT) AS hops
+FROM comp c JOIN hops h ON h.node = c.doc_id
+"""
+)
 
 # the star variant computes the same (node → component-min) fixpoint over
 # the same edges — byte-identical output contract, same oracle

@@ -138,6 +138,7 @@ _NEXT = [
     "text_bigram_logprob",
     "pair_validity",
     "events_outliers_seasonal",
+    "dedup_graph_hops",
     # iterative ML — rows-only
     "bisecting_sweep_small",
     "gmm_sweep_small",

@@ -550,3 +550,30 @@ def test_span_coverage_planted_duplicate_spans(spark):
     assert out[2]["n_dup_spans"] == 1
     assert out[3]["n_dup_spans"] == 0 and out[3]["dup_frac"] == 0.0
     assert out[4]["n_spans"] == 0 and out[4]["dup_frac"] is None
+
+
+def test_graph_hops_chain_and_star(spark):
+    """Hand graphs: a 4-chain (1-2-3-4) gives hops 0,1,2,3 from canonical
+    1; a star centered on 9 with leaves 10,11,12 gives hops 0,1,1,1; an
+    isolated node is its own canonical at hops 0."""
+    from clusterindices_spark.functions.pins import clear_pins
+    from clusterindices_spark.operators.dedup import graph_hops
+
+    clear_pins()
+    nodes = spark.createDataFrame(
+        [(n,) for n in (1, 2, 3, 4, 9, 10, 11, 12, 99)], "node BIGINT"
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (9, 10), (9, 11), (9, 12)],
+        "src BIGINT, dst BIGINT",
+    )
+    got = {
+        r["node"]: (r["component"], r["hops"])
+        for r in graph_hops(nodes, edges).collect()
+    }
+    assert got == {
+        1: (1, 0), 2: (1, 1), 3: (1, 2), 4: (1, 3),
+        9: (9, 0), 10: (9, 1), 11: (9, 1), 12: (9, 1),
+        99: (99, 0),
+    }
+    clear_pins()
