@@ -548,7 +548,41 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup grouping for media (dHash): on the 4×4 thumbnail
+    the resize tier already produces, hash the HORIZONTAL GRADIENT — bit j
+    (j = r·3+c) set iff pixel(r,c) < pixel(r,c+1) — and group payloads by
+    the 12-bit signature. Gradient hashes are the standard
+    perceptual-dedup primitive: stable under uniform brightness shifts
+    where a byte hash (dedup_exact) sees different content. Output is the
+    dedup report shape (dhash, keep_doc_id, n_copies).
+
+    Scale: the hash is 12 codegen comparisons on the thumbnail array (no
+    extra Python beyond the shared resize pass); grouping shuffles 2-byte
+    signatures with map-side combine."""
+    d = load_table(spark, sf_dir, "documents")
+    out = resize_nearest(with_binary_payload(d))
+    bits = None
+    for j in range(12):
+        r, c = j // 3, j % 3
+        term = F.when(
+            F.get("pixels", r * RESIZE_OUT + c)
+            < F.get("pixels", r * RESIZE_OUT + c + 1),
+            F.lit(1).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")) * F.lit(1 << j).cast("bigint")
+        bits = term if bits is None else bits + term
+    return (
+        out.select("doc_id", bits.alias("dhash"))
+        .groupBy("dhash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
 QUERIES = {
+    "multimodal_dhash": q_multimodal_dhash,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_bytes_arrow": q_multimodal_bytes_arrow,
     "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -667,6 +701,26 @@ SELECT doc_id, src_h,
        CAST(list_sum(pixels) AS BIGINT) AS checksum
 FROM px
 """
+
+
+ORACLES["multimodal_dhash"] = (
+    ORACLES["multimodal_resize"].split("SELECT doc_id, src_h,")[0]
+    + """, b AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(12),
+           j -> CASE WHEN pixels[(j // 3) * """
+    + str(RESIZE_OUT)
+    + """ + (j % 3) + 1]
+                     < pixels[(j // 3) * """
+    + str(RESIZE_OUT)
+    + """ + (j % 3) + 2]
+                THEN CAST(1 AS BIGINT) << j ELSE 0 END)) AS BIGINT) AS dhash
+  FROM px
+)
+SELECT dhash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM b GROUP BY dhash
+"""
+)
 
 # multimodal_decode_real: the oracle replays the PLANTED GENERATOR
 # arithmetic (pixel[i] = (doc_id·31 + i·7) mod 256; sample[i] =

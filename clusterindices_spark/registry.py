@@ -139,6 +139,7 @@ _NEXT = [
     "pair_validity",
     "events_outliers_seasonal",
     "dedup_graph_hops",
+    "multimodal_dhash",
     # iterative ML — rows-only
     "bisecting_sweep_small",
     "gmm_sweep_small",

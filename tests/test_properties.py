@@ -404,3 +404,22 @@ def test_seasonal_outliers_catch_hourly_anomalies_flat_misses(spark, tmp_path):
     flat = {r["event_id"] for r in q_events_outliers(spark, out).collect()}
     assert eid in seasonal      # anomalous for hour 2
     assert eid not in flat      # ~100 is a normal global value
+
+
+def test_dhash_brightness_invariance(spark, tmp_path):
+    """The dHash property a byte hash lacks: uniformly shifting every
+    'pixel' (codepoint) preserves the gradient signature, so the shifted
+    copy groups WITH the original while dedup_exact separates them."""
+    base = "".join(chr(65 + (i * 7) % 26) for i in range(64))  # 4 full rows
+    shifted = "".join(chr(ord(ch) + 1) for ch in base)
+    df = spark.createDataFrame(
+        [(1, "en", base, "s", 64), (2, "en", shifted, "s", 64)],
+        "doc_id BIGINT, lang STRING, text STRING, source STRING, n_chars BIGINT",
+    )
+    out = str(tmp_path / "dh")
+    df.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    from clusterindices_spark.operators.multimodal import q_multimodal_dhash
+
+    rows = q_multimodal_dhash(spark, out).collect()
+    assert len(rows) == 1  # one perceptual group
+    assert rows[0]["n_copies"] == 2 and rows[0]["keep_doc_id"] == 1
