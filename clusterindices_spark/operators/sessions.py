@@ -244,7 +244,66 @@ def retention_of(e: DataFrame) -> DataFrame:
 
 
 
+LTV_MAX_AGE_DAYS = 13
+
+
+def q_events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-cohort LTV curve: cohort = a user's first-event DAY; for each
+    (cohort, age-in-days ≤ 13) the purchase revenue that day and the
+    CUMULATIVE revenue per cohort user — the revenue companion to
+    events_retention's activity curve. All money flows through the exact
+    decimal-sum pattern (the running sum is a window over per-day decimal
+    sums, so it is order-free), divided by cohort size only at the end.
+
+    Scale: two user-keyed aggs (first-day, cohort size), one
+    (cohort, age) agg with map-side combine, and a window over ≤14 rows
+    per cohort."""
+    from pyspark.sql import Window
+
+    from clusterindices_spark.functions.aggregates import round6_stable
+
+    e = load_table(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("cohort")
+    )
+    size = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    purch = (
+        e.where(F.col("event_type") == "purchase")
+        .join(first, "user_id")
+        .select(
+            "cohort",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort")).alias("age"),
+            "value",
+        )
+        .where(F.col("age") <= LTV_MAX_AGE_DAYS)
+    )
+    rev = purch.groupBy("cohort", "age").agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("rev_d")
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rev.join(size, "cohort")
+        .select(
+            "cohort",
+            F.col("age").cast("int").alias("age"),
+            F.col("cohort_users").cast("bigint").alias("cohort_users"),
+            F.round(F.col("rev_d").cast("double"), 6).alias("revenue"),
+            round6_stable(
+                F.sum("rev_d").over(w).cast("double")
+                / F.col("cohort_users").cast("double")
+            ).alias("cum_ltv_per_user"),
+        )
+    )
+
+
 QUERIES = {
+    "events_cohort_ltv": q_events_cohort_ltv,
     "stream_tumbling_agg": q_stream_tumbling_agg,
     "stream_sliding_agg": q_stream_sliding_agg,
     "stream_session_windows": q_stream_session_windows,
@@ -257,6 +316,30 @@ QUERIES = {
 _EV = "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events)"
 
 ORACLES = {
+    "events_cohort_ltv": f"""
+WITH e AS (SELECT * FROM {_EV} AS t),
+first AS (
+  SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort FROM e GROUP BY user_id
+),
+size_ AS (
+  SELECT cohort, COUNT(*) AS cohort_users FROM first GROUP BY cohort
+),
+purch AS (
+  SELECT f.cohort, datediff('day', f.cohort, CAST(e.ts AS DATE)) AS age, e.value
+  FROM e JOIN first f USING (user_id)
+  WHERE e.event_type = 'purchase'
+    AND datediff('day', f.cohort, CAST(e.ts AS DATE)) <= {LTV_MAX_AGE_DAYS}
+),
+rev AS (
+  SELECT cohort, age, SUM(CAST(value AS DECIMAL(18,6))) AS rev_d
+  FROM purch GROUP BY cohort, age
+)
+SELECT r.cohort, CAST(r.age AS INT) AS age,
+       CAST(s.cohort_users AS BIGINT) AS cohort_users,
+       ROUND(CAST(r.rev_d AS DOUBLE), 6) AS revenue,
+       (floor((CAST(SUM(r.rev_d) OVER (PARTITION BY r.cohort ORDER BY r.age ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / s.cohort_users) * 1000000.0 + 0.5) / 1000000.0) AS cum_ltv_per_user
+FROM rev r JOIN size_ s USING (cohort)
+""",
     "stream_join_clicks": f"""
 WITH c AS (
   SELECT user_id AS c_user, event_id AS click_id, epoch_ms(ts) AS c_ms

@@ -140,6 +140,7 @@ _NEXT = [
     "events_outliers_seasonal",
     "dedup_graph_hops",
     "multimodal_dhash",
+    "events_cohort_ltv",
     # iterative ML — rows-only
     "bisecting_sweep_small",
     "gmm_sweep_small",

@@ -4,6 +4,7 @@ Example counts are kept low — each example runs Spark jobs."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -423,3 +424,29 @@ def test_dhash_brightness_invariance(spark, tmp_path):
     rows = q_multimodal_dhash(spark, out).collect()
     assert len(rows) == 1  # one perceptual group
     assert rows[0]["n_copies"] == 2 and rows[0]["keep_doc_id"] == 1
+
+
+def test_cohort_ltv_monotone_and_reconciles(spark):
+    """cum_ltv_per_user is nondecreasing in age within a cohort, and the
+    final cumulative equals the cohort's total (age-capped) purchase
+    revenue over its size."""
+    from clusterindices_spark.operators.sessions import (
+        LTV_MAX_AGE_DAYS,
+        q_events_cohort_ltv,
+    )
+    from tests.conftest import SF_SMOKE as _SF
+
+    rows = q_events_cohort_ltv(spark, _SF).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort"], []).append(r)
+    for cohort, rs in by_cohort.items():
+        rs.sort(key=lambda r: r["age"])
+        assert all(0 <= r["age"] <= LTV_MAX_AGE_DAYS for r in rs)
+        curve = [r["cum_ltv_per_user"] for r in rs]
+        assert curve == sorted(curve), cohort
+        total = sum(r["revenue"] for r in rs)
+        assert curve[-1] == pytest.approx(
+            total / rs[0]["cohort_users"], abs=1e-5
+        ), cohort
