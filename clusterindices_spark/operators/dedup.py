@@ -160,6 +160,63 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
 
+CONTAINMENT_THRESHOLD = 0.6
+
+
+def ngram_containment_pairs(
+    d: DataFrame,
+    threshold: float = CONTAINMENT_THRESHOLD,
+    max_shingle_df: int = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """ASYMMETRIC containment C(A→B) = |A∩B|/|A| for every candidate pair:
+    the doc-inside-doc detector Jaccard structurally misses — a short
+    document fully quoted inside a long one has tiny Jaccard (union is
+    dominated by the long doc) but containment ≈ 1 from the short side.
+    Emits pairs where EITHER direction reaches the threshold, with both
+    directions' scores (c_ab = |A∩B|/|A|, c_ba = |A∩B|/|B|).
+
+    Same candidate pipeline, stop-shingle cap, and pair-scale size
+    attachment as ngram_jaccard_pairs — the two keys share the pinned
+    exploded-shingle generation."""
+    sh = _doc_shingles(d)
+    ex_all = _repin(
+        "ngram_exploded",
+        sh.select("doc_id", F.explode("shingles").alias("shingle")),
+    )
+    hot = (
+        ex_all.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_shingle_df)
+        .select("shingle")
+    )
+    ex0 = ex_all.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = ex0.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = ex0.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = ex0.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    c_ab = F.round(F.col("inter") / F.col("na"), 6)
+    c_ba = F.round(F.col("inter") / F.col("nb"), 6)
+    return (
+        inter.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .select("doc_a", "doc_b", c_ab.alias("c_ab"), c_ba.alias("c_ba"))
+        .where(
+            (F.col("c_ab") >= threshold) | (F.col("c_ba") >= threshold)
+        )
+    )
+
+
+def q_dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_containment_pairs(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # MinHash + banded LSH
 # ---------------------------------------------------------------------------
@@ -840,6 +897,7 @@ def q_dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "dedup_span_coverage": q_dedup_span_coverage,
     "dedup_graph_hops": q_dedup_graph_hops,
+    "dedup_ngram_containment": q_dedup_ngram_containment,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_near_minhash": q_dedup_near_minhash,
@@ -888,6 +946,27 @@ SELECT sha256(text) AS content_hash,
        MIN(doc_id) AS keep_doc_id,
        COUNT(*) AS n_copies
 FROM documents GROUP BY sha256(text)
+""",
+    "dedup_ngram_containment": f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, {_SH} AS shingles FROM tok),
+ex_all AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+hot AS (SELECT shingle FROM ex_all GROUP BY shingle HAVING COUNT(*) > {MAX_SHINGLE_DF}),
+ex0 AS (SELECT * FROM ex_all WHERE shingle NOT IN (SELECT shingle FROM hot)),
+sized AS (SELECT doc_id, COUNT(*) AS n FROM ex0 GROUP BY doc_id),
+ex AS (SELECT ex0.doc_id, sized.n, ex0.shingle FROM ex0 JOIN sized USING (doc_id)),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+         COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.n, b.n
+)
+SELECT doc_a, doc_b,
+       ROUND(inter / na, 6) AS c_ab,
+       ROUND(inter / nb, 6) AS c_ba
+FROM inter
+WHERE ROUND(inter / na, 6) >= {CONTAINMENT_THRESHOLD}
+   OR ROUND(inter / nb, 6) >= {CONTAINMENT_THRESHOLD}
 """,
     "dedup_ngram_jaccard": f"""
 WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

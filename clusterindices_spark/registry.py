@@ -141,6 +141,7 @@ _NEXT = [
     "dedup_graph_hops",
     "multimodal_dhash",
     "events_cohort_ltv",
+    "dedup_ngram_containment",
     # iterative ML — rows-only
     "bisecting_sweep_small",
     "gmm_sweep_small",

@@ -577,3 +577,37 @@ def test_graph_hops_chain_and_star(spark):
         99: (99, 0),
     }
     clear_pins()
+
+
+def test_containment_catches_subset_jaccard_misses(spark, tmp_path):
+    """A short doc fully quoted inside a long one: containment from the
+    short side ≈ 1 while Jaccard stays under its threshold — the
+    asymmetric detector's reason to exist."""
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    long_ = short + " " + " ".join(f"filler{i} pad{i} words{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, "en", short, "s", 1), (2, "en", long_, "s", 1),
+         (3, "en", "entirely different content with no shared trigrams at all", "s", 1)],
+        "doc_id BIGINT, lang STRING, text STRING, source STRING, n_chars BIGINT",
+    )
+    out = str(tmp_path / "ct")
+    df.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    from clusterindices_spark.functions.pins import clear_pins
+    from clusterindices_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+    from clusterindices_spark.sources.fixtures import load_table
+
+    clear_pins()
+    d = load_table(spark, out, "documents")
+    cont = {(r["doc_a"], r["doc_b"]): (r["c_ab"], r["c_ba"])
+            for r in ngram_containment_pairs(d).collect()}
+    assert (1, 2) in cont
+    c_ab, c_ba = cont[(1, 2)]
+    assert c_ab == 1.0      # short side fully contained
+    assert c_ba < 0.2       # tiny from the long side
+    clear_pins()
+    jac = {(r["doc_a"], r["doc_b"]) for r in ngram_jaccard_pairs(d, threshold=0.5).collect()}
+    assert (1, 2) not in jac  # Jaccard at a dedup-grade threshold misses it
+    clear_pins()
