@@ -483,6 +483,54 @@ def q_multimodal_audio_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_windows(with_binary_payload(d))
 
 
+AFP_BITS = 16
+
+
+def q_multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic fingerprint over the audio-window tier: bit i of ``afp``
+    set iff window-energy(i) < energy(i+1) (first AFP_BITS deltas) —
+    the sign-of-energy-delta signature every audio-fingerprint family
+    builds on, invariant under any monotone gain change (gain rescales
+    energies, never reorders them). Grouped into the dedup report shape.
+
+    Scale: the fingerprint is JVM HOF math over each doc's ≤17-window
+    energy array (collect_list bounded by payload/hop); signatures
+    shuffle 2 bytes with map-side combine."""
+    d = load_table(spark, sf_dir, "documents")
+    aw = audio_windows(with_binary_payload(d))
+    per = aw.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("win_start", "energy"))),
+            lambda s: s["energy"],
+        ).alias("e")
+    )
+    n = F.least(F.greatest(F.size("e") - 1, F.lit(0)), F.lit(AFP_BITS))
+    z = F.arrays_zip(
+        F.slice("e", 1, n).alias("a"),
+        F.slice("e", 2, n).alias("b"),
+        F.slice(F.sequence(F.lit(0), F.lit(AFP_BITS - 1)), 1, n).alias("i"),
+    )
+    afp = F.aggregate(
+        z,
+        F.lit(0).cast("bigint"),
+        # pow, not shiftleft: pyspark's shiftleft takes a PYTHON int for
+        # the amount; 2^i is exact in double for i ≤ 16
+        lambda acc, s: acc
+        + F.when(
+            s["a"] < s["b"],
+            F.pow(F.lit(2.0), s["i"]).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    return (
+        per.select("doc_id", afp.alias("afp"))
+        .groupBy("afp")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
 RESIZE_SRC_W = 16  # fake-decoded image width (decoded units per row)
 RESIZE_OUT = 4  # output is RESIZE_OUT × RESIZE_OUT
 RESIZE_SCHEMA = "doc_id bigint, src_h int, pixels array<int>, checksum bigint"
@@ -587,6 +635,7 @@ QUERIES = {
     "multimodal_bytes_arrow": q_multimodal_bytes_arrow,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_audio_window": q_multimodal_audio_window,
+    "multimodal_audio_fingerprint": q_multimodal_audio_fingerprint,
     "multimodal_resize": q_multimodal_resize,
     "multimodal_decode_real": q_multimodal_decode_real,
 }
@@ -679,6 +728,33 @@ SELECT doc_id,
        CAST(COALESCE(list_max(codes), 0) AS INT) AS peak
 FROM seg
 """
+
+ORACLES["multimodal_audio_fingerprint"] = (
+    ORACLES["multimodal_audio_window"].split("SELECT doc_id,\n")[0]
+    + """, en AS (
+  SELECT doc_id, win_start,
+         CAST(COALESCE(list_sum(list_transform(codes, c -> c * c)), 0)
+              AS BIGINT) AS energy
+  FROM seg
+),
+earr AS (
+  SELECT doc_id, list(energy ORDER BY win_start) AS e FROM en GROUP BY doc_id
+),
+fp AS (
+  SELECT doc_id,
+         CAST(COALESCE(list_sum(list_transform(
+           range(least(greatest(len(e) - 1, 0), """
+    + str(AFP_BITS)
+    + """)),
+           i -> CASE WHEN e[i + 1] < e[i + 2]
+                     THEN CAST(1 AS BIGINT) << i ELSE 0 END)), 0)
+              AS BIGINT) AS afp
+  FROM earr
+)
+SELECT afp, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM fp GROUP BY afp
+"""
+)
 
 ORACLES["multimodal_resize"] = f"""
 WITH g AS (

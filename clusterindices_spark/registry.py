@@ -142,6 +142,7 @@ _NEXT = [
     "multimodal_dhash",
     "events_cohort_ltv",
     "dedup_ngram_containment",
+    "multimodal_audio_fingerprint",
     # iterative ML — rows-only
     "bisecting_sweep_small",
     "gmm_sweep_small",

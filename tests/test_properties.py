@@ -450,3 +450,23 @@ def test_cohort_ltv_monotone_and_reconciles(spark):
         assert curve[-1] == pytest.approx(
             total / rs[0]["cohort_users"], abs=1e-5
         ), cohort
+
+
+def test_audio_fingerprint_gain_invariance(spark, tmp_path):
+    """Monotone 'gain' (shifting every codepoint up) rescales window
+    energies without reordering them, so the delta-sign fingerprint
+    groups the gained copy with its original."""
+    base = "".join(chr(70 + (i * 11) % 40) for i in range(128))
+    gained = "".join(chr(ord(ch) + 3) for ch in base)
+    df = spark.createDataFrame(
+        [(1, "en", base, "s", 128), (2, "en", gained, "s", 128)],
+        "doc_id BIGINT, lang STRING, text STRING, source STRING, n_chars BIGINT",
+    )
+    out = str(tmp_path / "afp")
+    df.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    from clusterindices_spark.operators.multimodal import (
+        q_multimodal_audio_fingerprint,
+    )
+
+    rows = q_multimodal_audio_fingerprint(spark, out).collect()
+    assert len(rows) == 1 and rows[0]["n_copies"] == 2
