@@ -96,6 +96,14 @@ HEADLINE = [
     "events_outliers_seasonal",
     "versioned_merge_snapshot",
     "source_python_datasource",
+    # round-3d additions: containment rides the shared shingle pins, the
+    # two perceptual signatures ride the multimodal tiers, LTV is
+    # window-scale. (dedup_graph_hops stays out like components_star —
+    # a second full propagation loop would double-count the family.)
+    "dedup_ngram_containment",
+    "multimodal_dhash",
+    "multimodal_audio_fingerprint",
+    "events_cohort_ltv",
 ]
 
 # Measured and reported, but EXCLUDED from the headline total: these keys

@@ -388,6 +388,25 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "require": ["BroadcastHashJoin", "partial"],
         "forbid": ["CartesianProduct", "SortMergeJoin"],
     },
+    # --- round-3d additions ---
+    "dedup_ngram_containment": {
+        # same candidate pipeline contract as ngram_jaccard: shingle
+        # equi-join + pair-scale broadcast size attachment
+        "require": ["Join", "partial"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "multimodal_dhash": {
+        "require": ["partial"],
+        "forbid": ["CartesianProduct", "Join"],  # scan→Python→agg only
+    },
+    "multimodal_audio_fingerprint": {
+        "require": ["partial"],
+        "forbid": ["CartesianProduct", "Join"],
+    },
+    "events_cohort_ltv": {
+        "require": ["partial"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
 }
 
 
