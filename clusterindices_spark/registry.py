@@ -15,9 +15,11 @@ from pyspark.sql import DataFrame, SparkSession
 # Order matters: the driver's per-round correctness gate checks the first
 # ~50 queries() keys per round. Rounds 1+2 drove 88 distinct keys green;
 # _FRONT (below) lists the keys that still need a driver row — the 47 keys
-# the driver has never reached plus the 3 keys that ERR'd in r2 on
-# list-typed output (now emitting sortable strings) — so round 3's window
-# covers exactly the remaining gap. Keys outside _FRONT keep module order.
+# the driver never reached plus the 3 keys that ERR'd in r2 on list-typed
+# output (now emitting sortable strings) — so round 3's window covers
+# exactly the remaining gap. _NEXT then queues every round-3 addition
+# (all locally verified bit-exact at 3 SFs; see reports/oracle_local_r3*)
+# as the head of round 4's window. Keys outside both keep module order.
 _MODULES = [
     "clusterindices_spark.operators.indices",
     "clusterindices_spark.operators.validity",
