@@ -302,8 +302,69 @@ def q_events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How FAST users convert, per funnel transition: n, median, p90 and
+    mean latency (ms) for view→click and click→purchase over the same
+    strictly-ordered first-event stage times the funnel counts. Latencies
+    are integer milliseconds (unix_millis diffs — ns↔µs parquet grain
+    never moves an ms), so both engines feed their exact interpolating
+    percentile identical integers (the events_outliers_mad convention).
+
+    Scale: the three user-keyed stage aggs reuse one hash partitioning
+    (exchange reuse, as the funnel); the percentile is one
+    ObjectHashAggregate over converted users only."""
+    from clusterindices_spark.functions.aggregates import round6_stable
+
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"), F.min("t_view").alias("t_view"))
+    )
+    pur = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("t_purchase"),
+            F.min("t_click").alias("t_click2"),
+        )
+    )
+
+    def _stats(df, lat_col, name):
+        lat = df.select(lat_col.alias("lat"))
+        return lat.agg(
+            F.lit(name).alias("transition"),
+            F.count(F.lit(1)).alias("n"),
+            round6_stable(F.percentile("lat", F.lit(0.5))).alias("med_ms"),
+            round6_stable(F.percentile("lat", F.lit(0.9))).alias("p90_ms"),
+            round6_stable(F.avg("lat")).alias("mean_ms"),
+        )
+
+    vc = _stats(
+        c,
+        F.unix_millis("t_click") - F.unix_millis("t_view"),
+        "view_to_click",
+    )
+    cp = _stats(
+        pur,
+        F.unix_millis("t_purchase") - F.unix_millis("t_click2"),
+        "click_to_purchase",
+    )
+    return vc.unionByName(cp)
+
+
 QUERIES = {
     "events_cohort_ltv": q_events_cohort_ltv,
+    "events_funnel_latency": q_events_funnel_latency,
     "stream_tumbling_agg": q_stream_tumbling_agg,
     "stream_sliding_agg": q_stream_sliding_agg,
     "stream_session_windows": q_stream_session_windows,
@@ -316,6 +377,38 @@ QUERIES = {
 _EV = "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events)"
 
 ORACLES = {
+    "events_funnel_latency": f"""
+WITH e AS (SELECT * FROM {_EV} AS t),
+v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM e
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click, MIN(v.t_view) AS t_view
+  FROM e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+),
+pur AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase, MIN(c.t_click) AS t_click2
+  FROM e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+),
+vc AS (SELECT epoch_ms(t_click) - epoch_ms(t_view) AS lat FROM c),
+cp AS (SELECT epoch_ms(t_purchase) - epoch_ms(t_click2) AS lat FROM pur)
+SELECT 'view_to_click' AS transition, COUNT(*) AS n,
+       (floor((quantile_cont(lat, 0.5)) * 1000000.0 + 0.5) / 1000000.0) AS med_ms,
+       (floor((quantile_cont(lat, 0.9)) * 1000000.0 + 0.5) / 1000000.0) AS p90_ms,
+       (floor((AVG(lat)) * 1000000.0 + 0.5) / 1000000.0) AS mean_ms
+FROM vc
+UNION ALL
+SELECT 'click_to_purchase' AS transition, COUNT(*) AS n,
+       (floor((quantile_cont(lat, 0.5)) * 1000000.0 + 0.5) / 1000000.0) AS med_ms,
+       (floor((quantile_cont(lat, 0.9)) * 1000000.0 + 0.5) / 1000000.0) AS p90_ms,
+       (floor((AVG(lat)) * 1000000.0 + 0.5) / 1000000.0) AS mean_ms
+FROM cp
+""",
     "events_cohort_ltv": f"""
 WITH e AS (SELECT * FROM {_EV} AS t),
 first AS (

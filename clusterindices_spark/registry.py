@@ -145,6 +145,7 @@ _NEXT = [
     "events_cohort_ltv",
     "dedup_ngram_containment",
     "multimodal_audio_fingerprint",
+    "events_funnel_latency",
     # iterative ML — rows-only
     "bisecting_sweep_small",
     "gmm_sweep_small",

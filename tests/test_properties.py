@@ -470,3 +470,43 @@ def test_audio_fingerprint_gain_invariance(spark, tmp_path):
 
     rows = q_multimodal_audio_fingerprint(spark, out).collect()
     assert len(rows) == 1 and rows[0]["n_copies"] == 2
+
+
+def test_funnel_latency_hand_values(spark, tmp_path):
+    """Two users with hand-planted stage times: medians/means computed on
+    exact ms latencies, strictly-later ordering enforced (user 3's click
+    BEFORE their view never counts)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = lambda k: t0 + dt.timedelta(minutes=k)  # noqa: E731
+    rows = [
+        # user 1: view@0, click@10, purchase@40 -> 600000 ms, 1800000 ms
+        (1, m(0), 1, "view", 0.0, "{}"),
+        (2, m(10), 1, "click", 0.0, "{}"),
+        (3, m(40), 1, "purchase", 0.0, "{}"),
+        # user 2: view@0, click@30 -> 1800000 ms, never purchases
+        (4, m(0), 2, "view", 0.0, "{}"),
+        (5, m(30), 2, "click", 0.0, "{}"),
+        # user 3: click precedes view -> no funnel entry past view
+        (6, m(5), 3, "view", 0.0, "{}"),
+        (7, m(1), 3, "click", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING,"
+        " value DOUBLE, props STRING",
+    )
+    out = str(tmp_path / "fl")
+    df.write.mode("overwrite").parquet(f"{out}/events.parquet")
+    from clusterindices_spark.operators.sessions import (
+        q_events_funnel_latency,
+    )
+
+    got = {r["transition"]: r for r in q_events_funnel_latency(spark, out).collect()}
+    vc = got["view_to_click"]
+    assert vc["n"] == 2
+    assert vc["med_ms"] == 1200000.0  # interpolated between 600k and 1800k
+    assert vc["mean_ms"] == 1200000.0
+    cp = got["click_to_purchase"]
+    assert cp["n"] == 1 and cp["med_ms"] == 1800000.0
