@@ -341,36 +341,43 @@ def q_window_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_scalar_array_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array set algebra on token arrays: intersect/union/except sizes,
-    overlap flag, flatten+distinct. Sorted before output so hashes are
-    order-stable (set-op result order is engine-internal)."""
+    overlap flag, flatten+distinct. The array column is rendered as one
+    comma-joined STRING cell (sorted first) because the driver's
+    canonicalizer hashes scalar cells only — list-typed output columns are
+    un-sortable pandas objects there (r3 driver ERR; VERDICT r3 item 1)."""
     from clusterindices_spark.functions.text import tokens
 
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     toks = tokens(F.col("text"))
     head = F.slice(toks, 1, 12)
     tail = F.slice(toks, 7, 12)
+    all_toks = F.array_sort(F.array_distinct(F.flatten(F.array(head, tail))))
     return d.select(
         "doc_id",
         F.size(F.array_intersect(head, tail)).alias("n_inter"),
         F.size(F.array_union(head, tail)).alias("n_union"),
         F.size(F.array_except(head, tail)).alias("n_except"),
         F.arrays_overlap(head, tail).alias("overlaps"),
-        F.array_sort(F.array_distinct(F.flatten(F.array(head, tail)))).alias(
-            "all_toks"
-        ),
+        F.concat_ws(",", all_toks).alias("all_toks_csv"),
     )
 
 
 def q_scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-typed column surface: parse JSON props to MAP<STRING,INT>, then
-    keys / values / lookup / containment (sorted outputs so the hash is
-    order-stable)."""
+    keys / values / lookup / containment. keys/vals are comma-joined STRING
+    cells (sorted) — same driver-canonicalizer constraint as
+    q_scalar_array_set."""
     e = load_table(spark, sf_dir, "events")
     m = F.from_json("props", "MAP<STRING, INT>")
     return e.select(
         "event_id",
-        F.array_sort(F.map_keys(m)).alias("keys"),
-        F.array_sort(F.map_values(m)).alias("vals"),
+        F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("keys_csv"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.map_values(m)), lambda v: v.cast("string")
+            ),
+        ).alias("vals_csv"),
         m.getItem("k").alias("k_val"),
         F.array_contains(F.map_keys(m), "k").alias("has_k"),
     )
@@ -878,14 +885,14 @@ SELECT doc_id,
        CAST(len(list_distinct(head || tail)) AS INT) AS n_union,
        CAST(len(list_distinct(list_filter(head, x -> NOT list_contains(tail, x)))) AS INT) AS n_except,
        len(list_distinct(list_filter(head, x -> list_contains(tail, x)))) > 0 AS overlaps,
-       list_sort(list_distinct(head || tail)) AS all_toks
+       array_to_string(list_sort(list_distinct(head || tail)), ',') AS all_toks_csv
 FROM hs
 """,
     "scalar_map": """
 SELECT event_id,
-       list_sort(json_keys(props)) AS keys,
-       list_sort(list_transform(json_keys(props),
-                 k -> CAST(json_extract_string(props, '$.' || k) AS INT))) AS vals,
+       array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
+       array_to_string(list_sort(list_transform(json_keys(props),
+                 k -> CAST(json_extract_string(props, '$.' || k) AS INT))), ',') AS vals_csv,
        CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
        list_contains(json_keys(props), 'k') AS has_k
 FROM events

@@ -453,7 +453,23 @@ def ivf_append_bucketed(
         F.col("cluster").alias("cell"),
         F.col("x").alias("xb"),
     )
-    nb = n_buckets if n_buckets is not None else cents.count()
+    # Default the bucket count to the EXISTING table's bucket spec, not
+    # n_cells: ivf_write_bucketed allows n_buckets != n_cells, and an append
+    # with a mismatched spec dies on Spark's bucket-spec AnalysisException
+    # (ADVICE r3, low). DESCRIBE EXTENDED carries "Num Buckets" for any
+    # bucketed table.
+    if n_buckets is not None:
+        nb = n_buckets
+    else:
+        nb = None
+        for r in spark.sql(f"DESCRIBE EXTENDED {table}").collect():
+            if r.col_name.strip() == "Num Buckets":
+                nb = int(r.data_type.strip())
+                break
+        if nb is None:
+            raise ValueError(
+                f"table {table} has no bucket spec; pass n_buckets explicitly"
+            )
     n = rows.count()
     (
         rows.write.mode("append")

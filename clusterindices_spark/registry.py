@@ -13,13 +13,15 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 # Order matters: the driver's per-round correctness gate checks the first
-# ~50 queries() keys per round. Rounds 1+2 drove 88 distinct keys green;
-# _FRONT (below) lists the keys that still need a driver row — the 47 keys
-# the driver never reached plus the 3 keys that ERR'd in r2 on list-typed
-# output (now emitting sortable strings) — so round 3's window covers
-# exactly the remaining gap. _NEXT then queues every round-3 addition
-# (all locally verified bit-exact at 3 SFs; see reports/oracle_local_r3*)
-# as the head of round 4's window. Keys outside both keep module order.
+# ~50 queries() keys per round. Rounds 1-3 drove 126 distinct keys green.
+# Round-4 _FRONT (below) = the 2 keys that ERR'd in r3 on list-typed output
+# (scalar_map / scalar_array_set — now emitting comma-joined STRING cells,
+# VERDICT r3 item 1), then the 28 oracle-backed keys the driver has never
+# reached (r3's _NEXT minus the 6 rows-only keys, which would burn driver
+# slots as err:"no_oracle"), then 20 re-confirmations of stable r1/r2 greens
+# to fill the 50-slot window. _NEXT queues round-4 additions for round 5's
+# window. Rows-only keys (approx/iterative ML) stay behind slot 50
+# permanently. Keys outside both lists keep module order.
 _MODULES = [
     "clusterindices_spark.operators.indices",
     "clusterindices_spark.operators.validity",
@@ -44,95 +46,30 @@ _MODULES = [
     "clusterindices_spark.sql",
 ]
 
-# Round-3 driver-window priority: every key without a green driver row after
-# rounds 1+2 (CORRECTNESS_r01 ∪ CORRECTNESS_r02; see VERDICT.md r2 "Next
-# round" #1-2). Exactly 50 keys = the driver's per-round check budget.
+# Round-4 driver-window priority (VERDICT r3 "Next round" #1). Exactly 50
+# keys = the driver's per-round check budget.
 _FRONT = [
-    # r2 driver-ERR trio, re-emitted as sortable strings this round
-    "embedding_normalize",
-    "embedding_quantize_int8",
-    "multimodal_resize",
-    # UDF tier remainder
-    "udf_grouped_agg_median",
-    "udtf_sentences",
-    "udf_cogrouped_asof",
-    # streaming batch-twins + session analytics
-    "stream_tumbling_agg",
-    "stream_sliding_agg",
-    "stream_session_windows",
-    "stream_dedup",
-    "stream_join_clicks",
-    "events_funnel",
-    "events_retention",
-    # curation surface
-    "curation_split",
-    "curation_pack_greedy",
-    "curation_pipeline",
-    "curation_sample_stratified",
-    "curation_sample_topk",
-    "curation_mixture_interleave",
-    "curation_decontaminate",
-    # analytics / data-quality surface
-    "profile_orders",
-    "events_histogram",
-    "events_outliers",
-    "events_outliers_mad",
-    "events_path_trigrams",
-    # TPC-H shapes the driver never reached
-    "tpch_q2",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q16",
-    "tpch_q20",
-    "tpch_q21",
-    # relational_ext remainder
-    "null_semantics",
-    "join_interval_binned",
-    "merge_upsert_cdc",
-    "agg_cube",
-    "subquery_in",
-    "window_distribution",
-    "explode_lateral",
-    "sequence_dates",
-    "cond_expr",
-    "distinct_latest",
-    "string_distance",
+    # r3 driver-ERR pair, re-emitted as comma-joined STRING cells this round
     "scalar_map",
-    "window_range_frame",
     "scalar_array_set",
-    "join_full_outer",
-    "window_fill_forward",
-    # SQL entry point
-    "sql_interface",
-]
-
-# Immediately after the 50-slot window: new round-3 keys that should be the
-# FIRST to get driver rows if the window is wider than 50 (and the head of
-# round 4's window otherwise).
-_NEXT = [
+    # the 28 oracle-backed keys the driver has never reached (r3 _NEXT minus
+    # the 6 rows-only keys) — all pass the local 3-SF gate; 12 of them were
+    # independently judge-verified in r3
     "multimodal_decode_real",
     "text_pii_scrub",
     "agg_quantiles",
-    "similarity_knn_graph",
-    "agg_quantiles_approx",
     "analytics_rfm",
     "events_markov_transition",
     "basket_pair_lift",
     "dedup_graph_pagerank",
-    "similarity_ann_ivfpq",
-    # round-3b: validity-surface widening (operators/validity.py)
     "wemmert_gancarski",
     "sd_index",
     "s_dbw",
     "c_index",
     "cluster_agreement_ext",
     "dedup_span_coverage",
-    # Spark 4 SQL features (operators/sql_features.py)
     "sql_recursive_months",
     "scalar_variant",
-    # round-3c: weighted sampling + corpus vocab profile + Python source
     "curation_sample_weighted",
     "text_vocab_stats",
     "source_python_datasource",
@@ -146,7 +83,39 @@ _NEXT = [
     "dedup_ngram_containment",
     "multimodal_audio_fingerprint",
     "events_funnel_latency",
-    # iterative ML — rows-only
+    # 20 re-confirmations of stable r1/r2 greens filling the window
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q6",
+    "join_asof",
+    "join_range",
+    "agg_basic",
+    "window_rank",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_components",
+    "similarity_topk_exact",
+    "dedup_embedding_cosine",
+    "text_langid",
+    "text_quality",
+    "multimodal_meta",
+    "curation_decontaminate",
+    "events_funnel",
+    "stream_session_windows",
+    "sql_interface",
+    "silhouette_exact",
+]
+
+# Immediately after the 50-slot window: new round-4 oracle-backed keys that
+# should be the FIRST to get driver rows if the window is wider than 50 (and
+# the head of round 5's window otherwise). Rows-only keys stay at the very
+# end so they never burn a driver slot.
+_NEXT: list[str] = []
+
+# Rows-only keys (no oracle SQL by design — approx/iterative). Kept behind
+# every oracle-backed key; the driver records err:"no_oracle" for these, so
+# they must never enter the 50-slot window (VERDICT r3 "What's wrong" #3).
+_ROWS_ONLY_TAIL = [
     "bisecting_sweep_small",
     "gmm_sweep_small",
     "gap_statistic",
@@ -171,13 +140,26 @@ def _load():
         queries.update(q)
         oracles.update(o)
     head = _FRONT + [k for k in _NEXT if k not in _FRONT]
-    missing = [k for k in head if k not in queries]
+    missing = [k for k in head + _ROWS_ONLY_TAIL if k not in queries]
     if missing:
-        raise ValueError(f"_FRONT/_NEXT name unknown keys {missing}")
+        raise ValueError(f"_FRONT/_NEXT/_ROWS_ONLY_TAIL name unknown keys {missing}")
     if len(head) != len(set(head)):
         raise ValueError("_FRONT has duplicate keys")
     ordered = {k: queries[k] for k in head}
-    ordered.update((k, v) for k, v in queries.items() if k not in ordered)
+    # middle: everything else in module order, but rows-only keys (no oracle)
+    # sink to the very end so a wider driver window still hits oracle-backed
+    # keys first
+    rows_only_last = set(_ROWS_ONLY_TAIL) | {
+        k for k in queries if k not in oracles
+    }
+    ordered.update(
+        (k, v)
+        for k, v in queries.items()
+        if k not in ordered and k not in rows_only_last
+    )
+    ordered.update(
+        (k, v) for k, v in queries.items() if k not in ordered
+    )
     return ordered, oracles
 
 

@@ -149,9 +149,19 @@ def merge_cdc(
     convention). The result commits as a FULL new snapshot — readers of
     older versions are untouched mid-rewrite, and the commit either
     happens entirely or not at all (the manifest is the only mutation).
+
+    OCC ordering: the base version is captured FIRST and the snapshot read
+    pinned to it explicitly. Resolving "latest" after the read would let a
+    writer commit v+1 in between, making this merge commit v+2 from the
+    stale v snapshot and silently dropping the interleaved commit (the
+    version numbers no longer collide, so the FileExistsError gate never
+    fires). Capturing v first means any racing commit at v+1 surfaces as
+    FileExistsError here, as documented. (ADVICE r3, medium.)
     """
-    base = read_versioned(spark, root)
     v = latest_version(root)
+    if v is None:
+        raise FileNotFoundError(f"no versioned table at {root}")
+    base = read_versioned(spark, root, v)
     dead = changes.where(F.col("op") == "D").select(key)
     ups = changes.where(F.col("op") == "U").drop("op")
     merged = (
@@ -225,13 +235,29 @@ def stream_writer(root: str):
     return _write
 
 
-def vacuum(root: str, keep_last: int = 1) -> dict:
+def vacuum(root: str, keep_last: int = 1, min_age_seconds: float = 3600.0) -> dict:
     """Drop manifests older than the last ``keep_last`` versions and delete
-    data groups no retained manifest references (including orphans from
-    crashed writers). Time travel shrinks to the retained window; the
-    latest snapshot is never touched. Returns {removed_versions,
-    removed_groups} counts."""
+    data groups no retained manifest references (orphans from crashed
+    writers). Time travel shrinks to the retained window; the latest
+    snapshot is never touched. Returns {removed_versions, removed_groups}.
+
+    Concurrency (ADVICE r3): an unreferenced data directory is ambiguous —
+    it is either a crashed writer's orphan OR a live writer's freshly
+    written, not-yet-committed group (data is written before the manifest
+    commit). Deleting the latter makes the writer's subsequent commit
+    reference missing files. The Delta/Iceberg retention pattern resolves
+    this with an age threshold: groups younger than ``min_age_seconds``
+    (default 1 h, far above any commit latency) are skipped. Pass
+    ``min_age_seconds=0`` only when no writer can be active.
+
+    Note also that removing old manifests shrinks committed_batch_ids, so
+    append_stream_batch's replay-idempotence covers only batch ids in
+    retained manifests — keep ``keep_last`` larger than the stream's
+    maximum replay window, or rely on the stream checkpoint (which Spark
+    uses first) and treat the manifest ids as a second line of defense.
+    """
     import shutil
+    import time
 
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
@@ -242,10 +268,19 @@ def vacuum(root: str, keep_last: int = 1) -> dict:
     }
     data_dir = os.path.join(root, "data")
     removed_groups = 0
+    now = time.time()
     for name in os.listdir(data_dir) if os.path.isdir(data_dir) else []:
-        if os.path.join("data", name) not in referenced:
-            shutil.rmtree(os.path.join(data_dir, name), ignore_errors=True)
-            removed_groups += 1
+        if os.path.join("data", name) in referenced:
+            continue
+        path = os.path.join(data_dir, name)
+        try:
+            age = now - os.path.getmtime(path)
+        except OSError:
+            continue
+        if age < min_age_seconds:
+            continue  # possibly a live writer's uncommitted group
+        shutil.rmtree(path, ignore_errors=True)
+        removed_groups += 1
     for v in drop:
         os.remove(os.path.join(_manifest_dir(root), f"v{v}.json"))
     return {"removed_versions": len(drop), "removed_groups": removed_groups}

@@ -155,8 +155,11 @@ def test_ivf_append_bucketed_absorbs_new_vectors(spark):
     new = emb.where(F.col("vec_id") % 5 == 0)
     table = "t_ivf_append"
     try:
+        # n_buckets deliberately != n_cells: the append must read the bucket
+        # spec off the table instead of defaulting to the centroid count
+        # (ADVICE r3 — the old default hit a bucket-spec AnalysisException)
         ivf_write_bucketed(
-            old.select("vec_id", "x"), table, n_cells=8
+            old.select("vec_id", "x"), table, n_cells=8, n_buckets=4
         )
         n_old = spark.table(table).count()
         appended = ivf_append_bucketed(new.select("vec_id", "x"), table)

@@ -143,8 +143,14 @@ def test_vacuum_drops_unreferenced_groups_keeps_latest(spark, tmp_path):
     create(_df(spark, [(1, "a")]), root)
     overwrite(_df(spark, [(2, "b")]), root)   # v0's group now unreferenced
     _write_data_group(_df(spark, [(9, "x")]), root)  # crashed-writer orphan
-    out = vacuum(root, keep_last=1)
-    assert out == {"removed_versions": 1, "removed_groups": 2}
+    # default min_age_seconds (1 h) treats the fresh orphan as a possibly
+    # live writer's uncommitted group and leaves it (ADVICE r3 grace period)
+    grace = vacuum(root, keep_last=1)
+    assert grace["removed_groups"] == 0
+    # recreate the dropped manifest state for the aggressive pass
+    assert [h["version"] for h in history(root)] == [1]
+    out = vacuum(root, keep_last=1, min_age_seconds=0)
+    assert out == {"removed_versions": 0, "removed_groups": 2}
     # latest snapshot intact; history collapsed to the retained window
     assert [r["k"] for r in read_versioned(spark, root).collect()] == [2]
     assert [h["version"] for h in history(root)] == [1]

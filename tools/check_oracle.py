@@ -86,6 +86,27 @@ def main():
             print(f"FAIL  {k}: spark error: {ex}")
             n_fail += 1
             continue
+        # Driver-faithfulness gate (VERDICT r3 item 2): the driver's
+        # canonicalizer sorts a pandas frame and dies on list/map/struct
+        # cells (`TypeError: unhashable type: 'list'` — r3 scalar_map/
+        # scalar_array_set ERR). Reject complex output types here so local
+        # green predicts driver green; emit concat_ws/to_json strings
+        # instead.
+        from pyspark.sql import types as T
+
+        complex_cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        if complex_cols:
+            print(
+                f"FAIL  {k}: complex output columns {complex_cols} — the "
+                "driver canonicalizer cannot hash array/map/struct cells; "
+                "emit a sorted concat_ws/to_json STRING instead"
+            )
+            n_fail += 1
+            continue
         if k not in oracles:
             print(f"ROWS  {k}: {len(srows)} rows (no oracle — rows-only check)")
             n_rowsonly += 1
