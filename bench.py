@@ -104,6 +104,9 @@ HEADLINE = [
     "multimodal_dhash",
     "multimodal_audio_fingerprint",
     "events_cohort_ltv",
+    # round-4 additions: funnel transition-latency percentiles (VERDICT r3
+    # item 6 — the newest sessions key joins the headline set)
+    "events_funnel_latency",
 ]
 
 # Measured and reported, but EXCLUDED from the headline total: these keys
@@ -154,6 +157,69 @@ def main() -> None:
         out[name] = round(time.monotonic() - t0, 3)
         print(f"# {name}: {out[name]}s ({n} rows)", file=sys.stderr)
 
+    # ANN build/query split (VERDICT r3 item 4): index BUILD (Lloyd training
+    # + encode) is an offline job at scale, but the registry keys charge it
+    # to query time. Measure each ANN key again right after its cold
+    # headline run: the repeat rides the build memos/pins, so repeat ≈ pure
+    # query-side cost and (cold − repeat) ≈ build cost. Reported separately;
+    # the headline total still charges the conservative cold number.
+    ann_split: dict[str, dict[str, float]] = {}
+    for name in ("similarity_ann_ivf", "similarity_ann_pq", "similarity_ann_ivfpq"):
+        fn = queries[name]
+        if name in timings:
+            cold = timings[name]
+        else:
+            t0 = time.monotonic()
+            fn(spark, sf_dir).count()
+            cold = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        fn(spark, sf_dir).count()
+        warm = round(time.monotonic() - t0, 3)
+        ann_split[name] = {
+            "build_plus_query_cold": cold,
+            "query_warm_index": warm,
+            "build_est": round(max(cold - warm, 0.0), 3),
+        }
+        print(f"# ann_split {name}: cold={cold}s query={warm}s", file=sys.stderr)
+
+    # the persisted-index operating mode (build once, search many): IVF
+    # index written as a cell-bucketed table, then searched with bucket
+    # pruning — the clean build/query boundary (no memo accounting).
+    try:
+        from pyspark.sql import functions as F
+
+        from clusterindices_spark.operators.similarity import (
+            N_PROBES,
+            ivf_search_bucketed,
+            ivf_write_bucketed,
+        )
+        from clusterindices_spark.sources.bucketing import drop_table
+        from clusterindices_spark.sources.fixtures import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").alias("x")
+        )
+        table = "bench_ivf_idx"
+        t0 = time.monotonic()
+        ivf_write_bucketed(emb, table)
+        build_s = round(time.monotonic() - t0, 3)
+        probes = emb.where(F.col("vec_id") < N_PROBES)
+        t0 = time.monotonic()
+        ivf_search_bucketed(spark, table, probes).count()
+        search_s = round(time.monotonic() - t0, 3)
+        ann_split["ivf_bucketed_persisted"] = {
+            "index_build_write": build_s,
+            "search_only": search_s,
+        }
+        print(
+            f"# ann_split ivf_bucketed: build={build_s}s search={search_s}s",
+            file=sys.stderr,
+        )
+        drop_table(spark, table)
+        drop_table(spark, f"{table}_cents")
+    except Exception as ex:
+        print(f"# ann_split ivf_bucketed failed: {ex}", file=sys.stderr)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -167,6 +233,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sidebar_python_tax_demo": sidebar,
+                "ann_build_query_split": ann_split,
                 "sf": sf_val,
             }
         )

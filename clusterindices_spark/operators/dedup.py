@@ -656,9 +656,19 @@ def q_dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clusters via min-label propagation (O(diameter) rounds)."""
+    """Near-dup clusters via alternating large-star/small-star rounds.
+
+    Headline choice pinned by measurement (r4 A/B, BASELINE.md "CC engine
+    A/B"): star beats min-label propagation on BOTH the fixture dup graph
+    (4.7 s vs 20.0 s cold, 3.3 s vs 6.3 s warm at sf0.1) and a 20k-node
+    adversarial chain (8.5 s converged vs label-prop unconverged after 100
+    rounds) — O(log n) rounds dominates O(diameter) even on clique-like dup
+    topologies because each star round is the same join+min-agg cost as a
+    propagation round. connected_components (label-prop) stays exported for
+    tiny-diameter graphs where its 2-3 rounds beat star's fixed overhead.
+    """
     nodes, pairs = _doc_pair_edges(spark, sf_dir)
-    return _component_report(connected_components(nodes, pairs))
+    return _component_report(connected_components_star(nodes, pairs))
 
 
 PR_ITERS = 6
