@@ -110,7 +110,11 @@ _FRONT = [
 # should be the FIRST to get driver rows if the window is wider than 50 (and
 # the head of round 5's window otherwise). Rows-only keys stay at the very
 # end so they never burn a driver slot.
-_NEXT: list[str] = []
+_NEXT: list[str] = [
+    # round-4a: merge-on-read ACID path (two stacked MOR merges resolved
+    # with seq-aware equality deletes)
+    "versioned_mor_snapshot",
+]
 
 # Rows-only keys (no oracle SQL by design — approx/iterative). Kept behind
 # every oracle-backed key; the driver records err:"no_oracle" for these, so

@@ -26,8 +26,20 @@ any version / history.
 Scale: manifests carry FILE GROUP paths, not rows — a commit is one
 driver-side JSON write regardless of data size; merge_cdc's rewrite cost
 is the standard copy-on-write trade documented by every COW table format
-(fine for dimension-scale tables; an MOR delete-vector design is out of
-scope by the public-knowledge ground rule).
+(fine for dimension-scale tables).
+
+Merge-on-read (r4, VERDICT r3 item 7): merge_cdc_mor commits O(changes)
+bytes per merge instead of COW's O(table) — an upsert data group plus an
+equality-delete file (the Iceberg v2 equality-delete / Delta deletion-
+vector idea, re-derived from the public papers): the delete file lists
+superseded KEYS, and readers apply a delete to exactly the data groups
+with a smaller sequence number. read_versioned applies deletes with one
+broadcast anti-join (delete side is CDC-scale); compact_mor folds the
+accumulated deletes back into a plain COW snapshot when read cost
+outgrows write savings. Write amplification at 100 TB: COW rewrites the
+full table per merge (1 000× amplification for a 0.1% CDC batch); MOR
+writes ~2× the batch, paying one broadcast anti-join per read until the
+next scheduled compaction — the standard high-frequency-upsert trade.
 """
 
 from __future__ import annotations
@@ -74,15 +86,25 @@ def _write_data_group(df: DataFrame, root: str) -> str:
     return group
 
 
-def _commit(root: str, version: int, groups: list[str], op: str) -> int:
+def _commit(
+    root: str,
+    version: int,
+    groups: list[str],
+    op: str,
+    extra: dict | None = None,
+) -> int:
     """Atomic manifest commit; raises FileExistsError when another writer
-    already committed this version (optimistic concurrency)."""
+    already committed this version (optimistic concurrency). ``extra``
+    carries MOR bookkeeping (group_seqs / deletes / mor_key)."""
     d = _manifest_dir(root)
     os.makedirs(d, exist_ok=True)
     final = os.path.join(d, f"v{version}.json")
     tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as f:
-        json.dump({"version": version, "op": op, "groups": groups}, f)
+        json.dump(
+            {"version": version, "op": op, "groups": groups, **(extra or {})},
+            f,
+        )
     if os.path.exists(final):  # cheap pre-check; rename below is the gate
         os.remove(tmp)
         raise FileExistsError(
@@ -109,12 +131,31 @@ def create(df: DataFrame, root: str) -> int:
     return _commit(root, 0, [_write_data_group(df, root)], "create")
 
 
+def _mor_carry(m: dict, new_groups: list[str], new_version: int) -> dict:
+    """Manifest fields an incremental commit must carry forward on a table
+    with outstanding MOR deletes: the delete list, per-group sequence
+    numbers (new groups get the committing version, so existing deletes —
+    all strictly older — never shadow them), and the merge key."""
+    if not m.get("deletes"):
+        return {}
+    seqs = dict(m.get("group_seqs", {}))
+    for g in new_groups:
+        seqs[g] = new_version
+    return {
+        "deletes": m["deletes"],
+        "group_seqs": seqs,
+        "mor_key": m["mor_key"],
+    }
+
+
 def append(df: DataFrame, root: str) -> int:
     v = latest_version(root)
     if v is None:
         raise FileNotFoundError(f"no versioned table at {root}")
-    groups = _read_manifest(root, v)["groups"] + [_write_data_group(df, root)]
-    return _commit(root, v + 1, groups, "append")
+    m = _read_manifest(root, v)
+    g = _write_data_group(df, root)
+    groups = m["groups"] + [g]
+    return _commit(root, v + 1, groups, "append", _mor_carry(m, [g], v + 1))
 
 
 def overwrite(df: DataFrame, root: str) -> int:
@@ -133,9 +174,41 @@ def read_versioned(
     v = latest_version(root) if version is None else version
     if v is None or v not in _versions(root):
         raise FileNotFoundError(f"version {version} not found at {root}")
-    groups = _read_manifest(root, v)["groups"]
-    paths = [os.path.join(root, g) for g in groups]
-    return spark.read.parquet(*paths)
+    m = _read_manifest(root, v)
+    groups = m["groups"]
+    deletes = m.get("deletes", [])
+    if not deletes:
+        paths = [os.path.join(root, g) for g in groups]
+        return spark.read.parquet(*paths)
+    # merge-on-read: group data files by sequence number, tag each slice
+    # with its _seq, and anti-join against every delete file whose seq is
+    # STRICTLY greater (a delete cannot shadow rows committed with or after
+    # it — the upsert group of the same merge carries the same key).
+    seqs = m.get("group_seqs", {})
+    by_seq: dict[int, list[str]] = {}
+    for g in groups:
+        by_seq.setdefault(int(seqs.get(g, 0)), []).append(
+            os.path.join(root, g)
+        )
+    data = None
+    for s, paths in sorted(by_seq.items()):
+        part = spark.read.parquet(*paths).withColumn("_seq", F.lit(s))
+        data = part if data is None else data.unionByName(part)
+    key = m["mor_key"]
+    dels = None
+    for d in deletes:
+        part = (
+            spark.read.parquet(os.path.join(root, d["path"]))
+            .select(F.col(key).alias("_dkey"))
+            .withColumn("_dseq", F.lit(int(d["seq"])))
+        )
+        dels = part if dels is None else dels.unionByName(part)
+    out = data.join(
+        F.broadcast(dels),
+        (F.col(key) == F.col("_dkey")) & (F.col("_dseq") > F.col("_seq")),
+        "left_anti",
+    )
+    return out.drop("_seq")
 
 
 def merge_cdc(
@@ -171,6 +244,65 @@ def merge_cdc(
     )
     group = _write_data_group(merged, root)
     return _commit(root, v + 1, [group], "merge_cdc")
+
+
+def merge_cdc_mor(
+    spark: SparkSession, root: str, changes: DataFrame, key: str
+) -> int:
+    """Merge-on-read MERGE: commit O(changes) bytes instead of rewriting
+    the table (same CDC contract as merge_cdc — op ∈ {'U','D'}, upsert
+    replaces the whole row, delete drops the key).
+
+    Writes exactly two small artifacts: a data group holding the upsert
+    row images (sequence = the new version) and an equality-delete file
+    holding every TOUCHED key (deletes AND upserts: an upsert must shadow
+    the key's older copies, and its own fresh copy is protected by its
+    higher sequence number). Readers resolve via read_versioned's
+    broadcast anti-join; schedule compact_mor when the delete list grows
+    past read-amplification tolerance. Keys must be consistent across
+    merges: the first MOR merge pins ``mor_key`` in the manifest and
+    later merges must use the same key column.
+    """
+    v = latest_version(root)
+    if v is None:
+        raise FileNotFoundError(f"no versioned table at {root}")
+    m = _read_manifest(root, v)
+    if m.get("deletes") and m["mor_key"] != key:
+        raise ValueError(
+            f"MOR key mismatch: table uses {m['mor_key']!r}, got {key!r}"
+        )
+    ups = changes.where(F.col("op") == "U").drop("op")
+    touched = changes.select(key).distinct()
+    ups_group = _write_data_group(ups, root)
+    del_path = _write_data_group(touched, root)
+    seqs = dict(m.get("group_seqs", {}))
+    # legacy COW groups default to seq 0 on first MOR merge; any positive
+    # delete seq shadows them, matching "delete applies to older data"
+    for g in m["groups"]:
+        seqs.setdefault(g, 0)
+    seqs[ups_group] = v + 1
+    deletes = list(m.get("deletes", [])) + [{"path": del_path, "seq": v + 1}]
+    return _commit(
+        root,
+        v + 1,
+        m["groups"] + [ups_group],
+        "merge_cdc_mor",
+        {"deletes": deletes, "group_seqs": seqs, "mor_key": key},
+    )
+
+
+def compact_mor(spark: SparkSession, root: str) -> int:
+    """Fold outstanding MOR deletes into a plain COW snapshot: one full
+    resolved read, one rewritten data group, a manifest with no deletes.
+    The scheduled-maintenance half of the MOR trade (Iceberg's rewrite-
+    data-files / Delta's OPTIMIZE analogue)."""
+    v = latest_version(root)
+    if v is None:
+        raise FileNotFoundError(f"no versioned table at {root}")
+    resolved = read_versioned(spark, root, v)
+    return _commit(
+        root, v + 1, [_write_data_group(resolved, root)], "compact_mor"
+    )
 
 
 def history(root: str) -> list[dict]:
@@ -263,9 +395,11 @@ def vacuum(root: str, keep_last: int = 1, min_age_seconds: float = 3600.0) -> di
         raise ValueError("keep_last must be >= 1")
     vs = _versions(root)
     drop, keep = vs[:-keep_last], vs[-keep_last:]
-    referenced = {
-        g for v in keep for g in _read_manifest(root, v)["groups"]
-    }
+    referenced = set()
+    for v in keep:
+        m = _read_manifest(root, v)
+        referenced.update(m["groups"])
+        referenced.update(d["path"] for d in m.get("deletes", []))
     data_dir = os.path.join(root, "data")
     removed_groups = 0
     now = time.time()
@@ -328,7 +462,52 @@ def q_versioned_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"versioned_merge_snapshot": q_versioned_merge_snapshot}
+def q_versioned_mor_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MERGE-ON-READ path inside the correctness gate: create a
+    versioned table, apply TWO sequential MOR merges (each = upsert group
+    + equality-delete file, no table rewrite), then read — the read must
+    resolve both delete files against the right sequence slices. A final
+    compact_mor is asserted equal by tests; the gate checks the resolved
+    MOR read itself. The second merge overlaps the first's keys (k%5 ∩
+    k%7 ≠ ∅), so a correct result REQUIRES seq-aware shadowing: merge-2's
+    deletes must shadow merge-1's upserts but not merge-2's own rows."""
+    import tempfile
+
+    from clusterindices_spark.sources.fixtures import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    r2 = lambda c: F.floor(c * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)  # noqa: E731
+    base = o.where(F.col("k") % 4 != 0)
+    c1 = o.where(F.col("k") % 5 == 0).select(
+        "k",
+        F.when(F.col("k") % 3 == 0, "D").otherwise("U").alias("op"),
+        F.col("status"),
+        r2(F.col("price") * 1.1).alias("price"),
+    )
+    c2 = o.where(F.col("k") % 7 == 0).select(
+        "k",
+        F.when(F.col("k") % 2 == 0, "D").otherwise("U").alias("op"),
+        F.lit("M").alias("status"),
+        r2(F.col("price") * 0.9).alias("price"),
+    )
+    root = tempfile.mkdtemp(prefix="ci-versioned-mor-")
+    create(base, root)
+    merge_cdc_mor(spark, root, c1, "k")
+    merge_cdc_mor(spark, root, c2, "k")
+    snap = read_versioned(spark, root)
+    return snap.select(
+        "k", "status", (F.floor(F.col("price") * 100.0 + 0.5) / 100.0).alias("price")
+    )
+
+
+QUERIES = {
+    "versioned_merge_snapshot": q_versioned_merge_snapshot,
+    "versioned_mor_snapshot": q_versioned_mor_snapshot,
+}
 
 ORACLES = {
     "versioned_merge_snapshot": """
@@ -354,5 +533,37 @@ ups AS (
 SELECT k, status, floor(price * 100.0 + 0.5) / 100.0 AS price FROM kept
 UNION ALL
 SELECT k, status, floor(price * 100.0 + 0.5) / 100.0 AS price FROM ups
+""",
+    "versioned_mor_snapshot": """
+WITH o AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS price
+  FROM orders
+),
+base AS (SELECT * FROM o WHERE k % 4 <> 0),
+c1 AS (
+  SELECT k,
+         CASE WHEN k % 3 = 0 THEN 'D' ELSE 'U' END AS op,
+         status,
+         floor(price * 1.1 * 100.0 + 0.5) / 100.0 AS price
+  FROM o WHERE k % 5 = 0
+),
+c2 AS (
+  SELECT k,
+         CASE WHEN k % 2 = 0 THEN 'D' ELSE 'U' END AS op,
+         'M' AS status,
+         floor(price * 0.9 * 100.0 + 0.5) / 100.0 AS price
+  FROM o WHERE k % 7 = 0
+),
+after1 AS (
+  SELECT b.* FROM base b WHERE b.k NOT IN (SELECT k FROM c1)
+  UNION ALL
+  SELECT k, status, price FROM c1 WHERE op = 'U'
+),
+after2 AS (
+  SELECT a.* FROM after1 a WHERE a.k NOT IN (SELECT k FROM c2)
+  UNION ALL
+  SELECT k, status, price FROM c2 WHERE op = 'U'
+)
+SELECT k, status, floor(price * 100.0 + 0.5) / 100.0 AS price FROM after2
 """,
 }

@@ -207,3 +207,83 @@ def test_stream_writer_end_to_end(spark, tmp_path):
         (r["k"], r["val"]) for r in read_versioned(spark, root).collect()
     )
     assert got == [(1, "x"), (2, "y")]
+
+
+def _cdc(spark, rows):
+    return spark.createDataFrame(rows, "k BIGINT, op STRING, val STRING")
+
+
+def test_merge_cdc_mor_matches_cow_and_compacts(spark, tmp_path):
+    """MOR and COW merges produce the same snapshot; two stacked MOR merges
+    resolve with seq-aware shadowing (merge-2 shadows merge-1's upsert of
+    the same key but not its own row); compact_mor folds the deletes into
+    a plain snapshot with identical content."""
+    from clusterindices_spark.sources.versioned import (
+        _read_manifest,
+        compact_mor,
+        merge_cdc_mor,
+    )
+
+    base = [(k, f"v{k}") for k in range(10)]
+    c1 = [(1, "D", None), (2, "U", "two"), (3, "U", "three")]
+    c2 = [(2, "U", "TWO"), (3, "D", None), (4, "U", "four")]
+
+    cow, mor = str(tmp_path / "cow"), str(tmp_path / "mor")
+    for root in (cow, mor):
+        create(_df(spark, base), root)
+    merge_cdc(spark, cow, _cdc(spark, c1), "k")
+    merge_cdc(spark, cow, _cdc(spark, c2), "k")
+    merge_cdc_mor(spark, mor, _cdc(spark, c1), "k")
+    merge_cdc_mor(spark, mor, _cdc(spark, c2), "k")
+
+    want = sorted(
+        (r["k"], r["val"]) for r in read_versioned(spark, cow).collect()
+    )
+    got = sorted(
+        (r["k"], r["val"]) for r in read_versioned(spark, mor).collect()
+    )
+    assert got == want
+    assert (2, "TWO") in got and (3, "three") not in got  # seq shadowing
+    # MOR wrote only change-scale groups: 1 base + 2×(ups+delete) = 5
+    assert len(_read_manifest(mor, 2)["groups"]) == 3  # data groups only
+    assert len(_read_manifest(mor, 2)["deletes"]) == 2
+    v = compact_mor(spark, mor)
+    m = _read_manifest(mor, v)
+    assert not m.get("deletes") and len(m["groups"]) == 1
+    assert sorted(
+        (r["k"], r["val"]) for r in read_versioned(spark, mor).collect()
+    ) == want
+    # time travel still resolves the intermediate MOR version
+    mid = sorted(
+        (r["k"], r["val"]) for r in read_versioned(spark, mor, 1).collect()
+    )
+    assert (1, "v1") not in mid and (2, "two") in mid
+
+
+def test_mor_append_carries_deletes_and_key_mismatch_raises(spark, tmp_path):
+    from clusterindices_spark.sources.versioned import merge_cdc_mor
+
+    root = str(tmp_path / "t")
+    create(_df(spark, [(1, "a"), (2, "b")]), root)
+    merge_cdc_mor(spark, root, _cdc(spark, [(1, "D", None)]), "k")
+    # append on a MOR table: new rows must NOT be shadowed by older deletes
+    append(_df(spark, [(1, "back")]), root)
+    assert sorted(
+        (r["k"], r["val"]) for r in read_versioned(spark, root).collect()
+    ) == [(1, "back"), (2, "b")]
+    with pytest.raises(ValueError, match="MOR key mismatch"):
+        merge_cdc_mor(spark, root, _cdc(spark, [(2, "D", None)]), "val")
+
+
+def test_vacuum_retains_mor_delete_files(spark, tmp_path):
+    from clusterindices_spark.sources.versioned import merge_cdc_mor, vacuum
+
+    root = str(tmp_path / "t")
+    create(_df(spark, [(1, "a"), (2, "b")]), root)
+    merge_cdc_mor(spark, root, _cdc(spark, [(1, "D", None)]), "k")
+    out = vacuum(root, keep_last=1, min_age_seconds=0)
+    # base group, upsert group, and the DELETE FILE are all referenced
+    assert out["removed_groups"] == 0
+    assert sorted(
+        (r["k"], r["val"]) for r in read_versioned(spark, root).collect()
+    ) == [(2, "b")]
