@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from clusterindices_spark.functions.aggregates import SQL_ROUND6
 from clusterindices_spark.sources.fixtures import load_table
 
 HIST_LO = 0.0
@@ -437,7 +438,59 @@ def q_events_outliers_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enriched.where(F.abs(z) > Z_THRESHOLD)
 
 
+def q_events_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types: Jaccard of the two
+    user sets for every unordered type pair — the segment-overlap matrix
+    behind funnel design and dataset-mixture diagnostics (how much does
+    the 'click' audience share with 'purchase'?).
+
+    Scale: ONE shuffle of the distinct (type, user) pairs by user_id; the
+    self-join meets per user (fan-out = types-per-user², bounded by the
+    type vocabulary, not the corpus), and the pair agg groups on ≤ T²
+    keys. Per-type audience sizes are T rows — broadcast back onto the
+    pair table. No O(n²) anywhere."""
+    from clusterindices_spark.functions.aggregates import round6_stable
+
+    e = load_table(spark, sf_dir, "events")
+    tu = e.select("event_type", "user_id").where(
+        F.col("user_id").isNotNull()
+    ).distinct()
+    a = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    b = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("event_type").alias("type_a"),
+                                     F.col("n").alias("n_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("event_type").alias("type_b"),
+                                     F.col("n").alias("n_b"))),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_inter",
+            round6_stable(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
 QUERIES = {
+    "events_user_overlap": q_events_user_overlap,
     "events_outliers_seasonal": q_events_outliers_seasonal,
     "profile_orders": q_profile_orders,
     "analytics_rfm": q_analytics_rfm,
@@ -452,6 +505,22 @@ QUERIES = {
 _W = (HIST_HI - HIST_LO) / HIST_BINS
 
 ORACLES = {
+    "events_user_overlap": f"""
+WITH tu AS (
+  SELECT DISTINCT event_type, user_id FROM events WHERE user_id IS NOT NULL
+),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_inter
+  FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+),
+sizes AS (SELECT event_type, COUNT(*) AS n FROM tu GROUP BY event_type)
+SELECT i.type_a, i.type_b, sa.n AS n_a, sb.n AS n_b, i.n_inter,
+       {SQL_ROUND6.format(x="CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter)")} AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.event_type = i.type_a
+JOIN sizes sb ON sb.event_type = i.type_b
+""",
     "profile_orders": """
 WITH one AS (
   SELECT COUNT(*) AS n_rows,

@@ -402,7 +402,47 @@ def q_curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(d)
 
 
+MIX_ALPHA_NUM = 1  # temperature α = 1/2 as an exact rational: w ∝ n^(1/2)
+MIX_ALPHA_DEN = 2
+MIX_BUDGET = 100000  # training-token budget (docs) the weights allocate
+
+
+def q_curation_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture reweighting — the multilingual/multi-source
+    LLM sampling rule (w_i ∝ n_i^α, α<1 upsamples small sources; the
+    mT5/XLM-R recipe): per source, emit raw share, the α=0.5 smoothed
+    weight, the doc budget that weight allocates, and the implied epoch
+    count (budget_i / n_i — the over-sampling factor a trainer would see).
+
+    Determinism: n^0.5 = sqrt(n) on exact BIGINT counts; weights and
+    epochs are floor-micro'd. Scale: one groupBy(source) over the corpus
+    (map-side combined to |sources| rows), then T-row arithmetic — the
+    corpus is touched once; the weight table broadcasts everywhere."""
+    from pyspark.sql import Window
+
+    from clusterindices_spark.functions.aggregates import round6_stable
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = Window.partitionBy()  # T rows — a driver-scale window, not corpus
+    smooth = F.pow(F.col("n_docs").cast("double"),
+                   F.lit(MIX_ALPHA_NUM / MIX_ALPHA_DEN))
+    w = smooth / F.sum(smooth).over(tot)
+    budget_i = F.floor(w * F.lit(MIX_BUDGET)).cast("bigint")
+    return counts.select(
+        "source",
+        "n_docs",
+        round6_stable(
+            F.col("n_docs") / F.sum("n_docs").over(tot)
+        ).alias("raw_share"),
+        round6_stable(w).alias("weight"),
+        budget_i.alias("budget_docs"),
+        round6_stable(budget_i / F.col("n_docs")).alias("epochs"),
+    )
+
+
 QUERIES = {
+    "curation_mixture_temperature": q_curation_mixture_temperature,
     "curation_split": q_curation_split,
     "curation_pack_greedy": q_curation_pack_greedy,
     "curation_pipeline": q_curation_pipeline,
@@ -440,6 +480,21 @@ def _sql_marker_hits() -> str:
 
 
 ORACLES = {
+    "curation_mixture_temperature": f"""
+WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+t AS (
+  SELECT source, n_docs,
+         CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER () AS raw_share_x,
+         sqrt(CAST(n_docs AS DOUBLE)) / SUM(sqrt(CAST(n_docs AS DOUBLE))) OVER () AS w
+  FROM c
+)
+SELECT source, n_docs,
+       {SQL_ROUND6.format(x="raw_share_x")} AS raw_share,
+       {SQL_ROUND6.format(x="w")} AS weight,
+       CAST(floor(w * 100000) AS BIGINT) AS budget_docs,
+       {SQL_ROUND6.format(x="CAST(floor(w * 100000) AS BIGINT) / CAST(n_docs AS DOUBLE)")} AS epochs
+FROM t
+""",
     "curation_split": f"""
 SELECT doc_id,
        substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,

@@ -83,6 +83,31 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalized exact dedup — the 'fuzzy-exact' tier between byte
+    hashing and MinHash that production corpus pipelines run first
+    (Gopher/MassiveText-style): lowercase, collapse every non-alphanumeric
+    run to one space, trim, THEN hash. Catches case/punctuation/whitespace
+    re-encodings of the same content at exact-dedup cost (one hash
+    shuffle; no shingles, no candidate join). n_raw_variants counts how
+    many distinct byte-level texts collapsed into each canonical form —
+    the yield signal for whether this tier is worth running on a corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+    )
+    return (
+        d.select("doc_id", F.sha2(norm, 256).alias("norm_hash"),
+                 F.sha2(F.col("text"), 256).alias("raw_hash"))
+        .groupBy("norm_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("raw_hash").alias("n_raw_variants"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact n-gram Jaccard (oracle-able ground truth for the LSH tiers)
 # ---------------------------------------------------------------------------
@@ -909,6 +934,7 @@ QUERIES = {
     "dedup_graph_hops": q_dedup_graph_hops,
     "dedup_ngram_containment": q_dedup_ngram_containment,
     "dedup_exact": q_dedup_exact,
+    "dedup_normalized_exact": q_dedup_normalized_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_near_minhash": q_dedup_near_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -956,6 +982,18 @@ SELECT sha256(text) AS content_hash,
        MIN(doc_id) AS keep_doc_id,
        COUNT(*) AS n_copies
 FROM documents GROUP BY sha256(text)
+""",
+    "dedup_normalized_exact": """
+WITH n AS (
+  SELECT doc_id,
+         sha256(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+           AS norm_hash,
+         sha256(text) AS raw_hash
+  FROM documents
+)
+SELECT norm_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies,
+       COUNT(DISTINCT raw_hash) AS n_raw_variants
+FROM n GROUP BY norm_hash
 """,
     "dedup_ngram_containment": f"""
 WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

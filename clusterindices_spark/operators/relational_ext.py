@@ -617,7 +617,104 @@ def q_agg_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MERGE_HORIZON_MS = 300_000  # 5-minute activity halo per event
+
+
+def q_window_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union (merge overlapping spans) — the gaps-and-islands
+    classic behind uptime/coverage/attribution windows: each event opens a
+    5-minute activity interval; per user, overlapping intervals merge into
+    maximal covered spans. A new island starts when the running max of
+    previous interval ends is < the current start; island ids are a
+    cumulative sum of those breaks. All arithmetic on BIGINT epoch-ms
+    (ns-parquet ts truncated identically by unix_millis/epoch_ms —
+    TESTDATA.md), so the island assignment is bit-deterministic.
+
+    Scale: ONE shuffle by user_id feeding both windows and the final
+    groupBy (same key, AQE-reused exchange); per-row state is O(1)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_millis(F.col("ts")).alias("t"),
+    )
+    end = F.col("t") + F.lit(MERGE_HORIZON_MS)
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    prev_max_end = F.max(end).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = F.when(
+        prev_max_end.isNull() | (prev_max_end < F.col("t")), 1
+    ).otherwise(0)
+    islands = e.withColumn("island", F.sum(brk).over(w))
+    return islands.groupBy("user_id", "island").agg(
+        F.min("t").alias("span_start_ms"),
+        F.max(end).alias("span_end_ms"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_agg_bool_modal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates + deterministic per-group mode: bool_and/bool_or
+    (ANSI EVERY/ANY) over predicate columns, plus the modal order status
+    per priority picked via max(struct(cnt, value)) — the tie-break
+    (higher count, then lexicographically larger value) is explicit, so
+    the result never depends on either engine's internal mode() order."""
+    o = load_table(spark, sf_dir, "orders")
+    sc = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    modal = sc.groupBy("o_orderpriority").agg(
+        F.max(F.struct("cnt", "o_orderstatus")).alias("m")
+    )
+    flags = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_jumbo"),
+        F.sum((F.col("o_orderstatus") == "F").cast("bigint")).alias("n_f"),
+    )
+    return flags.join(F.broadcast(modal), "o_orderpriority").select(
+        "o_orderpriority",
+        "n_orders",
+        "all_positive",
+        "any_jumbo",
+        "n_f",
+        F.col("m.o_orderstatus").alias("modal_status"),
+        F.col("m.cnt").alias("modal_count"),
+    )
+
+
+def q_scalar_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCT-typed column surface: named_struct construction, field
+    access, struct ordering (max of (value, key) structs per group), and
+    JSON rendering. Output structs are serialized with to_json (the driver
+    canonicalizer hashes scalar cells only); fields are INT/STRING so the
+    JSON rendering is byte-identical across engines."""
+    c = load_table(spark, sf_dir, "customer")
+    s = F.struct(
+        F.col("c_custkey").cast("int").alias("key"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    per = c.select(
+        "c_nationkey",
+        s.alias("s"),
+        F.struct(
+            # floor then cast: double→int CAST truncates in Spark but
+            # rounds in DuckDB — floor() agrees everywhere
+            F.floor(F.col("c_acctbal")).cast("int").alias("bal_int"),
+            F.col("c_custkey").cast("int").alias("key"),
+        ).alias("ranked"),
+    )
+    return per.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.col("s.key")).alias("min_key"),
+        F.to_json(F.max("ranked")).alias("top_bal_json"),
+    )
+
+
 QUERIES = {
+    "window_interval_merge": q_window_interval_merge,
+    "agg_bool_modal": q_agg_bool_modal,
+    "scalar_struct": q_scalar_struct,
     "null_semantics": q_null_semantics,
     "agg_quantiles": q_agg_quantiles,
     "agg_quantiles_approx": q_agg_quantiles_approx,
@@ -646,6 +743,54 @@ QUERIES = {
 _EV = "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events)"
 
 ORACLES = {
+    "window_interval_merge": """
+WITH e AS (
+  SELECT user_id, event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS t FROM events
+),
+m AS (
+  SELECT user_id, event_id, t,
+         MAX(t + 300000) OVER (PARTITION BY user_id ORDER BY t, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+  FROM e
+),
+isl AS (
+  SELECT *, CAST(SUM(CASE WHEN pme IS NULL OR pme < t THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY t, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+  FROM m
+)
+SELECT user_id, island, MIN(t) AS span_start_ms, MAX(t + 300000) AS span_end_ms,
+       COUNT(*) AS n_events
+FROM isl GROUP BY user_id, island
+""",
+    "agg_bool_modal": """
+WITH sc AS (
+  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt
+  FROM orders GROUP BY o_orderpriority, o_orderstatus
+),
+modal AS (
+  SELECT o_orderpriority,
+         MAX(struct_pack(cnt := cnt, o_orderstatus := o_orderstatus)) AS m
+  FROM sc GROUP BY o_orderpriority
+),
+flags AS (
+  SELECT o_orderpriority, COUNT(*) AS n_orders,
+         bool_and(o_totalprice > 0) AS all_positive,
+         bool_or(o_totalprice > 400000) AS any_jumbo,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT f.o_orderpriority, n_orders, all_positive, any_jumbo, n_f,
+       m.o_orderstatus AS modal_status, m.cnt AS modal_count
+FROM flags f JOIN modal USING (o_orderpriority)
+""",
+    "scalar_struct": """
+SELECT c_nationkey, COUNT(*) AS n,
+       MIN(CAST(c_custkey AS INT)) AS min_key,
+       to_json(MAX(struct_pack(bal_int := CAST(floor(c_acctbal) AS INT),
+                               key := CAST(c_custkey AS INT)))) AS top_bal_json
+FROM customer GROUP BY c_nationkey
+""",
     "agg_quantiles": f"""
 SELECT event_type,
        COUNT(*) AS n_rows,

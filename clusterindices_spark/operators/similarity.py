@@ -72,6 +72,39 @@ def q_similarity_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_exact(emb, emb.where(F.col("vec_id") < N_PROBES))
 
 
+RANGE_TAU = 0.35  # fixture embeddings are near-orthogonal (see
+# COSINE_DUP_THRESHOLD note); 0.35 yields a non-trivial answer set at every
+# SF. Real corpora would use ~0.8+.
+
+
+def range_search(
+    emb: DataFrame, probes: DataFrame, tau: float = RANGE_TAU
+) -> DataFrame:
+    """Threshold retrieval (range search): EVERY neighbor with cosine ≥ τ
+    per probe — the retrieval mode behind RAG context assembly and
+    near-dup candidate pull, where the answer set size is data-dependent
+    rather than a fixed k. Probe side broadcasts; the corpus is scanned
+    once and the τ-filter runs scan-side, so output is the only thing
+    that scales with match density."""
+    a = probes.select(F.col("vec_id").alias("probe_id"), F.col("x").alias("xa"))
+    b = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("x").alias("xb"))
+    return (
+        b.crossJoin(F.broadcast(a))
+        .where(F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(cosine_sim(F.col("xa"), F.col("xb")), 6).alias("sim"),
+        )
+        .where(F.col("sim") >= tau)
+    )
+
+
+def q_similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return range_search(emb, emb.where(F.col("vec_id") < N_PROBES))
+
+
 def dedup_embedding_cosine(
     emb: DataFrame,
     threshold: float = COSINE_DUP_THRESHOLD,
@@ -618,6 +651,7 @@ def q_multimodal_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "similarity_topk_exact": q_similarity_topk_exact,
+    "similarity_range_search": q_similarity_range_search,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "similarity_ann_lsh": q_similarity_ann_lsh,
     "similarity_ann_ivf": q_similarity_ann_ivf,
@@ -645,6 +679,13 @@ SELECT probe_id, neighbor_id, sim FROM (
   SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn
   FROM sims
 ) WHERE rn <= {TOP_K}
+""",
+    "similarity_range_search": f"""
+WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings)
+SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+       ROUND({_COS.format(a='a.x', b='b.x')}, 6) AS sim
+FROM pts a JOIN pts b ON a.vec_id < {N_PROBES} AND a.vec_id <> b.vec_id
+WHERE ROUND({_COS.format(a='a.x', b='b.x')}, 6) >= {RANGE_TAU}
 """,
     "dedup_embedding_cosine": f"""
 WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings)

@@ -453,7 +453,49 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the cheap gibberish /
+    encoding-noise detector in LLM data-curation stacks (natural prose
+    sits near ~4 bits/char; base64 blobs, repeated filler, and binary
+    spills fall far outside that band).
+
+    Determinism: each character class's term (c/n)·log2(n/c) is floored to
+    BIGINT micros BEFORE the per-doc sum (the unigram-logprob ln policy —
+    integer sums are order-free, and a last-ulp log disagreement only
+    flips a micro when the scaled term sits within ~1e-9 of an integer).
+
+    Scale: split('') explodes ~chars rows, counted map-side-combined by
+    (doc_id, ch) then re-aggregated by doc_id — both shuffles share the
+    doc_id prefix so AQE keeps them thin; no joins, no UDFs."""
+    d = load_table(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_doc = counts.withColumn(
+        "n", F.sum("c").over(Window.partitionBy("doc_id"))
+    )
+    term_micros = F.floor(
+        (F.col("c") / F.col("n"))
+        * F.log(2.0, F.col("n") / F.col("c"))
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        per_doc.groupBy("doc_id")
+        .agg(
+            F.max("n").alias("n_chars"),
+            F.count(F.lit(1)).alias("n_distinct_chars"),
+            (F.sum(term_micros) / F.lit(1000000.0)).alias("entropy_bits"),
+        )
+        .select("doc_id", "n_chars", "n_distinct_chars", "entropy_bits")
+    )
+
+
 QUERIES = {
+    "text_entropy": q_text_entropy,
     "text_vocab_stats": q_text_vocab_stats,
     "text_bigram_logprob": q_text_bigram_logprob,
     "text_tokens_stats": q_text_tokens_stats,
@@ -489,6 +531,24 @@ def _sql_markers(lang: str) -> str:
 _SQL_STOP = ", ".join(f"'{s}'" for s in STOPWORDS)
 
 ORACLES = {
+    "text_entropy": """
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+),
+counts AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch),
+per AS (
+  SELECT doc_id, c, SUM(c) OVER (PARTITION BY doc_id) AS n FROM counts
+)
+SELECT doc_id,
+       CAST(MAX(n) AS BIGINT) AS n_chars,
+       COUNT(*) AS n_distinct_chars,
+       CAST(SUM(CAST(floor((CAST(c AS DOUBLE) / n)
+                           * log2(CAST(n AS DOUBLE) / c)
+                           * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 1000000.0 AS entropy_bits
+FROM per
+GROUP BY doc_id
+""",
     "text_vocab_stats": f"""
 WITH tok AS (SELECT lang, unnest({_TOKS}) AS token FROM documents),
 per_tok AS (SELECT lang, token, COUNT(*) AS cnt FROM tok GROUP BY lang, token)

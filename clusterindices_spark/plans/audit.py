@@ -407,6 +407,43 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "require": ["partial"],
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    # --- round-4 additions ---
+    "text_entropy": {
+        # explode → two map-side-combined aggs; no joins anywhere
+        "require": ["partial"],
+        "forbid": ["CartesianProduct", "Join"],
+    },
+    "dedup_normalized_exact": {
+        "require": ["partial"],
+        "forbid": ["CartesianProduct", "Join"],
+    },
+    "events_user_overlap": {
+        # per-user self-join is an equi-join; T-row size tables broadcast
+        "require": ["BroadcastHashJoin"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "curation_mixture_temperature": {
+        "require": ["partial"],
+        "forbid": ["CartesianProduct", "Join"],
+    },
+    "similarity_range_search": {
+        # probe side broadcast, τ-filter scan-side, no shuffle join
+        "require": ["Broadcast"],
+        "forbid": ["SortMergeJoin"],
+    },
+    "window_interval_merge": {
+        # one user_id exchange feeding windows + agg; no joins
+        "require": ["Window", "partial"],
+        "forbid": ["CartesianProduct", "Join"],
+    },
+    "agg_bool_modal": {
+        "require": ["BroadcastHashJoin", "partial"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "scalar_struct": {
+        "require": ["partial"],
+        "forbid": ["CartesianProduct", "Join"],
+    },
 }
 
 

@@ -114,6 +114,15 @@ _NEXT: list[str] = [
     # round-4a: merge-on-read ACID path (two stacked MOR merges resolved
     # with seq-aware equality deletes)
     "versioned_mor_snapshot",
+    # round-4b widening: curation/text/dedup/similarity/relational additions
+    "text_entropy",
+    "dedup_normalized_exact",
+    "events_user_overlap",
+    "curation_mixture_temperature",
+    "similarity_range_search",
+    "window_interval_merge",
+    "agg_bool_modal",
+    "scalar_struct",
 ]
 
 # Rows-only keys (no oracle SQL by design — approx/iterative). Kept behind
