@@ -94,6 +94,45 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
 
 
+def q_events_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time rollup (the hypertable continuous-aggregate
+    pattern): per-type hourly aggregates computed from raw ONCE, then the
+    daily grain re-aggregated FROM THE HOURLY ROWS — never from raw. That
+    is the only shape that scales: at 100 TB the raw scan happens once per
+    refresh window and each coarser grain folds ~24× fewer rows than the
+    grain below it. Correct because the measures are associative — counts
+    and EXACT integer-micro value sums (floats re-summed in a different
+    order would drift; micros cannot).
+
+    Output: both grains stacked with a grain tag, bucket epoch-ms, count,
+    and the value sum recovered to a 6dp double."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_millis(F.col("ts")).alias("t"),
+        _micros(F.col("value")).alias("vm"),
+    )
+    hour = (F.floor(F.col("t") / F.lit(3_600_000)) * F.lit(3_600_000)).cast(
+        "bigint"
+    )
+    hourly = e.groupBy("event_type", hour.alias("bucket_ms")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("vm").alias("svm")
+    )
+    day = (
+        F.floor(F.col("bucket_ms") / F.lit(86_400_000)) * F.lit(86_400_000)
+    ).cast("bigint")
+    daily = hourly.groupBy("event_type", day.alias("bucket_ms")).agg(
+        F.sum("n").alias("n"), F.sum("svm").alias("svm")
+    )
+    out = lambda df, g: df.select(  # noqa: E731
+        F.lit(g).alias("grain"),
+        "event_type",
+        "bucket_ms",
+        "n",
+        (F.col("svm") / F.lit(1000000.0)).alias("sum_value"),
+    )
+    return out(hourly, "hour").unionByName(out(daily, "day"))
+
+
 def q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram of event values: bucket = clamped
     floor((x-lo)/width); emits bucket bounds and counts."""
@@ -491,6 +530,7 @@ def q_events_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "events_user_overlap": q_events_user_overlap,
+    "events_rollup_hierarchy": q_events_rollup_hierarchy,
     "events_outliers_seasonal": q_events_outliers_seasonal,
     "profile_orders": q_profile_orders,
     "analytics_rfm": q_analytics_rfm,
@@ -505,6 +545,30 @@ QUERIES = {
 _W = (HIST_HI - HIST_LO) / HIST_BINS
 
 ORACLES = {
+    "events_rollup_hierarchy": """
+WITH e AS (
+  SELECT event_type, epoch_ms(CAST(ts AS TIMESTAMP)) AS t,
+         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vm
+  FROM events
+),
+hourly AS (
+  SELECT event_type,
+         CAST(floor(t / 3600000) * 3600000 AS BIGINT) AS bucket_ms,
+         COUNT(*) AS n, CAST(SUM(vm) AS BIGINT) AS svm
+  FROM e GROUP BY event_type, bucket_ms
+),
+daily AS (
+  SELECT event_type,
+         CAST(floor(bucket_ms / 86400000) * 86400000 AS BIGINT) AS bucket_ms,
+         CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(svm) AS BIGINT) AS svm
+  FROM hourly GROUP BY event_type, CAST(floor(bucket_ms / 86400000) * 86400000 AS BIGINT)
+)
+SELECT 'hour' AS grain, event_type, bucket_ms, n,
+       CAST(svm AS DOUBLE) / 1000000.0 AS sum_value FROM hourly
+UNION ALL
+SELECT 'day' AS grain, event_type, bucket_ms, n,
+       CAST(svm AS DOUBLE) / 1000000.0 AS sum_value FROM daily
+""",
     "events_user_overlap": f"""
 WITH tu AS (
   SELECT DISTINCT event_type, user_id FROM events WHERE user_id IS NOT NULL

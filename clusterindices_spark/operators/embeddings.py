@@ -153,10 +153,108 @@ def q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PCA_K = 4
+PCA_SCALE = 1_000_000  # integer-micro partials: order-free, bit-deterministic
+
+
+def pca_fit(emb: DataFrame, k: int = PCA_K):
+    """Fit a k-component PCA with the one-pass distributed pattern: each
+    partition folds (n, Σx, Σxxᵀ) into INTEGER-micro numpy accumulators
+    inside mapInArrow (per-term floor before the sum, so the partials are
+    exact int64 and the result is independent of row AND partition order),
+    the ≤num_partitions tiny partial rows collect to the driver, and the
+    dim×dim eigensolve happens there — the covariance matrix is O(dim²),
+    never data-scale. Eigenvector sign is pinned (largest-|coordinate|
+    positive) so the decomposition is fully deterministic.
+
+    Returns (components: k×dim ndarray, mean: dim ndarray, evr: k list).
+    At 100 TB: the scan is one pass, partials are 4 KB per partition, and
+    nothing else grows with n — the canonical big-data PCA shape."""
+    import numpy as np
+    import pyarrow as pa
+
+    dim = len(emb.select("x").first()["x"])
+
+    def partials(batches):
+        n = 0
+        s = np.zeros(dim, dtype=np.int64)
+        g = np.zeros((dim, dim), dtype=np.int64)
+        for batch in batches:
+            xs = np.asarray(batch.column("x").to_pylist(), dtype=np.float64)
+            if xs.size == 0:
+                continue
+            n += xs.shape[0]
+            s += np.floor(xs * PCA_SCALE + 0.5).astype(np.int64).sum(axis=0)
+            outer = np.einsum("ri,rj->rij", xs, xs)
+            g += (
+                np.floor(outer * PCA_SCALE + 0.5)
+                .astype(np.int64)
+                .sum(axis=0)
+            )
+        yield pa.RecordBatch.from_pydict(
+            {
+                "n": [n],
+                "s": [s.tolist()],
+                "g": [g.reshape(-1).tolist()],
+            }
+        )
+
+    parts = emb.select("x").mapInArrow(
+        partials, schema="n bigint, s array<bigint>, g array<bigint>"
+    )
+    rows = parts.collect()  # ≤ num_partitions rows, dim²-scale each
+    import numpy as np  # noqa: F811
+
+    n = sum(r["n"] for r in rows)
+    s = sum(np.array(r["s"], dtype=np.int64) for r in rows)
+    g = sum(np.array(r["g"], dtype=np.int64) for r in rows).reshape(dim, dim)
+    mean = s.astype(np.float64) / PCA_SCALE / n
+    cov = g.astype(np.float64) / PCA_SCALE / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T  # k×dim
+    # sign pin: the coordinate with the largest magnitude is positive
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    tot = float(np.trace(cov))
+    evr = [float(vals[o]) / tot for o in order]
+    return comps, mean, evr
+
+
+def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of the corpus onto its top PCA_K components: fit via
+    the one-pass integer-micro partials (pca_fit), then project every
+    vector JVM-side — the k×dim component matrix enters the plan as
+    literal arrays and each score is a zip_with dot product, so the
+    corpus-scale pass is pure codegen (no Python). Approximate-free but
+    driver-eigensolve-based → rows-only check; properties (orthonormality,
+    variance ordering, determinism, reconstruction) are pinned in
+    tests/test_embeddings_pca.py."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("x")
+    )
+    comps, mean, _ = pca_fit(emb)
+    mean_lit = F.array(*[F.lit(float(v)) for v in mean])
+    centered = F.zip_with(F.col("x"), mean_lit, lambda a, b: a - b)
+    cols = []
+    for i, c in enumerate(comps):
+        c_lit = F.array(*[F.lit(float(v)) for v in c])
+        score = F.aggregate(
+            F.zip_with(centered, c_lit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        cols.append(F.round(score, 6).alias(f"pc{i + 1}"))
+    return emb.select("vec_id", *cols)
+
+
 QUERIES = {
     "embedding_normalize": q_embedding_normalize,
     "embedding_quantize_int8": q_embedding_quantize_int8,
     "embedding_centroid_drift": q_embedding_centroid_drift,
+    "embedding_pca_project": q_embedding_pca_project,
 }
 
 _X = "CAST(embedding AS DOUBLE[])"

@@ -123,6 +123,10 @@ _NEXT: list[str] = [
     "window_interval_merge",
     "agg_bool_modal",
     "scalar_struct",
+    # round-4c: hierarchical continuous-aggregate rollup (hour → day
+    # re-aggregated from the hourly rows, never raw)
+    "events_rollup_hierarchy",
+    # (embedding_pca_project is rows-only — auto-sunk to the ordering tail)
 ]
 
 # Rows-only keys (no oracle SQL by design — approx/iterative). Kept behind
