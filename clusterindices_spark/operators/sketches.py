@@ -1,0 +1,225 @@
+"""Probabilistic-sketch operators: explicit Bloom-filter semi-join reduction
+and Count-Min-Sketch heavy hitters.
+
+Both are THE standard 100 TB mechanisms for their problems:
+
+- join_bloom_prefilter: before shuffling a fact table into a join, test each
+  fact key against a Bloom filter built from the (small) dim side — rows
+  that cannot match never enter the exchange. Spark 3.3+ can inject this
+  automatically (spark.sql.optimizer.runtime.bloomFilter.enabled); this
+  operator builds the filter explicitly so the mechanism is visible,
+  testable, and available when the optimizer declines (non-equi conditions,
+  disabled AQE, cross-engine plans). Bloom filters have NO false negatives,
+  so the post-filter join result is EXACTLY the plain join result — which
+  is why this key is fully oracle-checkable: the oracle is the plain join.
+
+- text_heavy_hitters_cms: Count-Min Sketch over the token stream — the
+  bounded-memory frequency summary (d×w counters regardless of vocabulary
+  size) behind approximate top-k / stop-word discovery at corpus scale. The
+  sketch build is a plain groupBy over (seed, bucket) — map-side combined,
+  d×w result rows — and estimates are min over d counters. Estimates are
+  deterministic (fixed xxhash64 seeds) but engine-specific (DuckDB has no
+  xxhash64) → rows-only driver check; the CMS guarantees (no
+  underestimation; overestimation ≤ εN w.h.p.) are pinned in
+  tests/test_sketches.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clusterindices_spark.sources.fixtures import load_table
+
+BLOOM_BITS = 1 << 14  # m: filter size in bits
+BLOOM_HASHES = 3  # k: hash functions (seeds 0..k-1)
+RICH_BAL = 8000.0  # dim-side predicate (matches subquery_in's rich tier)
+
+CMS_DEPTH = 4  # d: rows (independent hashes)
+CMS_WIDTH = 1024  # w: counters per row
+CMS_PROBE_TERMS = 25  # report the estimates for the top exact terms
+
+
+def bloom_prefilter(
+    fact: DataFrame, fact_key: str, dim_keys: DataFrame, dim_key: str
+) -> DataFrame:
+    """Return the fact rows whose key MIGHT be in dim_keys (no false
+    negatives): Spark-side xxhash64 positions tested against a broadcast
+    literal bitmap, entirely scan-side — the pre-shuffle reduction. The
+    exact join downstream removes the false positives."""
+    spark = fact.sparkSession
+    dim = dim_keys.select(F.col(dim_key).cast("bigint").alias("k"))
+    # Spark-side bitmap build: per-key bit positions via the SAME xxhash64
+    # formulation the probe side uses, folded with bitwise agg — the
+    # collect is m/64 longs, dim-scale work stays distributed
+    pos_rows = dim.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.xxhash64(F.col("k").cast("string"), F.lit(seed)),
+                        F.lit(BLOOM_BITS),
+                    )
+                    for seed in range(BLOOM_HASHES)
+                ]
+            )
+        ).alias("pos")
+    )
+    set_positions = {
+        r["pos"] for r in pos_rows.select("pos").distinct().collect()
+    }  # ≤ k·|dim| ints — dim-scale driver traffic, same as a broadcast build
+    # one m-char '0'/'1' literal: a set bit is a '1' character; the probe
+    # test is substr(bitmap, pos+1, 1) = '1' per hash — plain codegen'd
+    # string indexing, no per-position literals
+    bitmap = F.lit(
+        "".join(
+            "1" if i in set_positions else "0" for i in range(BLOOM_BITS)
+        )
+    )
+    key = F.col(fact_key).cast("bigint")
+    cond = F.lit(True)
+    for seed in range(BLOOM_HASHES):
+        pos = F.pmod(
+            F.xxhash64(key.cast("string"), F.lit(seed)), F.lit(BLOOM_BITS)
+        )
+        cond = cond & (
+            bitmap.substr((pos + 1).cast("int"), F.lit(1)) == "1"
+        )
+    return fact.where(cond)
+
+
+def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders of high-balance customers via Bloom-prefilter → exact join.
+    Semantically identical to the plain join (no false negatives), so the
+    oracle IS the plain join — the gate checks that the reduction never
+    drops a matching row. The prefilter runs scan-side before any
+    exchange; at 100 TB that is the difference between shuffling the full
+    fact table and shuffling ~selectivity of it."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_acctbal") > RICH_BAL
+    )
+    pre = bloom_prefilter(o, "o_custkey", c.select("c_custkey"), "c_custkey")
+    return (
+        pre.join(
+            F.broadcast(c.select("c_custkey", "c_acctbal")),
+            pre.o_custkey == F.col("c_custkey"),
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 6).alias("price"),
+            F.round("c_acctbal", 6).alias("acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def cms_build(terms: DataFrame, term_col: str = "term") -> DataFrame:
+    """Build the d×w sketch: one groupBy over (seed, bucket) — map-side
+    combined, bounded output regardless of vocabulary size."""
+    rows = terms.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(seed).alias("seed"),
+                        F.pmod(
+                            F.xxhash64(F.col(term_col), F.lit(seed)),
+                            F.lit(CMS_WIDTH),
+                        ).alias("bucket"),
+                    )
+                    for seed in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("sb")
+    )
+    return rows.groupBy("sb.seed", "sb.bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+
+def cms_estimate(sketch: DataFrame, probes: DataFrame, term_col: str = "term") -> DataFrame:
+    """Point-query the sketch for each probe term: min over the d counters.
+    The sketch is d×w rows → broadcast; probes join on (seed, bucket)."""
+    pb = probes.select(term_col).distinct()
+    expanded = pb.select(
+        term_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(seed).alias("seed"),
+                        F.pmod(
+                            F.xxhash64(F.col(term_col), F.lit(seed)),
+                            F.lit(CMS_WIDTH),
+                        ).alias("bucket"),
+                    )
+                    for seed in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("sb"),
+    ).select(term_col, "sb.seed", "sb.bucket")
+    return (
+        expanded.join(F.broadcast(sketch), ["seed", "bucket"])
+        .groupBy(term_col)
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+
+
+def q_text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS estimates for the corpus's top exact terms: build the sketch
+    over the full token stream, probe it with the top-CMS_PROBE_TERMS
+    terms by exact count, and report estimate next to truth (the
+    overestimation audit a production deployment runs on samples).
+    Deterministic but xxhash64-specific → rows-only check."""
+    from pyspark.sql import Window
+
+    from clusterindices_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    terms = d.select(
+        F.explode(tokens(F.col("text"))).alias("term")
+    )
+    sketch = cms_build(terms)
+    exact = terms.groupBy("term").agg(F.count(F.lit(1)).alias("exact"))
+    top = (
+        exact.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy().orderBy(
+                    F.col("exact").desc(), F.col("term")
+                )
+            ),
+        )
+        .where(F.col("rn") <= CMS_PROBE_TERMS)
+        .drop("rn")
+    )
+    est = cms_estimate(sketch, top.select("term"))
+    return top.join(est, "term").select(
+        "term", "exact", "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact")).alias("overcount"),
+    )
+
+
+QUERIES = {
+    "join_bloom_prefilter": q_join_bloom_prefilter,
+    "text_heavy_hitters_cms": q_text_heavy_hitters_cms,
+}
+
+ORACLES = {
+    # bloom prefiltering is semantics-preserving: the oracle is the PLAIN join
+    "join_bloom_prefilter": f"""
+SELECT o_orderkey, o_custkey,
+       ROUND(o_totalprice, 6) AS price,
+       ROUND(c_acctbal, 6) AS acctbal
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_acctbal > {RICH_BAL}
+""",
+    # text_heavy_hitters_cms: xxhash64 bucket layout is engine-specific →
+    # rows-only; guarantees pinned in tests/test_sketches.py
+}

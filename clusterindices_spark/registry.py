@@ -40,6 +40,7 @@ _MODULES = [
     "clusterindices_spark.operators.relational",
     "clusterindices_spark.operators.tpch",
     "clusterindices_spark.operators.relational_ext",
+    "clusterindices_spark.operators.sketches",
     "clusterindices_spark.operators.sql_features",
     "clusterindices_spark.sources.pysource",
     "clusterindices_spark.sources.versioned",
@@ -126,6 +127,9 @@ _NEXT: list[str] = [
     # round-4c: hierarchical continuous-aggregate rollup (hour → day
     # re-aggregated from the hourly rows, never raw)
     "events_rollup_hierarchy",
+    # round-4d: explicit Bloom semi-join reduction (oracle = plain join —
+    # no false negatives means the reduction is semantics-preserving)
+    "join_bloom_prefilter",
     # (embedding_pca_project is rows-only — auto-sunk to the ordering tail)
 ]
 
