@@ -73,12 +73,136 @@ def q_scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scalar_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (new in Spark 4): case-insensitive equality and
+    DISTINCT under ``COLLATE UTF8_LCASE``, exercised against a derived
+    mixed-case column (the fixture is single-case, so the case noise is
+    planted deterministically by key parity). The oracle lowers the same
+    strings — collation semantics expressed portably. Scan-shaped."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_coll"
+    )
+    return spark.sql(
+        """
+        WITH t AS (
+          SELECT c_custkey,
+                 CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                      ELSE lower(c_mktsegment) END AS seg
+          FROM customer_coll
+        )
+        SELECT COUNT(*) AS n,
+               COUNT(DISTINCT seg) AS n_case_variants,
+               COUNT(DISTINCT seg COLLATE UTF8_LCASE) AS n_ci_segments,
+               SUM(CASE WHEN seg COLLATE UTF8_LCASE = 'Automobile'
+                        THEN 1 ELSE 0 END) AS n_auto_ci
+        FROM t
+        """
+    )
+
+
+def q_sql_udf_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative SQL UDF (CREATE FUNCTION ... RETURN expr, new in
+    Spark 4): the function body is INLINED by Catalyst — unlike a Python
+    UDF it costs nothing and stays inside whole-stage codegen; this is the
+    sanctioned way to share scalar business logic across queries. The
+    oracle inlines the same expression by hand."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_udf"
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE)
+        RETURNS DOUBLE RETURN p * (1 - d)
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION price_tier(p DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN p >= 50000 THEN 'high'
+                    WHEN p >= 20000 THEN 'mid' ELSE 'low' END
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               price_tier(disc_price(l_extendedprice, l_discount)) AS tier,
+               COUNT(*) AS n,
+               ROUND(CAST(SUM(CAST(disc_price(l_extendedprice, l_discount)
+                     AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
+        FROM lineitem_udf
+        GROUP BY l_returnflag, price_tier(disc_price(l_extendedprice, l_discount))
+        """
+    )
+
+
+def q_sql_session_vars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session variables + EXECUTE IMMEDIATE (new in Spark 4): DECLARE /
+    SET VAR drive a parameterized query through the ``USING`` binding —
+    the dynamic-SQL surface migrating stored-procedure workloads expect.
+    The oracle inlines the same constants."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_var")
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE price_cutoff DOUBLE DEFAULT 0.0"
+    )
+    spark.sql("SET VAR price_cutoff = 400000.0")
+    spark.sql("DECLARE OR REPLACE VARIABLE status_f STRING DEFAULT 'F'")
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT o_orderstatus, COUNT(*) AS n,
+                  ROUND(MIN(o_totalprice), 6) AS min_price
+           FROM orders_var WHERE o_totalprice > ? AND o_orderstatus <> ?
+           GROUP BY o_orderstatus'
+          USING price_cutoff, status_f
+        """
+    )
+
+
 QUERIES = {
     "sql_recursive_months": q_sql_recursive_months,
     "scalar_variant": q_scalar_variant,
+    "scalar_collation": q_scalar_collation,
+    "sql_udf_inline": q_sql_udf_inline,
+    "sql_session_vars": q_sql_session_vars,
 }
 
 ORACLES = {
+    "scalar_collation": """
+WITH t AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+              ELSE lower(c_mktsegment) END AS seg
+  FROM customer
+)
+SELECT COUNT(*) AS n,
+       COUNT(DISTINCT seg) AS n_case_variants,
+       COUNT(DISTINCT lower(seg)) AS n_ci_segments,
+       CAST(SUM(CASE WHEN lower(seg) = lower('Automobile')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_auto_ci
+FROM t
+""",
+    "sql_udf_inline": """
+WITH l AS (
+  SELECT l_returnflag,
+         l_extendedprice * (1 - l_discount) AS dp
+  FROM lineitem
+)
+SELECT l_returnflag,
+       CASE WHEN dp >= 50000 THEN 'high'
+            WHEN dp >= 20000 THEN 'mid' ELSE 'low' END AS tier,
+       COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(dp AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
+FROM l
+GROUP BY l_returnflag, CASE WHEN dp >= 50000 THEN 'high'
+                            WHEN dp >= 20000 THEN 'mid' ELSE 'low' END
+""",
+    "sql_session_vars": """
+SELECT o_orderstatus, COUNT(*) AS n,
+       ROUND(MIN(o_totalprice), 6) AS min_price
+FROM orders WHERE o_totalprice > 400000.0 AND o_orderstatus <> 'F'
+GROUP BY o_orderstatus
+""",
     "sql_recursive_months": """
 WITH RECURSIVE months(m) AS (
   SELECT DATE '1995-01-01' AS m

@@ -43,6 +43,7 @@ _MODULES = [
     "clusterindices_spark.operators.sketches",
     "clusterindices_spark.operators.sql_features",
     "clusterindices_spark.sources.pysource",
+    "clusterindices_spark.sources.readers",
     "clusterindices_spark.sources.versioned",
     "clusterindices_spark.sql",
 ]
@@ -130,6 +131,11 @@ _NEXT: list[str] = [
     # round-4d: explicit Bloom semi-join reduction (oracle = plain join —
     # no false negatives means the reduction is semantics-preserving)
     "join_bloom_prefilter",
+    # round-4e: Spark-4 SQL/source surface
+    "scalar_collation",
+    "sql_udf_inline",
+    "sql_session_vars",
+    "source_xml_roundtrip",
     # (embedding_pca_project is rows-only — auto-sunk to the ordering tail)
 ]
 

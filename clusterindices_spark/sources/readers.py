@@ -57,3 +57,75 @@ def read_binary_files(
     if glob:
         r = r.option("pathGlobFilter", glob)
     return r.load(path)
+
+
+# ---------------------------------------------------------------------------
+# XML source (built into Spark 4 — no external package)
+# ---------------------------------------------------------------------------
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str = "row") -> None:
+    """Write a DataFrame as XML (spark-xml merged into core in Spark 4)."""
+    df.write.format("xml").option("rowTag", row_tag).mode("overwrite").save(path)
+
+
+def read_xml(spark: SparkSession, path: str, schema: str, row_tag: str = "row") -> DataFrame:
+    """Schema'd XML read — explicit DDL schema like every reader here
+    (schema inference costs an extra pass and drifts under dirty data)."""
+    return (
+        spark.read.format("xml")
+        .option("rowTag", row_tag)
+        .schema(schema)
+        .load(path)
+    )
+
+
+def q_source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML as a first-class source/sink (new in Spark 4 core): a
+    deterministic orders slice is written as XML, read back with an
+    explicit schema, and aggregated — the oracle runs the same aggregate
+    on the original parquet, so the gate checks the full write→parse
+    roundtrip is lossless for the typed columns. Scale: XML parse work is
+    per-row and partition-parallel like any file source; at 100 TB the
+    explicit schema is what keeps the scan single-pass."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from clusterindices_spark.sources.fixtures import load_table
+
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 10 == 0
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    path = tempfile.mkdtemp(prefix="ci-xml-")
+    write_xml(o, path)
+    back = read_xml(
+        spark,
+        path,
+        "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE",
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double"),
+            6,
+        ).alias("total_price"),
+    )
+
+
+QUERIES = {"source_xml_roundtrip": q_source_xml_roundtrip}
+
+ORACLES = {
+    "source_xml_roundtrip": """
+SELECT o_orderstatus,
+       COUNT(*) AS n,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6)
+         AS total_price
+FROM orders WHERE o_orderkey % 10 = 0
+GROUP BY o_orderstatus
+""",
+}
