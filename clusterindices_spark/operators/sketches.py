@@ -206,9 +206,35 @@ def q_text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_hll_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch MERGING (Datasketches HllSketch, Spark 3.5+): per-day
+    distinct-user sketches built once, then UNIONED to per-type totals —
+    the rollup-without-rescan pattern: at 100 TB you persist the daily
+    sketches (a few KB each) and answer any coarser-grain distinct
+    question by merging them, never touching raw again. Emits per-type
+    daily-sketch-merged estimate next to the exact distinct count (the
+    accuracy audit). Sketch bytes are engine-specific → rows-only; the
+    relative-error contract is pinned in tests/test_sketches.py."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("DAY", F.col("ts")).alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("hll_estimate"),
+        F.count(F.lit(1)).alias("n_daily_sketches"),
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type", "n_daily_sketches", "hll_estimate", "exact_distinct"
+    )
+
+
 QUERIES = {
     "join_bloom_prefilter": q_join_bloom_prefilter,
     "text_heavy_hitters_cms": q_text_heavy_hitters_cms,
+    "agg_hll_partitioned_merge": q_agg_hll_partitioned_merge,
 }
 
 ORACLES = {

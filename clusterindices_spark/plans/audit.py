@@ -444,6 +444,17 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "require": ["partial"],
         "forbid": ["CartesianProduct", "Join"],
     },
+    "events_rollup_hierarchy": {
+        # raw scanned once; daily grain folds the hourly agg, no joins
+        "require": ["partial"],
+        "forbid": ["CartesianProduct", "Join"],
+    },
+    "join_bloom_prefilter": {
+        # the bloom test must run scan-side (xxhash64 in a Filter), and the
+        # exact join must be the broadcast form
+        "require": ["xxhash64", "BroadcastHashJoin"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
 }
 
 

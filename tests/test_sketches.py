@@ -72,3 +72,19 @@ def test_cms_report_is_deterministic(spark):
     a = sorted(map(tuple, q_text_heavy_hitters_cms(spark, SF_SMOKE).collect()))
     b = sorted(map(tuple, q_text_heavy_hitters_cms(spark, SF_SMOKE).collect()))
     assert a == b
+
+
+def test_hll_merged_estimate_close_to_exact(spark):
+    from clusterindices_spark.operators.sketches import (
+        q_agg_hll_partitioned_merge,
+    )
+
+    rows = q_agg_hll_partitioned_merge(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    for r in rows:
+        rel = abs(r["hll_estimate"] - r["exact_distinct"]) / max(
+            r["exact_distinct"], 1
+        )
+        # default lgConfigK=12 → ~2.5% relative standard error; 3σ bound
+        assert rel <= 0.08, (r["event_type"], rel)
+        assert r["n_daily_sketches"] >= 1
