@@ -1,5 +1,5 @@
-"""Versioned-table lifecycle CLI: create → append → CDC merge → time
-travel → streaming sink → vacuum, over the orders fixture.
+"""Versioned-table lifecycle CLI: create → append → CDC merge (COW) →
+merge-on-read → compaction → time travel → vacuum, over the orders fixture.
 
     python examples/versioned_main.py <sf_dir> <table_root>
     python examples/versioned_main.py /root/testdata/sf0.001 /tmp/vt
@@ -49,11 +49,26 @@ def main(argv: list[str]) -> int:
         (F.col("price") * 0.9).alias("price"),
     )
     v2 = merge_cdc(spark, root, changes, "k")
-    for v in (v0, v1, v2):
+    # merge-on-read: O(changes) commit instead of a table rewrite, then a
+    # scheduled compaction folds the deletes back into a plain snapshot
+    from clusterindices_spark.sources.versioned import compact_mor, merge_cdc_mor
+
+    changes2 = o.where("k % 11 = 0").select(
+        "k",
+        F.when(F.col("k") % 3 == 0, "D").otherwise("U").alias("op"),
+        "status",
+        (F.col("price") * 1.05).alias("price"),
+    )
+    v3 = merge_cdc_mor(spark, root, changes2, "k")
+    v4 = compact_mor(spark, root)
+    for v in (v0, v1, v2, v3, v4):
         n = read_versioned(spark, root, v).count()
         print(f"v{v}: {n} rows")
+    assert read_versioned(spark, root, v3).count() == read_versioned(
+        spark, root, v4
+    ).count(), "compaction must preserve the resolved snapshot"
     print("history:", [(h["version"], h["op"]) for h in history(root)])
-    print("vacuum(keep_last=2):", vacuum(root, keep_last=2))
+    print("vacuum(keep_last=2):", vacuum(root, keep_last=2, min_age_seconds=0))
     print("latest still reads:", read_versioned(spark, root).count(), "rows")
     return 0
 
