@@ -555,6 +555,77 @@ def make_distinct_users_processor():
     return DistinctUsers()
 
 
+def hourly_rollup_foreach_batch(
+    stream_events: DataFrame, root: str, ckpt_dir: str
+):
+    """Incremental materialized-view maintenance: keep a per-(type, hour)
+    rollup current as events stream in, WITHOUT ever re-scanning history.
+
+    Each microbatch appends its own hourly DELTA rows (count + exact
+    integer-micro value sum) to a versioned table via append_stream_batch
+    — idempotent under redelivery (the batch id gates the commit), and
+    O(batch) work per batch. Readers aggregate the append-only deltas
+    (read_hourly_rollup): sum-of-deltas ≡ rollup-over-raw because the
+    measures are associative — the classic delta-table + aggregating-view
+    pattern every incremental-refresh engine implements. Compaction is
+    merge-free: overwrite with the aggregated form when the delta count
+    grows past read tolerance.
+
+    Scale: per batch one (type, hour) groupBy over the batch only; the
+    versioned commit is a manifest write. History is never touched — the
+    property events_rollup_hierarchy's one-scan argument makes per
+    refresh, delivered incrementally."""
+    from clusterindices_spark.sources.versioned import (
+        append_stream_batch,
+        create,
+        latest_version,
+    )
+
+    micros = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("bigint")  # noqa: E731
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        delta = (
+            batch_df.select(
+                "event_type",
+                (
+                    F.floor(F.unix_millis(F.col("ts")) / F.lit(3_600_000))
+                    * F.lit(3_600_000)
+                ).cast("bigint").alias("bucket_ms"),
+                micros(F.col("value")).alias("vm"),
+            )
+            .groupBy("event_type", "bucket_ms")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("vm").alias("svm"))
+        )
+        if latest_version(root) is None:
+            create(delta.limit(0), root)  # schema-only v0
+        append_stream_batch(delta, root, batch_id)
+
+    return (
+        stream_events.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", ckpt_dir)
+        .foreachBatch(write_batch)
+        .start()
+    )
+
+
+def read_hourly_rollup(spark: SparkSession, root: str) -> DataFrame:
+    """Aggregating view over the delta table: sum the per-batch deltas to
+    the current rollup. Delta-scale work, never raw-scale."""
+    from clusterindices_spark.sources.versioned import read_versioned
+
+    return (
+        read_versioned(spark, root)
+        .groupBy("event_type", "bucket_ms")
+        .agg(F.sum("n").alias("n"), F.sum("svm").alias("svm"))
+        .select(
+            "event_type",
+            "bucket_ms",
+            "n",
+            (F.col("svm") / F.lit(1000000.0)).alias("sum_value"),
+        )
+    )
+
+
 def distinct_users_census_foreach_batch(
     stream_events: DataFrame, state_dir: str, out_dir: str, ckpt_dir: str
 ):

@@ -676,3 +676,78 @@ def test_checkpoint_restart_preserves_state(spark):
             assert got[u][0] == n, u
         # restart did NOT reprocess file A: run 2 only emitted B-parity users
         assert all(r["user_id"] % 2 == 1 for r in out2.collect())
+
+
+def test_hourly_rollup_incremental_matches_batch(spark):
+    """Incremental materialized rollup: two microbatches of deltas into a
+    versioned table, aggregating reader equals the batch hierarchical
+    rollup's hourly grain exactly (associative integer-micro sums), and a
+    REPLAYED batch id does not double-count."""
+    from clusterindices_spark.operators.analytics import (
+        q_events_rollup_hierarchy,
+    )
+    from clusterindices_spark.sources.fixtures import load_table
+    from clusterindices_spark.sources.versioned import history
+    from clusterindices_spark.streaming.streams import (
+        events_file_stream,
+        hourly_rollup_foreach_batch,
+        read_hourly_rollup,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        replay = os.path.join(tmp, "replay")
+        load_table(spark, SF_SMOKE, "events").repartition(2).write.mode(
+            "overwrite"
+        ).json(replay)
+        root = os.path.join(tmp, "rollup")
+        q = hourly_rollup_foreach_batch(
+            events_file_stream(spark, replay, max_files_per_trigger=1),
+            root,
+            os.path.join(tmp, "ckpt"),
+        )
+        q.awaitTermination()
+        assert (
+            len([h for h in history(root) if h["op"] == "stream_append"]) >= 2
+        )
+        got = sorted(
+            map(
+                tuple,
+                read_hourly_rollup(spark, root)
+                .select(
+                    "event_type",
+                    "bucket_ms",
+                    "n",
+                    F.round("sum_value", 6).alias("s"),
+                )
+                .collect(),
+            )
+        )
+        want = sorted(
+            map(
+                tuple,
+                q_events_rollup_hierarchy(spark, SF_SMOKE)
+                .where(F.col("grain") == "hour")
+                .select(
+                    "event_type",
+                    "bucket_ms",
+                    "n",
+                    F.round("sum_value", 6).alias("s"),
+                )
+                .collect(),
+            )
+        )
+        assert got == want
+        # redelivery: replaying an already-committed batch id is a no-op
+        from clusterindices_spark.sources.versioned import (
+            append_stream_batch,
+            read_versioned,
+        )
+
+        n_before = read_versioned(spark, root).count()
+        assert (
+            append_stream_batch(
+                read_versioned(spark, root).limit(1), root, batch_id=0
+            )
+            is None
+        )
+        assert read_versioned(spark, root).count() == n_before
