@@ -31,7 +31,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clusterindices_spark.sources.fixtures import fan_out, load_table
@@ -355,6 +355,60 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(with_binary_payload(d))
 
 
+SCENE_TAU_MILLI = 1500  # mean-codepoint delta (×1000) that counts as a cut
+
+
+def scene_cuts(binary_df: DataFrame) -> DataFrame:
+    """Scene-change detection over the sampled frame sequence: a cut is a
+    jump in mean frame intensity (here mean codepoint of the fake-decoded
+    frame, integer milli-units — floor division, so both engines agree
+    bit-exactly) beyond SCENE_TAU_MILLI between CONSECUTIVE SAMPLED
+    frames. The real-video shape: per-frame feature in Arrow-batched
+    Python (the decode boundary), then the temporal logic — lag window,
+    threshold, per-title summary — stays JVM-side."""
+
+    def _energies(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, emilli = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                text = bytes(payload).decode("utf-8")
+                n_frames = (len(text) + FRAME_CHARS - 1) // FRAME_CHARS
+                for i in range(0, n_frames, FRAME_STRIDE):
+                    seg = text[i * FRAME_CHARS : (i + 1) * FRAME_CHARS]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    emilli.append(
+                        sum(ord(c) for c in seg) * 1000 // len(seg)
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "e_milli": pd.Series(emilli, dtype="int64"),
+                }
+            )
+
+    frames = binary_df.select("doc_id", "payload").mapInPandas(
+        _energies, schema="doc_id bigint, frame_idx int, e_milli bigint"
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    delta = F.abs(F.col("e_milli") - F.lag("e_milli").over(w))
+    per_frame = frames.withColumn("delta_milli", delta)
+    return per_frame.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.coalesce(
+            F.sum((F.col("delta_milli") > SCENE_TAU_MILLI).cast("bigint")),
+            F.lit(0).cast("bigint"),
+        ).alias("n_cuts"),
+        F.max("delta_milli").alias("max_delta_milli"),
+    )
+
+
+def q_multimodal_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return scene_cuts(with_binary_payload(d))
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked slice of the decode output: byte length + first byte
     must equal DuckDB's view of the same UTF-8 payload."""
@@ -638,6 +692,7 @@ QUERIES = {
     "multimodal_audio_fingerprint": q_multimodal_audio_fingerprint,
     "multimodal_resize": q_multimodal_resize,
     "multimodal_decode_real": q_multimodal_decode_real,
+    "multimodal_scene_cut": q_multimodal_scene_cut,
 }
 
 # first_byte is the first UTF-8 *byte*, not the first codepoint (they only
@@ -704,6 +759,38 @@ SELECT doc_id,
        CAST(length({_FRAME_EXPR}) AS INT) AS frame_len,
        {SQL_FINGERPRINT.format(col=_FRAME_EXPR)} AS frame_hash
 FROM f
+"""
+
+ORACLES["multimodal_scene_cut"] = f"""
+WITH f AS (
+  SELECT doc_id, text,
+         unnest(range(0, CAST(ceil(length(text) / {FRAME_CHARS}.0) AS BIGINT),
+                      {FRAME_STRIDE})) AS frame_idx
+  FROM documents
+  WHERE length(text) > 0
+),
+e AS (
+  SELECT doc_id, frame_idx,
+         list_sum(list_transform(
+             range(length(substr(text, frame_idx * {FRAME_CHARS} + 1, {FRAME_CHARS}))),
+             i -> unicode(substr(substr(text, frame_idx * {FRAME_CHARS} + 1, {FRAME_CHARS}), i + 1, 1))
+         )) * 1000 // length(substr(text, frame_idx * {FRAME_CHARS} + 1, {FRAME_CHARS}))
+           AS e_milli
+  FROM f
+),
+d AS (
+  SELECT doc_id, frame_idx,
+         abs(e_milli - lag(e_milli) OVER (PARTITION BY doc_id ORDER BY frame_idx))
+           AS delta_milli
+  FROM e
+)
+SELECT doc_id,
+       COUNT(*) AS n_frames,
+       CAST(COALESCE(SUM(CASE WHEN delta_milli > {SCENE_TAU_MILLI}
+                              THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cuts,
+       CAST(MAX(delta_milli) AS BIGINT) AS max_delta_milli
+FROM d
+GROUP BY doc_id
 """
 
 _SEG_EXPR = f"substr(text, win_start + 1, {AUDIO_WINDOW})"

@@ -136,7 +136,10 @@ _NEXT: list[str] = [
     "sql_udf_inline",
     "sql_session_vars",
     "source_xml_roundtrip",
-    # (embedding_pca_project is rows-only — auto-sunk to the ordering tail)
+    # round-4f: video scene-cut detection over the frame tier
+    "multimodal_scene_cut",
+    # (embedding_pca_project / text_heavy_hitters_cms / agg_hll_partitioned_merge
+    #  are rows-only — auto-sunk to the ordering tail)
 ]
 
 # Rows-only keys (no oracle SQL by design — approx/iterative). Kept behind
