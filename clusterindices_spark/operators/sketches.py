@@ -68,13 +68,19 @@ def bloom_prefilter(
     set_positions = {
         r["pos"] for r in pos_rows.select("pos").distinct().collect()
     }  # ≤ k·|dim| ints — dim-scale driver traffic, same as a broadcast build
-    # one m-char '0'/'1' literal: a set bit is a '1' character; the probe
-    # test is substr(bitmap, pos+1, 1) = '1' per hash — plain codegen'd
-    # string indexing, no per-position literals
-    bitmap = F.lit(
-        "".join(
-            "1" if i in set_positions else "0" for i in range(BLOOM_BITS)
-        )
+    # bitmap packed into m/64 longs; the probe is get(word_idx) + getbit —
+    # O(1) per hash. (A '0'/'1' m-char string literal was measured 10×
+    # slower: substr on a long UTF8String is O(pos) — it walks bytes
+    # counting codepoints, ~7e9 char steps at sf0.1.)
+    words = [0] * (BLOOM_BITS // 64)
+    for p in set_positions:
+        words[p // 64] |= 1 << (p % 64)
+    # two's-complement fold for the literal (Python ints are unbounded)
+    bitmap = F.array(
+        *[
+            F.lit(w - (1 << 64) if w >= (1 << 63) else w).cast("bigint")
+            for w in words
+        ]
     )
     key = F.col(fact_key).cast("bigint")
     cond = F.lit(True)
@@ -82,9 +88,9 @@ def bloom_prefilter(
         pos = F.pmod(
             F.xxhash64(key.cast("string"), F.lit(seed)), F.lit(BLOOM_BITS)
         )
-        cond = cond & (
-            bitmap.substr((pos + 1).cast("int"), F.lit(1)) == "1"
-        )
+        word = F.get(bitmap, (pos / 64).cast("int"))
+        bit = F.call_function("getbit", word, (pos % 64).cast("int"))
+        cond = cond & (bit == 1)
     return fact.where(cond)
 
 
