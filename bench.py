@@ -107,6 +107,20 @@ HEADLINE = [
     # round-4 additions: funnel transition-latency percentiles (VERDICT r3
     # item 6 — the newest sessions key joins the headline set)
     "events_funnel_latency",
+    # round-4 widening: one representative per new family — char entropy
+    # (explode-heavy text), canonical-hash dedup tier, audience overlap,
+    # interval union, hierarchical rollup, the MOR ACID path end-to-end,
+    # Bloom semi-join reduction (incl. distributed bitmap build), video
+    # scene cuts, threshold retrieval
+    "text_entropy",
+    "dedup_normalized_exact",
+    "events_user_overlap",
+    "window_interval_merge",
+    "events_rollup_hierarchy",
+    "versioned_mor_snapshot",
+    "join_bloom_prefilter",
+    "multimodal_scene_cut",
+    "similarity_range_search",
 ]
 
 # Measured and reported, but EXCLUDED from the headline total: these keys

@@ -133,6 +133,56 @@ def q_events_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out(hourly, "hour").unionByName(out(daily, "day"))
 
 
+EWMA_LAGS = 8  # truncated-EWMA horizon (α = 1/2 → weights 2^(EWMA_LAGS-1-j))
+
+
+def q_events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated exponentially-weighted moving average over the hourly
+    per-type value series — the time-series smoother behind anomaly
+    baselines and trend dashboards. True EWMA is a sequential float fold
+    (order-dependent, engine-divergent); the 8-lag truncation with
+    power-of-two integer weights (w_j = 2^(7-j), ≥99.6% of the mass) is
+    EXACT integer arithmetic over lag() terms — identical in any engine
+    and in any partitioning. Head-of-series rows renormalize over the
+    lags that exist. One shuffle by event_type for the hourly agg; the
+    lag window rides the same partitioning."""
+    e = load_table(spark, sf_dir, "events")
+    hour = (
+        F.floor(F.unix_millis(F.col("ts")) / F.lit(3_600_000))
+        * F.lit(3_600_000)
+    ).cast("bigint")
+    hourly = e.groupBy("event_type", hour.alias("bucket_ms")).agg(
+        F.sum(_micros(F.col("value"))).alias("vm"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("bucket_ms")
+    num = F.lit(0).cast("bigint")
+    den = F.lit(0).cast("bigint")
+    for j in range(EWMA_LAGS):
+        weight = 1 << (EWMA_LAGS - 1 - j)
+        lagged = F.lag("vm", j).over(w)
+        num = num + F.coalesce(lagged * weight, F.lit(0))
+        den = den + F.when(lagged.isNotNull(), weight).otherwise(0)
+    # integer `div`, not float floor(num/den): num can exceed 2^53 at real
+    # scale and double division would quantize before the floor
+    return hourly.select(
+        "event_type",
+        "bucket_ms",
+        "n",
+        (F.col("vm") / F.lit(1000000.0)).alias("hour_sum"),
+        num.alias("_num"),
+        den.alias("_den"),
+    ).select(
+        "event_type",
+        "bucket_ms",
+        "n",
+        "hour_sum",
+        F.expr("_num div _den").alias("ewma_micros"),
+    )
+
+
 def q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram of event values: bucket = clamped
     floor((x-lo)/width); emits bucket bounds and counts."""
@@ -531,6 +581,7 @@ def q_events_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "events_user_overlap": q_events_user_overlap,
     "events_rollup_hierarchy": q_events_rollup_hierarchy,
+    "events_ewma_smooth": q_events_ewma_smooth,
     "events_outliers_seasonal": q_events_outliers_seasonal,
     "profile_orders": q_profile_orders,
     "analytics_rfm": q_analytics_rfm,
@@ -545,6 +596,37 @@ QUERIES = {
 _W = (HIST_HI - HIST_LO) / HIST_BINS
 
 ORACLES = {
+    "events_ewma_smooth": """
+WITH e AS (
+  SELECT event_type,
+         CAST(floor(epoch_ms(CAST(ts AS TIMESTAMP)) / 3600000) * 3600000 AS BIGINT)
+           AS bucket_ms,
+         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vm
+  FROM events
+),
+hourly AS (
+  SELECT event_type, bucket_ms, CAST(SUM(vm) AS BIGINT) AS vm, COUNT(*) AS n
+  FROM e GROUP BY event_type, bucket_ms
+),
+lagged AS (
+  SELECT event_type, bucket_ms, n, vm,
+         lag(vm, 1) OVER (PARTITION BY event_type ORDER BY bucket_ms) AS l1,
+         lag(vm, 2) OVER (PARTITION BY event_type ORDER BY bucket_ms) AS l2,
+         lag(vm, 3) OVER (PARTITION BY event_type ORDER BY bucket_ms) AS l3,
+         lag(vm, 4) OVER (PARTITION BY event_type ORDER BY bucket_ms) AS l4,
+         lag(vm, 5) OVER (PARTITION BY event_type ORDER BY bucket_ms) AS l5,
+         lag(vm, 6) OVER (PARTITION BY event_type ORDER BY bucket_ms) AS l6,
+         lag(vm, 7) OVER (PARTITION BY event_type ORDER BY bucket_ms) AS l7,
+         vm AS l0
+  FROM hourly
+)
+SELECT event_type, bucket_ms, n,
+       CAST(vm AS DOUBLE) / 1000000.0 AS hour_sum,
+       CAST((COALESCE(l0 * 128, 0) + COALESCE(l1 * 64, 0) + COALESCE(l2 * 32, 0) + COALESCE(l3 * 16, 0) + COALESCE(l4 * 8, 0) + COALESCE(l5 * 4, 0) + COALESCE(l6 * 2, 0) + COALESCE(l7 * 1, 0))
+            // ((CASE WHEN l0 IS NOT NULL THEN 128 ELSE 0 END) + (CASE WHEN l1 IS NOT NULL THEN 64 ELSE 0 END) + (CASE WHEN l2 IS NOT NULL THEN 32 ELSE 0 END) + (CASE WHEN l3 IS NOT NULL THEN 16 ELSE 0 END) + (CASE WHEN l4 IS NOT NULL THEN 8 ELSE 0 END) + (CASE WHEN l5 IS NOT NULL THEN 4 ELSE 0 END) + (CASE WHEN l6 IS NOT NULL THEN 2 ELSE 0 END) + (CASE WHEN l7 IS NOT NULL THEN 1 ELSE 0 END))
+            AS BIGINT) AS ewma_micros
+FROM lagged
+""",
     "events_rollup_hierarchy": """
 WITH e AS (
   SELECT event_type, epoch_ms(CAST(ts AS TIMESTAMP)) AS t,

@@ -138,6 +138,8 @@ _NEXT: list[str] = [
     "source_xml_roundtrip",
     # round-4f: video scene-cut detection over the frame tier
     "multimodal_scene_cut",
+    # round-4g: truncated-EWMA time-series smoother (exact integer lags)
+    "events_ewma_smooth",
     # (embedding_pca_project / text_heavy_hitters_cms / agg_hll_partitioned_merge
     #  are rows-only — auto-sunk to the ordering tail)
 ]

@@ -61,6 +61,13 @@ def _eq(a, b):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--first",
+        type=int,
+        default=None,
+        help="check only the first N queries() keys — N=50 simulates the "
+        "driver's per-round correctness window exactly",
+    )
     ap.add_argument("keys", nargs="*")
     args = ap.parse_args()
 
@@ -75,6 +82,8 @@ def main():
 
     qs, oracles = e.queries(), e.oracle_sql()
     keys = args.keys or list(qs)
+    if args.first is not None:
+        keys = keys[: args.first]
     n_pass = n_fail = n_rowsonly = 0
     for k in keys:
         fn = qs[k]
