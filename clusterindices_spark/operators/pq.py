@@ -370,14 +370,22 @@ def ivfpq_topk(
     cells = unfold_cents(folded_cells).select(
         F.col("cluster").alias("cell"), F.col("centroid").alias("cc")
     )
-    # residuals against the OWN cell centroid (cells is K rows, broadcast)
-    resid = (
-        index.join(F.broadcast(cells), "cell")
-        .select(
+    # residuals against the OWN cell centroid (cells is K rows, broadcast).
+    # Pinned: the frame feeds codebook training, the encode pass, AND the
+    # codes-cell join below; with the r4 ivf_build centroid memo the plan
+    # is sameResult across invocations, so warm queries read the
+    # materialized residuals instead of replaying the corpus zip_with
+    # (isolated warm A/B at sf0.1: ~6.0 → ~5.2 s; the remaining warm cost
+    # is tiny-stage scheduling across the ~70-stage composite, not data).
+    from clusterindices_spark.functions.pins import repin
+
+    resid = repin(
+        "ivfpq_resid",
+        index.join(F.broadcast(cells), "cell").select(
             F.col("neighbor_id").alias("vec_id"),
             "cell",
             F.zip_with("xb", "cc", lambda a, b: a - b).alias("x"),
-        )
+        ),
     )
     # normalize=False: residuals live in the raw space the search-side
     # tables are computed in (the corpus was already unit-normalized before

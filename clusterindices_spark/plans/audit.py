@@ -455,6 +455,11 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "require": ["xxhash64", "BroadcastHashJoin"],
         "forbid": ["CartesianProduct", "SortMergeJoin"],
     },
+    "events_ewma_smooth": {
+        # hourly agg + lag window on the same event_type partitioning
+        "require": ["Window", "partial"],
+        "forbid": ["CartesianProduct", "Join"],
+    },
 }
 
 
