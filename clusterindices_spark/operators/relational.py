@@ -183,6 +183,61 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join WITH tolerance (pandas merge_asof
+    direction='forward'): for each event, the customer's EARLIEST order
+    strictly after the event but within 30 days — the "next action after
+    exposure" attribution shape. Same join + min_by hash-agg plan as
+    q_join_asof (map-side combine instead of a window sort); the
+    tolerance bound keeps the join output finite per event at any scale.
+    Ties break on (o_orderdate, o_orderkey) ascending in both engines."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    j = e.join(
+        o,
+        (e.user_id == o.o_custkey)
+        & (o.o_orderdate > e.ts)
+        & (o.o_orderdate <= e.ts + F.expr("INTERVAL 30 DAYS")),
+        "left",
+    )
+    return (
+        j.groupBy("event_id")
+        .agg(
+            F.min_by(
+                F.struct("o_orderkey", "o_totalprice"),
+                F.struct("o_orderdate", "o_orderkey"),
+            ).alias("s")
+        )
+        .select(
+            "event_id",
+            F.col("s.o_orderkey").alias("o_orderkey"),
+            F.round("s.o_totalprice", 6).alias("price"),
+        )
+    )
+
+
+def q_agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI FILTER-clause aggregates: per-group conditional counts/sums
+    without CASE noise — one scan, every FILTER folds into the same
+    partial+final hash agg."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_fc")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+               COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+               ROUND(CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                     FILTER (WHERE o_orderstatus = 'O'), 0) AS DOUBLE), 6)
+                 AS open_revenue
+        FROM orders_fc
+        GROUP BY o_orderpriority
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # aggregation
 # ---------------------------------------------------------------------------
@@ -372,6 +427,8 @@ QUERIES = {
     "join_semi_anti": q_join_semi_anti,
     "join_range": q_join_range,
     "join_asof": q_join_asof,
+    "join_asof_forward": q_join_asof_forward,
+    "agg_filter_clause": q_agg_filter_clause,
     "agg_basic": q_agg_basic,
     "agg_rollup": q_agg_rollup,
     "agg_approx": q_agg_approx,
@@ -445,6 +502,31 @@ FROM (
     ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
 )
 WHERE rn = 1
+""",
+    "join_asof_forward": f"""
+SELECT event_id, o_orderkey, ROUND(o_totalprice, 6) AS price
+FROM (
+  SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+         row_number() OVER (
+           PARTITION BY e.event_id
+           ORDER BY o.o_orderdate ASC NULLS LAST, o.o_orderkey ASC NULLS LAST
+         ) AS rn
+  FROM {_EV} e LEFT JOIN orders o
+    ON e.user_id = o.o_custkey AND o.o_orderdate > e.ts
+   AND o.o_orderdate <= e.ts + INTERVAL 30 DAY
+)
+WHERE rn = 1
+""",
+    "agg_filter_clause": """
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+       COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+       ROUND(CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+             FILTER (WHERE o_orderstatus = 'O'), 0) AS DOUBLE), 6)
+         AS open_revenue
+FROM orders
+GROUP BY o_orderpriority
 """,
     "agg_basic": f"""
 SELECT l_returnflag, l_linestatus,

@@ -140,6 +140,9 @@ _NEXT: list[str] = [
     "multimodal_scene_cut",
     # round-4g: truncated-EWMA time-series smoother (exact integer lags)
     "events_ewma_smooth",
+    # round-4h: forward/tolerance as-of + ANSI FILTER-clause aggregates
+    "join_asof_forward",
+    "agg_filter_clause",
     # (embedding_pca_project / text_heavy_hitters_cms / agg_hll_partitioned_merge
     #  are rows-only — auto-sunk to the ordering tail)
 ]
