@@ -183,6 +183,63 @@ def q_events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ROLL_WINDOW = 24  # trailing buckets in the rolling baseline
+
+
+def q_events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window anomaly score: each hourly bucket z-scored against
+    the TRAILING 24 buckets' moments (excluding itself) — the adaptive
+    baseline that tracks drift where the global and seasonal z-scores
+    (events_outliers / _seasonal) assume stationarity. Moments come from
+    rolling integer-micro sums over a ROWS frame — exact, order-free —
+    and the variance clamps at 0 before sqrt (DuckDB hard-errors on
+    negative sqrt). One event_type shuffle shared by the agg and the
+    frame."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    hour = (
+        F.floor(F.unix_millis(F.col("ts")) / F.lit(3_600_000))
+        * F.lit(3_600_000)
+    ).cast("bigint")
+    from clusterindices_spark.functions.aggregates import round6_stable
+
+    # milli-units for the squared moment: a micro sum can reach ~2e10 per
+    # bucket and its square overflows int64 under ANSI; milli² sums stay
+    # ≤ ~1e16. Bucket sums carry micro precision for the output column.
+    hourly = e.groupBy("event_type", hour.alias("bucket_ms")).agg(
+        F.sum(_micros(F.col("value"))).alias("vm"),
+        F.count(F.lit(1)).alias("n"),
+    ).withColumn("vmil", F.expr("vm div 1000"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_ms")
+        .rowsBetween(-ROLL_WINDOW, -1)
+    )
+    cnt = F.count(F.lit(1)).over(w)
+    s1 = F.sum("vmil").over(w)
+    s2 = F.sum(F.col("vmil") * F.col("vmil")).over(w)
+    mean = s1 / cnt / F.lit(1000.0)  # back to value units
+    var = F.greatest(s2 / cnt / F.lit(1e6) - mean * mean, F.lit(0.0))
+    z = (F.col("vmil") / F.lit(1000.0) - mean) / F.nullif(
+        F.sqrt(var), F.lit(0.0)
+    )
+    return (
+        hourly.select(
+            "event_type",
+            "bucket_ms",
+            "n",
+            cnt.alias("n_baseline"),
+            round6_stable(F.col("vm") / F.lit(1000000.0)).alias("hour_sum"),
+            round6_stable(F.coalesce(mean, F.lit(0.0))).alias("roll_mean"),
+            F.when(z.isNull(), None)
+            .otherwise(F.floor(z * 1000).cast("bigint"))
+            .alias("z_milli"),
+        )
+        .where(F.col("n_baseline") >= 3)
+    )
+
+
 def q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram of event values: bucket = clamped
     floor((x-lo)/width); emits bucket bounds and counts."""
@@ -582,6 +639,7 @@ QUERIES = {
     "events_user_overlap": q_events_user_overlap,
     "events_rollup_hierarchy": q_events_rollup_hierarchy,
     "events_ewma_smooth": q_events_ewma_smooth,
+    "events_rolling_zscore": q_events_rolling_zscore,
     "events_outliers_seasonal": q_events_outliers_seasonal,
     "profile_orders": q_profile_orders,
     "analytics_rfm": q_analytics_rfm,
@@ -596,6 +654,40 @@ QUERIES = {
 _W = (HIST_HI - HIST_LO) / HIST_BINS
 
 ORACLES = {
+    "events_rolling_zscore": f"""
+WITH e AS (
+  SELECT event_type,
+         CAST(floor(epoch_ms(CAST(ts AS TIMESTAMP)) / 3600000) * 3600000 AS BIGINT)
+           AS bucket_ms,
+         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vm
+  FROM events
+),
+hourly AS (
+  SELECT event_type, bucket_ms, CAST(SUM(vm) AS BIGINT) AS vm, COUNT(*) AS n
+  FROM e GROUP BY event_type, bucket_ms
+),
+m AS (
+  SELECT event_type, bucket_ms, n, vm, vm // 1000 AS vmil,
+         COUNT(*) OVER w AS n_baseline,
+         CAST(SUM(vm // 1000) OVER w AS BIGINT) AS s1,
+         CAST(SUM((vm // 1000) * (vm // 1000)) OVER w AS BIGINT) AS s2
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ms
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, bucket_ms, n, n_baseline,
+       {SQL_ROUND6.format(x="CAST(vm AS DOUBLE) / 1000000.0")} AS hour_sum,
+       {SQL_ROUND6.format(x="COALESCE(CAST(s1 AS DOUBLE) / n_baseline / 1000.0, 0.0)")} AS roll_mean,
+       CAST(floor(
+         (CAST(vmil AS DOUBLE) / 1000.0 - CAST(s1 AS DOUBLE) / n_baseline / 1000.0)
+         / NULLIF(sqrt(greatest(
+             CAST(s2 AS DOUBLE) / n_baseline / 1000000.0
+             - (CAST(s1 AS DOUBLE) / n_baseline / 1000.0)
+               * (CAST(s1 AS DOUBLE) / n_baseline / 1000.0), 0.0)), 0.0)
+         * 1000) AS BIGINT) AS z_milli
+FROM m
+WHERE n_baseline >= 3
+""",
     "events_ewma_smooth": """
 WITH e AS (
   SELECT event_type,

@@ -711,7 +711,28 @@ def q_scalar_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar surface: AND/OR/XOR, shifts, popcount, and the
+    pack-two-fields-into-one-bigint idiom (key ≪ 8 | bucket) with its
+    unpack — the bit-level toolkit behind flag columns, composite keys,
+    and signature comparisons. Pure scan-side expression work."""
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    bucket = F.pmod(k, F.lit(251)).cast("bigint")
+    packed = F.shiftleft(k, 8).bitwiseOR(F.pmod(bucket, F.lit(256)))
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseXOR(bucket).alias("xor_bucket"),
+        F.bit_count(k).alias("popcount"),
+        packed.alias("packed"),
+        F.shiftright(packed, 8).alias("unpacked_key"),
+        packed.bitwiseAND(F.lit(255)).alias("unpacked_bucket"),
+    )
+
+
 QUERIES = {
+    "scalar_bitwise": q_scalar_bitwise,
     "window_interval_merge": q_window_interval_merge,
     "agg_bool_modal": q_agg_bool_modal,
     "scalar_struct": q_scalar_struct,
@@ -743,6 +764,16 @@ QUERIES = {
 _EV = "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events)"
 
 ORACLES = {
+    "scalar_bitwise": """
+SELECT o_orderkey,
+       o_orderkey & 255 AS low_byte,
+       xor(o_orderkey, o_orderkey % 251) AS xor_bucket,
+       CAST(bit_count(o_orderkey) AS INT) AS popcount,
+       (o_orderkey << 8) | ((o_orderkey % 251) % 256) AS packed,
+       ((o_orderkey << 8) | ((o_orderkey % 251) % 256)) >> 8 AS unpacked_key,
+       ((o_orderkey << 8) | ((o_orderkey % 251) % 256)) & 255 AS unpacked_bucket
+FROM orders
+""",
     "window_interval_merge": """
 WITH e AS (
   SELECT user_id, event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS t FROM events

@@ -143,6 +143,9 @@ _NEXT: list[str] = [
     # round-4h: forward/tolerance as-of + ANSI FILTER-clause aggregates
     "join_asof_forward",
     "agg_filter_clause",
+    # round-4i: bitwise scalar surface + rolling-window anomaly baseline
+    "scalar_bitwise",
+    "events_rolling_zscore",
     # (embedding_pca_project / text_heavy_hitters_cms / agg_hll_partitioned_merge
     #  are rows-only — auto-sunk to the ordering tail)
 ]
