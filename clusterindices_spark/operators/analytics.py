@@ -183,6 +183,36 @@ def q_events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event time statistics per user — the cadence profile behind
+    session-gap tuning, bot detection (suspiciously regular gaps), and
+    churn signals. Gaps are integer ms lags (exact in both engines);
+    median/p90 are exact interpolating percentiles over those integers
+    (the agg_quantiles convention). Users with < 2 events have no gaps
+    and drop out. One user_id shuffle shared by the lag window and the
+    per-user agg."""
+    from pyspark.sql import Window
+
+    from clusterindices_spark.functions.aggregates import round6_stable
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_millis(F.col("ts")).alias("t"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    gaps = e.withColumn("gap_ms", F.col("t") - F.lag("t").over(w)).where(
+        F.col("gap_ms").isNotNull()
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_ms").alias("min_gap_ms"),
+        round6_stable(F.percentile("gap_ms", F.lit(0.5))).alias("median_gap_ms"),
+        round6_stable(F.percentile("gap_ms", F.lit(0.9))).alias("p90_gap_ms"),
+        F.max("gap_ms").alias("max_gap_ms"),
+    )
+
+
 ROLL_WINDOW = 24  # trailing buckets in the rolling baseline
 
 
@@ -640,6 +670,7 @@ QUERIES = {
     "events_rollup_hierarchy": q_events_rollup_hierarchy,
     "events_ewma_smooth": q_events_ewma_smooth,
     "events_rolling_zscore": q_events_rolling_zscore,
+    "events_gap_stats": q_events_gap_stats,
     "events_outliers_seasonal": q_events_outliers_seasonal,
     "profile_orders": q_profile_orders,
     "analytics_rfm": q_analytics_rfm,
@@ -654,6 +685,24 @@ QUERIES = {
 _W = (HIST_HI - HIST_LO) / HIST_BINS
 
 ORACLES = {
+    "events_gap_stats": f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS t FROM events
+),
+g AS (
+  SELECT user_id,
+         t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS gap_ms
+  FROM e
+)
+SELECT user_id,
+       COUNT(*) AS n_gaps,
+       MIN(gap_ms) AS min_gap_ms,
+       {SQL_ROUND6.format(x="quantile_cont(gap_ms, 0.5)")} AS median_gap_ms,
+       {SQL_ROUND6.format(x="quantile_cont(gap_ms, 0.9)")} AS p90_gap_ms,
+       MAX(gap_ms) AS max_gap_ms
+FROM g WHERE gap_ms IS NOT NULL
+GROUP BY user_id
+""",
     "events_rolling_zscore": f"""
 WITH e AS (
   SELECT event_type,

@@ -146,6 +146,7 @@ _NEXT: list[str] = [
     # round-4i: bitwise scalar surface + rolling-window anomaly baseline
     "scalar_bitwise",
     "events_rolling_zscore",
+    "events_gap_stats",
     # (embedding_pca_project / text_heavy_hitters_cms / agg_hll_partitioned_merge
     #  are rows-only — auto-sunk to the ordering tail)
 ]
