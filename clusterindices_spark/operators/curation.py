@@ -441,7 +441,35 @@ def q_curation_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q_curation_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-BEST dedup policy: per content hash, the canonical copy is the
+    one with the highest quality score (doc_id tie-break) instead of the
+    min-id convention — the policy real curation stacks use when duplicate
+    copies differ in extraction quality (boilerplate, encoding damage).
+    Same single hash shuffle as exact dedup; the argmax is max(struct) so
+    the tie-break is explicit in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = score_documents(d).select(
+        "doc_id", "h", "quality", "n_tokens"
+    )
+    return (
+        scored.groupBy(F.col("h").alias("content_hash"))
+        .agg(
+            F.max(F.struct("quality", "doc_id", "n_tokens")).alias("best"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(
+            "content_hash",
+            F.col("best.doc_id").alias("keep_doc_id"),
+            F.col("best.quality").alias("keep_quality"),
+            F.col("best.n_tokens").cast("bigint").alias("keep_n_tokens"),
+            "n_copies",
+        )
+    )
+
+
 QUERIES = {
+    "curation_dedup_keep_best": q_curation_dedup_keep_best,
     "curation_mixture_temperature": q_curation_mixture_temperature,
     "curation_split": q_curation_split,
     "curation_pack_greedy": q_curation_pack_greedy,
@@ -541,6 +569,25 @@ pack AS (
   FROM pack p JOIN seq s ON s.grp = p.grp AND s.rn = p.rn + 1
 )
 SELECT doc_id, grp, CAST(bin AS INT) AS bin, t AS n_tokens FROM pack
+""",
+    "curation_dedup_keep_best": f"""
+WITH m AS ({_sql_quality()}),
+scored AS (
+  SELECT doc_id, sha256(text) AS content_hash,
+         CAST(n_tokens AS BIGINT) AS n_tokens,
+         {SQL_ROUND6.format(x=f"LEAST(n_tokens / 100.0, 1.0) * 0.5 + {_R6_STOP} * 0.3 + LEAST({_R6_AVG} / 10.0, 1.0) * 0.2")} AS quality
+  FROM m
+)
+SELECT content_hash,
+       MAX(struct_pack(quality := quality, doc_id := doc_id,
+                       n_tokens := n_tokens)).doc_id AS keep_doc_id,
+       MAX(struct_pack(quality := quality, doc_id := doc_id,
+                       n_tokens := n_tokens)).quality AS keep_quality,
+       MAX(struct_pack(quality := quality, doc_id := doc_id,
+                       n_tokens := n_tokens)).n_tokens AS keep_n_tokens,
+       COUNT(*) AS n_copies
+FROM scored
+GROUP BY content_hash
 """,
     "curation_pipeline": f"""
 WITH m AS ({_sql_quality()}),

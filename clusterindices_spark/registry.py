@@ -147,6 +147,7 @@ _NEXT: list[str] = [
     "scalar_bitwise",
     "events_rolling_zscore",
     "events_gap_stats",
+    "curation_dedup_keep_best",
     # (embedding_pca_project / text_heavy_hitters_cms / agg_hll_partitioned_merge
     #  are rows-only — auto-sunk to the ordering tail)
 ]
