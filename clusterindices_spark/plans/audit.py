@@ -460,6 +460,32 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "require": ["Window", "partial"],
         "forbid": ["CartesianProduct", "Join"],
     },
+    "events_rolling_zscore": {
+        "require": ["Window", "partial"],
+        "forbid": ["CartesianProduct", "Join"],
+    },
+    "events_gap_stats": {
+        "require": ["Window", "partial"],
+        "forbid": ["CartesianProduct", "Join"],
+    },
+    "scalar_bitwise": {
+        # pure scan-side expression work
+        "require": ["*("],
+        "forbid": ["CartesianProduct", "Join", "Exchange"],
+    },
+    "curation_dedup_keep_best": {
+        "require": ["partial"],
+        "forbid": ["CartesianProduct", "Join"],
+    },
+    "join_asof_forward": {
+        # equi component keeps it a partitioned join + map-side-combined agg
+        "require": ["Join", "partial"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "agg_filter_clause": {
+        "require": ["partial"],
+        "forbid": ["CartesianProduct", "Join"],
+    },
 }
 
 
