@@ -213,6 +213,50 @@ def q_events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day — the product-
+    analytics engagement triple. WAU avoids the distinct-over-range-frame
+    trap (not expressible as a window) AND the inequality join (BNLJ):
+    each distinct (user, day) pair is EXPLODED to the 7 anchor days it
+    supports (day .. day+6), then one countDistinct per anchor — an
+    equi-shuffle with a bounded 7× fan-out of the deduped pair set, valid
+    at any scale. Anchors are restricted to days that actually occur
+    (left-semi against the day spine)."""
+    from clusterindices_spark.functions.aggregates import round6_stable
+
+    e = load_table(spark, sf_dir, "events")
+    day = F.floor(
+        F.unix_millis(F.col("ts")) / F.lit(86_400_000)
+    ).cast("bigint")
+    pairs = (
+        e.select(day.alias("day"), "user_id")
+        .where(F.col("user_id").isNotNull())
+        .distinct()
+    )
+    dau = pairs.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    anchors = (
+        pairs.select(
+            F.explode(
+                F.sequence(F.col("day"), F.col("day") + F.lit(6))
+            ).alias("day"),
+            "user_id",
+        )
+        .join(dau.select("day"), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(anchors, "day")
+        .select(
+            "day",
+            (F.col("day") * F.lit(86_400_000)).alias("day_ms"),
+            "dau",
+            "wau",
+            round6_stable(F.col("dau") / F.col("wau")).alias("stickiness"),
+        )
+    )
+
+
 ROLL_WINDOW = 24  # trailing buckets in the rolling baseline
 
 
@@ -671,6 +715,7 @@ QUERIES = {
     "events_ewma_smooth": q_events_ewma_smooth,
     "events_rolling_zscore": q_events_rolling_zscore,
     "events_gap_stats": q_events_gap_stats,
+    "events_dau_wau": q_events_dau_wau,
     "events_outliers_seasonal": q_events_outliers_seasonal,
     "profile_orders": q_profile_orders,
     "analytics_rfm": q_analytics_rfm,
@@ -685,6 +730,27 @@ QUERIES = {
 _W = (HIST_HI - HIST_LO) / HIST_BINS
 
 ORACLES = {
+    "events_dau_wau": f"""
+WITH pairs AS (
+  SELECT DISTINCT
+         CAST(floor(epoch_ms(CAST(ts AS TIMESTAMP)) / 86400000) AS BIGINT) AS day,
+         user_id
+  FROM events WHERE user_id IS NOT NULL
+),
+dau AS (SELECT day, COUNT(*) AS dau FROM pairs GROUP BY day),
+anch AS (
+  SELECT p.day + off.o AS day, p.user_id
+  FROM pairs p, (SELECT unnest(range(7)) AS o) off
+),
+wau AS (
+  SELECT a.day, COUNT(DISTINCT a.user_id) AS wau
+  FROM anch a WHERE a.day IN (SELECT day FROM dau)
+  GROUP BY a.day
+)
+SELECT d.day, d.day * 86400000 AS day_ms, d.dau, w.wau,
+       {SQL_ROUND6.format(x="CAST(d.dau AS DOUBLE) / w.wau")} AS stickiness
+FROM dau d JOIN wau w USING (day)
+""",
     "events_gap_stats": f"""
 WITH e AS (
   SELECT user_id, event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS t FROM events
