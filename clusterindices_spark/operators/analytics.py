@@ -257,6 +257,56 @@ def q_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity-concentration (Pareto) curve: rank users by event count,
+    split into deciles, report each decile's user count, event share, and
+    the cumulative share at its boundary — 'the top 10% of users generate
+    X% of events'. Rank ties break on user_id; decile = ceil(10·rank/n)
+    (exact integer arithmetic). Two shuffles: per-user counts, then the
+    global rank window (a single ordered partition — at 100 TB replace
+    with a range-partitioned sort + per-partition offsets; user counts,
+    not raw events, enter the sort)."""
+    from pyspark.sql import Window
+
+    from clusterindices_spark.functions.aggregates import round6_stable
+
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.where(F.col("user_id").isNotNull()).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy().orderBy(F.col("cnt").desc(), F.col("user_id"))
+    ranked = per_user.select(
+        "cnt",
+        F.row_number().over(w).alias("rk"),
+        F.sum("cnt").over(
+            Window.partitionBy()
+            .orderBy(F.col("cnt").desc(), F.col("user_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+    )
+    n_users = per_user.count()
+    total = e.where(F.col("user_id").isNotNull()).count()
+    decile = F.ceil(F.col("rk") * 10 / F.lit(n_users)).cast("int")
+    return (
+        ranked.withColumn("decile", decile)
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("cnt").alias("n_events"),
+            F.max("cum").alias("cum_events"),
+        )
+        .select(
+            "decile",
+            "n_users",
+            "n_events",
+            round6_stable(F.col("n_events") / F.lit(total)).alias("share"),
+            round6_stable(F.col("cum_events") / F.lit(total)).alias(
+                "cum_share"
+            ),
+        )
+    )
+
+
 ROLL_WINDOW = 24  # trailing buckets in the rolling baseline
 
 
@@ -716,6 +766,7 @@ QUERIES = {
     "events_rolling_zscore": q_events_rolling_zscore,
     "events_gap_stats": q_events_gap_stats,
     "events_dau_wau": q_events_dau_wau,
+    "events_pareto_concentration": q_events_pareto_concentration,
     "events_outliers_seasonal": q_events_outliers_seasonal,
     "profile_orders": q_profile_orders,
     "analytics_rfm": q_analytics_rfm,
@@ -730,6 +781,34 @@ QUERIES = {
 _W = (HIST_HI - HIST_LO) / HIST_BINS
 
 ORACLES = {
+    "events_pareto_concentration": f"""
+WITH pu AS (
+  SELECT user_id, COUNT(*) AS cnt FROM events
+  WHERE user_id IS NOT NULL GROUP BY user_id
+),
+tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS n_users FROM pu
+),
+r AS (
+  SELECT cnt,
+         row_number() OVER (ORDER BY cnt DESC, user_id) AS rk,
+         CAST(SUM(cnt) OVER (ORDER BY cnt DESC, user_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM pu
+),
+d AS (
+  SELECT CAST(ceil(rk * 10.0 / (SELECT n_users FROM tot)) AS INT) AS decile,
+         cnt, cum
+  FROM r
+)
+SELECT decile,
+       COUNT(*) AS n_users,
+       CAST(SUM(cnt) AS BIGINT) AS n_events,
+       {SQL_ROUND6.format(x="CAST(SUM(cnt) AS DOUBLE) / (SELECT total FROM tot)")} AS share,
+       {SQL_ROUND6.format(x="CAST(MAX(cum) AS DOUBLE) / (SELECT total FROM tot)")} AS cum_share
+FROM d
+GROUP BY decile
+""",
     "events_dau_wau": f"""
 WITH pairs AS (
   SELECT DISTINCT

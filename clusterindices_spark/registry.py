@@ -149,6 +149,7 @@ _NEXT: list[str] = [
     "events_gap_stats",
     "curation_dedup_keep_best",
     "events_dau_wau",
+    "events_pareto_concentration",
     # (embedding_pca_project / text_heavy_hitters_cms / agg_hll_partitioned_merge
     #  are rows-only — auto-sunk to the ordering tail)
 ]
