@@ -354,6 +354,52 @@ def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence of each source's unigram distribution
+    from the full-corpus distribution — the data-mixture drift diagnostic
+    (which sources are lexically out-of-distribution; what a new crawl
+    shifts). JSD = ½Σ p·log2(p/m) + ½Σ q·log2(q/m), m = (p+q)/2, summed
+    over the GLOBAL vocabulary (q > 0 everywhere; absent source terms
+    contribute the q-side only), bounded in [0,1] with log2.
+
+    Determinism: each term's contribution is floored to BIGINT nanos
+    before the per-source sum (the ln-micros device at 1e9 — term
+    contributions are sub-1 magnitudes, and integer sums are order-free).
+    Scale: grid = vocab × sources (bounded by |V|·S, sources broadcast);
+    the per-(source,term) counts join the grid on term — one shuffle by
+    term, then a |sources|-row agg."""
+    d = _with_tokens(load_table(spark, sf_dir, "documents"))
+    ex = d.select("source", F.explode("toks").alias("term"))
+    st = ex.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c_st"))
+    src = ex.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    vocab = ex.groupBy("term").agg(F.count(F.lit(1)).alias("c_t"))
+    total = ex.agg(F.count(F.lit(1)).alias("n_all"))
+    grid = (
+        vocab.crossJoin(F.broadcast(src))
+        .join(st, ["source", "term"], "left")
+        .crossJoin(F.broadcast(total))
+    )
+    p = F.coalesce(F.col("c_st"), F.lit(0)) / F.col("n_s")
+    q = F.col("c_t") / F.col("n_all")
+    m = (p + q) / F.lit(2.0)
+    term_p = F.when(
+        p > 0, p * F.log(2.0, p / m) * F.lit(0.5)
+    ).otherwise(F.lit(0.0))
+    term_q = q * F.log(2.0, q / m) * F.lit(0.5)
+    nanos = F.floor((term_p + term_q) * F.lit(1e9) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    return (
+        grid.groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_vocab_terms"),
+            (F.sum(nanos) / F.lit(1e9)).alias("jsd_bits"),
+        )
+        .select("source", "n_tokens", "n_vocab_terms", "jsd_bits")
+    )
+
+
 def q_text_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus vocabulary profile: vocab size, total token
     occurrences, hapax count (corpus frequency 1 — the Zipf tail that
@@ -495,6 +541,7 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "text_js_divergence": q_text_js_divergence,
     "text_entropy": q_text_entropy,
     "text_vocab_stats": q_text_vocab_stats,
     "text_bigram_logprob": q_text_bigram_logprob,
@@ -531,6 +578,41 @@ def _sql_markers(lang: str) -> str:
 _SQL_STOP = ", ".join(f"'{s}'" for s in STOPWORDS)
 
 ORACLES = {
+    "text_js_divergence": f"""
+WITH ex AS (SELECT source, unnest({SQL_TOKENS.format(col="text")}) AS term FROM documents),
+st AS (SELECT source, term, COUNT(*) AS c_st FROM ex GROUP BY source, term),
+src AS (SELECT source, COUNT(*) AS n_s FROM ex GROUP BY source),
+vocab AS (SELECT term, COUNT(*) AS c_t FROM ex GROUP BY term),
+tot AS (SELECT COUNT(*) AS n_all FROM ex),
+grid AS (
+  SELECT s.source, v.term, v.c_t, s.n_s,
+         COALESCE(st.c_st, 0) AS c_st, (SELECT n_all FROM tot) AS n_all
+  FROM vocab v CROSS JOIN src s
+  LEFT JOIN st ON st.source = s.source AND st.term = v.term
+),
+terms AS (
+  SELECT source, n_s,
+         CAST(floor((
+           CASE WHEN c_st > 0
+                THEN (CAST(c_st AS DOUBLE) / n_s)
+                     * log2((CAST(c_st AS DOUBLE) / n_s)
+                            / ((CAST(c_st AS DOUBLE) / n_s
+                                + CAST(c_t AS DOUBLE) / n_all) / 2.0)) * 0.5
+                ELSE 0.0 END
+           + (CAST(c_t AS DOUBLE) / n_all)
+             * log2((CAST(c_t AS DOUBLE) / n_all)
+                    / ((CAST(c_st AS DOUBLE) / n_s
+                        + CAST(c_t AS DOUBLE) / n_all) / 2.0)) * 0.5
+         ) * 1e9 + 0.5) AS BIGINT) AS nanos
+  FROM grid
+)
+SELECT source,
+       CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_vocab_terms,
+       CAST(SUM(nanos) AS DOUBLE) / 1e9 AS jsd_bits
+FROM terms
+GROUP BY source
+""",
     "text_entropy": """
 WITH chars AS (
   SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents

@@ -150,6 +150,7 @@ _NEXT: list[str] = [
     "curation_dedup_keep_best",
     "events_dau_wau",
     "events_pareto_concentration",
+    "text_js_divergence",
     # (embedding_pca_project / text_heavy_hitters_cms / agg_hll_partitioned_merge
     #  are rows-only — auto-sunk to the ordering tail)
 ]
