@@ -400,6 +400,56 @@ def q_text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the rank–frequency curve: OLS slope/intercept/R²
+    of ln(freq) on ln(rank) — natural corpora sit near slope −1, and a
+    flat or broken slope flags synthetic/spammy vocabularies (the
+    corpus-health check next to vocab_stats). Determinism: ln values are
+    floor-micro'd 6dp doubles (the ln device), then every regression sum
+    runs in DECIMAL(38,12) — exact, order-free — so the OLS arithmetic
+    starts from bit-identical sums in both engines. One term shuffle for
+    counts, one rank window over vocab-scale rows, a 1-row result."""
+    from clusterindices_spark.functions.aggregates import round6_stable
+
+    d = _with_tokens(load_table(spark, sf_dir, "documents"))
+    vocab = d.select(F.explode("toks").alias("term")).groupBy("term").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy().orderBy(F.col("cnt").desc(), F.col("term"))
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    pts = vocab.select(
+        r6(F.log(F.row_number().over(w).cast("double")))
+        .alias("x"),
+        r6(F.log(F.col("cnt").cast("double"))).alias("y"),
+    )
+    dec = lambda c: c.cast("decimal(38,12)")  # noqa: E731
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("y") * F.col("y"))).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r2 = (n * sxy - sx * sy) * (n * sxy - sx * sy) / (
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return s.select(
+        F.col("n").alias("n_terms"),
+        # slope is negative: floor-based round6_stable is non-negative-only,
+        # so round the magnitude and restore the sign
+        (-round6_stable(-slope)).alias("zipf_slope"),
+        round6_stable(intercept).alias("intercept"),
+        round6_stable(r2).alias("r2"),
+    )
+
+
 def q_text_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus vocabulary profile: vocab size, total token
     occurrences, hapax count (corpus frequency 1 — the Zipf tail that
@@ -542,6 +592,7 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "text_js_divergence": q_text_js_divergence,
+    "text_zipf_fit": q_text_zipf_fit,
     "text_entropy": q_text_entropy,
     "text_vocab_stats": q_text_vocab_stats,
     "text_bigram_logprob": q_text_bigram_logprob,
@@ -578,6 +629,39 @@ def _sql_markers(lang: str) -> str:
 _SQL_STOP = ", ".join(f"'{s}'" for s in STOPWORDS)
 
 ORACLES = {
+    "text_zipf_fit": f"""
+WITH vocab AS (
+  SELECT term, COUNT(*) AS cnt
+  FROM (SELECT unnest({SQL_TOKENS.format(col="text")}) AS term FROM documents)
+  GROUP BY term
+),
+pts AS (
+  SELECT floor(ln(CAST(row_number() OVER (ORDER BY cnt DESC, term) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS x,
+         floor(ln(CAST(cnt AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS y
+  FROM vocab
+),
+s AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(x AS DECIMAL(38,12))) AS sx,
+         SUM(CAST(y AS DECIMAL(38,12))) AS sy,
+         SUM(CAST(x * y AS DECIMAL(38,12))) AS sxy,
+         SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx,
+         SUM(CAST(y * y AS DECIMAL(38,12))) AS syy
+  FROM pts
+),
+d AS (
+  SELECT n,
+         CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+         CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+         CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+  FROM s
+)
+SELECT n AS n_terms,
+       -(floor(-((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)) * 1000000.0 + 0.5) / 1000000.0) AS zipf_slope,
+       {SQL_ROUND6.format(x="(syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)) * sxd) / nd")} AS intercept,
+       {SQL_ROUND6.format(x="(nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd) / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd))")} AS r2
+FROM d
+""",
     "text_js_divergence": f"""
 WITH ex AS (SELECT source, unnest({SQL_TOKENS.format(col="text")}) AS term FROM documents),
 st AS (SELECT source, term, COUNT(*) AS c_st FROM ex GROUP BY source, term),

@@ -151,6 +151,7 @@ _NEXT: list[str] = [
     "events_dau_wau",
     "events_pareto_concentration",
     "text_js_divergence",
+    "text_zipf_fit",
     # (embedding_pca_project / text_heavy_hitters_cms / agg_hll_partitioned_merge
     #  are rows-only — auto-sunk to the ordering tail)
 ]
