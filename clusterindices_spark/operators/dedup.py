@@ -108,6 +108,60 @@ def q_dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source copy matrix: for every unordered source pair, how many
+    distinct content hashes appear in BOTH — the provenance-leakage map
+    (which crawls mirror each other) that decides dedup ORDER in a
+    multi-source pipeline. One hash shuffle to distinct (hash, source)
+    pairs, then a per-hash self-join whose fan-out is bounded by
+    sources-per-hash², never corpus-scale."""
+    d = load_table(spark, sf_dir, "documents")
+    hs = d.select(
+        F.sha2(F.col("text"), 256).alias("h"), "source"
+    ).distinct()
+    a = hs.select("h", F.col("source").alias("source_a"))
+    b = hs.select("h", F.col("source").alias("source_b"))
+    return (
+        a.join(b, "h")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_hashes"))
+    )
+
+
+def q_dedup_token_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication inflation per source: token mass carried by
+    NON-CANONICAL copies (canonical = min doc_id per content hash) as a
+    fraction of the source's total — 'how much of this crawl is duplicate
+    bytes', the number that prices a dedup stage before it runs. Two hash
+    shuffles (canonical table, per-source agg); the canonical table joins
+    back broadcast-scale per hash."""
+    from clusterindices_spark.functions.aggregates import round6_stable
+    from clusterindices_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.sha2(F.col("text"), 256).alias("h"),
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    canon = d.groupBy("h").agg(F.min("doc_id").alias("keep_doc_id"))
+    flagged = d.join(canon, "h").withColumn(
+        "is_dup", F.col("doc_id") != F.col("keep_doc_id")
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(F.when(F.col("is_dup"), F.col("n_tokens")).otherwise(0)).alias(
+            "dup_tokens"
+        ),
+        round6_stable(
+            F.sum(F.when(F.col("is_dup"), F.col("n_tokens")).otherwise(0))
+            / F.sum("n_tokens")
+        ).alias("dup_token_frac"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact n-gram Jaccard (oracle-able ground truth for the LSH tiers)
 # ---------------------------------------------------------------------------
@@ -935,6 +989,8 @@ QUERIES = {
     "dedup_ngram_containment": q_dedup_ngram_containment,
     "dedup_exact": q_dedup_exact,
     "dedup_normalized_exact": q_dedup_normalized_exact,
+    "dedup_cross_source": q_dedup_cross_source,
+    "dedup_token_inflation": q_dedup_token_inflation,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_near_minhash": q_dedup_near_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -982,6 +1038,31 @@ SELECT sha256(text) AS content_hash,
        MIN(doc_id) AS keep_doc_id,
        COUNT(*) AS n_copies
 FROM documents GROUP BY sha256(text)
+""",
+    "dedup_cross_source": """
+WITH hs AS (
+  SELECT DISTINCT sha256(text) AS h, source FROM documents
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       COUNT(*) AS n_shared_hashes
+FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+GROUP BY a.source, b.source
+""",
+    "dedup_token_inflation": f"""
+WITH d AS (
+  SELECT doc_id, source, sha256(text) AS h,
+         len({SQL_TOKENS.format(col="text")}) AS n_tokens
+  FROM documents
+),
+canon AS (SELECT h, MIN(doc_id) AS keep_doc_id FROM d GROUP BY h)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN d.doc_id <> c.keep_doc_id THEN n_tokens ELSE 0 END)
+            AS BIGINT) AS dup_tokens,
+       {SQL_ROUND6.format(x="CAST(SUM(CASE WHEN d.doc_id <> c.keep_doc_id THEN n_tokens ELSE 0 END) AS DOUBLE) / SUM(n_tokens)")} AS dup_token_frac
+FROM d JOIN canon c USING (h)
+GROUP BY source
 """,
     "dedup_normalized_exact": """
 WITH n AS (

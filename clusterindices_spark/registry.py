@@ -152,6 +152,8 @@ _NEXT: list[str] = [
     "events_pareto_concentration",
     "text_js_divergence",
     "text_zipf_fit",
+    "dedup_cross_source",
+    "dedup_token_inflation",
     # (embedding_pca_project / text_heavy_hitters_cms / agg_hll_partitioned_merge
     #  are rows-only — auto-sunk to the ordering tail)
 ]
