@@ -36,6 +36,12 @@ from pyspark.sql import functions as F
 from clusterindices_spark.functions.aggregates import SQL_ROUND6
 from clusterindices_spark.sources.fixtures import load_table
 
+
+def _sql_toks_doc() -> str:
+    from clusterindices_spark.functions.text import SQL_TOKENS
+
+    return SQL_TOKENS.format(col="text")
+
 HIST_LO = 0.0
 HIST_HI = 500.0
 HIST_BINS = 20
@@ -304,6 +310,88 @@ def q_events_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame
                 "cum_share"
             ),
         )
+    )
+
+
+ATTR_WINDOW_MS = 7 * 86_400_000  # attribution lookback
+
+
+def q_events_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase credited to the user's most
+    recent non-purchase event within a 7-day lookback (NULL channel when
+    none) — the default revenue-attribution rule. Same join + max_by
+    hash-agg plan as the as-of family (map-side combine, no window sort);
+    ties break on (ts, event_id)."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.unix_millis(F.col("ts")).alias("p_t"),
+        F.round("value", 6).alias("revenue"),
+    )
+    t = e.where(F.col("event_type") != "purchase").select(
+        F.col("event_id").alias("touch_id"),
+        F.col("user_id").alias("t_user"),
+        F.col("event_type").alias("channel"),
+        F.unix_millis(F.col("ts")).alias("t_t"),
+    )
+    j = p.join(
+        t,
+        (p.p_user == t.t_user)
+        & (t.t_t < p.p_t)
+        & (t.t_t >= p.p_t - F.lit(ATTR_WINDOW_MS)),
+        "left",
+    )
+    return (
+        j.groupBy("purchase_id")
+        .agg(
+            F.max_by(
+                F.struct("channel", "touch_id", "t_t"),
+                F.struct("t_t", "touch_id"),
+            ).alias("s"),
+            F.max("revenue").alias("revenue"),
+            F.max("p_t").alias("p_t"),
+        )
+        .select(
+            "purchase_id",
+            "revenue",
+            F.col("s.channel").alias("channel"),
+            F.col("s.touch_id").alias("touch_id"),
+            (F.col("p_t") - F.col("s.t_t")).alias("lag_ms"),
+        )
+    )
+
+
+KFOLDS = 5
+
+
+def q_curation_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment (md5-hex mod k — a pure function of
+    the stable id, so retries and backfills keep every doc in its fold;
+    the cross-validation companion to curation_split) plus the per-fold
+    balance report that validates the assignment is usable: doc counts and
+    token mass per fold. Scan-side fold id; one k-row agg."""
+    from clusterindices_spark.functions.aggregates import round6_stable
+    from clusterindices_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    # fold = integer value of the last 8 md5 hex chars mod k (conv is
+    # BIGINT-exact at 8 hex digits in both engines)
+    fold = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 25, 8), 16, 10
+        ).cast("bigint")
+        % KFOLDS
+    ).cast("int")
+    sized = d.select(
+        fold.alias("fold"),
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    total = sized.count()
+    return sized.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        round6_stable(F.count(F.lit(1)) / F.lit(total)).alias("doc_share"),
     )
 
 
@@ -767,6 +855,8 @@ QUERIES = {
     "events_gap_stats": q_events_gap_stats,
     "events_dau_wau": q_events_dau_wau,
     "events_pareto_concentration": q_events_pareto_concentration,
+    "events_last_touch": q_events_last_touch,
+    "curation_kfold": q_curation_kfold,
     "events_outliers_seasonal": q_events_outliers_seasonal,
     "profile_orders": q_profile_orders,
     "analytics_rfm": q_analytics_rfm,
@@ -781,6 +871,45 @@ QUERIES = {
 _W = (HIST_HI - HIST_LO) / HIST_BINS
 
 ORACLES = {
+    "events_last_touch": """
+WITH e AS (
+  SELECT event_id, user_id, event_type, value,
+         epoch_ms(CAST(ts AS TIMESTAMP)) AS t
+  FROM events
+),
+p AS (
+  SELECT event_id AS purchase_id, user_id, t AS p_t, ROUND(value, 6) AS revenue
+  FROM e WHERE event_type = 'purchase'
+),
+tch AS (
+  SELECT event_id AS touch_id, user_id, event_type AS channel, t AS t_t
+  FROM e WHERE event_type <> 'purchase'
+),
+r AS (
+  SELECT p.purchase_id, p.revenue, tch.channel, tch.touch_id,
+         p.p_t - tch.t_t AS lag_ms,
+         row_number() OVER (
+           PARTITION BY p.purchase_id
+           ORDER BY tch.t_t DESC NULLS LAST, tch.touch_id DESC NULLS LAST
+         ) AS rn
+  FROM p LEFT JOIN tch
+    ON p.user_id = tch.user_id
+   AND tch.t_t < p.p_t AND tch.t_t >= p.p_t - 604800000
+)
+SELECT purchase_id, revenue, channel, touch_id, lag_ms FROM r WHERE rn = 1
+""",
+    "curation_kfold": f"""
+WITH sized AS (
+  SELECT CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 25, 8) AS BIGINT) % 5 AS INT) AS fold,
+         len({_sql_toks_doc()}) AS n_tokens
+  FROM documents
+),
+tot AS (SELECT COUNT(*) AS total FROM sized)
+SELECT fold, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       {SQL_ROUND6.format(x="CAST(COUNT(*) AS DOUBLE) / (SELECT total FROM tot)")} AS doc_share
+FROM sized GROUP BY fold
+""",
     "events_pareto_concentration": f"""
 WITH pu AS (
   SELECT user_id, COUNT(*) AS cnt FROM events

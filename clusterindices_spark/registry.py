@@ -154,6 +154,8 @@ _NEXT: list[str] = [
     "text_zipf_fit",
     "dedup_cross_source",
     "dedup_token_inflation",
+    "events_last_touch",
+    "curation_kfold",
     # (embedding_pca_project / text_heavy_hitters_cms / agg_hll_partitioned_merge
     #  are rows-only — auto-sunk to the ordering tail)
 ]
