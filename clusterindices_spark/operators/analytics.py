@@ -395,6 +395,35 @@ def q_curation_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_events_hour_of_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week seasonality profile per event type: event share in each
+    of the 168 weekly hour slots — the traffic-shape fingerprint behind
+    capacity planning and the seasonal-outlier baseline. Slot arithmetic
+    on epoch-ms BIGINTs (day-of-week from the epoch anchor, Thursday=0
+    shifted to Monday=0) so both engines bucket identically regardless of
+    locale settings. One 168-key agg per type."""
+    from clusterindices_spark.functions.aggregates import round6_stable
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    t = F.unix_millis(F.col("ts"))
+    # epoch day 0 = Thursday; (+3) % 7 makes Monday = 0
+    dow = (F.floor(t / F.lit(86_400_000)) + F.lit(3)) % F.lit(7)
+    hod = F.floor(t / F.lit(3_600_000)) % F.lit(24)
+    slot = (dow * 24 + hod).cast("int")
+    counts = e.groupBy("event_type", slot.alias("hour_of_week")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = Window.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "hour_of_week",
+        "n",
+        round6_stable(F.col("n") / F.sum("n").over(tot)).alias("share"),
+    )
+
+
 ROLL_WINDOW = 24  # trailing buckets in the rolling baseline
 
 
@@ -857,6 +886,7 @@ QUERIES = {
     "events_pareto_concentration": q_events_pareto_concentration,
     "events_last_touch": q_events_last_touch,
     "curation_kfold": q_curation_kfold,
+    "events_hour_of_week": q_events_hour_of_week,
     "events_outliers_seasonal": q_events_outliers_seasonal,
     "profile_orders": q_profile_orders,
     "analytics_rfm": q_analytics_rfm,
@@ -871,6 +901,22 @@ QUERIES = {
 _W = (HIST_HI - HIST_LO) / HIST_BINS
 
 ORACLES = {
+    "events_hour_of_week": f"""
+WITH e AS (
+  SELECT event_type,
+         CAST(((epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 + 3) % 7) * 24
+              + (epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000) % 24 AS INT)
+           AS hour_of_week
+  FROM events
+),
+c AS (
+  SELECT event_type, hour_of_week, COUNT(*) AS n
+  FROM e GROUP BY event_type, hour_of_week
+)
+SELECT event_type, hour_of_week, n,
+       {SQL_ROUND6.format(x="CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY event_type)")} AS share
+FROM c
+""",
     "events_last_touch": """
 WITH e AS (
   SELECT event_id, user_id, event_type, value,

@@ -409,6 +409,34 @@ def q_multimodal_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scene_cuts(with_binary_payload(d))
 
 
+
+def q_multimodal_type_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-type routing by magic bytes: sniff each planted payload's
+    container from its header (P6 PPM vs RIFF/WAVE vs unknown) with pure
+    scan-side hex comparisons — the dispatch stage in front of the typed
+    decoders (decode_media raises on formats this router would send to a
+    different pool). Reports per-format counts and byte mass. The oracle
+    replays the synth rule (doc_id parity) relationally — a router bug
+    that mis-sniffs either header breaks the hash."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = synth_media(d)
+    head2 = F.upper(F.hex(F.substring(F.col("payload"), 1, 2)))
+    head4 = F.upper(F.hex(F.substring(F.col("payload"), 1, 4)))
+    fmt = (
+        F.when(head2 == "5036", "ppm")        # 'P6'
+        .when(head4 == "52494646", "wav")     # 'RIFF'
+        .otherwise("unknown")
+    )
+    return (
+        media.select(fmt.alias("fmt"), F.octet_length("payload").alias("nb"))
+        .groupBy("fmt")
+        .agg(
+            F.count(F.lit(1)).alias("n_payloads"),
+            F.sum(F.col("nb").cast("bigint")).alias("total_bytes"),
+        )
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked slice of the decode output: byte length + first byte
     must equal DuckDB's view of the same UTF-8 payload."""
@@ -693,6 +721,7 @@ QUERIES = {
     "multimodal_resize": q_multimodal_resize,
     "multimodal_decode_real": q_multimodal_decode_real,
     "multimodal_scene_cut": q_multimodal_scene_cut,
+    "multimodal_type_routing": q_multimodal_type_routing,
 }
 
 # first_byte is the first UTF-8 *byte*, not the first codepoint (they only
@@ -759,6 +788,15 @@ SELECT doc_id,
        CAST(length({_FRAME_EXPR}) AS INT) AS frame_len,
        {SQL_FINGERPRINT.format(col=_FRAME_EXPR)} AS frame_hash
 FROM f
+"""
+
+ORACLES["multimodal_type_routing"] = """
+SELECT CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'wav' END AS fmt,
+       COUNT(*) AS n_payloads,
+       CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 59 ELSE 108 END) AS BIGINT)
+         AS total_bytes
+FROM documents
+GROUP BY CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'wav' END
 """
 
 ORACLES["multimodal_scene_cut"] = f"""

@@ -156,6 +156,8 @@ _NEXT: list[str] = [
     "dedup_token_inflation",
     "events_last_touch",
     "curation_kfold",
+    "events_hour_of_week",
+    "multimodal_type_routing",
     # (embedding_pca_project / text_heavy_hitters_cms / agg_hll_partitioned_merge
     #  are rows-only — auto-sunk to the ordering tail)
 ]
