@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from clusterindices_spark.functions.aggregates import SQL_ROUND6
 from clusterindices_spark.functions.distances import norm
 from clusterindices_spark.sources.fixtures import load_table
 
@@ -250,17 +251,126 @@ def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", *cols)
 
 
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension health profile across the corpus: mean, variance, and
+    zero-fraction for each of the 64 dims — the dead-dimension / scale-
+    drift detector run before any ANN index build. Moments from exact
+    integer-micro sums (order-free); posexplode keys the shuffle by dim
+    (64 groups, map-side combined)."""
+    from clusterindices_spark.functions.aggregates import round6_stable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.posexplode("embedding").alias("dim", "v")
+    )
+    micros = F.floor(F.col("v") * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    # milli for the square (micro² overflows at corpus scale — the rolling
+    # z-score lesson)
+    millis = F.floor(F.col("v") * F.lit(1e3) + F.lit(0.5)).cast("bigint")
+    stats = ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(micros).alias("s1"),
+        F.sum(millis * millis).alias("s2m"),
+        F.sum((F.col("v") == 0.0).cast("bigint")).alias("n_zero"),
+    )
+    mean = F.col("s1") / F.col("n") / F.lit(1e6)
+    var = F.greatest(
+        F.col("s2m") / F.col("n") / F.lit(1e6) - mean * mean, F.lit(0.0)
+    )
+    return stats.select(
+        "dim",
+        "n",
+        round6_stable(F.coalesce(mean, F.lit(0.0))).alias("mean_x"),
+        round6_stable(var).alias("var_x"),
+        round6_stable(F.col("n_zero") / F.col("n")).alias("zero_frac"),
+    )
+
+
+NORM_TOL = 1e-3  # |l2 − 1| tolerance for the unit-norm contract
+
+
+def q_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-norm contract audit over the whole corpus: ONE row with the
+    norm envelope (min/mean/max at 6dp), the count of vectors violating
+    |‖x‖ − 1| ≤ 1e-3, zero vectors, and non-finite coordinates — the
+    embedding-QA gate run before every index build (an un-normalized or
+    NaN-poisoned batch breaks cosine-as-dot silently). The fixture corpus
+    IS pre-normalized, so the audit passing with 0 violations over every
+    row is the non-trivial assertion. One scan, one 1-row aggregate."""
+    from clusterindices_spark.functions.aggregates import round6_stable
+    from clusterindices_spark.functions.distances import norm
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("x")
+    )
+    nm = norm(F.col("x"))
+    has_bad = F.exists(
+        F.col("x"), lambda v: F.isnan(v) | (F.abs(v) > F.lit(1e30))
+    )
+    micros = F.floor(nm * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    return emb.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        round6_stable(F.min(nm)).alias("min_norm"),
+        (F.sum(micros) / F.count(F.lit(1)) / F.lit(1e6)).alias("mean_norm"),
+        round6_stable(F.max(nm)).alias("max_norm"),
+        F.sum(
+            (F.abs(nm - 1.0) > F.lit(NORM_TOL)).cast("bigint")
+        ).alias("n_unnormalized"),
+        F.sum((nm == 0.0).cast("bigint")).alias("n_zero_vectors"),
+        F.sum(has_bad.cast("bigint")).alias("n_nonfinite"),
+    )
+
+
 QUERIES = {
     "embedding_normalize": q_embedding_normalize,
     "embedding_quantize_int8": q_embedding_quantize_int8,
     "embedding_centroid_drift": q_embedding_centroid_drift,
     "embedding_pca_project": q_embedding_pca_project,
+    "embedding_dim_stats": q_embedding_dim_stats,
+    "embedding_norm_audit": q_embedding_norm_audit,
 }
 
 _X = "CAST(embedding AS DOUBLE[])"
 _NORM = f"sqrt(list_sum(list_transform({_X}, v -> v * v)))"
 
 ORACLES = {
+    "embedding_dim_stats": f"""
+WITH ex AS (
+  SELECT CAST(unnest(range(len({_X}))) AS INT) AS dim, unnest({_X}) AS v
+  FROM embeddings
+),
+st AS (
+  SELECT dim, COUNT(*) AS n,
+         CAST(SUM(CAST(floor(v * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS s1,
+         CAST(SUM(CAST(floor(v * 1e3 + 0.5) AS BIGINT)
+                  * CAST(floor(v * 1e3 + 0.5) AS BIGINT)) AS BIGINT) AS s2m,
+         CAST(SUM(CASE WHEN v = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+  FROM ex GROUP BY dim
+)
+SELECT dim, n,
+       {SQL_ROUND6.format(x="COALESCE(CAST(s1 AS DOUBLE) / n / 1e6, 0.0)")} AS mean_x,
+       {SQL_ROUND6.format(x="greatest(CAST(s2m AS DOUBLE) / n / 1e6 - (CAST(s1 AS DOUBLE) / n / 1e6) * (CAST(s1 AS DOUBLE) / n / 1e6), 0.0)")} AS var_x,
+       {SQL_ROUND6.format(x="CAST(n_zero AS DOUBLE) / n")} AS zero_frac
+FROM st
+""",
+    "embedding_norm_audit": f"""
+WITH wn AS (
+  SELECT vec_id, {_NORM} AS l2,
+         len(list_filter({_X}, v -> isnan(v) OR abs(v) > 1e30)) > 0 AS has_bad
+  FROM embeddings
+)
+SELECT COUNT(*) AS n_vectors,
+       {SQL_ROUND6.format(x="MIN(l2)")} AS min_norm,
+       CAST(SUM(CAST(floor(l2 * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+         / COUNT(*) / 1e6 AS mean_norm,
+       {SQL_ROUND6.format(x="MAX(l2)")} AS max_norm,
+       CAST(SUM(CASE WHEN abs(l2 - 1.0) > 0.001 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unnormalized,
+       CAST(SUM(CASE WHEN l2 = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero_vectors,
+       CAST(SUM(CASE WHEN has_bad THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite
+FROM wn
+""",
     "embedding_normalize": f"""
 SELECT vec_id,
        CASE WHEN {_NORM} = 0.0 THEN NULL

@@ -158,6 +158,8 @@ _NEXT: list[str] = [
     "curation_kfold",
     "events_hour_of_week",
     "multimodal_type_routing",
+    "embedding_dim_stats",
+    "embedding_norm_audit",
     # (embedding_pca_project / text_heavy_hitters_cms / agg_hll_partitioned_merge
     #  are rows-only — auto-sunk to the ordering tail)
 ]
