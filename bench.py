@@ -173,19 +173,28 @@ def main() -> None:
 
     # ANN build/query split (VERDICT r3 item 4): index BUILD (Lloyd training
     # + encode) is an offline job at scale, but the registry keys charge it
-    # to query time. Measure each ANN key again right after its cold
-    # headline run: the repeat rides the build memos/pins, so repeat ≈ pure
-    # query-side cost and (cold − repeat) ≈ build cost. Reported separately;
-    # the headline total still charges the conservative cold number.
+    # to query time. Each key is timed from a genuinely cold index — the
+    # training memos and cache pins are cleared first (ADVICE r4: earlier
+    # headline ANN keys populate _IVF_TRAINED/_TRAINED for the same sf plan,
+    # so reusing the headline number understated build_est) — then repeated:
+    # the repeat rides the rebuilt memos/pins, so repeat ≈ pure query-side
+    # cost and (cold − repeat) ≈ build cost.
+    def _clear_ann_state() -> None:
+        from clusterindices_spark.functions.pins import clear_pins
+        from clusterindices_spark.operators import pq as _pq
+        from clusterindices_spark.operators import similarity as _sim
+
+        _sim._IVF_TRAINED.clear()
+        _pq._TRAINED.clear()
+        clear_pins()
+
     ann_split: dict[str, dict[str, float]] = {}
     for name in ("similarity_ann_ivf", "similarity_ann_pq", "similarity_ann_ivfpq"):
         fn = queries[name]
-        if name in timings:
-            cold = timings[name]
-        else:
-            t0 = time.monotonic()
-            fn(spark, sf_dir).count()
-            cold = round(time.monotonic() - t0, 3)
+        _clear_ann_state()
+        t0 = time.monotonic()
+        fn(spark, sf_dir).count()
+        cold = round(time.monotonic() - t0, 3)
         t0 = time.monotonic()
         fn(spark, sf_dir).count()
         warm = round(time.monotonic() - t0, 3)
@@ -195,6 +204,39 @@ def main() -> None:
             "build_est": round(max(cold - warm, 0.0), 3),
         }
         print(f"# ann_split {name}: cold={cold}s query={warm}s", file=sys.stderr)
+
+    # ANN recall vs the exact top-k yardstick at this sf (VERDICT r4 item 6):
+    # carried in the bench record so a round can't trade recall for speed
+    # invisibly. Pairs are (probe_id, neighbor_id); knn_graph probes the
+    # whole corpus, so its result is filtered Spark-side to the shared
+    # N_PROBES probe set before the driver-scale collect (≤ k rows/probe).
+    ann_recall: dict[str, float] = {}
+    try:
+        from pyspark.sql import functions as F
+
+        exact_pairs = {
+            (r["probe_id"], r["neighbor_id"])
+            for r in queries["similarity_topk_exact"](spark, sf_dir).collect()
+        }
+        probe_ids = sorted({p for p, _ in exact_pairs})
+        for name in (
+            "similarity_ann_lsh",
+            "similarity_ann_ivf",
+            "similarity_ann_pq",
+            "similarity_ann_ivfpq",
+            "similarity_knn_graph",
+        ):
+            approx = {
+                (r["probe_id"], r["neighbor_id"])
+                for r in queries[name](spark, sf_dir)
+                .where(F.col("probe_id").isin(probe_ids))
+                .select("probe_id", "neighbor_id")
+                .collect()
+            }
+            ann_recall[name] = round(len(exact_pairs & approx) / len(exact_pairs), 3)
+            print(f"# recall {name}: {ann_recall[name]}", file=sys.stderr)
+    except Exception as ex:
+        print(f"# ann_recall failed: {ex}", file=sys.stderr)
 
     # the persisted-index operating mode (build once, search many): IVF
     # index written as a cell-bucketed table, then searched with bucket
@@ -239,15 +281,46 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+
+    # Driver contract (VERDICT r4 item 3): the driver records only the LAST
+    # 2000 chars of output — r4's single JSON line outgrew that as the
+    # headline set hit 69 keys, leaving the round with "parsed": null. The
+    # full per-key record goes to a file; the FINAL stdout line is a short
+    # summary guaranteed to fit the tail capture (total, key count, the
+    # top-10 slowest keys, ANN recall).
+    full = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sidebar_python_tax_demo": sidebar,
+        "ann_build_query_split": ann_split,
+        "ann_recall": ann_recall,
+        "sf": sf_val,
+    }
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "reports", "bench_full.json"
+    )
+    try:
+        os.makedirs(os.path.dirname(full_path), exist_ok=True)
+        with open(full_path, "w") as f:
+            json.dump(full, f, indent=1)
+        print(f"# full per-key record: {full_path}", file=sys.stderr)
+    except OSError as ex:
+        print(f"# could not write {full_path}: {ex}", file=sys.stderr)
+    top10 = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
+                "value": full["value"],
                 "unit": "sec",
-                "queries": timings,
-                "sidebar_python_tax_demo": sidebar,
-                "ann_build_query_split": ann_split,
+                "queries": top10,
+                "n_queries": len(timings),
+                "ann_recall": ann_recall,
+                "full_record": "reports/bench_full.json",
                 "sf": sf_val,
             }
         )

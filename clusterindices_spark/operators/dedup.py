@@ -1292,8 +1292,12 @@ pr{i} AS MATERIALIZED (
   CROSS JOIN dang{i} dang CROSS JOIN cnt
 )""")
     tail = f"""
-SELECT node, v AS pr_units, CAST(v AS DOUBLE) / {float(scale)} AS pr
+SELECT node, CAST(v AS BIGINT) AS pr_units, CAST(v AS DOUBLE) / {float(scale)} AS pr
 FROM pr{iters}"""
+    # CAST(v AS BIGINT): DuckDB SUM(BIGINT) in the c{{i}} CTEs yields HUGEINT,
+    # which propagates into pr{{i}}.v and (as of round 4) into the driver's
+    # value hash — Spark emits BIGINT, so the hash diverged even though every
+    # value was identical (CORRECTNESS_r04 hash_match=false, rows/schema green).
     return head + "," + ",".join(steps) + tail
 
 

@@ -48,75 +48,19 @@ _MODULES = [
     "clusterindices_spark.sql",
 ]
 
-# Round-4 driver-window priority (VERDICT r3 "Next round" #1). Exactly 50
-# keys = the driver's per-round check budget.
+# Round-5 driver-window priority (VERDICT r4 "Next round" #2). Exactly 50
+# keys = the driver's per-round check budget: the r4 hash-fail (pagerank,
+# oracle HUGEINT cast fixed this round), then the 35 oracle-backed keys the
+# driver has never reached (r4's _NEXT — all local-gate green, 26
+# judge-verified in r4), then 14 re-confirmations of stable greens —
+# preferring keys whose code paths were touched this round (versioned MOR
+# carry fix, pareto/zipf range-partitioned rank rewrite).
 _FRONT = [
-    # r3 driver-ERR pair, re-emitted as comma-joined STRING cells this round
-    "scalar_map",
-    "scalar_array_set",
-    # the 28 oracle-backed keys the driver has never reached (r3 _NEXT minus
-    # the 6 rows-only keys) — all pass the local 3-SF gate; 12 of them were
-    # independently judge-verified in r3
-    "multimodal_decode_real",
-    "text_pii_scrub",
-    "agg_quantiles",
-    "analytics_rfm",
-    "events_markov_transition",
-    "basket_pair_lift",
+    # the single r4 driver failure: oracle emitted HUGEINT pr_units
+    # (SUM(BIGINT) propagation), now CAST to BIGINT — Spark side unchanged
     "dedup_graph_pagerank",
-    "wemmert_gancarski",
-    "sd_index",
-    "s_dbw",
-    "c_index",
-    "cluster_agreement_ext",
-    "dedup_span_coverage",
-    "sql_recursive_months",
-    "scalar_variant",
-    "curation_sample_weighted",
-    "text_vocab_stats",
-    "source_python_datasource",
-    "versioned_merge_snapshot",
-    "text_bigram_logprob",
-    "pair_validity",
-    "events_outliers_seasonal",
-    "dedup_graph_hops",
-    "multimodal_dhash",
-    "events_cohort_ltv",
-    "dedup_ngram_containment",
-    "multimodal_audio_fingerprint",
-    "events_funnel_latency",
-    # 20 re-confirmations of stable r1/r2 greens filling the window
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q6",
-    "join_asof",
-    "join_range",
-    "agg_basic",
-    "window_rank",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_components",
-    "similarity_topk_exact",
-    "dedup_embedding_cosine",
-    "text_langid",
-    "text_quality",
-    "multimodal_meta",
-    "curation_decontaminate",
-    "events_funnel",
-    "stream_session_windows",
-    "sql_interface",
-    "silhouette_exact",
-]
-
-# Immediately after the 50-slot window: new round-4 oracle-backed keys that
-# should be the FIRST to get driver rows if the window is wider than 50 (and
-# the head of round 5's window otherwise). Rows-only keys stay at the very
-# end so they never burn a driver slot.
-_NEXT: list[str] = [
-    # round-4a: merge-on-read ACID path (two stacked MOR merges resolved
-    # with seq-aware equality deletes)
+    # the 35 oracle-backed keys with no driver row yet (r4 _NEXT, in order)
     "versioned_mor_snapshot",
-    # round-4b widening: curation/text/dedup/similarity/relational additions
     "text_entropy",
     "dedup_normalized_exact",
     "events_user_overlap",
@@ -125,25 +69,16 @@ _NEXT: list[str] = [
     "window_interval_merge",
     "agg_bool_modal",
     "scalar_struct",
-    # round-4c: hierarchical continuous-aggregate rollup (hour → day
-    # re-aggregated from the hourly rows, never raw)
     "events_rollup_hierarchy",
-    # round-4d: explicit Bloom semi-join reduction (oracle = plain join —
-    # no false negatives means the reduction is semantics-preserving)
     "join_bloom_prefilter",
-    # round-4e: Spark-4 SQL/source surface
     "scalar_collation",
     "sql_udf_inline",
     "sql_session_vars",
     "source_xml_roundtrip",
-    # round-4f: video scene-cut detection over the frame tier
     "multimodal_scene_cut",
-    # round-4g: truncated-EWMA time-series smoother (exact integer lags)
     "events_ewma_smooth",
-    # round-4h: forward/tolerance as-of + ANSI FILTER-clause aggregates
     "join_asof_forward",
     "agg_filter_clause",
-    # round-4i: bitwise scalar surface + rolling-window anomaly baseline
     "scalar_bitwise",
     "events_rolling_zscore",
     "events_gap_stats",
@@ -160,9 +95,29 @@ _NEXT: list[str] = [
     "multimodal_type_routing",
     "embedding_dim_stats",
     "embedding_norm_audit",
-    # (embedding_pca_project / text_heavy_hitters_cms / agg_hll_partitioned_merge
-    #  are rows-only — auto-sunk to the ordering tail)
+    # 14 re-confirmations of stable greens filling the window (touched-path
+    # keys first: versioned merge shares code with the MOR carry fix)
+    "versioned_merge_snapshot",
+    "tpch_q1",
+    "tpch_q6",
+    "join_asof",
+    "agg_basic",
+    "window_rank",
+    "dedup_exact",
+    "dedup_components",
+    "similarity_topk_exact",
+    "text_quality",
+    "multimodal_meta",
+    "curation_decontaminate",
+    "sql_interface",
+    "silhouette_exact",
 ]
+
+# Immediately after the 50-slot window: new round-5 oracle-backed keys that
+# should be the FIRST to get driver rows if the window is wider than 50 (and
+# the head of round 6's window otherwise). Rows-only keys stay at the very
+# end so they never burn a driver slot.
+_NEXT: list[str] = []
 
 # Rows-only keys (no oracle SQL by design — approx/iterative). Kept behind
 # every oracle-backed key; the driver records err:"no_oracle" for these, so

@@ -332,29 +332,16 @@ def append_stream_batch(df: DataFrame, root: str, batch_id: int) -> int | None:
     v = latest_version(root)
     if v is None:
         raise FileNotFoundError(f"no versioned table at {root}")
-    groups = _read_manifest(root, v)["groups"] + [_write_data_group(df, root)]
-    d = _manifest_dir(root)
-    final = os.path.join(d, f"v{v + 1}.json")
-    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
-    with open(tmp, "w") as f:
-        json.dump(
-            {
-                "version": v + 1,
-                "op": "stream_append",
-                "groups": groups,
-                "batch_id": batch_id,
-            },
-            f,
-        )
-    try:
-        os.link(tmp, final)
-    except FileExistsError:
-        raise FileExistsError(
-            f"concurrent commit: {root} v{v + 1} already exists"
-        ) from None
-    finally:
-        os.remove(tmp)
-    return v + 1
+    m = _read_manifest(root, v)
+    g = _write_data_group(df, root)
+    # carry outstanding MOR metadata exactly like append() (ADVICE r4,
+    # high): without it a streaming append after merge_cdc_mor commits a
+    # manifest with no 'deletes', so read_versioned takes the no-deletes
+    # fast path and previously deleted/superseded rows silently resurrect.
+    # The new group gets seq v+1 via _mor_carry, so older deletes never
+    # shadow the freshly streamed rows.
+    extra = {**_mor_carry(m, [g], v + 1), "batch_id": batch_id}
+    return _commit(root, v + 1, m["groups"] + [g], "stream_append", extra)
 
 
 def stream_writer(root: str):

@@ -275,6 +275,35 @@ def test_mor_append_carries_deletes_and_key_mismatch_raises(spark, tmp_path):
         merge_cdc_mor(spark, root, _cdc(spark, [(2, "D", None)]), "val")
 
 
+def test_stream_append_carries_mor_deletes(spark, tmp_path):
+    """ADVICE r4 (high): append_stream_batch wrote its manifest without the
+    MOR carry, so a streaming append after merge_cdc_mor dropped the
+    'deletes' list and read_versioned's no-deletes fast path resurrected
+    previously deleted rows."""
+    from clusterindices_spark.sources.versioned import (
+        append_stream_batch,
+        merge_cdc_mor,
+    )
+
+    root = str(tmp_path / "t")
+    create(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), root)
+    # MOR merge: delete k=1, upsert k=2
+    merge_cdc_mor(spark, root, _cdc(spark, [(1, "D", None), (2, "U", "two")]), "k")
+    # streaming append into the table with outstanding MOR deletes
+    assert append_stream_batch(_df(spark, [(4, "d")]), root, batch_id=0) == 2
+    got = sorted(
+        (r["k"], r["val"]) for r in read_versioned(spark, root).collect()
+    )
+    # k=1 must STAY deleted, k=2 must stay upserted (no stale "b"), and the
+    # streamed k=4 row (seq v+1 > any delete seq) must survive
+    assert got == [(2, "two"), (3, "c"), (4, "d")]
+    # replay of the same batch id is still idempotent on the MOR table
+    assert append_stream_batch(_df(spark, [(4, "d")]), root, batch_id=0) is None
+    assert sorted(
+        (r["k"], r["val"]) for r in read_versioned(spark, root).collect()
+    ) == [(2, "two"), (3, "c"), (4, "d")]
+
+
 def test_vacuum_retains_mor_delete_files(spark, tmp_path):
     from clusterindices_spark.sources.versioned import merge_cdc_mor, vacuum
 

@@ -124,6 +124,31 @@ def main():
             res = con.execute(oracles[k])
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
+            # DuckDB-side type audit (VERDICT r4 item 1): HUGEINT fetches as
+            # Python `int`, so the per-column Python-type compare below CANNOT
+            # see it — exactly how the r4 pagerank oracle (SUM(BIGINT) →
+            # HUGEINT) slipped past this gate yet failed the driver's value
+            # hash. DESCRIBE exposes the engine-side types; fail on any type
+            # Spark cannot emit (HUGEINT/unsigned/DECIMAL).
+            ducktypes = con.execute(
+                "DESCRIBE " + oracles[k]
+            ).fetchall()  # rows: (column_name, column_type, ...)
+            hostile = [
+                (name, typ)
+                for name, typ, *_ in ducktypes
+                if any(
+                    h in typ.upper()
+                    for h in ("HUGEINT", "DECIMAL", "UINTEGER", "UBIGINT",
+                              "USMALLINT", "UTINYINT")
+                )
+            ]
+            if hostile:
+                print(
+                    f"FAIL  {k}: TYPE-AUDIT driver-hash-hostile DuckDB types "
+                    f"{hostile} — CAST to BIGINT/DOUBLE in the oracle"
+                )
+                n_fail += 1
+                continue
         except Exception as ex:
             print(f"FAIL  {k}: duckdb error: {ex}")
             n_fail += 1
