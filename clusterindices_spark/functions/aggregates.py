@@ -54,8 +54,15 @@ def round6_stable(col):
     decimal rendering vs DuckDB's scaled-multiply), which flips outputs
     landing exactly on a .xxxxxx5 boundary — text_quality's weighted score
     hit 0.4284375 at sf0.1. floor on identical doubles is deterministic.
-    Pair with SQL_ROUND6 in the oracle. Non-negative inputs only (floor
-    rounds toward −∞)."""
+    Pair with SQL_ROUND6 in the oracle. Signed inputs are PARITY-SAFE —
+    both engines apply the identical floor formula, so negatives round
+    half-toward-+∞ on both sides (e.g. −0.1234565 → −0.123456, not
+    −0.123457). That is a deliberate contract, not a bug: do NOT "fix" a
+    signed caller (embedding_dim_stats mean_x, rolling_zscore roll_mean)
+    to round half-away-from-zero without changing SQL_ROUND6 in lockstep,
+    or parity breaks. Where the conventional sign-symmetric rounding is
+    wanted for presentation, negate-round-negate as text_zipf_fit does
+    (ADVICE r4)."""
     from pyspark.sql import functions as F
 
     c = F.col(col) if isinstance(col, str) else col

@@ -268,28 +268,26 @@ def q_events_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame
     split into deciles, report each decile's user count, event share, and
     the cumulative share at its boundary — 'the top 10% of users generate
     X% of events'. Rank ties break on user_id; decile = ceil(10·rank/n)
-    (exact integer arithmetic). Two shuffles: per-user counts, then the
-    global rank window (a single ordered partition — at 100 TB replace
-    with a range-partitioned sort + per-partition offsets; user counts,
-    not raw events, enter the sort)."""
-    from pyspark.sql import Window
-
+    (exact integer arithmetic). Shuffles: per-user counts, then the
+    RANGE-PARTITIONED global rank (VERDICT r4 item 4 — the previous
+    single-partition window funneled a billion-user sort through one task
+    at 100 TB; functions/ranking.py now computes rank + running sum with
+    parallel local sorts and P-row broadcast offsets)."""
     from clusterindices_spark.functions.aggregates import round6_stable
+    from clusterindices_spark.functions.ranking import ranked as _gl_ranked
 
     e = load_table(spark, sf_dir, "events")
     per_user = e.where(F.col("user_id").isNotNull()).groupBy("user_id").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    w = Window.partitionBy().orderBy(F.col("cnt").desc(), F.col("user_id"))
-    ranked = per_user.select(
-        "cnt",
-        F.row_number().over(w).alias("rk"),
-        F.sum("cnt").over(
-            Window.partitionBy()
-            .orderBy(F.col("cnt").desc(), F.col("user_id"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ).alias("cum"),
-    )
+    ranked = _gl_ranked(
+        per_user,
+        [F.col("cnt").desc(), F.col("user_id")],
+        tag="pareto_concentration",
+        rank_col="rk",
+        cum_of=F.col("cnt"),
+        cum_col="cum",
+    ).select("cnt", "rk", "cum")
     n_users = per_user.count()
     total = e.where(F.col("user_id").isNotNull()).count()
     decile = F.ceil(F.col("rk") * 10 / F.lit(n_users)).cast("int")

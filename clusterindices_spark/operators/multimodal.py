@@ -790,10 +790,17 @@ SELECT doc_id,
 FROM f
 """
 
-ORACLES["multimodal_type_routing"] = """
+# payload byte sizes DERIVED from the synth encoders themselves (ADVICE r4:
+# literal 59/108 would silently break the gate if synth_media's layout
+# changed without touching the router under test). Sizes are doc_id-
+# independent — fixed dims/sample count, fixed-width header digits.
+_PPM_BYTES = len(_synth_ppm(0))
+_WAV_BYTES = len(_synth_wav(1))
+
+ORACLES["multimodal_type_routing"] = f"""
 SELECT CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'wav' END AS fmt,
        COUNT(*) AS n_payloads,
-       CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 59 ELSE 108 END) AS BIGINT)
+       CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN {_PPM_BYTES} ELSE {_WAV_BYTES} END) AS BIGINT)
          AS total_bytes
 FROM documents
 GROUP BY CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'wav' END

@@ -408,18 +408,25 @@ def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor-micro'd 6dp doubles (the ln device), then every regression sum
     runs in DECIMAL(38,12) — exact, order-free — so the OLS arithmetic
     starts from bit-identical sums in both engines. One term shuffle for
-    counts, one rank window over vocab-scale rows, a 1-row result."""
+    counts, then the RANGE-PARTITIONED global rank (VERDICT r4 item 4 —
+    the previous single-partition window serialized a 100 M-term
+    vocabulary through one task; functions/ranking.py ranks with parallel
+    local sorts + P-row broadcast offsets), a 1-row result."""
     from clusterindices_spark.functions.aggregates import round6_stable
+    from clusterindices_spark.functions.ranking import ranked as _gl_ranked
 
     d = _with_tokens(load_table(spark, sf_dir, "documents"))
     vocab = d.select(F.explode("toks").alias("term")).groupBy("term").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    w = Window.partitionBy().orderBy(F.col("cnt").desc(), F.col("term"))
     r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
-    pts = vocab.select(
-        r6(F.log(F.row_number().over(w).cast("double")))
-        .alias("x"),
+    pts = _gl_ranked(
+        vocab,
+        [F.col("cnt").desc(), F.col("term")],
+        tag="zipf_fit",
+        rank_col="rk",
+    ).select(
+        r6(F.log(F.col("rk").cast("double"))).alias("x"),
         r6(F.log(F.col("cnt").cast("double"))).alias("y"),
     )
     dec = lambda c: c.cast("decimal(38,12)")  # noqa: E731
@@ -677,16 +684,20 @@ grid AS (
 terms AS (
   SELECT source, n_s,
          CAST(floor((
+           -- ln(x)/ln(2), NOT native log2(): the Spark side computes
+           -- F.log(2.0, x) = ln(x)/ln(2), and a last-ulp disagreement with
+           -- DuckDB's log2 could flip a floored nano term at an integer
+           -- boundary (ADVICE r4) — same formulation on both sides bounds it
            CASE WHEN c_st > 0
                 THEN (CAST(c_st AS DOUBLE) / n_s)
-                     * log2((CAST(c_st AS DOUBLE) / n_s)
+                     * (ln((CAST(c_st AS DOUBLE) / n_s)
                             / ((CAST(c_st AS DOUBLE) / n_s
-                                + CAST(c_t AS DOUBLE) / n_all) / 2.0)) * 0.5
+                                + CAST(c_t AS DOUBLE) / n_all) / 2.0)) / ln(2.0)) * 0.5
                 ELSE 0.0 END
            + (CAST(c_t AS DOUBLE) / n_all)
-             * log2((CAST(c_t AS DOUBLE) / n_all)
+             * (ln((CAST(c_t AS DOUBLE) / n_all)
                     / ((CAST(c_st AS DOUBLE) / n_s
-                        + CAST(c_t AS DOUBLE) / n_all) / 2.0)) * 0.5
+                        + CAST(c_t AS DOUBLE) / n_all) / 2.0)) / ln(2.0)) * 0.5
          ) * 1e9 + 0.5) AS BIGINT) AS nanos
   FROM grid
 )
@@ -708,8 +719,9 @@ per AS (
 SELECT doc_id,
        CAST(MAX(n) AS BIGINT) AS n_chars,
        COUNT(*) AS n_distinct_chars,
+       -- ln/ln(2) matches Spark's F.log(2.0, x) formulation (ADVICE r4)
        CAST(SUM(CAST(floor((CAST(c AS DOUBLE) / n)
-                           * log2(CAST(n AS DOUBLE) / c)
+                           * (ln(CAST(n AS DOUBLE) / c) / ln(2.0))
                            * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
          / 1000000.0 AS entropy_bits
 FROM per

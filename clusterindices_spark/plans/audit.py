@@ -486,6 +486,103 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "require": ["partial"],
         "forbid": ["CartesianProduct", "Join"],
     },
+    # --- round-5 additions (VERDICT r4 item 5: the heavy unaudited keys) ---
+    "events_pareto_concentration": {
+        # the global rank must be the RANGE-PARTITIONED form (functions/
+        # ranking.py): range exchange + pid-partitioned window; a regression
+        # to Window.partitionBy() would reintroduce Exchange SinglePartition
+        "require": ["Exchange rangepartitioning", "_rr_pid"],
+        "forbid": ["Exchange SinglePartition", "CartesianProduct"],
+    },
+    "text_zipf_fit": {
+        # same range-partitioned rank contract; the final 1-row OLS agg
+        # legitimately funnels 32 partial rows, so SinglePartition cannot be
+        # forbidden outright — requiring the _rr_pid window partitioning
+        # proves the DATA-SCALE sort is parallel
+        "require": ["Exchange rangepartitioning", "_rr_pid", "partial"],
+        "forbid": ["CartesianProduct"],
+    },
+    "dedup_components": {
+        # star rounds end in a localCheckpoint lineage cut; the returned
+        # join-back must stay an equi-join with map-side-combined min-agg
+        "require": ["partial"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "dedup_components_star": {
+        "require": ["partial"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "dedup_graph_pagerank": {
+        # integer PageRank: contribs are partitioned equi-joins; the 1-row
+        # dangling-mass attach is an INTENDED broadcast NLJ, so only a true
+        # cartesian is forbidden. The returned frame reads the iteration's
+        # localCheckpoint, so aggregate markers live in earlier (cut) stages.
+        "require": [],
+        "forbid": ["CartesianProduct"],
+    },
+    "dedup_graph_hops": {
+        "require": ["partial"],
+        "forbid": ["CartesianProduct"],
+    },
+    "text_tfidf_topterms": {
+        # per-doc top-k must ride WindowGroupLimit (partial top-k before the
+        # shuffle); DF attach is a broadcast
+        "require": ["WindowGroupLimit", "partial"],
+        "forbid": ["CartesianProduct"],
+    },
+    "events_dau_wau": {
+        "require": ["partial"],
+        "forbid": ["CartesianProduct"],
+    },
+    "text_js_divergence": {
+        # global totals are 1-row broadcast attaches; per-source grid joins
+        # broadcast, never shuffled
+        "require": ["Broadcast", "partial"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "dedup_cross_source": {
+        "require": ["partial"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "dedup_token_inflation": {
+        "require": ["partial"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "events_last_touch": {
+        "require": ["partial"],
+        "forbid": ["CartesianProduct"],
+    },
+    "events_hour_of_week": {
+        "require": ["partial"],
+        "forbid": ["CartesianProduct"],
+    },
+    "events_funnel_latency": {
+        # stepwise transitions via min_by/percentile aggs, not a window sort
+        "require": ["partial"],
+        "forbid": ["CartesianProduct"],
+    },
+    "embedding_dim_stats": {
+        # posexplode → (dim)-keyed agg with map-side combine; no joins
+        "require": ["partial"],
+        "forbid": ["CartesianProduct"],
+    },
+    "embedding_norm_audit": {
+        "require": ["partial"],
+        "forbid": ["CartesianProduct"],
+    },
+    "text_vocab_stats": {
+        "require": ["partial"],
+        "forbid": ["CartesianProduct"],
+    },
+    "curation_kfold": {
+        # deterministic-hash fold assignment is scan-side; per-fold agg only
+        "require": ["partial"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "multimodal_type_routing": {
+        "require": ["partial"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
 }
 
 
