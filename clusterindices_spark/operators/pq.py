@@ -153,7 +153,11 @@ def pq_train_encode(
     params = (m, k, lloyd_iters, normalize)
     prev = _TRAINED.get(params)
     if prev is not None and same_plan(prev[0], sub):
-        folded = spark.createDataFrame(prev[1], prev[2])
+        # the ONE literal codebook DataFrame from training time — a fresh
+        # createDataFrame over the same rows would NOT be sameResult
+        # (Spark 4.1 LocalRelation canonicalization), killing the codes
+        # pin's reuse and re-encoding the corpus on every warm query
+        folded = prev[1]
     else:
         seeds = sub.join(
             F.broadcast(emb.select("vec_id").orderBy("vec_id").limit(k)),
@@ -176,8 +180,8 @@ def pq_train_encode(
                 _update_codebook(_assign_codes(sub, folded), d_sub)
             )
         rows = folded.collect()
-        _TRAINED[params] = (sub, rows, folded.schema)
         folded = spark.createDataFrame(rows, folded.schema)
+        _TRAINED[params] = (sub, folded)
     codes = (
         _assign_codes(sub, folded)
         .groupBy("vec_id")
@@ -391,9 +395,15 @@ def ivfpq_topk(
     # tables are computed in (the corpus was already unit-normalized before
     # the cell quantizer)
     codebook, codes = pq_train_encode(resid, m=m, k=pq_k, normalize=False)
-    codes = codes.join(
-        resid.select("vec_id", "cell"), "vec_id"
-    )  # (vec_id, codes, cell)
+    # (vec_id, codes, cell) — PINNED: this vec_id join is corpus-scale (the
+    # only shuffle of the codes table) and used to replay on EVERY query;
+    # pinning it moves the join into the build side of the boundary, so a
+    # warm search starts directly from the cell-tagged codes (VERDICT r4
+    # item 7 — the ADC-expansion query path was 7.6 s vs PQ's 2.4).
+    codes = repin(
+        "ivfpq_codes_cells",
+        codes.join(resid.select("vec_id", "cell"), "vec_id"),
+    )
 
     # probe side: n_probe nearest cells, residual q − c_cell per pair
     pc = _probe_cells(_unit(probes), folded_cells, n_probe_cells)

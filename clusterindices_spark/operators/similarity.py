@@ -315,7 +315,12 @@ def ivf_build(
     params = (n_cells, lloyd_iters)
     prev = _IVF_TRAINED.get(params)
     if prev is not None and same_plan(prev[0], pts):
-        folded = spark.createDataFrame(prev[1], prev[2])
+        # return the ONE literal DataFrame created at training time — in
+        # Spark 4.1 two createDataFrame calls over identical rows are NOT
+        # sameResult (LocalRelation canonicalization), so recreating the
+        # literal here silently broke every downstream pin's same-plan
+        # reuse (the ivfpq warm path retrained per query until r5)
+        folded = prev[1]
         index = _assign_folded(pts, folded).select(
             F.col("vec_id").alias("neighbor_id"),
             F.col("cluster").alias("cell"),
@@ -350,8 +355,8 @@ def ivf_build(
     for _ in range(lloyd_iters):
         folded = _centroids_folded(_assign_folded(pts, folded))
     rows = folded.collect()
-    _IVF_TRAINED[params] = (pts, rows, folded.schema)
     folded = spark.createDataFrame(rows, folded.schema)
+    _IVF_TRAINED[params] = (pts, folded)
     index = _assign_folded(pts, folded).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("cluster").alias("cell"),
