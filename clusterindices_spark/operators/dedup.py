@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clusterindices_spark.functions.text import (
+    FNV_MOD,
+    SQL_FINGERPRINT,
     SQL_SHINGLES3,
     SQL_TOKENS,
     shingles3,
@@ -983,7 +985,175 @@ def q_dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_coverage(load_table(spark, sf_dir, "documents"))
 
 
+# ---------------------------------------------------------------------------
+# oracle-backed MinHash estimator (r5): portable hash family
+# ---------------------------------------------------------------------------
+
+MINHASH_EST_H = 16  # signature length for the estimator tier
+_MH_MULT = 2_654_435_761  # Knuth multiplicative constant (public)
+
+
+def _mh_perm(i: int, fp) -> F.Column:
+    """i-th permutation h_i(f) = ((2i+1)·f + b_i) mod P over the portable
+    rolling fingerprint — odd multiplier, Knuth-spread offset; every
+    constant replays verbatim in SQL (unlike xxhash64, the reason the
+    near_minhash tier is rows-only)."""
+    from clusterindices_spark.functions.text import FNV_MOD
+
+    b = (i * _MH_MULT) % FNV_MOD
+    return (F.lit(2 * i + 1) * fp + F.lit(b)) % F.lit(FNV_MOD)
+
+
+def q_dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash Jaccard ESTIMATES next to exact Jaccard per candidate pair —
+    the estimator-quality audit for the (xxhash64, rows-only) near_minhash
+    production tier, made fully oracle-checkable by swapping the hash
+    family to the portable rolling fingerprint + affine permutations: both
+    engines replay every constant, so signatures, estimates, AND the
+    |est − exact| error column are bit-identical.
+
+    Emits (doc_a, doc_b, jaccard, est_jaccard, est_abs_err) for the same
+    candidate pairs as dedup_ngram_jaccard (shared pinned shingle explode,
+    same stop-shingle cap — signatures are computed over the capped sets
+    the exact tier compares, apples-to-apples).
+
+    Scale: the signature is ONE map-side-combined groupBy(doc_id) with
+    MINHASH_EST_H min-aggregates over the exploded fingerprints (no
+    per-row array building); signatures then attach to the pair-scale
+    frame by two joins — nothing beyond the existing candidate pipeline
+    shuffles."""
+    from clusterindices_spark.functions.text import rolling_fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = _doc_shingles(d)
+    ex_all = _repin(
+        "ngram_exploded",
+        sh.select("doc_id", F.explode("shingles").alias("shingle")),
+    )
+    hot = (
+        ex_all.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    ex0 = ex_all.join(F.broadcast(hot), "shingle", "left_anti")
+    fp = ex0.select(
+        "doc_id", rolling_fingerprint(F.col("shingle")).alias("fp")
+    )
+    sig = fp.groupBy("doc_id").agg(
+        *[
+            F.min(_mh_perm(i, F.col("fp"))).alias(f"s{i}")
+            for i in range(MINHASH_EST_H)
+        ]
+    )
+    pairs = ngram_jaccard_pairs(d)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"s{i}").alias(f"a{i}") for i in range(MINHASH_EST_H)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"s{i}").alias(f"b{i}") for i in range(MINHASH_EST_H)],
+    )
+    matches = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+        for i in range(MINHASH_EST_H)
+    )
+    est = matches.cast("double") / F.lit(float(MINHASH_EST_H))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            round6_stable(est).alias("est_jaccard"),
+            round6_stable(F.abs(est - F.col("jaccard"))).alias("est_abs_err"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# chunk-level exact dedup (r5): the boilerplate-mass detector
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 20
+
+
+def q_dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document duplicate mass: split each doc into fixed 20-token
+    chunks, fingerprint each chunk, and report per source how much chunk
+    mass also appears in ANOTHER document — the boilerplate/template
+    detector (headers, navboxes, license blocks) that document-level
+    hashing cannot see and span_coverage (overlapping 5-gram spans) prices
+    differently: non-overlapping chunks give an additive, token-weighted
+    duplicate mass suitable for dedup budgeting.
+
+    Chunk identity = rolling fingerprint of the joined chunk text; a chunk
+    counts as duplicated when its fingerprint occurs in ≥2 DISTINCT docs
+    (internal repetition inside one doc stays, cross-doc boilerplate is
+    flagged). Scale: explode to chunk rows (~n_tokens/20 per doc), one
+    fingerprint groupBy for document frequency, broadcast the (tiny)
+    duplicated-fingerprint set back, one source-keyed agg."""
+    from clusterindices_spark.functions.text import rolling_fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_chunks = F.ceil(F.size(toks) / F.lit(CHUNK_TOKENS)).cast("int")
+    # sequence(1, 0) yields a DESCENDING [1, 0] in Spark — guard the
+    # empty-document case explicitly instead
+    chunks = F.when(
+        n_chunks >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_chunks),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, (i - 1) * CHUNK_TOKENS + 1, CHUNK_TOKENS)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = fan_out(d).select(
+        "doc_id", "source", F.explode(chunks).alias("chunk")
+    )
+    fp = ex.select(
+        "doc_id",
+        "source",
+        rolling_fingerprint(F.col("chunk")).alias("cfp"),
+        F.size(tokens(F.col("chunk"))).alias("chunk_toks"),
+    )
+    dupset = (
+        fp.groupBy("cfp")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .where(F.col("ndocs") >= 2)
+        .select("cfp")
+    )
+    flagged = fp.join(F.broadcast(dupset), "cfp", "left_semi").groupBy(
+        "source"
+    ).agg(
+        F.count(F.lit(1)).alias("dup_chunks"),
+        F.sum("chunk_toks").alias("dup_chunk_tokens"),
+    )
+    base = fp.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("chunk_toks").alias("total_chunk_tokens"),
+    )
+    return base.join(flagged, "source", "left").select(
+        "source",
+        "n_chunks",
+        "total_chunk_tokens",
+        F.coalesce(F.col("dup_chunks"), F.lit(0)).alias("dup_chunks"),
+        F.coalesce(F.col("dup_chunk_tokens"), F.lit(0)).alias(
+            "dup_chunk_tokens"
+        ),
+        round6_stable(
+            F.coalesce(F.col("dup_chunk_tokens"), F.lit(0))
+            / F.col("total_chunk_tokens")
+        ).alias("dup_chunk_frac"),
+    )
+
+
 QUERIES = {
+    "dedup_minhash_est": q_dedup_minhash_est,
+    "dedup_chunk_exact": q_dedup_chunk_exact,
     "dedup_span_coverage": q_dedup_span_coverage,
     "dedup_graph_hops": q_dedup_graph_hops,
     "dedup_ngram_containment": q_dedup_ngram_containment,
@@ -1229,6 +1399,86 @@ FROM comp c JOIN hops h ON h.node = c.doc_id
 # the star variant computes the same (node → component-min) fixpoint over
 # the same edges — byte-identical output contract, same oracle
 ORACLES["dedup_components_star"] = ORACLES["dedup_components"]
+
+# --- r5: oracle-backed MinHash estimator ------------------------------------
+# signature columns + match terms generated mechanically so Spark and oracle
+# can never drift on the permutation constants (the pagerank-unroll idiom)
+_MH_SIG_COLS = ",\n       ".join(
+    f"MIN((({2 * i + 1} * fp) + {(i * _MH_MULT) % FNV_MOD}) % {FNV_MOD}) AS s{i}"
+    for i in range(MINHASH_EST_H)
+)
+_MH_MATCHES = " + ".join(
+    f"(CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END)"
+    for i in range(MINHASH_EST_H)
+)
+
+ORACLES["dedup_minhash_est"] = f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, {_SH} AS shingles FROM tok),
+ex_all AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+hot AS (SELECT shingle FROM ex_all GROUP BY shingle HAVING COUNT(*) > {MAX_SHINGLE_DF}),
+ex0 AS MATERIALIZED (SELECT * FROM ex_all WHERE shingle NOT IN (SELECT shingle FROM hot)),
+sized AS (SELECT doc_id, COUNT(*) AS n FROM ex0 GROUP BY doc_id),
+ex AS (SELECT ex0.doc_id, sized.n, ex0.shingle FROM ex0 JOIN sized USING (doc_id)),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+         COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.n, b.n
+),
+pairs AS (
+  SELECT doc_a, doc_b, ROUND(inter / (na + nb - inter), 6) AS jaccard
+  FROM inter
+  WHERE ROUND(inter / (na + nb - inter), 6) >= {JACCARD_THRESHOLD}
+),
+fp AS (SELECT doc_id, {SQL_FINGERPRINT.format(col="shingle")} AS fp FROM ex0),
+sig AS MATERIALIZED (SELECT doc_id, {_MH_SIG_COLS} FROM fp GROUP BY doc_id),
+est AS (
+  SELECT p.doc_a, p.doc_b, p.jaccard,
+         ({_MH_MATCHES}) / {float(MINHASH_EST_H)} AS e
+  FROM pairs p
+  JOIN sig a ON a.doc_id = p.doc_a
+  JOIN sig b ON b.doc_id = p.doc_b
+)
+SELECT doc_a, doc_b, jaccard,
+       {SQL_ROUND6.format(x="e")} AS est_jaccard,
+       {SQL_ROUND6.format(x="abs(e - jaccard)")} AS est_abs_err
+FROM est
+"""
+
+# --- r5: chunk-level exact dedup --------------------------------------------
+_CHUNK_EXPR = (
+    f"list_transform(range(CAST(ceil(len(toks) / {CHUNK_TOKENS}.0) AS BIGINT)), "
+    f"i -> array_to_string(list_slice(toks, i * {CHUNK_TOKENS} + 1, "
+    f"i * {CHUNK_TOKENS} + {CHUNK_TOKENS}), ' '))"
+)
+
+ORACLES["dedup_chunk_exact"] = f"""
+WITH tok AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+ch AS (
+  SELECT doc_id, source, unnest({_CHUNK_EXPR}) AS chunk FROM tok
+),
+fp AS MATERIALIZED (
+  SELECT doc_id, source,
+         {SQL_FINGERPRINT.format(col="chunk")} AS cfp,
+         len({SQL_TOKENS.format(col="chunk")}) AS chunk_toks
+  FROM ch
+),
+dup AS MATERIALIZED (
+  SELECT cfp, 1 AS isdup FROM fp GROUP BY cfp
+  HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(chunk_toks) AS BIGINT) AS total_chunk_tokens,
+       CAST(SUM(CASE WHEN isdup = 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+       CAST(SUM(CASE WHEN isdup = 1 THEN chunk_toks ELSE 0 END) AS BIGINT)
+         AS dup_chunk_tokens,
+       {SQL_ROUND6.format(x="CAST(SUM(CASE WHEN isdup = 1 THEN chunk_toks ELSE 0 END) AS DOUBLE) / SUM(chunk_toks)")}
+         AS dup_chunk_frac
+FROM fp LEFT JOIN dup USING (cfp)
+GROUP BY source
+"""
 
 
 def _pagerank_oracle_sql(iters: int = PR_ITERS, scale: int = PR_SCALE) -> str:

@@ -321,7 +321,125 @@ def q_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MATRYOSHKA_DIM = 32  # audited prefix length (half the fixture dim)
+
+
+def q_embedding_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) truncation audit: how much of each vector's energy
+    lives in the first MATRYOSHKA_DIM dims — the go/no-go check before
+    serving truncated embeddings (an MRL-trained model concentrates energy
+    in the prefix; a conventionally-trained one spreads it ≈ uniformly,
+    and truncation silently destroys ranking). share = ‖x[:32]‖²/‖x‖²
+    per vector (= cos²(x, truncation), so share ≥ 0.5 means the truncated
+    vector still points mostly along the original). Per-label: n, exact
+    decimal mean of the 6dp shares, min share, fraction ≥ 0.5.
+
+    Scale: pure scan-side HOF arithmetic + one 10-group agg."""
+    from clusterindices_spark.functions.aggregates import round6_stable
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("x")
+    )
+    esum = lambda c: F.aggregate(  # noqa: E731
+        c, F.lit(0.0), lambda acc, v: acc + v * v
+    )
+    share = esum(F.slice(F.col("x"), 1, MATRYOSHKA_DIM)) / F.nullif(
+        esum(F.col("x")), F.lit(0.0)
+    )
+    s6 = round6_stable(share)
+    rows = emb.select("label", s6.alias("share6"))
+    return rows.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        round6_stable(
+            F.sum(F.col("share6").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_share"),
+        F.min("share6").alias("min_share"),
+        round6_stable(
+            F.sum((F.col("share6") >= 0.5).cast("int"))
+            / F.count(F.lit(1))
+        ).alias("frac_majority"),
+    )
+
+
+def _bits_word(x, lo: int, hi: int):
+    """Pack sign bits of dims [lo, hi) into a BIGINT: bit (i−lo) set when
+    x[i] > 0. Folded acc·2+bit from the top dim down — PySpark's shiftleft
+    takes only literal shift amounts, the fold needs none."""
+    return F.aggregate(
+        F.sequence(F.lit(hi - 1), F.lit(lo), F.lit(-1)),
+        F.lit(0).cast("bigint"),
+        lambda acc, i: acc * F.lit(2)
+        + F.when(F.get(x, i) > 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+
+
+def q_embedding_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (sign-bit) quantization: 64 float dims → two BIGINT words
+    (w_lo = dims 0–31, w_hi = 32–63) + positive-dim count — 256 bytes →
+    16, the retrieval-at-scale compression tier below int8 (Hamming
+    distance on the packed words approximates angular distance on
+    unit vectors; see similarity_hamming_topk for the search side).
+    Scan-shaped, no shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    )
+    x = F.col("x")
+    return emb.select(
+        "vec_id",
+        _bits_word(x, 0, 32).alias("w_lo"),
+        _bits_word(x, 32, 64).alias("w_hi"),
+        F.size(F.filter(x, lambda v: v > 0)).alias("n_pos"),
+    )
+
+
+HAMMING_TOP_K = 5
+HAMMING_N_PROBES = 10
+
+
+def q_similarity_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k retrieval on the binary sign-bit codes: Hamming distance =
+    popcount(xor) over the two packed words — the deterministic,
+    fully-oracle-checkable face of approximate search (unlike the
+    LSH/IVF tiers, every step here is exact integer arithmetic, so the
+    driver hash can gate it). Codes are 16 B/vector; the probe side is
+    a broadcast; per-probe top-k rides WindowGroupLimit.
+
+    Recall vs exact cosine is property-tested next to the other ANN
+    tiers; at 100 TB this is the memory-resident first pass in front of
+    an exact re-rank (the binary-quantization deployment pattern)."""
+    from pyspark.sql import Window
+
+    codes = q_embedding_binary_quantize(spark, sf_dir)
+    probes = codes.where(F.col("vec_id") < HAMMING_N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("w_lo").alias("p_lo"),
+        F.col("w_hi").alias("p_hi"),
+    )
+    hd = (
+        F.bit_count(F.col("w_lo").bitwiseXOR(F.col("p_lo")))
+        + F.bit_count(F.col("w_hi").bitwiseXOR(F.col("p_hi")))
+    ).cast("int")
+    scored = (
+        codes.withColumnRenamed("vec_id", "neighbor_id")
+        .crossJoin(F.broadcast(probes))
+        .where(F.col("probe_id") != F.col("neighbor_id"))
+        .select("probe_id", "neighbor_id", hd.alias("hamming"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= HAMMING_TOP_K)
+        .select("probe_id", "neighbor_id", "hamming")
+    )
+
+
 QUERIES = {
+    "embedding_matryoshka": q_embedding_matryoshka,
+    "embedding_binary_quantize": q_embedding_binary_quantize,
+    "similarity_hamming_topk": q_similarity_hamming_topk,
     "embedding_normalize": q_embedding_normalize,
     "embedding_quantize_int8": q_embedding_quantize_int8,
     "embedding_centroid_drift": q_embedding_centroid_drift,
@@ -333,7 +451,61 @@ QUERIES = {
 _X = "CAST(embedding AS DOUBLE[])"
 _NORM = f"sqrt(list_sum(list_transform({_X}, v -> v * v)))"
 
+# sign-bit word: SUM over i of bit << i replays Spark's acc·2+bit fold
+_BQ_WORD = (
+    "CAST(list_sum(list_transform(range({n}), "
+    "i -> CASE WHEN {x}[{lo} + i + 1] > 0 "
+    "THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+)
+_BQ_LO = _BQ_WORD.format(n=32, lo=0, x="x")
+_BQ_HI = _BQ_WORD.format(n=32, lo=32, x="x")
+
 ORACLES = {
+    "embedding_matryoshka": f"""
+WITH e AS (
+  SELECT label,
+         list_sum(list_transform(list_slice({_X}, 1, 32), v -> v * v)) AS e_head,
+         list_sum(list_transform({_X}, v -> v * v)) AS e_full
+  FROM embeddings
+),
+s AS (
+  SELECT label,
+         {SQL_ROUND6.format(x="e_head / NULLIF(e_full, 0.0)")} AS share6
+  FROM e
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {SQL_ROUND6.format(x="CAST(SUM(CAST(share6 AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)")} AS mean_share,
+       MIN(share6) AS min_share,
+       {SQL_ROUND6.format(x="CAST(SUM(CASE WHEN share6 >= 0.5 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)")} AS frac_majority
+FROM s GROUP BY label
+""",
+    "embedding_binary_quantize": f"""
+WITH b AS (SELECT vec_id, {_X} AS x FROM embeddings)
+SELECT vec_id,
+       {_BQ_LO} AS w_lo,
+       {_BQ_HI} AS w_hi,
+       CAST(len(list_filter(x, v -> v > 0)) AS INT) AS n_pos
+FROM b
+""",
+    "similarity_hamming_topk": f"""
+WITH b AS (SELECT vec_id, {_X} AS x FROM embeddings),
+codes AS MATERIALIZED (
+  SELECT vec_id, {_BQ_LO} AS w_lo, {_BQ_HI} AS w_hi FROM b
+),
+scored AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         CAST(bit_count(xor(c.w_lo, p.w_lo))
+              + bit_count(xor(c.w_hi, p.w_hi)) AS INT) AS hamming
+  FROM codes c JOIN codes p ON p.vec_id < 10 AND c.vec_id <> p.vec_id
+),
+r AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY probe_id ORDER BY hamming ASC, neighbor_id) AS rn
+  FROM scored
+)
+SELECT probe_id, neighbor_id, hamming FROM r WHERE rn <= 5
+""",
     "embedding_dim_stats": f"""
 WITH ex AS (
   SELECT CAST(unnest(range(len({_X}))) AS INT) AS dim, unnest({_X}) AS v

@@ -597,7 +597,68 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability profile per document — the classic Flesch-reading-ease
+    shape re-based on deterministic proxies (the fixture corpus is
+    unpunctuated word soup, so sentences are fixed 15-token pseudo-spans
+    and syllables are vowel-group counts, min 1/word — the standard
+    heuristic when no dictionary is available). Emits the raw components
+    too (mean word length, ≥7-char long-word share, syllables/word) since
+    curation rules usually threshold those directly (Gopher-style).
+
+    Parity notes: vowel groups via two regexp_replace passes (collapse
+    [aeiou]+ → 'V', strip non-V, count) — Spark replaces globally by
+    default, DuckDB needs the explicit 'g' flag; the Flesch arithmetic is
+    the same double-op sequence in both engines, then round6_stable
+    (signed-safe, see functions/aggregates.py).
+
+    Scale: tokenize scan-side, one doc_id-keyed shuffle for the per-token
+    aggregation — no joins, no windows."""
+    from clusterindices_spark.functions.aggregates import round6_stable
+
+    d = _with_tokens(load_table(spark, sf_dir, "documents"))
+    ex = d.where(F.size("toks") > 0).select(
+        "doc_id", F.explode("toks").alias("tok")
+    )
+    vgroups = F.length(
+        F.regexp_replace(
+            F.regexp_replace(F.col("tok"), "[aeiou]+", "V"), "[^V]", ""
+        )
+    )
+    per_tok = ex.select(
+        "doc_id",
+        F.length("tok").alias("tok_len"),
+        F.greatest(F.lit(1), vgroups).alias("syl"),
+        (F.length("tok") >= 7).cast("int").alias("is_long"),
+    )
+    agg = per_tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("tok_len").alias("sum_len"),
+        F.sum("syl").alias("sum_syl"),
+        F.sum("is_long").alias("n_long"),
+    )
+    n_sent = F.ceil(F.col("n_tokens") / F.lit(15.0)).cast("bigint")
+    wps = F.col("n_tokens").cast("double") / n_sent.cast("double")
+    spw = F.col("sum_syl").cast("double") / F.col("n_tokens").cast("double")
+    flesch = (
+        F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        round6_stable(
+            F.col("sum_len").cast("double") / F.col("n_tokens")
+        ).alias("avg_word_len"),
+        round6_stable(
+            F.col("n_long").cast("double") / F.col("n_tokens")
+        ).alias("long_word_frac"),
+        round6_stable(spw).alias("syllables_per_word"),
+        round6_stable(flesch).alias("flesch_ease"),
+    )
+
+
 QUERIES = {
+    "text_readability": q_text_readability,
     "text_js_divergence": q_text_js_divergence,
     "text_zipf_fit": q_text_zipf_fit,
     "text_entropy": q_text_entropy,
@@ -636,6 +697,42 @@ def _sql_markers(lang: str) -> str:
 _SQL_STOP = ", ".join(f"'{s}'" for s in STOPWORDS)
 
 ORACLES = {
+    "text_readability": f"""
+WITH tk AS (
+  SELECT doc_id, unnest({SQL_TOKENS.format(col="text")}) AS tok
+  FROM documents WHERE len({SQL_TOKENS.format(col="text")}) > 0
+),
+per AS (
+  SELECT doc_id,
+         length(tok) AS tok_len,
+         greatest(1, length(regexp_replace(
+             regexp_replace(tok, '[aeiou]+', 'V', 'g'), '[^V]', '', 'g')))
+           AS syl,
+         CASE WHEN length(tok) >= 7 THEN 1 ELSE 0 END AS is_long
+  FROM tk
+),
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(tok_len) AS BIGINT) AS sum_len,
+         CAST(SUM(syl) AS BIGINT) AS sum_syl,
+         CAST(SUM(is_long) AS BIGINT) AS n_long
+  FROM per GROUP BY doc_id
+),
+m AS (
+  SELECT doc_id, n_tokens, sum_len, sum_syl, n_long,
+         CAST(n_tokens AS DOUBLE)
+           / CAST(CAST(ceil(n_tokens / 15.0) AS BIGINT) AS DOUBLE) AS wps,
+         CAST(sum_syl AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS spw
+  FROM agg
+)
+SELECT doc_id, n_tokens,
+       {SQL_ROUND6.format(x="CAST(sum_len AS DOUBLE) / n_tokens")} AS avg_word_len,
+       {SQL_ROUND6.format(x="CAST(n_long AS DOUBLE) / n_tokens")} AS long_word_frac,
+       {SQL_ROUND6.format(x="spw")} AS syllables_per_word,
+       {SQL_ROUND6.format(x="206.835 - 1.015 * wps - 84.6 * spw")} AS flesch_ease
+FROM m
+""",
     "text_zipf_fit": f"""
 WITH vocab AS (
   SELECT term, COUNT(*) AS cnt

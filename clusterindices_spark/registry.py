@@ -117,7 +117,18 @@ _FRONT = [
 # should be the FIRST to get driver rows if the window is wider than 50 (and
 # the head of round 6's window otherwise). Rows-only keys stay at the very
 # end so they never burn a driver slot.
-_NEXT: list[str] = []
+_NEXT: list[str] = [
+    # round-5a: readability profile, oracle-backed MinHash estimator,
+    # chunk-level boilerplate dedup
+    "text_readability",
+    "dedup_minhash_est",
+    "dedup_chunk_exact",
+    # round-5b: Matryoshka truncation audit, sign-bit binary quantization,
+    # deterministic Hamming top-k retrieval
+    "embedding_matryoshka",
+    "embedding_binary_quantize",
+    "similarity_hamming_topk",
+]
 
 # Rows-only keys (no oracle SQL by design — approx/iterative). Kept behind
 # every oracle-backed key; the driver records err:"no_oracle" for these, so
