@@ -263,6 +263,75 @@ def q_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WEEK_MS = 7 * 86_400_000
+
+
+def q_events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting: every active user classified as NEW
+    (first-ever week), RETAINED (also active the prior week) or
+    RESURRECTED (active before, but not last week), plus CHURNED-INTO
+    counts (users whose last activity was the prior week) — the standard
+    startup growth-accounting identity (new + retained + resurrected =
+    actives; churn bounded to observed weeks). Weeks are epoch-anchored
+    integer buckets (locale/session-TZ free, the hour_of_week rule).
+
+    Scale: one distinct over (user, week), one user-partitioned window
+    for lag/lead, W-row aggregates. The churn-into left-join is exact
+    here because the fixture's weeks are contiguous; with gap weeks the
+    convention reports churn only into observed weeks (documented)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    week = F.floor(F.unix_millis(F.col("ts")) / F.lit(WEEK_MS)).cast("bigint")
+    uw = (
+        e.select(week.alias("week"), "user_id")
+        .where(F.col("user_id").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("week")
+    tagged = uw.select(
+        "week",
+        "user_id",
+        F.lag("week").over(w).alias("prev"),
+        F.lead("week").over(w).alias("nxt"),
+    )
+    active = tagged.groupBy("week").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum(F.col("prev").isNull().cast("bigint")).alias("n_new"),
+        # when/otherwise, not a bare boolean cast: (NULL == x) is NULL, and
+        # a week whose members are ALL first-timers would sum to NULL
+        F.sum(
+            F.when(F.col("prev") == F.col("week") - 1, 1).otherwise(0)
+        ).cast("bigint").alias("n_retained"),
+        F.sum(
+            F.when(
+                F.col("prev").isNotNull()
+                & (F.col("prev") < F.col("week") - 1),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("n_resurrected"),
+    )
+    maxw = uw.agg(F.max("week").alias("max_week"))
+    churn = (
+        tagged.where(F.col("nxt").isNull() | (F.col("nxt") > F.col("week") + 1))
+        .select((F.col("week") + 1).alias("week"))
+        .crossJoin(F.broadcast(maxw))
+        .where(F.col("week") <= F.col("max_week"))
+        .groupBy("week")
+        .agg(F.count(F.lit(1)).alias("n_churned_in"))
+    )
+    return active.join(churn, "week", "left").select(
+        "week",
+        "n_active",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        F.coalesce(F.col("n_churned_in"), F.lit(0).cast("bigint")).alias(
+            "n_churned_in"
+        ),
+    )
+
+
 def q_events_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Activity-concentration (Pareto) curve: rank users by event count,
     split into deciles, report each decile's user count, event share, and
@@ -881,6 +950,7 @@ QUERIES = {
     "events_rolling_zscore": q_events_rolling_zscore,
     "events_gap_stats": q_events_gap_stats,
     "events_dau_wau": q_events_dau_wau,
+    "events_user_lifecycle": q_events_user_lifecycle,
     "events_pareto_concentration": q_events_pareto_concentration,
     "events_last_touch": q_events_last_touch,
     "curation_kfold": q_curation_kfold,
@@ -981,6 +1051,41 @@ SELECT decile,
        {SQL_ROUND6.format(x="CAST(MAX(cum) AS DOUBLE) / (SELECT total FROM tot)")} AS cum_share
 FROM d
 GROUP BY decile
+""",
+    "events_user_lifecycle": f"""
+WITH uw AS (
+  SELECT DISTINCT
+         CAST(floor(epoch_ms(CAST(ts AS TIMESTAMP)) / {WEEK_MS}) AS BIGINT)
+           AS week,
+         user_id
+  FROM events WHERE user_id IS NOT NULL
+),
+tagged AS MATERIALIZED (
+  SELECT week, user_id,
+         lag(week)  OVER (PARTITION BY user_id ORDER BY week) AS prev,
+         lead(week) OVER (PARTITION BY user_id ORDER BY week) AS nxt
+  FROM uw
+),
+active AS (
+  SELECT week,
+         CAST(COUNT(*) AS BIGINT) AS n_active,
+         CAST(SUM(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+         CAST(SUM(CASE WHEN prev = week - 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_retained,
+         CAST(SUM(CASE WHEN prev IS NOT NULL AND prev < week - 1
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+  FROM tagged GROUP BY week
+),
+churn AS (
+  SELECT week + 1 AS week, CAST(COUNT(*) AS BIGINT) AS n_churned_in
+  FROM tagged
+  WHERE (nxt IS NULL OR nxt > week + 1)
+    AND week + 1 <= (SELECT MAX(week) FROM uw)
+  GROUP BY week + 1
+)
+SELECT a.week, a.n_active, a.n_new, a.n_retained, a.n_resurrected,
+       COALESCE(c.n_churned_in, 0) AS n_churned_in
+FROM active a LEFT JOIN churn c USING (week)
 """,
     "events_dau_wau": f"""
 WITH pairs AS (

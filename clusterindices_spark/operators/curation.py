@@ -468,7 +468,73 @@ def q_curation_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter FUNNEL report: the per-rule attrition table every
+    curation run publishes before committing a recipe (the C4/Gopher
+    'how many docs did each rule cost' audit). Rules apply sequentially —
+    each row reports docs entering, dropped by, and surviving that rule:
+
+      1. lang_keep      — drop the out-of-scope language (zh here)
+      2. min_tokens     — ≥ 25 whitespace tokens
+      3. avg_word_len   — mean token length ≤ 5.5 chars (soup/encoding
+                          damage guard)
+      4. canonical_only — exact-dedup survivor (min doc_id per sha256)
+
+    Scale: rules 1–3 are scan-side predicates; rule 4 adds the standard
+    dedup hash shuffle; the funnel itself is ONE aggregate over the
+    flagged scan, pivoted to 4 rows driver-free via inline explode."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    awl = F.aggregate(
+        toks, F.lit(0), lambda a, t: a + F.length(t)
+    ).cast("double") / F.nullif(n_tok.cast("double"), F.lit(0.0))
+    base = d.select(
+        "doc_id",
+        "lang",
+        F.sha2(F.col("text"), 256).alias("h"),
+        n_tok.alias("n_tok"),
+        awl.alias("awl"),
+    )
+    canon = base.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    f = base.join(canon, "h").select(
+        (F.col("lang") != "zh").alias("p1"),
+        (F.col("n_tok") >= 25).alias("p2"),
+        (F.col("awl") <= 5.5).alias("p3"),
+        (F.col("doc_id") == F.col("keep_id")).alias("p4"),
+    )
+    s1 = F.col("p1")
+    s2 = s1 & F.col("p2")
+    s3 = s2 & F.col("p3")
+    s4 = s3 & F.col("p4")
+    agg = f.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(s1.cast("bigint")).alias("n1"),
+        F.sum(s2.cast("bigint")).alias("n2"),
+        F.sum(s3.cast("bigint")).alias("n3"),
+        F.sum(s4.cast("bigint")).alias("n4"),
+    )
+    row = lambda step, name, nin, nout: F.struct(  # noqa: E731
+        F.lit(step).cast("int").alias("step"),
+        F.lit(name).alias("rule"),
+        nin.cast("bigint").alias("n_in"),
+        (nin - nout).cast("bigint").alias("n_dropped"),
+        nout.cast("bigint").alias("n_out"),
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                row(1, "lang_keep", F.col("n0"), F.col("n1")),
+                row(2, "min_tokens", F.col("n1"), F.col("n2")),
+                row(3, "avg_word_len", F.col("n2"), F.col("n3")),
+                row(4, "canonical_only", F.col("n3"), F.col("n4")),
+            )
+        ).alias("r")
+    ).select("r.step", "r.rule", "r.n_in", "r.n_dropped", "r.n_out")
+
+
 QUERIES = {
+    "curation_filter_funnel": q_curation_filter_funnel,
     "curation_dedup_keep_best": q_curation_dedup_keep_best,
     "curation_mixture_temperature": q_curation_mixture_temperature,
     "curation_split": q_curation_split,
@@ -508,6 +574,41 @@ def _sql_marker_hits() -> str:
 
 
 ORACLES = {
+    "curation_filter_funnel": f"""
+WITH tok AS (
+  SELECT doc_id, lang, sha256(text) AS h, {_TOKS} AS toks FROM documents
+),
+base AS (
+  SELECT doc_id, lang, h,
+         len(toks) AS n_tok,
+         CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+           / NULLIF(CAST(len(toks) AS DOUBLE), 0.0) AS awl
+  FROM tok
+),
+canon AS (SELECT h, MIN(doc_id) AS keep_id FROM base GROUP BY h),
+f AS (
+  SELECT (lang <> 'zh') AS p1,
+         (n_tok >= 25) AS p2,
+         (awl <= 5.5) AS p3,
+         (base.doc_id = canon.keep_id) AS p4
+  FROM base JOIN canon USING (h)
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+         CAST(SUM(CASE WHEN p1 AND p2 AND p3 AND p4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+  FROM f
+)
+SELECT CAST(1 AS INT) AS step, 'lang_keep' AS rule, n0 AS n_in, n0 - n1 AS n_dropped, n1 AS n_out FROM agg
+UNION ALL
+SELECT CAST(2 AS INT), 'min_tokens', n1, n1 - n2, n2 FROM agg
+UNION ALL
+SELECT CAST(3 AS INT), 'avg_word_len', n2, n2 - n3, n3 FROM agg
+UNION ALL
+SELECT CAST(4 AS INT), 'canonical_only', n3, n3 - n4, n4 FROM agg
+""",
     "curation_mixture_temperature": f"""
 WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
 t AS (

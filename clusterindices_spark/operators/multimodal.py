@@ -437,6 +437,66 @@ def q_multimodal_type_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SILENCE_THRESHOLD = 8192  # |sample| below this counts as quiet (of ±32768)
+
+
+def audio_silence(binary_df: DataFrame) -> DataFrame:
+    """Silence/VAD-style profiling of PCM clips: per clip, how many
+    samples sit under the quiet threshold and the LONGEST consecutive
+    quiet run — the trim-silence / voice-activity precursor every audio
+    pipeline runs before feature extraction. Decode + run-length logic in
+    Arrow-batched Python (the sequential run scan is the part SQL
+    windows do with gaps-and-islands — the oracle replays it that way);
+    everything after is a plain DataFrame.
+
+    Scale: one mapInPandas pass over the payload column, no shuffle."""
+
+    def _silence(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                _, _, _, samples = _parse_wav(b)
+                quiet = [abs(s) < SILENCE_THRESHOLD for s in samples]
+                run = best = 0
+                for q in quiet:
+                    run = run + 1 if q else 0
+                    best = max(best, run)
+                rows.append((doc_id, len(samples), sum(quiet), best))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_samples", "n_quiet", "longest_quiet_run"],
+            )
+
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        _silence,
+        schema="doc_id bigint, n_samples int, n_quiet int, longest_quiet_run int",
+    )
+
+
+def q_multimodal_audio_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry face of audio_silence over the planted WAV tier (odd
+    doc_ids); quiet_frac is appended JVM-side. The oracle replays the
+    synth sample formula arithmetically and derives the longest run with
+    gaps-and-islands — a decoder bug anywhere (RIFF walk, 16-bit unpack,
+    run scan) breaks the hash."""
+    from clusterindices_spark.functions.aggregates import round6_stable
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") % 2 == 1
+    )
+    out = audio_silence(synth_media(fan_out(d)))
+    return out.select(
+        "doc_id",
+        "n_samples",
+        "n_quiet",
+        "longest_quiet_run",
+        round6_stable(
+            F.col("n_quiet").cast("double") / F.col("n_samples")
+        ).alias("quiet_frac"),
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked slice of the decode output: byte length + first byte
     must equal DuckDB's view of the same UTF-8 payload."""
@@ -722,6 +782,7 @@ QUERIES = {
     "multimodal_decode_real": q_multimodal_decode_real,
     "multimodal_scene_cut": q_multimodal_scene_cut,
     "multimodal_type_routing": q_multimodal_type_routing,
+    "multimodal_audio_silence": q_multimodal_audio_silence,
 }
 
 # first_byte is the first UTF-8 *byte*, not the first codepoint (they only
@@ -771,6 +832,7 @@ FROM cp
 """,
 }
 
+from clusterindices_spark.functions.aggregates import SQL_ROUND6  # noqa: E402
 from clusterindices_spark.functions.text import SQL_FINGERPRINT  # noqa: E402
 
 _FRAME_EXPR = f"substr(text, frame_idx * {FRAME_CHARS} + 1, {FRAME_CHARS})"
@@ -804,6 +866,37 @@ SELECT CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'wav' END AS fmt,
          AS total_bytes
 FROM documents
 GROUP BY CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'wav' END
+"""
+
+ORACLES["multimodal_audio_silence"] = f"""
+WITH s AS (
+  SELECT doc_id, i,
+         ((doc_id * 13 + i * 5) % 65536) - 32768 AS v
+  FROM (SELECT doc_id, unnest(range({WAV_N})) AS i
+        FROM documents WHERE doc_id % 2 = 1)
+),
+q AS MATERIALIZED (
+  SELECT doc_id, i, (abs(v) < {SILENCE_THRESHOLD}) AS quiet FROM s
+),
+runs AS (
+  SELECT doc_id, i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+  FROM q WHERE quiet
+),
+runlen AS (
+  SELECT doc_id, grp, CAST(COUNT(*) AS INT) AS rl FROM runs GROUP BY doc_id, grp
+),
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS INT) AS n_samples,
+         CAST(SUM(CASE WHEN quiet THEN 1 ELSE 0 END) AS INT) AS n_quiet
+  FROM q GROUP BY doc_id
+)
+SELECT a.doc_id, a.n_samples, a.n_quiet,
+       COALESCE(m.mx, 0) AS longest_quiet_run,
+       {SQL_ROUND6.format(x="CAST(a.n_quiet AS DOUBLE) / a.n_samples")} AS quiet_frac
+FROM agg a
+LEFT JOIN (SELECT doc_id, CAST(MAX(rl) AS INT) AS mx
+           FROM runlen GROUP BY doc_id) m USING (doc_id)
 """
 
 ORACLES["multimodal_scene_cut"] = f"""

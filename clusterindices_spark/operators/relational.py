@@ -218,6 +218,52 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join (pandas merge_asof direction='nearest' with
+    tolerance): for each event, the customer's order CLOSEST in time —
+    before or after — within ±15 days. Completes the as-of family
+    (backward / forward / nearest). Same join + min_by hash-agg plan as
+    its siblings; the two-sided tolerance bounds per-event join output.
+    Distance is exact integer milliseconds (the ns-parquet/µs-Spark/ms
+    oracle grain rule); ties at equal distance prefer the EARLIER order,
+    then the lower orderkey — pinned identically in both engines."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    # o_orderdate reads as TIMESTAMP_NTZ; unix_millis needs TIMESTAMP (the
+    # session is pinned UTC, so the cast is value-preserving and matches
+    # DuckDB's epoch_ms over the naive timestamp)
+    dist = F.abs(
+        F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+        - F.unix_millis(F.col("ts"))
+    )
+    j = e.join(
+        o,
+        (e.user_id == o.o_custkey)
+        & (o.o_orderdate >= e.ts - F.expr("INTERVAL 15 DAYS"))
+        & (o.o_orderdate <= e.ts + F.expr("INTERVAL 15 DAYS")),
+        "left",
+    )
+    return (
+        j.groupBy("event_id")
+        .agg(
+            F.min_by(
+                F.struct("o_orderkey", "o_totalprice", dist.alias("d")),
+                F.struct(
+                    dist.alias("d"), "o_orderdate", "o_orderkey"
+                ),
+            ).alias("s")
+        )
+        .select(
+            "event_id",
+            F.col("s.o_orderkey").alias("o_orderkey"),
+            F.round("s.o_totalprice", 6).alias("price"),
+            F.col("s.d").alias("dist_ms"),
+        )
+    )
+
+
 def q_agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANSI FILTER-clause aggregates: per-group conditional counts/sums
     without CASE noise — one scan, every FILTER folds into the same
@@ -428,6 +474,7 @@ QUERIES = {
     "join_range": q_join_range,
     "join_asof": q_join_asof,
     "join_asof_forward": q_join_asof_forward,
+    "join_asof_nearest": q_join_asof_nearest,
     "agg_filter_clause": q_agg_filter_clause,
     "agg_basic": q_agg_basic,
     "agg_rollup": q_agg_rollup,
@@ -514,6 +561,23 @@ FROM (
   FROM {_EV} e LEFT JOIN orders o
     ON e.user_id = o.o_custkey AND o.o_orderdate > e.ts
    AND o.o_orderdate <= e.ts + INTERVAL 30 DAY
+)
+WHERE rn = 1
+""",
+    "join_asof_nearest": f"""
+SELECT event_id, o_orderkey, ROUND(o_totalprice, 6) AS price, dist_ms
+FROM (
+  SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+         abs(epoch_ms(o.o_orderdate) - epoch_ms(e.ts)) AS dist_ms,
+         row_number() OVER (
+           PARTITION BY e.event_id
+           ORDER BY abs(epoch_ms(o.o_orderdate) - epoch_ms(e.ts)) ASC NULLS LAST,
+                    o.o_orderdate ASC NULLS LAST, o.o_orderkey ASC NULLS LAST
+         ) AS rn
+  FROM {_EV} e LEFT JOIN orders o
+    ON e.user_id = o.o_custkey
+   AND o.o_orderdate >= e.ts - INTERVAL 15 DAY
+   AND o.o_orderdate <= e.ts + INTERVAL 15 DAY
 )
 WHERE rn = 1
 """,

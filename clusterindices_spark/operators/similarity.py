@@ -108,6 +108,115 @@ def q_similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_search(emb, emb.where(F.col("vec_id") < N_PROBES))
 
 
+MMR_LAMBDA = 0.7  # relevance weight; (1−λ) penalizes redundancy
+MMR_POOL = 10  # exact-top-N candidate pool fed to the greedy
+MMR_K = 5  # picks per probe
+
+
+def q_similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k: greedy reranking of
+    the exact top-MMR_POOL pool — pick 1 = most similar; pick t maximizes
+    λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s) over the not-yet-picked pool
+    (Carbonell-Goldstein '98, the de-dup-the-context step RAG stacks run
+    after retrieval). The greedy is INHERENTLY sequential, but K and the
+    pool are constants: each of the K−1 steps is one candidate-scale
+    join + max-agg + rank over (probes × pool) rows, unrolled into a
+    static plan exactly like the pagerank iteration — no driver loop over
+    data, and the DuckDB oracle unrolls the same steps CTE-for-CTE, so
+    every pick and score is hash-gated.
+
+    Scale: pool selection is the topk_exact scan; everything after
+    operates on probes·POOL rows (candidate-scale, broadcastable);
+    scores floor-rounded at 6dp before ranking so ties break on cid
+    identically in both engines."""
+    from clusterindices_spark.functions.aggregates import round6_stable
+
+    emb = _emb(spark, sf_dir)
+    probes = emb.where(F.col("vec_id") < N_PROBES)
+    cand = topk_exact(emb, probes, k=MMR_POOL).select(
+        "probe_id", F.col("neighbor_id").alias("cid"), "sim"
+    )
+    # candidate vectors: corpus scan semi-reduced by the broadcast pool
+    pool = emb.select(F.col("vec_id").alias("cid"), F.col("x").alias("xc")).join(
+        F.broadcast(cand), "cid"
+    )
+    a = pool.select(
+        "probe_id", F.col("cid").alias("cid_a"), F.col("xc").alias("va")
+    )
+    b = pool.select(
+        "probe_id", F.col("cid").alias("cid_b"), F.col("xc").alias("vb")
+    )
+    pairs = (
+        a.join(b, "probe_id")
+        .where(F.col("cid_a") != F.col("cid_b"))
+        .select(
+            "probe_id",
+            "cid_a",
+            "cid_b",
+            F.round(cosine_sim(F.col("va"), F.col("vb")), 6).alias("sim_ab"),
+        )
+    )
+    cands = pool.select("probe_id", "cid", "sim")
+    w1 = Window.partitionBy("probe_id").orderBy(
+        F.col("sim").desc(), F.col("cid")
+    )
+    selected = (
+        cands.withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") == 1)
+        .select(
+            "probe_id",
+            "cid",
+            F.lit(1).alias("pick"),
+            "sim",
+            F.col("sim").alias("mmr_score"),
+        )
+    )
+    for t in range(2, MMR_K + 1):
+        rem = cands.join(
+            selected.select("probe_id", "cid"), ["probe_id", "cid"], "left_anti"
+        )
+        red = (
+            rem.join(
+                pairs.withColumnRenamed("cid_a", "cid"), ["probe_id", "cid"]
+            )
+            .join(
+                selected.select(
+                    "probe_id", F.col("cid").alias("cid_b")
+                ),
+                ["probe_id", "cid_b"],
+            )
+            .groupBy("probe_id", "cid", "sim")
+            .agg(F.max("sim_ab").alias("red"))
+        )
+        score = round6_stable(
+            F.lit(MMR_LAMBDA) * F.col("sim")
+            - F.lit(1.0 - MMR_LAMBDA) * F.col("red")
+        )
+        wt = Window.partitionBy("probe_id").orderBy(
+            F.col("mmr_score").desc(), F.col("cid")
+        )
+        pick = (
+            red.withColumn("mmr_score", score)
+            .withColumn("rn", F.row_number().over(wt))
+            .where(F.col("rn") == 1)
+            .select(
+                "probe_id",
+                "cid",
+                F.lit(t).alias("pick"),
+                "sim",
+                "mmr_score",
+            )
+        )
+        selected = selected.unionByName(pick)
+    return selected.select(
+        "probe_id",
+        F.col("pick").alias("pick_order"),
+        F.col("cid").alias("neighbor_id"),
+        "sim",
+        "mmr_score",
+    )
+
+
 def dedup_embedding_cosine(
     emb: DataFrame,
     threshold: float = COSINE_DUP_THRESHOLD,
@@ -680,6 +789,7 @@ def q_multimodal_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "similarity_topk_exact": q_similarity_topk_exact,
     "similarity_range_search": q_similarity_range_search,
+    "similarity_mmr_rerank": q_similarity_mmr_rerank,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "similarity_ann_lsh": q_similarity_ann_lsh,
     "similarity_ann_ivf": q_similarity_ann_ivf,
@@ -737,3 +847,72 @@ SELECT label,
 FROM pts GROUP BY label
 """,
 }
+
+
+def _mmr_oracle_sql() -> str:
+    """The same unrolled greedy as q_similarity_mmr_rerank, one CTE pair
+    per pick — generated mechanically so Spark and oracle can never drift
+    on λ or the tie-break (the pagerank-unroll idiom)."""
+    lam, om = MMR_LAMBDA, 1.0 - MMR_LAMBDA
+    from clusterindices_spark.functions.aggregates import SQL_ROUND6
+
+    score = SQL_ROUND6.format(x=f"{lam} * sim - {om} * red")
+    head = f"""
+WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+sims AS (
+  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+         ROUND({_COS.format(a='a.x', b='b.x')}, 6) AS sim
+  FROM pts a JOIN pts b ON a.vec_id < {N_PROBES} AND a.vec_id <> b.vec_id
+),
+cand AS MATERIALIZED (
+  SELECT probe_id, neighbor_id AS cid, sim FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn
+    FROM sims
+  ) WHERE rn <= {MMR_POOL}
+),
+pairs AS MATERIALIZED (
+  SELECT a.probe_id, a.cid AS cid_a, b.cid AS cid_b,
+         ROUND({_COS.format(a='pa.x', b='pb.x')}, 6) AS sim_ab
+  FROM cand a
+  JOIN cand b ON a.probe_id = b.probe_id AND a.cid <> b.cid
+  JOIN pts pa ON pa.vec_id = a.cid
+  JOIN pts pb ON pb.vec_id = b.cid
+),
+s1 AS MATERIALIZED (
+  SELECT probe_id, cid, 1 AS pick, sim, sim AS mmr_score FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY probe_id ORDER BY sim DESC, cid) AS rn
+    FROM cand
+  ) WHERE rn = 1
+)"""
+    steps = []
+    prev = "s1"
+    for t in range(2, MMR_K + 1):
+        steps.append(f"""
+red{t} AS (
+  SELECT c.probe_id, c.cid, c.sim, MAX(p.sim_ab) AS red
+  FROM cand c
+  JOIN pairs p ON p.probe_id = c.probe_id AND p.cid_a = c.cid
+  JOIN {prev} s ON s.probe_id = p.probe_id AND s.cid = p.cid_b
+  WHERE NOT EXISTS (SELECT 1 FROM {prev} x
+                    WHERE x.probe_id = c.probe_id AND x.cid = c.cid)
+  GROUP BY c.probe_id, c.cid, c.sim
+),
+sel{t} AS (
+  SELECT probe_id, cid, {t} AS pick, sim, mmr_score FROM (
+    SELECT probe_id, cid, sim, mmr_score,
+           row_number() OVER (
+               PARTITION BY probe_id ORDER BY mmr_score DESC, cid) AS rn
+    FROM (SELECT probe_id, cid, sim, {score} AS mmr_score FROM red{t})
+  ) WHERE rn = 1
+),
+s{t} AS MATERIALIZED (SELECT * FROM {prev} UNION ALL SELECT * FROM sel{t})""")
+        prev = f"s{t}"
+    tail = f"""
+SELECT probe_id, pick AS pick_order, cid AS neighbor_id, sim, mmr_score
+FROM {prev}"""
+    return head + "," + ",".join(steps) + tail
+
+
+ORACLES["similarity_mmr_rerank"] = _mmr_oracle_sql()

@@ -159,7 +159,49 @@ def q_sql_session_vars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (|>, new in Spark 4): the GoogleSQL-style linear
+    query form — FROM |> WHERE |> EXTEND |> AGGREGATE ... GROUP BY — that
+    reads top-to-bottom instead of inside-out. Same Catalyst plan as the
+    ANSI equivalent (the oracle IS that equivalent, so the gate pins the
+    two forms produce identical results). Scan + one partial-agg shuffle."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_pipe")
+    return spark.sql(
+        """
+        FROM orders_pipe
+        |> WHERE o_orderstatus <> 'P'
+        |> EXTEND CAST(o_totalprice AS DECIMAL(18,6)) AS p
+        |> AGGREGATE COUNT(*) AS n,
+                     ROUND(CAST(SUM(p) AS DOUBLE), 6) AS revenue
+           GROUP BY o_orderpriority
+        """
+    )
+
+
+def q_scalar_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/interval arithmetic surface: day offsets, calendar-month adds
+    (with the end-of-month clamp both engines share), last_day, quarter,
+    day-of-year, and day distance to a fixed horizon — the datetime
+    toolkit migrating ETL expects. Pure scan-side expressions."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.to_date(F.col("o_orderdate"))
+    return o.select(
+        "o_orderkey",
+        d.alias("order_day"),
+        F.date_add(d, 30).alias("plus_30d"),
+        F.add_months(d, 2).alias("plus_2mo"),
+        F.last_day(d).alias("month_end"),
+        F.quarter(d).cast("int").alias("qtr"),
+        F.dayofyear(d).cast("int").alias("doy"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d)
+        .cast("int")
+        .alias("days_to_2002"),
+    )
+
+
 QUERIES = {
+    "sql_pipe_syntax": q_sql_pipe_syntax,
+    "scalar_interval_arith": q_scalar_interval_arith,
     "sql_recursive_months": q_sql_recursive_months,
     "scalar_variant": q_scalar_variant,
     "scalar_collation": q_scalar_collation,
@@ -168,6 +210,26 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sql_pipe_syntax": """
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6)
+         AS revenue
+FROM orders WHERE o_orderstatus <> 'P'
+GROUP BY o_orderpriority
+""",
+    "scalar_interval_arith": """
+WITH d AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS dd FROM orders)
+SELECT o_orderkey,
+       dd AS order_day,
+       dd + 30 AS plus_30d,
+       CAST(dd + INTERVAL 2 MONTH AS DATE) AS plus_2mo,
+       last_day(dd) AS month_end,
+       CAST(quarter(dd) AS INT) AS qtr,
+       CAST(dayofyear(dd) AS INT) AS doy,
+       CAST(date_diff('day', dd, DATE '2002-01-01') AS INT) AS days_to_2002
+FROM d
+""",
     "scalar_collation": """
 WITH t AS (
   SELECT c_custkey,

@@ -128,6 +128,15 @@ _NEXT: list[str] = [
     "embedding_matryoshka",
     "embedding_binary_quantize",
     "similarity_hamming_topk",
+    # round-5c: growth accounting, filter funnel, nearest as-of, audio
+    # silence runs, SQL pipe syntax, interval arithmetic, MMR rerank
+    "events_user_lifecycle",
+    "curation_filter_funnel",
+    "join_asof_nearest",
+    "multimodal_audio_silence",
+    "sql_pipe_syntax",
+    "scalar_interval_arith",
+    "similarity_mmr_rerank",
 ]
 
 # Rows-only keys (no oracle SQL by design — approx/iterative). Kept behind
