@@ -121,6 +121,18 @@ HEADLINE = [
     "join_bloom_prefilter",
     "multimodal_scene_cut",
     "similarity_range_search",
+    # round-5 additions: the estimator rides the shared shingle pins after
+    # jaccard; chunk dedup is a second explode-heavy text key; hamming/MMR
+    # are the new deterministic retrieval tiers; the rest are scan/window
+    # scale and should stay sub-second
+    "dedup_minhash_est",
+    "dedup_chunk_exact",
+    "text_readability",
+    "similarity_hamming_topk",
+    "similarity_mmr_rerank",
+    "multimodal_audio_silence",
+    "events_user_lifecycle",
+    "join_asof_nearest",
 ]
 
 # Measured and reported, but EXCLUDED from the headline total: these keys

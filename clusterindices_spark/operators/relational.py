@@ -220,45 +220,45 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest as-of join (pandas merge_asof direction='nearest' with
-    tolerance): for each event, the customer's order CLOSEST in time —
-    before or after — within ±15 days. Completes the as-of family
-    (backward / forward / nearest). Same join + min_by hash-agg plan as
-    its siblings; the two-sided tolerance bounds per-event join output.
-    Distance is exact integer milliseconds (the ns-parquet/µs-Spark/ms
-    oracle grain rule); ties at equal distance prefer the EARLIER order,
-    then the lower orderkey — pinned identically in both engines."""
-    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderkey", "o_totalprice", "o_orderdate"
+    tolerance): for each PURCHASE event, the same user's click CLOSEST in
+    time — before or after — within ±1 day (the two-sided attribution
+    shape; completes the backward/forward as-of family). Same join +
+    min_by hash-agg plan as its siblings; the tolerance bounds per-
+    purchase join output at any scale. Distance is exact integer
+    milliseconds (the ns-parquet/µs-Spark/ms oracle grain rule); ties at
+    equal distance prefer the EARLIER click, then the lower event id —
+    pinned identically in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_millis(F.col("ts")).alias("p_ms"),
     )
-    # o_orderdate reads as TIMESTAMP_NTZ; unix_millis needs TIMESTAMP (the
-    # session is pinned UTC, so the cast is value-preserving and matches
-    # DuckDB's epoch_ms over the naive timestamp)
-    dist = F.abs(
-        F.unix_millis(F.col("o_orderdate").cast("timestamp"))
-        - F.unix_millis(F.col("ts"))
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.unix_millis(F.col("ts")).alias("c_ms"),
     )
-    j = e.join(
-        o,
-        (e.user_id == o.o_custkey)
-        & (o.o_orderdate >= e.ts - F.expr("INTERVAL 15 DAYS"))
-        & (o.o_orderdate <= e.ts + F.expr("INTERVAL 15 DAYS")),
+    tol = 86_400_000
+    dist = F.abs(F.col("c_ms") - F.col("p_ms"))
+    j = p.join(
+        c,
+        (p.user_id == c.c_user)
+        & (c.c_ms >= p.p_ms - F.lit(tol))
+        & (c.c_ms <= p.p_ms + F.lit(tol)),
         "left",
     )
     return (
-        j.groupBy("event_id")
+        j.groupBy("purchase_id")
         .agg(
             F.min_by(
-                F.struct("o_orderkey", "o_totalprice", dist.alias("d")),
-                F.struct(
-                    dist.alias("d"), "o_orderdate", "o_orderkey"
-                ),
+                F.struct("click_id", dist.alias("d")),
+                F.struct(dist.alias("d"), "c_ms", "click_id"),
             ).alias("s")
         )
         .select(
-            "event_id",
-            F.col("s.o_orderkey").alias("o_orderkey"),
-            F.round("s.o_totalprice", 6).alias("price"),
+            "purchase_id",
+            F.col("s.click_id").alias("click_id"),
             F.col("s.d").alias("dist_ms"),
         )
     )
@@ -565,19 +565,29 @@ FROM (
 WHERE rn = 1
 """,
     "join_asof_nearest": f"""
-SELECT event_id, o_orderkey, ROUND(o_totalprice, 6) AS price, dist_ms
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id,
+         epoch_ms(CAST(ts AS TIMESTAMP)) AS p_ms
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT event_id AS click_id, user_id AS c_user,
+         epoch_ms(CAST(ts AS TIMESTAMP)) AS c_ms
+  FROM events WHERE event_type = 'click'
+)
+SELECT purchase_id, click_id, dist_ms
 FROM (
-  SELECT e.event_id, o.o_orderkey, o.o_totalprice,
-         abs(epoch_ms(o.o_orderdate) - epoch_ms(e.ts)) AS dist_ms,
+  SELECT p.purchase_id, c.click_id,
+         abs(c.c_ms - p.p_ms) AS dist_ms,
          row_number() OVER (
-           PARTITION BY e.event_id
-           ORDER BY abs(epoch_ms(o.o_orderdate) - epoch_ms(e.ts)) ASC NULLS LAST,
-                    o.o_orderdate ASC NULLS LAST, o.o_orderkey ASC NULLS LAST
+           PARTITION BY p.purchase_id
+           ORDER BY abs(c.c_ms - p.p_ms) ASC NULLS LAST,
+                    c.c_ms ASC NULLS LAST, c.click_id ASC NULLS LAST
          ) AS rn
-  FROM {_EV} e LEFT JOIN orders o
-    ON e.user_id = o.o_custkey
-   AND o.o_orderdate >= e.ts - INTERVAL 15 DAY
-   AND o.o_orderdate <= e.ts + INTERVAL 15 DAY
+  FROM p LEFT JOIN c
+    ON p.user_id = c.c_user
+   AND c.c_ms >= p.p_ms - 86400000
+   AND c.c_ms <= p.p_ms + 86400000
 )
 WHERE rn = 1
 """,

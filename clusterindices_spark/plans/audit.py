@@ -583,6 +583,66 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "require": ["partial"],
         "forbid": ["CartesianProduct", "SortMergeJoin"],
     },
+    # --- round-5 new-operator keys ---
+    "text_readability": {
+        # explode → doc-keyed agg, zero joins
+        "require": ["partial"],
+        "forbid": ["CartesianProduct", "Join"],
+    },
+    "dedup_minhash_est": {
+        # candidate pipeline + signature attach: equi joins only
+        "require": ["partial"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "dedup_chunk_exact": {
+        # duplicated-fingerprint set broadcasts back (semi join)
+        "require": ["partial"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "embedding_matryoshka": {
+        "require": ["partial"],
+        "forbid": ["CartesianProduct", "Join"],
+    },
+    "embedding_binary_quantize": {
+        # pure scan-side bit packing
+        "require": ["*("],
+        "forbid": ["Exchange", "Join"],
+    },
+    "similarity_hamming_topk": {
+        # probe codes broadcast; per-probe top-k rides WindowGroupLimit
+        "require": ["Broadcast", "WindowGroupLimit"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "events_user_lifecycle": {
+        "require": ["Window", "partial"],
+        "forbid": ["CartesianProduct"],
+    },
+    "curation_filter_funnel": {
+        "require": ["partial"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "join_asof_nearest": {
+        # min_by hash agg like its as-of siblings, never a window sort
+        "require": ["partial_min_by"],
+        "forbid": ["Window", "CartesianProduct"],
+    },
+    "multimodal_audio_silence": {
+        "require": ["MapInPandas"],
+        "forbid": ["CartesianProduct", "Join"],
+    },
+    "sql_pipe_syntax": {
+        "require": ["partial"],
+        "forbid": ["CartesianProduct", "Join"],
+    },
+    "scalar_interval_arith": {
+        "require": ["*("],
+        "forbid": ["Exchange", "Join"],
+    },
+    "similarity_mmr_rerank": {
+        # candidate-scale joins with broadcast pool; per-step picks union
+        "require": ["Broadcast", "Union"],
+        "forbid": ["CartesianProduct"],
+    },
 }
 
 
