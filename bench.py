@@ -133,6 +133,11 @@ HEADLINE = [
     "multimodal_audio_silence",
     "events_user_lifecycle",
     "join_asof_nearest",
+    # round-5d: held-out LM scoring is the heaviest new text key (two
+    # explodes + broadcast vocab); the histogram rides the probe-broadcast
+    # scan shape
+    "text_lm_heldout_score",
+    "embedding_pair_distance_hist",
 ]
 
 # Measured and reported, but EXCLUDED from the headline total: these keys

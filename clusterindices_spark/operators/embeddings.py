@@ -436,7 +436,54 @@ def q_similarity_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HIST_PROBES = 50
+HIST_BINS = 20
+
+
+def q_embedding_pair_distance_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-cosine histogram over a fixed probe sample × the corpus —
+    the separation diagnostic read before choosing ANN parameters (a mass
+    near 1.0 means near-dups; mass hugging 0 means near-orthogonal — this
+    fixture — and LSH needs more bands). 20 equal bins over [−1, 1];
+    probe-sampled, never all-pairs, so the pair count is probes·n at any
+    scale and the result is a 20-row table."""
+    from clusterindices_spark.functions.aggregates import round6_stable
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    )
+    from clusterindices_spark.functions.distances import cosine_sim
+
+    a = emb.where(F.col("vec_id") < HIST_PROBES).select(
+        F.col("vec_id").alias("pa"), F.col("x").alias("xa")
+    )
+    b = emb.select(F.col("vec_id").alias("pb"), F.col("x").alias("xb"))
+    cos6 = F.round(cosine_sim(F.col("xa"), F.col("xb")), 6)
+    bin_ = F.least(
+        F.floor((cos6 + F.lit(1.0)) / F.lit(2.0 / HIST_BINS)),
+        F.lit(HIST_BINS - 1),
+    ).cast("int")
+    return (
+        b.crossJoin(F.broadcast(a))
+        .where(F.col("pa") != F.col("pb"))
+        .select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            round6_stable(
+                F.lit(-1.0) + F.col("bin") * F.lit(2.0 / HIST_BINS)
+            ).alias("bin_lo"),
+            round6_stable(
+                F.lit(-1.0) + (F.col("bin") + 1) * F.lit(2.0 / HIST_BINS)
+            ).alias("bin_hi"),
+            "n",
+        )
+    )
+
+
 QUERIES = {
+    "embedding_pair_distance_hist": q_embedding_pair_distance_hist,
     "embedding_matryoshka": q_embedding_matryoshka,
     "embedding_binary_quantize": q_embedding_binary_quantize,
     "similarity_hamming_topk": q_similarity_hamming_topk,
@@ -460,7 +507,28 @@ _BQ_WORD = (
 _BQ_LO = _BQ_WORD.format(n=32, lo=0, x="x")
 _BQ_HI = _BQ_WORD.format(n=32, lo=32, x="x")
 
+_COS_E = (
+    "(list_sum(list_transform(range(len({a})), i -> {a}[i+1] * {b}[i+1]))"
+    " / NULLIF(sqrt(list_sum(list_transform({a}, v -> v * v)))"
+    " * sqrt(list_sum(list_transform({b}, v -> v * v))), 0.0))"
+)
+
 ORACLES = {
+    "embedding_pair_distance_hist": f"""
+WITH pts AS (SELECT vec_id, {_X} AS x FROM embeddings),
+pairs AS (
+  SELECT LEAST(CAST(floor((ROUND({_COS_E.format(a='a.x', b='b.x')}, 6) + 1.0)
+                          / {2.0 / HIST_BINS}) AS INT), {HIST_BINS - 1}) AS bin
+  FROM pts a JOIN pts b
+    ON a.vec_id < {HIST_PROBES} AND a.vec_id <> b.vec_id
+),
+h AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n FROM pairs GROUP BY bin)
+SELECT bin,
+       {SQL_ROUND6.format(x=f"-1.0 + bin * {2.0 / HIST_BINS}")} AS bin_lo,
+       {SQL_ROUND6.format(x=f"-1.0 + (bin + 1) * {2.0 / HIST_BINS}")} AS bin_hi,
+       n
+FROM h
+""",
     "embedding_matryoshka": f"""
 WITH e AS (
   SELECT label,

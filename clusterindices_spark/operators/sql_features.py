@@ -199,7 +199,35 @@ def q_scalar_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing surface (web-corpus pipelines route/filter/dedup by
+    host and path constantly): construct a deterministic URL per document
+    and decompose it with Spark's parse_url (HOST / PATH / QUERY-param).
+    The oracle re-extracts the same parts with anchored regexes — a
+    parse_url semantics change would break the hash. Scan-shaped."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat_ws(
+        "",
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref="),
+        (F.col("doc_id") % 7).cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("ref")).alias("ref"),
+    )
+
+
 QUERIES = {
+    "scalar_url_parse": q_scalar_url_parse,
     "sql_pipe_syntax": q_sql_pipe_syntax,
     "scalar_interval_arith": q_scalar_interval_arith,
     "sql_recursive_months": q_sql_recursive_months,
@@ -210,6 +238,20 @@ QUERIES = {
 }
 
 ORACLES = {
+    "scalar_url_parse": """
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/' || lang || '/doc/'
+           || CAST(doc_id AS VARCHAR) || '?ref='
+           || CAST(doc_id % 7 AS VARCHAR) AS url
+  FROM documents
+)
+SELECT doc_id, url,
+       regexp_extract(url, 'https://([^/]+)', 1) AS host,
+       regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+       regexp_extract(url, 'ref=([0-9]+)', 1) AS ref
+FROM u
+""",
     "sql_pipe_syntax": """
 SELECT o_orderpriority,
        COUNT(*) AS n,

@@ -245,6 +245,80 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_lm_heldout_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out LM quality scoring — the CCNet/KenLM filtering setup in
+    miniature: train an add-one-smoothed unigram model on the EVEN doc_ids,
+    score the ODD doc_ids against it. Unlike text_unigram_logprob (which
+    scores the corpus under its own MLE model), held-out scoring measures
+    out-of-distribution-ness: a document whose vocabulary the training
+    half never saw scores poorly, which is exactly the filter signal.
+    Emits per-doc n_tokens, OOV count, and the smoothed mean logprob
+    (floor-micro'd per token, order-free sums — the ln-ulp device).
+
+    Smoothing: p(t) = (c(t)+1)/(N+V) with V = train vocab size + 1 (the
+    unseen bucket), so OOV tokens get exactly 1/(N+V) in both engines.
+
+    Scale: train-half vocab shuffles by term (map-side combined) and then
+    BROADCASTS; scoring is a left join of the exploded score half against
+    it — corpus never shuffles except the final doc_id agg."""
+    d = _with_tokens(load_table(spark, sf_dir, "documents"), fan=True)
+    train = d.where(F.col("doc_id") % 2 == 0)
+    score = d.where(F.col("doc_id") % 2 == 1)
+    tex = train.select(F.explode("toks").alias("term"))
+    vocab = tex.groupBy("term").agg(F.count(F.lit(1)).alias("tc"))
+    consts = tex.agg(
+        F.count(F.lit(1)).alias("n_train"),
+        F.countDistinct("term").alias("v_train"),
+    )
+    sex = score.select("doc_id", F.explode("toks").alias("term"))
+    joined = sex.join(F.broadcast(vocab), "term", "left").crossJoin(
+        F.broadcast(consts)
+    )
+    denom = (F.col("n_train") + F.col("v_train") + 1).cast("double")
+    p = (F.coalesce(F.col("tc"), F.lit(0)) + 1).cast("double") / denom
+    lp_micros = F.floor(F.log(p) * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("tc").isNull().cast("bigint")).alias("n_oov"),
+            F.sum(lp_micros).alias("lp_sum_micros"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            (
+                F.col("lp_sum_micros") / F.col("n_tokens") / F.lit(1e6)
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+def q_text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: labeled lang × predicted lang counts
+    with each cell's share of its labeled row — the QA report that tells
+    you WHICH languages the classifier confuses before you trust its
+    routing (per-lang accuracy is the diagonal). Composes the langid rule
+    cascade with the contingency shape; one scan, one (lang, pred) agg."""
+    from clusterindices_spark.functions.aggregates import round6_stable
+    from pyspark.sql import Window as W
+
+    pred = q_text_langid(spark, sf_dir)
+    counts = pred.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row_tot = W.partitionBy("lang")
+    return counts.select(
+        "lang",
+        "pred_lang",
+        "n",
+        round6_stable(
+            F.col("n") / F.sum("n").over(row_tot)
+        ).alias("row_frac"),
+    )
+
+
 def q_text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition-based quality signals per document (the Gopher/MassiveText
     rule family: heavily repetitious documents are low-quality training
@@ -658,6 +732,8 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "text_lm_heldout_score": q_text_lm_heldout_score,
+    "text_lang_confusion": q_text_lang_confusion,
     "text_readability": q_text_readability,
     "text_js_divergence": q_text_js_divergence,
     "text_zipf_fit": q_text_zipf_fit,
@@ -859,6 +935,61 @@ SELECT doc_id, term, tfidf FROM (
   SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
   FROM scored
 ) WHERE rn <= 3
+""",
+    "text_lm_heldout_score": f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tex AS (SELECT unnest(toks) AS term FROM d WHERE doc_id % 2 = 0),
+vocab AS MATERIALIZED (SELECT term, COUNT(*) AS tc FROM tex GROUP BY term),
+consts AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_train,
+         CAST(COUNT(DISTINCT term) AS BIGINT) AS v_train
+  FROM tex
+),
+sex AS (SELECT doc_id, unnest(toks) AS term FROM d WHERE doc_id % 2 = 1),
+j AS (
+  SELECT s.doc_id, v.tc, c.n_train, c.v_train
+  FROM sex s LEFT JOIN vocab v USING (term) CROSS JOIN consts c
+),
+lp AS (
+  SELECT doc_id, tc,
+         CAST(floor(ln((CAST(COALESCE(tc, 0) + 1 AS DOUBLE))
+                       / CAST(n_train + v_train + 1 AS DOUBLE)) * 1e6 + 0.5)
+              AS BIGINT) AS lp_micros
+  FROM j
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN tc IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(SUM(lp_micros) AS DOUBLE) / COUNT(*) / 1e6 AS avg_logprob
+FROM lp GROUP BY doc_id
+""",
+    "text_lang_confusion": f"""
+WITH tok AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+scored AS (
+  SELECT doc_id, lang,
+         {_sql_markers('de')} AS s_de,
+         {_sql_markers('en')} AS s_en,
+         {_sql_markers('es')} AS s_es,
+         {_sql_markers('fr')} AS s_fr,
+         {_sql_markers('zh')} AS s_zh
+  FROM tok
+),
+pred AS (
+  SELECT lang,
+         CASE WHEN s_de >= GREATEST(s_en, s_es, s_fr, s_zh) THEN 'de'
+              WHEN s_en >= GREATEST(s_es, s_fr, s_zh) THEN 'en'
+              WHEN s_es >= GREATEST(s_fr, s_zh) THEN 'es'
+              WHEN s_fr >= s_zh THEN 'fr'
+              ELSE 'zh' END AS pred_lang
+  FROM scored
+),
+counts AS (
+  SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pred GROUP BY lang, pred_lang
+)
+SELECT lang, pred_lang, n,
+       {SQL_ROUND6.format(x="CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY lang)")} AS row_frac
+FROM counts
 """,
     "text_langid": f"""
 WITH tok AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),

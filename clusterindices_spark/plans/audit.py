@@ -643,6 +643,24 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "require": ["Broadcast", "Union"],
         "forbid": ["CartesianProduct"],
     },
+    "text_lm_heldout_score": {
+        # train-half vocab broadcasts; score half never shuffles pre-agg
+        "require": ["Broadcast", "partial"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "text_lang_confusion": {
+        "require": ["partial", "Window"],
+        "forbid": ["CartesianProduct", "Join"],
+    },
+    "embedding_pair_distance_hist": {
+        # probe side broadcast; 20-bin agg with map-side combine
+        "require": ["Broadcast", "partial"],
+        "forbid": ["SortMergeJoin"],
+    },
+    "scalar_url_parse": {
+        "require": ["*("],
+        "forbid": ["Exchange", "Join"],
+    },
 }
 
 

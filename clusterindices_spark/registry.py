@@ -137,6 +137,12 @@ _NEXT: list[str] = [
     "sql_pipe_syntax",
     "scalar_interval_arith",
     "similarity_mmr_rerank",
+    # round-5d: held-out LM scoring, langid QA matrix, pair-distance
+    # histogram, URL parsing
+    "text_lm_heldout_score",
+    "text_lang_confusion",
+    "embedding_pair_distance_hist",
+    "scalar_url_parse",
 ]
 
 # Rows-only keys (no oracle SQL by design — approx/iterative). Kept behind
