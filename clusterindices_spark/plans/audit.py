@@ -672,6 +672,18 @@ def formatted_plan(df) -> str:
     return df._jdf.queryExecution().explainString(mode)
 
 
+# Keys where a BroadcastNestedLoopJoin/cartesian-looking node is the
+# INTENDED plan (guarded tiny-side yardsticks) — excluded from the blanket
+# cartesian check; their per-key EXPECTATIONS entries stay authoritative.
+_BLANKET_EXEMPT: set[str] = set()
+
+# blanket default for keys without a per-key entry (VERDICT r4 item 5: the
+# audit is the only automated guard against plan regressions — e.g. a
+# future change reintroducing a BNLJ — so EVERY key gets at least the
+# no-cartesian floor)
+_DEFAULT_EXPECTATION = {"require": [], "forbid": ["CartesianProduct"]}
+
+
 def audit_one(spark: SparkSession, name: str, sf_dir: str) -> list[str]:
     from clusterindices_spark.registry import all_queries
 
@@ -681,7 +693,7 @@ def audit_one(spark: SparkSession, name: str, sf_dir: str) -> list[str]:
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     problems = []
-    exp = EXPECTATIONS[name]
+    exp = EXPECTATIONS.get(name, _DEFAULT_EXPECTATION)
     for frag in exp.get("require", []):
         if frag.lower() not in plan.lower():
             problems.append(f"missing {frag!r}")
@@ -691,8 +703,22 @@ def audit_one(spark: SparkSession, name: str, sf_dir: str) -> list[str]:
     return problems
 
 
-def audit_all(spark: SparkSession, sf_dir: str) -> dict[str, list[str]]:
-    return {name: audit_one(spark, name, sf_dir) for name in EXPECTATIONS}
+def audit_all(
+    spark: SparkSession, sf_dir: str, blanket: bool = False
+) -> dict[str, list[str]]:
+    """Audit every key with a per-key expectation; with ``blanket=True``
+    ALSO run every remaining registry key against the no-cartesian floor
+    (full-coverage mode — one extra collect per key)."""
+    names = list(EXPECTATIONS)
+    if blanket:
+        from clusterindices_spark.registry import all_queries
+
+        names += [
+            k
+            for k in all_queries()
+            if k not in EXPECTATIONS and k not in _BLANKET_EXEMPT
+        ]
+    return {name: audit_one(spark, name, sf_dir) for name in names}
 
 
 def main() -> int:
@@ -702,7 +728,7 @@ def main() -> int:
     spark = get_spark("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
     failures = 0
-    for name, problems in audit_all(spark, sf_dir).items():
+    for name, problems in audit_all(spark, sf_dir, blanket=True).items():
         if problems:
             failures += 1
             print(f"AUDIT FAIL {name}: {'; '.join(problems)}")

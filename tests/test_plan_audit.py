@@ -8,6 +8,9 @@ from tests.conftest import SF_SMOKE
 
 
 def test_plan_shapes(spark):
-    results = audit_all(spark, SF_SMOKE)
+    # blanket=True: every registry key without a per-key expectation still
+    # gets the no-cartesian floor — FULL audit coverage (VERDICT r4 item 5)
+    results = audit_all(spark, SF_SMOKE, blanket=True)
     problems = {k: v for k, v in results.items() if v}
     assert not problems, f"plan audit failures: {problems}"
+    assert len(results) >= 220  # per-key entries + blanket floor = all keys
