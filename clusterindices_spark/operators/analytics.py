@@ -263,6 +263,100 @@ def q_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly error-rate alerting: each hour's error share z-scored
+    against the global rate under the binomial normal approximation —
+    the standard SRE burn-alert shape (|z| > 3 flags the hour). Exact
+    integer counts; the z arithmetic is the same double-op sequence in
+    both engines, then floor-round6. Two aggs (hour keyed, then 1-row
+    global broadcast back); no joins beyond the 1-row attach."""
+    from clusterindices_spark.functions.aggregates import round6_stable
+
+    e = load_table(spark, sf_dir, "events")
+    hour = F.floor(F.unix_millis(F.col("ts")) / F.lit(3_600_000)).cast(
+        "bigint"
+    )
+    per = e.groupBy(hour.alias("hour")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).cast("bigint").alias("n_err"),
+    )
+    tot = per.agg(
+        F.sum("n").alias("big_n"), F.sum("n_err").alias("big_e")
+    )
+    p0 = F.col("big_e").cast("double") / F.col("big_n")
+    rate = F.col("n_err").cast("double") / F.col("n")
+    z = (rate - p0) / F.sqrt(p0 * (F.lit(1.0) - p0) / F.col("n"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "hour",
+        "n",
+        "n_err",
+        round6_stable(rate).alias("err_rate"),
+        round6_stable(z).alias("z"),
+        (F.abs(z) > 3.0).alias("is_alert"),
+    )
+
+
+ACF_LAGS = (1, 24)
+
+
+def q_events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality detector: Pearson autocorrelation of the hourly count
+    series per event type at lags 1 h (momentum) and 24 h (daily cycle),
+    computed over hour pairs present at BOTH ends (missing hours are
+    skipped, documented). All regression sums are exact BIGINT products
+    of integer counts — order-free — so only the final correlation
+    division is floating point, identical in both engines, then r6.
+    Shuffles: one hourly agg, one per-type equi self-join on (type,
+    hour+lag), one T×lag-row agg."""
+    from clusterindices_spark.functions.aggregates import round6_stable
+
+    e = load_table(spark, sf_dir, "events")
+    hour = F.floor(F.unix_millis(F.col("ts")) / F.lit(3_600_000)).cast(
+        "bigint"
+    )
+    h = e.groupBy(
+        "event_type", hour.alias("hour")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    lagged = h.select(
+        "event_type",
+        "hour",
+        F.col("c").alias("x"),
+        F.explode(F.array(*[F.lit(L) for L in ACF_LAGS])).alias("lag"),
+    )
+    rhs = h.select(
+        F.col("event_type").alias("etype2"),
+        F.col("hour").alias("hour2"),
+        F.col("c").alias("y"),
+    )
+    pairs = lagged.join(
+        rhs,
+        (F.col("event_type") == F.col("etype2"))
+        & (F.col("hour2") == F.col("hour") + F.col("lag")),
+    ).select("event_type", "lag", "x", "y")
+    s = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        "event_type",
+        "lag",
+        "n_pairs",
+        round6_stable(num / F.nullif(den, F.lit(0.0))).alias("acf"),
+    )
+
+
 WEEK_MS = 7 * 86_400_000
 
 
@@ -951,6 +1045,8 @@ QUERIES = {
     "events_gap_stats": q_events_gap_stats,
     "events_dau_wau": q_events_dau_wau,
     "events_user_lifecycle": q_events_user_lifecycle,
+    "events_error_rate": q_events_error_rate,
+    "events_autocorr": q_events_autocorr,
     "events_pareto_concentration": q_events_pareto_concentration,
     "events_last_touch": q_events_last_touch,
     "curation_kfold": q_curation_kfold,
@@ -1051,6 +1147,62 @@ SELECT decile,
        {SQL_ROUND6.format(x="CAST(MAX(cum) AS DOUBLE) / (SELECT total FROM tot)")} AS cum_share
 FROM d
 GROUP BY decile
+""",
+    "events_error_rate": f"""
+WITH per AS (
+  SELECT CAST(floor(epoch_ms(CAST(ts AS TIMESTAMP)) / 3600000) AS BIGINT)
+           AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_err
+  FROM events GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS big_n, CAST(SUM(n_err) AS BIGINT) AS big_e
+  FROM per
+),
+m AS (
+  SELECT hour, n, n_err,
+         CAST(n_err AS DOUBLE) / n AS rate,
+         CAST(big_e AS DOUBLE) / big_n AS p0
+  FROM per CROSS JOIN tot
+)
+SELECT hour, n, n_err,
+       {SQL_ROUND6.format(x="rate")} AS err_rate,
+       {SQL_ROUND6.format(x="(rate - p0) / sqrt(p0 * (1.0 - p0) / n)")} AS z,
+       (abs((rate - p0) / sqrt(p0 * (1.0 - p0) / n)) > 3.0) AS is_alert
+FROM m
+""",
+    "events_autocorr": f"""
+WITH h AS MATERIALIZED (
+  SELECT event_type,
+         CAST(floor(epoch_ms(CAST(ts AS TIMESTAMP)) / 3600000) AS BIGINT)
+           AS hour,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT h.event_type, h.hour, h.c AS x, l.lag
+  FROM h CROSS JOIN (SELECT unnest([{", ".join(str(L) for L in ACF_LAGS)}]) AS lag) l
+),
+pairs AS (
+  SELECT a.event_type, a.lag, a.x, b.c AS y
+  FROM lagged a JOIN h b
+    ON b.event_type = a.event_type AND b.hour = a.hour + a.lag
+),
+s AS (
+  SELECT event_type, lag,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pairs GROUP BY event_type, lag
+)
+SELECT event_type, CAST(lag AS INT) AS lag, n_pairs,
+       {SQL_ROUND6.format(x="(CAST(n_pairs AS DOUBLE) * sxy - sx * sy) / NULLIF(sqrt((CAST(n_pairs AS DOUBLE) * sxx - sx * sx) * (CAST(n_pairs AS DOUBLE) * syy - sy * sy)), 0.0)")} AS acf
+FROM s
 """,
     "events_user_lifecycle": f"""
 WITH uw AS (

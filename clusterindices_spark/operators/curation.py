@@ -533,7 +533,73 @@ def q_curation_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("r.step", "r.rule", "r.n_in", "r.n_dropped", "r.n_out")
 
 
+DOMAIN_CAP = 20
+
+
+def q_curation_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap with deterministic selection — the
+    domain-cap rule web-corpus recipes apply so no single site dominates
+    the mixture: keep at most DOMAIN_CAP docs per source, chosen by
+    hash rank (md5 of the doc id, doc_id tie-break) so the sample is
+    retry-stable and unbiased by ingestion order. Reports the per-source
+    attrition and kept token mass.
+
+    Scale: one window partitioned BY SOURCE (parallel across sources;
+    a pathological mega-source would use the hash-bucket pre-filter
+    trick) + one source agg."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(tokens(F.col("text")))
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = d.select(
+        "source", toks.alias("n_tok"), F.row_number().over(w).alias("rn")
+    )
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("rn") <= DOMAIN_CAP).cast("bigint")).alias("n_kept"),
+        F.sum((F.col("rn") > DOMAIN_CAP).cast("bigint")).alias("n_dropped"),
+        F.sum(
+            F.when(F.col("rn") <= DOMAIN_CAP, F.col("n_tok")).otherwise(0)
+        ).cast("bigint").alias("kept_tokens"),
+    )
+
+
+def q_curation_source_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language composition: language count, majority language
+    (deterministic max-struct argmax), its share, and the language-mix
+    Shannon entropy in bits (floor-micro'd per term, order-free sum) —
+    the mixture diagnostic read before setting per-source sampling
+    temperatures. Two small aggs; S×L is tiny at any scale."""
+    from clusterindices_spark.functions.aggregates import round6_stable
+
+    d = load_table(spark, sf_dir, "documents")
+    sl = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = sl.groupBy("source").agg(F.sum("n").alias("n_docs"))
+    p = F.col("n").cast("double") / F.col("n_docs")
+    term_micros = F.floor(
+        p * (F.log(F.lit(1.0) / p) / F.log(F.lit(2.0))) * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("bigint")
+    per = sl.join(tot, "source").select(
+        "source", "lang", "n", "n_docs", term_micros.alias("tm")
+    )
+    return per.groupBy("source").agg(
+        F.max("n_docs").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.max(F.struct("n", "lang")).getField("lang").alias("majority_lang"),
+        round6_stable(
+            F.max(F.struct("n", "lang")).getField("n") / F.max("n_docs")
+        ).alias("majority_share"),
+        (F.sum("tm") / F.lit(1e6)).alias("lang_entropy_bits"),
+    )
+
+
 QUERIES = {
+    "curation_domain_caps": q_curation_domain_caps,
+    "curation_source_lang_mix": q_curation_source_lang_mix,
     "curation_filter_funnel": q_curation_filter_funnel,
     "curation_dedup_keep_best": q_curation_dedup_keep_best,
     "curation_mixture_temperature": q_curation_mixture_temperature,
@@ -574,6 +640,46 @@ def _sql_marker_hits() -> str:
 
 
 ORACLES = {
+    "curation_domain_caps": f"""
+WITH r AS (
+  SELECT source, len(toks) AS n_tok,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM (SELECT doc_id, source, {_TOKS} AS toks FROM documents)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN rn <= {DOMAIN_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN rn > {DOMAIN_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       CAST(SUM(CASE WHEN rn <= {DOMAIN_CAP} THEN n_tok ELSE 0 END) AS BIGINT)
+         AS kept_tokens
+FROM r GROUP BY source
+""",
+    "curation_source_lang_mix": f"""
+WITH sl AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY source, lang
+),
+tot AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs FROM sl GROUP BY source),
+per AS (
+  SELECT sl.source, sl.lang, sl.n, t.n_docs,
+         CAST(floor((CAST(n AS DOUBLE) / n_docs)
+                    * (ln(1.0 / (CAST(n AS DOUBLE) / n_docs)) / ln(2.0))
+                    * 1e6 + 0.5) AS BIGINT) AS tm
+  FROM sl JOIN tot t USING (source)
+)
+SELECT source,
+       MAX(n_docs) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_langs,
+       MAX(struct_pack(n := n, lang := lang)).lang AS majority_lang,
+       {SQL_ROUND6.format(x="CAST(MAX(struct_pack(n := n, lang := lang)).n AS DOUBLE) / MAX(n_docs)")}
+         AS majority_share,
+       CAST(SUM(tm) AS DOUBLE) / 1e6 AS lang_entropy_bits
+FROM per GROUP BY source
+""",
     "curation_filter_funnel": f"""
 WITH tok AS (
   SELECT doc_id, lang, sha256(text) AS h, {_TOKS} AS toks FROM documents

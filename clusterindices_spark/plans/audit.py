@@ -661,6 +661,25 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "require": ["*("],
         "forbid": ["Exchange", "Join"],
     },
+    "events_error_rate": {
+        # hourly agg + 1-row broadcast global attach
+        "require": ["Broadcast", "partial"],
+        "forbid": ["SortMergeJoin"],
+    },
+    "events_autocorr": {
+        # per-type lag self-join is an equi join; exact-sum aggs
+        "require": ["partial"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "curation_domain_caps": {
+        # source-partitioned window (parallel across sources), one agg
+        "require": ["Window", "partial"],
+        "forbid": ["CartesianProduct", "Exchange SinglePartition"],
+    },
+    "curation_source_lang_mix": {
+        "require": ["partial"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
 }
 
 

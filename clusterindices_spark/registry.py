@@ -143,6 +143,12 @@ _NEXT: list[str] = [
     "text_lang_confusion",
     "embedding_pair_distance_hist",
     "scalar_url_parse",
+    # round-5e: error-rate alerting, hourly autocorrelation, domain caps,
+    # source-language mix
+    "events_error_rate",
+    "events_autocorr",
+    "curation_domain_caps",
+    "curation_source_lang_mix",
 ]
 
 # Rows-only keys (no oracle SQL by design — approx/iterative). Kept behind
