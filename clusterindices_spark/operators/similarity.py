@@ -133,12 +133,21 @@ def q_similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     probes = emb.where(F.col("vec_id") < N_PROBES)
-    cand = topk_exact(emb, probes, k=MMR_POOL).select(
-        "probe_id", F.col("neighbor_id").alias("cid"), "sim"
+    # localCheckpoint: the greedy's unrolled step chain references the
+    # candidate frames a growing number of times (selected_t reads
+    # selected_{t-1} twice); without a lineage cut each reference re-runs
+    # the CORPUS-scale top-k subtree — measured 19.3 s at sf0.1 vs ~2 s
+    # checkpointed. The checkpointed frames are probes×pool rows (tiny).
+    cand = (
+        topk_exact(emb, probes, k=MMR_POOL)
+        .select("probe_id", F.col("neighbor_id").alias("cid"), "sim")
+        .localCheckpoint()
     )
     # candidate vectors: corpus scan semi-reduced by the broadcast pool
-    pool = emb.select(F.col("vec_id").alias("cid"), F.col("x").alias("xc")).join(
-        F.broadcast(cand), "cid"
+    pool = (
+        emb.select(F.col("vec_id").alias("cid"), F.col("x").alias("xc"))
+        .join(F.broadcast(cand), "cid")
+        .localCheckpoint()
     )
     a = pool.select(
         "probe_id", F.col("cid").alias("cid_a"), F.col("xc").alias("va")
@@ -155,6 +164,7 @@ def q_similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cid_b",
             F.round(cosine_sim(F.col("va"), F.col("vb")), 6).alias("sim_ab"),
         )
+        .localCheckpoint()
     )
     cands = pool.select("probe_id", "cid", "sim")
     w1 = Window.partitionBy("probe_id").orderBy(
@@ -207,7 +217,8 @@ def q_similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "mmr_score",
             )
         )
-        selected = selected.unionByName(pick)
+        # per-step lineage cut: selected_{t} is read twice by step t+1
+        selected = selected.unionByName(pick).localCheckpoint()
     return selected.select(
         "probe_id",
         F.col("pick").alias("pick_order"),
