@@ -229,11 +229,15 @@ def ngram_jaccard_pairs(
     jac = F.round(
         F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
     )
-    return (
+    # pair table pinned (r5): dedup_minhash_est consumes the same verified
+    # pairs right after this key in a sweep — sharing the generation saves
+    # the inter self-join + groupBy on the second caller (~2.5 s at sf0.1)
+    return _repin(
+        "ngram_jaccard_pairs",
         inter.join(F.broadcast(na), "doc_a")
         .join(F.broadcast(nb), "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
+        .where(F.col("jaccard") >= threshold),
     )
 
 
