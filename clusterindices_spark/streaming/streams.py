@@ -83,6 +83,35 @@ def sliding_agg_stream(events: DataFrame, watermark: str = "10 minutes") -> Data
     )
 
 
+def error_rate_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming twin of q_events_error_rate's hourly layer: watermarked
+    1-hour tumbling windows carrying (n, n_err, err_rate) — the
+    incremental half of the burn-alert. The GLOBAL z-score needs
+    full-history totals, which the batch key computes at read time over
+    the materialized hourly rows (the hourly_rollup pattern): streaming
+    maintains the per-hour layer, readers derive the alert."""
+    from clusterindices_spark.functions.aggregates import round6_stable
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).cast("bigint").alias("n_err"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("hour_ms"),
+            "n",
+            "n_err",
+            round6_stable(
+                F.col("n_err").cast("double") / F.col("n")
+            ).alias("err_rate"),
+        )
+    )
+
+
 def session_window_stream(
     events: DataFrame,
     gap_min: int = SESSION_GAP_MIN,

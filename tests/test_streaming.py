@@ -43,6 +43,28 @@ def test_tumbling_stream_matches_batch(spark):
         assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
+def test_error_rate_stream_matches_batch(spark):
+    """The hourly error-rate layer maintained incrementally must equal the
+    batch key's per-hour slice (hour, n, n_err, err_rate)."""
+    from clusterindices_spark.operators.analytics import q_events_error_rate
+    from clusterindices_spark.streaming.streams import error_rate_stream
+
+    with tempfile.TemporaryDirectory() as tmp:
+        stream = events_file_stream(spark, _replay_dir(spark, tmp))
+        got = run_to_completion(
+            error_rate_stream(stream), "t_errrate", mode="complete"
+        )
+        want = q_events_error_rate(spark, SF_SMOKE).select(
+            (F.col("hour") * 3_600_000).alias("hour_ms"),
+            "n",
+            "n_err",
+            "err_rate",
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+
 def test_sliding_stream_matches_batch(spark):
     from clusterindices_spark.operators.sessions import q_stream_sliding_agg
     from clusterindices_spark.streaming.streams import sliding_agg_stream
