@@ -357,6 +357,56 @@ def q_events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_forecast_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast baselines per event type: MAE of the
+    'same hour yesterday' (lag-24) predictor vs the 'last hour' (lag-1)
+    predictor over the hourly count series — the sanity floor every
+    real forecasting model must beat, and the cheapest seasonality
+    strength readout (ratio < 1 ⟺ the daily cycle predicts better than
+    momentum). Absolute errors are exact BIGINT sums; only the final
+    means/ratio divide. One hourly agg + two equi lag self-joins +
+    a T-row agg."""
+    from clusterindices_spark.functions.aggregates import round6_stable
+
+    e = load_table(spark, sf_dir, "events")
+    hour = F.floor(F.unix_millis(F.col("ts")) / F.lit(3_600_000)).cast(
+        "bigint"
+    )
+    h = e.groupBy("event_type", hour.alias("hour")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+    def _mae(lag: int, name: str):
+        rhs = h.select(
+            F.col("event_type").alias("et2"),
+            (F.col("hour") + F.lit(lag)).alias("target_hour"),
+            F.col("c").alias("pred"),
+        )
+        j = h.join(
+            rhs,
+            (F.col("event_type") == F.col("et2"))
+            & (F.col("hour") == F.col("target_hour")),
+        )
+        return j.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias(f"n_{name}"),
+            F.sum(F.abs(F.col("c") - F.col("pred"))).alias(f"sae_{name}"),
+        )
+
+    s = _mae(24, "seasonal").join(_mae(1, "naive"), "event_type")
+    mae_s = F.col("sae_seasonal").cast("double") / F.col("n_seasonal")
+    mae_n = F.col("sae_naive").cast("double") / F.col("n_naive")
+    return s.select(
+        "event_type",
+        "n_seasonal",
+        "n_naive",
+        round6_stable(mae_s).alias("mae_seasonal"),
+        round6_stable(mae_n).alias("mae_naive"),
+        round6_stable(mae_s / F.nullif(mae_n, F.lit(0.0))).alias(
+            "mae_ratio"
+        ),
+    )
+
+
 WEEK_MS = 7 * 86_400_000
 
 
@@ -1047,6 +1097,7 @@ QUERIES = {
     "events_user_lifecycle": q_events_user_lifecycle,
     "events_error_rate": q_events_error_rate,
     "events_autocorr": q_events_autocorr,
+    "events_forecast_baseline": q_events_forecast_baseline,
     "events_pareto_concentration": q_events_pareto_concentration,
     "events_last_touch": q_events_last_touch,
     "curation_kfold": q_curation_kfold,
@@ -1203,6 +1254,42 @@ s AS (
 SELECT event_type, CAST(lag AS INT) AS lag, n_pairs,
        {SQL_ROUND6.format(x="(CAST(n_pairs AS DOUBLE) * sxy - sx * sy) / NULLIF(sqrt((CAST(n_pairs AS DOUBLE) * sxx - sx * sx) * (CAST(n_pairs AS DOUBLE) * syy - sy * sy)), 0.0)")} AS acf
 FROM s
+""",
+    "events_forecast_baseline": f"""
+WITH h AS MATERIALIZED (
+  SELECT event_type,
+         CAST(floor(epoch_ms(CAST(ts AS TIMESTAMP)) / 3600000) AS BIGINT)
+           AS hour,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT a.event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_seasonal,
+         CAST(SUM(abs(a.c - b.c)) AS BIGINT) AS sae_seasonal
+  FROM h a JOIN h b
+    ON b.event_type = a.event_type AND a.hour = b.hour + 24
+  GROUP BY a.event_type
+),
+n AS (
+  SELECT a.event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_naive,
+         CAST(SUM(abs(a.c - b.c)) AS BIGINT) AS sae_naive
+  FROM h a JOIN h b
+    ON b.event_type = a.event_type AND a.hour = b.hour + 1
+  GROUP BY a.event_type
+),
+m AS (
+  SELECT s.event_type, s.n_seasonal, n.n_naive,
+         CAST(sae_seasonal AS DOUBLE) / n_seasonal AS mae_s,
+         CAST(sae_naive AS DOUBLE) / n_naive AS mae_n
+  FROM s JOIN n USING (event_type)
+)
+SELECT event_type, n_seasonal, n_naive,
+       {SQL_ROUND6.format(x="mae_s")} AS mae_seasonal,
+       {SQL_ROUND6.format(x="mae_n")} AS mae_naive,
+       {SQL_ROUND6.format(x="mae_s / NULLIF(mae_n, 0.0)")} AS mae_ratio
+FROM m
 """,
     "events_user_lifecycle": f"""
 WITH uw AS (

@@ -268,6 +268,41 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_embedding_cosine(_emb(spark, sf_dir))
 
 
+def q_dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped SEMANTIC deduplication: cluster vectors whose
+    cosine crosses the near-dup threshold into connected components and
+    elect one canonical representative (min id) per cluster — the
+    embedding-space analogue of the text dedup→components pipeline, used
+    to drop paraphrases/translations byte-level tiers can't see. Emits
+    (vec_id, component_id, is_canonical, n_members) like dedup_components.
+
+    Composition, not new machinery: the exact cosine pair tier feeds the
+    large/small-star component engine (at 100 TB the pair source swaps to
+    the LSH/IVF candidate tier — same edge contract; the exact tier here
+    keeps the gate hash-exact). Edge list is localCheckpointed: the star
+    rounds consume it repeatedly and must not re-run the pair scan."""
+    from pyspark.sql import Window as W
+
+    from clusterindices_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    emb = _emb(spark, sf_dir)
+    pairs = dedup_embedding_cosine(emb)
+    nodes = emb.select(F.col("vec_id").alias("node"))
+    edges = pairs.select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    ).localCheckpoint()
+    comp = connected_components_star(nodes, edges)
+    w = W.partitionBy("component")
+    return comp.select(
+        F.col("node").alias("vec_id"),
+        F.col("component").alias("component_id"),
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+        F.count(F.lit(1)).over(w).alias("n_members"),
+    )
+
+
 def ann_lsh_topk(
     emb: DataFrame,
     probes: DataFrame,
@@ -801,6 +836,7 @@ QUERIES = {
     "similarity_topk_exact": q_similarity_topk_exact,
     "similarity_range_search": q_similarity_range_search,
     "similarity_mmr_rerank": q_similarity_mmr_rerank,
+    "dedup_semantic_clusters": q_dedup_semantic_clusters,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "similarity_ann_lsh": q_similarity_ann_lsh,
     "similarity_ann_ivf": q_similarity_ann_ivf,
@@ -927,3 +963,34 @@ FROM {prev}"""
 
 
 ORACLES["similarity_mmr_rerank"] = _mmr_oracle_sql()
+
+# semantic clusters: recursive transitive closure over the cosine pair set
+# (the dedup_components closure pattern with embedding edges)
+ORACLES["dedup_semantic_clusters"] = f"""
+WITH RECURSIVE
+pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM pts a JOIN pts b ON a.vec_id < b.vec_id
+  WHERE ROUND({_COS.format(a='a.x', b='b.x')}, 6) >= {COSINE_DUP_THRESHOLD}
+),
+edges AS (
+  SELECT va AS s, vb AS d FROM pairs
+  UNION
+  SELECT vb AS s, va AS d FROM pairs
+),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+),
+mins AS (SELECT s, MIN(d) AS mn FROM reach GROUP BY s),
+comp AS (
+  SELECT vec_id, LEAST(vec_id, COALESCE(mn, vec_id)) AS component_id
+  FROM embeddings LEFT JOIN mins ON mins.s = vec_id
+)
+SELECT vec_id, component_id,
+       vec_id = component_id AS is_canonical,
+       COUNT(*) OVER (PARTITION BY component_id) AS n_members
+FROM comp
+"""

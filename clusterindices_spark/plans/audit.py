@@ -680,6 +680,16 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "require": ["partial"],
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    "dedup_semantic_clusters": {
+        # star rounds over the checkpointed cosine edge list; the final
+        # membership window partitions by component
+        "require": ["Window"],
+        "forbid": ["CartesianProduct"],
+    },
+    "events_forecast_baseline": {
+        "require": ["partial"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
 }
 
 

@@ -149,6 +149,10 @@ _NEXT: list[str] = [
     "events_autocorr",
     "curation_domain_caps",
     "curation_source_lang_mix",
+    # round-5f: semantic (embedding-space) dedup clusters, seasonal-naive
+    # forecast baseline
+    "dedup_semantic_clusters",
+    "events_forecast_baseline",
 ]
 
 # Rows-only keys (no oracle SQL by design — approx/iterative). Kept behind
