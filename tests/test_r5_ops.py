@@ -228,3 +228,72 @@ def test_asof_nearest_prefers_closer_then_earlier(spark):
     # within a day
     matched = sum(1 for r in rows if r["click_id"] is not None)
     assert matched > 0 and matched >= len(rows) // 2
+
+
+def test_autocorr_bounds_and_lags(spark):
+    from clusterindices_spark.operators.analytics import ACF_LAGS, q_events_autocorr
+
+    rows = q_events_autocorr(spark, SF_SMOKE).collect()
+    assert {r["lag"] for r in rows} == set(ACF_LAGS)
+    for r in rows:
+        assert r["acf"] is None or -1.0 - 1e-9 <= r["acf"] <= 1.0 + 1e-9
+        assert r["n_pairs"] > 0
+
+
+def test_forecast_baseline_consistency(spark):
+    from clusterindices_spark.operators.analytics import (
+        q_events_forecast_baseline,
+    )
+
+    rows = q_events_forecast_baseline(spark, SF_SMOKE).collect()
+    assert len(rows) == 5  # one per event type
+    for r in rows:
+        assert r["mae_seasonal"] >= 0 and r["mae_naive"] >= 0
+        if r["mae_naive"] > 0:
+            assert abs(
+                r["mae_ratio"] - r["mae_seasonal"] / r["mae_naive"]
+            ) < 1e-5
+        # lag-24 overlap is 24 fewer hours than lag-1 on a contiguous series
+        assert r["n_seasonal"] <= r["n_naive"]
+
+
+def test_semantic_clusters_membership_consistent(spark):
+    from clusterindices_spark.operators.similarity import (
+        q_dedup_semantic_clusters,
+    )
+
+    rows = q_dedup_semantic_clusters(spark, SF_SMOKE).collect()
+    assert len(rows) == 500  # every vector assigned
+    by_comp: dict[int, list] = {}
+    for r in rows:
+        by_comp.setdefault(r["component_id"], []).append(r)
+    for cid, members in by_comp.items():
+        # component label is the min member id and exactly one canonical
+        assert cid == min(m["vec_id"] for m in members)
+        assert sum(1 for m in members if m["is_canonical"]) == 1
+        assert all(m["n_members"] == len(members) for m in members)
+
+
+def test_domain_caps_invariants(spark):
+    from clusterindices_spark.operators.curation import (
+        DOMAIN_CAP,
+        q_curation_domain_caps,
+    )
+
+    for r in q_curation_domain_caps(spark, SF_SMOKE).collect():
+        assert r["n_kept"] == min(r["n_docs"], DOMAIN_CAP)
+        assert r["n_kept"] + r["n_dropped"] == r["n_docs"]
+
+
+def test_error_rate_global_consistency(spark):
+    from clusterindices_spark.operators.analytics import q_events_error_rate
+
+    rows = q_events_error_rate(spark, SF_SMOKE).collect()
+    n = sum(r["n"] for r in rows)
+    e = sum(r["n_err"] for r in rows)
+    p0 = e / n
+    # hours matching the global rate exactly must have z == 0
+    for r in rows:
+        if r["n_err"] / r["n"] == p0:
+            assert r["z"] == 0.0
+        assert (abs(r["z"]) > 3.0) == r["is_alert"]
