@@ -138,6 +138,14 @@ HEADLINE = [
     # scan shape
     "text_lm_heldout_score",
     "embedding_pair_distance_hist",
+    # round-5e/f: semantic clusters ride the star engine over cosine
+    # edges; the rest are hourly-agg / S-scale
+    "dedup_semantic_clusters",
+    "events_error_rate",
+    "events_autocorr",
+    "events_forecast_baseline",
+    "curation_domain_caps",
+    "curation_source_lang_mix",
 ]
 
 # Measured and reported, but EXCLUDED from the headline total: these keys
