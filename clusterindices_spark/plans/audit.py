@@ -639,8 +639,11 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "forbid": ["Exchange", "Join"],
     },
     "similarity_mmr_rerank": {
-        # candidate-scale joins with broadcast pool; per-step picks union
-        "require": ["Broadcast", "Union"],
+        # the returned frame reads the final selection's localCheckpoint
+        # (the r5 lineage-cut fix), so the broadcast-pool joins and the
+        # per-step unions live in earlier CUT stages — like pagerank, only
+        # the no-cartesian floor is assertable on the returned plan
+        "require": [],
         "forbid": ["CartesianProduct"],
     },
     "text_lm_heldout_score": {
