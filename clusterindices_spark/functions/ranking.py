@@ -86,8 +86,11 @@ def ranked(
     off = df.sparkSession.createDataFrame(
         offsets, f"{_PID} INT, _rk_off BIGINT, _cum_off BIGINT"
     )
+    # BIGINT rank: local row_number (int) + bigint offset stays bigint —
+    # casting down to int would silently wrap past 2^31 rows, exactly the
+    # billion-row regime this helper exists for (ADVICE r5 item 1).
     out = local.join(F.broadcast(off), _PID).withColumn(
-        rank_col, (F.col(_LRK) + F.col("_rk_off")).cast("int")
+        rank_col, F.col(_LRK) + F.col("_rk_off")
     )
     if cum_of is not None:
         out = out.withColumn(cum_col, F.col(_LCUM) + F.col("_cum_off"))

@@ -478,11 +478,17 @@ def q_curation_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
       2. min_tokens     — ≥ 25 whitespace tokens
       3. avg_word_len   — mean token length ≤ 5.5 chars (soup/encoding
                           damage guard)
-      4. canonical_only — exact-dedup survivor (min doc_id per sha256)
+      4. canonical_only — exact-dedup survivor (min doc_id per sha256,
+                          selected AMONG rules-1–3 survivors — sequential
+                          funnel semantics: if a group's globally-minimal
+                          copy was already dropped upstream, a surviving
+                          copy is promoted to canonical instead of the
+                          whole group vanishing; ADVICE r5 item 3)
 
     Scale: rules 1–3 are scan-side predicates; rule 4 adds the standard
-    dedup hash shuffle; the funnel itself is ONE aggregate over the
-    flagged scan, pivoted to 4 rows driver-free via inline explode."""
+    dedup hash shuffle (over the SMALLER post-filter frame); the funnel
+    itself is ONE aggregate over the flagged scan, pivoted to 4 rows
+    driver-free via inline explode."""
     d = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     n_tok = F.size(toks)
@@ -496,8 +502,17 @@ def q_curation_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tok.alias("n_tok"),
         awl.alias("awl"),
     )
-    canon = base.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
-    f = base.join(canon, "h").select(
+    p123 = (
+        (F.col("lang") != "zh")
+        & (F.col("n_tok") >= 25)
+        & (F.col("awl") <= 5.5)
+    )
+    canon = (
+        base.where(p123).groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    )
+    # left join: rows dropped by rules 1–3 may have no surviving canonical;
+    # their p4 is irrelevant (s4 = s3 & p4 masks them out).
+    f = base.join(canon, "h", "left").select(
         (F.col("lang") != "zh").alias("p1"),
         (F.col("n_tok") >= 25).alias("p2"),
         (F.col("awl") <= 5.5).alias("p3"),
@@ -691,13 +706,17 @@ base AS (
            / NULLIF(CAST(len(toks) AS DOUBLE), 0.0) AS awl
   FROM tok
 ),
-canon AS (SELECT h, MIN(doc_id) AS keep_id FROM base GROUP BY h),
+canon AS (
+  SELECT h, MIN(doc_id) AS keep_id FROM base
+  WHERE lang <> 'zh' AND n_tok >= 25 AND awl <= 5.5
+  GROUP BY h
+),
 f AS (
   SELECT (lang <> 'zh') AS p1,
          (n_tok >= 25) AS p2,
          (awl <= 5.5) AS p3,
          (base.doc_id = canon.keep_id) AS p4
-  FROM base JOIN canon USING (h)
+  FROM base LEFT JOIN canon USING (h)
 ),
 agg AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n0,

@@ -458,7 +458,11 @@ def q_embedding_pair_distance_hist(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("vec_id").alias("pa"), F.col("x").alias("xa")
     )
     b = emb.select(F.col("vec_id").alias("pb"), F.col("x").alias("xb"))
-    cos6 = F.round(cosine_sim(F.col("xa"), F.col("xb")), 6)
+    # round6_stable (floor-based), not F.round: cos6 feeds a DISCRETE bin
+    # decision, so a .xxxxxx5 half-boundary disagreement between Spark
+    # HALF_UP and DuckDB's scaled-multiply ROUND would flip a bin count
+    # (ADVICE r5 item 4). Same formulation on the oracle side.
+    cos6 = round6_stable(cosine_sim(F.col("xa"), F.col("xb")))
     bin_ = F.least(
         F.floor((cos6 + F.lit(1.0)) / F.lit(2.0 / HIST_BINS)),
         F.lit(HIST_BINS - 1),
@@ -517,7 +521,7 @@ ORACLES = {
     "embedding_pair_distance_hist": f"""
 WITH pts AS (SELECT vec_id, {_X} AS x FROM embeddings),
 pairs AS (
-  SELECT LEAST(CAST(floor((ROUND({_COS_E.format(a='a.x', b='b.x')}, 6) + 1.0)
+  SELECT LEAST(CAST(floor(({SQL_ROUND6.format(x=_COS_E.format(a='a.x', b='b.x'))} + 1.0)
                           / {2.0 / HIST_BINS}) AS INT), {HIST_BINS - 1}) AS bin
   FROM pts a JOIN pts b
     ON a.vec_id < {HIST_PROBES} AND a.vec_id <> b.vec_id
@@ -565,14 +569,14 @@ scored AS (
   SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
          CAST(bit_count(xor(c.w_lo, p.w_lo))
               + bit_count(xor(c.w_hi, p.w_hi)) AS INT) AS hamming
-  FROM codes c JOIN codes p ON p.vec_id < 10 AND c.vec_id <> p.vec_id
+  FROM codes c JOIN codes p ON p.vec_id < {HAMMING_N_PROBES} AND c.vec_id <> p.vec_id
 ),
 r AS (
   SELECT *, row_number() OVER (
       PARTITION BY probe_id ORDER BY hamming ASC, neighbor_id) AS rn
   FROM scored
 )
-SELECT probe_id, neighbor_id, hamming FROM r WHERE rn <= 5
+SELECT probe_id, neighbor_id, hamming FROM r WHERE rn <= {HAMMING_TOP_K}
 """,
     "embedding_dim_stats": f"""
 WITH ex AS (

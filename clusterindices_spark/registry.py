@@ -48,88 +48,23 @@ _MODULES = [
     "clusterindices_spark.sql",
 ]
 
-# Round-5 driver-window priority (VERDICT r4 "Next round" #2). Exactly 50
-# keys = the driver's per-round check budget: the r4 hash-fail (pagerank,
-# oracle HUGEINT cast fixed this round), then the 35 oracle-backed keys the
-# driver has never reached (r4's _NEXT — all local-gate green, 26
-# judge-verified in r4), then 14 re-confirmations of stable greens —
-# preferring keys whose code paths were touched this round (versioned MOR
-# carry fix, pareto/zipf range-partitioned rank rewrite).
+# Round-6 driver-window priority (VERDICT r5 "Next round" #1). Exactly 50
+# keys = the driver's per-round check budget: the 23 round-5 keys the driver
+# has never reached (r5's _NEXT, all local-gate green AND judge-verified
+# 23/23 in the r5 session), then 27 re-confirmations of stable greens —
+# preferring keys whose code paths are touched this round (similarity /
+# sketches / embeddings / curation / ranking edits: semantic-ANN wiring, CMS
+# probe-window fix, hamming-oracle constant interpolation, pair-hist
+# round6_stable, filter-funnel sequential canonical fix, bigint ranks).
+# After this window lands, cumulative driver-green = 214/214 oracle-backed.
 _FRONT = [
-    # the single r4 driver failure: oracle emitted HUGEINT pr_units
-    # (SUM(BIGINT) propagation), now CAST to BIGINT — Spark side unchanged
-    "dedup_graph_pagerank",
-    # the 35 oracle-backed keys with no driver row yet (r4 _NEXT, in order)
-    "versioned_mor_snapshot",
-    "text_entropy",
-    "dedup_normalized_exact",
-    "events_user_overlap",
-    "curation_mixture_temperature",
-    "similarity_range_search",
-    "window_interval_merge",
-    "agg_bool_modal",
-    "scalar_struct",
-    "events_rollup_hierarchy",
-    "join_bloom_prefilter",
-    "scalar_collation",
-    "sql_udf_inline",
-    "sql_session_vars",
-    "source_xml_roundtrip",
-    "multimodal_scene_cut",
-    "events_ewma_smooth",
-    "join_asof_forward",
-    "agg_filter_clause",
-    "scalar_bitwise",
-    "events_rolling_zscore",
-    "events_gap_stats",
-    "curation_dedup_keep_best",
-    "events_dau_wau",
-    "events_pareto_concentration",
-    "text_js_divergence",
-    "text_zipf_fit",
-    "dedup_cross_source",
-    "dedup_token_inflation",
-    "events_last_touch",
-    "curation_kfold",
-    "events_hour_of_week",
-    "multimodal_type_routing",
-    "embedding_dim_stats",
-    "embedding_norm_audit",
-    # 14 re-confirmations of stable greens filling the window (touched-path
-    # keys first: versioned merge shares code with the MOR carry fix)
-    "versioned_merge_snapshot",
-    "tpch_q1",
-    "tpch_q6",
-    "join_asof",
-    "agg_basic",
-    "window_rank",
-    "dedup_exact",
-    "dedup_components",
-    "similarity_topk_exact",
-    "text_quality",
-    "multimodal_meta",
-    "curation_decontaminate",
-    "sql_interface",
-    "silhouette_exact",
-]
-
-# Immediately after the 50-slot window: new round-5 oracle-backed keys that
-# should be the FIRST to get driver rows if the window is wider than 50 (and
-# the head of round 6's window otherwise). Rows-only keys stay at the very
-# end so they never burn a driver slot.
-_NEXT: list[str] = [
-    # round-5a: readability profile, oracle-backed MinHash estimator,
-    # chunk-level boilerplate dedup
+    # the 23 oracle-backed round-5 keys with no driver row yet (r5 _NEXT)
     "text_readability",
     "dedup_minhash_est",
     "dedup_chunk_exact",
-    # round-5b: Matryoshka truncation audit, sign-bit binary quantization,
-    # deterministic Hamming top-k retrieval
     "embedding_matryoshka",
     "embedding_binary_quantize",
     "similarity_hamming_topk",
-    # round-5c: growth accounting, filter funnel, nearest as-of, audio
-    # silence runs, SQL pipe syntax, interval arithmetic, MMR rerank
     "events_user_lifecycle",
     "curation_filter_funnel",
     "join_asof_nearest",
@@ -137,23 +72,53 @@ _NEXT: list[str] = [
     "sql_pipe_syntax",
     "scalar_interval_arith",
     "similarity_mmr_rerank",
-    # round-5d: held-out LM scoring, langid QA matrix, pair-distance
-    # histogram, URL parsing
     "text_lm_heldout_score",
     "text_lang_confusion",
     "embedding_pair_distance_hist",
     "scalar_url_parse",
-    # round-5e: error-rate alerting, hourly autocorrelation, domain caps,
-    # source-language mix
     "events_error_rate",
     "events_autocorr",
     "curation_domain_caps",
     "curation_source_lang_mix",
-    # round-5f: semantic (embedding-space) dedup clusters, seasonal-naive
-    # forecast baseline
     "dedup_semantic_clusters",
     "events_forecast_baseline",
+    # 27 re-confirmations — touched-path keys first (this round edits
+    # similarity.py, sketches.py, embeddings.py, curation.py, dedup.py,
+    # functions/ranking.py), then the oldest stable greens
+    "dedup_cross_source",  # de-vacuated gate fixture this round (VERDICT #6)
+    "similarity_topk_exact",
+    "similarity_range_search",
+    "dedup_embedding_cosine",
+    "multimodal_vector_stats",
+    "embedding_dim_stats",
+    "embedding_norm_audit",
+    "embedding_normalize",
+    "embedding_quantize_int8",
+    "join_bloom_prefilter",
+    "curation_dedup_keep_best",
+    "curation_decontaminate",
+    "events_pareto_concentration",
+    "text_zipf_fit",
+    "dedup_exact",
+    "dedup_components",
+    "dedup_ngram_jaccard",
+    "dedup_graph_triangles",
+    "tpch_q1",
+    "tpch_q6",
+    "join_asof",
+    "agg_basic",
+    "window_rank",
+    "text_quality",
+    "multimodal_meta",
+    "sql_interface",
+    "silhouette_exact",
 ]
+
+# Immediately after the 50-slot window: new round-6 oracle-backed keys that
+# should be the FIRST to get driver rows if the window is wider than 50 (and
+# the head of round 7's window otherwise). Rows-only keys stay at the very
+# end so they never burn a driver slot.
+_NEXT: list[str] = []
 
 # Rows-only keys (no oracle SQL by design — approx/iterative). Kept behind
 # every oracle-backed key; the driver records err:"no_oracle" for these, so
