@@ -182,9 +182,15 @@ def q_text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the full token stream, probe it with the top-CMS_PROBE_TERMS
     terms by exact count, and report estimate next to truth (the
     overestimation audit a production deployment runs on samples).
-    Deterministic but xxhash64-specific → rows-only check."""
-    from pyspark.sql import Window
+    Deterministic but xxhash64-specific → rows-only check.
 
+    Probe selection is ``orderBy(...).limit(K)`` — Spark plans that as
+    TakeOrderedAndProject: per-partition top-K heaps merged on the driver,
+    fully parallel over a 100 M-term vocabulary. The previous
+    empty-partition ``row_number`` window funneled the whole exact-count
+    frame through ONE task (VERDICT r5 "What's wrong" #1 — the last
+    data-scale single-partition window outside the cap_quadratic
+    yardsticks)."""
     from clusterindices_spark.functions.text import tokens
 
     d = load_table(spark, sf_dir, "documents")
@@ -193,18 +199,9 @@ def q_text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sketch = cms_build(terms)
     exact = terms.groupBy("term").agg(F.count(F.lit(1)).alias("exact"))
-    top = (
-        exact.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy().orderBy(
-                    F.col("exact").desc(), F.col("term")
-                )
-            ),
-        )
-        .where(F.col("rn") <= CMS_PROBE_TERMS)
-        .drop("rn")
-    )
+    top = exact.orderBy(
+        F.col("exact").desc(), F.col("term")
+    ).limit(CMS_PROBE_TERMS)
     est = cms_estimate(sketch, top.select("term"))
     return top.join(est, "term").select(
         "term", "exact", "cms_estimate",

