@@ -44,6 +44,15 @@ M_SUBSPACES = 8  # 64-dim fixtures → 8 subvectors of 8 dims
 PQ_K = 16  # centroids per subspace → 4-bit codes
 PQ_TOP_K = 5
 PQ_N_PROBES = 10
+# ADC over-retrieve factor. The r6 A/B on the worst-case near-orthogonal
+# fixtures (BASELINE.md "PQ over-retrieve A/B"): recall 0.60/0.74/0.84/0.90
+# at expand 8/16/32/64 with FLAT query time (~1.1-1.8 s at sf0.1) — the ADC
+# codes scan dominates; the exact re-rank stays candidate-scale
+# (probes·k·expand full vectors, broadcast) at any corpus size, so the high
+# factor is free at 100 TB too. IVFPQ tracks the same curve (0.58→0.90 at
+# nprobe=4); nprobe was NOT the binding constraint (4→6 changed nothing
+# below expand 32) — ADC ordering quality was.
+PQ_EXPAND = 64
 
 # hyperparams → (sub_frame, collected_rows, schema) — see pq_train_encode;
 # keyed so the plain-PQ and residual (ivfpq) tiers don't evict each other
@@ -265,7 +274,7 @@ def pq_topk_reranked(
     emb: DataFrame,
     probes: DataFrame,
     k: int = PQ_TOP_K,
-    expand: int = 8,
+    expand: int = PQ_EXPAND,
     m: int = M_SUBSPACES,
 ) -> DataFrame:
     """ADC over-retrieve + exact re-rank — how PQ is actually deployed:
@@ -342,7 +351,7 @@ def ivfpq_topk(
     n_probe_cells: int = 4,
     m: int = M_SUBSPACES,
     pq_k: int = PQ_K,
-    expand: int = 8,
+    expand: int = PQ_EXPAND,
 ) -> DataFrame:
     """IVF-PQ — the composition both SCALE notes promise and every
     billion-vector system deploys: IVF cells prune WHICH codes are

@@ -689,6 +689,12 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "require": ["Window"],
         "forbid": ["CartesianProduct"],
     },
+    "dedup_semantic_clusters_ann": {
+        # the 100 TB tier: LSH-bucketed candidate self-join — no quadratic
+        # anywhere (the exact tier's guarded crossJoin must NOT appear)
+        "require": ["Window"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
     "events_forecast_baseline": {
         "require": ["partial"],
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
