@@ -706,6 +706,163 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "require": ["TakeOrderedAndProject", "partial"],
         "forbid": ["Window", "Exchange SinglePartition", "CartesianProduct"],
     },
+    # --- round-6 widening (VERDICT r5 item 7): per-key entries for the
+    # remaining nontrivial-topology keys, written from the surveyed
+    # EXECUTED plans at sf0.01 so every require reflects the real shape ---
+    "dedup_exact": {
+        # one map-side-combined hash agg, nothing else
+        "require": ["partial", "PushedFilters: ["],
+        "forbid": ["Join", "Window", "Exchange SinglePartition"],
+    },
+    "dedup_ngram_jaccard": {
+        # shingle explode (Generate) + inverted-index equi-joins; the
+        # stop-shingle cap rides a broadcast anti join
+        "require": ["Generate", "BroadcastHashJoin", "LeftAnti", "partial"],
+        "forbid": ["CartesianProduct", "Exchange SinglePartition"],
+    },
+    "dedup_near_minhash": {
+        # banded LSH: explode signatures, equi-join on (band, bucket)
+        "require": ["Generate", "BroadcastHashJoin", "partial"],
+        "forbid": ["CartesianProduct", "Exchange SinglePartition"],
+    },
+    "dedup_simhash": {
+        # 64-bit fingerprint via exploded token hashes; the rotation-table
+        # BNLJ is a broadcast K-row literal frame (bounded, not data²)
+        "require": ["Generate", "partial"],
+        "forbid": ["CartesianProduct"],
+    },
+    "similarity_ann_lsh": {
+        # MLlib BRP-LSH: hash explode + bucket equi-join, WindowGroupLimit
+        # bounds the per-probe top-k before the final rank
+        "require": ["Generate", "WindowGroupLimit", "partial"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "window_rank": {
+        # keyed window (WindowGroupLimit pushes the rank filter down);
+        # never a global single-partition sort
+        "require": ["Window", "WindowGroupLimit", "partial"],
+        "forbid": ["Exchange SinglePartition", "Join"],
+    },
+    "tpch_q4": {
+        "require": ["LeftSemi", "BroadcastHashJoin", "partial"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "tpch_q10": {
+        "require": ["BroadcastHashJoin", "TakeOrderedAndProject", "partial"],
+        "forbid": ["CartesianProduct", "Exchange rangepartitioning"],
+    },
+    "tpch_q11": {
+        # the global-threshold scalar subquery is a 1-row broadcast (its
+        # SinglePartition exchange feeds a single-row agg, not data-scale)
+        "require": ["BroadcastHashJoin", "partial"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "tpch_q12": {
+        "require": ["BroadcastHashJoin", "PushedFilters: [", "partial"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "tpch_q19": {
+        # OR-of-ANDs predicate join: must stay a broadcast equi-join on
+        # partkey with the residual as filter — never a BNLJ over lineitem
+        "require": ["BroadcastHashJoin", "PushedFilters: [", "partial"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "tpch_q20": {
+        # nested semi-join chain; the partsupp-side agg join may be SMJ
+        # (both sides fact-scale) — that SMJ is the designed plan
+        "require": ["LeftSemi", "BroadcastHashJoin", "partial"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "events_funnel": {
+        # step joins are broadcast equi-joins; the funnel totals ride a
+        # 1-row BNLJ attach (bounded)
+        "require": ["BroadcastHashJoin", "partial"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "events_retention": {
+        "require": ["BroadcastHashJoin", "partial"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "versioned_merge_snapshot": {
+        # COW merge resolves to a partition-pruned scan of rewritten files
+        "require": ["PushedFilters: ["],
+        "forbid": ["CartesianProduct", "Exchange SinglePartition"],
+    },
+    "versioned_mor_snapshot": {
+        # MOR read = base scan ANTI JOIN equality-deletes (broadcast-size
+        # delete files), the whole point of the merge-on-read layout
+        "require": ["LeftAnti", "BroadcastHashJoin"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "join_semi_anti": {
+        "require": ["LeftSemi", "LeftAnti", "BroadcastHashJoin"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "agg_rollup": {
+        # rollup lattice via Expand + two-phase agg
+        "require": ["Expand", "partial"],
+        "forbid": ["CartesianProduct", "Exchange SinglePartition"],
+    },
+    "agg_cube": {
+        "require": ["Expand", "partial"],
+        "forbid": ["CartesianProduct", "Exchange SinglePartition"],
+    },
+    "pivot_wide": {
+        "require": ["partial"],
+        "forbid": ["CartesianProduct", "Exchange SinglePartition"],
+    },
+    "unpivot_long": {
+        # unpivot lowers to Expand — pure scan-side, no shuffle at all
+        "require": ["Expand"],
+        "forbid": ["Join", "Exchange SinglePartition"],
+    },
+    "window_frame": {
+        "require": ["Window"],
+        "forbid": ["Exchange SinglePartition", "Join"],
+    },
+    "window_range_frame": {
+        "require": ["Window"],
+        "forbid": ["Exchange SinglePartition", "Join"],
+    },
+    "window_fill_forward": {
+        "require": ["Window"],
+        "forbid": ["Exchange SinglePartition", "Join"],
+    },
+    "udtf_sentences": {
+        # Python UDTF boundary is the point of the key (sanctioned
+        # BatchEvalPython); nothing else may shuffle
+        "require": ["BatchEvalPython"],
+        "forbid": ["Join", "Exchange SinglePartition"],
+    },
+    "multimodal_decode_real": {
+        # the ONE sanctioned Arrow boundary: MapInPandas at the decode
+        "require": ["MapInPandas"],
+        "forbid": ["CartesianProduct", "Exchange SinglePartition"],
+    },
+    "embedding_centroid_drift": {
+        "require": ["Generate", "BroadcastHashJoin", "partial"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "events_user_lifecycle": {
+        # per-user week windows + broadcast week-spine joins; the 1-row
+        # global attach is a bounded BNLJ
+        "require": ["Window", "BroadcastHashJoin", "partial"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "dedup_chunk_exact": {
+        # chunk explode + hash agg; the boilerplate filter is a broadcast
+        # semi join against the repeated-chunk table
+        "require": ["Generate", "LeftSemi", "partial"],
+        "forbid": ["CartesianProduct", "Exchange SinglePartition"],
+    },
+    "stream_session_windows": {
+        "require": ["Window", "partial"],
+        "forbid": ["CartesianProduct", "Exchange SinglePartition"],
+    },
+    "events_histogram": {
+        "require": ["partial"],
+        "forbid": ["Join", "Window", "Exchange SinglePartition"],
+    },
 }
 
 
