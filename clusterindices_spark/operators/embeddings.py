@@ -486,6 +486,116 @@ def q_embedding_pair_distance_hist(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q_similarity_hamming_recall_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall audit of the binary sign-bit retrieval tier against the
+    exact cosine yardstick, per probe — the hash-checkable QA loop for the
+    compression tier (same pattern as dedup_minhash_est for MinHash: the
+    production tier is approximate, so ship the estimator-vs-exact audit
+    as a first-class query the driver can gate bit-exactly — both tiers
+    here are deterministic integer/6dp arithmetic). Emits
+    (probe_id, n_exact, n_overlap, recall6).
+
+    Scale: both inputs are the existing top-k plans (broadcast probes,
+    WindowGroupLimit); the audit itself joins two ≤probes·k-row frames."""
+    from clusterindices_spark.functions.aggregates import round6_stable
+    from clusterindices_spark.operators.similarity import (
+        q_similarity_topk_exact,
+    )
+
+    exact = q_similarity_topk_exact(spark, sf_dir)
+    ham = q_similarity_hamming_topk(spark, sf_dir)
+    # both sides are probes·k rows by construction — broadcast explicitly
+    # (post-window stats are unknown to Catalyst, which otherwise plans SMJ)
+    hits = (
+        exact.select("probe_id", "neighbor_id")
+        .join(
+            F.broadcast(ham.select("probe_id", "neighbor_id")),
+            ["probe_id", "neighbor_id"],
+        )
+        .groupBy("probe_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    spine = exact.groupBy("probe_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return spine.join(F.broadcast(hits), "probe_id", "left").select(
+        "probe_id",
+        "n_exact",
+        F.coalesce(F.col("n_overlap"), F.lit(0).cast("bigint")).alias(
+            "n_overlap"
+        ),
+        round6_stable(
+            F.coalesce(F.col("n_overlap"), F.lit(0).cast("bigint"))
+            / F.col("n_exact")
+        ).alias("recall6"),
+    )
+
+
+INT8_ERR_PROBES = 10
+
+
+def q_embedding_int8_cosine_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization-error audit for the int8 storage tier: per probe, the
+    distribution of |cos(exact) − cos(int8-dequantized)| over the whole
+    corpus — the number that decides whether a recall-critical stage may
+    read the 4×-smaller int8 copy instead of float32. Same per-vector
+    min-max affine code as embedding_quantize_int8 (s = ⌊(v−mn)/(mx−mn)
+    ·255 + 0.5⌋, v̂ = s/255·(mx−mn) + mn); every step is deterministic
+    double arithmetic mirrored in the oracle, so the audit is
+    hash-gateable even though it audits a lossy tier.
+
+    Scale: probes·n pair work (probe side broadcast), one probe-keyed agg
+    — the mean rides exact integer micro-sums (no float accumulation
+    order), only the final division floats."""
+    from clusterindices_spark.functions.aggregates import round6_stable
+    from clusterindices_spark.functions.distances import cosine_sim
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    )
+    mn = F.array_min(F.col("x"))
+    mx = F.array_max(F.col("x"))
+    deq = F.transform(
+        F.col("x"),
+        lambda v: F.floor((v - mn) / (mx - mn) * F.lit(255.0) + F.lit(0.5))
+        / F.lit(255.0)
+        * (mx - mn)
+        + mn,
+    )
+    pts = emb.where(mx > mn).select("vec_id", "x", deq.alias("d"))
+    a = pts.where(F.col("vec_id") < INT8_ERR_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("x").alias("xa"),
+        F.col("d").alias("da"),
+    )
+    b = pts.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("x").alias("xb"),
+        F.col("d").alias("db"),
+    )
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    err6 = r6(
+        F.abs(
+            r6(cosine_sim(F.col("xa"), F.col("xb")))
+            - r6(cosine_sim(F.col("da"), F.col("db")))
+        )
+    )
+    err_micros = F.floor(err6 * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    return (
+        b.crossJoin(F.broadcast(a))
+        .where(F.col("probe_id") != F.col("neighbor_id"))
+        .select("probe_id", err_micros.alias("em"))
+        .groupBy("probe_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            round6_stable(
+                F.sum("em") / F.count(F.lit(1)) / F.lit(1e6)
+            ).alias("mean_abs_err"),
+            round6_stable(F.max("em") / F.lit(1e6)).alias("max_abs_err"),
+        )
+    )
+
+
 QUERIES = {
     "embedding_pair_distance_hist": q_embedding_pair_distance_hist,
     "embedding_matryoshka": q_embedding_matryoshka,
@@ -497,6 +607,8 @@ QUERIES = {
     "embedding_pca_project": q_embedding_pca_project,
     "embedding_dim_stats": q_embedding_dim_stats,
     "embedding_norm_audit": q_embedding_norm_audit,
+    "similarity_hamming_recall_audit": q_similarity_hamming_recall_audit,
+    "embedding_int8_cosine_err": q_embedding_int8_cosine_err,
 }
 
 _X = "CAST(embedding AS DOUBLE[])"
@@ -517,7 +629,76 @@ _COS_E = (
     " * sqrt(list_sum(list_transform({b}, v -> v * v))), 0.0))"
 )
 
+# exact-cosine top-k uses the SAME probe-set/k constants as the Hamming
+# tier (interpolated, never hardcoded — ADVICE r5 item 2's drift class)
+_R6_ERR = SQL_ROUND6.format(
+    x=(
+        f"abs({SQL_ROUND6.format(x=_COS_E.format(a='a.x', b='b.x'))}"
+        f" - {SQL_ROUND6.format(x=_COS_E.format(a='a.d', b='b.d'))})"
+    )
+)
+
 ORACLES = {
+    "similarity_hamming_recall_audit": f"""
+WITH pts AS (SELECT vec_id, {_X} AS x FROM embeddings),
+ex AS (
+  SELECT probe_id, neighbor_id FROM (
+    SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY ROUND({_COS_E.format(a='a.x', b='b.x')}, 6) DESC,
+                      b.vec_id) AS rn
+    FROM pts a JOIN pts b
+      ON a.vec_id < {HAMMING_N_PROBES} AND a.vec_id <> b.vec_id
+  ) WHERE rn <= {HAMMING_TOP_K}
+),
+codes AS MATERIALIZED (
+  SELECT vec_id, {_BQ_LO} AS w_lo, {_BQ_HI} AS w_hi FROM pts
+),
+hm AS (
+  SELECT probe_id, neighbor_id FROM (
+    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY p.vec_id
+             ORDER BY bit_count(xor(c.w_lo, p.w_lo))
+                      + bit_count(xor(c.w_hi, p.w_hi)) ASC, c.vec_id) AS rn
+    FROM codes c JOIN codes p
+      ON p.vec_id < {HAMMING_N_PROBES} AND c.vec_id <> p.vec_id
+  ) WHERE rn <= {HAMMING_TOP_K}
+)
+SELECT e.probe_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN h.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_overlap,
+       {SQL_ROUND6.format(x="CAST(SUM(CASE WHEN h.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)")} AS recall6
+FROM ex e LEFT JOIN hm h
+  ON e.probe_id = h.probe_id AND e.neighbor_id = h.neighbor_id
+GROUP BY e.probe_id
+""",
+    "embedding_int8_cosine_err": f"""
+WITH mm AS (
+  SELECT vec_id, {_X} AS x,
+         list_aggregate({_X}, 'min') AS mn,
+         list_aggregate({_X}, 'max') AS mx
+  FROM embeddings
+),
+pts AS MATERIALIZED (
+  SELECT vec_id, x,
+         list_transform(x, v ->
+           floor((v - mn) / (mx - mn) * 255.0 + 0.5) / 255.0 * (mx - mn) + mn
+         ) AS d
+  FROM mm WHERE mx > mn
+),
+pairs AS (
+  SELECT a.vec_id AS probe_id,
+         CAST(floor({_R6_ERR} * 1e6 + 0.5) AS BIGINT) AS em
+  FROM pts a JOIN pts b
+    ON a.vec_id < {INT8_ERR_PROBES} AND a.vec_id <> b.vec_id
+)
+SELECT probe_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       {SQL_ROUND6.format(x="CAST(SUM(em) AS DOUBLE) / COUNT(*) / 1e6")} AS mean_abs_err,
+       {SQL_ROUND6.format(x="CAST(MAX(em) AS DOUBLE) / 1e6")} AS max_abs_err
+FROM pairs GROUP BY probe_id
+""",
     "embedding_pair_distance_hist": f"""
 WITH pts AS (SELECT vec_id, {_X} AS x FROM embeddings),
 pairs AS (

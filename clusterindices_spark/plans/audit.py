@@ -863,6 +863,16 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "require": ["partial"],
         "forbid": ["Join", "Window", "Exchange SinglePartition"],
     },
+    "similarity_hamming_recall_audit": {
+        # two WindowGroupLimit top-k plans joined at probes·k scale
+        "require": ["WindowGroupLimit", "partial"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "embedding_int8_cosine_err": {
+        # broadcast probe pair scan + probe-keyed exact-integer agg
+        "require": ["Broadcast", "partial"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
 }
 
 

@@ -118,7 +118,13 @@ _FRONT = [
 # should be the FIRST to get driver rows if the window is wider than 50 (and
 # the head of round 7's window otherwise). Rows-only keys stay at the very
 # end so they never burn a driver slot.
-_NEXT: list[str] = []
+_NEXT: list[str] = [
+    # round-6: oracle-backed QA-loop audits for the approximate tiers
+    # (the dedup_minhash_est pattern): Hamming-vs-exact recall, int8
+    # quantization cosine error
+    "similarity_hamming_recall_audit",
+    "embedding_int8_cosine_err",
+]
 
 # Rows-only keys (no oracle SQL by design — approx/iterative). Kept behind
 # every oracle-backed key; the driver records err:"no_oracle" for these, so

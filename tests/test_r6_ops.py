@@ -147,3 +147,41 @@ def test_filter_funnel_sequential_canonical(spark):
     assert out["canonical_only"]["n_in"] == 3
     assert out["canonical_only"]["n_out"] == 2
     assert out["canonical_only"]["n_dropped"] == 1
+
+
+def test_hamming_recall_audit_invariants(spark):
+    """QA-loop audit of the sign-bit tier: per-probe overlap bounded by k,
+    recall6 consistent with the counts, and the tier must beat random
+    retrieval on the gate fixture (random top-5 of 500 would overlap ~0)."""
+    from clusterindices_spark.operators.embeddings import (
+        HAMMING_N_PROBES,
+        HAMMING_TOP_K,
+        q_similarity_hamming_recall_audit,
+    )
+
+    rows = q_similarity_hamming_recall_audit(spark, SF_GATE).collect()
+    assert len(rows) == HAMMING_N_PROBES
+    for r in rows:
+        assert r["n_exact"] == HAMMING_TOP_K
+        assert 0 <= r["n_overlap"] <= r["n_exact"]
+        assert abs(r["recall6"] - r["n_overlap"] / r["n_exact"]) < 1e-6
+    mean_recall = sum(r["recall6"] for r in rows) / len(rows)
+    assert mean_recall > 0.2, f"sign-bit tier no better than random: {mean_recall}"
+
+
+def test_int8_cosine_err_invariants(spark):
+    """int8 quantization error audit: 8-bit per-vector affine codes keep
+    |Δcos| tiny on 64-dim unit vectors (≤0.01 mean, ≤0.05 max); mean ≤ max;
+    pair counts cover the corpus minus self."""
+    from clusterindices_spark.operators.embeddings import (
+        INT8_ERR_PROBES,
+        q_embedding_int8_cosine_err,
+    )
+
+    rows = q_embedding_int8_cosine_err(spark, SF_GATE).collect()
+    assert len(rows) == INT8_ERR_PROBES
+    for r in rows:
+        assert r["n_pairs"] == 499  # 500 vectors minus self
+        assert 0.0 <= r["mean_abs_err"] <= r["max_abs_err"]
+        assert r["mean_abs_err"] <= 0.01, r
+        assert r["max_abs_err"] <= 0.05, r
