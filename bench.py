@@ -149,6 +149,10 @@ HEADLINE = [
     # round-6: the 100 TB semantic-dedup tier (LSH candidate edges, same
     # star engine — the A/B against the exact tier above is the point)
     "dedup_semantic_clusters_ann",
+    # round-6b: CUSUM drift chart, incremental bigram novelty, DSIR weights
+    "events_cusum",
+    "text_ngram_novelty",
+    "curation_dsir_weights",
 ]
 
 # Per-key recall floors (VERDICT r5 item 3): the bench FAILS — explicit

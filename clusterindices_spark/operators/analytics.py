@@ -30,7 +30,7 @@ differs between engines on arbitrary doubles — see functions/aggregates).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clusterindices_spark.functions.aggregates import SQL_ROUND6
@@ -1087,6 +1087,85 @@ def q_events_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CUSUM_SLACK_DIV = 4  # slack k = mean/4 (micros, integer-derived)
+CUSUM_H_MULT = 3  # alarm threshold h = 3·mean
+
+
+def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM drift detection over each event type's hourly count
+    series — the classic sequential change-point chart (Page 1954): the
+    positive side accumulates max(0, s + x − μ − k), flagging sustained
+    upward drift long before any single hour trips a z-score gate, and the
+    negative side catches traffic collapse the same way.
+
+    The recursion s_t = max(0, s_{t−1} + dev_t) is NOT a plain running sum,
+    but it has the prefix-min closed form s_t = c_t − min(0, min_{j≤t} c_j)
+    with c_t = Σ dev — so both engines express it with two stock window
+    functions (running SUM + running MIN) and stay fully parallel per
+    event type. All deviations are exact BIGINT micros: μ is floor-scaled
+    once per type (floor(total·1e6 / D), double-exact far past this scale),
+    slack k = μ/4 and threshold h = 3μ derive from it in integer space, so
+    the only floats are the final /1e6 renderings (exact: micros < 2^53).
+
+    Missing hours are skipped, not zero-filled (the autocorr/forecast keys'
+    documented convention for this corpus's dense hourly grid).
+
+    Scale: one hourly agg (map-side combined), a T-row per-type mean attach
+    via broadcast, and two ordered windows PARTITIONED BY event_type —
+    no single-partition window, no joins beyond the K-row attach. At 100 TB
+    the per-type hourly series (years × 8 760 rows) fits one task trivially.
+    """
+    from clusterindices_spark.functions.aggregates import round6_stable
+
+    e = load_table(spark, sf_dir, "events")
+    hour = F.floor(F.unix_millis(F.col("ts")) / F.lit(3_600_000)).cast(
+        "bigint"
+    )
+    h = e.groupBy("event_type", hour.alias("hour")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stats = h.groupBy("event_type").agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("d_hours")
+    )
+    mean_micros = F.floor(
+        F.col("total") * F.lit(1_000_000.0) / F.col("d_hours")
+    ).cast("bigint")
+    k_micros = F.floor(F.col("mean_micros") / F.lit(CUSUM_SLACK_DIV)).cast(
+        "bigint"
+    )
+    with_mu = h.join(
+        F.broadcast(stats.select("event_type", mean_micros.alias("mean_micros"))),
+        "event_type",
+    ).withColumn("k_micros", k_micros)
+    dev_pos = (
+        F.col("n") * F.lit(1_000_000) - F.col("mean_micros") - F.col("k_micros")
+    )
+    dev_neg = (
+        F.col("mean_micros") - F.col("n") * F.lit(1_000_000) - F.col("k_micros")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = with_mu.withColumn("cp", F.sum(dev_pos).over(w)).withColumn(
+        "cn", F.sum(dev_neg).over(w)
+    )
+    s_pos = F.col("cp") - F.least(F.lit(0).cast("bigint"), F.min("cp").over(w))
+    s_neg = F.col("cn") - F.least(F.lit(0).cast("bigint"), F.min("cn").over(w))
+    return c.select(
+        "event_type",
+        "hour",
+        "n",
+        round6_stable(s_pos / F.lit(1_000_000.0)).alias("s_pos"),
+        round6_stable(s_neg / F.lit(1_000_000.0)).alias("s_neg"),
+        (
+            (s_pos > CUSUM_H_MULT * F.col("mean_micros"))
+            | (s_neg > CUSUM_H_MULT * F.col("mean_micros"))
+        ).alias("is_alarm"),
+    )
+
+
 QUERIES = {
     "events_user_overlap": q_events_user_overlap,
     "events_rollup_hierarchy": q_events_rollup_hierarchy,
@@ -1098,6 +1177,7 @@ QUERIES = {
     "events_error_rate": q_events_error_rate,
     "events_autocorr": q_events_autocorr,
     "events_forecast_baseline": q_events_forecast_baseline,
+    "events_cusum": q_events_cusum,
     "events_pareto_concentration": q_events_pareto_concentration,
     "events_last_touch": q_events_last_touch,
     "curation_kfold": q_curation_kfold,
@@ -1198,6 +1278,48 @@ SELECT decile,
        {SQL_ROUND6.format(x="CAST(MAX(cum) AS DOUBLE) / (SELECT total FROM tot)")} AS cum_share
 FROM d
 GROUP BY decile
+""",
+    "events_cusum": f"""
+WITH h AS MATERIALIZED (
+  SELECT event_type,
+         CAST(floor(epoch_ms(CAST(ts AS TIMESTAMP)) / 3600000) AS BIGINT)
+           AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type,
+         CAST(floor(CAST(SUM(n) AS DOUBLE) * 1000000.0 / COUNT(*)) AS BIGINT)
+           AS mean_micros
+  FROM h GROUP BY event_type
+),
+m AS (
+  SELECT h.event_type, h.hour, h.n, s.mean_micros,
+         CAST(floor(s.mean_micros / {CUSUM_SLACK_DIV}) AS BIGINT) AS k_micros
+  FROM h JOIN stats s USING (event_type)
+),
+c AS (
+  SELECT event_type, hour, n, mean_micros,
+         CAST(SUM(n * 1000000 - mean_micros - k_micros) OVER w AS BIGINT) AS cp,
+         CAST(SUM(mean_micros - n * 1000000 - k_micros) OVER w AS BIGINT) AS cn
+  FROM m
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+s AS (
+  SELECT event_type, hour, n, mean_micros,
+         cp - LEAST(CAST(0 AS BIGINT), MIN(cp) OVER w) AS sp,
+         cn - LEAST(CAST(0 AS BIGINT), MIN(cn) OVER w) AS sn
+  FROM c
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, hour, n,
+       {SQL_ROUND6.format(x="sp / 1000000.0")} AS s_pos,
+       {SQL_ROUND6.format(x="sn / 1000000.0")} AS s_neg,
+       (sp > {CUSUM_H_MULT} * mean_micros OR sn > {CUSUM_H_MULT} * mean_micros)
+         AS is_alarm
+FROM s
 """,
     "events_error_rate": f"""
 WITH per AS (

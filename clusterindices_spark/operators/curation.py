@@ -612,7 +612,81 @@ def q_curation_source_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DSIR_TARGET_LANG = "en"
+
+
+def q_curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, Data Selection via
+    Importance Resampling, in unigram miniature): score every document by
+    the mean per-token log-likelihood ratio between a TARGET distribution
+    (here the lang=DSIR_TARGET_LANG slice — the in-domain proxy) and the RAW
+    corpus distribution, both add-one smoothed over the joint vocabulary.
+    Positive mean log-ratio ⇒ the doc looks more like the target than like
+    the average corpus ⇒ keep for target-matched resampling. Emits the
+    keep flag the resampler thresholds on.
+
+    Determinism: each vocab term's log-ratio is floor-scaled to BIGINT
+    micros ONCE in the V-row vocab table (single ln of the ratio — the
+    ln-ulp device), then integer-summed per doc; only the final /n/1e6
+    renders float.
+
+    Scale: one explode feeding one vocab agg (map-side combined, the
+    target counter is a conditional sum in the SAME pass — no second
+    scan), vocab + 1-row consts BROADCAST to the exploded corpus, one
+    doc_id agg. The same plan shape as the held-out LM key; a
+    million-term vocab still broadcasts."""
+    from clusterindices_spark.functions.aggregates import round6_stable
+    from clusterindices_spark.functions.text import tokens as _tok
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", _tok(F.col("text"))
+    )
+    ex = d.select("doc_id", "lang", F.explode("toks").alias("term"))
+    vocab = ex.groupBy("term").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        ).cast("bigint").alias("c_tgt"),
+    )
+    consts = ex.agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        ).cast("bigint").alias("n_tgt"),
+        F.countDistinct("term").alias("v"),
+    )
+    p_tgt = (F.col("c_tgt") + 1).cast("double") / (
+        F.col("n_tgt") + F.col("v") + 1
+    ).cast("double")
+    p_raw = (F.col("c_raw") + 1).cast("double") / (
+        F.col("n_raw") + F.col("v") + 1
+    ).cast("double")
+    lr_micros = F.floor(F.log(p_tgt / p_raw) * F.lit(1e6) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    scored_vocab = vocab.crossJoin(F.broadcast(consts)).select(
+        "term", lr_micros.alias("lr_micros")
+    )
+    per_doc = (
+        ex.join(F.broadcast(scored_vocab), "term")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lr_micros").alias("lr_sum_micros"),
+        )
+    )
+    avg = F.col("lr_sum_micros") / F.col("n_tokens") / F.lit(1e6)
+    return per_doc.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        round6_stable(avg).alias("avg_log_ratio"),
+        (F.col("lr_sum_micros") > 0).alias("keep"),
+    )
+
+
 QUERIES = {
+    "curation_dsir_weights": q_curation_dsir_weights,
     "curation_domain_caps": q_curation_domain_caps,
     "curation_source_lang_mix": q_curation_source_lang_mix,
     "curation_filter_funnel": q_curation_filter_funnel,
@@ -655,6 +729,46 @@ def _sql_marker_hits() -> str:
 
 
 ORACLES = {
+    "curation_dsir_weights": f"""
+WITH ex AS MATERIALIZED (
+  SELECT doc_id, lang, unnest({SQL_TOKENS.format(col="text")}) AS term
+  FROM documents
+),
+vocab AS (
+  SELECT term,
+         CAST(COUNT(*) AS BIGINT) AS c_raw,
+         CAST(SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c_tgt
+  FROM ex GROUP BY term
+),
+consts AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_raw,
+         CAST(SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_tgt,
+         CAST(COUNT(DISTINCT term) AS BIGINT) AS v
+  FROM ex
+),
+sv AS (
+  SELECT term,
+         CAST(floor(ln(
+             (CAST(c_tgt + 1 AS DOUBLE) / CAST(n_tgt + v + 1 AS DOUBLE))
+           / (CAST(c_raw + 1 AS DOUBLE) / CAST(n_raw + v + 1 AS DOUBLE))
+         ) * 1000000.0 + 0.5) AS BIGINT) AS lr_micros
+  FROM vocab CROSS JOIN consts
+),
+per AS (
+  SELECT e.doc_id, e.lang,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(lr_micros) AS BIGINT) AS lr_sum_micros
+  FROM ex e JOIN sv USING (term)
+  GROUP BY e.doc_id, e.lang
+)
+SELECT doc_id, lang, n_tokens,
+       {SQL_ROUND6.format(x="lr_sum_micros / CAST(n_tokens AS DOUBLE) / 1000000.0")}
+         AS avg_log_ratio,
+       (lr_sum_micros > 0) AS keep
+FROM per
+""",
     "curation_domain_caps": f"""
 WITH r AS (
   SELECT source, len(toks) AS n_tok,

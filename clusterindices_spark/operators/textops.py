@@ -731,7 +731,59 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental n-gram novelty per document: the fraction of a doc's
+    DISTINCT word bigrams that first appear in the corpus at this doc_id
+    (first-seen = min doc_id over the whole corpus; ingestion-order proxy).
+    This is the data-pruning signal that separates documents contributing
+    new n-gram mass from documents restating earlier ones — near-dup tails
+    and boilerplate score near 0 novelty even when no dedup tier pairs
+    them. Docs under 2 tokens carry no bigram and drop (the bigram-LM
+    convention).
+
+    Determinism: novelty is a count ratio of exact integers; min(doc_id)
+    is order-free; distinct-per-doc bigrams make the ratio insensitive to
+    within-doc repetition. round6_stable for the one division.
+
+    Scale: bigram explode → groupBy(bigram) min(doc_id) (map-side
+    combined, bigram vocab ≪ corpus positions), then an equi join of the
+    per-doc distinct bigrams back on the SAME bigram key (AQE reuses the
+    shuffle layout), then a doc_id agg. No broadcast of data-scale frames;
+    at 100 TB the first-seen table shards by bigram like any vocab."""
+    from clusterindices_spark.functions.aggregates import round6_stable
+
+    d = _with_tokens(load_table(spark, sf_dir, "documents"))
+    n_b = F.greatest(F.size("toks") - 1, F.lit(0))
+    z = F.arrays_zip(
+        F.slice("toks", 1, n_b).alias("w1"), F.slice("toks", 2, n_b).alias("w2")
+    )
+    bgs = F.array_distinct(
+        F.transform(z, lambda s: F.concat_ws(" ", s["w1"], s["w2"]))
+    )
+    ex = d.select("doc_id", F.explode(bgs).alias("bg"))
+    first = ex.groupBy("bg").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        ex.join(first, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_bigrams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("bigint").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_distinct_bigrams",
+            "n_novel",
+            round6_stable(
+                F.col("n_novel") / F.col("n_distinct_bigrams")
+            ).alias("novel_frac"),
+        )
+    )
+
+
 QUERIES = {
+    "text_ngram_novelty": q_text_ngram_novelty,
     "text_lm_heldout_score": q_text_lm_heldout_score,
     "text_lang_confusion": q_text_lang_confusion,
     "text_readability": q_text_readability,
@@ -1050,6 +1102,23 @@ SELECT doc_id,
             t -> t NOT IN ({", ".join(f"'{b}'" for b in BLOCKLIST)})), ' ')
          AS clean_text
 FROM t
+""",
+    "text_ngram_novelty": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id,
+             list_distinct(list_transform(range(greatest(len(toks) - 1, 0)),
+                           i -> toks[i+1] || ' ' || toks[i+2])) AS bgs
+      FROM t),
+ex AS MATERIALIZED (SELECT doc_id, unnest(bgs) AS bg FROM g),
+fs AS (SELECT bg, MIN(doc_id) AS first_doc FROM ex GROUP BY bg)
+SELECT e.doc_id,
+       COUNT(*) AS n_distinct_bigrams,
+       CAST(SUM(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       {SQL_ROUND6.format(x="CAST(SUM(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)")}
+         AS novel_frac
+FROM ex e JOIN fs f USING (bg)
+GROUP BY e.doc_id
 """,
     "text_repetition_stats": f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

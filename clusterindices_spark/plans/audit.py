@@ -674,6 +674,29 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "require": ["partial"],
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    "events_cusum": {
+        # hourly agg + K-row per-type mean broadcast; both CUSUM windows
+        # partition by event_type — never a single-partition window
+        "require": ["Broadcast", "Window", "partial"],
+        "forbid": [
+            "CartesianProduct",
+            "SortMergeJoin",
+            "Exchange SinglePartition",
+        ],
+    },
+    "text_ngram_novelty": {
+        # first-seen join is an equi join on the bigram key (broadcast at
+        # fixture scale, partitioned at 100 TB — either is fine); map-side
+        # combined vocab agg
+        "require": ["partial"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "curation_dsir_weights": {
+        # scored vocab broadcasts to the exploded corpus; the only BNLJ is
+        # the sanctioned 1-row consts attach (error_rate pattern)
+        "require": ["Broadcast", "partial"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
     "curation_domain_caps": {
         # source-partitioned window (parallel across sources), one agg
         "require": ["Window", "partial"],
@@ -872,6 +895,177 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         # broadcast probe pair scan + probe-keyed exact-integer agg
         "require": ["Broadcast", "partial"],
         "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
+    # ---- r6b batch: per-key entries for the formerly blanket-only keys,
+    # written from surveyed executed plans at sf0.001 (the discipline: run
+    # the query, read the plan, pin the designed shape). Four families:
+    #
+    # (1) Pure scan shape: whole-stage codegen over a pushdown scan, ZERO
+    # exchanges and ZERO joins — the per-row map/HOF keys. Pinning
+    # forbid=[Exchange, Join] is the real guard: a refactor that sneaks a
+    # shuffle or join into a map-only key is a scale regression.
+    **{
+        k: {
+            "require": ["*(", "PushedFilters: ["],
+            "forbid": ["Exchange", "Join"],
+        }
+        for k in (
+            "cond_expr",
+            "explode_lateral",
+            "filter_predicates",
+            "string_distance",
+            "scalar_array",
+            "scalar_array_set",
+            "scalar_datetime",
+            "scalar_json",
+            "scalar_map",
+            "scalar_math",
+            "text_fingerprint",
+            "text_langid",
+            "text_quality",
+            "text_token_count",
+            "embedding_normalize",
+            "embedding_quantize_int8",
+        )
+    },
+    # (1b) Scan shape whose output aliases contain the substring "join"
+    # (concat_ws alias "joined", clean-text columns) — forbid the join NODE
+    # names instead of the bare word
+    **{
+        k: {
+            "require": ["*(", "PushedFilters: ["],
+            "forbid": [
+                "Exchange",
+                "SortMergeJoin",
+                "HashJoin",
+                "NestedLoopJoin",
+                "CartesianProduct",
+            ],
+        }
+        for k in ("scalar_string", "text_scrub_blocklist")
+    },
+    # (1c) Scan shape behind fan_out: the ONE RoundRobin exchange is the
+    # deliberate 1-file-scan parallelism normalizer (fixtures.fan_out) —
+    # pin that no OTHER exchange (hash/range/single) and no join appears
+    **{
+        k: {
+            "require": ["*(", "PushedFilters: ["],
+            "forbid": [
+                "Join",
+                "Exchange hashpartitioning",
+                "Exchange rangepartitioning",
+                "Exchange SinglePartition",
+            ],
+        }
+        for k in (
+            "multimodal_audio_window",
+            "multimodal_bytes_arrow",
+            "multimodal_frame_sample",
+            "multimodal_meta",
+            "multimodal_resize",
+        )
+    },
+    # (2) Cluster-index family: K-row centroid/summary frames attach via
+    # broadcast (the 1/K-row BNLJ and SinglePartition reduction are the
+    # sanctioned driver-scale attach pattern, VERDICT r5 anti-pattern
+    # audit); the data-scale path must stay partial-agg + broadcast —
+    # never a sort-merge join or a true cartesian over data-scale frames.
+    **{
+        k: {
+            "require": ["Broadcast", "partial_"],
+            "forbid": ["CartesianProduct", "SortMergeJoin"],
+        }
+        for k in (
+            "bd_dunn",
+            "bd_silhouette",
+            "c_index",
+            "cluster_label_contingency",
+            "davies_bouldin",
+            "inter_centroid_min",
+            "intra_cluster_stats",
+            "silhouette_exact",
+            "wssse",
+            "xie_beni",
+        )
+    },
+    # (3) Agg-shaped: two-phase (map-side combined) hash aggregation, no
+    # accidental single-partition reduction of data-scale frames.
+    **{
+        k: {
+            "require": ["partial_", "Exchange hashpartitioning"],
+            "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        }
+        for k in (
+            "agg_stats",
+            "centroids_by_label",
+            "text_tokens_stats",
+            "multimodal_vector_stats",
+        )
+    },
+    # (4) Individual shapes
+    "events_outliers_mad": {
+        # per-type MAD attach rides a broadcast, never SMJ
+        "require": ["BroadcastHashJoin", "partial_"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "events_path_trigrams": {
+        # top-k via parallel per-partition heaps, never a global sort
+        "require": ["TakeOrderedAndProject", "partial_"],
+        "forbid": ["CartesianProduct", "Exchange rangepartitioning"],
+    },
+    "join_full_outer": {
+        # full outer cannot broadcast — partitioned SMJ is the designed plan
+        "require": ["SortMergeJoin"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "null_semantics": {
+        "require": ["Join", "partial_"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "set_ops": {
+        # intersect/except plan as partitioned (semi/anti) equi joins
+        "require": ["Exchange hashpartitioning"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "profile_orders": {
+        # the 1-row corpus summary SinglePartition is the sanctioned tail
+        "require": ["partial_"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "scalar_collation": {
+        "require": ["partial_"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "curation_mixture_interleave": {
+        # source-partitioned interleave windows stay parallel
+        "require": ["Window"],
+        "forbid": ["CartesianProduct", "Exchange SinglePartition"],
+    },
+    "curation_sample_weighted": {
+        "require": ["Window"],
+        "forbid": ["CartesianProduct", "Exchange SinglePartition"],
+    },
+    "multimodal_scene_cut": {
+        # per-video lag windows partition by video id
+        "require": ["Window", "partial_"],
+        "forbid": ["CartesianProduct", "Exchange SinglePartition"],
+    },
+    "dedup_embedding_cosine": {
+        # the documented cap_quadratic-guarded exact yardstick: its BNLJ
+        # cross join IS the point (gate tier only); no shuffle joins
+        "require": ["*("],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "udf_scalar_cosine": {
+        # Arrow-vectorized scalar UDF — never row-at-a-time Python
+        "require": ["ArrowEvalPython"],
+        "forbid": ["BatchEvalPython", "Exchange"],
+    },
+    "udf_grouped_agg_median": {
+        # pandas grouped-agg shuffles by group key only (no partial_
+        # marker: Spark 4.1 plans grouped-agg pandas without one)
+        "require": ["Exchange hashpartitioning"],
+        "forbid": ["CartesianProduct", "Exchange SinglePartition"],
     },
 }
 

@@ -124,6 +124,11 @@ _NEXT: list[str] = [
     # quantization cosine error
     "similarity_hamming_recall_audit",
     "embedding_int8_cosine_err",
+    # round-6b: CUSUM drift chart (prefix-min closed form), incremental
+    # bigram novelty (data-pruning signal), DSIR unigram importance weights
+    "events_cusum",
+    "text_ngram_novelty",
+    "curation_dsir_weights",
 ]
 
 # Rows-only keys (no oracle SQL by design — approx/iterative). Kept behind

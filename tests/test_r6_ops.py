@@ -185,3 +185,102 @@ def test_int8_cosine_err_invariants(spark):
         assert 0.0 <= r["mean_abs_err"] <= r["max_abs_err"]
         assert r["mean_abs_err"] <= 0.01, r
         assert r["max_abs_err"] <= 0.05, r
+
+
+def test_events_cusum_closed_form_matches_recursion(spark):
+    """The prefix-min closed form s_t = c_t − min(0, min_{j≤t} c_j) must
+    equal the textbook recursion s_t = max(0, s_{t−1} + dev_t), replayed
+    here in exact integer micros from the same hourly counts."""
+    import duckdb
+
+    from clusterindices_spark.operators.analytics import (
+        CUSUM_H_MULT,
+        CUSUM_SLACK_DIV,
+        q_events_cusum,
+    )
+
+    got = {
+        (r["event_type"], r["hour"]): (r["s_pos"], r["s_neg"], r["is_alarm"])
+        for r in q_events_cusum(spark, SF_SMOKE).collect()
+    }
+    hourly = duckdb.sql(
+        f"""SELECT event_type,
+                   CAST(floor(epoch_ms(CAST(ts AS TIMESTAMP)) / 3600000)
+                        AS BIGINT) AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM '{SF_SMOKE}/events.parquet' GROUP BY 1, 2
+            ORDER BY event_type, hour"""
+    ).fetchall()
+    from collections import defaultdict
+
+    series = defaultdict(list)
+    for et, hour, n in hourly:
+        series[et].append((hour, n))
+    n_alarm = 0
+    for et, rows in series.items():
+        total = sum(n for _, n in rows)
+        mean_micros = int(math.floor(total * 1_000_000.0 / len(rows)))
+        k = int(math.floor(mean_micros / CUSUM_SLACK_DIV))
+        sp = sn = 0
+        for hour, n in rows:
+            sp = max(0, sp + n * 1_000_000 - mean_micros - k)
+            sn = max(0, sn + mean_micros - n * 1_000_000 - k)
+            alarm = sp > CUSUM_H_MULT * mean_micros or sn > CUSUM_H_MULT * mean_micros
+            g = got[(et, hour)]
+            assert g[0] == math.floor(sp / 1e6 * 1e6 + 0.5) / 1e6, (et, hour)
+            assert g[1] == math.floor(sn / 1e6 * 1e6 + 0.5) / 1e6, (et, hour)
+            assert g[2] == alarm, (et, hour)
+            n_alarm += alarm
+    assert len(got) == sum(len(v) for v in series.values())
+
+
+def test_text_ngram_novelty_invariants(spark):
+    """First multi-token doc is 100% novel; fractions bounded; the novel
+    counts partition the corpus bigram vocabulary exactly (every distinct
+    bigram is novel in exactly one doc — its min-doc_id introducer)."""
+    from clusterindices_spark.operators.textops import q_text_ngram_novelty
+
+    rows = q_text_ngram_novelty(spark, SF_SMOKE).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    first = by_id[min(by_id)]
+    assert first["novel_frac"] == 1.0
+    assert all(0.0 <= r["novel_frac"] <= 1.0 for r in rows)
+    assert all(0 <= r["n_novel"] <= r["n_distinct_bigrams"] for r in rows)
+    import duckdb
+
+    from clusterindices_spark.functions.text import SQL_TOKENS
+
+    toks = SQL_TOKENS.format(col="text")
+    n_vocab = duckdb.sql(
+        f"""WITH t AS (SELECT {toks} AS toks
+                       FROM '{SF_SMOKE}/documents.parquet')
+            SELECT COUNT(DISTINCT bg) FROM (
+              SELECT unnest(list_transform(range(greatest(len(toks)-1, 0)),
+                            i -> toks[i+1] || ' ' || toks[i+2])) AS bg
+              FROM t)"""
+    ).fetchone()[0]
+    assert sum(r["n_novel"] for r in rows) == n_vocab
+
+
+def test_curation_dsir_weights_separates_target_language(spark):
+    """The unigram importance weight must rank the target-language slice
+    above every other language's mean (that is the DSIR contract: the
+    target's own vocabulary distribution scores highest under the
+    target/raw likelihood ratio)."""
+    from clusterindices_spark.operators.curation import (
+        DSIR_TARGET_LANG,
+        q_curation_dsir_weights,
+    )
+
+    rows = q_curation_dsir_weights(spark, SF_SMOKE).collect()
+    from collections import defaultdict
+
+    acc = defaultdict(list)
+    for r in rows:
+        acc[r["lang"]].append(r["avg_log_ratio"])
+    means = {lg: sum(v) / len(v) for lg, v in acc.items()}
+    assert DSIR_TARGET_LANG in means and len(means) > 1
+    tgt = means.pop(DSIR_TARGET_LANG)
+    assert tgt > max(means.values()), means
+    kept = [r for r in rows if r["keep"]]
+    assert kept and len(kept) < len(rows)
