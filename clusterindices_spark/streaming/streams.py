@@ -16,6 +16,8 @@ shuffle-partition count sized to key cardinality, and RocksDB state store.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -505,6 +507,112 @@ def anomaly_state_stream(events: DataFrame, watermark: str = "30 minutes") -> Da
             update,
             outputStructType=ANOMALY_SCHEMA,
             stateStructType=_ANOMALY_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
+CUSUM_STREAM_SCHEMA = (
+    "event_type STRING, hours_finalized BIGINT, s_pos DOUBLE, s_neg DOUBLE, "
+    "n_alarm_hours BIGINT, pending_hour BIGINT, pending_n BIGINT"
+)
+_CUSUM_STATE_SCHEMA = (
+    "hours BIGINT, cp BIGINT, cp_min BIGINT, cn BIGINT, cn_min BIGINT, "
+    "n_alarms BIGINT, pending_hour BIGINT, pending_n BIGINT"
+)
+
+
+def cusum_state_stream(
+    events: DataFrame,
+    ref_mean_micros: dict[str, int],
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming twin of operators/analytics.q_events_cusum: per event type
+    the two-sided CUSUM drift chart maintained incrementally in GroupState.
+    The reference level μ0 arrives as a PARAMETER (integer micros per type)
+    — the production CUSUM contract: the reference comes from an offline
+    training window (here the batch operator's own floor(total·1e6/D)),
+    because a drift chart that re-estimates μ from the drifting stream
+    would absorb the very shift it must flag.
+
+    State per type is eight BIGINTs: finalized-hour count, the two CUSUM
+    prefix sums and their running minima (the batch key's prefix-min
+    closed form carried incrementally — s = c − min(0, min_prefix c)),
+    the alarm-hour count, and the one PENDING (possibly still-filling)
+    hour bucket. An hour finalizes only when a strictly later hour
+    arrives for that type, so partial hours at a microbatch boundary
+    never corrupt the chart; events are assumed hour-ordered per type
+    within the watermark (the file-replay and production-log contract;
+    same caveat as every hourly twin here).
+
+    After a bounded replay the finalized prefix equals the batch
+    operator's rows for every hour but the last EXACTLY — integer state,
+    no float drift (tests/test_streaming.py)."""
+    import pandas as pd  # noqa: PLC0415
+
+    from clusterindices_spark.operators.analytics import (  # noqa: PLC0415
+        CUSUM_H_MULT,
+        CUSUM_SLACK_DIV,
+    )
+
+    def update(key, pdf_iter, state):
+        et = key[0]
+        mean = int(ref_mean_micros.get(et, 0))
+        k = mean // CUSUM_SLACK_DIV
+        h = CUSUM_H_MULT * mean
+        if state.exists:
+            hours, cp, cpm, cn, cnm, n_al, ph, pn = state.get
+        else:
+            hours, cp, cpm, cn, cnm, n_al, ph, pn = 0, 0, 0, 0, 0, 0, -1, 0
+        counts: dict[int, int] = {}
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            hrs = (
+                pdf["ts"].to_numpy(dtype="datetime64[ms]").astype("int64")
+                // 3_600_000
+            )
+            for hr, c in pd.Series(hrs).value_counts().items():
+                counts[int(hr)] = counts.get(int(hr), 0) + int(c)
+        if ph >= 0:
+            counts[ph] = counts.get(ph, 0) + pn
+        if counts:
+            ordered = sorted(counts)
+            for hr in ordered[:-1]:
+                n = counts[hr]
+                cp += n * 1_000_000 - mean - k
+                cpm = min(cpm, cp)
+                cn += mean - n * 1_000_000 - k
+                cnm = min(cnm, cn)
+                sp = cp - min(0, cpm)
+                sn = cn - min(0, cnm)
+                n_al += 1 if (sp > h or sn > h) else 0
+                hours += 1
+            ph, pn = ordered[-1], counts[ordered[-1]]
+        state.update((hours, cp, cpm, cn, cnm, n_al, ph, pn))
+        sp = cp - min(0, cpm)
+        sn = cn - min(0, cnm)
+        r6 = lambda m: math.floor(m / 1e6 * 1e6 + 0.5) / 1e6  # noqa: E731
+        yield pd.DataFrame(
+            {
+                "event_type": [et],
+                "hours_finalized": [hours],
+                "s_pos": [r6(sp)],
+                "s_neg": [r6(sn)],
+                "n_alarm_hours": [n_al],
+                "pending_hour": [ph],
+                "pending_n": [pn],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=CUSUM_STREAM_SCHEMA,
+            stateStructType=_CUSUM_STATE_SCHEMA,
             outputMode="update",
             timeoutConf="NoTimeout",
         )

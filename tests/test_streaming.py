@@ -773,3 +773,68 @@ def test_hourly_rollup_incremental_matches_batch(spark):
             is None
         )
         assert read_versioned(spark, root).count() == n_before
+
+
+def test_cusum_state_stream_matches_batch(spark):
+    """Streaming CUSUM (reference μ0 from the batch stats, as in
+    production) finalizes every hour but the last; its final state must
+    equal the batch chart's second-to-last-hour row EXACTLY — integer
+    state, both single-batch and one-file-per-trigger replays."""
+    from clusterindices_spark.operators.analytics import q_events_cusum
+    from clusterindices_spark.streaming.streams import cusum_state_stream
+
+    batch = sorted(
+        q_events_cusum(spark, SF_SMOKE).collect(),
+        key=lambda r: (r["event_type"], r["hour"]),
+    )
+    by_type = {}
+    for r in batch:
+        by_type.setdefault(r["event_type"], []).append(r)
+    ev = load_table(spark, SF_SMOKE, "events")
+    hour = F.floor(F.unix_millis(F.col("ts")) / F.lit(3_600_000)).cast("bigint")
+    h = ev.groupBy("event_type", hour.alias("hour")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    ref = {
+        r["event_type"]: int(r["m"])
+        for r in h.groupBy("event_type")
+        .agg(
+            F.floor(
+                F.sum("n") * F.lit(1_000_000.0) / F.count(F.lit(1))
+            ).cast("bigint").alias("m")
+        )
+        .collect()
+    }
+
+    for mfpt in (None, 1):
+        with tempfile.TemporaryDirectory() as tmp:
+            stream = events_file_stream(
+                spark, _replay_dir(spark, tmp), max_files_per_trigger=mfpt
+            )
+            got = run_to_completion(
+                cusum_state_stream(stream, ref),
+                f"t_cusum_{mfpt}",
+                mode="update",
+            )
+            w = Window.partitionBy("event_type").orderBy(
+                F.col("hours_finalized").desc()
+            )
+            final = {
+                r["event_type"]: r
+                for r in got.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .collect()
+            }
+            assert set(final) == set(by_type)
+            for et, rows in by_type.items():
+                g = final[et]
+                assert g["hours_finalized"] == len(rows) - 1, et
+                second_last = rows[-2]
+                assert g["s_pos"] == second_last["s_pos"], et
+                assert g["s_neg"] == second_last["s_neg"], et
+                assert g["n_alarm_hours"] == sum(
+                    r["is_alarm"] for r in rows[:-1]
+                ), et
+                last = rows[-1]
+                assert g["pending_hour"] == last["hour"], et
+                assert g["pending_n"] == last["n"], et
