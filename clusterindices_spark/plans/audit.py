@@ -1067,6 +1067,61 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "require": ["Exchange hashpartitioning"],
         "forbid": ["CartesianProduct", "Exchange SinglePartition"],
     },
+    # ---- r6b batch 2: the last surveyable blanket-only keys. Only the
+    # five iterative MLlib sweeps (kmeans/bisecting/gmm/gap) keep the
+    # blanket floor — their returned frames are K-row sweep summaries and
+    # the iterative work happens inside MLlib jobs the result plan can't
+    # witness.
+    **{
+        k: {
+            "require": ["partial_", "Exchange hashpartitioning"],
+            "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        }
+        for k in (
+            "agg_approx",
+            "source_xml_roundtrip",
+            "sql_session_vars",
+            "sql_udf_inline",
+            "stream_sliding_agg",
+            "stream_tumbling_agg",
+        )
+    },
+    "agg_quantiles_approx": {
+        # percentile_approx partial-merges its sketch map-side
+        # (ObjectHashAggregate is the sketch-agg node)
+        "require": ["ObjectHashAggregate", "partial_"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "agg_hll_partitioned_merge": {
+        # per-partition HLL sketches merge via ObjectHashAggregate; the
+        # partition attach rides a broadcast
+        "require": ["ObjectHashAggregate", "partial_", "Broadcast"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "embedding_pca_project": {
+        # fitted components apply as literal expressions — pure scan shape
+        "require": ["*("],
+        "forbid": ["Exchange", "Join"],
+    },
+    "source_python_datasource": {
+        # custom Python DataSource scan (no parquet pushdown surface);
+        # downstream agg stays two-phase
+        "require": ["partial_"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "sql_interface": {
+        "require": ["BroadcastHashJoin", "partial_"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "stream_dedup": {
+        # batch twin of the stream dedup: keyed window, stays partitioned
+        "require": ["Window"],
+        "forbid": ["CartesianProduct", "Exchange SinglePartition"],
+    },
+    "stream_join_clicks": {
+        "require": ["*("],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
 }
 
 
