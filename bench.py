@@ -149,10 +149,12 @@ HEADLINE = [
     # round-6: the 100 TB semantic-dedup tier (LSH candidate edges, same
     # star engine — the A/B against the exact tier above is the point)
     "dedup_semantic_clusters_ann",
-    # round-6b: CUSUM drift chart, incremental bigram novelty, DSIR weights
+    # round-6b: CUSUM drift chart, incremental bigram novelty, DSIR
+    # weights, cross-dim covariance audit
     "events_cusum",
     "text_ngram_novelty",
     "curation_dsir_weights",
+    "embedding_dim_covariance",
 ]
 
 # Per-key recall floors (VERDICT r5 item 3): the bench FAILS — explicit

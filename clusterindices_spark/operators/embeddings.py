@@ -596,7 +596,81 @@ def q_embedding_int8_cosine_err(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-dimension covariance/correlation audit over the corpus: for
+    every dim pair i<j (D(D−1)/2 = 2016 rows at D=64), the exact-integer
+    covariance and Pearson correlation — the whitening/PCA QA readout
+    (a healthy isotropic embedding space shows |corr| ≈ 0 off-diagonal;
+    a collapsed or rotated batch lights up immediately). Complements
+    embedding_dim_stats, which sees only the diagonal.
+
+    Determinism: all five sufficient sums are integer (milli-quantized
+    values for products — micro² would overflow BIGINT at corpus scale,
+    the dim_stats lesson — micro sums for the means); the
+    cov/corr arithmetic is the same double-op sequence both engines run,
+    then round6_stable.
+
+    Scale: posexplode keys (vec_id, dim, v); the pair generator is a
+    SELF-JOIN ON vec_id (dim_a < dim_b) — both sides carry the same
+    hash layout so the join reuses one exchange, then D²/2 groups agg
+    map-side combined. At D in the hundreds this stays the right plan;
+    at transformer-scale D swap to the Gram-matrix treeAggregate the PCA
+    path uses (operators/embeddings.q_embedding_pca_project) — the audit
+    contract (exact integer sums) is unchanged."""
+    from clusterindices_spark.functions.aggregates import round6_stable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "vec_id",
+        "dim",
+        F.floor(F.col("v") * F.lit(1e6) + F.lit(0.5)).cast("bigint").alias("u"),
+        F.floor(F.col("v") * F.lit(1e3) + F.lit(0.5)).cast("bigint").alias("m"),
+    )
+    a = ex.select(
+        "vec_id",
+        F.col("dim").alias("dim_a"),
+        F.col("u").alias("ua"),
+        F.col("m").alias("ma"),
+    )
+    b = ex.select(
+        "vec_id",
+        F.col("dim").alias("dim_b"),
+        F.col("u").alias("ub"),
+        F.col("m").alias("mb"),
+    )
+    pairs = a.join(b, "vec_id").where(F.col("dim_a") < F.col("dim_b"))
+    s = pairs.groupBy("dim_a", "dim_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ua").alias("sa"),
+        F.sum("ub").alias("sb"),
+        F.sum(F.col("ma") * F.col("mb")).alias("sab"),
+        F.sum(F.col("ma") * F.col("ma")).alias("saa"),
+        F.sum(F.col("mb") * F.col("mb")).alias("sbb"),
+    )
+    n = F.col("n").cast("double")
+    mean_a = F.col("sa") / n / F.lit(1e6)
+    mean_b = F.col("sb") / n / F.lit(1e6)
+    cov = F.col("sab") / n / F.lit(1e6) - mean_a * mean_b
+    var_a = F.greatest(
+        F.col("saa") / n / F.lit(1e6) - mean_a * mean_a, F.lit(0.0)
+    )
+    var_b = F.greatest(
+        F.col("sbb") / n / F.lit(1e6) - mean_b * mean_b, F.lit(0.0)
+    )
+    corr = cov / F.nullif(F.sqrt(var_a * var_b), F.lit(0.0))
+    return s.select(
+        "dim_a",
+        "dim_b",
+        "n",
+        round6_stable(cov).alias("cov"),
+        round6_stable(F.coalesce(corr, F.lit(0.0))).alias("corr"),
+    )
+
+
 QUERIES = {
+    "embedding_dim_covariance": q_embedding_dim_covariance,
     "embedding_pair_distance_hist": q_embedding_pair_distance_hist,
     "embedding_matryoshka": q_embedding_matryoshka,
     "embedding_binary_quantize": q_embedding_binary_quantize,
@@ -639,6 +713,49 @@ _R6_ERR = SQL_ROUND6.format(
 )
 
 ORACLES = {
+    "embedding_dim_covariance": f"""
+WITH ex AS MATERIALIZED (
+  SELECT vec_id,
+         unnest(range(len({_X}))) AS dim,
+         unnest({_X}) AS v
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, dim,
+         CAST(floor(v * 1000000.0 + 0.5) AS BIGINT) AS u,
+         CAST(floor(v * 1000.0 + 0.5) AS BIGINT) AS m
+  FROM ex
+),
+s AS (
+  SELECT a.dim AS dim_a, b.dim AS dim_b,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(a.u) AS BIGINT) AS sa,
+         CAST(SUM(b.u) AS BIGINT) AS sb,
+         CAST(SUM(a.m * b.m) AS BIGINT) AS sab,
+         CAST(SUM(a.m * a.m) AS BIGINT) AS saa,
+         CAST(SUM(b.m * b.m) AS BIGINT) AS sbb
+  FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.dim < b.dim
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT dim_a, dim_b, n,
+         sa / CAST(n AS DOUBLE) / 1000000.0 AS mean_a,
+         sb / CAST(n AS DOUBLE) / 1000000.0 AS mean_b,
+         sab / CAST(n AS DOUBLE) / 1000000.0 AS eab,
+         greatest(saa / CAST(n AS DOUBLE) / 1000000.0
+                  - (sa / CAST(n AS DOUBLE) / 1000000.0)
+                    * (sa / CAST(n AS DOUBLE) / 1000000.0), 0.0) AS var_a,
+         greatest(sbb / CAST(n AS DOUBLE) / 1000000.0
+                  - (sb / CAST(n AS DOUBLE) / 1000000.0)
+                    * (sb / CAST(n AS DOUBLE) / 1000000.0), 0.0) AS var_b
+  FROM s
+)
+SELECT dim_a, dim_b, n,
+       {SQL_ROUND6.format(x="eab - mean_a * mean_b")} AS cov,
+       {SQL_ROUND6.format(x="COALESCE((eab - mean_a * mean_b) / NULLIF(sqrt(var_a * var_b), 0.0), 0.0)")}
+         AS corr
+FROM m
+""",
     "similarity_hamming_recall_audit": f"""
 WITH pts AS (SELECT vec_id, {_X} AS x FROM embeddings),
 ex AS (

@@ -1098,6 +1098,16 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "require": ["ObjectHashAggregate", "partial_", "Broadcast"],
         "forbid": ["CartesianProduct", "SortMergeJoin"],
     },
+    "embedding_dim_covariance": {
+        # vec_id equi self-join of the posexploded corpus (broadcast at
+        # fixture scale, partitioned at 100 TB), D²/2-group map-side agg
+        "require": ["partial_"],
+        "forbid": [
+            "CartesianProduct",
+            "BroadcastNestedLoopJoin",
+            "Exchange SinglePartition",
+        ],
+    },
     "embedding_pca_project": {
         # fitted components apply as literal expressions — pure scan shape
         "require": ["*("],

@@ -129,6 +129,7 @@ _NEXT: list[str] = [
     "events_cusum",
     "text_ngram_novelty",
     "curation_dsir_weights",
+    "embedding_dim_covariance",
 ]
 
 # Rows-only keys (no oracle SQL by design — approx/iterative). Kept behind

@@ -284,3 +284,47 @@ def test_curation_dsir_weights_separates_target_language(spark):
     assert tgt > max(means.values()), means
     kept = [r for r in rows if r["keep"]]
     assert kept and len(kept) < len(rows)
+
+
+def test_embedding_dim_covariance_matches_numpy(spark):
+    """Spark's exact-integer covariance/correlation must agree with a
+    numpy replay of the SAME quantization (and the quantized corr must sit
+    within quantization error of the float64 truth)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from clusterindices_spark.operators.embeddings import (
+        q_embedding_dim_covariance,
+    )
+
+    rows = {
+        (r["dim_a"], r["dim_b"]): (r["n"], r["cov"], r["corr"])
+        for r in q_embedding_dim_covariance(spark, SF_SMOKE).collect()
+    }
+    x = np.array(
+        pq.read_table(f"{SF_SMOKE}/embeddings.parquet")
+        .column("embedding")
+        .to_pylist(),
+        dtype=np.float64,
+    )
+    n, d = x.shape
+    assert len(rows) == d * (d - 1) // 2
+    u = np.floor(x * 1e6 + 0.5).astype(np.int64)
+    m = np.floor(x * 1e3 + 0.5).astype(np.int64)
+    for (i, j) in ((0, 1), (45, 48), (12, 63)):
+        sa, sb = int(u[:, i].sum()), int(u[:, j].sum())
+        sab = int((m[:, i] * m[:, j]).sum())
+        saa = int((m[:, i] * m[:, i]).sum())
+        sbb = int((m[:, j] * m[:, j]).sum())
+        mean_a, mean_b = sa / n / 1e6, sb / n / 1e6
+        cov = sab / n / 1e6 - mean_a * mean_b
+        var_a = max(saa / n / 1e6 - mean_a * mean_a, 0.0)
+        var_b = max(sbb / n / 1e6 - mean_b * mean_b, 0.0)
+        corr = cov / math.sqrt(var_a * var_b)
+        r6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6  # noqa: E731
+        got = rows[(i, j)]
+        assert got[0] == n
+        assert got[1] == r6(cov), (i, j)
+        assert got[2] == r6(corr), (i, j)
+        true_corr = float(np.corrcoef(x[:, i], x[:, j])[0, 1])
+        assert abs(got[2] - true_corr) < 5e-3, (i, j)
