@@ -1132,6 +1132,20 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "require": ["*("],
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    "source_orc_roundtrip": {
+        # the read-back predicate must reach the ORC reader (stripe-stat
+        # pruning), and the agg stays two-phase
+        "require": [
+            "FileScan orc",
+            "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,50000.0)]",
+            "partial_",
+        ],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "source_csv_roundtrip": {
+        "require": ["FileScan csv", "partial_"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
 }
 
 

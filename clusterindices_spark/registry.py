@@ -130,6 +130,8 @@ _NEXT: list[str] = [
     "text_ngram_novelty",
     "curation_dsir_weights",
     "embedding_dim_covariance",
+    "source_orc_roundtrip",
+    "source_csv_roundtrip",
 ]
 
 # Rows-only keys (no oracle SQL by design — approx/iterative). Kept behind

@@ -115,7 +115,87 @@ def q_source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"source_xml_roundtrip": q_source_xml_roundtrip}
+def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC as the second columnar source/sink (native in Spark, zero
+    packages): a deterministic orders slice is written as ORC, read back,
+    FILTERED (the predicate reaches the ORC reader as a pushed filter —
+    ORC keeps min/max stripe statistics exactly like parquet, so the
+    filter prunes stripes before decode), and aggregated. The oracle runs
+    the same slice+filter+aggregate on the original parquet: the gate
+    checks the write→read roundtrip is lossless AND the pushdown path
+    returns exactly the unpushed semantics. Scale: columnar scan,
+    stripe-parallel, identical posture to the parquet tables."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from clusterindices_spark.sources.fixtures import load_table
+
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 7 == 0
+    ).select("o_orderkey", "o_orderpriority", "o_totalprice")
+    path = tempfile.mkdtemp(prefix="ci-orc-")
+    o.write.mode("overwrite").orc(path)
+    back = spark.read.schema(
+        "o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE"
+    ).orc(path)
+    return (
+        back.where(F.col("o_totalprice") > 50_000.0)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+            F.round(
+                F.sum(
+                    F.col("o_totalprice").cast("decimal(18,6)")
+                ).cast("double"),
+                6,
+            ).alias("total_price"),
+        )
+    )
+
+
+def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV as source/sink with an EXPLICIT schema both ways (inference
+    costs a pass and drifts under dirty data): a customer slice writes as
+    headered CSV and reads back typed; the aggregate's oracle runs on the
+    original parquet, so the gate proves the text roundtrip preserves
+    BIGINT/DOUBLE/STRING values exactly (Spark's CSV writer emits
+    shortest-roundtrip doubles). FAILFAST mode — a malformed row is an
+    error, not a silent null row. Scale: line-splittable scan, schema'd
+    single pass."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from clusterindices_spark.sources.fixtures import load_table
+
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % 5 == 0
+    ).select("c_custkey", "c_mktsegment", "c_acctbal")
+    path = tempfile.mkdtemp(prefix="ci-csv-")
+    c.write.mode("overwrite").option("header", True).csv(path)
+    back = (
+        spark.read.schema("c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE")
+        .option("header", True)
+        .option("mode", "FAILFAST")
+        .csv(path)
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("c_custkey").alias("min_key"),
+        F.round(
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("total_bal"),
+    )
+
+
+QUERIES = {
+    "source_xml_roundtrip": q_source_xml_roundtrip,
+    "source_orc_roundtrip": q_source_orc_roundtrip,
+    "source_csv_roundtrip": q_source_csv_roundtrip,
+}
 
 ORACLES = {
     "source_xml_roundtrip": """
@@ -127,5 +207,24 @@ SELECT o_orderstatus,
          AS total_price
 FROM orders WHERE o_orderkey % 10 = 0
 GROUP BY o_orderstatus
+""",
+    "source_orc_roundtrip": """
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6)
+         AS total_price
+FROM orders WHERE o_orderkey % 7 = 0 AND o_totalprice > 50000.0
+GROUP BY o_orderpriority
+""",
+    "source_csv_roundtrip": """
+SELECT c_mktsegment,
+       COUNT(*) AS n,
+       MIN(c_custkey) AS min_key,
+       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 6)
+         AS total_bal
+FROM customer WHERE c_custkey % 5 = 0
+GROUP BY c_mktsegment
 """,
 }
