@@ -782,7 +782,87 @@ def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RAKE_TOP_K = 3
+
+
+def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) per document: candidate
+    phrases are the maximal stopword-free token runs, each word scores
+    degree/frequency over the doc's own phrases (degree = Σ length of the
+    phrases it occurs in, with multiplicity), a phrase scores the sum of
+    its words' scores, and the top-3 phrases per doc are emitted — the
+    classic unsupervised keyword tagger, here as a pure DataFrame rule
+    system.
+
+    Determinism: word scores floor to BIGINT micros BEFORE the per-phrase
+    sum (deg/freq is one integer division — exact same double in both
+    engines); ranking orders by the INTEGER micro score desc then phrase
+    asc, so ties cannot flip between engines.
+
+    Scale: every shuffle is doc_id-keyed (running stopword counter
+    window, phrase agg, word-stats agg, score join, top-k window) — the
+    explode preserves the key, AQE keeps the chain thin, and no global
+    structure exists at all (RAKE is per-doc by construction)."""
+    from clusterindices_spark.functions.aggregates import round6_stable
+
+    d = _with_tokens(load_table(spark, sf_dir, "documents"))
+    ex = d.select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    ).withColumn("is_stop", F.col("tok").isin(*STOPWORDS))
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grouped = ex.withColumn(
+        "grp", F.sum(F.col("is_stop").cast("int")).over(w_run)
+    ).where(~F.col("is_stop"))
+    phrases = grouped.groupBy("doc_id", "grp").agg(
+        F.count(F.lit(1)).alias("plen"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("phrase"),
+    )
+    occ = grouped.join(phrases.select("doc_id", "grp", "plen"), ["doc_id", "grp"])
+    wstats = occ.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg")
+    )
+    wscore = wstats.select(
+        "doc_id",
+        "tok",
+        F.floor(
+            F.col("deg") / F.col("freq") * F.lit(1e6) + F.lit(0.5)
+        ).cast("bigint").alias("ws_micros"),
+    )
+    pscore = (
+        grouped.join(wscore, ["doc_id", "tok"])
+        .groupBy("doc_id", "grp")
+        .agg(F.sum("ws_micros").alias("score_micros"))
+        .join(phrases.select("doc_id", "grp", "phrase"), ["doc_id", "grp"])
+        .groupBy("doc_id", "phrase")
+        .agg(F.max("score_micros").alias("score_micros"))
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micros").desc(), F.col("phrase")
+    )
+    return (
+        pscore.withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") <= RAKE_TOP_K)
+        .select(
+            "doc_id",
+            F.col("rn").alias("rank"),
+            "phrase",
+            round6_stable(F.col("score_micros") / F.lit(1e6)).alias("score"),
+        )
+    )
+
+
 QUERIES = {
+    "text_rake_keywords": q_text_rake_keywords,
     "text_ngram_novelty": q_text_ngram_novelty,
     "text_lm_heldout_score": q_text_lm_heldout_score,
     "text_lang_confusion": q_text_lang_confusion,
@@ -1102,6 +1182,54 @@ SELECT doc_id,
             t -> t NOT IN ({", ".join(f"'{b}'" for b in BLOCKLIST)})), ' ')
          AS clean_text
 FROM t
+""",
+    "text_rake_keywords": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+ex AS (
+  SELECT doc_id,
+         unnest(range(len(toks))) AS pos,
+         unnest(toks) AS tok
+  FROM t),
+g AS (
+  SELECT doc_id, pos, tok,
+         (tok IN ({", ".join(f"'{s}'" for s in STOPWORDS)})) AS is_stop,
+         CAST(SUM(CASE WHEN tok IN ({", ".join(f"'{s}'" for s in STOPWORDS)})
+                  THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS grp
+  FROM ex),
+words AS MATERIALIZED (SELECT doc_id, grp, pos, tok FROM g WHERE NOT is_stop),
+phrases AS MATERIALIZED (
+  SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS plen,
+         string_agg(tok, ' ' ORDER BY pos) AS phrase
+  FROM words GROUP BY doc_id, grp),
+wstats AS (
+  SELECT w.doc_id, w.tok,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(p.plen) AS BIGINT) AS deg
+  FROM words w JOIN phrases p USING (doc_id, grp)
+  GROUP BY w.doc_id, w.tok),
+wscore AS (
+  SELECT doc_id, tok,
+         CAST(floor(deg / freq * 1000000.0 + 0.5) AS BIGINT) AS ws
+  FROM wstats),
+ps AS (
+  SELECT w.doc_id, w.grp, CAST(SUM(s.ws) AS BIGINT) AS sm
+  FROM words w JOIN wscore s ON s.doc_id = w.doc_id AND s.tok = w.tok
+  GROUP BY w.doc_id, w.grp),
+pp AS (
+  SELECT p.doc_id, p.phrase, MAX(ps.sm) AS sm
+  FROM ps JOIN phrases p USING (doc_id, grp)
+  GROUP BY p.doc_id, p.phrase),
+r AS (
+  SELECT doc_id, phrase, sm,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY sm DESC, phrase) AS rn
+  FROM pp)
+SELECT doc_id, CAST(rn AS INT) AS rank, phrase,
+       {SQL_ROUND6.format(x="sm / 1000000.0")} AS score
+FROM r WHERE rn <= {RAKE_TOP_K}
 """,
     "text_ngram_novelty": f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

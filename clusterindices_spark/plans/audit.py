@@ -1132,6 +1132,16 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "require": ["*("],
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    "text_rake_keywords": {
+        # every window/agg/join keys by doc_id (RAKE is per-doc); top-3
+        # prunes inside the window (WindowGroupLimit), never a global sort
+        "require": ["Window", "WindowGroupLimit", "partial_"],
+        "forbid": [
+            "CartesianProduct",
+            "Exchange SinglePartition",
+            "Exchange rangepartitioning",
+        ],
+    },
     "source_orc_roundtrip": {
         # the read-back predicate must reach the ORC reader (stripe-stat
         # pruning), and the agg stays two-phase

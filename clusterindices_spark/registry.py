@@ -132,6 +132,7 @@ _NEXT: list[str] = [
     "embedding_dim_covariance",
     "source_orc_roundtrip",
     "source_csv_roundtrip",
+    "text_rake_keywords",
 ]
 
 # Rows-only keys (no oracle SQL by design — approx/iterative). Kept behind

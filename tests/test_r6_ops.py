@@ -328,3 +328,65 @@ def test_embedding_dim_covariance_matches_numpy(spark):
         assert got[2] == r6(corr), (i, j)
         true_corr = float(np.corrcoef(x[:, i], x[:, j])[0, 1])
         assert abs(got[2] - true_corr) < 5e-3, (i, j)
+
+
+def test_text_rake_keywords_replays_reference_algorithm(spark):
+    """Spark's DataFrame RAKE must equal a direct Python implementation of
+    the published algorithm (phrase segmentation on stopwords, word score
+    deg/freq, phrase score = Σ word scores) on every sampled doc."""
+    import duckdb
+
+    from clusterindices_spark.operators.textops import (
+        RAKE_TOP_K,
+        STOPWORDS,
+        q_text_rake_keywords,
+    )
+
+    got = {}
+    for r in q_text_rake_keywords(spark, SF_SMOKE).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["rank"], r["phrase"], r["score"])
+        )
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    stop = set(STOPWORDS)
+    import re as _re
+
+    checked = 0
+    for doc_id, text in docs[:50]:
+        toks = [t for t in _re.split(r"\s+", text.lower()) if t]
+        phrases, cur = [], []
+        for t in toks:
+            if t in stop:
+                if cur:
+                    phrases.append(cur)
+                cur = []
+            else:
+                cur.append(t)
+        if cur:
+            phrases.append(cur)
+        if not phrases:
+            assert doc_id not in got
+            continue
+        freq, deg = {}, {}
+        for p in phrases:
+            for w in p:
+                freq[w] = freq.get(w, 0) + 1
+                deg[w] = deg.get(w, 0) + len(p)
+        ws = {w: math.floor(deg[w] / freq[w] * 1e6 + 0.5) for w in freq}
+        scored = {}
+        for p in phrases:
+            s = sum(ws[w] for w in p)
+            key = " ".join(p)
+            scored[key] = max(scored.get(key, 0), s)
+        want = sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :RAKE_TOP_K
+        ]
+        want = [
+            (i + 1, ph, math.floor(sm / 1e6 * 1e6 + 0.5) / 1e6)
+            for i, (ph, sm) in enumerate(want)
+        ]
+        assert sorted(got[doc_id]) == want, doc_id
+        checked += 1
+    assert checked >= 40
