@@ -1087,6 +1087,72 @@ def q_events_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TTEST_CRIT = 1.96  # |t| threshold reported as significant
+
+
+def q_events_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between every pair of event types'
+    value distributions — the experimentation readout (treatment vs
+    control metric shift) plus the Welch–Satterthwaite degrees of
+    freedom. Moments come from exact integer sums (micro values, milli²
+    squares — the anomaly-stream device), so the only floats are the
+    final t/df arithmetic: the same double-op sequence in both engines,
+    then round6.
+
+    Scale: ONE map-side-combined agg over the corpus to K per-type moment
+    rows, then a K²-row broadcast self-join — the corpus is touched once
+    regardless of how many pairs are tested."""
+    from clusterindices_spark.functions.aggregates import round6_stable
+
+    e = load_table(spark, sf_dir, "events")
+    micros = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    millis = F.floor(F.col("value") * F.lit(1e3) + F.lit(0.5)).cast("bigint")
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(micros).alias("s1"),
+        F.sum(millis * millis).alias("s2m"),
+    )
+    a = m.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("na"),
+        F.col("s1").alias("s1a"),
+        F.col("s2m").alias("s2a"),
+    )
+    b = m.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("nb"),
+        F.col("s1").alias("s1b"),
+        F.col("s2m").alias("s2b"),
+    )
+    p = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    mean_a = F.col("s1a") / F.col("na") / F.lit(1e6)
+    mean_b = F.col("s1b") / F.col("nb") / F.lit(1e6)
+    # unbiased sample variance from the integer moments: (s2/1e6 − n·m²)/(n−1)
+    var_a = (F.col("s2a") / F.lit(1e6) - F.col("na") * mean_a * mean_a) / (
+        F.col("na") - 1
+    )
+    var_b = (F.col("s2b") / F.lit(1e6) - F.col("nb") * mean_b * mean_b) / (
+        F.col("nb") - 1
+    )
+    se2_a = var_a / F.col("na")
+    se2_b = var_b / F.col("nb")
+    t = (mean_a - mean_b) / F.sqrt(se2_a + se2_b)
+    df = ((se2_a + se2_b) * (se2_a + se2_b)) / F.nullif(
+        se2_a * se2_a / (F.col("na") - 1) + se2_b * se2_b / (F.col("nb") - 1),
+        F.lit(0.0),
+    )
+    return p.select(
+        "type_a",
+        "type_b",
+        "na",
+        "nb",
+        round6_stable(mean_a - mean_b).alias("mean_diff"),
+        round6_stable(t).alias("t_stat"),
+        round6_stable(F.coalesce(df, F.lit(0.0))).alias("welch_df"),
+        (F.abs(t) > TTEST_CRIT).alias("is_significant"),
+    )
+
+
 CUSUM_SLACK_DIV = 4  # slack k = mean/4 (micros, integer-derived)
 CUSUM_H_MULT = 3  # alarm threshold h = 3·mean
 
@@ -1178,6 +1244,7 @@ QUERIES = {
     "events_autocorr": q_events_autocorr,
     "events_forecast_baseline": q_events_forecast_baseline,
     "events_cusum": q_events_cusum,
+    "events_ab_ttest": q_events_ab_ttest,
     "events_pareto_concentration": q_events_pareto_concentration,
     "events_last_touch": q_events_last_touch,
     "curation_kfold": q_curation_kfold,
@@ -1278,6 +1345,40 @@ SELECT decile,
        {SQL_ROUND6.format(x="CAST(MAX(cum) AS DOUBLE) / (SELECT total FROM tot)")} AS cum_share
 FROM d
 GROUP BY decile
+""",
+    "events_ab_ttest": f"""
+WITH m AS MATERIALIZED (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS s1,
+         CAST(SUM(CAST(floor(value * 1000.0 + 0.5) AS BIGINT)
+                  * CAST(floor(value * 1000.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS s2m
+  FROM events GROUP BY event_type
+),
+p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.n AS na, b.n AS nb,
+         a.s1 / CAST(a.n AS DOUBLE) / 1000000.0 AS mean_a,
+         b.s1 / CAST(b.n AS DOUBLE) / 1000000.0 AS mean_b,
+         a.s2m / 1000000.0 AS q2a, b.s2m / 1000000.0 AS q2b
+  FROM m a JOIN m b ON a.event_type < b.event_type
+),
+v AS (
+  SELECT type_a, type_b, na, nb, mean_a, mean_b,
+         ((q2a - na * mean_a * mean_a) / (na - 1)) / na AS se2_a,
+         ((q2b - nb * mean_b * mean_b) / (nb - 1)) / nb AS se2_b
+  FROM p
+)
+SELECT type_a, type_b, na, nb,
+       {SQL_ROUND6.format(x="mean_a - mean_b")} AS mean_diff,
+       {SQL_ROUND6.format(x="(mean_a - mean_b) / sqrt(se2_a + se2_b)")} AS t_stat,
+       {SQL_ROUND6.format(x="COALESCE(((se2_a + se2_b) * (se2_a + se2_b)) / NULLIF(se2_a * se2_a / (na - 1) + se2_b * se2_b / (nb - 1), 0.0), 0.0)")}
+         AS welch_df,
+       (abs((mean_a - mean_b) / sqrt(se2_a + se2_b)) > {TTEST_CRIT})
+         AS is_significant
+FROM v
 """,
     "events_cusum": f"""
 WITH h AS MATERIALIZED (

@@ -674,6 +674,13 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "require": ["partial"],
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    "events_ab_ttest": {
+        # one corpus-scale moment agg; the K²-row pair frame rides a
+        # broadcast non-equi join (type_a < type_b over K rows — the
+        # sanctioned driver-scale BNLJ)
+        "require": ["partial_", "Broadcast"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
     "events_cusum": {
         # hourly agg + K-row per-type mean broadcast; both CUSUM windows
         # partition by event_type — never a single-partition window

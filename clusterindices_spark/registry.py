@@ -133,6 +133,7 @@ _NEXT: list[str] = [
     "source_orc_roundtrip",
     "source_csv_roundtrip",
     "text_rake_keywords",
+    "events_ab_ttest",
 ]
 
 # Rows-only keys (no oracle SQL by design — approx/iterative). Kept behind

@@ -390,3 +390,38 @@ def test_text_rake_keywords_replays_reference_algorithm(spark):
         assert sorted(got[doc_id]) == want, doc_id
         checked += 1
     assert checked >= 40
+
+
+def test_events_ab_ttest_matches_float64_welch(spark):
+    """The quantized Welch t must sit within quantization error of the
+    float64 truth computed directly from the raw values, for every pair,
+    and the df must satisfy min(n)-1 <= df <= n_a+n_b-2."""
+    import duckdb
+    import numpy as np
+
+    from clusterindices_spark.operators.analytics import q_events_ab_ttest
+
+    rows = q_events_ab_ttest(spark, SF_SMOKE).collect()
+    vals = {}
+    for et, v in duckdb.sql(
+        f"SELECT event_type, value FROM '{SF_SMOKE}/events.parquet'"
+    ).fetchall():
+        vals.setdefault(et, []).append(v)
+    vals = {k: np.array(v, dtype=np.float64) for k, v in vals.items()}
+    assert len(rows) == len(vals) * (len(vals) - 1) // 2
+    for r in rows:
+        xa, xb = vals[r["type_a"]], vals[r["type_b"]]
+        va, vb = xa.var(ddof=1), xb.var(ddof=1)
+        se2a, se2b = va / len(xa), vb / len(xb)
+        t_true = (xa.mean() - xb.mean()) / math.sqrt(se2a + se2b)
+        df_true = (se2a + se2b) ** 2 / (
+            se2a**2 / (len(xa) - 1) + se2b**2 / (len(xb) - 1)
+        )
+        assert abs(r["t_stat"] - t_true) < 0.05, (r["type_a"], r["type_b"])
+        assert abs(r["welch_df"] - df_true) / df_true < 0.01
+        assert (
+            min(len(xa), len(xb)) - 1 <= r["welch_df"] <= len(xa) + len(xb) - 2
+        )
+        assert r["is_significant"] == (abs(r["t_stat"]) > 1.96) or abs(
+            abs(r["t_stat"]) - 1.96
+        ) < 1e-6
