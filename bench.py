@@ -155,6 +155,10 @@ HEADLINE = [
     "text_ngram_novelty",
     "curation_dsir_weights",
     "embedding_dim_covariance",
+    # round-6c: RAKE keywords, Welch t-test, Poisson-bootstrap CI
+    "text_rake_keywords",
+    "events_ab_ttest",
+    "events_bootstrap_ci",
 ]
 
 # Per-key recall floors (VERDICT r5 item 3): the bench FAILS — explicit

@@ -1087,6 +1087,88 @@ def q_events_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BOOT_B = 40  # bootstrap replicates
+BOOT_LO_IDX = 1  # 0-based order statistics over B sorted replicate means:
+BOOT_HI_IDX = 38  # (2nd, 39th) of 40 ≈ a 2.5%/97.5% percentile interval
+# Poisson(1) CDF thresholds scaled to the hash modulus (floor(cdf·1000003)):
+# a uniform hash u ∈ [0, 1000003) maps to weight = #thresholds ≤ u, giving
+# each row an independent Poisson(1) multiplicity per replicate.
+BOOT_POISSON_CUM = (
+    367880, 735761, 919701, 981014, 996343, 999408, 999919, 999992,
+)
+BOOT_HASH_A = 2654435761  # Knuth multiplicative constants — pure-arithmetic
+BOOT_HASH_B = 97003  # hash so the formula appears verbatim in the oracle
+BOOT_MOD = 1000003
+
+
+def q_events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for each event type's mean
+    value — THE resampling scheme that scales (Chamandy et al. 2012,
+    'Estimating Uncertainty for Massive Data Streams'): instead of
+    materializing B resampled datasets, every row contributes a
+    Poisson(1) multiplicity to each replicate, derived here from a
+    pure-arithmetic Knuth hash of (event_id, replicate) so BOTH engines
+    compute the identical pseudo-random weights. The CI is the
+    (2nd, 39th) order statistic of the 40 sorted replicate means —
+    order statistics, not interpolated percentiles, so no quantile-
+    convention drift between engines.
+
+    Determinism: weights are exact integers from the hash; weighted value
+    sums are integer micros; each replicate mean is one division; means
+    are round6-floored BEFORE sorting so the order-statistic pick cannot
+    straddle an ulp.
+
+    Scale: the B-way explode feeds DIRECTLY into a map-side-combined
+    (type, rep) agg — shuffle volume is K·B rows, not corpus·B; the
+    per-type sort is over B=40 values. At 100 TB this is the textbook
+    one-pass uncertainty estimate."""
+    from clusterindices_spark.functions.aggregates import round6_stable
+
+    e = load_table(spark, sf_dir, "events")
+    micros = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    rep = F.explode(
+        F.sequence(F.lit(0), F.lit(BOOT_B - 1))
+    ).alias("rep")
+    # quantize BEFORE the B-way explode — the floor runs once per input
+    # row, not once per (row, replicate)
+    ex = e.select("event_id", "event_type", micros.alias("vm")).select(
+        "event_id", "event_type", "vm", rep
+    )
+    u = (
+        F.col("event_id") * F.lit(BOOT_HASH_A)
+        + F.col("rep") * F.lit(BOOT_HASH_B)
+    ) % F.lit(BOOT_MOD)
+    w = sum(
+        (u >= F.lit(t)).cast("bigint") for t in BOOT_POISSON_CUM
+    )
+    per_rep = ex.select(
+        "event_type", "rep", w.alias("w"), (w * F.col("vm")).alias("wv")
+    ).groupBy("event_type", "rep").agg(
+        F.sum("w").alias("wn"), F.sum("wv").alias("ws")
+    )
+    rep_mean = per_rep.select(
+        "event_type",
+        round6_stable(
+            F.col("ws") / F.nullif(F.col("wn"), F.lit(0)) / F.lit(1e6)
+        ).alias("m"),
+    )
+    boots = rep_mean.groupBy("event_type").agg(
+        F.sort_array(F.collect_list("m")).alias("ms")
+    )
+    actual = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(micros).alias("s1")
+    )
+    return actual.join(boots, "event_type").select(
+        "event_type",
+        "n",
+        round6_stable(F.col("s1") / F.col("n") / F.lit(1e6)).alias(
+            "mean_value"
+        ),
+        F.get("ms", BOOT_LO_IDX).alias("ci_lo"),
+        F.get("ms", BOOT_HI_IDX).alias("ci_hi"),
+    )
+
+
 TTEST_CRIT = 1.96  # |t| threshold reported as significant
 
 
@@ -1245,6 +1327,7 @@ QUERIES = {
     "events_forecast_baseline": q_events_forecast_baseline,
     "events_cusum": q_events_cusum,
     "events_ab_ttest": q_events_ab_ttest,
+    "events_bootstrap_ci": q_events_bootstrap_ci,
     "events_pareto_concentration": q_events_pareto_concentration,
     "events_last_touch": q_events_last_touch,
     "curation_kfold": q_curation_kfold,
@@ -1345,6 +1428,45 @@ SELECT decile,
        {SQL_ROUND6.format(x="CAST(MAX(cum) AS DOUBLE) / (SELECT total FROM tot)")} AS cum_share
 FROM d
 GROUP BY decile
+""",
+    "events_bootstrap_ci": f"""
+WITH ex AS (
+  SELECT event_type, r.rep,
+         (event_id * {BOOT_HASH_A} + r.rep * {BOOT_HASH_B}) % {BOOT_MOD} AS u,
+         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vm
+  FROM events CROSS JOIN (SELECT unnest(range({BOOT_B})) AS rep) r
+),
+w AS (
+  SELECT event_type, rep, vm,
+         ({" + ".join(f"CASE WHEN u >= {t} THEN 1 ELSE 0 END" for t in BOOT_POISSON_CUM)})
+           AS w
+  FROM ex
+),
+pr AS (
+  SELECT event_type, rep,
+         CAST(SUM(w) AS BIGINT) AS wn, CAST(SUM(w * vm) AS BIGINT) AS ws
+  FROM w GROUP BY 1, 2
+),
+rm AS (
+  SELECT event_type,
+         {SQL_ROUND6.format(x="ws / NULLIF(wn, 0) / 1000000.0")} AS m
+  FROM pr
+),
+boots AS (
+  SELECT event_type, list(m ORDER BY m) AS ms FROM rm GROUP BY event_type
+),
+actual AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS s1
+  FROM events GROUP BY event_type
+)
+SELECT a.event_type, a.n,
+       {SQL_ROUND6.format(x="a.s1 / CAST(a.n AS DOUBLE) / 1000000.0")}
+         AS mean_value,
+       b.ms[{BOOT_LO_IDX + 1}] AS ci_lo,
+       b.ms[{BOOT_HI_IDX + 1}] AS ci_hi
+FROM actual a JOIN boots b USING (event_type)
 """,
     "events_ab_ttest": f"""
 WITH m AS MATERIALIZED (

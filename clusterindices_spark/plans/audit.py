@@ -674,6 +674,16 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "require": ["partial"],
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    "events_bootstrap_ci": {
+        # the B-way Generate feeds straight into a map-side-combined
+        # (type, rep) agg — shuffle is K·B rows; per-type sort is B values
+        "require": ["Generate", "partial_"],
+        "forbid": [
+            "CartesianProduct",
+            "SortMergeJoin",
+            "Exchange SinglePartition",
+        ],
+    },
     "events_ab_ttest": {
         # one corpus-scale moment agg; the K²-row pair frame rides a
         # broadcast non-equi join (type_a < type_b over K rows — the

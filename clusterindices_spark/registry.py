@@ -134,6 +134,7 @@ _NEXT: list[str] = [
     "source_csv_roundtrip",
     "text_rake_keywords",
     "events_ab_ttest",
+    "events_bootstrap_ci",
 ]
 
 # Rows-only keys (no oracle SQL by design — approx/iterative). Kept behind

@@ -425,3 +425,44 @@ def test_events_ab_ttest_matches_float64_welch(spark):
         assert r["is_significant"] == (abs(r["t_stat"]) > 1.96) or abs(
             abs(r["t_stat"]) - 1.96
         ) < 1e-6
+
+
+def test_events_bootstrap_ci_brackets_mean_and_replays(spark):
+    """CI must bracket the true mean (Poisson bootstrap at n≫1), the
+    interval must be ordered, and one replicate's weighted mean must
+    replay exactly from the published hash formula."""
+    import duckdb
+
+    from clusterindices_spark.operators.analytics import (
+        BOOT_HASH_A,
+        BOOT_HASH_B,
+        BOOT_MOD,
+        BOOT_POISSON_CUM,
+        q_events_bootstrap_ci,
+    )
+
+    rows = {r["event_type"]: r for r in q_events_bootstrap_ci(spark, SF_SMOKE).collect()}
+    assert rows
+    for et, r in rows.items():
+        assert r["ci_lo"] <= r["mean_value"] <= r["ci_hi"], et
+        # sane relative width (smoke-SF types are small + heavy-tailed)
+        assert r["ci_hi"] - r["ci_lo"] < max(1.0, r["mean_value"]), et
+
+    raw = duckdb.sql(
+        f"SELECT event_id, event_type, value FROM '{SF_SMOKE}/events.parquet'"
+    ).fetchall()
+    et0 = sorted(rows)[0]
+    means = []
+    for rep in range(40):
+        wn = ws = 0
+        for eid, et, v in raw:
+            if et != et0:
+                continue
+            u = (eid * BOOT_HASH_A + rep * BOOT_HASH_B) % BOOT_MOD
+            w = sum(1 for t in BOOT_POISSON_CUM if u >= t)
+            wn += w
+            ws += w * math.floor(v * 1e6 + 0.5)
+        means.append(math.floor(ws / wn / 1e6 * 1e6 + 0.5) / 1e6)
+    means.sort()
+    assert rows[et0]["ci_lo"] == means[1]
+    assert rows[et0]["ci_hi"] == means[38]
