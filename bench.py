@@ -155,10 +155,11 @@ HEADLINE = [
     "text_ngram_novelty",
     "curation_dsir_weights",
     "embedding_dim_covariance",
-    # round-6c: RAKE keywords, Welch t-test, Poisson-bootstrap CI
+    # round-6c: RAKE keywords, Welch t-test, Poisson-bootstrap CI, k-core
     "text_rake_keywords",
     "events_ab_ttest",
     "events_bootstrap_ci",
+    "dedup_graph_kcore",
 ]
 
 # Per-key recall floors (VERDICT r5 item 3): the bench FAILS — explicit

@@ -938,6 +938,93 @@ def q_dedup_graph_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KCORE_K = 2  # peel threshold: 2-core separates chains from dense clusters
+KCORE_ROUNDS = 3  # bounded simultaneous-peel rounds (unrolled in the oracle)
+
+
+def kcore_peel(edges: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> DataFrame:
+    """Bounded-round k-core peeling of an undirected graph given as a
+    SYMMETRIZED (s, d) edge list: each round simultaneously removes every
+    node whose degree among survivors is < k (the standard synchronous
+    peel — deterministic, unlike sequential peeling). Returns per node:
+    initial degree, the round it was peeled (0 = survived all rounds),
+    the in-core flag, and the residual degree inside the core.
+
+    In a near-dup graph the k-core separates DENSE duplicate clusters
+    (template farms, mirrored boilerplate — every member ≥k verified
+    neighbors) from chain artifacts that thread A~B~C without mutual
+    support; chains dissolve under peeling, cliques don't. Rounds are
+    bounded and unrolled — the pagerank/MMR idiom — so the oracle is the
+    identical CTE chain and the gate is fully hash-exact.
+
+    Scale: each round is two doc-keyed semi-joins + one map-side-combined
+    degree agg over a frame that only SHRINKS; R rounds = O(R) shuffles,
+    no fixpoint, no driver loop over data."""
+    e = edges.select(F.col("s"), F.col("d"))
+    deg0 = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    cur = deg0
+    peeled_parts: list[DataFrame] = []
+    for r in range(1, rounds + 1):
+        surv = cur.where(F.col("deg") >= k).select("s")
+        peeled_parts.append(
+            cur.where(F.col("deg") < k).select(
+                "s", F.lit(r).cast("int").alias("peeled_round")
+            )
+        )
+        e = e.join(surv, "s", "left_semi").join(
+            surv.select(F.col("s").alias("d")), "d", "left_semi"
+        )
+        nxt = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg2"))
+        cur = surv.join(nxt, "s", "left").select(
+            "s", F.coalesce(F.col("deg2"), F.lit(0).cast("bigint")).alias("deg")
+        )
+    peeled = peeled_parts[0]
+    for p in peeled_parts[1:]:
+        peeled = peeled.unionByName(p)
+    return (
+        deg0.select(F.col("s").alias("node"), F.col("deg").alias("deg0"))
+        .join(peeled.select(F.col("s").alias("node"), "peeled_round"), "node", "left")
+        .join(
+            cur.select(F.col("s").alias("node"), F.col("deg").alias("cd")),
+            "node",
+            "left",
+        )
+        .select(
+            "node",
+            "deg0",
+            F.coalesce(F.col("peeled_round"), F.lit(0)).alias("peeled_round"),
+            F.col("peeled_round").isNull().alias("in_kcore"),
+            F.coalesce(F.col("cd"), F.lit(0).cast("bigint")).alias("core_deg"),
+        )
+    )
+
+
+def q_dedup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core census of the verified near-dup graph (see kcore_peel)."""
+    _, pairs = _doc_pair_edges(spark, sf_dir)
+    sym = pairs.select("src", "dst").unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).select(F.col("src").alias("s"), F.col("dst").alias("d"))
+    # eager checkpoint of the (tiny) edge list BEFORE the peel loop: the
+    # unrolled rounds reference it from many concurrent stages, and a
+    # merely-persisted frame races its own cache materialization — every
+    # stage that misses recomputes the whole jaccard subtree (the MMR
+    # lineage lesson; measured 64 s → ~5 s at sf0.1)
+    # coalesce(8): the verified edge list is pair-scale (≪ corpus — K per
+    # duplicate cluster), so the peel rounds run on few fat tasks instead
+    # of 32-partition micro-stages; at a scale where the edge list is
+    # genuinely large, drop the coalesce and the same loop shards by s
+    sym = sym.coalesce(8).localCheckpoint()
+    out = kcore_peel(sym)
+    return out.select(
+        F.col("node").alias("doc_id"),
+        F.col("deg0").alias("degree"),
+        "peeled_round",
+        "in_kcore",
+        "core_deg",
+    )
+
+
 def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same clusters via alternating large-star/small-star (O(log n) rounds
     — the adversarial-chain-safe variant). Identical output contract, so it
@@ -1201,6 +1288,7 @@ QUERIES = {
     "dedup_components_star": q_dedup_components_star,
     "dedup_graph_triangles": q_dedup_graph_triangles,
     "dedup_graph_pagerank": q_dedup_graph_pagerank,
+    "dedup_graph_kcore": q_dedup_graph_kcore,
 }
 
 _TOKS = SQL_TOKENS.format(col="text")
@@ -1451,6 +1539,70 @@ FROM comp c JOIN hops h ON h.node = c.doc_id
 # the star variant computes the same (node → component-min) fixpoint over
 # the same edges — byte-identical output contract, same oracle
 ORACLES["dedup_components_star"] = ORACLES["dedup_components"]
+
+
+def _kcore_oracle_sql() -> str:
+    """Unrolled synchronous k-core peel over the SAME verified edge list
+    as the components oracle (shared prefix through `edges`) — one
+    (degree, survivors, peeled, filtered-edges) CTE block per round, the
+    pagerank-unroll idiom so Spark and oracle can never drift on round
+    structure."""
+    prefix = ORACLES["dedup_components"].split("reach(s, d)")[0]
+    k, blocks = KCORE_K, []
+    blocks.append(
+        "d1 AS (SELECT s AS v, CAST(COUNT(*) AS BIGINT) AS deg"
+        " FROM edges GROUP BY s)"
+    )
+    blocks.append(f"a1 AS (SELECT v FROM d1 WHERE deg >= {k})")
+    blocks.append(f"p1 AS (SELECT v, 1 AS pr FROM d1 WHERE deg < {k})")
+    blocks.append(
+        "e1 AS (SELECT s, d FROM edges WHERE s IN (SELECT v FROM a1)"
+        " AND d IN (SELECT v FROM a1))"
+    )
+    for r in range(2, KCORE_ROUNDS + 1):
+        blocks.append(
+            f"d{r} AS (SELECT a{r - 1}.v, COALESCE(t.c, 0) AS deg"
+            f" FROM a{r - 1} LEFT JOIN (SELECT s AS v,"
+            f" CAST(COUNT(*) AS BIGINT) AS c FROM e{r - 1} GROUP BY s) t"
+            " USING (v))"
+        )
+        blocks.append(f"a{r} AS (SELECT v FROM d{r} WHERE deg >= {k})")
+        blocks.append(
+            f"p{r} AS (SELECT v, {r} AS pr FROM d{r} WHERE deg < {k})"
+        )
+        blocks.append(
+            f"e{r} AS (SELECT s, d FROM e{r - 1}"
+            f" WHERE s IN (SELECT v FROM a{r})"
+            f" AND d IN (SELECT v FROM a{r}))"
+        )
+    rr = KCORE_ROUNDS
+    blocks.append(
+        f"dfin AS (SELECT a{rr}.v, COALESCE(t.c, 0) AS deg FROM a{rr}"
+        f" LEFT JOIN (SELECT s AS v, CAST(COUNT(*) AS BIGINT) AS c"
+        f" FROM e{rr} GROUP BY s) t USING (v))"
+    )
+    peel_union = " UNION ALL ".join(
+        f"SELECT v, pr FROM p{r}" for r in range(1, KCORE_ROUNDS + 1)
+    )
+    blocks.append(f"peeled AS ({peel_union})")
+    return (
+        prefix.rstrip().rstrip(",")
+        + ",\n"
+        + ",\n".join(blocks)
+        + """
+SELECT d1.v AS doc_id,
+       d1.deg AS degree,
+       CAST(COALESCE(p.pr, 0) AS INT) AS peeled_round,
+       p.pr IS NULL AS in_kcore,
+       CAST(COALESCE(f.deg, 0) AS BIGINT) AS core_deg
+FROM d1
+LEFT JOIN peeled p USING (v)
+LEFT JOIN dfin f USING (v)
+"""
+    )
+
+
+ORACLES["dedup_graph_kcore"] = _kcore_oracle_sql()
 
 # --- r5: oracle-backed MinHash estimator ------------------------------------
 # signature columns + match terms generated mechanically so Spark and oracle

@@ -674,6 +674,16 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "require": ["partial"],
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    "dedup_graph_kcore": {
+        # unrolled peel rounds: doc-keyed semi-joins + degree aggs over a
+        # checkpointed pair-scale edge list; no quadratic anywhere
+        "require": ["partial_"],
+        "forbid": [
+            "CartesianProduct",
+            "BroadcastNestedLoopJoin",
+            "Exchange SinglePartition",
+        ],
+    },
     "events_bootstrap_ci": {
         # the B-way Generate feeds straight into a map-side-combined
         # (type, rep) agg — shuffle is K·B rows; per-type sort is B values

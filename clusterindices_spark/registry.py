@@ -135,6 +135,7 @@ _NEXT: list[str] = [
     "text_rake_keywords",
     "events_ab_ttest",
     "events_bootstrap_ci",
+    "dedup_graph_kcore",
 ]
 
 # Rows-only keys (no oracle SQL by design — approx/iterative). Kept behind

@@ -466,3 +466,27 @@ def test_events_bootstrap_ci_brackets_mean_and_replays(spark):
     means.sort()
     assert rows[et0]["ci_lo"] == means[1]
     assert rows[et0]["ci_hi"] == means[38]
+
+
+def test_kcore_peel_chain_dissolves_clique_survives(spark):
+    """On a planted path⊕clique graph the 2-core must dissolve the path
+    over successive rounds (ends first, then inward) and keep the clique
+    intact with full residual degree."""
+    from pyspark.sql import functions as F
+
+    from clusterindices_spark.operators.dedup import kcore_peel
+
+    path = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    clique = [(a, b) for a in (10, 11, 12, 13) for b in (10, 11, 12, 13) if a < b]
+    und = path + clique
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und], "s LONG, d LONG"
+    )
+    got = {r["node"]: r for r in kcore_peel(edges, k=2, rounds=3).collect()}
+    assert got[1]["peeled_round"] == 1 and got[5]["peeled_round"] == 1
+    assert got[2]["peeled_round"] == 2 and got[4]["peeled_round"] == 2
+    assert got[3]["peeled_round"] == 3
+    assert all(not got[v]["in_kcore"] for v in (1, 2, 3, 4, 5))
+    for v in (10, 11, 12, 13):
+        assert got[v]["in_kcore"] and got[v]["peeled_round"] == 0
+        assert got[v]["core_deg"] == 3 and got[v]["deg0"] == 3
