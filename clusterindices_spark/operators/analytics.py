@@ -1087,6 +1087,96 @@ def q_events_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KM_CENSOR_HOURS = 6  # users active in the final window are censored, not dead
+
+
+def q_events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve over user lifetimes — the retention
+    analysis done right: a user whose last activity falls inside the
+    final KM_CENSOR_HOURS of the corpus is CENSORED (still alive,
+    lifetime only bounded below), not counted as churned — the naive
+    churn-rate readout that ignores censoring biases retention low, which
+    is exactly what KM corrects. Lifetime = last hour − first hour (hour
+    grain: this corpus's users span most of the year, so a day-grain
+    curve would be 3 degenerate points); at each distinct
+    time t: d deaths, c censorings, n at-risk = everyone with time ≥ t;
+    S(t) = Π_{t_j ≤ t} (1 − d_j/n_j).
+
+    Determinism: d, c, n are exact integers (at-risk via a prefix-sum
+    window, not a per-row scan); each factor's ln(1 − d/n) floors to
+    BIGINT micros before the ordered cumulative sum, so log_surv is
+    exactly reproducible; surv re-exponentiates under the same
+    floor-micro contract (a last-ulp exp disagreement only flips the 6dp
+    rendering when the scaled value sits within ~1e-9 of an integer —
+    the module-wide ln/exp policy).
+
+    Scale: one user agg (corpus → U rows), one T-row time agg, two
+    ordered windows over the T-row curve (T = distinct lifetimes, day
+    grain — thousands at any corpus size). Nothing data-scale passes a
+    window."""
+    from clusterindices_spark.functions.aggregates import round6_stable
+
+    e = load_table(spark, sf_dir, "events")
+    hour = F.floor(F.unix_millis(F.col("ts")) / F.lit(3_600_000)).cast(
+        "bigint"
+    )
+    users = e.groupBy("user_id").agg(
+        F.min(hour).alias("first_h"), F.max(hour).alias("last_h")
+    )
+    max_h = users.agg(F.max("last_h").alias("max_h"))
+    u = users.crossJoin(F.broadcast(max_h)).select(
+        (F.col("last_h") - F.col("first_h")).alias("t"),
+        (
+            F.col("last_h") > F.col("max_h") - KM_CENSOR_HOURS
+        ).alias("censored"),
+    )
+    per_t = u.groupBy("t").agg(
+        F.sum(F.when(~F.col("censored"), 1).otherwise(0)).cast("bigint").alias("d"),
+        F.sum(F.when(F.col("censored"), 1).otherwise(0)).cast("bigint").alias("c"),
+    )
+    w_prev = (
+        Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    total = u.agg(F.count(F.lit(1)).alias("n_users"))
+    at_risk = per_t.crossJoin(F.broadcast(total)).withColumn(
+        "n_at_risk",
+        F.col("n_users")
+        - F.coalesce(
+            F.sum(F.col("d") + F.col("c")).over(w_prev),
+            F.lit(0).cast("bigint"),
+        ),
+    )
+    # greatest(·, 1e-300) guards the final-cohort-all-dies row (factor 0 →
+    # ln(−inf) would overflow the ANSI bigint cast); everywhere else the
+    # clamp is a no-op, and both engines apply the identical formula
+    term_micros = F.floor(
+        F.log(
+            F.greatest(
+                F.lit(1.0) - F.col("d") / F.col("n_at_risk"), F.lit(1e-300)
+            )
+        )
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("bigint")
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = at_risk.withColumn(
+        "ls_micros", F.sum(term_micros).over(w_cum)
+    )
+    return curve.select(
+        F.col("t").alias("t_hours"),
+        F.col("n_at_risk"),
+        F.col("d").alias("n_deaths"),
+        F.col("c").alias("n_censored"),
+        (F.col("ls_micros") / F.lit(1e6)).alias("log_surv"),
+        round6_stable(
+            F.exp(F.col("ls_micros") / F.lit(1e6))
+        ).alias("surv"),
+    )
+
+
 BOOT_B = 40  # bootstrap replicates
 BOOT_LO_IDX = 1  # 0-based order statistics over B sorted replicate means:
 BOOT_HI_IDX = 38  # (2nd, 39th) of 40 ≈ a 2.5%/97.5% percentile interval
@@ -1328,6 +1418,7 @@ QUERIES = {
     "events_cusum": q_events_cusum,
     "events_ab_ttest": q_events_ab_ttest,
     "events_bootstrap_ci": q_events_bootstrap_ci,
+    "events_survival_km": q_events_survival_km,
     "events_pareto_concentration": q_events_pareto_concentration,
     "events_last_touch": q_events_last_touch,
     "curation_kfold": q_curation_kfold,
@@ -1428,6 +1519,50 @@ SELECT decile,
        {SQL_ROUND6.format(x="CAST(MAX(cum) AS DOUBLE) / (SELECT total FROM tot)")} AS cum_share
 FROM d
 GROUP BY decile
+""",
+    "events_survival_km": f"""
+WITH d0 AS (
+  SELECT user_id,
+         CAST(floor(epoch_ms(CAST(ts AS TIMESTAMP)) / 3600000) AS BIGINT)
+           AS h
+  FROM events
+),
+users AS (
+  SELECT user_id, MIN(h) AS first_h, MAX(h) AS last_h
+  FROM d0 GROUP BY user_id
+),
+mx AS (SELECT MAX(last_h) AS max_h FROM users),
+u AS (
+  SELECT (last_h - first_h) AS t,
+         (last_h > max_h - {KM_CENSOR_HOURS}) AS censored
+  FROM users CROSS JOIN mx
+),
+per AS (
+  SELECT t,
+         CAST(SUM(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         CAST(SUM(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT) AS c
+  FROM u GROUP BY t
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM u),
+ar AS (
+  SELECT t, d, c,
+         n_users - COALESCE(CAST(SUM(d + c) OVER (
+             ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS BIGINT), 0) AS n_at_risk
+  FROM per CROSS JOIN tot
+),
+cur AS (
+  SELECT t, n_at_risk, d, c,
+         CAST(SUM(CAST(floor(ln(greatest(1.0 - d / n_at_risk, 1e-300))
+                             * 1000000.0 + 0.5) AS BIGINT) ) OVER (
+             ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS ls
+  FROM ar
+)
+SELECT t AS t_hours, n_at_risk, d AS n_deaths, c AS n_censored,
+       ls / 1000000.0 AS log_surv,
+       {SQL_ROUND6.format(x="exp(ls / 1000000.0)")} AS surv
+FROM cur
 """,
     "events_bootstrap_ci": f"""
 WITH ex AS (

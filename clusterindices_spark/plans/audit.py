@@ -684,6 +684,12 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
             "Exchange SinglePartition",
         ],
     },
+    "events_survival_km": {
+        # corpus → U-row user agg → T-row curve; the ordered curve windows
+        # run over T rows (the sanctioned driver-scale single partition)
+        "require": ["Window", "partial_"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
     "events_bootstrap_ci": {
         # the B-way Generate feeds straight into a map-side-combined
         # (type, rep) agg — shuffle is K·B rows; per-type sort is B values

@@ -136,6 +136,7 @@ _NEXT: list[str] = [
     "events_ab_ttest",
     "events_bootstrap_ci",
     "dedup_graph_kcore",
+    "events_survival_km",
 ]
 
 # Rows-only keys (no oracle SQL by design — approx/iterative). Kept behind

@@ -490,3 +490,54 @@ def test_kcore_peel_chain_dissolves_clique_survives(spark):
     for v in (10, 11, 12, 13):
         assert got[v]["in_kcore"] and got[v]["peeled_round"] == 0
         assert got[v]["core_deg"] == 3 and got[v]["deg0"] == 3
+
+
+def test_events_survival_km_replays_textbook_estimator(spark):
+    """Spark's KM curve must replay the textbook estimator computed
+    directly from user lifetimes (same censoring rule), be monotone
+    non-increasing, and sit ABOVE the censoring-blind naive curve (the
+    bias KM exists to correct)."""
+    import duckdb
+
+    from clusterindices_spark.operators.analytics import (
+        KM_CENSOR_HOURS,
+        q_events_survival_km,
+    )
+
+    rows = sorted(
+        q_events_survival_km(spark, SF_SMOKE).collect(),
+        key=lambda r: r["t_hours"],
+    )
+    assert len(rows) >= 5
+    lifetimes = duckdb.sql(
+        f"""WITH d0 AS (SELECT user_id,
+              CAST(floor(epoch_ms(CAST(ts AS TIMESTAMP)) / 3600000) AS BIGINT) AS h
+            FROM '{SF_SMOKE}/events.parquet')
+            SELECT MAX(h) - MIN(h) AS t, MAX(h) AS lh FROM d0 GROUP BY user_id"""
+    ).fetchall()
+    max_h = max(lh for _, lh in lifetimes)
+    obs = [(t, lh <= max_h - KM_CENSOR_HOURS) for t, lh in lifetimes]  # (t, died)
+    n_at_risk = len(obs)
+    surv_log_micros = 0
+    prev_s = 1.0
+    for r in rows:
+        t = r["t_hours"]
+        d = sum(1 for tt, died in obs if tt == t and died)
+        c = sum(1 for tt, died in obs if tt == t and not died)
+        assert r["n_deaths"] == d and r["n_censored"] == c, t
+        assert r["n_at_risk"] == n_at_risk, t
+        surv_log_micros += math.floor(
+            math.log(max(1.0 - d / n_at_risk, 1e-300)) * 1e6 + 0.5
+        )
+        s = math.floor(math.exp(surv_log_micros / 1e6) * 1e6 + 0.5) / 1e6
+        assert r["surv"] == s, t
+        assert r["surv"] <= prev_s + 1e-12, "curve must not increase"
+        prev_s = r["surv"]
+        n_at_risk -= d + c
+    # censoring-blind naive survival at the last death time underestimates
+    deaths = sorted(t for t, died in obs if died)
+    if deaths:
+        t_last = deaths[-1]
+        naive = sum(1 for t, _ in obs if t > t_last) / len(obs)
+        km_last = [r["surv"] for r in rows if r["t_hours"] == t_last][0]
+        assert km_last >= naive - 1e-9
