@@ -160,6 +160,7 @@ HEADLINE = [
     "events_ab_ttest",
     "events_bootstrap_ci",
     "dedup_graph_kcore",
+    "events_survival_km",
 ]
 
 # Per-key recall floors (VERDICT r5 item 3): the bench FAILS — explicit
