@@ -731,7 +731,53 @@ def q_scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_status_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build (the warehouse dimension-versioning
+    pattern) from an append-only change log: per customer, consecutive
+    runs of the same order status collapse into validity intervals
+    [valid_from, valid_to) with the classic gaps-and-islands device — a
+    change flag (status ≠ lag) running-summed into an island id, one agg
+    per island, lead() for the closing bound (NULL = current row, the
+    open interval). Deterministic ordering via (o_orderdate, o_orderkey).
+
+    Scale: two customer-partitioned windows + one (customer, island) agg
+    — fully parallel across customers, no global structure; exactly the
+    SCD2 merge a warehouse runs at any size."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        "o_orderstatus",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    chg = (
+        F.lag("o_orderstatus").over(w).isNull()
+        | (F.col("o_orderstatus") != F.lag("o_orderstatus").over(w))
+    ).cast("int")
+    islands = o.withColumn(
+        "island",
+        F.sum(chg).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    runs = islands.groupBy("o_custkey", "island").agg(
+        F.max("o_orderstatus").alias("status"),
+        F.min("d").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("island")
+    return runs.select(
+        "o_custkey",
+        F.col("island").cast("bigint").alias("version"),
+        "status",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_orders",
+    )
+
+
 QUERIES = {
+    "scd2_status_intervals": q_scd2_status_intervals,
     "scalar_bitwise": q_scalar_bitwise,
     "window_interval_merge": q_window_interval_merge,
     "agg_bool_modal": q_agg_bool_modal,
@@ -764,6 +810,34 @@ QUERIES = {
 _EV = "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events)"
 
 ORACLES = {
+    "scd2_status_intervals": """
+WITH o AS (
+  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d, o_orderstatus
+  FROM orders
+),
+flagged AS (
+  SELECT *, CASE WHEN lag(o_orderstatus) OVER w IS NULL
+                   OR o_orderstatus <> lag(o_orderstatus) OVER w
+             THEN 1 ELSE 0 END AS chg
+  FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY d, o_orderkey)
+),
+isl AS (
+  SELECT *, CAST(SUM(chg) OVER (
+      PARTITION BY o_custkey ORDER BY d, o_orderkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+  FROM flagged
+),
+runs AS (
+  SELECT o_custkey, island, MAX(o_orderstatus) AS status,
+         MIN(d) AS valid_from, CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM isl GROUP BY 1, 2
+)
+SELECT o_custkey, island AS version, status, valid_from,
+       lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY island)
+         AS valid_to,
+       n_orders
+FROM runs
+""",
     "scalar_bitwise": """
 SELECT o_orderkey,
        o_orderkey & 255 AS low_byte,

@@ -684,6 +684,11 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
             "Exchange SinglePartition",
         ],
     },
+    "scd2_status_intervals": {
+        # customer-partitioned windows + (customer, island) agg; join-free
+        "require": ["Window", "partial_"],
+        "forbid": ["CartesianProduct", "Join", "Exchange SinglePartition"],
+    },
     "events_survival_km": {
         # corpus → U-row user agg → T-row curve; the ordered curve windows
         # run over T rows (the sanctioned driver-scale single partition)

@@ -137,6 +137,7 @@ _NEXT: list[str] = [
     "events_bootstrap_ci",
     "dedup_graph_kcore",
     "events_survival_km",
+    "scd2_status_intervals",
 ]
 
 # Rows-only keys (no oracle SQL by design — approx/iterative). Kept behind

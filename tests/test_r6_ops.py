@@ -541,3 +541,36 @@ def test_events_survival_km_replays_textbook_estimator(spark):
         naive = sum(1 for t, _ in obs if t > t_last) / len(obs)
         km_last = [r["surv"] for r in rows if r["t_hours"] == t_last][0]
         assert km_last >= naive - 1e-9
+
+
+def test_scd2_intervals_partition_history(spark):
+    """SCD2 contract per customer: versions are 1..N, consecutive runs
+    change status, valid_to of run i equals valid_from of run i+1 (the
+    half-open chain), exactly one open interval (valid_to NULL), and the
+    run order counts sum to the customer's order count."""
+    import duckdb
+
+    from clusterindices_spark.operators.relational_ext import (
+        q_scd2_status_intervals,
+    )
+
+    by_cust = {}
+    for r in q_scd2_status_intervals(spark, SF_SMOKE).collect():
+        by_cust.setdefault(r["o_custkey"], []).append(r)
+    counts = dict(
+        duckdb.sql(
+            f"SELECT o_custkey, COUNT(*) FROM '{SF_SMOKE}/orders.parquet'"
+            " GROUP BY o_custkey"
+        ).fetchall()
+    )
+    assert set(by_cust) == set(counts)
+    for ck, runs in by_cust.items():
+        runs.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in runs] == list(range(1, len(runs) + 1))
+        assert sum(r["n_orders"] for r in runs) == counts[ck]
+        opens = [r for r in runs if r["valid_to"] is None]
+        assert len(opens) == 1 and opens[0] is runs[-1]
+        for a, b in zip(runs, runs[1:]):
+            assert a["status"] != b["status"], ck
+            assert a["valid_to"] == b["valid_from"], ck
+            assert a["valid_from"] <= b["valid_from"], ck
