@@ -161,6 +161,8 @@ HEADLINE = [
     "events_bootstrap_ci",
     "dedup_graph_kcore",
     "events_survival_km",
+    "scd2_status_intervals",
+    "agg_weighted_median",
 ]
 
 # Per-key recall floors (VERDICT r5 item 3): the bench FAILS — explicit

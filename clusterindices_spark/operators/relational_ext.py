@@ -776,7 +776,89 @@ def q_scd2_status_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WM_BUCKET_CENTS = 1_000_000  # $10k CDF buckets over the price domain
+
+
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted median (quantity-weighted extended price per return
+    flag) via the scale-correct two-pass bucketed-CDF algorithm — the
+    definitional computation sorts the whole group under a window, which
+    is exactly what cannot run at 100 TB; here:
+
+      pass 1: per-group bucket weight histogram (map-side combined) →
+              a B-row CDF per group → the winning bucket (first with
+              2·cum ≥ total) + the cumulative weight BEFORE it;
+      pass 2: only the winning bucket's rows (≈ n/B) re-aggregate by
+              exact price; the within-bucket CDF offset by pass 1's
+              prefix picks the exact median.
+
+    No data-scale sort or window anywhere — windows run over B-row and
+    within-bucket price tables. If a bucket is still too large, the same
+    split recurses (one more pass per 10³ reduction). The ORACLE is the
+    O(n·log n) definitional form (full sorted CDF) — so the gate proves
+    the ALGORITHM equals the definition, not merely that two engines ran
+    the same expressions. All arithmetic is exact integer cents/weights;
+    the only float is the final cents/100 rendering."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("rf"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("bigint").alias("w"),
+    )
+    b = li.withColumn(
+        "bucket", F.floor(F.col("cents") / F.lit(WM_BUCKET_CENTS)).cast("bigint")
+    )
+    bw = b.groupBy("rf", "bucket").agg(F.sum("w").alias("bw"))
+    w_cum = (
+        Window.partitionBy("rf")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bc = bw.withColumn("cum", F.sum("bw").over(w_cum)).withColumn(
+        "tot", F.sum("bw").over(Window.partitionBy("rf"))
+    )
+    w_pick = Window.partitionBy("rf").orderBy("bucket")
+    cand = (
+        bc.where(2 * F.col("cum") >= F.col("tot"))
+        .withColumn("rn", F.row_number().over(w_pick))
+        .where(F.col("rn") == 1)
+        .select(
+            "rf",
+            F.col("bucket").alias("b_star"),
+            (F.col("cum") - F.col("bw")).alias("prev_cum"),
+            "tot",
+        )
+    )
+    in_b = b.join(F.broadcast(cand), "rf").where(
+        F.col("bucket") == F.col("b_star")
+    )
+    pw = in_b.groupBy("rf", "cents", "prev_cum", "tot").agg(
+        F.sum("w").alias("pw")
+    )
+    w_cum2 = (
+        Window.partitionBy("rf")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_pick2 = Window.partitionBy("rf").orderBy("cents")
+    return (
+        pw.withColumn(
+            "cum2", F.col("prev_cum") + F.sum("pw").over(w_cum2)
+        )
+        .where(2 * F.col("cum2") >= F.col("tot"))
+        .withColumn("rn", F.row_number().over(w_pick2))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("rf").alias("l_returnflag"),
+            F.col("tot").alias("total_weight"),
+            (F.col("cents") / F.lit(100.0)).alias("weighted_median"),
+        )
+    )
+
+
 QUERIES = {
+    "agg_weighted_median": q_agg_weighted_median,
     "scd2_status_intervals": q_scd2_status_intervals,
     "scalar_bitwise": q_scalar_bitwise,
     "window_interval_merge": q_window_interval_merge,
@@ -810,6 +892,34 @@ QUERIES = {
 _EV = "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events)"
 
 ORACLES = {
+    # DEFINITIONAL oracle: the full sorted weighted CDF — deliberately a
+    # different algorithm than the Spark two-pass bucketed form, so the
+    # gate certifies algorithm ≡ definition (see q_agg_weighted_median)
+    "agg_weighted_median": """
+WITH li AS (
+  SELECT l_returnflag AS rf,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(floor(l_quantity + 0.5) AS BIGINT) AS w
+  FROM lineitem
+),
+pw AS (SELECT rf, cents, CAST(SUM(w) AS BIGINT) AS pw FROM li GROUP BY 1, 2),
+c AS (
+  SELECT rf, cents,
+         CAST(SUM(pw) OVER (PARTITION BY rf ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum,
+         CAST(SUM(pw) OVER (PARTITION BY rf) AS BIGINT) AS tot
+  FROM pw
+),
+m AS (
+  SELECT rf, cents, tot,
+         row_number() OVER (PARTITION BY rf ORDER BY cents) AS rn
+  FROM c WHERE 2 * cum >= tot
+)
+SELECT rf AS l_returnflag, tot AS total_weight,
+       cents / 100.0 AS weighted_median
+FROM m WHERE rn = 1
+""",
     "scd2_status_intervals": """
 WITH o AS (
   SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d, o_orderstatus

@@ -684,6 +684,16 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
             "Exchange SinglePartition",
         ],
     },
+    "agg_weighted_median": {
+        # bucketed-CDF passes: windows only over B-row/winning-bucket
+        # frames, 3-row candidate broadcast, map-side-combined histograms
+        "require": ["Window", "partial_", "Broadcast"],
+        "forbid": [
+            "CartesianProduct",
+            "SortMergeJoin",
+            "Exchange SinglePartition",
+        ],
+    },
     "scd2_status_intervals": {
         # customer-partitioned windows + (customer, island) agg; join-free
         "require": ["Window", "partial_"],

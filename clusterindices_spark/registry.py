@@ -138,6 +138,7 @@ _NEXT: list[str] = [
     "dedup_graph_kcore",
     "events_survival_km",
     "scd2_status_intervals",
+    "agg_weighted_median",
 ]
 
 # Rows-only keys (no oracle SQL by design — approx/iterative). Kept behind

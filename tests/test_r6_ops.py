@@ -574,3 +574,43 @@ def test_scd2_intervals_partition_history(spark):
             assert a["status"] != b["status"], ck
             assert a["valid_to"] == b["valid_from"], ck
             assert a["valid_from"] <= b["valid_from"], ck
+
+
+def test_weighted_median_bucketed_equals_definition_on_edges(spark):
+    """The two-pass bucketed algorithm must equal the definitional sorted
+    CDF on adversarial cases: the 2·cum == tot exact boundary, medians
+    landing exactly ON a bucket edge, and single-row groups."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from clusterindices_spark.operators.relational_ext import (
+        WM_BUCKET_CENTS,
+        q_agg_weighted_median,
+    )
+
+    edge = WM_BUCKET_CENTS / 100.0  # price exactly on a bucket boundary
+    rows = [
+        # group A: weights 1,1 → 2*cum==tot at the FIRST row (even split):
+        # definition picks the smaller price
+        ("A", 10.00, 1.0), ("A", 20.00, 1.0),
+        # group B: median exactly on the bucket edge
+        ("B", edge - 1.0, 1.0), ("B", edge, 2.0), ("B", edge + 1.0, 1.0),
+        # group C: single row
+        ("C", 42.42, 7.0),
+        # group D: heavy weight dominates from a later bucket
+        ("D", 5.00, 1.0), ("D", edge * 3, 10.0),
+    ]
+    d = spark.createDataFrame(
+        rows, "l_returnflag STRING, l_extendedprice DOUBLE, l_quantity DOUBLE"
+    )
+    tmp = tempfile.mkdtemp(prefix="ci-wm-")
+    d.write.mode("overwrite").parquet(f"{tmp}/lineitem.parquet")
+    got = {
+        r["l_returnflag"]: (r["total_weight"], r["weighted_median"])
+        for r in q_agg_weighted_median(spark, tmp).collect()
+    }
+    assert got["A"] == (2, 10.00)
+    assert got["B"] == (4, edge)
+    assert got["C"] == (7, 42.42)
+    assert got["D"] == (11, edge * 3)
