@@ -163,6 +163,7 @@ HEADLINE = [
     "events_survival_km",
     "scd2_status_intervals",
     "agg_weighted_median",
+    "agg_quantiles_bucketed",
 ]
 
 # Per-key recall floors (VERDICT r5 item 3): the bench FAILS — explicit

@@ -857,7 +857,91 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q_BUCKET_MICROS = 1_000_000  # unit-width CDF buckets over value micros
+# type-1 (lower order statistic) quantiles as exact fractions — integer
+# rank arithmetic end-to-end, no float p
+Q_FRACTIONS = (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+
+
+def q_agg_quantiles_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT type-1 quantiles (p50/p90/p99 order statistics of
+    events.value per type) via the bucketed-CDF algorithm — the third
+    tier of the quantile family: `agg_quantiles` is the interpolated
+    exact form whose per-group sort is the 100 TB cost, `agg_quantiles_
+    approx` is the bounded-error sketch, and THIS is exact AND scalable:
+    all requested quantiles share ONE B-row CDF per group (pass 1), then
+    one refinement pass touches only the winning buckets (≈ n/B rows
+    per quantile). Ranks are exact integer fractions (⌈p·n⌉ via
+    (num·n + den − 1) DIV den) — no float p anywhere; the only float is
+    the final micros/1e6 rendering.
+
+    The ORACLE is the definitional form (smallest value whose cumulative
+    count reaches the rank, over the full sorted CDF) — the gate
+    certifies algorithm ≡ definition (the weighted-median contract)."""
+    ev = load_table(spark, sf_dir, "events")
+    vm = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    ex = ev.select(F.col("event_type").alias("et"), vm.alias("vm"))
+    b = ex.withColumn(
+        "bucket", F.floor(F.col("vm") / F.lit(Q_BUCKET_MICROS)).cast("bigint")
+    )
+    bw = b.groupBy("et", "bucket").agg(F.count(F.lit(1)).alias("bw"))
+    w_cum = (
+        Window.partitionBy("et")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bc = bw.withColumn("cum", F.sum("bw").over(w_cum)).withColumn(
+        "tot", F.sum("bw").over(Window.partitionBy("et"))
+    )
+    ps = spark.createDataFrame(
+        list(Q_FRACTIONS), "p STRING, num LONG, den LONG"
+    )
+    tagged = bc.crossJoin(F.broadcast(ps)).withColumn(
+        "r",
+        F.expr("(num * tot + den - 1) DIV den"),
+    )
+    w_pick = Window.partitionBy("et", "p").orderBy("bucket")
+    cand = (
+        tagged.where(F.col("cum") >= F.col("r"))
+        .withColumn("rn", F.row_number().over(w_pick))
+        .where(F.col("rn") == 1)
+        .select(
+            "et",
+            "p",
+            F.col("bucket").alias("b_star"),
+            (F.col("cum") - F.col("bw")).alias("prev_cum"),
+            "r",
+            "tot",
+        )
+    )
+    in_b = b.join(F.broadcast(cand), "et").where(
+        F.col("bucket") == F.col("b_star")
+    )
+    pw = in_b.groupBy("et", "p", "vm", "prev_cum", "r", "tot").agg(
+        F.count(F.lit(1)).alias("pw")
+    )
+    w_cum2 = (
+        Window.partitionBy("et", "p")
+        .orderBy("vm")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_pick2 = Window.partitionBy("et", "p").orderBy("vm")
+    return (
+        pw.withColumn("cum2", F.col("prev_cum") + F.sum("pw").over(w_cum2))
+        .where(F.col("cum2") >= F.col("r"))
+        .withColumn("rn", F.row_number().over(w_pick2))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("et").alias("event_type"),
+            "p",
+            F.col("tot").alias("n_rows"),
+            (F.col("vm") / F.lit(1e6)).alias("q"),
+        )
+    )
+
+
 QUERIES = {
+    "agg_quantiles_bucketed": q_agg_quantiles_bucketed,
     "agg_weighted_median": q_agg_weighted_median,
     "scd2_status_intervals": q_scd2_status_intervals,
     "scalar_bitwise": q_scalar_bitwise,
@@ -892,6 +976,36 @@ QUERIES = {
 _EV = "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events)"
 
 ORACLES = {
+    # DEFINITIONAL oracle: full sorted CDF per (type, p) — certifies the
+    # bucketed two-pass algorithm equals the type-1 quantile definition
+    "agg_quantiles_bucketed": """
+WITH ex AS (
+  SELECT event_type AS et,
+         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vm
+  FROM events
+),
+pw AS (SELECT et, vm, CAST(COUNT(*) AS BIGINT) AS pw FROM ex GROUP BY 1, 2),
+c AS (
+  SELECT et, vm,
+         CAST(SUM(pw) OVER (PARTITION BY et ORDER BY vm
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum,
+         CAST(SUM(pw) OVER (PARTITION BY et) AS BIGINT) AS tot
+  FROM pw
+),
+ps AS (
+  SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100))
+    t(p, num, den)
+),
+m AS (
+  SELECT c.et, ps.p, c.tot, c.vm,
+         row_number() OVER (PARTITION BY c.et, ps.p ORDER BY c.vm) AS rn
+  FROM c CROSS JOIN ps
+  WHERE c.cum >= (ps.num * c.tot + ps.den - 1) // ps.den
+)
+SELECT et AS event_type, p, tot AS n_rows, vm / 1000000.0 AS q
+FROM m WHERE rn = 1
+""",
     # DEFINITIONAL oracle: the full sorted weighted CDF — deliberately a
     # different algorithm than the Spark two-pass bucketed form, so the
     # gate certifies algorithm ≡ definition (see q_agg_weighted_median)

@@ -684,6 +684,15 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
             "Exchange SinglePartition",
         ],
     },
+    "agg_quantiles_bucketed": {
+        # shared B-row CDF + winning-bucket refinement; candidate broadcast
+        "require": ["Window", "partial_", "Broadcast"],
+        "forbid": [
+            "CartesianProduct",
+            "SortMergeJoin",
+            "Exchange SinglePartition",
+        ],
+    },
     "agg_weighted_median": {
         # bucketed-CDF passes: windows only over B-row/winning-bucket
         # frames, 3-row candidate broadcast, map-side-combined histograms

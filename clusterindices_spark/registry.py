@@ -139,6 +139,7 @@ _NEXT: list[str] = [
     "events_survival_km",
     "scd2_status_intervals",
     "agg_weighted_median",
+    "agg_quantiles_bucketed",
 ]
 
 # Rows-only keys (no oracle SQL by design — approx/iterative). Kept behind

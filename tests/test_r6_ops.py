@@ -614,3 +614,38 @@ def test_weighted_median_bucketed_equals_definition_on_edges(spark):
     assert got["B"] == (4, edge)
     assert got["C"] == (7, 42.42)
     assert got["D"] == (11, edge * 3)
+
+
+def test_bucketed_quantiles_match_sorted_definition(spark):
+    """Bucketed two-pass type-1 quantiles must equal the sorted-order-
+    statistic definition replayed in Python, and p50 must sit within one
+    value step of the interpolated exact ladder."""
+    import duckdb
+
+    from clusterindices_spark.operators.relational_ext import (
+        Q_FRACTIONS,
+        q_agg_quantiles,
+        q_agg_quantiles_bucketed,
+    )
+
+    got = {
+        (r["event_type"], r["p"]): (r["n_rows"], r["q"])
+        for r in q_agg_quantiles_bucketed(spark, SF_SMOKE).collect()
+    }
+    vals = {}
+    for et, v in duckdb.sql(
+        f"SELECT event_type, value FROM '{SF_SMOKE}/events.parquet'"
+    ).fetchall():
+        vals.setdefault(et, []).append(math.floor(v * 1e6 + 0.5))
+    for et, xs in vals.items():
+        xs.sort()
+        n = len(xs)
+        for p, num, den in Q_FRACTIONS:
+            r = (num * n + den - 1) // den
+            want = xs[r - 1] / 1e6
+            assert got[(et, p)] == (n, want), (et, p)
+    interp = {
+        r["event_type"]: r["p50"] for r in q_agg_quantiles(spark, SF_SMOKE).collect()
+    }
+    for et in interp:
+        assert abs(got[(et, "p50")][1] - interp[et]) < 0.51, et
