@@ -1325,7 +1325,7 @@ def q_events_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CUSUM_SLACK_DIV = 4  # slack k = mean/4 (micros, integer-derived)
+CUSUM_ALLOWANCE_DIV = 4  # allowance k = mean/4 (micros, integer-derived)
 CUSUM_H_MULT = 3  # alarm threshold h = 3·mean
 
 
@@ -1342,7 +1342,7 @@ def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions (running SUM + running MIN) and stay fully parallel per
     event type. All deviations are exact BIGINT micros: μ is floor-scaled
     once per type (floor(total·1e6 / D), double-exact far past this scale),
-    slack k = μ/4 and threshold h = 3μ derive from it in integer space, so
+    allowance k = μ/4 and threshold h = 3μ derive from it in integer space, so
     the only floats are the final /1e6 renderings (exact: micros < 2^53).
 
     Missing hours are skipped, not zero-filled (the autocorr/forecast keys'
@@ -1368,7 +1368,7 @@ def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean_micros = F.floor(
         F.col("total") * F.lit(1_000_000.0) / F.col("d_hours")
     ).cast("bigint")
-    k_micros = F.floor(F.col("mean_micros") / F.lit(CUSUM_SLACK_DIV)).cast(
+    k_micros = F.floor(F.col("mean_micros") / F.lit(CUSUM_ALLOWANCE_DIV)).cast(
         "bigint"
     )
     with_mu = h.join(
@@ -1653,7 +1653,7 @@ stats AS (
 ),
 m AS (
   SELECT h.event_type, h.hour, h.n, s.mean_micros,
-         CAST(floor(s.mean_micros / {CUSUM_SLACK_DIV}) AS BIGINT) AS k_micros
+         CAST(floor(s.mean_micros / {CUSUM_ALLOWANCE_DIV}) AS BIGINT) AS k_micros
   FROM h JOIN stats s USING (event_type)
 ),
 c AS (

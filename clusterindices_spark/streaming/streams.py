@@ -553,13 +553,13 @@ def cusum_state_stream(
 
     from clusterindices_spark.operators.analytics import (  # noqa: PLC0415
         CUSUM_H_MULT,
-        CUSUM_SLACK_DIV,
+        CUSUM_ALLOWANCE_DIV,
     )
 
     def update(key, pdf_iter, state):
         et = key[0]
         mean = int(ref_mean_micros.get(et, 0))
-        k = mean // CUSUM_SLACK_DIV
+        k = mean // CUSUM_ALLOWANCE_DIV
         h = CUSUM_H_MULT * mean
         if state.exists:
             hours, cp, cpm, cn, cnm, n_al, ph, pn = state.get

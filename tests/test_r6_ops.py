@@ -195,7 +195,7 @@ def test_events_cusum_closed_form_matches_recursion(spark):
 
     from clusterindices_spark.operators.analytics import (
         CUSUM_H_MULT,
-        CUSUM_SLACK_DIV,
+        CUSUM_ALLOWANCE_DIV,
         q_events_cusum,
     )
 
@@ -220,7 +220,7 @@ def test_events_cusum_closed_form_matches_recursion(spark):
     for et, rows in series.items():
         total = sum(n for _, n in rows)
         mean_micros = int(math.floor(total * 1_000_000.0 / len(rows)))
-        k = int(math.floor(mean_micros / CUSUM_SLACK_DIV))
+        k = int(math.floor(mean_micros / CUSUM_ALLOWANCE_DIV))
         sp = sn = 0
         for hour, n in rows:
             sp = max(0, sp + n * 1_000_000 - mean_micros - k)

@@ -84,7 +84,7 @@ def test_agg_quantiles_approx_tracks_exact(spark):
         for name, p in (("p25", 0.25), ("p50", 0.5), ("p75", 0.75), ("p90", 0.9), ("p99", 0.99)):
             got = getattr(approx[et], name)
             # rank-error contract: the returned value's rank must be within
-            # n/accuracy (+1 slack for interpolation vs selection) of p*n
+            # n/accuracy (+1 margin for interpolation vs selection) of p*n
             import bisect
 
             rank = bisect.bisect_right(xs, got)
