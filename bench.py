@@ -164,6 +164,7 @@ HEADLINE = [
     "scd2_status_intervals",
     "agg_weighted_median",
     "agg_quantiles_bucketed",
+    "dedup_minhash_pr_curve",
 ]
 
 # Per-key recall floors (VERDICT r5 item 3): the bench FAILS — explicit

@@ -206,16 +206,18 @@ def _doc_shingles(d: DataFrame) -> DataFrame:
     ).withColumn("n_shingles", F.size("shingles"))
 
 
-def ngram_jaccard_pairs(
+def ngram_scored_pairs(
     d: DataFrame,
-    threshold: float = JACCARD_THRESHOLD,
     max_shingle_df: int = MAX_SHINGLE_DF,
 ) -> DataFrame:
-    """Exact Jaccard over word-3-gram sets for every pair sharing ≥1
-    (non-stop) shingle. Shingles with document frequency > max_shingle_df
-    are removed from every set first (see MAX_SHINGLE_DF) — without the cap
-    a single boilerplate shingle shared by m documents contributes m²/2
-    join rows."""
+    """Exact Jaccard over word-3-gram sets for EVERY pair sharing ≥1
+    (non-stop) shingle — the unthresholded candidate universe. Shingles
+    with document frequency > max_shingle_df are removed from every set
+    first (see MAX_SHINGLE_DF) — without the cap a single boilerplate
+    shingle shared by m documents contributes m²/2 join rows. Pinned
+    separately from the thresholded view so the estimator PR audit (which
+    needs sub-threshold pairs to count false positives) shares one
+    generation with the dedup family."""
 
     sh = _doc_shingles(d)
     # persisted: the exploded frame feeds the hot-set aggregation, the
@@ -258,15 +260,28 @@ def ngram_jaccard_pairs(
     jac = F.round(
         F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
     )
-    # pair table pinned (r5): dedup_minhash_est consumes the same verified
-    # pairs right after this key in a sweep — sharing the generation saves
-    # the inter self-join + groupBy on the second caller (~2.5 s at sf0.1)
     return _repin(
-        "ngram_jaccard_pairs",
+        "ngram_pairs_scored",
         inter.join(F.broadcast(na), "doc_a")
         .join(F.broadcast(nb), "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= threshold),
+        .select("doc_a", "doc_b", jac.alias("jaccard")),
+    )
+
+
+def ngram_jaccard_pairs(
+    d: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    max_shingle_df: int = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """The verified (≥ threshold) pair table — a filter over the pinned
+    scored universe. Kept as its own pin (pair-scale, tiny) so the whole
+    dedup family's repeated consumption stays one cache scan; the r5
+    sharing contract (dedup_minhash_est reuses the same generation)
+    is unchanged."""
+    scored = ngram_scored_pairs(d, max_shingle_df=max_shingle_df)
+    return _repin(
+        "ngram_jaccard_pairs",
+        scored.where(F.col("jaccard") >= threshold),
     )
 
 
@@ -1124,6 +1139,139 @@ def _mh_perm(i: int, fp) -> F.Column:
     return (F.lit(2 * i + 1) * fp + F.lit(b)) % F.lit(FNV_MOD)
 
 
+def _minhash_sigs(d: DataFrame) -> DataFrame:
+    """Portable-hash MinHash signatures (rolling fingerprint + affine
+    permutations — every constant replayable in SQL) over the capped
+    shingle sets; shared by the estimator audit and the PR-curve audit."""
+    from clusterindices_spark.functions.text import rolling_fingerprint
+
+    sh = _doc_shingles(d)
+    ex_all = _repin(
+        "ngram_exploded",
+        sh.select("doc_id", F.explode("shingles").alias("shingle")),
+    )
+    hot = (
+        ex_all.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    ex0 = ex_all.join(F.broadcast(hot), "shingle", "left_anti")
+    fp = ex0.select(
+        "doc_id", rolling_fingerprint(F.col("shingle")).alias("fp")
+    )
+    return fp.groupBy("doc_id").agg(
+        *[
+            F.min(_mh_perm(i, F.col("fp"))).alias(f"s{i}")
+            for i in range(MINHASH_EST_H)
+        ]
+    )
+
+
+# PR-curve threshold grid in Jaccard micros (integer — no float taus).
+# The low end is where a 16-perm signature actually errs (estimates are
+# multiples of 1/16, so τ ≤ 0.1 shows the quantization false-positive
+# flood: precision 0.02 → 1.0 across this grid on the gate corpus); from
+# τ ≈ 0.3 up the fixture's near-dups separate perfectly.
+PR_TAUS = (
+    ("t05", 50_000),
+    ("t10", 100_000),
+    ("t20", 200_000),
+    ("t30", 300_000),
+    ("t50", 500_000),
+    ("t80", 800_000),
+)
+_EST_STEP_MICROS = 1_000_000 // MINHASH_EST_H  # 62 500 per matching perm
+
+
+def q_dedup_minhash_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the MinHash estimator AS A CLASSIFIER at a
+    threshold grid, over the full co-shingle candidate universe — the
+    tuning table that answers "if I dedup at τ on signatures alone, what
+    do I lose and what do I over-merge?" (the per-pair error audit,
+    dedup_minhash_est, bounds the estimate; this bounds the DECISION).
+    Ground truth = exact Jaccard ≥ τ; prediction = signature estimate ≥ τ;
+    both compared in exact integer micros (estimate = matches·62500), so
+    tp/fp/fn are integer-exact and only the final P/R divisions float.
+
+    Pairs with no shared shingle are outside the universe (both tiers
+    emit nothing there; a signature collision on a disjoint pair is the
+    only unmeasured false-positive source, bounded by the banding tier's
+    verification step in production).
+
+    Scale: reuses the pinned scored-pair universe + signature table; the
+    4-row τ grid explodes onto the pair frame (map-side-combined agg by
+    τ) — nothing new shuffles."""
+    from clusterindices_spark.functions.aggregates import round6_stable
+
+    d = load_table(spark, sf_dir, "documents")
+    sig = _minhash_sigs(d)
+    scored = ngram_scored_pairs(d)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"s{i}").alias(f"a{i}") for i in range(MINHASH_EST_H)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"s{i}").alias(f"b{i}") for i in range(MINHASH_EST_H)],
+    )
+    matches = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+        for i in range(MINHASH_EST_H)
+    )
+    pe = (
+        scored.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.floor(F.col("jaccard") * F.lit(1e6) + F.lit(0.5))
+            .cast("bigint")
+            .alias("jm"),
+            (matches * F.lit(_EST_STEP_MICROS)).cast("bigint").alias("em"),
+        )
+    )
+    grid = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(lbl).alias("tau_label"),
+                    F.lit(tm).cast("bigint").alias("tau_micros"),
+                )
+                for lbl, tm in PR_TAUS
+            ]
+        )
+    ).alias("g")
+    tagged = pe.select("jm", "em", grid).select(
+        "jm", "em", F.col("g.tau_label").alias("tau_label"),
+        F.col("g.tau_micros").alias("tau_micros"),
+    )
+    agg = tagged.groupBy("tau_label", "tau_micros").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(
+            ((F.col("jm") >= F.col("tau_micros")) & (F.col("em") >= F.col("tau_micros"))).cast("int")
+        ).cast("bigint").alias("tp"),
+        F.sum(
+            ((F.col("em") >= F.col("tau_micros")) & (F.col("jm") < F.col("tau_micros"))).cast("int")
+        ).cast("bigint").alias("fp"),
+        F.sum(
+            ((F.col("jm") >= F.col("tau_micros")) & (F.col("em") < F.col("tau_micros"))).cast("int")
+        ).cast("bigint").alias("fn"),
+    )
+    return agg.select(
+        "tau_label",
+        (F.col("tau_micros") / F.lit(1e6)).alias("tau"),
+        "n_candidates",
+        "tp",
+        "fp",
+        "fn",
+        round6_stable(
+            F.col("tp") / F.nullif(F.col("tp") + F.col("fp"), F.lit(0))
+        ).alias("precision"),
+        round6_stable(
+            F.col("tp") / F.nullif(F.col("tp") + F.col("fn"), F.lit(0))
+        ).alias("recall"),
+    )
+
+
 def q_dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash Jaccard ESTIMATES next to exact Jaccard per candidate pair —
     the estimator-quality audit for the (xxhash64, rows-only) near_minhash
@@ -1142,30 +1290,8 @@ def q_dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row array building); signatures then attach to the pair-scale
     frame by two joins — nothing beyond the existing candidate pipeline
     shuffles."""
-    from clusterindices_spark.functions.text import rolling_fingerprint
-
     d = load_table(spark, sf_dir, "documents")
-    sh = _doc_shingles(d)
-    ex_all = _repin(
-        "ngram_exploded",
-        sh.select("doc_id", F.explode("shingles").alias("shingle")),
-    )
-    hot = (
-        ex_all.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") > MAX_SHINGLE_DF)
-        .select("shingle")
-    )
-    ex0 = ex_all.join(F.broadcast(hot), "shingle", "left_anti")
-    fp = ex0.select(
-        "doc_id", rolling_fingerprint(F.col("shingle")).alias("fp")
-    )
-    sig = fp.groupBy("doc_id").agg(
-        *[
-            F.min(_mh_perm(i, F.col("fp"))).alias(f"s{i}")
-            for i in range(MINHASH_EST_H)
-        ]
-    )
+    sig = _minhash_sigs(d)
     pairs = ngram_jaccard_pairs(d)
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),
@@ -1273,6 +1399,7 @@ def q_dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "dedup_minhash_est": q_dedup_minhash_est,
+    "dedup_minhash_pr_curve": q_dedup_minhash_pr_curve,
     "dedup_chunk_exact": q_dedup_chunk_exact,
     "dedup_span_coverage": q_dedup_span_coverage,
     "dedup_graph_hops": q_dedup_graph_hops,
@@ -1648,6 +1775,53 @@ SELECT doc_a, doc_b, jaccard,
        {SQL_ROUND6.format(x="e")} AS est_jaccard,
        {SQL_ROUND6.format(x="abs(e - jaccard)")} AS est_abs_err
 FROM est
+"""
+
+_PR_GRID_VALUES = ", ".join(f"('{lbl}', {tm})" for lbl, tm in PR_TAUS)
+
+ORACLES["dedup_minhash_pr_curve"] = f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, {_SH} AS shingles FROM tok),
+ex_all AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+hot AS (SELECT shingle FROM ex_all GROUP BY shingle HAVING COUNT(*) > {MAX_SHINGLE_DF}),
+ex0 AS MATERIALIZED (SELECT * FROM ex_all WHERE shingle NOT IN (SELECT shingle FROM hot)),
+sized AS (SELECT doc_id, COUNT(*) AS n FROM ex0 GROUP BY doc_id),
+ex AS (SELECT ex0.doc_id, sized.n, ex0.shingle FROM ex0 JOIN sized USING (doc_id)),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+         COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.n, b.n
+),
+pairs AS (
+  SELECT doc_a, doc_b, ROUND(inter / (na + nb - inter), 6) AS jaccard
+  FROM inter
+),
+fp0 AS (SELECT doc_id, {SQL_FINGERPRINT.format(col="shingle")} AS fp FROM ex0),
+sig AS MATERIALIZED (SELECT doc_id, {_MH_SIG_COLS} FROM fp0 GROUP BY doc_id),
+pe AS (
+  SELECT CAST(floor(p.jaccard * 1000000.0 + 0.5) AS BIGINT) AS jm,
+         CAST(({_MH_MATCHES}) * {_EST_STEP_MICROS} AS BIGINT) AS em
+  FROM pairs p
+  JOIN sig a ON a.doc_id = p.doc_a
+  JOIN sig b ON b.doc_id = p.doc_b
+),
+grid AS (SELECT * FROM (VALUES {_PR_GRID_VALUES}) t(tau_label, tau_micros)),
+agg AS (
+  SELECT tau_label, tau_micros,
+         CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         CAST(SUM(CASE WHEN jm >= tau_micros AND em >= tau_micros
+                  THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN em >= tau_micros AND jm < tau_micros
+                  THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN jm >= tau_micros AND em < tau_micros
+                  THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM pe CROSS JOIN grid GROUP BY 1, 2
+)
+SELECT tau_label, tau_micros / 1000000.0 AS tau, n_candidates, tp, fp, fn,
+       {SQL_ROUND6.format(x="tp / NULLIF(tp + fp, 0)")} AS precision,
+       {SQL_ROUND6.format(x="tp / NULLIF(tp + fn, 0)")} AS recall
+FROM agg
 """
 
 # --- r5: chunk-level exact dedup --------------------------------------------

@@ -674,6 +674,16 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "require": ["partial"],
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    "dedup_minhash_pr_curve": {
+        # pinned scored universe + signature joins; τ-grid Generate feeds
+        # a map-side-combined 6-group agg
+        "require": ["Generate", "partial_"],
+        "forbid": [
+            "CartesianProduct",
+            "BroadcastNestedLoopJoin",
+            "Exchange SinglePartition",
+        ],
+    },
     "dedup_graph_kcore": {
         # unrolled peel rounds: doc-keyed semi-joins + degree aggs over a
         # checkpointed pair-scale edge list; no quadratic anywhere

@@ -140,6 +140,7 @@ _NEXT: list[str] = [
     "scd2_status_intervals",
     "agg_weighted_median",
     "agg_quantiles_bucketed",
+    "dedup_minhash_pr_curve",
 ]
 
 # Rows-only keys (no oracle SQL by design — approx/iterative). Kept behind

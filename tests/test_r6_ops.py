@@ -649,3 +649,34 @@ def test_bucketed_quantiles_match_sorted_definition(spark):
     }
     for et in interp:
         assert abs(got[(et, "p50")][1] - interp[et]) < 0.51, et
+
+
+def test_minhash_pr_curve_monotone_and_consistent(spark):
+    """PR-curve invariants: candidate universe constant across taus,
+    tp+fn (actual positives) non-increasing in tau, precision
+    non-decreasing on this corpus's separable high end, P/R consistent
+    with the integer counts, and the curve must be NON-degenerate at the
+    low end (the 16-perm quantization flood: fp > 0 at tau=0.05)."""
+    from clusterindices_spark.operators.dedup import (
+        q_dedup_minhash_pr_curve,
+    )
+
+    rows = sorted(
+        q_dedup_minhash_pr_curve(spark, SF_SMOKE).collect(),
+        key=lambda r: r["tau"],
+    )
+    assert len(rows) == 6
+    n0 = rows[0]["n_candidates"]
+    prev_pos = None
+    for r in rows:
+        assert r["n_candidates"] == n0
+        pos = r["tp"] + r["fn"]
+        if prev_pos is not None:
+            assert pos <= prev_pos, r["tau_label"]
+        prev_pos = pos
+        if r["tp"] + r["fp"] > 0:
+            assert abs(r["precision"] - r["tp"] / (r["tp"] + r["fp"])) < 1e-6
+        if pos > 0:
+            assert abs(r["recall"] - r["tp"] / pos) < 1e-6
+    assert rows[0]["fp"] > 100, "low-tau quantization flood must appear"
+    assert rows[-1]["fp"] == 0 and rows[-1]["recall"] == 1.0
