@@ -165,6 +165,7 @@ HEADLINE = [
     "agg_weighted_median",
     "agg_quantiles_bucketed",
     "dedup_minhash_pr_curve",
+    "multimodal_near_dup_report",
 ]
 
 # Per-key recall floors (VERDICT r5 item 3): the bench FAILS — explicit

@@ -750,6 +750,19 @@ def q_multimodal_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the hash is 12 codegen comparisons on the thumbnail array (no
     extra Python beyond the shared resize pass); grouping shuffles 2-byte
     signatures with map-side combine."""
+    return (
+        _dhash_frame(spark, sf_dir)
+        .groupBy("dhash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _dhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, dhash) — the per-payload 12-bit gradient hash feeding both
+    the exact-group key and the banded near-dup report."""
     d = load_table(spark, sf_dir, "documents")
     out = resize_nearest(with_binary_payload(d))
     bits = None
@@ -761,18 +774,91 @@ def q_multimodal_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1).cast("bigint"),
         ).otherwise(F.lit(0).cast("bigint")) * F.lit(1 << j).cast("bigint")
         bits = term if bits is None else bits + term
+    return out.select("doc_id", bits.alias("dhash"))
+
+
+NEARDUP_MAX_HAMMING = 2  # ≤2 differing gradient bits counts as a near-dup
+_NEARDUP_BANDS = 3  # 3 × 4-bit bands: pigeonhole ⇒ FULL recall at ≤2 bits
+
+
+def q_multimodal_near_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-payload perceptual near-dup degree report: how many OTHER
+    payloads sit within NEARDUP_MAX_HAMMING gradient bits, the minimal
+    distance, and a deterministic nearest exemplar — the triage view that
+    ranks media by how templated it is (exact-dup groups are hamming 0;
+    brightness-shifted re-encodes land at 1-2).
+
+    The candidate generator is a BANDED equi-join (3 bands × 4 bits):
+    two hashes within hamming ≤ 2 differ in ≤ 2 bands, so by pigeonhole
+    they AGREE on ≥ 1 band — full recall, zero false negatives, and the
+    join never compares hashes sharing no band. The ORACLE is the
+    brute-force all-pairs popcount filter (definitional), so the gate
+    certifies the banding argument, not just expression parity.
+
+    Scale: band explode (3 rows/payload) → band-bucket equi-join →
+    distinct pair table → exact popcount filter → per-doc agg; the only
+    quadratic risk is a saturated band bucket, the same hot-bucket story
+    every LSH tier here documents (cap or widen bands at real scale)."""
+    h = _dhash_frame(spark, sf_dir)
+    bands = h.select(
+        "doc_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("bi"),
+                        F.shiftright(F.col("dhash"), 4 * i)
+                        .bitwiseAND(F.lit(15))
+                        .alias("bv"),
+                    )
+                    for i in range(_NEARDUP_BANDS)
+                ]
+            )
+        ).alias("g"),
+    ).select("doc_id", "dhash", F.col("g.bi").alias("bi"), F.col("g.bv").alias("bv"))
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("dhash").alias("ha"), "bi", "bv"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("dhash").alias("hb"), "bi", "bv"
+    )
+    pairs = (
+        a.join(b, ["bi", "bv"])
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+        .where(
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+            <= NEARDUP_MAX_HAMMING
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("ham"),
+        )
+    )
+    near = pairs.groupBy("doc_a").agg(
+        F.count(F.lit(1)).alias("n_near"),
+        F.min(F.struct("ham", "doc_b")).alias("best"),
+    )
     return (
-        out.select("doc_id", bits.alias("dhash"))
-        .groupBy("dhash")
-        .agg(
-            F.min("doc_id").alias("keep_doc_id"),
-            F.count(F.lit(1)).alias("n_copies"),
+        h.join(near, h["doc_id"] == near["doc_a"], "left")
+        .select(
+            "doc_id",
+            "dhash",
+            F.coalesce(F.col("n_near"), F.lit(0).cast("bigint")).alias(
+                "n_near"
+            ),
+            F.col("best.ham").cast("int").alias("min_hamming"),
+            F.col("best.doc_b").alias("nearest_doc"),
         )
     )
 
 
 QUERIES = {
     "multimodal_dhash": q_multimodal_dhash,
+    "multimodal_near_dup_report": q_multimodal_near_dup_report,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_bytes_arrow": q_multimodal_bytes_arrow,
     "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -1020,6 +1106,31 @@ ORACLES["multimodal_dhash"] = (
 )
 SELECT dhash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
 FROM b GROUP BY dhash
+"""
+)
+
+# near-dup report oracle: the same dhash CTE, then the DEFINITIONAL
+# brute-force all-pairs popcount filter — deliberately not the banded
+# join, so the gate certifies the pigeonhole banding argument
+ORACLES["multimodal_near_dup_report"] = (
+    ORACLES["multimodal_dhash"].split("SELECT dhash, MIN(doc_id)")[0]
+    + f""",
+pairs AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         bit_count(xor(x.dhash, y.dhash)) AS ham
+  FROM b x JOIN b y ON x.doc_id <> y.doc_id
+  WHERE bit_count(xor(x.dhash, y.dhash)) <= {NEARDUP_MAX_HAMMING}
+),
+near AS (
+  SELECT doc_a, CAST(COUNT(*) AS BIGINT) AS n_near,
+         MIN(struct_pack(ham := ham, d := doc_b)) AS best
+  FROM pairs GROUP BY doc_a
+)
+SELECT h.doc_id, h.dhash,
+       CAST(COALESCE(n.n_near, 0) AS BIGINT) AS n_near,
+       CAST(n.best.ham AS INT) AS min_hamming,
+       CAST(n.best.d AS BIGINT) AS nearest_doc
+FROM b h LEFT JOIN near n ON n.doc_a = h.doc_id
 """
 )
 

@@ -674,6 +674,16 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "require": ["partial"],
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    "multimodal_near_dup_report": {
+        # band explode → bucket equi-join (partitioned) → popcount filter
+        # → doc agg; never an all-pairs product
+        "require": ["Generate", "partial_"],
+        "forbid": [
+            "CartesianProduct",
+            "BroadcastNestedLoopJoin",
+            "Exchange SinglePartition",
+        ],
+    },
     "dedup_minhash_pr_curve": {
         # pinned scored universe + signature joins; τ-grid Generate feeds
         # a map-side-combined 6-group agg

@@ -141,6 +141,7 @@ _NEXT: list[str] = [
     "agg_weighted_median",
     "agg_quantiles_bucketed",
     "dedup_minhash_pr_curve",
+    "multimodal_near_dup_report",
 ]
 
 # Rows-only keys (no oracle SQL by design — approx/iterative). Kept behind

@@ -680,3 +680,37 @@ def test_minhash_pr_curve_monotone_and_consistent(spark):
             assert abs(r["recall"] - r["tp"] / pos) < 1e-6
     assert rows[0]["fp"] > 100, "low-tau quantization flood must appear"
     assert rows[-1]["fp"] == 0 and rows[-1]["recall"] == 1.0
+
+
+def test_neardup_banding_full_recall_contract(spark):
+    """Pigeonhole contract on the fixture: the banded report's neighbor
+    counts must equal a brute-force popcount scan of the same dhash
+    frame, and a hamming-3 pair must NOT appear (threshold, not recall
+    loss: bands can still collide on 3-bit differences)."""
+    from clusterindices_spark.operators.multimodal import (
+        NEARDUP_MAX_HAMMING,
+        _dhash_frame,
+        q_multimodal_near_dup_report,
+    )
+
+    got = {
+        r["doc_id"]: (r["n_near"], r["min_hamming"], r["nearest_doc"])
+        for r in q_multimodal_near_dup_report(spark, SF_SMOKE).collect()
+    }
+    hashes = {
+        r["doc_id"]: r["dhash"] for r in _dhash_frame(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(hashes)
+    for did, h in hashes.items():
+        neigh = [
+            (bin(h ^ h2).count("1"), d2)
+            for d2, h2 in hashes.items()
+            if d2 != did and bin(h ^ h2).count("1") <= NEARDUP_MAX_HAMMING
+        ]
+        n_near, mh, nd = got[did]
+        assert n_near == len(neigh), did
+        if neigh:
+            assert (mh, nd) == min(neigh), did
+        else:
+            assert mh is None and nd is None, did
+    assert any(v[0] > 0 for v in got.values()), "fixture must have near-dups"
