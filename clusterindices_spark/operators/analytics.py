@@ -944,6 +944,66 @@ def q_events_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-state and chain-level journey predictability from the Markov
+    transition structure: each source state's conditional entropy
+    H(next | s) = −Σ_t p(t|s)·log₂ p(t|s) in bits, its share π(s) of all
+    transitions, and the chain's ENTROPY RATE Σ_s π(s)·H(next|s) attached
+    to every row — the single number that says how predictable user
+    journeys are (0 = deterministic flows, log₂|types| = uniform noise).
+
+    Determinism: each term p·log₂(1/p) floors to BIGINT micros before the
+    per-state sum (the source-lang-mix entropy device), and the rate is a
+    π-weighted sum of those exact micro entropies — the weighting uses
+    integer transition counts, so the only floats are the final /1e6
+    renderings plus one division per term.
+
+    Scale: reuses the transition-count shape — one user_id lag window +
+    a |types|²-key agg; everything after is broadcast-scale."""
+    from pyspark.sql import Window
+
+    from clusterindices_spark.functions.aggregates import round6_stable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    steps = ev.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).where(F.col("from_type").isNotNull())
+    counts = steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wf = Window.partitionBy("from_type")
+    p = F.col("n") / F.sum("n").over(wf).cast("double")
+    term_micros = F.floor(
+        p * (F.log(F.lit(1.0) / p) / F.log(F.lit(2.0))) * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("bigint")
+    per_state = (
+        counts.withColumn("tm", term_micros)
+        .groupBy("from_type")
+        .agg(
+            F.sum("n").alias("n_out"),
+            F.sum("tm").alias("h_micros"),
+        )
+    )
+    tot = per_state.agg(
+        F.sum("n_out").alias("n_total"),
+        F.sum(F.col("n_out") * F.col("h_micros")).alias("rate_num"),
+    )
+    return per_state.crossJoin(F.broadcast(tot)).select(
+        "from_type",
+        "n_out",
+        round6_stable(F.col("n_out") / F.col("n_total")).alias("pi"),
+        (F.col("h_micros") / F.lit(1e6)).alias("h_bits"),
+        round6_stable(
+            F.col("rate_num") / F.col("n_total") / F.lit(1e6)
+        ).alias("entropy_rate_bits"),
+    )
+
+
 BASKET_MIN_PAIR = 3  # support floor: pairs co-ordered fewer times are noise
 
 
@@ -1419,6 +1479,7 @@ QUERIES = {
     "events_ab_ttest": q_events_ab_ttest,
     "events_bootstrap_ci": q_events_bootstrap_ci,
     "events_survival_km": q_events_survival_km,
+    "events_markov_entropy": q_events_markov_entropy,
     "events_pareto_concentration": q_events_pareto_concentration,
     "events_last_touch": q_events_last_touch,
     "curation_kfold": q_curation_kfold,
@@ -1519,6 +1580,41 @@ SELECT decile,
        {SQL_ROUND6.format(x="CAST(MAX(cum) AS DOUBLE) / (SELECT total FROM tot)")} AS cum_share
 FROM d
 GROUP BY decile
+""",
+    "events_markov_entropy": f"""
+WITH steps AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+           AS from_type,
+         event_type AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM steps WHERE from_type IS NOT NULL GROUP BY 1, 2
+),
+t AS (
+  SELECT from_type, n,
+         n / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+  FROM counts
+),
+per AS (
+  SELECT from_type,
+         CAST(SUM(n) AS BIGINT) AS n_out,
+         CAST(SUM(CAST(floor(p * (ln(1.0 / p) / ln(2.0)) * 1000000.0 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS h_micros
+  FROM t GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_out) AS BIGINT) AS n_total,
+         CAST(SUM(n_out * h_micros) AS BIGINT) AS rate_num
+  FROM per
+)
+SELECT from_type, n_out,
+       {SQL_ROUND6.format(x="n_out / CAST(n_total AS DOUBLE)")} AS pi,
+       h_micros / 1000000.0 AS h_bits,
+       {SQL_ROUND6.format(x="rate_num / CAST(n_total AS DOUBLE) / 1000000.0")}
+         AS entropy_rate_bits
+FROM per CROSS JOIN tot
 """,
     "events_survival_km": f"""
 WITH d0 AS (

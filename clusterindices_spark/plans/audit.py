@@ -728,6 +728,11 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "require": ["Window", "partial_"],
         "forbid": ["CartesianProduct", "Join", "Exchange SinglePartition"],
     },
+    "events_markov_entropy": {
+        # user-lag window + |types|²-key agg; the rest broadcast-scale
+        "require": ["Window", "partial_", "Broadcast"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
     "events_survival_km": {
         # corpus → U-row user agg → T-row curve; the ordered curve windows
         # run over T rows (the sanctioned driver-scale single partition)

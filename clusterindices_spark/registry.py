@@ -142,6 +142,7 @@ _NEXT: list[str] = [
     "agg_quantiles_bucketed",
     "dedup_minhash_pr_curve",
     "multimodal_near_dup_report",
+    "events_markov_entropy",
 ]
 
 # Rows-only keys (no oracle SQL by design — approx/iterative). Kept behind

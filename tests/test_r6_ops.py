@@ -714,3 +714,41 @@ def test_neardup_banding_full_recall_contract(spark):
         else:
             assert mh is None and nd is None, did
     assert any(v[0] > 0 for v in got.values()), "fixture must have near-dups"
+
+
+def test_markov_entropy_bounds_and_replay(spark):
+    """Entropy invariants: 0 <= H(next|s) <= log2(n_types), the rate is
+    the pi-weighted mean of per-state entropies, and a numpy replay from
+    the transition counts agrees within quantization error."""
+    import duckdb
+    import numpy as np
+
+    from clusterindices_spark.operators.analytics import (
+        q_events_markov_entropy,
+    )
+
+    rows = q_events_markov_entropy(spark, SF_SMOKE).collect()
+    n_types = len(rows)
+    rate = rows[0]["entropy_rate_bits"]
+    assert all(abs(r["entropy_rate_bits"] - rate) < 1e-9 for r in rows)
+    wsum = 0.0
+    for r in rows:
+        assert 0.0 <= r["h_bits"] <= math.log2(n_types) + 1e-9, r
+        wsum += r["pi"] * r["h_bits"]
+    assert abs(wsum - rate) < 1e-3
+    trans = duckdb.sql(
+        f"""WITH s AS (SELECT user_id, event_id, event_type,
+              lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS f
+            FROM '{SF_SMOKE}/events.parquet')
+            SELECT f, event_type, COUNT(*) FROM s WHERE f IS NOT NULL
+            GROUP BY 1, 2"""
+    ).fetchall()
+    outs = {}
+    for f, t, n in trans:
+        outs.setdefault(f, {})[t] = n
+    got = {r["from_type"]: r for r in rows}
+    for f, d in outs.items():
+        tot = sum(d.values())
+        h = -sum((n / tot) * math.log2(n / tot) for n in d.values())
+        assert abs(got[f]["h_bits"] - h) < 1e-4, f
+        assert got[f]["n_out"] == tot
