@@ -861,7 +861,53 @@ def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term burstiness (Fano factor / VMR of per-document counts,
+    zeros included): content words CLUMP — absent from most docs, heavy
+    in a few (VMR ≫ 1) — while function words spread evenly (VMR ≈ 1,
+    the Poisson floor). The corpus-linguistics signal that separates
+    topical vocabulary from glue even in a frequency-matched corpus,
+    and a drift alarm when a term's burstiness jumps (template injection
+    concentrates mass).
+
+    Exactness: counts are integers, so VMR = (N·Σc² − S²)/(N·S) needs NO
+    micro-quantization anywhere — the two divisions at the end are the
+    only floats (identical sequence both engines, then round6).
+
+    Scale: one explode → (doc, term) agg → term agg (both map-side
+    combined), 1-row doc-count broadcast; zeros never materialize (they
+    enter through the closed form)."""
+    from clusterindices_spark.functions.aggregates import round6_stable
+
+    d = _with_tokens(load_table(spark, sf_dir, "documents"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    per = (
+        d.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = per.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    j = stats.crossJoin(F.broadcast(n_docs))
+    mean = F.col("s") / F.col("n_docs")
+    vmr = (
+        (F.col("n_docs") * F.col("s2") - F.col("s") * F.col("s"))
+        / (F.col("n_docs") * F.col("s"))
+    )
+    return j.select(
+        "term",
+        "df",
+        F.col("s").alias("total_count"),
+        round6_stable(mean).alias("mean_per_doc"),
+        round6_stable(vmr).alias("vmr"),
+    )
+
+
 QUERIES = {
+    "text_burstiness": q_text_burstiness,
     "text_rake_keywords": q_text_rake_keywords,
     "text_ngram_novelty": q_text_ngram_novelty,
     "text_lm_heldout_score": q_text_lm_heldout_score,
@@ -1182,6 +1228,25 @@ SELECT doc_id,
             t -> t NOT IN ({", ".join(f"'{b}'" for b in BLOCKLIST)})), ' ')
          AS clean_text
 FROM t
+""",
+    "text_burstiness": f"""
+WITH per AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+  GROUP BY doc_id, term
+),
+st AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS s2
+  FROM per GROUP BY term
+),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+SELECT term, df, s AS total_count,
+       {SQL_ROUND6.format(x="s / CAST(n_docs AS DOUBLE)")} AS mean_per_doc,
+       {SQL_ROUND6.format(x="(n_docs * s2 - s * s) / CAST(n_docs * s AS DOUBLE)")}
+         AS vmr
+FROM st CROSS JOIN nd
 """,
     "text_rake_keywords": f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

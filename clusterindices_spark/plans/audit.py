@@ -1214,6 +1214,12 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "require": ["*("],
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    "text_burstiness": {
+        # two map-side-combined aggs + the sanctioned 1-row doc-count
+        # attach (BNLJ over a broadcast single row)
+        "require": ["partial_"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
     "text_rake_keywords": {
         # every window/agg/join keys by doc_id (RAKE is per-doc); top-3
         # prunes inside the window (WindowGroupLimit), never a global sort

@@ -143,6 +143,7 @@ _NEXT: list[str] = [
     "dedup_minhash_pr_curve",
     "multimodal_near_dup_report",
     "events_markov_entropy",
+    "text_burstiness",
 ]
 
 # Rows-only keys (no oracle SQL by design — approx/iterative). Kept behind
