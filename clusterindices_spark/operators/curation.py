@@ -41,7 +41,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clusterindices_spark.functions.aggregates import SQL_ROUND6
@@ -685,7 +685,79 @@ def q_curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WATERFILL_BUDGET_FRAC = 2  # budget = total_tokens DIV 2 (50%)
+
+
+def q_curation_waterfill_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget waterfilling across sources — the data-mixture
+    allocator: given budget B (half the corpus here), find the unique
+    level t with Σ min(sᵢ, t) = B, take small sources WHOLE and cap every
+    large source at t (max-min fairness: no source is cut while a larger
+    one keeps more). Closed form over the sorted K-row source table: with
+    prefix sums P and 1-based rank j, the candidate level
+    tⱼ = (B − P₍ⱼ₋₁₎)/(K − j + 1) is valid exactly when it falls in
+    [s₍ⱼ₋₁₎, sⱼ); the FIRST valid j wins (unique by monotonicity); no
+    valid row ⇒ the budget covers the corpus and nothing is capped.
+
+    Emits per source: tokens, the waterfilled allocation, the capped
+    flag, and the shared level/budget — the table a mixture pipeline
+    feeds straight into per-source sampling rates.
+
+    Scale: one map-side-combined token sum per source, then EVERYTHING
+    runs on the K-row source table (K = sources, driver-scale by
+    definition); the corpus is scanned once."""
+    from clusterindices_spark.functions.aggregates import round6_stable
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", tokens(F.col("text"))
+    )
+    sizes = d.groupBy("source").agg(
+        F.sum(F.size("toks")).cast("bigint").alias("s")
+    )
+    w_all = Window.partitionBy()
+    w_ord = Window.partitionBy().orderBy("s", "source")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = (
+        sizes.withColumn("total", F.sum("s").over(w_all))
+        .withColumn("k", F.count(F.lit(1)).over(w_all))
+        .withColumn("j", F.row_number().over(w_ord))
+        .withColumn("p", F.sum("s").over(w_cum))
+        .withColumn(
+            "budget",
+            F.expr(f"total DIV {WATERFILL_BUDGET_FRAC}"),
+        )
+    )
+    t_j = (F.col("budget") - (F.col("p") - F.col("s"))) / (
+        F.col("k") - F.col("j") + 1
+    ).cast("double")
+    prev_s = F.lag("s").over(w_ord)
+    cand = ranked.withColumn("t_j", t_j).withColumn(
+        "valid",
+        (F.col("t_j") < F.col("s"))
+        & (prev_s.isNull() | (prev_s <= F.col("t_j"))),
+    )
+    level = cand.where(F.col("valid")).agg(
+        F.min_by("t_j", "j").alias("level")
+    )
+    out = cand.crossJoin(F.broadcast(level))
+    alloc = F.when(
+        F.col("level").isNull() | (F.col("s") <= F.col("level")),
+        F.col("s").cast("double"),
+    ).otherwise(F.col("level"))
+    return out.select(
+        "source",
+        F.col("s").alias("tokens"),
+        round6_stable(alloc).alias("allocated"),
+        (
+            F.col("level").isNotNull() & (F.col("s") > F.col("level"))
+        ).alias("capped"),
+        round6_stable(F.coalesce(F.col("level"), F.lit(-1.0))).alias("level"),
+        "budget",
+    )
+
+
 QUERIES = {
+    "curation_waterfill_budget": q_curation_waterfill_budget,
     "curation_dsir_weights": q_curation_dsir_weights,
     "curation_domain_caps": q_curation_domain_caps,
     "curation_source_lang_mix": q_curation_source_lang_mix,
@@ -729,6 +801,42 @@ def _sql_marker_hits() -> str:
 
 
 ORACLES = {
+    "curation_waterfill_budget": f"""
+WITH sizes AS (
+  SELECT source, CAST(SUM(len({SQL_TOKENS.format(col="text")})) AS BIGINT) AS s
+  FROM documents GROUP BY source
+),
+ranked AS (
+  SELECT source, s,
+         CAST(SUM(s) OVER () AS BIGINT) AS total,
+         CAST(COUNT(*) OVER () AS BIGINT) AS k,
+         row_number() OVER (ORDER BY s, source) AS j,
+         CAST(SUM(s) OVER (ORDER BY s, source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS p,
+         lag(s) OVER (ORDER BY s, source) AS prev_s
+  FROM sizes
+),
+cand AS (
+  SELECT *,
+         total // {WATERFILL_BUDGET_FRAC} AS budget,
+         (total // {WATERFILL_BUDGET_FRAC} - (p - s))
+           / CAST(k - j + 1 AS DOUBLE) AS t_j
+  FROM ranked
+),
+lvl AS (
+  SELECT arg_min(t_j, j) AS level
+  FROM cand
+  WHERE t_j < s AND (prev_s IS NULL OR prev_s <= t_j)
+)
+SELECT source, s AS tokens,
+       {SQL_ROUND6.format(x="CASE WHEN level IS NULL OR s <= level THEN CAST(s AS DOUBLE) ELSE level END")}
+         AS allocated,
+       (level IS NOT NULL AND s > level) AS capped,
+       {SQL_ROUND6.format(x="COALESCE(level, -1.0)")} AS level,
+       budget
+FROM cand CROSS JOIN lvl
+""",
     "curation_dsir_weights": f"""
 WITH ex AS MATERIALIZED (
   SELECT doc_id, lang, unnest({SQL_TOKENS.format(col="text")}) AS term

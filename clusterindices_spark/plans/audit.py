@@ -773,6 +773,13 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "require": ["partial"],
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    "curation_waterfill_budget": {
+        # corpus token sum (map-side) → K-row source table; the K-row
+        # SinglePartition windows and 1-row level BNLJ are the sanctioned
+        # driver-scale closed form
+        "require": ["Window", "partial_"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
     "curation_dsir_weights": {
         # scored vocab broadcasts to the exploded corpus; the only BNLJ is
         # the sanctioned 1-row consts attach (error_rate pattern)

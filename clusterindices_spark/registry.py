@@ -144,6 +144,7 @@ _NEXT: list[str] = [
     "multimodal_near_dup_report",
     "events_markov_entropy",
     "text_burstiness",
+    "curation_waterfill_budget",
 ]
 
 # Rows-only keys (no oracle SQL by design — approx/iterative). Kept behind

@@ -789,3 +789,47 @@ def test_burstiness_poisson_floor_and_replay(spark):
     # the floor and a nonzero spread, not topical-corpus clumping
     vmrs = [r["vmr"] for r in rows.values()]
     assert min(vmrs) > 0 and max(vmrs) > 1.2 * min(vmrs)
+
+
+def test_waterfill_conservation_and_fairness(spark):
+    """Waterfilling contract: when anything is capped, allocations sum to
+    the budget (within per-source rounding) and every capped source gets
+    EXACTLY the level while every uncapped one keeps all its tokens; a
+    hand-built skewed fixture pins the closed form."""
+    import tempfile
+
+    from clusterindices_spark.operators.curation import (
+        q_curation_waterfill_budget,
+    )
+
+    rows = q_curation_waterfill_budget(spark, SF_SMOKE).collect()
+    budget = rows[0]["budget"]
+    total_alloc = sum(r["allocated"] for r in rows)
+    if any(r["capped"] for r in rows):
+        assert abs(total_alloc - budget) < 1e-3 * budget + len(rows)
+        level = rows[0]["level"]
+        for r in rows:
+            if r["capped"]:
+                assert r["allocated"] == level and r["tokens"] > level
+            else:
+                assert r["allocated"] == float(r["tokens"]) <= level + 1e-9
+
+    # hand case: sizes 10, 20, 100 tokens → total 130, budget 65;
+    # t = (65 - 30) / 1 = 35 on the last source
+    docs = []
+    did = 0
+    for src, n in (("a", 10), ("b", 20), ("c", 100)):
+        docs.append((did, " ".join(["w"] * n), "en", src))
+        did += 1
+    d = spark.createDataFrame(
+        docs, "doc_id BIGINT, text STRING, lang STRING, source STRING"
+    )
+    tmp = tempfile.mkdtemp(prefix="ci-wf-")
+    d.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    got = {
+        r["source"]: r for r in q_curation_waterfill_budget(spark, tmp).collect()
+    }
+    assert got["a"]["allocated"] == 10.0 and not got["a"]["capped"]
+    assert got["b"]["allocated"] == 20.0 and not got["b"]["capped"]
+    assert got["c"]["allocated"] == 35.0 and got["c"]["capped"]
+    assert got["c"]["level"] == 35.0 and got["c"]["budget"] == 65
