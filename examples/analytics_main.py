@@ -90,6 +90,53 @@ def main(argv: list[str]) -> int:
             f"  label {r['label']}: n_a={r['n_a']} n_b={r['n_b']}"
             f" drift={r['drift']}"
         )
+
+    # --- r6 additions: experimentation, uncertainty, drift, survival ----
+    from pyspark.sql import functions as F
+
+    from clusterindices_spark.operators.analytics import (
+        q_events_ab_ttest,
+        q_events_bootstrap_ci,
+        q_events_cusum,
+        q_events_markov_entropy,
+        q_events_survival_km,
+    )
+
+    print("== Welch t-tests between event-type value distributions ==")
+    for r in (
+        q_events_ab_ttest(spark, sf_dir).orderBy("type_a", "type_b").collect()
+    ):
+        sig = " *" if r["is_significant"] else ""
+        print(
+            f"  {r['type_a']:>8} vs {r['type_b']:<8} t={r['t_stat']:+8.3f}"
+            f" df={r['welch_df']:8.1f}{sig}"
+        )
+
+    print("== Poisson-bootstrap 95% CI for mean value per type ==")
+    for r in q_events_bootstrap_ci(spark, sf_dir).orderBy("event_type").collect():
+        print(
+            f"  {r['event_type']:>8}: {r['mean_value']:7.3f}"
+            f"  [{r['ci_lo']:7.3f}, {r['ci_hi']:7.3f}]  n={r['n']}"
+        )
+
+    alarms = (
+        q_events_cusum(spark, sf_dir).where(F.col("is_alarm")).count()
+    )
+    print(f"== CUSUM drift chart: {alarms} alarm hours ==")
+
+    km = sorted(
+        q_events_survival_km(spark, sf_dir).collect(), key=lambda r: r["t_hours"]
+    )
+    print(
+        f"== Kaplan-Meier: {len(km)} curve points, final S(t)="
+        f"{km[-1]['surv']:.4f} at t={km[-1]['t_hours']}h =="
+    )
+
+    me = q_events_markov_entropy(spark, sf_dir).collect()
+    print(
+        f"== journey predictability: entropy rate"
+        f" {me[0]['entropy_rate_bits']:.4f} bits/transition =="
+    )
     return 0
 
 

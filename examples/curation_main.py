@@ -178,6 +178,33 @@ def main(argv: list[str]) -> int:
     for d in sorted(pathlib.Path(out_dir).glob("split=*")):
         n = spark.read.parquet(str(d)).count()
         print(f"  {d.name}: {n} rows")
+
+    # --- r6: mixture budgeting + importance weights --------------------
+    from clusterindices_spark.operators.curation import (
+        q_curation_dsir_weights,
+        q_curation_waterfill_budget,
+    )
+
+    print("== token-budget waterfilling (50% budget, max-min fair) ==")
+    for r in (
+        q_curation_waterfill_budget(spark, sf_dir)
+        .orderBy(F.col("tokens").desc())
+        .limit(6)
+        .collect()
+    ):
+        cap = " CAPPED" if r["capped"] else ""
+        print(
+            f"  {r['source']:>6}: {r['tokens']:>8} tokens ->"
+            f" {r['allocated']:>10.1f}{cap}"
+        )
+
+    dsir = q_curation_dsir_weights(spark, sf_dir)
+    kept = dsir.where(F.col("keep")).count()
+    total = dsir.count()
+    print(
+        f"== DSIR importance resampling: {kept}/{total} docs look"
+        f" target-language-like =="
+    )
     return 0
 
 

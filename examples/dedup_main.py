@@ -128,6 +128,31 @@ def main(argv: list[str]) -> int:
         f"in={n_in} after_exact={n_exact} after_near={n_out} "
         f"(removed {n_in - n_out}) -> {out_dir}"
     )
+
+    # --- r6: graph density triage + estimator tuning table -------------
+    from clusterindices_spark.operators.dedup import (
+        q_dedup_graph_kcore,
+        q_dedup_minhash_pr_curve,
+    )
+
+    core = q_dedup_graph_kcore(spark, sf_dir)
+    n_core = core.where(F.col("in_kcore")).count()
+    n_graph = core.count()
+    print(
+        f"== 2-core: {n_core}/{n_graph} near-dup graph nodes sit in dense"
+        f" clusters (rest are chain artifacts) =="
+    )
+    print("== MinHash-as-classifier PR curve (signature-only dedup) ==")
+    for r in sorted(
+        q_dedup_minhash_pr_curve(spark, sf_dir).collect(),
+        key=lambda r: r["tau"],
+    ):
+        p = "n/a" if r["precision"] is None else f"{r['precision']:.3f}"
+        q = "n/a" if r["recall"] is None else f"{r['recall']:.3f}"
+        print(
+            f"  tau={r['tau']:.2f}: P={p} R={q}"
+            f" (tp={r['tp']} fp={r['fp']} fn={r['fn']})"
+        )
     d1.unpersist()
     report.unpersist()
     return 0
