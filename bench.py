@@ -166,6 +166,9 @@ HEADLINE = [
     "agg_quantiles_bucketed",
     "dedup_minhash_pr_curve",
     "multimodal_near_dup_report",
+    "events_markov_entropy",
+    "text_burstiness",
+    "curation_waterfill_budget",
 ]
 
 # Per-key recall floors (VERDICT r5 item 3): the bench FAILS — explicit
