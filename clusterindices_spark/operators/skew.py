@@ -50,3 +50,67 @@ def salted_join(
         salted_big.join(salted_small, on=[key, "__salt"], how="inner")
         .drop("__salt")
     )
+
+
+def q_join_salted_skew(spark, sf_dir: str):
+    """The salted join as a GATED query: events (big, hot user keys) join
+    a per-user tier dimension through the (key, salt) shuffle, then a
+    (event_type, tier) rollup. The ORACLE is the PLAIN join + rollup —
+    the gate certifies that salting changes only the partitioning, never
+    the join semantics (the salted_join contract, now driver-checked
+    rather than only unit-tested).
+
+    Scale: this is the mid-size-dimension hot-key fix — the dim explodes
+    n_salts× (pick n_salts ≈ hot-key rows / target task rows), the big
+    side never replicates, and the hottest user's rows land on 8 tasks
+    instead of one."""
+    from clusterindices_spark.functions.aggregates import round6_stable
+    from clusterindices_spark.sources.fixtures import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    dim = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.concat(F.lit("tier"), F.pmod(F.col("user_id"), F.lit(3))).alias(
+                "tier"
+            ),
+        )
+    )
+    joined = salted_join(e, dim, key="user_id", salt_from="event_id")
+    return (
+        joined.groupBy("event_type", "tier")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            round6_stable(
+                F.sum(
+                    F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast(
+                        "bigint"
+                    )
+                )
+                / F.lit(1e6)
+            ).alias("sum_value"),
+        )
+    )
+
+
+QUERIES = {"join_salted_skew": q_join_salted_skew}
+
+ORACLES = {
+    # DEFINITIONAL oracle: the PLAIN (unsalted) join — certifies salting
+    # is partitioning-only
+    "join_salted_skew": """
+WITH dim AS (
+  SELECT user_id, 'tier' || CAST(user_id % 3 AS VARCHAR) AS tier
+  FROM (SELECT user_id FROM events GROUP BY user_id)
+)
+SELECT e.event_type, d.tier,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       (floor((CAST(SUM(CAST(floor(e.value * 1000000.0 + 0.5) AS BIGINT))
+               AS DOUBLE) / 1000000.0) * 1000000.0 + 0.5) / 1000000.0)
+         AS sum_value
+FROM events e JOIN dim d USING (user_id)
+GROUP BY e.event_type, d.tier
+""",
+}

@@ -684,6 +684,12 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
             "Exchange SinglePartition",
         ],
     },
+    "join_salted_skew": {
+        # the join must run on the salted key (__salt in the plan); dim
+        # explode = Generate; never a cartesian
+        "require": ["__salt", "Generate", "partial_"],
+        "forbid": ["CartesianProduct", "Exchange SinglePartition"],
+    },
     "dedup_minhash_pr_curve": {
         # pinned scored universe + signature joins; τ-grid Generate feeds
         # a map-side-combined 6-group agg

@@ -41,6 +41,7 @@ _MODULES = [
     "clusterindices_spark.operators.tpch",
     "clusterindices_spark.operators.relational_ext",
     "clusterindices_spark.operators.sketches",
+    "clusterindices_spark.operators.skew",
     "clusterindices_spark.operators.sql_features",
     "clusterindices_spark.sources.pysource",
     "clusterindices_spark.sources.readers",
@@ -145,6 +146,7 @@ _NEXT: list[str] = [
     "events_markov_entropy",
     "text_burstiness",
     "curation_waterfill_budget",
+    "join_salted_skew",
 ]
 
 # Rows-only keys (no oracle SQL by design — approx/iterative). Kept behind
