@@ -619,6 +619,97 @@ def cusum_state_stream(
     )
 
 
+BOOTSTRAP_STREAM_SCHEMA = (
+    "event_type STRING, n_seen BIGINT, mean_value DOUBLE, "
+    "ci_lo DOUBLE, ci_hi DOUBLE"
+)
+_BOOTSTRAP_STATE_SCHEMA = "n BIGINT, s1 BIGINT, wn ARRAY<BIGINT>, ws ARRAY<BIGINT>"
+
+
+def bootstrap_state_stream(
+    events: DataFrame, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming twin of operators/analytics.q_events_bootstrap_ci:
+    INCREMENTAL Poisson-bootstrap confidence intervals. The whole trick of
+    the Poisson bootstrap is that replicate membership is a pure function
+    of (row id, replicate) — so the B=40 weighted sums are order- and
+    batch-boundary-free integer accumulators, and GroupState carries
+    exactly 2·B BIGINTs per type. Every microbatch emits the CI as of all
+    data seen; after a bounded replay the state equals the batch
+    operator's per-replicate sums EXACTLY, hence the identical CI
+    (tests/test_streaming.py) — uncertainty that tightens live as data
+    arrives, with no refit and no buffered history."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    from clusterindices_spark.operators.analytics import (  # noqa: PLC0415
+        BOOT_B,
+        BOOT_HASH_A,
+        BOOT_HASH_B,
+        BOOT_HI_IDX,
+        BOOT_LO_IDX,
+        BOOT_MOD,
+        BOOT_POISSON_CUM,
+    )
+
+    reps = np.arange(BOOT_B, dtype=np.int64)
+
+    def update(key, pdf_iter, state):
+        if state.exists:
+            n, s1, wn, ws = state.get
+            wn = np.array(wn, dtype=np.int64)
+            ws = np.array(ws, dtype=np.int64)
+        else:
+            n, s1 = 0, 0
+            wn = np.zeros(BOOT_B, dtype=np.int64)
+            ws = np.zeros(BOOT_B, dtype=np.int64)
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            ids = pdf["event_id"].to_numpy(dtype="int64")
+            vm = np.floor(
+                pdf["value"].to_numpy(dtype="float64") * 1e6 + 0.5
+            ).astype(np.int64)
+            u = (ids[:, None] * BOOT_HASH_A + reps[None, :] * BOOT_HASH_B) % BOOT_MOD
+            w = np.zeros_like(u)
+            for t in BOOT_POISSON_CUM:
+                w += u >= t
+            wn += w.sum(axis=0)
+            ws += (w * vm[:, None]).sum(axis=0)
+            n += len(ids)
+            s1 += int(vm.sum())
+        state.update((int(n), int(s1), [int(x) for x in wn], [int(x) for x in ws]))
+        import math  # noqa: PLC0415
+
+        means = sorted(
+            math.floor(s / max(c, 1) / 1e6 * 1e6 + 0.5) / 1e6
+            for s, c in zip(ws, wn)
+        )
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_seen": [n],
+                "mean_value": [
+                    math.floor(s1 / n / 1e6 * 1e6 + 0.5) / 1e6 if n else 0.0
+                ],
+                "ci_lo": [means[BOOT_LO_IDX]],
+                "ci_hi": [means[BOOT_HI_IDX]],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=BOOTSTRAP_STREAM_SCHEMA,
+            stateStructType=_BOOTSTRAP_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
 DISTINCT_USERS_SCHEMA = "event_type STRING, distinct_users BIGINT, new_users BIGINT"
 
 

@@ -838,3 +838,38 @@ def test_cusum_state_stream_matches_batch(spark):
                 last = rows[-1]
                 assert g["pending_hour"] == last["hour"], et
                 assert g["pending_n"] == last["n"], et
+
+
+def test_bootstrap_state_stream_matches_batch_ci(spark):
+    """Poisson-bootstrap state is order/batch-boundary-free integer sums,
+    so after a bounded replay the streaming CI must equal the batch
+    operator's EXACTLY — single-batch and per-file-trigger replays."""
+    from clusterindices_spark.operators.analytics import (
+        q_events_bootstrap_ci,
+    )
+    from clusterindices_spark.streaming.streams import bootstrap_state_stream
+
+    want = {
+        r["event_type"]: (r["n"], r["mean_value"], r["ci_lo"], r["ci_hi"])
+        for r in q_events_bootstrap_ci(spark, SF_SMOKE).collect()
+    }
+    for mfpt in (None, 1):
+        with tempfile.TemporaryDirectory() as tmp:
+            stream = events_file_stream(
+                spark, _replay_dir(spark, tmp), max_files_per_trigger=mfpt
+            )
+            got = run_to_completion(
+                bootstrap_state_stream(stream), f"t_boot_{mfpt}", mode="update"
+            )
+            w = Window.partitionBy("event_type").orderBy(
+                F.col("n_seen").desc()
+            )
+            final = {
+                r["event_type"]: (
+                    r["n_seen"], r["mean_value"], r["ci_lo"], r["ci_hi"]
+                )
+                for r in got.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .collect()
+            }
+            assert final == want, mfpt
