@@ -169,6 +169,7 @@ HEADLINE = [
     "events_markov_entropy",
     "text_burstiness",
     "curation_waterfill_budget",
+    "join_salted_skew",
 ]
 
 # Per-key recall floors (VERDICT r5 item 3): the bench FAILS — explicit
