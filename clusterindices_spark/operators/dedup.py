@@ -1272,6 +1272,93 @@ def q_dedup_minhash_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIMHASH_EST_BITS = 16
+
+
+def q_dedup_simhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash estimator audit — the bit-vote twin of dedup_minhash_est,
+    giving the (xxhash-based, rows-only) dedup_simhash production tier
+    its oracle-backed QA loop: portable 16-bit signatures from the SAME
+    rolling shingle fingerprints (bit b votes +1/−1 by fingerprint bit b;
+    sign of the vote sum sets the signature bit — ties at 0 go to 0,
+    documented), then per verified-universe pair the signature Hamming
+    distance next to the EXACT Jaccard. This is the tuning table for a
+    simhash cutoff: it shows how bit-agreement tracks true overlap on
+    real candidate pairs, where the minhash PR curve shows decision
+    quality for min-perm signatures.
+
+    Determinism: votes are integer sums of ±1 (order-free), the signature
+    is 16 comparisons, Hamming is popcount(xor) — no floats anywhere but
+    the carried 6dp jaccard.
+
+    Scale: one doc-keyed 16-agg pass over the pinned fingerprint explode,
+    two pair-scale signature joins — shares every pin the minhash audits
+    use."""
+    from clusterindices_spark.functions.text import rolling_fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = _doc_shingles(d)
+    ex_all = _repin(
+        "ngram_exploded",
+        sh.select("doc_id", F.explode("shingles").alias("shingle")),
+    )
+    hot = (
+        ex_all.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    ex0 = ex_all.join(F.broadcast(hot), "shingle", "left_anti")
+    fp = ex0.select(
+        "doc_id", rolling_fingerprint(F.col("shingle")).alias("fp")
+    )
+    votes = fp.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("fp"), b).bitwiseAND(F.lit(1)) == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(SIMHASH_EST_BITS)
+        ]
+    )
+    sim = sum(
+        F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        for b in range(SIMHASH_EST_BITS)
+    )
+    sigs = votes.select("doc_id", sim.alias("sim"))
+    pairs = ngram_scored_pairs(d)
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b"))
+    from clusterindices_spark.functions.aggregates import round6_stable
+
+    per_pair = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.floor(F.col("jaccard") * F.lit(1e6) + F.lit(0.5))
+            .cast("bigint")
+            .alias("jm"),
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+            .cast("int")
+            .alias("hamming16"),
+        )
+    )
+    # calibration table, ≤17 rows — the candidate universe is pair-scale
+    # (1.1M rows at sf0.1), so the emitted artifact is its per-distance
+    # Jaccard profile, not the raw pairs
+    return per_pair.groupBy("hamming16").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        round6_stable(
+            F.sum("jm") / F.count(F.lit(1)) / F.lit(1e6)
+        ).alias("mean_jaccard"),
+        round6_stable(F.max("jm") / F.lit(1e6)).alias("max_jaccard"),
+    )
+
+
 def q_dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash Jaccard ESTIMATES next to exact Jaccard per candidate pair —
     the estimator-quality audit for the (xxhash64, rows-only) near_minhash
@@ -1400,6 +1487,7 @@ def q_dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "dedup_minhash_est": q_dedup_minhash_est,
     "dedup_minhash_pr_curve": q_dedup_minhash_pr_curve,
+    "dedup_simhash_est": q_dedup_simhash_est,
     "dedup_chunk_exact": q_dedup_chunk_exact,
     "dedup_span_coverage": q_dedup_span_coverage,
     "dedup_graph_hops": q_dedup_graph_hops,
@@ -1930,3 +2018,50 @@ FROM pr{iters}"""
 
 
 ORACLES["dedup_graph_pagerank"] = _pagerank_oracle_sql()
+
+
+_SH_VOTE_COLS = ",\n       ".join(
+    f"CAST(SUM(CASE WHEN (fp >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT)"
+    f" AS v{b}"
+    for b in range(SIMHASH_EST_BITS)
+)
+_SH_SIM_EXPR = " + ".join(
+    f"CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+    for b in range(SIMHASH_EST_BITS)
+)
+
+ORACLES["dedup_simhash_est"] = f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id, {_SH} AS shingles FROM tok),
+ex_all AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+hot AS (SELECT shingle FROM ex_all GROUP BY shingle HAVING COUNT(*) > {MAX_SHINGLE_DF}),
+ex0 AS MATERIALIZED (SELECT * FROM ex_all WHERE shingle NOT IN (SELECT shingle FROM hot)),
+sized AS (SELECT doc_id, COUNT(*) AS n FROM ex0 GROUP BY doc_id),
+ex AS (SELECT ex0.doc_id, sized.n, ex0.shingle FROM ex0 JOIN sized USING (doc_id)),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+         COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.n, b.n
+),
+pairs AS (
+  SELECT doc_a, doc_b, ROUND(inter / (na + nb - inter), 6) AS jaccard
+  FROM inter
+),
+fp0 AS (SELECT doc_id, {SQL_FINGERPRINT.format(col="shingle")} AS fp FROM ex0),
+votes AS (SELECT doc_id, {_SH_VOTE_COLS} FROM fp0 GROUP BY doc_id),
+sigs AS MATERIALIZED (SELECT doc_id, ({_SH_SIM_EXPR}) AS sim FROM votes),
+pp AS (
+  SELECT CAST(floor(p.jaccard * 1000000.0 + 0.5) AS BIGINT) AS jm,
+         CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming16
+  FROM pairs p
+  JOIN sigs a ON a.doc_id = p.doc_a
+  JOIN sigs b ON b.doc_id = p.doc_b
+)
+SELECT hamming16,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       {SQL_ROUND6.format(x="CAST(SUM(jm) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) / 1000000.0")}
+         AS mean_jaccard,
+       {SQL_ROUND6.format(x="MAX(jm) / 1000000.0")} AS max_jaccard
+FROM pp GROUP BY hamming16
+"""

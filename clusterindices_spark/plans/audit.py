@@ -690,6 +690,16 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "require": ["__salt", "Generate", "partial_"],
         "forbid": ["CartesianProduct", "Exchange SinglePartition"],
     },
+    "dedup_simhash_est": {
+        # pinned fingerprint explode → 16-agg bit votes → pair-scale
+        # signature joins → ≤17-group calibration agg
+        "require": ["partial_"],
+        "forbid": [
+            "CartesianProduct",
+            "BroadcastNestedLoopJoin",
+            "Exchange SinglePartition",
+        ],
+    },
     "dedup_minhash_pr_curve": {
         # pinned scored universe + signature joins; τ-grid Generate feeds
         # a map-side-combined 6-group agg

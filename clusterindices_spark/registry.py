@@ -147,6 +147,7 @@ _NEXT: list[str] = [
     "text_burstiness",
     "curation_waterfill_budget",
     "join_salted_skew",
+    "dedup_simhash_est",
 ]
 
 # Rows-only keys (no oracle SQL by design — approx/iterative). Kept behind

@@ -833,3 +833,31 @@ def test_waterfill_conservation_and_fairness(spark):
     assert got["b"]["allocated"] == 20.0 and not got["b"]["capped"]
     assert got["c"]["allocated"] == 35.0 and got["c"]["capped"]
     assert got["c"]["level"] == 35.0 and got["c"]["budget"] == 65
+
+
+def test_simhash_calibration_monotone_signal(spark):
+    """Calibration contract: counts cover the candidate universe, mean
+    jaccard at hamming 0 must sit far above the tail mean (the cutoff
+    signal), and hamming stays within the 16-bit range."""
+    from clusterindices_spark.operators.dedup import (
+        q_dedup_minhash_pr_curve,
+        q_dedup_simhash_est,
+    )
+
+    rows = sorted(
+        q_dedup_simhash_est(spark, SF_SMOKE).collect(),
+        key=lambda r: r["hamming16"],
+    )
+    assert all(0 <= r["hamming16"] <= 16 for r in rows)
+    assert all(r["mean_jaccard"] <= r["max_jaccard"] + 1e-9 for r in rows)
+    universe = q_dedup_minhash_pr_curve(spark, SF_SMOKE).collect()[0][
+        "n_candidates"
+    ]
+    assert sum(r["n_pairs"] for r in rows) == universe
+    head = rows[0]
+    tail = [r for r in rows if r["hamming16"] >= 6]
+    assert head["hamming16"] <= 1
+    tail_mean = sum(r["mean_jaccard"] * r["n_pairs"] for r in tail) / sum(
+        r["n_pairs"] for r in tail
+    )
+    assert head["mean_jaccard"] > 10 * tail_mean
