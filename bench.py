@@ -170,6 +170,7 @@ HEADLINE = [
     "text_burstiness",
     "curation_waterfill_budget",
     "join_salted_skew",
+    "dedup_simhash_est",
 ]
 
 # Per-key recall floors (VERDICT r5 item 3): the bench FAILS — explicit
