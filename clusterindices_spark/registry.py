@@ -49,84 +49,19 @@ _MODULES = [
     "clusterindices_spark.sql",
 ]
 
-# Round-6 driver-window priority (VERDICT r5 "Next round" #1). Exactly 50
-# keys = the driver's per-round check budget: the 23 round-5 keys the driver
-# has never reached (r5's _NEXT, all local-gate green AND judge-verified
-# 23/23 in the r5 session), then 27 re-confirmations of stable greens —
-# preferring keys whose code paths are touched this round (similarity /
-# sketches / embeddings / curation / ranking edits: semantic-ANN wiring, CMS
-# probe-window fix, hamming-oracle constant interpolation, pair-hist
-# round6_stable, filter-funnel sequential canonical fix, bigint ranks).
-# After this window lands, cumulative driver-green = 214/214 oracle-backed.
+# Round-7 driver-window priority (VERDICT r6 "Next round" #1). Exactly 50
+# keys = the driver's per-round check budget: the 23 round-6 keys the driver
+# has never reached (r6's _NEXT, all judge-verified green in the r6
+# independent 256-key gate), then 27 re-confirmations of stable greens —
+# preferring keys whose code paths are touched this round (embeddings.py
+# dim-covariance Gram path, analytics.py bootstrap hash/wn=0 fixes, dedup.py
+# round6_stable jaccard, readers.py session tempdir, streams.py CUSUM
+# ordering). After this window lands, cumulative driver-green = 237/237
+# oracle-backed — every oracle-backed key has a passing CORRECTNESS row.
 _FRONT = [
-    # the 23 oracle-backed round-5 keys with no driver row yet (r5 _NEXT)
-    "text_readability",
-    "dedup_minhash_est",
-    "dedup_chunk_exact",
-    "embedding_matryoshka",
-    "embedding_binary_quantize",
-    "similarity_hamming_topk",
-    "events_user_lifecycle",
-    "curation_filter_funnel",
-    "join_asof_nearest",
-    "multimodal_audio_silence",
-    "sql_pipe_syntax",
-    "scalar_interval_arith",
-    "similarity_mmr_rerank",
-    "text_lm_heldout_score",
-    "text_lang_confusion",
-    "embedding_pair_distance_hist",
-    "scalar_url_parse",
-    "events_error_rate",
-    "events_autocorr",
-    "curation_domain_caps",
-    "curation_source_lang_mix",
-    "dedup_semantic_clusters",
-    "events_forecast_baseline",
-    # 27 re-confirmations — touched-path keys first (this round edits
-    # similarity.py, sketches.py, embeddings.py, curation.py, dedup.py,
-    # functions/ranking.py), then the oldest stable greens
-    "dedup_cross_source",  # de-vacuated gate fixture this round (VERDICT #6)
-    "similarity_topk_exact",
-    "similarity_range_search",
-    "dedup_embedding_cosine",
-    "multimodal_vector_stats",
-    "embedding_dim_stats",
-    "embedding_norm_audit",
-    "embedding_normalize",
-    "embedding_quantize_int8",
-    "join_bloom_prefilter",
-    "curation_dedup_keep_best",
-    "curation_decontaminate",
-    "events_pareto_concentration",
-    "text_zipf_fit",
-    "dedup_exact",
-    "dedup_components",
-    "dedup_ngram_jaccard",
-    "dedup_graph_triangles",
-    "tpch_q1",
-    "tpch_q6",
-    "join_asof",
-    "agg_basic",
-    "window_rank",
-    "text_quality",
-    "multimodal_meta",
-    "sql_interface",
-    "silhouette_exact",
-]
-
-# Immediately after the 50-slot window: new round-6 oracle-backed keys that
-# should be the FIRST to get driver rows if the window is wider than 50 (and
-# the head of round 7's window otherwise). Rows-only keys stay at the very
-# end so they never burn a driver slot.
-_NEXT: list[str] = [
-    # round-6: oracle-backed QA-loop audits for the approximate tiers
-    # (the dedup_minhash_est pattern): Hamming-vs-exact recall, int8
-    # quantization cosine error
+    # the 23 oracle-backed round-6 keys with no driver row yet (r6 _NEXT)
     "similarity_hamming_recall_audit",
     "embedding_int8_cosine_err",
-    # round-6b: CUSUM drift chart (prefix-min closed form), incremental
-    # bigram novelty (data-pruning signal), DSIR unigram importance weights
     "events_cusum",
     "text_ngram_novelty",
     "curation_dsir_weights",
@@ -148,16 +83,44 @@ _NEXT: list[str] = [
     "curation_waterfill_budget",
     "join_salted_skew",
     "dedup_simhash_est",
+    # 27 re-confirmations — touched-path keys first (this round edits
+    # embeddings.py, analytics.py, dedup.py, readers.py, streams.py,
+    # skew.py), then the oldest stable greens
+    "dedup_ngram_jaccard",
+    "dedup_minhash_est",
+    "dedup_ngram_containment",
+    "embedding_pair_distance_hist",
+    "embedding_dim_stats",
+    "embedding_quantize_int8",
+    "embedding_normalize",
+    "similarity_hamming_topk",
+    "embedding_matryoshka",
+    "embedding_binary_quantize",
+    "source_xml_roundtrip",
+    "tpch_q1",
+    "tpch_q6",
+    "tpch_q3",
+    "agg_basic",
+    "window_rank",
+    "join_asof",
+    "scan_project_filter",
+    "filter_predicates",
+    "topk_orders",
+    "scalar_string",
+    "text_tokens_stats",
+    "text_langid",
+    "dedup_exact",
+    "dedup_components",
+    "index_suite",
+    "silhouette_exact",
 ]
 
-# Rows-only keys (no oracle SQL by design — approx/iterative). Kept behind
-# every oracle-backed key; the driver records err:"no_oracle" for these, so
-# they must never enter the 50-slot window (VERDICT r3 "What's wrong" #3).
-_ROWS_ONLY_TAIL = [
-    "bisecting_sweep_small",
-    "gmm_sweep_small",
-    "gap_statistic",
-]
+# Immediately after the 50-slot window: new round-7 oracle-backed keys that
+# should be the FIRST to get driver rows if the window is wider than 50 (and
+# the head of round 8's window otherwise). Rows-only keys stay at the very
+# end so they never burn a driver slot. Round 7 is a depth round (VERDICT r6
+# #7: gap-closers over breadth) — new keys land here as they are added.
+_NEXT: list[str] = []
 
 
 def _load():
@@ -178,18 +141,17 @@ def _load():
         queries.update(q)
         oracles.update(o)
     head = _FRONT + [k for k in _NEXT if k not in _FRONT]
-    missing = [k for k in head + _ROWS_ONLY_TAIL if k not in queries]
+    missing = [k for k in head if k not in queries]
     if missing:
-        raise ValueError(f"_FRONT/_NEXT/_ROWS_ONLY_TAIL name unknown keys {missing}")
+        raise ValueError(f"_FRONT/_NEXT name unknown keys {missing}")
     if len(head) != len(set(head)):
         raise ValueError("_FRONT has duplicate keys")
     ordered = {k: queries[k] for k in head}
-    # middle: everything else in module order, but rows-only keys (no oracle)
-    # sink to the very end so a wider driver window still hits oracle-backed
-    # keys first
-    rows_only_last = set(_ROWS_ONLY_TAIL) | {
-        k for k in queries if k not in oracles
-    }
+    # middle: everything else in module order, but rows-only keys (derived:
+    # any key with no oracle SQL) sink to the very end so a wider driver
+    # window still hits oracle-backed keys first (VERDICT r6 wrong #3: the
+    # old hand-named _ROWS_ONLY_TAIL covered 3 of 19 — now fully derived)
+    rows_only_last = {k for k in queries if k not in oracles}
     ordered.update(
         (k, v)
         for k, v in queries.items()
