@@ -1284,8 +1284,13 @@ def q_events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = e.select("event_id", "event_type", micros.alias("vm")).select(
         "event_id", "event_type", "vm", rep
     )
+    # reduce event_id mod BOOT_MOD BEFORE the Knuth multiply: identical by
+    # modular arithmetic, but the intermediate stays ≤ (BOOT_MOD−1)·HASH_A
+    # ≈ 2.7e15 < 2^63, so the hash cannot overflow BIGINT for ANY event_id
+    # (the raw id·HASH_A product would overflow past id ≈ 3.5e9 — ANSI
+    # error in Spark, silent int64 wrap in the numpy streaming twin)
     u = (
-        F.col("event_id") * F.lit(BOOT_HASH_A)
+        (F.col("event_id") % F.lit(BOOT_MOD)) * F.lit(BOOT_HASH_A)
         + F.col("rep") * F.lit(BOOT_HASH_B)
     ) % F.lit(BOOT_MOD)
     w = sum(
@@ -1296,10 +1301,18 @@ def q_events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("event_type", "rep").agg(
         F.sum("w").alias("wn"), F.sum("wv").alias("ws")
     )
+    # wn=0 (a replicate in which every row drew Poisson weight 0 — needs
+    # ~e^{-n} luck, but pin it anyway): the empty replicate's mean is
+    # DEFINED as 0.0 on all three sides (here, the DuckDB oracle, and the
+    # streaming twin's s/max(c,1)), so collect_list keeps all B elements
+    # and the order-statistic indices never shift
     rep_mean = per_rep.select(
         "event_type",
-        round6_stable(
-            F.col("ws") / F.nullif(F.col("wn"), F.lit(0)) / F.lit(1e6)
+        F.coalesce(
+            round6_stable(
+                F.col("ws") / F.nullif(F.col("wn"), F.lit(0)) / F.lit(1e6)
+            ),
+            F.lit(0.0),
         ).alias("m"),
     )
     boots = rep_mean.groupBy("event_type").agg(
@@ -1663,7 +1676,8 @@ FROM cur
     "events_bootstrap_ci": f"""
 WITH ex AS (
   SELECT event_type, r.rep,
-         (event_id * {BOOT_HASH_A} + r.rep * {BOOT_HASH_B}) % {BOOT_MOD} AS u,
+         ((event_id % {BOOT_MOD}) * {BOOT_HASH_A} + r.rep * {BOOT_HASH_B})
+           % {BOOT_MOD} AS u,
          CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vm
   FROM events CROSS JOIN (SELECT unnest(range({BOOT_B})) AS rep) r
 ),
@@ -1680,7 +1694,8 @@ pr AS (
 ),
 rm AS (
   SELECT event_type,
-         {SQL_ROUND6.format(x="ws / NULLIF(wn, 0) / 1000000.0")} AS m
+         COALESCE({SQL_ROUND6.format(x="ws / NULLIF(wn, 0) / 1000000.0")},
+                  0.0) AS m
   FROM pr
 ),
 boots AS (

@@ -257,8 +257,13 @@ def ngram_scored_pairs(
     )
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
-    jac = F.round(
-        F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+    # round6_stable, not F.round: rational inter/union CAN land exactly on
+    # a .xxxxxx5 boundary (e.g. inter=1, union=128 → 0.0078125, exact in
+    # binary), where Spark HALF_UP and DuckDB's scaled-multiply diverge —
+    # and jm-threshold decisions downstream (minhash_pr_curve, simhash_est)
+    # are discrete in this value (ADVICE r6). Oracle uses SQL_ROUND6.
+    jac = round6_stable(
+        F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     )
     return _repin(
         "ngram_pairs_scored",
@@ -330,8 +335,11 @@ def ngram_containment_pairs(
     )
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
-    c_ab = F.round(F.col("inter") / F.col("na"), 6)
-    c_ba = F.round(F.col("inter") / F.col("nb"), 6)
+    # round6_stable for the same boundary-safety reason as the jaccard in
+    # ngram_scored_pairs: inter/na with a power-of-two na is exact in
+    # binary and can sit on .xxxxxx5 where ROUND conventions diverge
+    c_ab = round6_stable(F.col("inter") / F.col("na"))
+    c_ba = round6_stable(F.col("inter") / F.col("nb"))
     return (
         inter.join(F.broadcast(na), "doc_a")
         .join(F.broadcast(nb), "doc_b")
@@ -429,7 +437,9 @@ def minhash_pairs(
         .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
-            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+            round6_stable(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+            ),
         )
     )
     return verified.where(F.col("jaccard") >= threshold).select(
@@ -1200,8 +1210,8 @@ def q_dedup_minhash_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification step in production).
 
     Scale: reuses the pinned scored-pair universe + signature table; the
-    4-row τ grid explodes onto the pair frame (map-side-combined agg by
-    τ) — nothing new shuffles."""
+    6-row τ grid (PR_TAUS) explodes onto the pair frame (map-side-combined
+    agg by τ) — nothing new shuffles."""
     from clusterindices_spark.functions.aggregates import round6_stable
 
     d = load_table(spark, sf_dir, "documents")
@@ -1616,11 +1626,11 @@ inter AS (
   GROUP BY a.doc_id, b.doc_id, a.n, b.n
 )
 SELECT doc_a, doc_b,
-       ROUND(inter / na, 6) AS c_ab,
-       ROUND(inter / nb, 6) AS c_ba
+       {SQL_ROUND6.format(x="inter / na")} AS c_ab,
+       {SQL_ROUND6.format(x="inter / nb")} AS c_ba
 FROM inter
-WHERE ROUND(inter / na, 6) >= {CONTAINMENT_THRESHOLD}
-   OR ROUND(inter / nb, 6) >= {CONTAINMENT_THRESHOLD}
+WHERE {SQL_ROUND6.format(x="inter / na")} >= {CONTAINMENT_THRESHOLD}
+   OR {SQL_ROUND6.format(x="inter / nb")} >= {CONTAINMENT_THRESHOLD}
 """,
     "dedup_ngram_jaccard": f"""
 WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
@@ -1637,9 +1647,9 @@ inter AS (
   GROUP BY a.doc_id, b.doc_id, a.n, b.n
 )
 SELECT doc_a, doc_b,
-       ROUND(inter / (na + nb - inter), 6) AS jaccard
+       {SQL_ROUND6.format(x="inter / (na + nb - inter)")} AS jaccard
 FROM inter
-WHERE ROUND(inter / (na + nb - inter), 6) >= {JACCARD_THRESHOLD}
+WHERE {SQL_ROUND6.format(x="inter / (na + nb - inter)")} >= {JACCARD_THRESHOLD}
 """,
     # dedup_near_minhash / dedup_simhash: engine-specific hash families →
     # rows-only check; recall is property-tested with planted duplicates.
@@ -1664,7 +1674,7 @@ inter AS (
 ),
 pairs AS (
   SELECT doc_a AS a, doc_b AS b FROM inter
-  WHERE ROUND(inter / (na + nb - inter), 6) >= {JACCARD_THRESHOLD}
+  WHERE {SQL_ROUND6.format(x="inter / (na + nb - inter)")} >= {JACCARD_THRESHOLD}
 ),
 deg AS (
   SELECT v, COUNT(*) AS deg FROM (
@@ -1703,7 +1713,7 @@ inter AS (
 ),
 pairs AS (
   SELECT doc_a, doc_b FROM inter
-  WHERE ROUND(inter / (na + nb - inter), 6) >= {JACCARD_THRESHOLD}
+  WHERE {SQL_ROUND6.format(x="inter / (na + nb - inter)")} >= {JACCARD_THRESHOLD}
 ),
 edges AS (
   SELECT doc_a AS s, doc_b AS d FROM pairs
@@ -1846,9 +1856,9 @@ inter AS (
   GROUP BY a.doc_id, b.doc_id, a.n, b.n
 ),
 pairs AS (
-  SELECT doc_a, doc_b, ROUND(inter / (na + nb - inter), 6) AS jaccard
+  SELECT doc_a, doc_b, {SQL_ROUND6.format(x="inter / (na + nb - inter)")} AS jaccard
   FROM inter
-  WHERE ROUND(inter / (na + nb - inter), 6) >= {JACCARD_THRESHOLD}
+  WHERE {SQL_ROUND6.format(x="inter / (na + nb - inter)")} >= {JACCARD_THRESHOLD}
 ),
 fp AS (SELECT doc_id, {SQL_FINGERPRINT.format(col="shingle")} AS fp FROM ex0),
 sig AS MATERIALIZED (SELECT doc_id, {_MH_SIG_COLS} FROM fp GROUP BY doc_id),
@@ -1882,7 +1892,7 @@ inter AS (
   GROUP BY a.doc_id, b.doc_id, a.n, b.n
 ),
 pairs AS (
-  SELECT doc_a, doc_b, ROUND(inter / (na + nb - inter), 6) AS jaccard
+  SELECT doc_a, doc_b, {SQL_ROUND6.format(x="inter / (na + nb - inter)")} AS jaccard
   FROM inter
 ),
 fp0 AS (SELECT doc_id, {SQL_FINGERPRINT.format(col="shingle")} AS fp FROM ex0),
@@ -1975,7 +1985,7 @@ inter AS (
 ),
 pairs AS MATERIALIZED (
   SELECT doc_a, doc_b FROM inter
-  WHERE ROUND(inter / (na + nb - inter), 6) >= {JACCARD_THRESHOLD}
+  WHERE {SQL_ROUND6.format(x="inter / (na + nb - inter)")} >= {JACCARD_THRESHOLD}
 ),
 nodes AS (SELECT doc_id AS node FROM documents),
 sym AS (
@@ -2045,7 +2055,7 @@ inter AS (
   GROUP BY a.doc_id, b.doc_id, a.n, b.n
 ),
 pairs AS (
-  SELECT doc_a, doc_b, ROUND(inter / (na + nb - inter), 6) AS jaccard
+  SELECT doc_a, doc_b, {SQL_ROUND6.format(x="inter / (na + nb - inter)")} AS jaccard
   FROM inter
 ),
 fp0 AS (SELECT doc_id, {SQL_FINGERPRINT.format(col="shingle")} AS fp FROM ex0),

@@ -9,7 +9,26 @@ hot join key exists) → query the parquet.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
+
+# One tempdir for the WHOLE session, cleaned up at interpreter exit by
+# TemporaryDirectory's finalizer. The roundtrip queries previously
+# mkdtemp'd a fresh directory per plan construction and never removed it,
+# so every gate/bench/driver invocation leaked a directory (ADVICE r6).
+# Subpaths are keyed by (format, sf basename) so repeat invocations reuse
+# and overwrite ONE location, and two scale factors never collide.
+_SESSION_TMP: tempfile.TemporaryDirectory | None = None
+
+
+def _roundtrip_path(kind: str, sf_dir: str) -> str:
+    global _SESSION_TMP
+    if _SESSION_TMP is None:
+        _SESSION_TMP = tempfile.TemporaryDirectory(prefix="ci-roundtrip-")
+    sf = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(_SESSION_TMP.name, f"{kind}-{sf}")
 
 
 def read_csv(
@@ -88,8 +107,6 @@ def q_source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     roundtrip is lossless for the typed columns. Scale: XML parse work is
     per-row and partition-parallel like any file source; at 100 TB the
     explicit schema is what keeps the scan single-pass."""
-    import tempfile
-
     from pyspark.sql import functions as F
 
     from clusterindices_spark.sources.fixtures import load_table
@@ -97,7 +114,7 @@ def q_source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderkey") % 10 == 0
     ).select("o_orderkey", "o_orderstatus", "o_totalprice")
-    path = tempfile.mkdtemp(prefix="ci-xml-")
+    path = _roundtrip_path("xml", sf_dir)
     write_xml(o, path)
     back = read_xml(
         spark,
@@ -125,8 +142,6 @@ def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks the write→read roundtrip is lossless AND the pushdown path
     returns exactly the unpushed semantics. Scale: columnar scan,
     stripe-parallel, identical posture to the parquet tables."""
-    import tempfile
-
     from pyspark.sql import functions as F
 
     from clusterindices_spark.sources.fixtures import load_table
@@ -134,7 +149,7 @@ def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderkey") % 7 == 0
     ).select("o_orderkey", "o_orderpriority", "o_totalprice")
-    path = tempfile.mkdtemp(prefix="ci-orc-")
+    path = _roundtrip_path("orc", sf_dir)
     o.write.mode("overwrite").orc(path)
     back = spark.read.schema(
         "o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE"
@@ -165,8 +180,6 @@ def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortest-roundtrip doubles). FAILFAST mode — a malformed row is an
     error, not a silent null row. Scale: line-splittable scan, schema'd
     single pass."""
-    import tempfile
-
     from pyspark.sql import functions as F
 
     from clusterindices_spark.sources.fixtures import load_table
@@ -174,7 +187,7 @@ def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").where(
         F.col("c_custkey") % 5 == 0
     ).select("c_custkey", "c_mktsegment", "c_acctbal")
-    path = tempfile.mkdtemp(prefix="ci-csv-")
+    path = _roundtrip_path("csv", sf_dir)
     c.write.mode("overwrite").option("header", True).csv(path)
     back = (
         spark.read.schema("c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE")

@@ -670,7 +670,12 @@ def bootstrap_state_stream(
             vm = np.floor(
                 pdf["value"].to_numpy(dtype="float64") * 1e6 + 0.5
             ).astype(np.int64)
-            u = (ids[:, None] * BOOT_HASH_A + reps[None, :] * BOOT_HASH_B) % BOOT_MOD
+            # mod-reduce ids first (mirrors the batch operator): keeps the
+            # product ≤ 2.7e15 so int64 never wraps for any event_id
+            u = (
+                (ids[:, None] % BOOT_MOD) * BOOT_HASH_A
+                + reps[None, :] * BOOT_HASH_B
+            ) % BOOT_MOD
             w = np.zeros_like(u)
             for t in BOOT_POISSON_CUM:
                 w += u >= t

@@ -1,0 +1,105 @@
+"""Round-7 regression tests for the ADVICE r6 fixes: bootstrap-hash
+overflow headroom, the wn=0 empty-replicate convention, and the
+round6_stable jaccard boundary."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE  # noqa: F401 (fixture SF)
+
+
+def test_bootstrap_hash_no_overflow_at_huge_event_id(spark):
+    """The mod-reduced Knuth hash must be ANSI-safe and equal the big-int
+    formula for event_ids far past the raw-multiply overflow point
+    (id·2654435761 overflows BIGINT at id ≈ 3.47e9)."""
+    from clusterindices_spark.operators.analytics import (
+        BOOT_HASH_A,
+        BOOT_HASH_B,
+        BOOT_MOD,
+    )
+
+    ids = [1, 3_470_000_000, 2**40, 2**62 // BOOT_HASH_A * BOOT_MOD + 17]
+    df = spark.createDataFrame(
+        [(i, r) for i in ids for r in range(3)], "event_id LONG, rep LONG"
+    )
+    u = (
+        (F.col("event_id") % F.lit(BOOT_MOD)) * F.lit(BOOT_HASH_A)
+        + F.col("rep") * F.lit(BOOT_HASH_B)
+    ) % F.lit(BOOT_MOD)
+    got = {
+        (r["event_id"], r["rep"]): r["u"]
+        for r in df.select("event_id", "rep", u.alias("u")).collect()
+    }
+    for i in ids:
+        for rep in range(3):
+            # Python big-int reference: the UNreduced formula
+            assert got[(i, rep)] == (i * BOOT_HASH_A + rep * BOOT_HASH_B) % BOOT_MOD
+
+
+def test_bootstrap_stream_twin_hash_matches_bigint_at_huge_id():
+    """The numpy twin's int64 path must also agree with the big-int
+    formula past the old wrap point (it used to silently wrap)."""
+    import numpy as np
+
+    from clusterindices_spark.operators.analytics import (
+        BOOT_B,
+        BOOT_HASH_A,
+        BOOT_HASH_B,
+        BOOT_MOD,
+    )
+
+    ids = np.array([1, 3_470_000_000, 2**40, 2**61], dtype=np.int64)
+    reps = np.arange(BOOT_B, dtype=np.int64)
+    u = (
+        (ids[:, None] % BOOT_MOD) * BOOT_HASH_A
+        + reps[None, :] * BOOT_HASH_B
+    ) % BOOT_MOD
+    for i_idx, i in enumerate(ids.tolist()):
+        for rep in range(BOOT_B):
+            assert u[i_idx, rep] == (i * BOOT_HASH_A + rep * BOOT_HASH_B) % BOOT_MOD
+
+
+def test_bootstrap_wn0_replicate_mean_is_zero(spark):
+    """A replicate whose every row drew Poisson weight 0 contributes mean
+    0.0 (not a dropped NULL): the collect_list must keep all B elements so
+    the (2nd, 39th) order-statistic indices never shift. Exercised by
+    replaying the operator's own column expressions over a 1-row frame
+    with a forced wn=0."""
+    from clusterindices_spark.functions.aggregates import round6_stable
+
+    df = spark.createDataFrame([(0, 123)], "wn LONG, ws LONG")
+    m = df.select(
+        F.coalesce(
+            round6_stable(
+                F.col("ws") / F.nullif(F.col("wn"), F.lit(0)) / F.lit(1e6)
+            ),
+            F.lit(0.0),
+        ).alias("m")
+    ).collect()[0]["m"]
+    assert m == 0.0
+
+
+def test_jaccard_round6_stable_on_half_boundary(spark):
+    """inter=1, union=128 → 0.0078125, exactly representable and exactly
+    on the 6dp half boundary. round6_stable must give 0.007813 (floor of
+    7812.5+0.5), matching DuckDB's floor-based SQL_ROUND6 — the value
+    F.round/duckdb-ROUND conventions disagree on."""
+    import duckdb
+
+    from clusterindices_spark.functions.aggregates import SQL_ROUND6, round6_stable
+
+    df = spark.createDataFrame([(1, 64, 65)], "inter LONG, na LONG, nb LONG")
+    got = df.select(
+        round6_stable(
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+        ).alias("j")
+    ).collect()[0]["j"]
+    assert got == 0.007813
+    duck = duckdb.sql(
+        "SELECT "
+        + SQL_ROUND6.format(x="1 / (64 + 65 - 1)")
+        + " AS j"
+    ).fetchone()[0]
+    assert duck == got
+    assert math.isclose(1 / 128, 0.0078125)  # the boundary really is exact
