@@ -1204,13 +1204,17 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "forbid": ["CartesianProduct", "SortMergeJoin"],
     },
     "embedding_dim_covariance": {
-        # vec_id equi self-join of the posexploded corpus (broadcast at
-        # fixture scale, partitioned at 100 TB), D²/2-group map-side agg
-        "require": ["partial_"],
+        # r7 production path: mapInArrow integer Gram partials collect at
+        # plan-construction time; the RETURNED plan is the D²/2-row local
+        # pair relation + the finalize projection — no join, no exchange,
+        # no data-scale operator of any kind (the corpus pass happened in
+        # the partials job, one scan, zero shuffle). The old vec_id
+        # self-join survives only as dim_covariance_selfjoin (test twin).
+        "require": ["Scan ExistingRDD"],
         "forbid": [
+            "Join",
+            "Exchange",
             "CartesianProduct",
-            "BroadcastNestedLoopJoin",
-            "Exchange SinglePartition",
         ],
     },
     "embedding_pca_project": {
