@@ -775,13 +775,35 @@ def test_hourly_rollup_incremental_matches_batch(spark):
         assert read_versioned(spark, root).count() == n_before
 
 
+def _cusum_ref_means(spark):
+    ev = load_table(spark, SF_SMOKE, "events")
+    hour = F.floor(F.unix_millis(F.col("ts")) / F.lit(3_600_000)).cast("bigint")
+    h = ev.groupBy("event_type", hour.alias("hour")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return {
+        r["event_type"]: int(r["m"])
+        for r in h.groupBy("event_type")
+        .agg(
+            F.floor(
+                F.sum("n") * F.lit(1_000_000.0) / F.count(F.lit(1))
+            ).cast("bigint").alias("m")
+        )
+        .collect()
+    }
+
+
 def test_cusum_state_stream_matches_batch(spark):
     """Streaming CUSUM (reference μ0 from the batch stats, as in
-    production) finalizes every hour but the last; its final state must
-    equal the batch chart's second-to-last-hour row EXACTLY — integer
-    state, both single-batch and one-file-per-trigger replays."""
+    production) finalizes exactly the hours its per-type watermark has
+    closed (hour end ≤ max_ts − δ); the final state must equal the batch
+    chart's row at the last closed hour EXACTLY — integer state, both
+    single-batch and one-file-per-trigger replays."""
     from clusterindices_spark.operators.analytics import q_events_cusum
-    from clusterindices_spark.streaming.streams import cusum_state_stream
+    from clusterindices_spark.streaming.streams import (
+        _duration_ms,
+        cusum_state_stream,
+    )
 
     batch = sorted(
         q_events_cusum(spark, SF_SMOKE).collect(),
@@ -790,19 +812,13 @@ def test_cusum_state_stream_matches_batch(spark):
     by_type = {}
     for r in batch:
         by_type.setdefault(r["event_type"], []).append(r)
-    ev = load_table(spark, SF_SMOKE, "events")
-    hour = F.floor(F.unix_millis(F.col("ts")) / F.lit(3_600_000)).cast("bigint")
-    h = ev.groupBy("event_type", hour.alias("hour")).agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    ref = {
-        r["event_type"]: int(r["m"])
-        for r in h.groupBy("event_type")
-        .agg(
-            F.floor(
-                F.sum("n") * F.lit(1_000_000.0) / F.count(F.lit(1))
-            ).cast("bigint").alias("m")
-        )
+    ref = _cusum_ref_means(spark)
+    delta_ms = _duration_ms("30 minutes")
+    max_ts = {
+        r["event_type"]: r["mt"]
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(F.max(F.unix_millis("ts")).alias("mt"))
         .collect()
     }
 
@@ -828,16 +844,108 @@ def test_cusum_state_stream_matches_batch(spark):
             assert set(final) == set(by_type)
             for et, rows in by_type.items():
                 g = final[et]
-                assert g["hours_finalized"] == len(rows) - 1, et
-                second_last = rows[-2]
-                assert g["s_pos"] == second_last["s_pos"], et
-                assert g["s_neg"] == second_last["s_neg"], et
+                cutoff = max_ts[et] - delta_ms
+                closed = [
+                    r for r in rows if (r["hour"] + 1) * 3_600_000 <= cutoff
+                ]
+                assert closed, et  # fixture spans many hours
+                assert g["hours_finalized"] == len(closed), et
+                assert g["s_pos"] == closed[-1]["s_pos"], et
+                assert g["s_neg"] == closed[-1]["s_neg"], et
                 assert g["n_alarm_hours"] == sum(
-                    r["is_alarm"] for r in rows[:-1]
+                    r["is_alarm"] for r in closed
                 ), et
+                # pending buffer reports the latest (still-open) hour
                 last = rows[-1]
                 assert g["pending_hour"] == last["hour"], et
                 assert g["pending_n"] == last["n"], et
+
+
+def test_cusum_stream_handles_hour_disorder(spark):
+    """Adversarial disorder: hour-100 stragglers arrive in the batch AFTER
+    hour 101 opened (admitted by the 30-min watermark). The old contract
+    ('events assumed hour-ordered') would have finalized hour 100 short
+    and mis-sequenced the chart; the buffered stream must now match a
+    big-int replay of the CUSUM recurrence over the TRUE hourly counts."""
+    import json
+    import os
+
+    from clusterindices_spark.streaming.streams import (
+        cusum_state_stream,
+        events_file_stream,
+        run_to_completion,
+    )
+
+    H = 3_600_000  # one hour in ms
+
+    def line(eid, ms):
+        import datetime
+
+        iso = (
+            datetime.datetime.fromtimestamp(
+                ms / 1000, tz=datetime.timezone.utc
+            ).strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3]
+            + "+00:00"  # explicit offset so session tz can't shift hours
+        )
+        return json.dumps(
+            {
+                "event_id": eid,
+                "ts": iso,
+                "user_id": 1,
+                "event_type": "A",
+                "value": 1.0,
+                "props": "{}",
+            }
+        )
+
+    # hour index 100..105 with planted counts; hour-100 has 3 early events
+    # in batch 1 and 2 stragglers at :50+ that only arrive in batch 2
+    t0 = 100 * H
+    batch1 = [line(i, t0 + i * 60_000) for i in range(3)]  # hour 100 early
+    batch1 += [line(10 + i, t0 + H + i * 60_000) for i in range(4)]  # hour 101
+    # batch-1 max ts = hour 101 @ :03 → watermark hour 100:33; stragglers
+    # at 100:50/100:55 are ADMITTED late data
+    batch2 = [line(20, t0 + 50 * 60_000), line(21, t0 + 55 * 60_000)]
+    batch2 += [line(30 + i, t0 + 2 * H + i * 60_000) for i in range(6)]  # h102
+    batch3 = [line(40 + i, t0 + 3 * H + i * 60_000) for i in range(2)]  # h103
+    batch3 += [line(50 + i, t0 + 4 * H + i * 60_000) for i in range(5)]  # h104
+    true_counts = {100: 5, 101: 4, 102: 6, 103: 2, 104: 5}
+
+    with tempfile.TemporaryDirectory() as tmp:
+        for i, lines in enumerate((batch1, batch2, batch3)):
+            p = os.path.join(tmp, f"{i:02d}.json")
+            with open(p, "w") as f:
+                f.write("\n".join(lines) + "\n")
+            os.utime(p, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+        mean = 4_000_000  # μ0 = 4 events/hour in micros
+        stream = events_file_stream(spark, tmp, max_files_per_trigger=1)
+        got = run_to_completion(
+            cusum_state_stream(stream, {"A": mean}),
+            "t_cusum_disorder",
+            mode="update",
+        )
+        final = (
+            got.orderBy(F.col("hours_finalized").desc()).limit(1).collect()[0]
+        )
+        # replay the recurrence over the true counts for the closed hours:
+        # final max_ts = hour 104 @ :04 → cutoff 103:34 → hours ≤ 102 closed
+        k, h_thr = mean // 4, 3 * mean
+        cp = cpm = cn = cnm = 0
+        n_al = 0
+        for hr in (100, 101, 102):
+            n = true_counts[hr]
+            cp += n * 1_000_000 - mean - k
+            cpm = min(cpm, cp)
+            cn += mean - n * 1_000_000 - k
+            cnm = min(cnm, cn)
+            sp, sn = cp - min(0, cpm), cn - min(0, cnm)
+            n_al += 1 if (sp > h_thr or sn > h_thr) else 0
+        assert final["hours_finalized"] == 3
+        assert final["s_pos"] == (cp - min(0, cpm)) / 1e6
+        assert final["s_neg"] == (cn - min(0, cnm)) / 1e6
+        assert final["n_alarm_hours"] == n_al
+        assert final["pending_hour"] == 104
+        assert final["pending_n"] == true_counts[104]
 
 
 def test_bootstrap_state_stream_matches_batch_ci(spark):
