@@ -19,6 +19,38 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+
+def _git_sha(repo_dir: str) -> str | None:
+    import subprocess
+
+    try:
+        return (
+            subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                cwd=repo_dir,
+                capture_output=True,
+                text=True,
+                timeout=10,
+                check=True,
+            ).stdout.strip()
+            or None
+        )
+    except Exception:
+        return None
+
+
+def _current_round(repo_dir: str) -> int | None:
+    """The round being BUILT = 1 + the highest driver-recorded BENCH_r{N}
+    (the driver writes BENCH_r{N}.json when round N closes)."""
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(repo_dir)
+        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
+    ]
+    return max(rounds) + 1 if rounds else None
+
 # headline set: reference index suite + sweep-shaped work + one per operator
 # family (BASELINE.md rows 4-9)
 HEADLINE = [
@@ -411,7 +443,10 @@ def main() -> None:
         print(f"# could not write {full_path}: {ex}", file=sys.stderr)
     # trend file (VERDICT r5 item 8): one APPENDED line per bench run with
     # the full per-key map, so cross-round steal-noise adjudication reads a
-    # history instead of excavating truncated driver tails
+    # history instead of excavating truncated driver tails. Each entry is
+    # self-describing (VERDICT r6 wrong #4): build round (max recorded
+    # BENCH_r{N} + 1, i.e. the round currently being built) + git sha, so
+    # per-key r(N)→r(N+1) diffs are one jq call, no archaeology.
     hist_path = os.path.join(repo_dir, "reports", "bench_history.jsonl")
     try:
         with open(hist_path, "a") as f:
@@ -419,6 +454,8 @@ def main() -> None:
                 json.dumps(
                     {
                         "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                        "round": _current_round(repo_dir),
+                        "sha": _git_sha(repo_dir),
                         "sf": sf_val,
                         "total_sec": full["value"],
                         "n_queries": len(timings),

@@ -1271,6 +1271,136 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "require": ["FileScan csv", "partial_"],
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    # ---- r7: the five iterative MLlib sweep keys (VERDICT r6 missing #4).
+    # Their RETURNED frames are K-row driver-built summaries, so the audit
+    # instead exercises the per-K INDEX JOB via SUBPLAN_PROBES below — one
+    # representative fit + the index_suite pass that runs once per K inside
+    # the sweep loop. Designed markers: the centroid/suite attaches ride
+    # broadcasts (incl. the sanctioned 1-row BNLJ pattern), aggs are
+    # two-phase; the data side must never sort-merge or go quadratic. The
+    # K-row → 1-row suite reduction is a legitimate K-scale
+    # Exchange SinglePartition, so that marker is NOT forbidden here.
+    **{
+        k: {
+            "require": ["Broadcast", "partial_"],
+            "forbid": ["CartesianProduct", "SortMergeJoin"],
+        }
+        for k in (
+            "kmeans_sweep_small",
+            "kmeans_sweep_best_k",
+            "bisecting_sweep_small",
+            "gmm_sweep_small",
+        )
+    },
+    "gap_statistic": {
+        # per-(K,b) reference generation: 1-row bounds broadcast onto the
+        # vec_id scan (BNLJ over one row — the with_dist_array pattern);
+        # the fits themselves are MLlib-internal jobs
+        "require": ["Broadcast"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
+}
+
+
+def _sweep_index_probe(algo: str):
+    """Build the per-K index job the sweep runs in its loop (one
+    representative K=3 fit, maxIter=2 — topology, not quality) so the
+    audit can see the subplan the returned K-row summary cannot witness."""
+
+    def probe(spark: SparkSession, sf_dir: str):
+        from pyspark.ml.clustering import (  # noqa: PLC0415
+            BisectingKMeans,
+            GaussianMixture,
+            KMeans,
+        )
+        from pyspark.ml.feature import PCA  # noqa: PLC0415
+        from pyspark.ml.functions import array_to_vector  # noqa: PLC0415
+
+        from clusterindices_spark.operators.indices import (  # noqa: PLC0415
+            centroids_of,
+            index_suite,
+            labeled_points,
+        )
+
+        pts = labeled_points(spark, sf_dir).withColumn(
+            "fv", array_to_vector("x")
+        )
+        if algo == "gmm":
+            # mirror clusterer_sweep: GMM fits in an 8-dim PCA space
+            pca = PCA(k=8, inputCol="fv", outputCol="pv").fit(pts)
+            pts = pca.transform(pts).drop("fv").withColumnRenamed("pv", "fv")
+        maker = {
+            "kmeans": lambda: KMeans(
+                k=3, seed=42, maxIter=2, featuresCol="fv"
+            ),
+            "bisecting": lambda: BisectingKMeans(
+                k=3, seed=42, maxIter=2, featuresCol="fv"
+            ),
+            "gmm": lambda: GaussianMixture(
+                k=3, seed=42, maxIter=2, featuresCol="fv"
+            ),
+        }[algo]
+        model = maker().fit(pts)
+        pred = (
+            model.transform(pts)
+            .select("vec_id", model.getPredictionCol(), "x")
+            .withColumnRenamed(model.getPredictionCol(), "cluster")
+        )
+        if algo == "gmm":
+            cents = centroids_of(pred)
+        else:
+            cents = spark.createDataFrame(
+                [
+                    (i, [float(v) for v in c])
+                    for i, c in enumerate(model.clusterCenters())
+                ],
+                "cluster INT, centroid ARRAY<DOUBLE>",
+            )
+        return index_suite(pred, cents)
+
+    return probe
+
+
+def _gap_ref_probe(spark: SparkSession, sf_dir: str):
+    """The gap statistic's per-bootstrap reference-dataset generator (the
+    only non-MLlib data-scale plan inside its loop)."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from clusterindices_spark.operators.indices import (  # noqa: PLC0415
+        labeled_points,
+    )
+
+    base = labeled_points(spark, sf_dir)
+    ndim = len(base.select("x").first()["x"])
+    bounds = base.select(
+        F.array(*[F.min(F.get("x", d)) for d in range(ndim)]).alias("lo"),
+        F.array(*[F.max(F.get("x", d)) for d in range(ndim)]).alias("hi"),
+    )
+    den = 1 << 20
+    return base.select("vec_id").crossJoin(F.broadcast(bounds)).select(
+        "vec_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(ndim - 1)),
+            lambda d: F.get("lo", d)
+            + (
+                F.pmod(
+                    F.xxhash64(F.col("vec_id"), d, F.lit(0)), F.lit(den)
+                ).cast("double")
+                / F.lit(float(den))
+            )
+            * (F.get("hi", d) - F.get("lo", d)),
+        ).alias("ref_x"),
+    )
+
+
+# keys whose registry frame is a driver-built summary: audit the
+# representative INTERNAL job instead (the plan users actually pay for)
+SUBPLAN_PROBES = {
+    "kmeans_sweep_small": _sweep_index_probe("kmeans"),
+    "kmeans_sweep_best_k": _sweep_index_probe("kmeans"),
+    "bisecting_sweep_small": _sweep_index_probe("bisecting"),
+    "gmm_sweep_small": _sweep_index_probe("gmm"),
+    "gap_statistic": _gap_ref_probe,
 }
 
 
@@ -1297,7 +1427,8 @@ _DEFAULT_EXPECTATION = {"require": [], "forbid": ["CartesianProduct"]}
 def audit_one(spark: SparkSession, name: str, sf_dir: str) -> list[str]:
     from clusterindices_spark.registry import all_queries
 
-    df = all_queries()[name](spark, sf_dir)
+    probe = SUBPLAN_PROBES.get(name)
+    df = probe(spark, sf_dir) if probe else all_queries()[name](spark, sf_dir)
     # executedPlan after AQE needs an action; use the initial physical plan
     # plus the final adaptive plan when available
     df.collect()

@@ -14,3 +14,14 @@ def test_plan_shapes(spark):
     problems = {k: v for k, v in results.items() if v}
     assert not problems, f"plan audit failures: {problems}"
     assert len(results) >= 220  # per-key entries + blanket floor = all keys
+
+
+def test_every_registry_key_has_explicit_expectation():
+    """r7 (VERDICT r6 missing #4): zero blanket-only keys — every registry
+    key carries its own EXPECTATIONS entry (the 5 MLlib sweep keys audit a
+    representative internal job via SUBPLAN_PROBES)."""
+    from clusterindices_spark.plans.audit import EXPECTATIONS
+    from clusterindices_spark.registry import all_queries
+
+    missing = [k for k in all_queries() if k not in EXPECTATIONS]
+    assert missing == [], f"blanket-only keys remain: {missing}"
