@@ -97,3 +97,44 @@ def test_salt_spreads_hot_key(spark):
     counts = [r["count"] for r in salts]
     assert len(counts) == 8
     assert max(counts) < 8000 * 0.25  # no replica hoards the hot key
+
+
+def test_salted_join_spreads_hot_key_across_tasks(spark):
+    """The skew-stress regime (tools/skew_stress.py) in miniature: one key
+    owning 90% of the big side, dim not broadcastable, AQE skew split off.
+    The plain join concentrates every hot row in ONE join-output partition;
+    the salted join must land the hot key on >= n_salts partitions with no
+    partition holding more than ~1/n_salts of the hot rows (xxhash64 salt
+    is deterministic, so these counts are stable, not flaky)."""
+    from clusterindices_spark.operators.skew import salted_join
+    from tools.skew_stress import HOT_KEY, N_SALTS, build_fixture, run_side
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "false",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        # enough shuffle partitions that the 8 (key, salt) tuples hash to
+        # 8 DISTINCT partitions (at 32 they collide into 6 — deterministic
+        # xxhash64, verified); production clusters run hundreds anyway
+        "spark.sql.shuffle.partitions": "256",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big, dim = build_fixture(spark, 400_000, 50_000)
+        plain = run_side(big.join(dim, "k"))
+        salted = run_side(
+            salted_join(big, dim, key="k", salt_from="row_id", n_salts=N_SALTS)
+        )
+        assert plain["total_rows"] == salted["total_rows"]
+        assert plain["hot_partitions"] == 1  # the straggler
+        assert salted["hot_partitions"] >= N_SALTS
+        hot_n = 400_000 * 9 // 10
+        assert salted["hot_max_task_rows"] <= hot_n // N_SALTS * 1.3
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
