@@ -203,6 +203,10 @@ HEADLINE = [
     "curation_waterfill_budget",
     "join_salted_skew",
     "dedup_simhash_est",
+    # round-7: near-dup survivor selection (components + keep-best) and
+    # PCA-whitening (Gram-partial fit + literal-projection scan)
+    "dedup_cluster_keep_best",
+    "embedding_whiten",
 ]
 
 # Per-key recall floors (VERDICT r5 item 3): the bench FAILS — explicit

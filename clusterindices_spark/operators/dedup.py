@@ -794,6 +794,49 @@ def q_dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_census(e)
 
 
+def q_dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection per NEAR-dup cluster — the record a dedup
+    pipeline actually ships: connected components over the verified
+    jaccard pair graph (the star engine), then per component keep the
+    best document (longest n_chars; ties to the lowest doc_id) with an
+    accounting of what was dropped (member count, dropped docs, dropped
+    chars). Complements curation_dedup_keep_best, which picks within
+    EXACT-hash groups; this picks within the fuzzy clusters the LSH/graph
+    tier produces. The oracle extends the components fixpoint CTE with
+    the same argmax window, so the gate certifies the full
+    pairs→components→survivor composition end to end.
+
+    Scale: components ride the shared pinned pair table (one generation
+    for the whole dedup family); keep-best adds ONE doc_id equi-join to
+    attach n_chars and one component-keyed agg (max_by + sums, map-side
+    combined). Nothing new shuffles beyond the component key."""
+    d = load_table(spark, sf_dir, "documents")
+    nodes, pairs = _doc_pair_edges(spark, sf_dir)
+    comp = connected_components_star(nodes, pairs)
+    j = comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("component_id"),
+    ).join(d.select("doc_id", "n_chars"), "doc_id")
+    kept = j.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        # max over (n_chars, −doc_id) = longest doc, ties to LOWEST id —
+        # the oracle's ORDER BY n_chars DESC, doc_id ASC
+        F.max_by(
+            F.struct("doc_id", "n_chars"),
+            F.struct(F.col("n_chars").alias("c"), (-F.col("doc_id")).alias("ni")),
+        ).alias("s"),
+        F.sum("n_chars").alias("tot_chars"),
+    )
+    return kept.select(
+        "component_id",
+        "n_members",
+        F.col("s.doc_id").alias("kept_doc_id"),
+        F.col("s.n_chars").alias("kept_n_chars"),
+        (F.col("n_members") - F.lit(1)).alias("n_dropped"),
+        (F.col("tot_chars") - F.col("s.n_chars")).alias("chars_dropped"),
+    )
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters via alternating large-star/small-star rounds.
 
@@ -1510,6 +1553,7 @@ QUERIES = {
     "dedup_near_minhash": q_dedup_near_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_components": q_dedup_components,
+    "dedup_cluster_keep_best": q_dedup_cluster_keep_best,
     "dedup_components_star": q_dedup_components_star,
     "dedup_graph_triangles": q_dedup_graph_triangles,
     "dedup_graph_pagerank": q_dedup_graph_pagerank,
@@ -1742,6 +1786,34 @@ FROM comp
 # d < 30 bound matches HOPS_MAX_ITERS (a (node, d+1) row is always
 # distinct, so an unbounded recursion on a cyclic graph never reaches the
 # UNION fixpoint); MIN(d) after the recursion is the BFS distance.
+# keep-best oracle: the components fixpoint CTE + an n_chars attach and
+# the survivor window (longest doc, ties to lowest id) — certifies the
+# whole pairs→components→survivor composition definitionally.
+ORACLES["dedup_cluster_keep_best"] = (
+    ORACLES["dedup_components"].split("SELECT doc_id, component_id,")[0]
+    + """, jn AS (
+  SELECT c.doc_id, c.component_id, d.n_chars
+  FROM comp c JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT component_id, doc_id, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY component_id ORDER BY n_chars DESC, doc_id ASC
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY component_id) AS n_members,
+         SUM(n_chars) OVER (PARTITION BY component_id) AS tot_chars
+  FROM jn
+)
+SELECT component_id,
+       CAST(n_members AS BIGINT) AS n_members,
+       doc_id AS kept_doc_id,
+       n_chars AS kept_n_chars,
+       CAST(n_members - 1 AS BIGINT) AS n_dropped,
+       CAST(tot_chars - n_chars AS BIGINT) AS chars_dropped
+FROM ranked WHERE rn = 1
+"""
+)
+
 ORACLES["dedup_graph_hops"] = (
     ORACLES["dedup_components"].split("SELECT doc_id, component_id,")[0]
     + """, seeds AS (

@@ -168,7 +168,8 @@ def pca_fit(emb: DataFrame, k: int = PCA_K):
     never data-scale. Eigenvector sign is pinned (largest-|coordinate|
     positive) so the decomposition is fully deterministic.
 
-    Returns (components: k×dim ndarray, mean: dim ndarray, evr: k list).
+    Returns (components: k×dim ndarray, mean: dim ndarray, evr: k list,
+    eigvals: k list of covariance eigenvalues — the whitening scales).
     At 100 TB: the scan is one pass, partials are 4 KB per partition, and
     nothing else grows with n — the canonical big-data PCA shape."""
     import numpy as np
@@ -221,7 +222,8 @@ def pca_fit(emb: DataFrame, k: int = PCA_K):
             comps[i] = -comps[i]
     tot = float(np.trace(cov))
     evr = [float(vals[o]) / tot for o in order]
-    return comps, mean, evr
+    eigvals = [float(vals[o]) for o in order]
+    return comps, mean, evr, eigvals
 
 
 def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -236,7 +238,7 @@ def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").alias("x")
     )
-    comps, mean, _ = pca_fit(emb)
+    comps, mean, _, _ = pca_fit(emb)
     mean_lit = F.array(*[F.lit(float(v)) for v in mean])
     centered = F.zip_with(F.col("x"), mean_lit, lambda a, b: a - b)
     cols = []
@@ -249,6 +251,54 @@ def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cols.append(F.round(score, 6).alias(f"pc{i + 1}"))
     return emb.select("vec_id", *cols)
+
+
+WHITEN_K = 8
+
+
+def q_embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-whitening projection — the standard embedding preprocessing
+    before similarity work (decorrelates dimensions and equalizes their
+    variance, so cosine/L2 stop being dominated by a few high-variance
+    axes): y = diag(1/√λ) · V_kᵀ · (x − μ) over the top WHITEN_K
+    components. Fit rides the SAME one-pass integer Gram partials as
+    pca_fit (driver eigensolve is O(D²), never data-scale); the
+    projection applies the k×D matrix as literal expressions — pure
+    codegen scan, zero shuffle, the q_embedding_pca_project pattern.
+
+    Driver-eigensolve-based → rows-only check (the PCA contract);
+    properties pinned in tests/test_embeddings_pca.py: post-whitening
+    sample covariance ≈ I_k (diagonal 1, off-diagonal 0 — verified
+    against numpy), determinism under repartition, and agreement with a
+    direct numpy whitening of the collected vectors.
+
+    Output: (vec_id, w_micros) with the whitened vector comma-joined as
+    integer micros (the registry's sortable-string vector encoding)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("x")
+    )
+    comps, mean, _, eigvals = pca_fit(emb, k=WHITEN_K)
+    mean_lit = F.array(*[F.lit(float(v)) for v in mean])
+    centered = F.zip_with(F.col("x"), mean_lit, lambda a, b: a - b)
+    import math
+
+    cols = []
+    for i, c in enumerate(comps):
+        lam = max(eigvals[i], 1e-12)  # guard degenerate trailing components
+        w = [float(v) / math.sqrt(lam) for v in c]
+        w_lit = F.array(*[F.lit(v) for v in w])
+        score = F.aggregate(
+            F.zip_with(centered, w_lit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        cols.append(F.floor(score * F.lit(1e6) + F.lit(0.5)).cast("bigint"))
+    return emb.select(
+        "vec_id",
+        F.concat_ws(
+            ",", *[c.cast("string") for c in cols]
+        ).alias("w_micros"),
+    )
 
 
 def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -752,6 +802,7 @@ QUERIES = {
     "embedding_quantize_int8": q_embedding_quantize_int8,
     "embedding_centroid_drift": q_embedding_centroid_drift,
     "embedding_pca_project": q_embedding_pca_project,
+    "embedding_whiten": q_embedding_whiten,  # rows-only (driver eigensolve)
     "embedding_dim_stats": q_embedding_dim_stats,
     "embedding_norm_audit": q_embedding_norm_audit,
     "similarity_hamming_recall_audit": q_similarity_hamming_recall_audit,

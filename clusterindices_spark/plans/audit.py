@@ -508,6 +508,13 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "require": ["partial"],
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    "dedup_cluster_keep_best": {
+        # components engine + one doc_id equi-join (n_chars attach) + one
+        # component-keyed max_by/sum agg — same posture as the components
+        # report, never a nested loop
+        "require": ["partial"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
     "dedup_components_star": {
         "require": ["partial"],
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
@@ -1219,6 +1226,12 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
     },
     "embedding_pca_project": {
         # fitted components apply as literal expressions — pure scan shape
+        "require": ["*("],
+        "forbid": ["Exchange", "Join"],
+    },
+    "embedding_whiten": {
+        # same literal-projection scan shape as pca_project (the fit's
+        # Gram-partial pass happens at plan-construction time)
         "require": ["*("],
         "forbid": ["Exchange", "Join"],
     },

@@ -120,7 +120,11 @@ _FRONT = [
 # the head of round 8's window otherwise). Rows-only keys stay at the very
 # end so they never burn a driver slot. Round 7 is a depth round (VERDICT r6
 # #7: gap-closers over breadth) — new keys land here as they are added.
-_NEXT: list[str] = []
+_NEXT: list[str] = [
+    # near-dup survivor selection: components fixpoint + keep-best argmax,
+    # oracle = the components CTE extended with the same window
+    "dedup_cluster_keep_best",
+]
 
 
 def _load():
