@@ -203,10 +203,12 @@ HEADLINE = [
     "curation_waterfill_budget",
     "join_salted_skew",
     "dedup_simhash_est",
-    # round-7: near-dup survivor selection (components + keep-best) and
-    # PCA-whitening (Gram-partial fit + literal-projection scan)
+    # round-7: near-dup survivor selection (components + keep-best),
+    # PCA-whitening (Gram-partial fit + literal-projection scan), and the
+    # IVF nprobe tuning curve (one-scan recall grid)
     "dedup_cluster_keep_best",
     "embedding_whiten",
+    "similarity_ivf_nprobe_curve",
 ]
 
 # Per-key recall floors (VERDICT r5 item 3): the bench FAILS — explicit

@@ -829,6 +829,106 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, emb.where(F.col("vec_id") < N_PROBES))
 
 
+IVF_NPROBE_GRID = (1, 2, 4, 8)  # n_cells=8 → the last point is brute force
+
+
+def q_similarity_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k vs n_probe_cells — the IVF TUNING TABLE (the ANN analog of
+    dedup_minhash_pr_curve): "if I probe p of the 8 cells, what recall do
+    I buy for what fraction of the scan?" One row per grid point with the
+    hit count against the exact top-k ground truth.
+
+    Single-scan formulation: the search runs ONCE at the max grid nprobe
+    with each candidate tagged by the RANK of the cell it came from
+    (posexplode of the sorted cell slice); recall at p is then a filter
+    cell_rank < p + re-rank — the whole curve costs one inverted-list
+    join, not |grid| searches. Each neighbor lives in exactly one cell,
+    so the slices need no dedup.
+
+    rows-only by design (the xxhash-seeded Lloyd quantizer is engine-
+    specific); properties pinned in tests: recall is monotone
+    non-decreasing in p, and at p = n_cells (scan everything) the top-k
+    equals the exact tier EXACTLY — recall 1.0, identical tie-breaks."""
+    from clusterindices_spark.functions.aggregates import round6_stable
+
+    emb = _emb(spark, sf_dir)
+    probes = emb.where(F.col("vec_id") < N_PROBES)
+    k = TOP_K
+    max_p = max(IVF_NPROBE_GRID)
+    folded, index = ivf_build(emb, n_cells=8, lloyd_iters=2)
+    ranked = (
+        probes.select(F.col("vec_id").alias("probe_id"), "x")
+        .crossJoin(F.broadcast(folded))
+        .select(
+            "probe_id",
+            F.col("x").alias("xa"),
+            F.posexplode(
+                F.transform(
+                    F.slice(
+                        F.array_sort(
+                            F.transform(
+                                "cents",
+                                lambda s: F.struct(
+                                    l2sq(F.col("x"), s["c"]).alias("d2"),
+                                    s["cl"].alias("cl"),
+                                ),
+                            )
+                        ),
+                        1,
+                        max_p,
+                    ),
+                    lambda s: s["cl"],
+                )
+            ).alias("cell_rank", "cell"),
+        )
+    )
+    sims = (
+        F.broadcast(ranked)
+        .join(index, "cell")
+        .where(F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            "cell_rank",
+            F.round(cosine_sim(F.col("xa"), F.col("xb")), 6).alias("sim"),
+        )
+    )
+    grid = spark.createDataFrame(
+        [(p,) for p in IVF_NPROBE_GRID], "n_probe_cells INT"
+    )
+    cand = sims.join(
+        F.broadcast(grid), F.col("cell_rank") < F.col("n_probe_cells")
+    )
+    w = Window.partitionBy("probe_id", "n_probe_cells").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    ivf_k = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("probe_id", "neighbor_id", "n_probe_cells")
+    )
+    exact = topk_exact(emb, probes, k=k).select("probe_id", "neighbor_id")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    # the ground-truth side is n_probes·k rows — broadcast it so the hit
+    # count never sort-merges the candidate set
+    hits = ivf_k.join(
+        F.broadcast(exact), ["probe_id", "neighbor_id"]
+    ).groupBy("n_probe_cells").agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        grid.join(F.broadcast(hits), "n_probe_cells", "left")
+        .crossJoin(F.broadcast(n_exact))
+        .select(
+            "n_probe_cells",
+            "n_exact",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            round6_stable(
+                F.coalesce(F.col("n_hits"), F.lit(0))
+                / F.nullif(F.col("n_exact").cast("double"), F.lit(0.0))
+            ).alias("recall"),
+        )
+    )
+
+
 def knn_graph(
     emb: DataFrame,
     k: int = 5,
@@ -921,6 +1021,7 @@ QUERIES = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "similarity_ann_lsh": q_similarity_ann_lsh,
     "similarity_ann_ivf": q_similarity_ann_ivf,
+    "similarity_ivf_nprobe_curve": q_similarity_ivf_nprobe_curve,  # rows-only
     "similarity_knn_graph": q_similarity_knn_graph,
     "multimodal_vector_stats": q_multimodal_vector_stats,
 }

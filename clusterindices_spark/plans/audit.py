@@ -1235,6 +1235,14 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "require": ["*("],
         "forbid": ["Exchange", "Join"],
     },
+    "similarity_ivf_nprobe_curve": {
+        # one inverted-list equi-join at max nprobe (probe side broadcast)
+        # + WindowGroupLimit re-rank per grid point; the 4-row grid and
+        # 1-row n_exact attaches are sanctioned tiny broadcasts (BNLJ) —
+        # the corpus-scale index must never sort-merge
+        "require": ["Window", "Broadcast"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
     "source_python_datasource": {
         # custom Python DataSource scan (no parquet pushdown surface);
         # downstream agg stays two-phase

@@ -611,3 +611,23 @@ def test_containment_catches_subset_jaccard_misses(spark, tmp_path):
     jac = {(r["doc_a"], r["doc_b"]) for r in ngram_jaccard_pairs(d, threshold=0.5).collect()}
     assert (1, 2) not in jac  # Jaccard at a dedup-grade threshold misses it
     clear_pins()
+
+
+def test_ivf_nprobe_curve_monotone_and_exact_at_full_probe(spark):
+    """The tuning curve must be monotone non-decreasing in n_probe_cells,
+    and at p = n_cells (scan every cell) the IVF top-k IS the exact top-k
+    — recall exactly 1.0, identical sims and tie-breaks."""
+    from clusterindices_spark.operators.similarity import (
+        IVF_NPROBE_GRID,
+        q_similarity_ivf_nprobe_curve,
+    )
+
+    rows = sorted(
+        q_similarity_ivf_nprobe_curve(spark, SF_SMOKE).collect(),
+        key=lambda r: r["n_probe_cells"],
+    )
+    assert [r["n_probe_cells"] for r in rows] == list(IVF_NPROBE_GRID)
+    recalls = [r["recall"] for r in rows]
+    assert all(a <= b for a, b in zip(recalls, recalls[1:])), recalls
+    assert rows[-1]["recall"] == 1.0
+    assert rows[-1]["n_hits"] == rows[-1]["n_exact"] > 0
