@@ -158,6 +158,26 @@ PCA_K = 4
 PCA_SCALE = 1_000_000  # integer-micro partials: order-free, bit-deterministic
 
 
+def _batch_xs(batch, dim):
+    """Arrow list<float> column → (rows, dim) float64 ndarray, zero-copy
+    through the values buffer instead of to_pylist (r7: to_pylist walked
+    every element through Python objects — ~1 s/50k×64 vectors; the
+    flatten path is the same exact float32→float64 widening, just
+    vectorized). Falls back to to_pylist for exotic layouts (nulls,
+    non-uniform lengths would raise on the reshape)."""
+    import numpy as np  # noqa: PLC0415
+
+    col = batch.column("x")
+    try:
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        xs = np.asarray(flat, dtype=np.float64)
+        if xs.size != len(col) * dim:
+            raise ValueError("ragged list column")
+        return xs.reshape(-1, dim)
+    except Exception:
+        return np.asarray(col.to_pylist(), dtype=np.float64)
+
+
 def pca_fit(emb: DataFrame, k: int = PCA_K):
     """Fit a k-component PCA with the one-pass distributed pattern: each
     partition folds (n, Σx, Σxxᵀ) into INTEGER-micro numpy accumulators
@@ -182,17 +202,21 @@ def pca_fit(emb: DataFrame, k: int = PCA_K):
         s = np.zeros(dim, dtype=np.int64)
         g = np.zeros((dim, dim), dtype=np.int64)
         for batch in batches:
-            xs = np.asarray(batch.column("x").to_pylist(), dtype=np.float64)
+            xs = _batch_xs(batch, dim)
             if xs.size == 0:
                 continue
             n += xs.shape[0]
             s += np.floor(xs * PCA_SCALE + 0.5).astype(np.int64).sum(axis=0)
-            outer = np.einsum("ri,rj->rij", xs, xs)
-            g += (
-                np.floor(outer * PCA_SCALE + 0.5)
-                .astype(np.int64)
-                .sum(axis=0)
-            )
+            # per-term floor of every product is the determinism contract;
+            # chunk the r×D×D outer so the temp stays cache-friendly
+            for lo in range(0, xs.shape[0], 2048):
+                blk = xs[lo : lo + 2048]
+                outer = np.einsum("ri,rj->rij", blk, blk)
+                g += (
+                    np.floor(outer * PCA_SCALE + 0.5)
+                    .astype(np.int64)
+                    .sum(axis=0)
+                )
         yield pa.RecordBatch.from_pydict(
             {
                 "n": [n],
@@ -750,7 +774,7 @@ def q_embedding_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         su = np.zeros(dim, dtype=np.int64)
         g = np.zeros((dim, dim), dtype=np.int64)
         for batch in batches:
-            xs = np.asarray(batch.column("x").to_pylist(), dtype=np.float64)
+            xs = _batch_xs(batch, dim)
             if xs.size == 0:
                 continue
             n += xs.shape[0]
@@ -758,8 +782,11 @@ def q_embedding_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             # u = floor(v·1e6+0.5) feeds the means, m = floor(v·1e3+0.5)
             # feeds the product sums
             su += np.floor(xs * 1e6 + 0.5).astype(np.int64).sum(axis=0)
-            m = np.floor(xs * 1e3 + 0.5).astype(np.int64)
-            g += m.T @ m
+            m = np.floor(xs * 1e3 + 0.5)
+            # float64 BLAS gemm instead of numpy's loop-based int64 matmul:
+            # EXACT because every milli product ≤ ~1e7 and per-batch sums
+            # ≤ ~1e11 ≪ 2^53 — integers in float64 stay integers
+            g += (m.T @ m).astype(np.int64)
         yield pa.RecordBatch.from_pydict(
             {"n": [n], "su": [su.tolist()], "g": [g.reshape(-1).tolist()]}
         )
