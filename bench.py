@@ -209,6 +209,7 @@ HEADLINE = [
     "dedup_cluster_keep_best",
     "embedding_whiten",
     "similarity_ivf_nprobe_curve",
+    "similarity_pq_expand_curve",
 ]
 
 # Per-key recall floors (VERDICT r5 item 3): the bench FAILS — explicit

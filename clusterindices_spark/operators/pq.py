@@ -308,6 +308,91 @@ def pq_topk_reranked(
     )
 
 
+PQ_EXPAND_GRID = (8, 16, 32, 64)  # over-retrieve factors; 64 = the default
+
+
+def q_similarity_pq_expand_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k vs the ADC over-retrieve factor — the PQ TUNING TABLE that
+    motivated the r6 recall fix (expand 8→64 took recall 0.60→0.90 at
+    flat query time, BASELINE.md "PQ over-retrieve A/B"); this key makes
+    that A/B a standing, regression-visible artifact, completing the
+    tuning-curve family (MinHash PR curve, IVF nprobe curve).
+
+    Single-scan formulation (the nprobe-curve trick): ONE ADC pass at the
+    max grid expand ranks candidates by ADC distance, the exact re-rank
+    sims are computed ONCE for that maximal candidate set, and each grid
+    point is then a filter adc_rank ≤ k·expand + re-rank + hit-count —
+    the corpus codes are scanned once for the whole curve.
+
+    rows-only by design (Lloyd codebooks are engine-specific); tests pin
+    recall monotonicity in expand and the floor at the deployed factor."""
+    from clusterindices_spark.functions.aggregates import round6_stable
+    from clusterindices_spark.functions.distances import cosine_sim
+    from clusterindices_spark.operators.similarity import topk_exact
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").alias("x")
+    )
+    codebook, codes = pq_train_encode(emb)
+    probes = emb.where(F.col("vec_id") < PQ_N_PROBES)
+    k = PQ_TOP_K
+    max_e = max(PQ_EXPAND_GRID)
+    cand = pq_adc_topk(codebook, codes, probes, k=k * max_e)
+    wr = Window.partitionBy("probe_id").orderBy(
+        F.col("adc_d2").asc(), F.col("neighbor_id")
+    )
+    ranked = cand.withColumn("adc_rank", F.row_number().over(wr))
+    xb = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("x").alias("xb"))
+    xa = probes.select(F.col("vec_id").alias("probe_id"), F.col("x").alias("xa"))
+    # exact sims ONCE for the maximal candidate set (candidate-scale
+    # broadcast onto the corpus vectors), rank slices reuse them
+    sims = (
+        xb.join(
+            F.broadcast(ranked.select("probe_id", "neighbor_id", "adc_rank")),
+            "neighbor_id",
+        )
+        .join(F.broadcast(xa), "probe_id")
+        .select(
+            "probe_id",
+            "neighbor_id",
+            "adc_rank",
+            F.round(cosine_sim(F.col("xa"), F.col("xb")), 6).alias("sim"),
+        )
+    )
+    grid = spark.createDataFrame(
+        [(e,) for e in PQ_EXPAND_GRID], "expand INT"
+    )
+    sel = sims.join(
+        F.broadcast(grid), F.col("adc_rank") <= F.col("expand") * F.lit(k)
+    )
+    w = Window.partitionBy("probe_id", "expand").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    pq_k = (
+        sel.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("probe_id", "neighbor_id", "expand")
+    )
+    exact = topk_exact(emb, probes, k=k).select("probe_id", "neighbor_id")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    hits = pq_k.join(
+        F.broadcast(exact), ["probe_id", "neighbor_id"]
+    ).groupBy("expand").agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        grid.join(F.broadcast(hits), "expand", "left")
+        .crossJoin(F.broadcast(n_exact))
+        .select(
+            "expand",
+            "n_exact",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            round6_stable(
+                F.coalesce(F.col("n_hits"), F.lit(0))
+                / F.nullif(F.col("n_exact").cast("double"), F.lit(0.0))
+            ).alias("recall"),
+        )
+    )
+
+
 def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ encoder output — codes emitted as a CSV string (sortable scalar;
     the gate canonicalizer cannot sort list cells)."""
@@ -334,6 +419,7 @@ def q_similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "embedding_pq_codes": q_embedding_pq_codes,
     "similarity_ann_pq": q_similarity_ann_pq,
+    "similarity_pq_expand_curve": q_similarity_pq_expand_curve,  # rows-only
 }
 
 # Approximate/iterative by construction (Lloyd codebooks + ADC ranking):

@@ -1243,6 +1243,13 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "require": ["Window", "Broadcast"],
         "forbid": ["CartesianProduct", "SortMergeJoin"],
     },
+    "similarity_pq_expand_curve": {
+        # one ADC codes scan at max expand (broadcast distance tables),
+        # exact sims once for the maximal candidate set, rank slices per
+        # grid point — same tiny-broadcast posture as the nprobe curve
+        "require": ["Window", "Broadcast"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
     "source_python_datasource": {
         # custom Python DataSource scan (no parquet pushdown surface);
         # downstream agg stays two-phase

@@ -110,3 +110,24 @@ def test_ivfpq_recall_vs_exact(spark):
     # residual-PQ shortlist + exact re-rank must stay well above the
     # pure-ADC floor
     assert recall >= 0.4, f"IVF-PQ recall {recall:.2f} below floor"
+
+
+def test_pq_expand_curve_monotone_with_deployed_floor(spark):
+    """Recall must be monotone non-decreasing in the over-retrieve factor,
+    and at the deployed PQ_EXPAND the curve must sit at or above the bench
+    recall floor — the r6 'expand 8→64' A/B pinned as a regression test."""
+    from clusterindices_spark.operators.pq import (
+        PQ_EXPAND,
+        PQ_EXPAND_GRID,
+        q_similarity_pq_expand_curve,
+    )
+
+    rows = sorted(
+        q_similarity_pq_expand_curve(spark, SF_SMOKE).collect(),
+        key=lambda r: r["expand"],
+    )
+    assert [r["expand"] for r in rows] == list(PQ_EXPAND_GRID)
+    recalls = [r["recall"] for r in rows]
+    assert all(a <= b for a, b in zip(recalls, recalls[1:])), recalls
+    deployed = dict(zip(PQ_EXPAND_GRID, recalls))[PQ_EXPAND]
+    assert deployed >= 0.85, recalls
