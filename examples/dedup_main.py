@@ -106,10 +106,26 @@ def main(argv: list[str]) -> int:
         )
     ).persist()
 
-    # 5. keep canonical member per component; write corpus + full report
-    # (near-dup drops ∪ exact-tier drops). observe() rides the write job —
-    # no second evaluation just for the summary count.
-    keep = report.where(F.col("is_canonical")).select("doc_id")
+    # 5. keep the BEST member per component (longest n_chars, ties to the
+    # lowest id — the q_dedup_cluster_keep_best policy, r7): a near-dup
+    # cluster usually holds one full extraction and several truncated
+    # copies, so min-id survivor selection throws away content; write
+    # corpus + full report (near-dup drops ∪ exact-tier drops). observe()
+    # rides the write job — no second evaluation just for the summary.
+    keep = (
+        report.join(d1.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("component_id")
+        .agg(
+            F.max_by(
+                F.col("doc_id"),
+                F.struct(
+                    F.col("n_chars").alias("c"),
+                    (-F.col("doc_id")).alias("ni"),
+                ),
+            ).alias("doc_id")
+        )
+        .select("doc_id")
+    )
     from pyspark.sql import Observation
 
     obs = Observation("dedup_out")
@@ -117,7 +133,7 @@ def main(argv: list[str]) -> int:
         obs, F.count(F.lit(1)).alias("n")
     )
     out.write.mode("overwrite").parquet(f"{out_dir}/documents")
-    near_drops = report.where(~F.col("is_canonical")).select(
+    near_drops = report.join(keep, "doc_id", "left_anti").select(
         "doc_id", "component_id", F.lit("near").alias("tier")
     )
     near_drops.unionByName(exact_drops).write.mode("overwrite").parquet(

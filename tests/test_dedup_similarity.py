@@ -631,3 +631,34 @@ def test_ivf_nprobe_curve_monotone_and_exact_at_full_probe(spark):
     assert all(a <= b for a, b in zip(recalls, recalls[1:])), recalls
     assert rows[-1]["recall"] == 1.0
     assert rows[-1]["n_hits"] == rows[-1]["n_exact"] > 0
+
+
+def test_cluster_keep_best_invariants(spark):
+    """The survivor table must tile the corpus exactly: one row per
+    component, members sum to the doc count, and every kept doc is its
+    component's longest member (ties to the lowest id) with exact
+    dropped-char accounting against the components report."""
+    from clusterindices_spark.operators.dedup import (
+        q_dedup_cluster_keep_best,
+        q_dedup_components,
+    )
+    from clusterindices_spark.sources.fixtures import load_table
+
+    kept = {r["component_id"]: r for r in q_dedup_cluster_keep_best(spark, SF_SMOKE).collect()}
+    comp = q_dedup_components(spark, SF_SMOKE).collect()
+    chars = {
+        r["doc_id"]: r["n_chars"]
+        for r in load_table(spark, SF_SMOKE, "documents").select("doc_id", "n_chars").collect()
+    }
+    members = {}
+    for r in comp:
+        members.setdefault(r["component_id"], []).append(r["doc_id"])
+    assert set(kept) == set(members)
+    assert sum(r["n_members"] for r in kept.values()) == len(chars)
+    for cid, docs in members.items():
+        k = kept[cid]
+        assert k["n_members"] == len(docs)
+        best = max(docs, key=lambda d: (chars[d], -d))
+        assert k["kept_doc_id"] == best, cid
+        assert k["kept_n_chars"] == chars[best]
+        assert k["chars_dropped"] == sum(chars[d] for d in docs) - chars[best]
