@@ -92,6 +92,26 @@ def main(argv: list[str]) -> int:
     t0 = time.monotonic()
     g = knn_graph(emb).count()
     print(f"k-NN graph         : {g:4d} edges  {time.monotonic()-t0:5.1f}s  (all vectors probed)")
+
+    # --- r7 tuning tables: how many cells / how much over-retrieve buys
+    # how much recall (each curve costs ONE index scan) ---------------
+    from clusterindices_spark.operators.pq import q_similarity_pq_expand_curve
+    from clusterindices_spark.operators.similarity import (
+        q_similarity_ivf_nprobe_curve,
+    )
+
+    print("== IVF recall vs n_probe_cells ==")
+    for r in sorted(
+        q_similarity_ivf_nprobe_curve(spark, sf_dir).collect(),
+        key=lambda r: r["n_probe_cells"],
+    ):
+        print(f"  p={r['n_probe_cells']}: recall {r['recall']:.2f} ({r['n_hits']}/{r['n_exact']})")
+    print("== PQ recall vs ADC over-retrieve ==")
+    for r in sorted(
+        q_similarity_pq_expand_curve(spark, sf_dir).collect(),
+        key=lambda r: r["expand"],
+    ):
+        print(f"  expand={r['expand']}: recall {r['recall']:.2f} ({r['n_hits']}/{r['n_exact']})")
     return 0
 
 
