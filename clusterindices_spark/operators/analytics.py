@@ -1477,7 +1477,173 @@ def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_changepoint_loc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point location per event type — the first step of
+    binary segmentation: over the hourly count series, the split hour
+    t* = argmax_t |C_t·T − t·S| (C = prefix sum, S = total, T = #hours),
+    i.e. the maximum absolute CUSUM deviation from the global mean, with
+    the division multiplied away so the statistic is EXACT BIGINT (no
+    float drift in the argmax). Ties break to the earliest hour via
+    max(struct(stat, −hour)) — the registry's modal-argmax convention.
+    The last hour is excluded (a proper split needs a non-empty right
+    side). Pre/post means are the only floats, rendered round6 at the end.
+
+    Scale: one map-side-combined hourly agg, then two window passes and
+    one argmax agg all PARTITIONED BY event_type over ≤ years×8760 rows
+    per type — the events_cusum posture; nothing corpus-scale crosses an
+    exchange after the first agg.
+    """
+    from clusterindices_spark.functions.aggregates import round6_stable
+
+    e = load_table(spark, sf_dir, "events")
+    hour = F.floor(F.unix_millis(F.col("ts")) / F.lit(3_600_000)).cast(
+        "bigint"
+    )
+    h = e.groupBy("event_type", hour.alias("hour")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("hour")
+    c = h.select(
+        "event_type",
+        "hour",
+        F.sum("n").over(w_run).alias("ct"),
+        F.row_number().over(w_ord).cast("bigint").alias("t"),
+        F.sum("n").over(w_all).alias("s"),
+        F.count(F.lit(1)).over(w_all).alias("tt"),
+    ).where(F.col("t") < F.col("tt"))
+    stat = F.abs(F.col("ct") * F.col("tt") - F.col("t") * F.col("s"))
+    best = (
+        c.select(
+            "event_type",
+            F.struct(
+                stat.alias("stat"),
+                (-F.col("hour")).alias("neg_hour"),
+                F.col("hour").alias("hour"),
+                F.col("t").alias("t"),
+                F.col("ct").alias("ct"),
+                F.col("s").alias("s"),
+                F.col("tt").alias("tt"),
+            ).alias("cand"),
+        )
+        .groupBy("event_type")
+        .agg(F.max("cand").alias("b"))
+    )
+    return best.select(
+        "event_type",
+        F.col("b.hour").alias("change_hour"),
+        F.col("b.t").alias("t_index"),
+        F.col("b.tt").alias("n_hours"),
+        F.col("b.stat").alias("stat"),
+        round6_stable(F.col("b.ct") / F.col("b.t")).alias("pre_mean"),
+        round6_stable(
+            (F.col("b.s") - F.col("b.ct")) / (F.col("b.tt") - F.col("b.t"))
+        ).alias("post_mean"),
+        round6_stable(
+            (F.col("b.s") - F.col("b.ct")) / (F.col("b.tt") - F.col("b.t"))
+            - F.col("b.ct") / F.col("b.t")
+        ).alias("mean_shift"),
+    )
+
+
+IAT_BIN_MS = 60_000  # 1-minute interarrival histogram bins
+KS_CRIT_COEF = 1.358  # 5% two-sided Kolmogorov-Smirnov coefficient
+
+
+def q_events_interarrival_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does each event type's per-user interarrival process look
+    exponential? Fits λ by MLE (1/mean over per-user successive gaps) and
+    computes a BINNED Kolmogorov–Smirnov statistic: gaps histogrammed into
+    1-minute bins, empirical CDF at each bin's upper edge vs the fitted
+    1−exp(−edge/mean), D = max |diff|. Binning is what makes this scale —
+    the exact KS needs a global per-type sort of corpus-scale gaps, while
+    the binned variant folds map-side into ≤ #bins rows and bounds the
+    error by the bin width; the oracle gates the SAME binned statistic
+    (algorithm ≡ definition at the chosen grain).
+
+    Determinism: gaps are integer ms (lag over (ts, event_id)); the mean
+    is floor-scaled to integer micros once per type; only the final
+    exp/CDF renderings are floats, each round6-floored before the max so
+    the argmax compares identical 6-dp values in both engines.
+
+    Scale: one (type,user)-keyed lag window (partitions are single-user
+    event lists), a per-type stats agg and a per-(type,bin) histogram agg
+    (both map-side combined, tiny outputs), a K-row broadcast join, and a
+    final window over ≤ #bins rows per type.
+    """
+    from clusterindices_spark.functions.aggregates import round6_stable
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", "user_id").orderBy(
+        "ts", "event_id"
+    )
+    ms = F.unix_millis("ts")
+    gap = (ms - F.lag(ms).over(w)).alias("gap_ms")
+    gaps = e.select("event_type", gap).where(F.col("gap_ms").isNotNull())
+    stats = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap_ms").alias("sum_gap_ms"),
+    )
+    mean_micros = F.floor(
+        F.col("sum_gap_ms") * F.lit(1_000_000.0) / F.col("n_gaps")
+    ).cast("bigint")
+    hist = gaps.groupBy(
+        "event_type",
+        F.floor(F.col("gap_ms") / F.lit(IAT_BIN_MS)).cast("bigint").alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    j = hist.join(
+        F.broadcast(
+            stats.select(
+                "event_type", "n_gaps", mean_micros.alias("mean_micros")
+            )
+        ),
+        "event_type",
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    edge_ms = (F.col("bin") + F.lit(1)) * F.lit(IAT_BIN_MS)
+    cdf_emp = F.sum("cnt").over(w_cum) / F.col("n_gaps")
+    cdf_exp = F.lit(1.0) - F.exp(
+        -edge_ms * F.lit(1_000_000.0) / F.col("mean_micros")
+    )
+    d = round6_stable(F.abs(cdf_emp - cdf_exp))
+    per_type = (
+        j.select("event_type", "n_gaps", "mean_micros", d.alias("d"))
+        .groupBy("event_type")
+        .agg(
+            F.max("n_gaps").alias("n_gaps"),
+            F.max("mean_micros").alias("mean_micros"),
+            F.max("d").alias("ks_d"),
+        )
+    )
+    crit = round6_stable(
+        F.lit(KS_CRIT_COEF) / F.sqrt(F.col("n_gaps").cast("double"))
+    )
+    return per_type.select(
+        "event_type",
+        "n_gaps",
+        round6_stable(
+            F.col("mean_micros") / F.lit(1_000_000.0) / F.lit(1000.0)
+        ).alias("mean_gap_s"),
+        F.col("ks_d"),
+        crit.alias("ks_crit"),
+        (F.col("ks_d") < crit).alias("fits_exponential"),
+    )
+
+
 QUERIES = {
+    "events_changepoint_loc": q_events_changepoint_loc,
+    "events_interarrival_fit": q_events_interarrival_fit,
     "events_user_overlap": q_events_user_overlap,
     "events_rollup_hierarchy": q_events_rollup_hierarchy,
     "events_ewma_smooth": q_events_ewma_smooth,
@@ -1511,6 +1677,93 @@ QUERIES = {
 _W = (HIST_HI - HIST_LO) / HIST_BINS
 
 ORACLES = {
+    "events_changepoint_loc": f"""
+WITH h AS (
+  SELECT event_type,
+         epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000 AS hour,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, hour,
+         CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY hour
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS ct,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY hour)
+           AS BIGINT) AS t,
+         CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS tt
+  FROM h
+),
+cand AS (
+  SELECT event_type,
+         struct_pack(
+           stat := ABS(ct * tt - t * s),
+           neg_hour := -hour,
+           hour := hour, t := t, ct := ct, s := s, tt := tt
+         ) AS c
+  FROM w WHERE t < tt
+),
+best AS (
+  SELECT event_type, MAX(c) AS b FROM cand GROUP BY event_type
+)
+SELECT event_type,
+       b.hour AS change_hour,
+       b.t AS t_index,
+       b.tt AS n_hours,
+       b.stat AS stat,
+       {SQL_ROUND6.format(x="CAST(b.ct AS DOUBLE) / b.t")} AS pre_mean,
+       {SQL_ROUND6.format(x="CAST(b.s - b.ct AS DOUBLE) / (b.tt - b.t)")}
+         AS post_mean,
+       {SQL_ROUND6.format(x="CAST(b.s - b.ct AS DOUBLE) / (b.tt - b.t) - CAST(b.ct AS DOUBLE) / b.t")}
+         AS mean_shift
+FROM best
+""",
+    "events_interarrival_fit": f"""
+WITH e AS (
+  SELECT event_type, user_id, event_id,
+         epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
+  FROM events
+),
+gaps AS (
+  SELECT event_type,
+         ms - lag(ms) OVER (PARTITION BY event_type, user_id
+                            ORDER BY ms, event_id) AS gap_ms
+  FROM e
+  QUALIFY gap_ms IS NOT NULL
+),
+stats AS (
+  SELECT event_type, COUNT(*) AS n_gaps,
+         CAST(floor(CAST(SUM(gap_ms) AS DOUBLE) * 1000000.0 / COUNT(*))
+           AS BIGINT) AS mean_micros
+  FROM gaps GROUP BY event_type
+),
+hist AS (
+  SELECT event_type, gap_ms // {IAT_BIN_MS} AS bin, COUNT(*) AS cnt
+  FROM gaps GROUP BY 1, 2
+),
+d AS (
+  SELECT h.event_type, s.n_gaps, s.mean_micros,
+         {SQL_ROUND6.format(x="ABS(CAST(SUM(h.cnt) OVER (PARTITION BY h.event_type ORDER BY h.bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / s.n_gaps - (1.0 - exp(-((h.bin + 1) * %d) * 1000000.0 / s.mean_micros)))" % IAT_BIN_MS)}
+           AS d
+  FROM hist h JOIN stats s USING (event_type)
+),
+per_type AS (
+  SELECT event_type, MAX(n_gaps) AS n_gaps,
+         MAX(mean_micros) AS mean_micros, MAX(d) AS ks_d
+  FROM d GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n_gaps AS BIGINT) AS n_gaps,
+       {SQL_ROUND6.format(x="CAST(mean_micros AS DOUBLE) / 1000000.0 / 1000.0")}
+         AS mean_gap_s,
+       ks_d,
+       {SQL_ROUND6.format(x="%s / sqrt(CAST(n_gaps AS DOUBLE))" % KS_CRIT_COEF)}
+         AS ks_crit,
+       ks_d < {SQL_ROUND6.format(x="%s / sqrt(CAST(n_gaps AS DOUBLE))" % KS_CRIT_COEF)}
+         AS fits_exponential
+FROM per_type
+""",
     "events_hour_of_week": f"""
 WITH e AS (
   SELECT event_type,

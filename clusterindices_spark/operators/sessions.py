@@ -362,7 +362,50 @@ def q_events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vc.unionByName(cp)
 
 
+def q_events_streak_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user, reported as the
+    distribution (streak_len, n_users, user_share) — the classic
+    gaps-and-islands shape on the DAY grain: a user's distinct active days,
+    grouped into islands by the constant ``day − row_number()`` (consecutive
+    days share it), longest island per user, then a tiny histogram.
+
+    Day ids are integer UTC epoch-days (``unix_millis // 86 400 000`` ↔
+    DuckDB ``epoch_ms // 86400000``) so both engines bucket identical
+    integers — no timezone/date-cast semantics in the hash.
+
+    Scale: the (user, day) distinct agg map-side combines to ≤ users×days
+    rows; the island window partitions per user over ≤365 rows; the two
+    downstream aggs reuse the user_id hash partitioning (one exchange
+    beyond the distinct). Nothing is corpus-scale past the first agg.
+    """
+    e = load_table(spark, sf_dir, "events")
+    day = (F.unix_millis("ts") / F.lit(86_400_000)).cast("bigint")
+    ud = e.groupBy("user_id", day.alias("day")).agg(F.lit(1).alias("_one"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = F.col("day") - F.row_number().over(w)
+    streaks = (
+        ud.withColumn("grp", grp)
+        .groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).alias("len"))
+        .groupBy("user_id")
+        .agg(F.max("len").alias("max_streak"))
+    )
+    total = streaks.count()
+    return (
+        streaks.groupBy("max_streak")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.col("max_streak").alias("streak_len"),
+            "n_users",
+            round6_stable(F.col("n_users") / F.lit(float(total))).alias(
+                "user_share"
+            ),
+        )
+    )
+
+
 QUERIES = {
+    "events_streak_lengths": q_events_streak_lengths,
     "events_cohort_ltv": q_events_cohort_ltv,
     "events_funnel_latency": q_events_funnel_latency,
     "stream_tumbling_agg": q_stream_tumbling_agg,
@@ -377,6 +420,30 @@ QUERIES = {
 _EV = "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events)"
 
 ORACLES = {
+    "events_streak_lengths": f"""
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 AS day
+  FROM events
+),
+g AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM ud
+),
+s AS (
+  SELECT user_id, COUNT(*) AS len FROM g GROUP BY user_id, grp
+),
+m AS (
+  SELECT user_id, MAX(len) AS max_streak FROM s GROUP BY user_id
+),
+tot AS (SELECT COUNT(*) AS n FROM m)
+SELECT CAST(max_streak AS BIGINT) AS streak_len,
+       COUNT(*) AS n_users,
+       {SQL_ROUND6.format(x="CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM tot)")}
+         AS user_share
+FROM m GROUP BY max_streak
+""",
     "events_funnel_latency": f"""
 WITH e AS (SELECT * FROM {_EV} AS t),
 v AS (

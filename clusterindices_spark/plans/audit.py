@@ -789,6 +789,33 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
             "Exchange SinglePartition",
         ],
     },
+    "events_streak_lengths": {
+        # distinct (user,day) agg map-side combines; island window and the
+        # two downstream aggs are user-keyed; join-free throughout
+        "require": ["Window", "partial_"],
+        "forbid": ["CartesianProduct", "Join", "Exchange SinglePartition"],
+    },
+    "events_changepoint_loc": {
+        # hourly agg → per-type windows → per-type argmax agg; the stat is
+        # exact BIGINT so the argmax needs no float-ordering guard
+        "require": ["Window", "partial_"],
+        "forbid": [
+            "CartesianProduct",
+            "Join",
+            "Exchange SinglePartition",
+        ],
+    },
+    "events_interarrival_fit": {
+        # (type,user) lag window, map-side histogram, K-row stats attach
+        # via BroadcastHashJoin (gaps exchange REUSED across both branches),
+        # final window over ≤#bins rows per type
+        "require": ["Window", "partial_", "BroadcastHashJoin"],
+        "forbid": [
+            "CartesianProduct",
+            "SortMergeJoin",
+            "Exchange SinglePartition",
+        ],
+    },
     "text_ngram_novelty": {
         # first-seen join is an equi join on the bigram key (broadcast at
         # fixture scale, partitioned at 100 TB — either is fine); map-side

@@ -124,6 +124,13 @@ _NEXT: list[str] = [
     # near-dup survivor selection: components fixpoint + keep-best argmax,
     # oracle = the components CTE extended with the same window
     "dedup_cluster_keep_best",
+    # gaps-and-islands daily activity streaks (sessions.py)
+    "events_streak_lengths",
+    # binary-segmentation step 1: exact-integer argmax CUSUM split
+    "events_changepoint_loc",
+    # binned KS test of exponential interarrivals (scalable-vs-definitional
+    # at the declared bin grain)
+    "events_interarrival_fit",
 ]
 
 

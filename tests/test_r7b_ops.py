@@ -1,0 +1,124 @@
+"""Round-7b additions: activity streaks (gaps-and-islands), change-point
+location (exact-integer CUSUM argmax), and the binned exponential
+interarrival KS fit — planted micro-fixtures pin the semantics the DuckDB
+oracle then hashes at the gate SFs."""
+
+import math
+import tempfile
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+
+def _ts(ms: int):
+    return datetime.fromtimestamp(ms / 1000.0, tz=timezone.utc).replace(
+        tzinfo=None
+    )
+
+
+def _write_events(spark, rows, prefix):
+    """rows = (event_id, ms, user_id, event_type, value)."""
+    d = spark.createDataFrame(
+        [(i, _ts(ms), u, t, v) for (i, ms, u, t, v) in rows],
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type STRING, value DOUBLE",
+    )
+    tmp = tempfile.mkdtemp(prefix=prefix)
+    d.write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+    return tmp
+
+
+DAY = 86_400_000
+
+
+def test_streak_lengths_islands(spark):
+    """User A: days {0,1,2, 5,6} → max streak 3; user B: {10} → 1;
+    user C: {0,1,2,3} → 4. Multiple events on one day must not inflate
+    the streak (the distinct-day reduction)."""
+    rows = []
+    eid = 0
+    for day in [0, 1, 2, 5, 6]:
+        for _ in range(3):  # duplicates within the day
+            eid += 1
+            rows.append((eid, day * DAY + eid, 1, "view", 0.0))
+    eid += 1
+    rows.append((eid, 10 * DAY, 2, "view", 0.0))
+    for day in [0, 1, 2, 3]:
+        eid += 1
+        rows.append((eid, day * DAY + 500, 3, "view", 0.0))
+    tmp = _write_events(spark, rows, "ci-streak-")
+    from clusterindices_spark.operators.sessions import (
+        q_events_streak_lengths,
+    )
+
+    out = {r["streak_len"]: r for r in q_events_streak_lengths(spark, tmp).collect()}
+    assert set(out) == {1, 3, 4}
+    assert all(out[k]["n_users"] == 1 for k in out)
+    assert abs(out[3]["user_share"] - round(1 / 3, 6)) < 2e-6
+
+
+def test_changepoint_finds_planted_shift_and_flat_ties_earliest(spark):
+    """Type 'shift': 5 hours at 5 events then 5 hours at 15 → split at
+    t=5 (hour index 4 is the last pre-shift hour), pre_mean 5, post_mean
+    15. Type 'flat': constant rate → stat ≡ 0 everywhere → the earliest
+    hour wins (tie-break determinism)."""
+    rows = []
+    eid = 0
+    for h in range(10):
+        n = 5 if h < 5 else 15
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, h * 3_600_000 + eid, 1, "shift", 0.0))
+    for h in range(6):
+        for _ in range(7):
+            eid += 1
+            rows.append((eid, h * 3_600_000 + eid, 2, "flat", 0.0))
+    tmp = _write_events(spark, rows, "ci-chgpt-")
+    from clusterindices_spark.operators.analytics import (
+        q_events_changepoint_loc,
+    )
+
+    out = {r["event_type"]: r for r in q_events_changepoint_loc(spark, tmp).collect()}
+    s = out["shift"]
+    assert s["t_index"] == 5 and s["change_hour"] == 4
+    assert s["pre_mean"] == 5.0 and s["post_mean"] == 15.0
+    assert s["mean_shift"] == 10.0
+    f = out["flat"]
+    assert f["stat"] == 0 and f["change_hour"] == 0 and f["t_index"] == 1
+
+
+def test_interarrival_fit_accepts_exponential_rejects_regular(spark):
+    """Type 'exp': gaps planted by the exponential inverse CDF at
+    quantile midpoints (mean 60 min) → binned KS ≈ 1/(2n) ≪ crit.
+    Type 'reg': constant 30-min gaps → D ≈ |1 − (1−e^{−31/30})| ≈ 0.356
+    ≫ crit. Both per one user so the lag window sees one series."""
+    n = 200
+    mean_ms = 3_600_000.0
+    rows = []
+    eid = 0
+    t = 0
+    for i in range(1, n + 1):
+        gap = -mean_ms * math.log(1.0 - (i - 0.5) / n)
+        t += int(gap)
+        eid += 1
+        rows.append((eid, t, 1, "exp", 0.0))
+    eid += 1
+    rows.append((eid, 0, 2, "reg", 0.0))  # anchor so first gap exists
+    t2 = 0
+    for _ in range(60):
+        t2 += 1_800_000
+        eid += 1
+        rows.append((eid, t2, 2, "reg", 0.0))
+    tmp = _write_events(spark, rows, "ci-iat-")
+    from clusterindices_spark.operators.analytics import (
+        q_events_interarrival_fit,
+    )
+
+    out = {r["event_type"]: r for r in q_events_interarrival_fit(spark, tmp).collect()}
+    e = out["exp"]
+    assert e["fits_exponential"] is True
+    assert e["ks_d"] < 0.05
+    r = out["reg"]
+    assert r["fits_exponential"] is False
+    assert r["ks_d"] > 0.3
+    assert abs(r["mean_gap_s"] - 1800.0) < 1.0
