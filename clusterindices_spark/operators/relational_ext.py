@@ -471,6 +471,88 @@ def q_merge_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: refresh the aggregate
+    ``orders GROUP BY o_orderstatus → (count, sum_price)`` under the SAME
+    deterministic CDC change set as ``merge_upsert_cdc`` — WITHOUT
+    re-scanning the base for the refresh. Each change image becomes signed
+    delta rows (update = −old contribution at the old status + new
+    contribution at 'U' — a group-KEY-moving update; delete = −old;
+    insert = +new), the deltas fold to per-group (Δn, Δsum), and the new
+    MV is base ⟗ delta with ``n + Δn``, groups reaching zero dropped.
+
+    All sums stay in DECIMAL(18,6) until the final render, so the
+    incremental path is EXACTLY associative — base_sum + Δ equals the
+    full recompute bit-for-bit, which is what the oracle gates (full
+    recompute over the merged table: algorithm ≡ definition, the
+    agg_weighted_median contract).
+
+    Scale: this is the continuous-aggregate refresh pattern — the delta
+    branch scans only changed rows, the base MV is group-cardinality
+    (K rows), and the combine is a K-row full-outer join. At 100 TB a
+    refresh costs O(|delta|), never O(|base|); the base_mv branch here
+    stands in for the stored MV table a real deployment would read.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    dec = F.col("o_totalprice").cast("decimal(18,6)")
+    base_mv = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(dec).alias("s")
+    )
+    del_keys = o.where(F.col("o_orderkey") % 23 == 3)
+    upd = o.where(F.col("o_orderkey") % 10 == 0).join(
+        del_keys.select("o_orderkey"), "o_orderkey", "left_anti"
+    )
+    delta_rows = (
+        del_keys.select(
+            "o_orderstatus", F.lit(-1).alias("dn"), (-dec).alias("ds")
+        )
+        .unionByName(
+            upd.select(
+                "o_orderstatus", F.lit(-1).alias("dn"), (-dec).alias("ds")
+            )
+        )
+        .unionByName(
+            upd.select(
+                F.lit("U").alias("o_orderstatus"),
+                F.lit(1).alias("dn"),
+                F.round(F.col("o_totalprice") * 1.1, 6)
+                .cast("decimal(18,6)")
+                .alias("ds"),
+            )
+        )
+        .unionByName(
+            load_table(spark, sf_dir, "customer")
+            .where(F.col("c_custkey") % 100 == 0)
+            .select(
+                F.lit("N").alias("o_orderstatus"),
+                F.lit(1).alias("dn"),
+                F.lit(0.0).cast("decimal(18,6)").alias("ds"),
+            )
+        )
+    )
+    delta = delta_rows.groupBy("o_orderstatus").agg(
+        F.sum("dn").alias("dn"), F.sum("ds").alias("ds")
+    )
+    zero = F.lit(0).cast("decimal(28,6)")
+    combined = base_mv.join(delta, "o_orderstatus", "full_outer").select(
+        "o_orderstatus",
+        (
+            F.coalesce(F.col("n"), F.lit(0))
+            + F.coalesce(F.col("dn"), F.lit(0))
+        ).alias("n_orders"),
+        (
+            F.coalesce(F.col("s"), zero) + F.coalesce(F.col("ds"), zero)
+        ).alias("s_new"),
+    )
+    return combined.where(F.col("n_orders") > 0).select(
+        "o_orderstatus",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.round(F.col("s_new").cast("double"), 6).alias("sum_price"),
+    )
+
+
 INTERVAL_TOLERANCE_MS = 60_000
 
 
@@ -953,6 +1035,7 @@ QUERIES = {
     "agg_quantiles_approx": q_agg_quantiles_approx,
     "join_interval_binned": q_join_interval_binned,
     "merge_upsert_cdc": q_merge_upsert_cdc,
+    "agg_incremental_mv": q_agg_incremental_mv,
     "agg_grouping_sets": q_agg_grouping_sets,
     "agg_cube": q_agg_cube,
     "agg_stats": q_agg_stats,
@@ -1172,6 +1255,33 @@ e AS (
 )
 SELECT click_id, error_id, e_ms - c_ms AS delta_ms
 FROM c JOIN e ON abs(c_ms - e_ms) <= {INTERVAL_TOLERANCE_MS}
+""",
+    "agg_incremental_mv": f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+),
+deletes AS (SELECT o_orderkey FROM base WHERE o_orderkey % 23 = 3),
+updates AS (
+  SELECT o_orderkey, 'U' AS o_orderstatus,
+         ROUND(o_totalprice * 1.1, 6) AS o_totalprice
+  FROM base WHERE o_orderkey % 10 = 0
+    AND o_orderkey NOT IN (SELECT o_orderkey FROM deletes)
+),
+inserts AS (
+  SELECT -c_custkey AS o_orderkey, 'N' AS o_orderstatus,
+         0.0 AS o_totalprice
+  FROM customer WHERE c_custkey % 100 = 0
+),
+merged AS (
+  SELECT o_orderstatus, o_totalprice FROM base
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+    AND o_orderkey NOT IN (SELECT o_orderkey FROM deletes)
+  UNION ALL SELECT o_orderstatus, o_totalprice FROM updates
+  UNION ALL SELECT o_orderstatus, o_totalprice FROM inserts
+)
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       {sql_exact_sum('o_totalprice')} AS sum_price
+FROM merged GROUP BY o_orderstatus
 """,
     "merge_upsert_cdc": """
 WITH base AS (

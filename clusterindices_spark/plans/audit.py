@@ -789,6 +789,17 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
             "Exchange SinglePartition",
         ],
     },
+    "agg_incremental_mv": {
+        # delta derivation joins ride broadcasts; the base⟗delta combine
+        # is a K-row (≤|status| groups) full-outer SMJ — sanctioned tiny;
+        # both agg branches map-side combine
+        "require": ["partial_", "BroadcastHashJoin"],
+        "forbid": [
+            "CartesianProduct",
+            "BroadcastNestedLoopJoin",
+            "Exchange SinglePartition",
+        ],
+    },
     "events_streak_lengths": {
         # distinct (user,day) agg map-side combines; island window and the
         # two downstream aggs are user-keyed; join-free throughout

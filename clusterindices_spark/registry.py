@@ -131,6 +131,8 @@ _NEXT: list[str] = [
     # binned KS test of exponential interarrivals (scalable-vs-definitional
     # at the declared bin grain)
     "events_interarrival_fit",
+    # O(|delta|) aggregate-MV refresh vs full-recompute oracle
+    "agg_incremental_mv",
 ]
 
 

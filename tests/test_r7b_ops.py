@@ -122,3 +122,42 @@ def test_interarrival_fit_accepts_exponential_rejects_regular(spark):
     assert r["fits_exponential"] is False
     assert r["ks_d"] > 0.3
     assert abs(r["mean_gap_s"] - 1800.0) < 1.0
+
+
+def test_incremental_mv_moves_creates_and_drops_groups(spark):
+    """The MV refresh must (a) move an updated row's contribution across
+    groups ('O' → 'U'), (b) delete-win when a key matches both images,
+    (c) DROP a group whose count reaches zero ('P'), and (d) create
+    groups that only exist post-merge ('U', 'N')."""
+    import tempfile
+
+    orders = spark.createDataFrame(
+        [
+            (1, "F", 40.0),
+            (3, "F", 100.0),   # %23==3 → deleted
+            (210, "F", 10.0),  # matches update AND delete → deleted
+            (10, "O", 50.0),   # updated → 'U' @ 55.0
+            (7, "O", 20.0),
+            (26, "P", 10.0),   # %23==3 → deleted; 'P' group vanishes
+        ],
+        "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE",
+    )
+    cust = spark.createDataFrame(
+        [(100,), (7,)], "c_custkey BIGINT"
+    )
+    tmp = tempfile.mkdtemp(prefix="ci-mv-")
+    orders.write.mode("overwrite").parquet(f"{tmp}/orders.parquet")
+    cust.write.mode("overwrite").parquet(f"{tmp}/customer.parquet")
+    from clusterindices_spark.operators.relational_ext import (
+        q_agg_incremental_mv,
+    )
+
+    out = {
+        r["o_orderstatus"]: r
+        for r in q_agg_incremental_mv(spark, tmp).collect()
+    }
+    assert set(out) == {"F", "O", "U", "N"}  # 'P' dropped at n=0
+    assert out["F"]["n_orders"] == 1 and out["F"]["sum_price"] == 40.0
+    assert out["O"]["n_orders"] == 1 and out["O"]["sum_price"] == 20.0
+    assert out["U"]["n_orders"] == 1 and out["U"]["sum_price"] == 55.0
+    assert out["N"]["n_orders"] == 1 and out["N"]["sum_price"] == 0.0
