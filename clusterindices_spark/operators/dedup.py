@@ -1537,7 +1537,90 @@ def q_dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the first dedup tier of every web-crawl
+    pipeline: the same page is fetched under scheme/host case variants,
+    default ports, www. prefixes, trailing slashes, tracking params, and
+    query-param orderings; canonicalizing collapses them WITHOUT touching
+    the payload. Messy URLs are derived deterministically per doc_id (four
+    variant shapes per page id, two of which canonicalize together), so
+    the duplicate groups are oracle-checkable at every SF.
+
+    Canonical form: lowercase scheme+host, strip :443/:80, strip leading
+    ``www.``, strip trailing path slash, drop ``utm_*`` params, sort the
+    remaining query params. Path/query CASE is preserved (paths are
+    case-sensitive in the wild — only scheme and host are folded).
+
+    Scale: pure scan-side string work + ONE hash agg on the canonical key
+    — the exact-dedup shuffle shape; no joins, no windows.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = F.floor(F.col("doc_id") / 4).cast("bigint")
+    v = F.col("doc_id") % 4
+    hostb = F.concat(
+        F.lit("site"), (n % 7).cast("string"), F.lit(".example.com")
+    )
+    page = F.concat(F.lit("/page/"), n.cast("string"))
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://"), hostb, page))
+        .when(
+            v == 1,
+            F.concat(
+                F.lit("HTTPS://"), F.upper(hostb), F.lit(":443"), page,
+                F.lit("/"),
+            ),
+        )
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("https://www."), hostb, page,
+                F.lit("?utm_source=feed&b=2&a=1"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("https://"), hostb, page, F.lit("?b=2&a=1")))
+    )
+    u = d.select("doc_id", url.alias("url"))
+    scheme = F.lower(F.regexp_extract("url", r"^([A-Za-z]+)://", 1))
+    host = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_extract("url", r"^[A-Za-z]+://([^/?#]+)", 1)),
+            r":443$|:80$",
+            "",
+        ),
+        r"^www\.",
+        "",
+    )
+    path = F.regexp_replace(
+        F.regexp_extract("url", r"^[A-Za-z]+://[^/?#]+(/[^?#]*)", 1),
+        r"/$",
+        "",
+    )
+    params = F.filter(
+        F.split(F.regexp_extract("url", r"\?([^#]*)", 1), "&"),
+        lambda p: (p != "") & (~p.startswith("utm_")),
+    )
+    qcanon = F.array_join(F.array_sort(params), "&")
+    canonical = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qcanon != "", F.concat(F.lit("?"), qcanon)).otherwise(""),
+    )
+    return (
+        u.select("doc_id", "url", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("url").alias("n_raw_variants"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .where(F.col("n_copies") >= 2)
+    )
+
+
 QUERIES = {
+    "dedup_url_canonical": q_dedup_url_canonical,
     "dedup_minhash_est": q_dedup_minhash_est,
     "dedup_minhash_pr_curve": q_dedup_minhash_pr_curve,
     "dedup_simhash_est": q_dedup_simhash_est,
@@ -1912,6 +1995,49 @@ _MH_MATCHES = " + ".join(
     f"(CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END)"
     for i in range(MINHASH_EST_H)
 )
+
+ORACLES["dedup_url_canonical"] = """
+WITH d AS (SELECT doc_id, doc_id // 4 AS n, doc_id % 4 AS v FROM documents),
+u AS (
+  SELECT doc_id,
+    CASE v
+      WHEN 0 THEN 'https://site' || (n % 7) || '.example.com/page/' || n
+      WHEN 1 THEN 'HTTPS://' || upper('site' || (n % 7) || '.example.com')
+                || ':443/page/' || n || '/'
+      WHEN 2 THEN 'https://www.site' || (n % 7) || '.example.com/page/' || n
+                || '?utm_source=feed&b=2&a=1'
+      ELSE 'https://site' || (n % 7) || '.example.com/page/' || n
+                || '?b=2&a=1'
+    END AS url
+  FROM d
+),
+c AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+    regexp_replace(
+      regexp_replace(
+        lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+        ':443$|:80$', ''),
+      '^www\\.', '') AS host,
+    regexp_replace(
+      regexp_extract(url, '^[A-Za-z]+://[^/?#]+(/[^?#]*)', 1),
+      '/$', '') AS path,
+    array_to_string(
+      list_sort(list_filter(
+        string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+        x -> x <> '' AND x NOT LIKE 'utm\\_%' ESCAPE '\\')),
+      '&') AS qcanon
+  FROM u
+)
+SELECT scheme || '://' || host || path
+         || CASE WHEN qcanon <> '' THEN '?' || qcanon ELSE '' END
+         AS canonical_url,
+       COUNT(*) AS n_copies,
+       COUNT(DISTINCT url) AS n_raw_variants,
+       MIN(doc_id) AS keeper_doc_id
+FROM c
+GROUP BY 1 HAVING COUNT(*) >= 2
+"""
 
 ORACLES["dedup_minhash_est"] = f"""
 WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

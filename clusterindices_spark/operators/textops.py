@@ -906,7 +906,67 @@ def q_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CODE_KEYWORD_RE = (
+    r"\b(def|class|return|import|function|var|let|const|void|public"
+    r"|static|struct|elif|lambda)\b"
+)
+CODE_SYMBOL_RE = r"[{}()\[\];=<>]"
+CODE_SCORE_THRESHOLD = 0.5
+
+
+def q_text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose heuristic — the standard routing filter in front of a
+    pre-training mixture (code gets its own dedup/quality lane): per doc,
+    structural-symbol density, indented-line ratio, and code-keyword hits
+    fold into a weighted score. Everything is counting + regex on the scan
+    side (regexes kept to the Java↔RE2 common subset, the BPE_ISH
+    convention); the agg is per-doc, so the operator is embarrassingly
+    parallel at any scale.
+
+    Ratios are floor-micro rounded BEFORE weighting (they are also output
+    columns), and the score is rounded once more — the text_quality
+    half-boundary discipline."""
+    from clusterindices_spark.functions.aggregates import round6_stable
+
+    d = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    symbol_count = n_chars - F.length(
+        F.regexp_replace("text", CODE_SYMBOL_RE, "")
+    )
+    lines = F.split("text", "\n")
+    n_lines = F.size(lines)
+    indent_lines = F.size(
+        F.filter(
+            lines, lambda l: l.startswith("  ") | l.startswith("\t")
+        )
+    )
+    kw_hits = F.regexp_count("text", F.lit(CODE_KEYWORD_RE))
+    sym_density = round6_stable(
+        symbol_count / F.nullif(n_chars.cast("double"), F.lit(0.0))
+    )
+    indent_ratio = round6_stable(
+        indent_lines / F.nullif(n_lines.cast("double"), F.lit(0.0))
+    )
+    score = round6_stable(
+        F.least(sym_density * 20.0, F.lit(1.0)) * 0.4
+        + F.least(indent_ratio * 4.0, F.lit(1.0)) * 0.3
+        + F.least(kw_hits / F.lit(5.0), F.lit(1.0)) * 0.3
+    )
+    return d.select(
+        "doc_id",
+        n_lines.cast("bigint").alias("n_lines"),
+        indent_lines.cast("bigint").alias("indent_lines"),
+        symbol_count.cast("bigint").alias("symbol_count"),
+        kw_hits.cast("bigint").alias("keyword_hits"),
+        sym_density.alias("symbol_density"),
+        indent_ratio.alias("indent_ratio"),
+        score.alias("code_score"),
+        (score >= CODE_SCORE_THRESHOLD).alias("is_code"),
+    )
+
+
 QUERIES = {
+    "text_code_detect": q_text_code_detect,
     "text_burstiness": q_text_burstiness,
     "text_rake_keywords": q_text_rake_keywords,
     "text_ngram_novelty": q_text_ngram_novelty,
@@ -950,7 +1010,55 @@ def _sql_markers(lang: str) -> str:
 
 _SQL_STOP = ", ".join(f"'{s}'" for s in STOPWORDS)
 
+_R6_SYMD = SQL_ROUND6.format(
+    x="symbol_count / NULLIF(CAST(n_chars AS DOUBLE), 0)"
+)
+_R6_INDR = SQL_ROUND6.format(
+    x="indent_lines / NULLIF(CAST(n_lines AS DOUBLE), 0)"
+)
+_R6_CODE_SCORE = SQL_ROUND6.format(
+    x=(
+        "least(symbol_density * 20.0, 1.0) * 0.4"
+        " + least(indent_ratio * 4.0, 1.0) * 0.3"
+        " + least(kw_hits / 5.0, 1.0) * 0.3"
+    )
+)
+
 ORACLES = {
+    "text_code_detect": f"""
+WITH s AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '{CODE_SYMBOL_RE}', '', 'g'))
+           AS symbol_count,
+         string_split(text, chr(10)) AS lines,
+         len(regexp_extract_all(text, '{CODE_KEYWORD_RE}')) AS kw_hits
+  FROM documents
+),
+t AS (
+  SELECT doc_id, n_chars, symbol_count, kw_hits,
+         len(lines) AS n_lines,
+         len(list_filter(lines, x -> x LIKE '  %' OR x LIKE chr(9) || '%'))
+           AS indent_lines
+  FROM s
+),
+r AS (
+  SELECT doc_id, n_lines, indent_lines, symbol_count, kw_hits,
+         {_R6_SYMD} AS symbol_density,
+         {_R6_INDR} AS indent_ratio
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(indent_lines AS BIGINT) AS indent_lines,
+       CAST(symbol_count AS BIGINT) AS symbol_count,
+       CAST(kw_hits AS BIGINT) AS keyword_hits,
+       symbol_density,
+       indent_ratio,
+       {_R6_CODE_SCORE} AS code_score,
+       {_R6_CODE_SCORE} >= {CODE_SCORE_THRESHOLD} AS is_code
+FROM r
+""",
     "text_readability": f"""
 WITH tk AS (
   SELECT doc_id, unnest({SQL_TOKENS.format(col="text")}) AS tok

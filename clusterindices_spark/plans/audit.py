@@ -789,6 +789,21 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
             "Exchange SinglePartition",
         ],
     },
+    "dedup_url_canonical": {
+        # scan-side string canonicalization + ONE hash agg on the
+        # canonical key (count-distinct adds the second partial pass);
+        # join- and window-free ("Join" itself would false-positive on the
+        # array_join projection expression — lowercase substring match)
+        "require": ["partial_", "*("],
+        "forbid": ["CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+                   "BroadcastNestedLoopJoin", "Window",
+                   "Exchange SinglePartition"],
+    },
+    "text_code_detect": {
+        # embarrassingly parallel: pure codegen scan, ZERO exchanges
+        "require": ["*("],
+        "forbid": ["Exchange", "Join", "CartesianProduct"],
+    },
     "agg_incremental_mv": {
         # delta derivation joins ride broadcasts; the base⟗delta combine
         # is a K-row (≤|status| groups) full-outer SMJ — sanctioned tiny;

@@ -133,6 +133,10 @@ _NEXT: list[str] = [
     "events_interarrival_fit",
     # O(|delta|) aggregate-MV refresh vs full-recompute oracle
     "agg_incremental_mv",
+    # web-crawl URL canonicalization dedup tier
+    "dedup_url_canonical",
+    # code-vs-prose routing heuristic (pre-training mixture lanes)
+    "text_code_detect",
 ]
 
 

@@ -161,3 +161,56 @@ def test_incremental_mv_moves_creates_and_drops_groups(spark):
     assert out["O"]["n_orders"] == 1 and out["O"]["sum_price"] == 20.0
     assert out["U"]["n_orders"] == 1 and out["U"]["sum_price"] == 55.0
     assert out["N"]["n_orders"] == 1 and out["N"]["sum_price"] == 0.0
+
+
+def test_url_canonical_collapses_variant_groups(spark):
+    """doc_ids 0-3 are the four variant shapes of page 0: v0 (plain) and
+    v1 (upper scheme+host, :443, trailing slash) must collapse; v2
+    (www + utm_* + unsorted params) and v3 (unsorted params) must collapse
+    to the param-sorted canonical; the two groups must stay distinct."""
+    import tempfile
+
+    d = spark.createDataFrame([(i,) for i in range(4)], "doc_id BIGINT")
+    tmp = tempfile.mkdtemp(prefix="ci-url-")
+    d.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    from clusterindices_spark.operators.dedup import q_dedup_url_canonical
+
+    out = {r["canonical_url"]: r for r in q_dedup_url_canonical(spark, tmp).collect()}
+    plain = "https://site0.example.com/page/0"
+    qry = "https://site0.example.com/page/0?a=1&b=2"
+    assert set(out) == {plain, qry}
+    assert out[plain]["n_copies"] == 2 and out[plain]["keeper_doc_id"] == 0
+    assert out[qry]["n_copies"] == 2 and out[qry]["keeper_doc_id"] == 2
+    assert out[plain]["n_raw_variants"] == 2  # raw forms differ
+
+
+def test_code_detect_separates_code_from_prose(spark):
+    """A planted code snippet (indentation, braces, keywords) must clear
+    the threshold; plain prose must not. Counting columns pin the regex
+    semantics."""
+    import tempfile
+
+    code = (
+        "def main():\n"
+        "  x = [1, 2];\n"
+        "  if x:\n"
+        "    return {x}\n"
+        "class Foo:\n"
+        "  pass\n"
+    )
+    prose = "the quick brown fox jumps over the lazy dog again and again"
+    d = spark.createDataFrame(
+        [(1, code, "en", "web", len(code)), (2, prose, "en", "web", len(prose))],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    tmp = tempfile.mkdtemp(prefix="ci-code-")
+    d.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    from clusterindices_spark.operators.textops import q_text_code_detect
+
+    out = {r["doc_id"]: r for r in q_text_code_detect(spark, tmp).collect()}
+    c, p = out[1], out[2]
+    assert c["is_code"] is True and p["is_code"] is False
+    assert c["keyword_hits"] == 3  # def, return, class
+    assert c["indent_lines"] == 4
+    assert p["symbol_count"] == 0 and p["keyword_hits"] == 0
+    assert p["code_score"] < 0.1
