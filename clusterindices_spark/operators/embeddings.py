@@ -819,7 +819,76 @@ def q_embedding_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dim_cov_finalize(s)
 
 
+RP_OUT_DIM = 16
+RP_IN_DIM = 64
+RP_HASH_ROW = 131
+RP_HASH_KNUTH = 2654435761
+RP_HASH_MOD = 1000003
+
+
+def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Achlioptas sparse random projection 64→16: y = √(3/k)·Sᵀx with
+    S ∈ {+1, −1, 0} at probabilities {1/6, 1/6, 2/3}, the signs drawn from
+    the PORTABLE Knuth hash h(i,j) = ((i·131 + j)·2654435761) mod 1000003
+    (h%6 → sign) so the "random" matrix is reproducible in plain SQL — the
+    projection needs NO training pass (vs PCA) and preserves pairwise
+    distances to JL tolerance.
+
+    Exactness: inputs quantize to integer micros u = floor(v·1e6 + 0.5)
+    once, the 64×16 sign matmul runs in float64 BLAS on integer values
+    (products ≤ ~1.3e8 ≪ 2^53 — exact, the Gram-partials lesson), and
+    only the final √(3/k)·s/1e6 rendering is float, floor-micro'd in the
+    identical op order on both engines. The oracle is the DEFINITIONAL
+    unnest → sign-table join → per-(vec,j) sum.
+
+    Scale: per-row mapInArrow with a driver-built 1 KB constant matrix —
+    ZERO exchanges, embarrassingly parallel; the oracle twin's
+    corpus×64-exploded join exists only inside DuckDB at gate SFs.
+    """
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("x")
+    )
+    dim = RP_IN_DIM
+    ii = np.arange(dim, dtype=np.int64)[:, None]
+    jj = np.arange(RP_OUT_DIM, dtype=np.int64)[None, :]
+    h = ((ii * RP_HASH_ROW + jj) * RP_HASH_KNUTH) % RP_HASH_MOD
+    sgn = np.where(h % 6 == 0, 1.0, np.where(h % 6 == 1, -1.0, 0.0))
+    scale = math.sqrt(3.0 / RP_OUT_DIM)
+
+    def project(batches):
+        for batch in batches:
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            xs = _batch_xs(batch, dim)
+            if xs.size == 0:
+                continue
+            u = np.floor(xs * 1e6 + 0.5)  # integer micros in float64
+            acc = u @ sgn  # exact: integer values ≪ 2^53
+            val = np.floor((acc / 1e6) * scale * 1e6 + 0.5) / 1e6
+            n, k = val.shape
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(ids, k), type=pa.int64()),
+                    pa.array(
+                        np.tile(np.arange(k, dtype=np.int32), n),
+                        type=pa.int32(),
+                    ),
+                    pa.array(val.reshape(-1), type=pa.float64()),
+                ],
+                names=["vec_id", "out_dim", "val"],
+            )
+
+    return emb.mapInArrow(
+        project, schema="vec_id bigint, out_dim int, val double"
+    )
+
+
 QUERIES = {
+    "embedding_random_projection": q_embedding_random_projection,
     "embedding_dim_covariance": q_embedding_dim_covariance,
     "embedding_pair_distance_hist": q_embedding_pair_distance_hist,
     "embedding_matryoshka": q_embedding_matryoshka,
@@ -864,6 +933,34 @@ _R6_ERR = SQL_ROUND6.format(
 )
 
 ORACLES = {
+    "embedding_random_projection": f"""
+WITH x AS (
+  SELECT vec_id,
+         unnest(range(len({_X}))) AS i,
+         unnest({_X}) AS v
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, i,
+         CAST(floor(v * 1000000.0 + 0.5) AS BIGINT) AS u
+  FROM x
+),
+s AS (
+  SELECT i, j,
+         CASE ((i * {RP_HASH_ROW} + j) * {RP_HASH_KNUTH}) % {RP_HASH_MOD} % 6
+           WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END AS sgn
+  FROM range({RP_IN_DIM}) t(i), range({RP_OUT_DIM}) u(j)
+),
+p AS (
+  SELECT q.vec_id, s.j,
+         CAST(SUM(q.u * s.sgn) AS BIGINT) AS acc
+  FROM q JOIN s USING (i) GROUP BY q.vec_id, s.j
+)
+SELECT vec_id, CAST(j AS INT) AS out_dim,
+       {SQL_ROUND6.format(x=f"(CAST(acc AS DOUBLE) / 1000000.0) * sqrt(3.0 / {RP_OUT_DIM})")}
+         AS val
+FROM p
+""",
     "embedding_dim_covariance": f"""
 WITH ex AS MATERIALIZED (
   SELECT vec_id,

@@ -789,6 +789,14 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
             "Exchange SinglePartition",
         ],
     },
+    "embedding_random_projection": {
+        # one MapInArrow over the scan with a driver-built constant sign
+        # matrix — ZERO exchanges, no joins (the definitional unnest-join
+        # lives only in the DuckDB oracle)
+        "require": ["MapInArrow", "FileScan"],
+        "forbid": ["Exchange", "CartesianProduct", "SortMergeJoin",
+                   "BroadcastHashJoin"],
+    },
     "dedup_url_canonical": {
         # scan-side string canonicalization + ONE hash agg on the
         # canonical key (count-distinct adds the second partial pass);

@@ -137,6 +137,9 @@ _NEXT: list[str] = [
     "dedup_url_canonical",
     # code-vs-prose routing heuristic (pre-training mixture lanes)
     "text_code_detect",
+    # training-free JL projection: hash-derived Achlioptas signs, exact
+    # integer matmul in mapInArrow vs definitional unnest-join oracle
+    "embedding_random_projection",
 ]
 
 

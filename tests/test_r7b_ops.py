@@ -214,3 +214,67 @@ def test_code_detect_separates_code_from_prose(spark):
     assert c["indent_lines"] == 4
     assert p["symbol_count"] == 0 and p["keyword_hits"] == 0
     assert p["code_score"] < 0.1
+
+
+def test_random_projection_is_deterministic_and_jl_preserving(spark):
+    """(a) The hash-derived sign matrix makes the projection a pure
+    function — two runs agree exactly. (b) JL property: pairwise squared
+    distances in the 16-dim image approximate the 64-dim originals within
+    loose tolerance on average (sparse Achlioptas guarantees E ≡ exact).
+    (c) A hand-computed vector replays the mapInArrow arithmetic."""
+    import math
+
+    import numpy as np
+
+    from clusterindices_spark.operators.embeddings import (
+        RP_HASH_KNUTH,
+        RP_HASH_MOD,
+        RP_HASH_ROW,
+        RP_IN_DIM,
+        RP_OUT_DIM,
+        q_embedding_random_projection,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_embedding_random_projection(spark, sf).collect()
+    again = q_embedding_random_projection(spark, sf).collect()
+    key = lambda r: (r["vec_id"], r["out_dim"])
+    assert sorted(map(key, rows)) == sorted(map(key, again))
+    m1 = {key(r): r["val"] for r in rows}
+    m2 = {key(r): r["val"] for r in again}
+    assert m1 == m2
+
+    # replay one vector by hand
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf}/embeddings.parquet").to_pydict()
+    xs = {v: e for v, e in zip(tbl["vec_id"], tbl["embedding"])}
+    vid = tbl["vec_id"][0]
+    x = np.asarray(xs[vid], dtype=np.float64)
+    u = np.floor(x * 1e6 + 0.5)
+    ii = np.arange(RP_IN_DIM)[:, None]
+    jj = np.arange(RP_OUT_DIM)[None, :]
+    h = ((ii * RP_HASH_ROW + jj) * RP_HASH_KNUTH) % RP_HASH_MOD
+    sgn = np.where(h % 6 == 0, 1.0, np.where(h % 6 == 1, -1.0, 0.0))
+    scale = math.sqrt(3.0 / RP_OUT_DIM)
+    ref = np.floor((u @ sgn / 1e6) * scale * 1e6 + 0.5) / 1e6
+    for j in range(RP_OUT_DIM):
+        assert m1[(vid, j)] == ref[j]
+
+    # JL: mean squared-distance ratio near 1 over a probe sample
+    vids = sorted(xs)[:20]
+    proj = {
+        v: np.array([m1[(v, j)] for j in range(RP_OUT_DIM)]) for v in vids
+    }
+    ratios = []
+    for a_i in range(len(vids)):
+        for b_i in range(a_i + 1, len(vids)):
+            a, b = vids[a_i], vids[b_i]
+            d0 = np.sum(
+                (np.asarray(xs[a], dtype=np.float64) - np.asarray(xs[b], dtype=np.float64)) ** 2
+            )
+            d1 = np.sum((proj[a] - proj[b]) ** 2)
+            if d0 > 0:
+                ratios.append(d1 / d0)
+    mean_ratio = float(np.mean(ratios))
+    assert 0.7 < mean_ratio < 1.3, mean_ratio
