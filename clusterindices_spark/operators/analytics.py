@@ -573,6 +573,61 @@ def q_events_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every purchase's revenue is split
+    EQUALLY across all its non-purchase touches in the 7-day lookback
+    (complementing last-touch's winner-takes-all), then rolled up per
+    channel. Revenue quantizes to integer micros once and each touch gets
+    floor(rev_micros / n_touches) — the remainder (< n_touches µ-units per
+    purchase) is deliberately dropped rather than assigned by position,
+    keeping every share independent of touch enumeration order (exact
+    BIGINT arithmetic end-to-end; the only float is the final /1e6).
+
+    Scale: the purchase⋈touch window join is the last_touch shape (user-
+    keyed equi component + time-range predicate); the per-purchase touch
+    count is a purchase_id-partitioned window over that join's output
+    (bounded by touches-per-week per user), and the channel rollup is a
+    K-row agg."""
+    from clusterindices_spark.functions.aggregates import round6_stable
+
+    e = load_table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.unix_millis(F.col("ts")).alias("p_t"),
+        F.floor(F.col("value") * 1_000_000.0).cast("bigint").alias(
+            "rev_micros"
+        ),
+    )
+    t = e.where(F.col("event_type") != "purchase").select(
+        F.col("event_id").alias("touch_id"),
+        F.col("user_id").alias("t_user"),
+        F.col("event_type").alias("channel"),
+        F.unix_millis(F.col("ts")).alias("t_t"),
+    )
+    j = p.join(
+        t,
+        (p.p_user == t.t_user)
+        & (t.t_t < p.p_t)
+        & (t.t_t >= p.p_t - F.lit(ATTR_WINDOW_MS)),
+    )
+    w = Window.partitionBy("purchase_id")
+    share = F.floor(
+        F.col("rev_micros") / F.count(F.lit(1)).over(w)
+    ).cast("bigint")
+    return (
+        j.select("purchase_id", "channel", share.alias("share_micros"))
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.countDistinct("purchase_id").alias("n_purchases"),
+            round6_stable(
+                F.sum("share_micros") / F.lit(1_000_000.0)
+            ).alias("attributed_revenue"),
+        )
+    )
+
+
 KFOLDS = 5
 
 
@@ -1644,6 +1699,7 @@ def q_events_interarrival_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "events_changepoint_loc": q_events_changepoint_loc,
     "events_interarrival_fit": q_events_interarrival_fit,
+    "events_attribution_linear": q_events_attribution_linear,
     "events_user_overlap": q_events_user_overlap,
     "events_rollup_hierarchy": q_events_rollup_hierarchy,
     "events_ewma_smooth": q_events_ewma_smooth,
@@ -1677,6 +1733,40 @@ QUERIES = {
 _W = (HIST_HI - HIST_LO) / HIST_BINS
 
 ORACLES = {
+    "events_attribution_linear": f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type, value,
+         epoch_ms(CAST(ts AS TIMESTAMP)) AS t
+  FROM events
+),
+p AS (
+  SELECT event_id AS purchase_id, user_id, t AS p_t,
+         CAST(floor(value * 1000000.0) AS BIGINT) AS rev_micros
+  FROM e WHERE event_type = 'purchase'
+),
+tch AS (
+  SELECT event_id AS touch_id, user_id, event_type AS channel, t AS t_t
+  FROM e WHERE event_type <> 'purchase'
+),
+j AS (
+  SELECT p.purchase_id, p.rev_micros, tch.channel,
+         COUNT(*) OVER (PARTITION BY p.purchase_id) AS n
+  FROM p JOIN tch ON p.user_id = tch.user_id
+    AND tch.t_t < p.p_t AND tch.t_t >= p.p_t - {ATTR_WINDOW_MS}
+),
+sh AS (
+  SELECT purchase_id, channel,
+         CAST(floor(CAST(rev_micros AS DOUBLE) / n) AS BIGINT)
+           AS share_micros
+  FROM j
+)
+SELECT channel,
+       COUNT(*) AS n_touches,
+       COUNT(DISTINCT purchase_id) AS n_purchases,
+       {SQL_ROUND6.format(x="CAST(SUM(share_micros) AS DOUBLE) / 1000000.0")}
+         AS attributed_revenue
+FROM sh GROUP BY channel
+""",
     "events_changepoint_loc": f"""
 WITH h AS (
   SELECT event_type,

@@ -553,6 +553,81 @@ def q_agg_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPATIAL_PLANE_M = 9_999_991  # prime plane extent (meters) for hash coords
+SPATIAL_RADIUS_M = 250_000
+SPATIAL_HASH_X = 2654435761
+SPATIAL_HASH_Y = 1597334677
+
+
+def _spatial_xy(key_col, off_x: int, off_y: int):
+    k = key_col % SPATIAL_PLANE_M
+    x = (k * SPATIAL_HASH_X + off_x) % SPATIAL_PLANE_M
+    y = (k * SPATIAL_HASH_Y + off_y) % SPATIAL_PLANE_M
+    return x, y
+
+
+def q_join_spatial_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius join — all (customer, supplier) pairs within 250 km
+    on a deterministic planar meter grid (coords from the overflow-safe
+    Knuth hash, so the oracle replays them in SQL). The scale shape is the
+    GRID-CELL equi-join: cells sized exactly one radius, one side exploded
+    to its 3×3 neighborhood, equi-join on the cell id, EXACT integer
+    d² ≤ r² post-filter. Pigeonhole guarantees completeness (|Δx| ≤ r ⇒
+    adjacent cell columns), the other side stays unexploded so every
+    qualifying pair matches exactly once, and nothing is ever quadratic —
+    the brute-force cross join lives only in the DuckDB oracle.
+
+    Distances are exact BIGINT squares; the reported dist_m uses IEEE
+    sqrt (correctly rounded, hence engine-identical) floored to meters —
+    no trig anywhere (haversine's sin/cos are NOT correctly rounded
+    across engines and would drift the hash).
+    """
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+    cx, cy = _spatial_xy(F.col("c_custkey"), 7, 11)
+    sx, sy = _spatial_xy(F.col("s_suppkey"), 13, 17)
+    r = F.lit(SPATIAL_RADIUS_M).cast("bigint")
+    cust = c.select("c_custkey", cx.alias("x"), cy.alias("y"))
+    supp = s.select(
+        "s_suppkey",
+        sx.alias("sx"),
+        sy.alias("sy"),
+        F.floor(sx / r).alias("cx"),
+        F.floor(sy / r).alias("cy"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    cust9 = cust.select(
+        "c_custkey",
+        "x",
+        "y",
+        F.explode(offsets).alias("o"),
+    ).select(
+        "c_custkey",
+        "x",
+        "y",
+        (F.floor(F.col("x") / r) + F.col("o.dx")).alias("cx"),
+        (F.floor(F.col("y") / r) + F.col("o.dy")).alias("cy"),
+    )
+    d2 = (F.col("x") - F.col("sx")) * (F.col("x") - F.col("sx")) + (
+        F.col("y") - F.col("sy")
+    ) * (F.col("y") - F.col("sy"))
+    return (
+        cust9.join(supp, ["cx", "cy"])
+        .where(d2 <= r * r)
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            F.floor(F.sqrt(d2.cast("double"))).cast("bigint").alias("dist_m"),
+        )
+    )
+
+
 INTERVAL_TOLERANCE_MS = 60_000
 
 
@@ -1036,6 +1111,7 @@ QUERIES = {
     "join_interval_binned": q_join_interval_binned,
     "merge_upsert_cdc": q_merge_upsert_cdc,
     "agg_incremental_mv": q_agg_incremental_mv,
+    "join_spatial_radius": q_join_spatial_radius,
     "agg_grouping_sets": q_agg_grouping_sets,
     "agg_cube": q_agg_cube,
     "agg_stats": q_agg_stats,
@@ -1255,6 +1331,31 @@ e AS (
 )
 SELECT click_id, error_id, e_ms - c_ms AS delta_ms
 FROM c JOIN e ON abs(c_ms - e_ms) <= {INTERVAL_TOLERANCE_MS}
+""",
+    "join_spatial_radius": f"""
+WITH c AS (
+  SELECT c_custkey,
+         ((c_custkey % {SPATIAL_PLANE_M}) * {SPATIAL_HASH_X} + 7)
+           % {SPATIAL_PLANE_M} AS x,
+         ((c_custkey % {SPATIAL_PLANE_M}) * {SPATIAL_HASH_Y} + 11)
+           % {SPATIAL_PLANE_M} AS y
+  FROM customer
+),
+s AS (
+  SELECT s_suppkey,
+         ((s_suppkey % {SPATIAL_PLANE_M}) * {SPATIAL_HASH_X} + 13)
+           % {SPATIAL_PLANE_M} AS sx,
+         ((s_suppkey % {SPATIAL_PLANE_M}) * {SPATIAL_HASH_Y} + 17)
+           % {SPATIAL_PLANE_M} AS sy
+  FROM supplier
+)
+SELECT c_custkey, s_suppkey,
+       CAST(floor(sqrt(CAST((c.x - s.sx) * (c.x - s.sx)
+                          + (c.y - s.sy) * (c.y - s.sy) AS DOUBLE)))
+         AS BIGINT) AS dist_m
+FROM c, s
+WHERE (c.x - s.sx) * (c.x - s.sx) + (c.y - s.sy) * (c.y - s.sy)
+      <= CAST({SPATIAL_RADIUS_M} AS BIGINT) * {SPATIAL_RADIUS_M}
 """,
     "agg_incremental_mv": f"""
 WITH base AS (

@@ -789,6 +789,21 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
             "Exchange SinglePartition",
         ],
     },
+    "join_spatial_radius": {
+        # 3×3 neighbor Generate + cell-id equi-join (broadcast at gate
+        # SFs, partitioned at scale) + exact integer d² filter — NEVER a
+        # cross product; the brute force lives only in the oracle
+        "require": ["Generate"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                   "Exchange SinglePartition"],
+    },
+    "events_attribution_linear": {
+        # last_touch's user-keyed window join + purchase-partitioned count
+        # window + K-row channel rollup
+        "require": ["Window", "partial_"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                   "Exchange SinglePartition"],
+    },
     "embedding_random_projection": {
         # one MapInArrow over the scan with a driver-built constant sign
         # matrix — ZERO exchanges, no joins (the definitional unnest-join

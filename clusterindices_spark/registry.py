@@ -140,6 +140,10 @@ _NEXT: list[str] = [
     # training-free JL projection: hash-derived Achlioptas signs, exact
     # integer matmul in mapInArrow vs definitional unnest-join oracle
     "embedding_random_projection",
+    # grid-cell radius join (pigeonhole-complete) vs brute-force oracle
+    "join_spatial_radius",
+    # equal-split multi-touch attribution, exact integer shares
+    "events_attribution_linear",
 ]
 
 

@@ -278,3 +278,92 @@ def test_random_projection_is_deterministic_and_jl_preserving(spark):
                 ratios.append(d1 / d0)
     mean_ratio = float(np.mean(ratios))
     assert 0.7 < mean_ratio < 1.3, mean_ratio
+
+
+def test_spatial_radius_matches_bruteforce(spark):
+    """Pigeonhole completeness, empirically: the grid-cell join must
+    reproduce the exact brute-force pair set (every metric value is exact
+    BIGINT, so set equality is bit-exact) at sf0.01 — 1 500 × 100 keys."""
+    import numpy as np
+
+    from clusterindices_spark.operators.relational_ext import (
+        SPATIAL_HASH_X,
+        SPATIAL_HASH_Y,
+        SPATIAL_PLANE_M,
+        SPATIAL_RADIUS_M,
+        q_join_spatial_radius,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        (r["c_custkey"], r["s_suppkey"]): r["dist_m"]
+        for r in q_join_spatial_radius(spark, sf).collect()
+    }
+
+    import pyarrow.parquet as pq
+
+    ck = np.array(
+        pq.read_table(f"{sf}/customer.parquet", columns=["c_custkey"])
+        .column(0)
+        .to_pylist(),
+        dtype=np.int64,
+    )
+    sk = np.array(
+        pq.read_table(f"{sf}/supplier.parquet", columns=["s_suppkey"])
+        .column(0)
+        .to_pylist(),
+        dtype=np.int64,
+    )
+
+    def xy(k, ox, oy):
+        m = k % SPATIAL_PLANE_M
+        return (
+            (m * SPATIAL_HASH_X + ox) % SPATIAL_PLANE_M,
+            (m * SPATIAL_HASH_Y + oy) % SPATIAL_PLANE_M,
+        )
+
+    cx, cy = xy(ck, 7, 11)
+    sx, sy = xy(sk, 13, 17)
+    d2 = (cx[:, None] - sx[None, :]) ** 2 + (cy[:, None] - sy[None, :]) ** 2
+    mask = d2 <= SPATIAL_RADIUS_M * SPATIAL_RADIUS_M
+    want = {
+        (int(ck[i]), int(sk[j])): int(np.floor(np.sqrt(float(d2[i, j]))))
+        for i, j in zip(*np.nonzero(mask))
+    }
+    assert got == want and len(got) == 293
+
+
+def test_attribution_linear_shares_and_window(spark):
+    """Purchase A (rev 100, 4 in-window touches + 1 stale) → 25 per touch;
+    purchase B (rev 100, 3 touches) → floor(33.333333…) each, remainder
+    dropped; a touch-less purchase contributes nothing."""
+    H = 3_600_000
+    rows = [
+        # purchase A at t=10d, touches within 7d: 2 clicks + 2 views
+        (1, 10 * DAY, 1, "purchase", 100.0),
+        (2, 10 * DAY - H, 1, "click", 0.0),
+        (3, 10 * DAY - 2 * H, 1, "click", 0.0),
+        (4, 10 * DAY - 3 * H, 1, "view", 0.0),
+        (5, 10 * DAY - 4 * H, 1, "view", 0.0),
+        (6, 1 * DAY, 1, "view", 0.0),  # stale: 9 days before
+        # purchase B: 3 touches, one channel
+        (7, 20 * DAY, 2, "purchase", 100.0),
+        (8, 20 * DAY - H, 2, "click", 0.0),
+        (9, 20 * DAY - 2 * H, 2, "click", 0.0),
+        (10, 20 * DAY - 3 * H, 2, "click", 0.0),
+        # purchase C: no touches at all
+        (11, 30 * DAY, 3, "purchase", 55.0),
+    ]
+    tmp = _write_events(spark, rows, "ci-attr-")
+    from clusterindices_spark.operators.analytics import (
+        q_events_attribution_linear,
+    )
+
+    out = {r["channel"]: r for r in q_events_attribution_linear(spark, tmp).collect()}
+    assert set(out) == {"click", "view"}
+    # A: 100/4 = 25 per touch; B: floor(100e6/3)/1e6 = 33.333333
+    assert out["view"]["attributed_revenue"] == 50.0
+    assert out["view"]["n_touches"] == 2 and out["view"]["n_purchases"] == 1
+    assert out["click"]["n_touches"] == 5
+    assert out["click"]["n_purchases"] == 2
+    assert abs(out["click"]["attributed_revenue"] - (50.0 + 3 * 33.333333)) < 1e-9
