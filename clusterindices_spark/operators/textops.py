@@ -965,7 +965,77 @@ def q_text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PMI_MIN_COUNT = 5
+
+
+def q_text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: pointwise mutual information for every adjacent
+    bigram seen ≥{min} times — PMI = log₂((n_ab/N)/((n_a/U)(n_b/U)))
+    separates true collocations (PMI ≫ 0) from chance co-occurrence
+    (PMI ≈ 0), the classic phrase-discovery signal feeding tokenizer /
+    vocabulary construction. The min-count floor is what keeps PMI from
+    degenerating on hapax pairs (a 1-count bigram of two rare words gets
+    an enormous PMI by construction).
+
+    Determinism: counts are exact; the double ratio is computed in the
+    IDENTICAL op order on both engines, and log₂ is floor-micro rounded
+    (the ln-in-last-ulp convention of bigram_logprob).
+
+    Scale: bigram counts shuffle by (w1,w2) with map-side combine; the
+    unigram vocab and the two 1-row totals broadcast; everything after
+    the count agg is bigram-vocab-scale, never corpus-scale."""
+    from clusterindices_spark.functions.aggregates import round6_stable
+
+    d = _with_tokens(load_table(spark, sf_dir, "documents"), fan=True)
+    n_b = F.greatest(F.size("toks") - 1, F.lit(0))
+    z = F.arrays_zip(
+        F.slice("toks", 1, n_b).alias("w1"),
+        F.slice("toks", 2, n_b).alias("w2"),
+    )
+    big = d.select(F.explode(z).alias("s")).select(
+        F.col("s.w1").alias("w1"), F.col("s.w2").alias("w2")
+    )
+    ex = d.select(F.explode("toks").alias("term"))
+    vocab = ex.groupBy("term").agg(F.count(F.lit(1)).alias("tc"))
+    bc = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= PMI_MIN_COUNT)
+    )
+    # driver-side scalar totals (the hour_of_week convention): a 1-row
+    # global agg would plan as Exchange SinglePartition + a BNLJ attach
+    nb = big.count()
+    ut = ex.count()
+    x = (F.col("n_ab").cast("double") / F.lit(float(nb))) / (
+        (F.col("c1").cast("double") / F.lit(float(ut)))
+        * (F.col("c2").cast("double") / F.lit(float(ut)))
+    )
+    return (
+        bc.join(
+            F.broadcast(
+                vocab.select(F.col("term").alias("w1"), F.col("tc").alias("c1"))
+            ),
+            "w1",
+        )
+        .join(
+            F.broadcast(
+                vocab.select(F.col("term").alias("w2"), F.col("tc").alias("c2"))
+            ),
+            "w2",
+        )
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            "c1",
+            "c2",
+            round6_stable(F.log2(x)).alias("pmi"),
+        )
+    )
+
+
 QUERIES = {
+    "text_pmi_bigrams": q_text_pmi_bigrams,
     "text_code_detect": q_text_code_detect,
     "text_burstiness": q_text_burstiness,
     "text_rake_keywords": q_text_rake_keywords,
@@ -1025,6 +1095,36 @@ _R6_CODE_SCORE = SQL_ROUND6.format(
 )
 
 ORACLES = {
+    "text_pmi_bigrams": f"""
+WITH toks AS (SELECT doc_id, {SQL_TOKENS.format(col="text")} AS toks FROM documents),
+big AS (
+  SELECT unnest(list_transform(range(greatest(len(toks) - 1, 0)),
+                               i -> toks[i+1])) AS w1,
+         unnest(list_transform(range(greatest(len(toks) - 1, 0)),
+                               i -> toks[i+2])) AS w2
+  FROM toks
+),
+uni AS (SELECT unnest(toks) AS term FROM toks),
+vocab AS (SELECT term, COUNT(*) AS tc FROM uni GROUP BY term),
+bc AS (
+  SELECT w1, w2, COUNT(*) AS n_ab FROM big GROUP BY w1, w2
+  HAVING COUNT(*) >= {PMI_MIN_COUNT}
+),
+tot AS (
+  SELECT (SELECT COUNT(*) FROM big) AS nb,
+         (SELECT COUNT(*) FROM uni) AS ut
+)
+SELECT b.w1, b.w2,
+       CAST(b.n_ab AS BIGINT) AS n_ab,
+       CAST(v1.tc AS BIGINT) AS c1,
+       CAST(v2.tc AS BIGINT) AS c2,
+       {SQL_ROUND6.format(x="log2((CAST(b.n_ab AS DOUBLE) / t.nb) / ((CAST(v1.tc AS DOUBLE) / t.ut) * (CAST(v2.tc AS DOUBLE) / t.ut)))")}
+         AS pmi
+FROM bc b
+JOIN vocab v1 ON b.w1 = v1.term
+JOIN vocab v2 ON b.w2 = v2.term
+CROSS JOIN tot t
+""",
     "text_code_detect": f"""
 WITH s AS (
   SELECT doc_id,

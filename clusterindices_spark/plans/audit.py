@@ -789,6 +789,20 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
             "Exchange SinglePartition",
         ],
     },
+    "source_jsonl_roundtrip": {
+        # write→JSONL→schema'd FAILFAST read→agg; the read side must be a
+        # json FileScan (escaping roundtrip is what the oracle hashes)
+        "require": ["FileScan json", "partial_"],
+        "forbid": ["CartesianProduct", "Exchange SinglePartition"],
+    },
+    "text_pmi_bigrams": {
+        # bigram count agg (map-side combined) + two broadcast vocab
+        # attaches; totals are driver-side literals — a 1-row global agg
+        # would reintroduce Exchange SinglePartition + a BNLJ attach
+        "require": ["partial_", "BroadcastHashJoin", "Generate"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                   "SortMergeJoin", "Exchange SinglePartition"],
+    },
     "join_spatial_radius": {
         # 3×3 neighbor Generate + cell-id equi-join (broadcast at gate
         # SFs, partitioned at scale) + exact integer d² filter — NEVER a

@@ -144,6 +144,10 @@ _NEXT: list[str] = [
     "join_spatial_radius",
     # equal-split multi-touch attribution, exact integer shares
     "events_attribution_linear",
+    # JSONL write→escape→parse roundtrip (training-data interchange)
+    "source_jsonl_roundtrip",
+    # PMI collocation mining over min-count bigrams
+    "text_pmi_bigrams",
 ]
 
 

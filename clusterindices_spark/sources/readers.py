@@ -204,13 +204,56 @@ def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines as source/sink — the lingua franca of training-data
+    interchange (every public corpus ships as .jsonl): a documents slice
+    (with its free-text column, exercising JSON string escaping) writes
+    as JSONL and reads back through read_json's explicit schema +
+    FAILFAST; the aggregate's oracle runs on the original parquet, so the
+    gate proves write→escape→parse preserves STRING content byte-for-byte
+    (token sum + char sum + text length extremes would all drift on any
+    escaping loss). Scale: line-splittable scan, schema'd single pass —
+    an ingest format (land → convert to parquet), per the module posture.
+    """
+    from pyspark.sql import functions as F
+
+    from clusterindices_spark.sources.fixtures import load_table
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 3 == 0
+    ).select("doc_id", "lang", "text", "n_chars")
+    path = _roundtrip_path("jsonl", sf_dir)
+    d.write.mode("overwrite").json(path)
+    back = read_json(
+        spark, path, "doc_id BIGINT, lang STRING, text STRING, n_chars BIGINT"
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.sum(F.length("text")).alias("sum_text_len"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.max(F.length("text")).cast("bigint").alias("max_text_len"),
+    )
+
+
 QUERIES = {
+    "source_jsonl_roundtrip": q_source_jsonl_roundtrip,
     "source_xml_roundtrip": q_source_xml_roundtrip,
     "source_orc_roundtrip": q_source_orc_roundtrip,
     "source_csv_roundtrip": q_source_csv_roundtrip,
 }
 
 ORACLES = {
+    "source_jsonl_roundtrip": """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS min_doc,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(MAX(length(text)) AS BIGINT) AS max_text_len
+FROM documents WHERE doc_id % 3 = 0
+GROUP BY lang
+""",
     "source_xml_roundtrip": """
 SELECT o_orderstatus,
        COUNT(*) AS n,

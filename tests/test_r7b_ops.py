@@ -367,3 +367,65 @@ def test_attribution_linear_shares_and_window(spark):
     assert out["click"]["n_touches"] == 5
     assert out["click"]["n_purchases"] == 2
     assert abs(out["click"]["attributed_revenue"] - (50.0 + 3 * 33.333333)) < 1e-9
+
+
+def test_jsonl_roundtrip_survives_escaping_hazards(spark):
+    """Quotes, backslashes, newlines, tabs, and non-ASCII must survive the
+    write→escape→parse roundtrip byte-for-byte (lengths are the witness;
+    doc_ids chosen ≡0 mod 3 to pass the slice filter)."""
+    import tempfile
+
+    hazards = [
+        (3, 'he said "hi" \\ and left', "en"),
+        (6, "line1\nline2\ttabbed", "en"),
+        (9, "naïve café — 中文 🙂", "fr"),
+        (12, "plain", "en"),
+        (13, "filtered out", "en"),  # not ≡0 mod 3
+    ]
+    d = spark.createDataFrame(
+        [(i, t, l, "web", len(t)) for (i, t, l) in hazards],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    tmp = tempfile.mkdtemp(prefix="ci-jsonl-")
+    d.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    from clusterindices_spark.sources.readers import q_source_jsonl_roundtrip
+
+    out = {r["lang"]: r for r in q_source_jsonl_roundtrip(spark, tmp).collect()}
+    assert out["en"]["n_docs"] == 3
+    assert out["en"]["sum_text_len"] == sum(
+        len(t) for (i, t, l) in hazards if l == "en" and i % 3 == 0
+    )
+    assert out["fr"]["n_docs"] == 1
+    assert out["fr"]["sum_text_len"] == len(hazards[2][1])
+
+
+def test_pmi_separates_collocation_from_chance(spark):
+    """'new york' always adjacent → PMI ≈ log2(U/N·…) ≫ 0; two frequent
+    but independent fillers co-occur at chance → PMI near 0; pairs under
+    the min count must be absent."""
+    import tempfile
+
+    docs = []
+    for i in range(40):
+        filler = ["alpha", "beta"][i % 2]
+        docs.append((i, f"new york {filler} gamma " * 2, "en", "web", 0))
+    d = spark.createDataFrame(
+        docs, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    )
+    tmp = tempfile.mkdtemp(prefix="ci-pmi-")
+    d.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    from clusterindices_spark.operators.textops import q_text_pmi_bigrams
+
+    out = {(r["w1"], r["w2"]): r for r in q_text_pmi_bigrams(spark, tmp).collect()}
+    assert ("new", "york") in out
+    ny = out[("new", "york")]
+    assert ny["pmi"] > 1.5  # perfect collocation
+    assert ny["n_ab"] == 80 and ny["c1"] == 80 and ny["c2"] == 80
+    # exact formula replay: N = 40 docs × 7 bigrams, U = 40 × 8 tokens
+    n_big, u_tok = 40 * 7, 40 * 8
+    expect = math.floor(
+        math.log2((80 / n_big) / ((80 / u_tok) * (80 / u_tok))) * 1e6 + 0.5
+    ) / 1e6
+    assert ny["pmi"] == expect
+    # no bigram with count < 5 may appear
+    assert all(r["n_ab"] >= 5 for r in out.values())
