@@ -210,6 +210,21 @@ HEADLINE = [
     "embedding_whiten",
     "similarity_ivf_nprobe_curve",
     "similarity_pq_expand_curve",
+    # round-7 continuation: streaks/changepoint/interarrival/attribution
+    # over events, incremental MV refresh, URL + code routing tiers, the
+    # JL random projection (MapInArrow, zero-shuffle), the grid-cell
+    # spatial radius join, JSONL roundtrip, and PMI collocations
+    "events_streak_lengths",
+    "events_changepoint_loc",
+    "events_interarrival_fit",
+    "events_attribution_linear",
+    "agg_incremental_mv",
+    "dedup_url_canonical",
+    "text_code_detect",
+    "embedding_random_projection",
+    "join_spatial_radius",
+    "source_jsonl_roundtrip",
+    "text_pmi_bigrams",
 ]
 
 # Per-key recall floors (VERDICT r5 item 3): the bench FAILS — explicit
