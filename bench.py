@@ -225,6 +225,8 @@ HEADLINE = [
     "join_spatial_radius",
     "source_jsonl_roundtrip",
     "text_pmi_bigrams",
+    "events_pattern_match",
+    "events_gini_activity",
 ]
 
 # Per-key recall floors (VERDICT r5 item 3): the bench FAILS — explicit

@@ -628,6 +628,96 @@ def q_events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PATTERN_RE = "vc+p"  # view, 1+ clicks, then purchase — strictly adjacent
+
+
+def q_events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-pattern matching over per-user event sequences — the
+    MATCH_RECOGNIZE surface Spark lacks, re-expressed as ordered string
+    aggregation + RE2-portable regex: each user's journey compresses to a
+    letter string (first letter of each type — the five types are
+    first-letter-unique), and the pattern ``vc+p`` (view, ≥1 clicks, then
+    purchase, STRICTLY adjacent) is counted with leftmost non-overlapping
+    semantics — identical in Java regex and RE2, the BPE_ISH contract.
+    Sequences order on event_id (the path_trigrams convention: the
+    fixture emits ids in timestamp order; ts itself would couple the
+    oracle to the ns-vs-µs parquet grain).
+
+    Scale: one user-keyed shuffle to assemble sequences (array_sort on
+    (event_id, letter) structs — collect_list alone is partition-order
+    dependent); per-user memory bounds by events-per-user, the same
+    posture as path_trigrams. Matching is scan-side regex on the
+    assembled rows."""
+    e = load_table(spark, sf_dir, "events")
+    letter = F.substring("event_type", 1, 1)
+    seq = (
+        e.select("user_id", F.struct(F.col("event_id"), letter.alias("l")).alias("s"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda x: x["l"]
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    # idx=0 = the whole match (Spark defaults to GROUP 1, which errors on
+    # a group-free pattern; DuckDB defaults to 0)
+    matches = F.regexp_extract_all("seq", F.lit(PATTERN_RE), 0)
+    longest = F.array_max(F.transform(matches, F.length))
+    return seq.select(
+        "user_id",
+        F.length("seq").cast("bigint").alias("seq_len"),
+        F.size(matches).cast("bigint").alias("n_matches"),
+        F.coalesce(longest, F.lit(0)).cast("bigint").alias(
+            "longest_match_len"
+        ),
+        (F.size(matches) > 0).alias("is_converter"),
+    )
+
+
+def q_events_gini_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user activity — the single-number
+    inequality readout next to the Pareto decile curve: with counts
+    ranked ascending (ties → user_id), G = (2·Σ rk·c − (n+1)·Σc)/(n·Σc).
+    EVERY sum is exact BIGINT (rank-weighted count sums), so the only
+    float is the final ratio — zero cross-engine drift surface.
+
+    Scale: per-user counts (map-side combined), then the RANGE-PARTITIONED
+    global rank (functions/ranking.py — parallel local sorts + P-row
+    broadcast offsets, never a single-partition window), and a global
+    scalar agg whose exchange moves partial rows only (the tpch_q6
+    shape)."""
+    from clusterindices_spark.functions.aggregates import round6_stable
+    from clusterindices_spark.functions.ranking import ranked as _gl_ranked
+
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.where(F.col("user_id").isNotNull()).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    r = _gl_ranked(
+        per_user,
+        [F.col("cnt"), F.col("user_id")],
+        tag="gini_activity",
+        rank_col="rk",
+    ).select("cnt", "rk")
+    agg = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cnt").alias("s"),
+        F.sum(F.col("rk") * F.col("cnt")).alias("src"),
+    )
+    gini = (
+        F.lit(2) * F.col("src") - (F.col("n") + 1) * F.col("s")
+    ) / (F.col("n") * F.col("s"))
+    return agg.select(
+        F.col("n").alias("n_users"),
+        F.col("s").alias("total_events"),
+        F.col("src").alias("sum_rank_weighted"),
+        round6_stable(gini).alias("gini"),
+    )
+
+
 KFOLDS = 5
 
 
@@ -1700,6 +1790,8 @@ QUERIES = {
     "events_changepoint_loc": q_events_changepoint_loc,
     "events_interarrival_fit": q_events_interarrival_fit,
     "events_attribution_linear": q_events_attribution_linear,
+    "events_pattern_match": q_events_pattern_match,
+    "events_gini_activity": q_events_gini_activity,
     "events_user_overlap": q_events_user_overlap,
     "events_rollup_hierarchy": q_events_rollup_hierarchy,
     "events_ewma_smooth": q_events_ewma_smooth,
@@ -1733,6 +1825,44 @@ QUERIES = {
 _W = (HIST_HI - HIST_LO) / HIST_BINS
 
 ORACLES = {
+    "events_pattern_match": f"""
+WITH seqs AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY event_id) AS seq
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT user_id, seq,
+         regexp_extract_all(seq, '{PATTERN_RE}') AS ms
+  FROM seqs
+)
+SELECT user_id,
+       CAST(length(seq) AS BIGINT) AS seq_len,
+       CAST(len(ms) AS BIGINT) AS n_matches,
+       CAST(COALESCE(list_max(list_transform(ms, x -> length(x))), 0)
+         AS BIGINT) AS longest_match_len,
+       len(ms) > 0 AS is_converter
+FROM m
+""",
+    "events_gini_activity": f"""
+WITH pu AS (
+  SELECT user_id, COUNT(*) AS cnt FROM events
+  WHERE user_id IS NOT NULL GROUP BY user_id
+),
+r AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt, user_id) AS rk FROM pu
+),
+a AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(cnt) AS BIGINT) AS s,
+         CAST(SUM(rk * cnt) AS BIGINT) AS src
+  FROM r
+)
+SELECT n AS n_users, s AS total_events, src AS sum_rank_weighted,
+       {SQL_ROUND6.format(x="CAST(2 * src - (n + 1) * s AS DOUBLE) / (n * s)")}
+         AS gini
+FROM a
+""",
     "events_attribution_linear": f"""
 WITH e AS (
   SELECT event_id, user_id, event_type, value,

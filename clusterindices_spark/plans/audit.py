@@ -789,6 +789,20 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
             "Exchange SinglePartition",
         ],
     },
+    "events_pattern_match": {
+        # ordered per-user sequence assembly (ObjectHashAggregate over
+        # (event_id, letter) structs) + scan-side regex — join-free
+        "require": ["ObjectHashAggregate", "partial_"],
+        "forbid": ["CartesianProduct", "SortMergeJoin",
+                   "BroadcastHashJoin", "Exchange SinglePartition"],
+    },
+    "events_gini_activity": {
+        # range-partitioned global rank (ranking.py) + P-row offsets
+        # broadcast; the final scalar agg's SinglePartition exchange moves
+        # partial rows only (the tpch_q6 shape) — so it is NOT forbidden
+        "require": ["Exchange rangepartitioning", "partial_", "Broadcast"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
     "source_jsonl_roundtrip": {
         # write→JSONL→schema'd FAILFAST read→agg; the read side must be a
         # json FileScan (escaping roundtrip is what the oracle hashes)

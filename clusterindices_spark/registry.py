@@ -148,6 +148,10 @@ _NEXT: list[str] = [
     "source_jsonl_roundtrip",
     # PMI collocation mining over min-count bigrams
     "text_pmi_bigrams",
+    # MATCH_RECOGNIZE-shaped row-pattern matching over per-user sequences
+    "events_pattern_match",
+    # exact Gini of user activity via the range-partitioned global rank
+    "events_gini_activity",
 ]
 
 

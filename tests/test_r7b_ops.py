@@ -429,3 +429,49 @@ def test_pmi_separates_collocation_from_chance(spark):
     assert ny["pmi"] == expect
     # no bigram with count < 5 may appear
     assert all(r["n_ab"] >= 5 for r in out.values())
+
+
+def test_pattern_match_counts_and_nonoverlap(spark):
+    """'vccp' → 1 match (len 4); 'vp' → 0 (strict adjacency, no click);
+    'vcpvccp' → 2 matches, longest 4; 'vcvcp' → 1 (the first v-c is
+    broken by the v — leftmost restart finds v-c-p at position 2)."""
+    seqs = {
+        1: "vccp",
+        2: "vp",
+        3: "vcpvccp",
+        4: "vcvcp",
+    }
+    letter2type = {"v": "view", "c": "click", "p": "purchase"}
+    rows = []
+    eid = 0
+    for uid, s in seqs.items():
+        for ch in s:
+            eid += 1
+            rows.append((eid, eid * 1000, uid, letter2type[ch], 0.0))
+    tmp = _write_events(spark, rows, "ci-pat-")
+    from clusterindices_spark.operators.analytics import q_events_pattern_match
+
+    out = {r["user_id"]: r for r in q_events_pattern_match(spark, tmp).collect()}
+    assert out[1]["n_matches"] == 1 and out[1]["longest_match_len"] == 4
+    assert out[2]["n_matches"] == 0 and out[2]["is_converter"] is False
+    assert out[2]["longest_match_len"] == 0
+    assert out[3]["n_matches"] == 2 and out[3]["longest_match_len"] == 4
+    assert out[4]["n_matches"] == 1 and out[4]["longest_match_len"] == 3
+
+
+def test_gini_planted_values(spark):
+    """Counts [1,1,1,7]: ranks 1..4 ascending, src = 34, S = 10, n = 4 →
+    G = (68 − 50)/40 = 0.45 exactly (all-integer numerator)."""
+    rows = []
+    eid = 0
+    for uid, cnt in [(1, 1), (2, 1), (3, 1), (4, 7)]:
+        for _ in range(cnt):
+            eid += 1
+            rows.append((eid, eid * 1000, uid, "view", 0.0))
+    tmp = _write_events(spark, rows, "ci-gini-")
+    from clusterindices_spark.operators.analytics import q_events_gini_activity
+
+    (row,) = q_events_gini_activity(spark, tmp).collect()
+    assert row["n_users"] == 4 and row["total_events"] == 10
+    assert row["sum_rank_weighted"] == 34
+    assert row["gini"] == 0.45
