@@ -869,6 +869,98 @@ def hourly_rollup_foreach_batch(
     )
 
 
+CDC_STREAM_SCHEMA = (
+    "op STRING, o_orderkey BIGINT, o_orderstatus STRING, "
+    "old_status STRING, o_totalprice DOUBLE, old_price DOUBLE"
+)
+
+
+def cdc_file_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-based CDC replay source: Debezium-shaped rows with an op code
+    ('I'/'U'/'D') and before/after images (old_status/old_price vs
+    o_orderstatus/o_totalprice). Tests write the change set as json files
+    and stream them back one file per microbatch."""
+    reader = spark.readStream.schema(CDC_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(path)
+
+
+def cdc_mv_foreach_batch(cdc_stream: DataFrame, root: str, ckpt_dir: str):
+    """Streaming twin of ``agg_incremental_mv``: keep the orders-by-status
+    aggregate current under a CDC stream WITH RETRACTIONS — the Flink
+    retract-stream shape Structured Streaming lacks natively, built from
+    signed delta rows: I → (+1, +new), D → (−1, −old), U → both (and a
+    status-changing update thereby MOVES mass across groups). Each
+    microbatch appends its per-group (Δn, Δsum) to a versioned table via
+    the idempotent batch-id-gated commit; the aggregating reader
+    (read_cdc_mv) sums deltas and drops groups at zero.
+
+    Exactness: sums stay DECIMAL(18,6) — the batch key's arithmetic —
+    so stream ≡ batch is bit-exact BY CONSTRUCTION (signed decimal
+    addition is associative and commutative; batch/file order cannot
+    matter). State is the delta table itself: O(groups × batches) rows,
+    compactable by overwrite-with-aggregate like the hourly rollup.
+
+    Scale: O(batch) work per microbatch — one groupBy over the batch's
+    own rows; history never rescanned."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from clusterindices_spark.sources.versioned import (
+            append_stream_batch,
+            create,
+            latest_version,
+        )
+
+        new_dec = F.col("o_totalprice").cast("decimal(18,6)")
+        old_dec = F.col("old_price").cast("decimal(18,6)")
+        neg_old = batch_df.where(F.col("op").isin("U", "D")).select(
+            F.col("old_status").alias("o_orderstatus"),
+            F.lit(-1).alias("dn"),
+            (-old_dec).alias("ds"),
+        )
+        pos_new = batch_df.where(F.col("op").isin("I", "U")).select(
+            "o_orderstatus",
+            F.lit(1).alias("dn"),
+            new_dec.alias("ds"),
+        )
+        delta = (
+            neg_old.unionByName(pos_new)
+            .groupBy("o_orderstatus")
+            .agg(F.sum("dn").alias("dn"), F.sum("ds").alias("ds"))
+        )
+        if latest_version(root) is None:
+            create(delta.limit(0), root)  # schema-only v0
+        append_stream_batch(delta, root, batch_id)
+
+    return (
+        cdc_stream.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", ckpt_dir)
+        .foreachBatch(write_batch)
+        .start()
+    )
+
+
+def read_cdc_mv(spark: SparkSession, root: str) -> DataFrame:
+    """Aggregating view over the signed delta table: current MV = sum of
+    deltas per group, groups at zero count dropped (a fully-retracted
+    group must disappear, the batch key's contract). Delta-scale work."""
+    from clusterindices_spark.sources.versioned import read_versioned
+
+    agg = (
+        read_versioned(spark, root)
+        .groupBy("o_orderstatus")
+        .agg(F.sum("dn").alias("n_orders"), F.sum("ds").alias("s"))
+    )
+    return agg.where(F.col("n_orders") > 0).select(
+        "o_orderstatus",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.round(F.col("s").cast("double"), 6).alias("sum_price"),
+    )
+
+
 def read_hourly_rollup(spark: SparkSession, root: str) -> DataFrame:
     """Aggregating view over the delta table: sum the per-batch deltas to
     the current rollup. Delta-scale work, never raw-scale."""

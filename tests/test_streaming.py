@@ -981,3 +981,90 @@ def test_bootstrap_state_stream_matches_batch_ci(spark):
                 .collect()
             }
             assert final == want, mfpt
+
+
+def test_cdc_mv_stream_matches_batch_incremental_mv(spark):
+    """Retraction-stream MV: the merge_upsert_cdc change set replayed as
+    a Debezium-shaped CDC stream (base snapshot file + change file, one
+    microbatch each) must reproduce agg_incremental_mv's result
+    BIT-EXACTLY — signed DECIMAL deltas are associative, so batch/file
+    order cannot matter; fully-retracted groups must vanish."""
+    from pyspark.sql import functions as F
+
+    from clusterindices_spark.operators.relational_ext import (
+        q_agg_incremental_mv,
+    )
+    from clusterindices_spark.sources.fixtures import load_table
+    from clusterindices_spark.sources.versioned import history
+    from clusterindices_spark.streaming.streams import (
+        cdc_file_stream,
+        cdc_mv_foreach_batch,
+        read_cdc_mv,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        replay = os.path.join(tmp, "replay")
+        o = load_table(spark, SF_SMOKE, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        base = o.select(
+            F.lit("I").alias("op"),
+            "o_orderkey",
+            "o_orderstatus",
+            F.lit(None).cast("string").alias("old_status"),
+            "o_totalprice",
+            F.lit(None).cast("double").alias("old_price"),
+        )
+        deletes = o.where(F.col("o_orderkey") % 23 == 3)
+        upd = o.where(F.col("o_orderkey") % 10 == 0).join(
+            deletes.select("o_orderkey"), "o_orderkey", "left_anti"
+        )
+        cdc = (
+            deletes.select(
+                F.lit("D").alias("op"),
+                "o_orderkey",
+                F.lit(None).cast("string").alias("o_orderstatus"),
+                F.col("o_orderstatus").alias("old_status"),
+                F.lit(None).cast("double").alias("o_totalprice"),
+                F.col("o_totalprice").alias("old_price"),
+            )
+            .unionByName(
+                upd.select(
+                    F.lit("U").alias("op"),
+                    "o_orderkey",
+                    F.lit("U").alias("o_orderstatus"),
+                    F.col("o_orderstatus").alias("old_status"),
+                    F.round(F.col("o_totalprice") * 1.1, 6).alias(
+                        "o_totalprice"
+                    ),
+                    F.col("o_totalprice").alias("old_price"),
+                )
+            )
+            .unionByName(
+                load_table(spark, SF_SMOKE, "customer")
+                .where(F.col("c_custkey") % 100 == 0)
+                .select(
+                    F.lit("I").alias("op"),
+                    (-F.col("c_custkey")).alias("o_orderkey"),
+                    F.lit("N").alias("o_orderstatus"),
+                    F.lit(None).cast("string").alias("old_status"),
+                    F.lit(0.0).alias("o_totalprice"),
+                    F.lit(None).cast("double").alias("old_price"),
+                )
+            )
+        )
+        base.coalesce(1).write.mode("overwrite").json(replay)
+        cdc.coalesce(1).write.mode("append").json(replay)
+        root = os.path.join(tmp, "mv")
+        q = cdc_mv_foreach_batch(
+            cdc_file_stream(spark, replay, max_files_per_trigger=1),
+            root,
+            os.path.join(tmp, "ckpt"),
+        )
+        q.awaitTermination()
+        assert (
+            len([h for h in history(root) if h["op"] == "stream_append"]) >= 2
+        )
+        got = sorted(map(tuple, read_cdc_mv(spark, root).collect()))
+        want = sorted(map(tuple, q_agg_incremental_mv(spark, SF_SMOKE).collect()))
+        assert got == want
