@@ -227,6 +227,7 @@ HEADLINE = [
     "text_pmi_bigrams",
     "events_pattern_match",
     "events_gini_activity",
+    "versioned_snapshot_diff",
 ]
 
 # Per-key recall floors (VERDICT r5 item 3): the bench FAILS — explicit

@@ -789,6 +789,13 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
             "Exchange SinglePartition",
         ],
     },
+    "versioned_snapshot_diff": {
+        # two time-travel reads full-outer SMJ'd on the key (partitioned
+        # equi join — full outer cannot broadcast) + 4-group agg
+        "require": ["FullOuter", "partial_"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                   "Exchange SinglePartition"],
+    },
     "events_pattern_match": {
         # ordered per-user sequence assembly (ObjectHashAggregate over
         # (event_id, letter) structs) + scan-side regex — join-free

@@ -152,6 +152,8 @@ _NEXT: list[str] = [
     "events_pattern_match",
     # exact Gini of user activity via the range-partitioned global rank
     "events_gini_activity",
+    # generic time-travel snapshot diff vs rule-derived oracle
+    "versioned_snapshot_diff",
 ]
 
 

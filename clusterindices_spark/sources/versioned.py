@@ -427,6 +427,22 @@ def vacuum(root: str, keep_last: int = 1, min_age_seconds: float = 3600.0) -> di
 
 # --- registry surface -------------------------------------------------------
 
+# Per-invocation table roots live under ONE session-scoped parent that the
+# TemporaryDirectory finalizer removes at interpreter exit — a bare mkdtemp
+# per plan construction leaks a table per gate/bench/driver invocation (the
+# readers.py ADVICE r6 leak class; each invocation still needs a FRESH root
+# because create() refuses an existing table).
+_Q_TMP_PARENT: "tempfile.TemporaryDirectory | None" = None
+
+
+def _fresh_root(prefix: str) -> str:
+    global _Q_TMP_PARENT
+    import tempfile
+
+    if _Q_TMP_PARENT is None:
+        _Q_TMP_PARENT = tempfile.TemporaryDirectory(prefix="ci-versioned-q-")
+    return tempfile.mkdtemp(prefix=prefix, dir=_Q_TMP_PARENT.name)
+
 
 def q_versioned_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end ACID path INSIDE the correctness gate: create a versioned
@@ -458,7 +474,7 @@ def q_versioned_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             r2(F.col("price") * 1.1).alias("price"),
         )
     )
-    root = tempfile.mkdtemp(prefix="ci-versioned-")
+    root = _fresh_root("ci-versioned-")
     create(base, root)
     merge_cdc(spark, root, changes, "k")
     snap = read_versioned(spark, root)
@@ -499,7 +515,7 @@ def q_versioned_mor_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("M").alias("status"),
         r2(F.col("price") * 0.9).alias("price"),
     )
-    root = tempfile.mkdtemp(prefix="ci-versioned-mor-")
+    root = _fresh_root("ci-versioned-mor-")
     create(base, root)
     merge_cdc_mor(spark, root, c1, "k")
     merge_cdc_mor(spark, root, c2, "k")
@@ -509,12 +525,119 @@ def q_versioned_mor_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_versioned_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot DIFF over the versioned table — "what changed between v0
+    and now", the audit query every lake deployment runs after a merge:
+    build the merge_snapshot table (create = v0, one CDC merge = v1), then
+    diff the two TIME-TRAVEL reads generically with a full-outer join on
+    the key: added / removed / repriced / unchanged classes with row
+    counts and exact before/after price sums. The operator reads ONLY the
+    two manifests' data — it derives nothing from the change set — while
+    the DuckDB oracle derives both snapshots from the deterministic rules,
+    so the gate certifies the generic diff against the known changes
+    (algorithm ≡ definition).
+
+    Scale: one partitioned equi full-outer join on the key + a 4-group
+    agg; COW snapshots share unchanged file groups, and a format-native
+    implementation would prune the join to changed groups only via the
+    manifest (the interop seam note above)."""
+    from clusterindices_spark.sources.fixtures import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    r2 = lambda c: F.floor(c * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)  # noqa: E731
+    base = o.where(F.col("k") % 4 != 0)
+    changes = o.where(F.col("k") % 5 == 0).select(
+        "k",
+        F.when(F.col("k") % 3 == 0, "D").otherwise("U").alias("op"),
+        F.col("status"),
+        r2(F.col("price") * 1.1).alias("price"),
+    )
+    root = _fresh_root("ci-versioned-diff-")
+    create(base, root)
+    merge_cdc(spark, root, changes, "k")
+    before = read_versioned(spark, root, version=0).select(
+        "k", r2(F.col("price")).alias("pb")
+    )
+    after = read_versioned(spark, root).select(
+        "k", r2(F.col("price")).alias("pa")
+    )
+    j = before.join(after, "k", "full_outer")
+    klass = (
+        F.when(F.col("pb").isNull(), "added")
+        .when(F.col("pa").isNull(), "removed")
+        .when(F.col("pb") != F.col("pa"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(klass.alias("change_class"), "pb", "pa")
+        .groupBy("change_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(
+                F.sum(F.coalesce(F.col("pb"), F.lit(0.0)).cast("decimal(18,6)"))
+                .cast("double"),
+                6,
+            ).alias("sum_price_before"),
+            F.round(
+                F.sum(F.coalesce(F.col("pa"), F.lit(0.0)).cast("decimal(18,6)"))
+                .cast("double"),
+                6,
+            ).alias("sum_price_after"),
+        )
+    )
+
+
 QUERIES = {
     "versioned_merge_snapshot": q_versioned_merge_snapshot,
     "versioned_mor_snapshot": q_versioned_mor_snapshot,
+    "versioned_snapshot_diff": q_versioned_snapshot_diff,
 }
 
 ORACLES = {
+    "versioned_snapshot_diff": """
+WITH o AS (
+  SELECT o_orderkey AS k, o_totalprice AS price FROM orders
+),
+r2o AS (
+  SELECT k,
+         floor(price * 100.0 + 0.5) / 100.0 AS p,
+         floor(price * 1.1 * 100.0 + 0.5) / 100.0 AS pu
+  FROM o
+),
+before_t AS (SELECT k, p AS pb FROM r2o WHERE k % 4 <> 0),
+upserts AS (SELECT k, pu FROM r2o WHERE k % 5 = 0 AND k % 3 <> 0),
+dels AS (SELECT k FROM r2o WHERE k % 5 = 0 AND k % 3 = 0),
+after_t AS (
+  SELECT k, pb AS pa FROM before_t
+  WHERE k NOT IN (SELECT k FROM upserts)
+    AND k NOT IN (SELECT k FROM dels)
+  UNION ALL
+  SELECT k, pu AS pa FROM upserts
+),
+j AS (
+  SELECT b.pb, a.pa
+  FROM before_t b FULL OUTER JOIN after_t a ON b.k = a.k
+),
+c AS (
+  SELECT CASE WHEN pb IS NULL THEN 'added'
+              WHEN pa IS NULL THEN 'removed'
+              WHEN pb <> pa THEN 'changed'
+              ELSE 'unchanged' END AS change_class,
+         pb, pa
+  FROM j
+)
+SELECT change_class,
+       COUNT(*) AS n_rows,
+       ROUND(CAST(SUM(CAST(COALESCE(pb, 0.0) AS DECIMAL(18,6))) AS DOUBLE), 6)
+         AS sum_price_before,
+       ROUND(CAST(SUM(CAST(COALESCE(pa, 0.0) AS DECIMAL(18,6))) AS DOUBLE), 6)
+         AS sum_price_after
+FROM c GROUP BY change_class
+""",
     "versioned_merge_snapshot": """
 WITH o AS (
   SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS price

@@ -475,3 +475,28 @@ def test_gini_planted_values(spark):
     assert row["n_users"] == 4 and row["total_events"] == 10
     assert row["sum_rank_weighted"] == 34
     assert row["gini"] == 0.45
+
+
+def test_snapshot_diff_reconciles_with_snapshots(spark):
+    """Diff-class accounting must reconcile with the two snapshot sizes:
+    |v0| = unchanged + changed + removed, |v1| = unchanged + changed +
+    added; 'added' carries zero before-mass; 'changed' moves price mass
+    (the 1.1× reprice)."""
+    from clusterindices_spark.sources.fixtures import load_table
+    from clusterindices_spark.sources.versioned import (
+        q_versioned_snapshot_diff,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = {r["change_class"]: r for r in q_versioned_snapshot_diff(spark, sf).collect()}
+    o = load_table(spark, sf, "orders").select("o_orderkey")
+    n_base = o.where(F.col("o_orderkey") % 4 != 0).count()
+    assert set(out) <= {"added", "removed", "changed", "unchanged"}
+    g = lambda c, f: out[c][f] if c in out else 0
+    assert (
+        g("unchanged", "n_rows") + g("changed", "n_rows") + g("removed", "n_rows")
+        == n_base
+    )
+    assert g("added", "sum_price_before") == 0.0
+    assert g("changed", "sum_price_after") > g("changed", "sum_price_before")
+    assert g("unchanged", "sum_price_after") == g("unchanged", "sum_price_before")
