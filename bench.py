@@ -228,6 +228,7 @@ HEADLINE = [
     "events_pattern_match",
     "events_gini_activity",
     "versioned_snapshot_diff",
+    "text_bpe_train_merges",
 ]
 
 # Per-key recall floors (VERDICT r5 item 3): the bench FAILS — explicit

@@ -965,6 +965,143 @@ def q_text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_ROUNDS = 5
+BPE_REPLACE_PASSES = 4  # space-delimited replace skips alternating
+# occurrences (the scan resumes past the consumed trailing space); each
+# pass halves the skipped chain, 4 passes cover tokens far beyond the
+# corpus's max token length
+
+
+def _bpe_merge_once(seq_col, pair: str, merged: str):
+    s = F.concat(F.lit(" "), seq_col, F.lit(" "))
+    for _ in range(BPE_REPLACE_PASSES):
+        s = F.replace(s, F.lit(f" {pair} "), F.lit(f" {merged} "))
+    return F.trim(s)
+
+
+def q_text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge training, the tokenizer-construction
+    surface, in miniature: words split to space-joined characters + the
+    ``</w>`` end marker, then {rounds} greedy merge rounds — each round
+    counts adjacent symbol pairs WEIGHTED BY WORD FREQUENCY, merges the
+    most frequent pair corpus-wide (ties → lexicographically smallest,
+    via TakeOrdered), and rewrites every word. Output = the learned merge
+    table (round, pair, merged, weighted count) — exactly what a BPE
+    tokenizer persists.
+
+    This is the canonical BPE trick that makes training scale: rounds run
+    over the VOCABULARY (distinct words × frequency), never the corpus —
+    one corpus-scale vocab agg up front (then eagerly localCheckpointed:
+    the unrolled rounds would otherwise replay the corpus agg per round,
+    the k-core lineage lesson), and every round is V-row work. The winning
+    pair per round is a driver-side literal (TakeOrdered over the tiny
+    pair table — the MMR statically-unrolled idiom), and the returned
+    merge table is the sanctioned collect-then-local-relation shape.
+
+    Merging uses plain (non-regex) replace on space-delimited symbol
+    strings, applied {passes}×: a single left-to-right pass skips
+    alternating occurrences because the match consumes the trailing
+    delimiter — both engines share that scan rule, and the oracle replays
+    the identical pass count, so the gate pins the exact semantics."""
+    from pyspark.sql import Row
+
+    d = _with_tokens(load_table(spark, sf_dir, "documents"))
+    vocab = (
+        d.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "freq",
+            F.concat(
+                F.array_join(F.split("w", ""), " "), F.lit(" </w>")
+            ).alias("seq"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    words = vocab
+    merges = []
+    for r in range(1, BPE_ROUNDS + 1):
+        toks = F.split("seq", " ")
+        n_p = F.greatest(F.size(toks) - 1, F.lit(0))
+        z = F.arrays_zip(
+            F.slice(toks, 1, n_p).alias("a"), F.slice(toks, 2, n_p).alias("b")
+        )
+        pairs = (
+            words.select("freq", F.explode(z).alias("s"))
+            .select(
+                "freq",
+                F.concat_ws(" ", F.col("s.a"), F.col("s.b")).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pairs.orderBy(F.col("cnt").desc(), F.col("pair")).limit(1).first()
+        merged = best["pair"].replace(" ", "")
+        merges.append(
+            Row(
+                round=r,
+                pair=best["pair"],
+                merged=merged,
+                cnt=int(best["cnt"]),
+            )
+        )
+        words = words.select(
+            "freq", _bpe_merge_once(F.col("seq"), best["pair"], merged).alias("seq")
+        )
+    return spark.createDataFrame(
+        merges, "round INT, pair STRING, merged STRING, cnt BIGINT"
+    )
+
+
+def _bpe_oracle_sql() -> str:
+    """Generated iterative-CTE oracle: each round re-derives the pair
+    table from the previous words CTE, picks the same (cnt DESC, pair)
+    winner via scalar subqueries, and rewrites words with the identical
+    {passes}-pass delimited replace."""
+    toks = SQL_TOKENS.format(col="text")
+    blocks = [
+        f"""
+w0 AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS freq,
+         array_to_string(string_split(w, ''), ' ') || ' </w>' AS seq
+  FROM (SELECT unnest({toks}) AS w FROM documents)
+  GROUP BY w
+)"""
+    ]
+    for r in range(1, BPE_ROUNDS + 1):
+        prev = f"w{r - 1}"
+        rep = "' ' || seq || ' '"
+        for _ in range(BPE_REPLACE_PASSES):
+            rep = (
+                f"replace({rep}, ' ' || (SELECT pair FROM b{r}) || ' ', "
+                f"' ' || (SELECT merged FROM b{r}) || ' ')"
+            )
+        blocks.append(
+            f"""
+p{r} AS MATERIALIZED (
+  SELECT p AS pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+    SELECT freq,
+           unnest(list_transform(range(len(string_split(seq, ' ')) - 1),
+             i -> string_split(seq, ' ')[i+1] || ' '
+                  || string_split(seq, ' ')[i+2])) AS p
+    FROM {prev}
+  ) GROUP BY p
+),
+b{r} AS MATERIALIZED (
+  SELECT pair, replace(pair, ' ', '') AS merged, cnt
+  FROM p{r} ORDER BY cnt DESC, pair LIMIT 1
+),
+w{r} AS MATERIALIZED (
+  SELECT freq, trim({rep}) AS seq FROM {prev}
+)"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT {r} AS round, pair, merged, cnt FROM b{r}"
+        for r in range(1, BPE_ROUNDS + 1)
+    )
+    return "WITH " + ",".join(blocks) + "\n" + selects
+
+
 PMI_MIN_COUNT = 5
 
 
@@ -1035,6 +1172,7 @@ def q_text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "text_bpe_train_merges": q_text_bpe_train_merges,
     "text_pmi_bigrams": q_text_pmi_bigrams,
     "text_code_detect": q_text_code_detect,
     "text_burstiness": q_text_burstiness,
@@ -1095,6 +1233,7 @@ _R6_CODE_SCORE = SQL_ROUND6.format(
 )
 
 ORACLES = {
+    "text_bpe_train_merges": _bpe_oracle_sql(),
     "text_pmi_bigrams": f"""
 WITH toks AS (SELECT doc_id, {SQL_TOKENS.format(col="text")} AS toks FROM documents),
 big AS (

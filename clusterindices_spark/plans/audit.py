@@ -789,6 +789,13 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
             "Exchange SinglePartition",
         ],
     },
+    "text_bpe_train_merges": {
+        # the training loop runs as 5 V-scale TakeOrdered jobs over the
+        # eagerly-checkpointed vocab; the RETURNED plan is the learned
+        # 5-row merge table (the dim_covariance collect-then-local shape)
+        "require": ["Scan ExistingRDD"],
+        "forbid": ["CartesianProduct", "Exchange", "Join"],
+    },
     "versioned_snapshot_diff": {
         # two time-travel reads full-outer SMJ'd on the key (partitioned
         # equi join — full outer cannot broadcast) + 4-group agg

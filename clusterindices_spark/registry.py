@@ -154,6 +154,8 @@ _NEXT: list[str] = [
     "events_gini_activity",
     # generic time-travel snapshot diff vs rule-derived oracle
     "versioned_snapshot_diff",
+    # BPE merge training over the vocab table, iterative-CTE oracle
+    "text_bpe_train_merges",
 ]
 
 

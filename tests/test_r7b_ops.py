@@ -500,3 +500,36 @@ def test_snapshot_diff_reconciles_with_snapshots(spark):
     assert g("added", "sum_price_before") == 0.0
     assert g("changed", "sum_price_after") > g("changed", "sum_price_before")
     assert g("unchanged", "sum_price_after") == g("unchanged", "sum_price_before")
+
+
+def test_bpe_merges_replay_sennrich_example(spark):
+    """The classic BPE walkthrough vocabulary (low×5, lower×2, newest×6,
+    widest×3) must learn exactly: e+s(9), es+t(9), est+</w>(9), l+o(7),
+    lo+w(7) — ties broken lexicographically ('e s' < 's t' < 't </w>')."""
+    import tempfile
+
+    vocab = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    rows = []
+    i = 0
+    for w, n in vocab:
+        for _ in range(n):
+            rows.append((i, w, "en", "web", len(w)))
+            i += 1
+    d = spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    )
+    tmp = tempfile.mkdtemp(prefix="ci-bpe-")
+    d.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    from clusterindices_spark.operators.textops import q_text_bpe_train_merges
+
+    got = [
+        (r["round"], r["pair"], r["merged"], r["cnt"])
+        for r in q_text_bpe_train_merges(spark, tmp).collect()
+    ]
+    assert sorted(got) == [
+        (1, "e s", "es", 9),
+        (2, "es t", "est", 9),
+        (3, "est </w>", "est</w>", 9),
+        (4, "l o", "lo", 7),
+        (5, "lo w", "low", 7),
+    ]
