@@ -229,6 +229,7 @@ HEADLINE = [
     "events_gini_activity",
     "versioned_snapshot_diff",
     "text_bpe_train_merges",
+    "agg_equidepth_histogram",
 ]
 
 # Per-key recall floors (VERDICT r5 item 3): the bench FAILS — explicit

@@ -628,6 +628,49 @@ def q_join_spatial_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EQUIDEPTH_BUCKETS = 8
+
+
+def q_agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram over ``o_totalprice`` — the statistic ANALYZE
+    TABLE collects for selectivity estimation: 8 buckets of (near-)equal
+    row count with exact boundaries, each bucket's min/max/count/sum and
+    distinct-price count. Bucket id = ⌈rank·B/n⌉ over the EXACT global
+    rank (ties → orderkey), so boundaries are type-1 order statistics —
+    no interpolation, no sampling, and the integer bucket arithmetic
+    leaves zero float-drift surface (min/max are raw column values; the
+    sum is exact decimal).
+
+    Scale: the RANGE-PARTITIONED global rank (functions/ranking.py —
+    parallel local sorts + P-row broadcast offsets, never a
+    single-partition window) feeds a B-group agg. An optimizer would
+    sample instead; this is the exact form the sampled one is judged
+    against."""
+    from clusterindices_spark.functions.aggregates import exact_sum
+    from clusterindices_spark.functions.ranking import ranked as _gl_ranked
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    r = _gl_ranked(
+        o,
+        [F.col("o_totalprice"), F.col("o_orderkey")],
+        tag="equidepth_hist",
+        rank_col="rk",
+    )
+    n = o.count()
+    bucket = F.ceil(F.col("rk") * EQUIDEPTH_BUCKETS / F.lit(n)).cast("int")
+    return (
+        r.select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("o_totalprice"), 6).alias("lo"),
+            F.round(F.max("o_totalprice"), 6).alias("hi"),
+            F.countDistinct("o_totalprice").alias("n_distinct"),
+            exact_sum("o_totalprice", "sum_price"),
+        )
+    )
+
+
 INTERVAL_TOLERANCE_MS = 60_000
 
 
@@ -1112,6 +1155,7 @@ QUERIES = {
     "merge_upsert_cdc": q_merge_upsert_cdc,
     "agg_incremental_mv": q_agg_incremental_mv,
     "join_spatial_radius": q_join_spatial_radius,
+    "agg_equidepth_histogram": q_agg_equidepth_histogram,
     "agg_grouping_sets": q_agg_grouping_sets,
     "agg_cube": q_agg_cube,
     "agg_stats": q_agg_stats,
@@ -1331,6 +1375,22 @@ e AS (
 )
 SELECT click_id, error_id, e_ms - c_ms AS delta_ms
 FROM c JOIN e ON abs(c_ms - e_ms) <= {INTERVAL_TOLERANCE_MS}
+""",
+    "agg_equidepth_histogram": f"""
+WITH r AS (
+  SELECT o_totalprice,
+         row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rk,
+         (SELECT COUNT(*) FROM orders) AS n
+  FROM orders
+)
+SELECT CAST(ceil(rk * {EQUIDEPTH_BUCKETS} / CAST(n AS DOUBLE)) AS INT)
+         AS bucket,
+       COUNT(*) AS n_rows,
+       ROUND(MIN(o_totalprice), 6) AS lo,
+       ROUND(MAX(o_totalprice), 6) AS hi,
+       COUNT(DISTINCT o_totalprice) AS n_distinct,
+       {sql_exact_sum('o_totalprice')} AS sum_price
+FROM r GROUP BY 1
 """,
     "join_spatial_radius": f"""
 WITH c AS (

@@ -789,6 +789,11 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
             "Exchange SinglePartition",
         ],
     },
+    "agg_equidepth_histogram": {
+        # range-partitioned global rank + B-group agg (the gini shape)
+        "require": ["Exchange rangepartitioning", "partial_", "Broadcast"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
     "text_bpe_train_merges": {
         # the training loop runs as 5 V-scale TakeOrdered jobs over the
         # eagerly-checkpointed vocab; the RETURNED plan is the learned

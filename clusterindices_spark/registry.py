@@ -156,6 +156,8 @@ _NEXT: list[str] = [
     "versioned_snapshot_diff",
     # BPE merge training over the vocab table, iterative-CTE oracle
     "text_bpe_train_merges",
+    # ANALYZE-style exact equi-depth histogram via the global rank
+    "agg_equidepth_histogram",
 ]
 
 

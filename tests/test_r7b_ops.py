@@ -533,3 +533,28 @@ def test_bpe_merges_replay_sennrich_example(spark):
         (4, "l o", "lo", 7),
         (5, "lo w", "low", 7),
     ]
+
+
+def test_equidepth_histogram_depth_and_coverage(spark):
+    """Bucket depths must be near-equal (⌈k·n/B⌉ boundaries ⇒ depth
+    ∈ {⌊n/B⌋, ⌈n/B⌉}), buckets must tile the value range in order
+    (lo_{k+1} ≥ hi_k), and counts must total n."""
+    from clusterindices_spark.operators.relational_ext import (
+        EQUIDEPTH_BUCKETS,
+        q_agg_equidepth_histogram,
+    )
+    from clusterindices_spark.sources.fixtures import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(
+        q_agg_equidepth_histogram(spark, sf).collect(),
+        key=lambda r: r["bucket"],
+    )
+    n = load_table(spark, sf, "orders").count()
+    assert [r["bucket"] for r in rows] == list(range(1, EQUIDEPTH_BUCKETS + 1))
+    assert sum(r["n_rows"] for r in rows) == n
+    lo_d, hi_d = n // EQUIDEPTH_BUCKETS, -(-n // EQUIDEPTH_BUCKETS)
+    assert all(lo_d <= r["n_rows"] <= hi_d for r in rows)
+    for a, b in zip(rows, rows[1:]):
+        assert b["lo"] >= a["hi"] or b["lo"] == a["hi"]  # ties may straddle
+        assert a["lo"] <= a["hi"]
