@@ -230,6 +230,8 @@ HEADLINE = [
     "versioned_snapshot_diff",
     "text_bpe_train_merges",
     "agg_equidepth_histogram",
+    "events_diff_in_diff",
+    "events_power_mde",
 ]
 
 # Per-key recall floors (VERDICT r5 item 3): the bench FAILS — explicit

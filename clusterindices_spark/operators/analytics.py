@@ -1543,6 +1543,122 @@ def q_events_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DID_SPLIT_MS = 1_705_363_200_000  # 2024-01-16 UTC: pre/post boundary
+# (the events fixture spans 2024-01-01..01-30 at every SF)
+Z_ALPHA = 1.959964  # two-sided 5%
+Z_BETA = 0.841621  # 80% power
+MDE_REL_TARGET = 0.05  # size the n_required column for a 5% lift
+
+
+def q_events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator — the quasi-experimental
+    readout when treatment wasn't randomized at event level: treated =
+    even user_id (deterministic), post = ts ≥ 2024-07-01, outcome =
+    event value. DiD = (T̄post − T̄pre) − (C̄post − C̄pre) with the
+    large-sample SE √(Σ s²ᵍ/nᵍ) over the four cells. All four cells'
+    moments come from ONE conditional-aggregation pass (exact integer
+    micro/milli² sums, the ab_ttest device) — the corpus is scanned once,
+    the output is one row, and the only exchange moves four partial
+    moment tuples (the q6 shape)."""
+    from clusterindices_spark.functions.aggregates import round6_stable
+
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    micros = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    millis = F.floor(F.col("value") * F.lit(1e3) + F.lit(0.5)).cast("bigint")
+    treated = F.col("user_id") % 2 == 0
+    post = F.unix_millis("ts") >= DID_SPLIT_MS
+
+    def cell(name, cond):
+        z = F.lit(0).cast("bigint")
+        return [
+            F.sum(F.when(cond, 1).otherwise(0)).alias(f"n_{name}"),
+            F.sum(F.when(cond, micros).otherwise(z)).alias(f"s1_{name}"),
+            F.sum(F.when(cond, millis * millis).otherwise(z)).alias(
+                f"s2_{name}"
+            ),
+        ]
+
+    agg = e.agg(
+        *cell("tpre", treated & ~post),
+        *cell("tpost", treated & post),
+        *cell("cpre", ~treated & ~post),
+        *cell("cpost", ~treated & post),
+    )
+
+    def mean(g):
+        return F.col(f"s1_{g}") / F.col(f"n_{g}") / F.lit(1e6)
+
+    def var(g):
+        m = mean(g)
+        return (F.col(f"s2_{g}") / F.lit(1e6) - F.col(f"n_{g}") * m * m) / (
+            F.col(f"n_{g}") - 1
+        )
+
+    did = (mean("tpost") - mean("tpre")) - (mean("cpost") - mean("cpre"))
+    se = F.sqrt(
+        var("tpre") / F.col("n_tpre")
+        + var("tpost") / F.col("n_tpost")
+        + var("cpre") / F.col("n_cpre")
+        + var("cpost") / F.col("n_cpost")
+    )
+    t = did / se
+    return agg.select(
+        "n_tpre",
+        "n_tpost",
+        "n_cpre",
+        "n_cpost",
+        round6_stable(mean("tpost") - mean("tpre")).alias("delta_treated"),
+        round6_stable(mean("cpost") - mean("cpre")).alias("delta_control"),
+        round6_stable(did).alias("did_estimate"),
+        round6_stable(se).alias("se"),
+        round6_stable(t).alias("t_stat"),
+        (F.abs(t) > F.lit(Z_ALPHA)).alias("is_significant"),
+    )
+
+
+def q_events_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment sizing per event type — the question asked BEFORE the
+    A/B test ab_ttest reads out: with the observed traffic split into two
+    arms (n_arm = n/2), the minimum detectable effect at α=5%/80% power
+    is (z_α+z_β)·σ·√(2/n_arm), and detecting a 5% relative lift needs
+    n_required = 2σ²(z_α+z_β)²/(0.05·μ)² per arm. Moments from the same
+    one-pass exact integer sums as ab_ttest; one K-row output."""
+    from clusterindices_spark.functions.aggregates import round6_stable
+
+    e = load_table(spark, sf_dir, "events")
+    micros = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    millis = F.floor(F.col("value") * F.lit(1e3) + F.lit(0.5)).cast("bigint")
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(micros).alias("s1"),
+        F.sum(millis * millis).alias("s2m"),
+    )
+    mean = F.col("s1") / F.col("n") / F.lit(1e6)
+    var = (F.col("s2m") / F.lit(1e6) - F.col("n") * mean * mean) / (
+        F.col("n") - 1
+    )
+    sd = F.sqrt(var)
+    n_arm = F.floor(F.col("n") / F.lit(2)).cast("bigint")
+    zsum = F.lit(Z_ALPHA + Z_BETA)
+    mde_abs = zsum * sd * F.sqrt(F.lit(2.0) / n_arm)
+    n_req = F.ceil(
+        F.lit(2.0) * var * zsum * zsum
+        / (F.lit(MDE_REL_TARGET) * mean * (F.lit(MDE_REL_TARGET) * mean))
+    ).cast("bigint")
+    return m.select(
+        "event_type",
+        "n",
+        n_arm.alias("n_arm"),
+        round6_stable(mean).alias("mean"),
+        round6_stable(sd).alias("sd"),
+        round6_stable(mde_abs).alias("mde_abs"),
+        round6_stable(mde_abs / mean).alias("mde_rel"),
+        n_req.alias("n_required_per_arm"),
+    )
+
+
 CUSUM_ALLOWANCE_DIV = 4  # allowance k = mean/4 (micros, integer-derived)
 CUSUM_H_MULT = 3  # alarm threshold h = 3·mean
 
@@ -1792,6 +1908,8 @@ QUERIES = {
     "events_attribution_linear": q_events_attribution_linear,
     "events_pattern_match": q_events_pattern_match,
     "events_gini_activity": q_events_gini_activity,
+    "events_diff_in_diff": q_events_diff_in_diff,
+    "events_power_mde": q_events_power_mde,
     "events_user_overlap": q_events_user_overlap,
     "events_rollup_hierarchy": q_events_rollup_hierarchy,
     "events_ewma_smooth": q_events_ewma_smooth,
@@ -2186,6 +2304,94 @@ SELECT a.event_type, a.n,
        b.ms[{BOOT_LO_IDX + 1}] AS ci_lo,
        b.ms[{BOOT_HI_IDX + 1}] AS ci_hi
 FROM actual a JOIN boots b USING (event_type)
+""",
+    "events_diff_in_diff": f"""
+WITH e AS (
+  SELECT user_id % 2 = 0 AS treated,
+         epoch_ms(CAST(ts AS TIMESTAMP)) >= {DID_SPLIT_MS} AS post,
+         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS um,
+         CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS mm
+  FROM events WHERE user_id IS NOT NULL
+),
+a AS (
+  SELECT
+    CAST(SUM(CASE WHEN treated AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS n_tpre,
+    CAST(SUM(CASE WHEN treated AND NOT post THEN um ELSE 0 END) AS BIGINT) AS s1_tpre,
+    CAST(SUM(CASE WHEN treated AND NOT post THEN mm * mm ELSE 0 END) AS BIGINT) AS s2_tpre,
+    CAST(SUM(CASE WHEN treated AND post THEN 1 ELSE 0 END) AS BIGINT) AS n_tpost,
+    CAST(SUM(CASE WHEN treated AND post THEN um ELSE 0 END) AS BIGINT) AS s1_tpost,
+    CAST(SUM(CASE WHEN treated AND post THEN mm * mm ELSE 0 END) AS BIGINT) AS s2_tpost,
+    CAST(SUM(CASE WHEN NOT treated AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS n_cpre,
+    CAST(SUM(CASE WHEN NOT treated AND NOT post THEN um ELSE 0 END) AS BIGINT) AS s1_cpre,
+    CAST(SUM(CASE WHEN NOT treated AND NOT post THEN mm * mm ELSE 0 END) AS BIGINT) AS s2_cpre,
+    CAST(SUM(CASE WHEN NOT treated AND post THEN 1 ELSE 0 END) AS BIGINT) AS n_cpost,
+    CAST(SUM(CASE WHEN NOT treated AND post THEN um ELSE 0 END) AS BIGINT) AS s1_cpost,
+    CAST(SUM(CASE WHEN NOT treated AND post THEN mm * mm ELSE 0 END) AS BIGINT) AS s2_cpost
+  FROM e
+),
+d AS (
+  SELECT *,
+    s1_tpre / CAST(n_tpre AS DOUBLE) / 1000000.0 AS m_tpre,
+    s1_tpost / CAST(n_tpost AS DOUBLE) / 1000000.0 AS m_tpost,
+    s1_cpre / CAST(n_cpre AS DOUBLE) / 1000000.0 AS m_cpre,
+    s1_cpost / CAST(n_cpost AS DOUBLE) / 1000000.0 AS m_cpost
+  FROM a
+),
+v AS (
+  SELECT *,
+    (m_tpost - m_tpre) - (m_cpost - m_cpre) AS did,
+    sqrt(((s2_tpre / 1000000.0 - n_tpre * m_tpre * m_tpre) / (n_tpre - 1)) / n_tpre
+       + ((s2_tpost / 1000000.0 - n_tpost * m_tpost * m_tpost) / (n_tpost - 1)) / n_tpost
+       + ((s2_cpre / 1000000.0 - n_cpre * m_cpre * m_cpre) / (n_cpre - 1)) / n_cpre
+       + ((s2_cpost / 1000000.0 - n_cpost * m_cpost * m_cpost) / (n_cpost - 1)) / n_cpost)
+      AS se
+  FROM d
+)
+SELECT n_tpre, n_tpost, n_cpre, n_cpost,
+       {SQL_ROUND6.format(x="m_tpost - m_tpre")} AS delta_treated,
+       {SQL_ROUND6.format(x="m_cpost - m_cpre")} AS delta_control,
+       {SQL_ROUND6.format(x="did")} AS did_estimate,
+       {SQL_ROUND6.format(x="se")} AS se,
+       {SQL_ROUND6.format(x="did / se")} AS t_stat,
+       abs(did / se) > {Z_ALPHA} AS is_significant
+FROM v
+""",
+    "events_power_mde": f"""
+WITH m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS s1,
+         CAST(SUM(CAST(floor(value * 1000.0 + 0.5) AS BIGINT)
+                  * CAST(floor(value * 1000.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS s2m
+  FROM events GROUP BY event_type
+),
+d AS (
+  SELECT event_type, n, n // 2 AS n_arm,
+         s1 / CAST(n AS DOUBLE) / 1000000.0 AS mean,
+         s2m / 1000000.0 AS q2
+  FROM m
+),
+v AS (
+  SELECT event_type, n, n_arm, mean,
+         (q2 - n * mean * mean) / (n - 1) AS var,
+         sqrt((q2 - n * mean * mean) / (n - 1)) AS sd
+  FROM d
+),
+w AS (
+  SELECT *, {Z_ALPHA + Z_BETA} * sd * sqrt(2.0 / n_arm) AS mde_abs
+  FROM v
+)
+SELECT event_type, n, CAST(n_arm AS BIGINT) AS n_arm,
+       {SQL_ROUND6.format(x="mean")} AS mean,
+       {SQL_ROUND6.format(x="sd")} AS sd,
+       {SQL_ROUND6.format(x="mde_abs")} AS mde_abs,
+       {SQL_ROUND6.format(x="mde_abs / mean")} AS mde_rel,
+       CAST(ceil(2.0 * var * {Z_ALPHA + Z_BETA} * {Z_ALPHA + Z_BETA}
+                 / ({MDE_REL_TARGET} * mean * ({MDE_REL_TARGET} * mean)))
+         AS BIGINT) AS n_required_per_arm
+FROM w
 """,
     "events_ab_ttest": f"""
 WITH m AS MATERIALIZED (

@@ -789,6 +789,21 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
             "Exchange SinglePartition",
         ],
     },
+    "events_diff_in_diff": {
+        # ONE conditional-aggregation pass (12 map-side partials); the
+        # scalar agg's SinglePartition exchange moves partial rows only
+        # (the q6 shape) — join/window-free
+        "require": ["partial_"],
+        "forbid": ["CartesianProduct", "SortMergeJoin",
+                   "BroadcastHashJoin", "Window"],
+    },
+    "events_power_mde": {
+        # one map-side-combined per-type moment agg, pure projection after
+        "require": ["partial_"],
+        "forbid": ["CartesianProduct", "SortMergeJoin",
+                   "BroadcastHashJoin", "Window",
+                   "Exchange SinglePartition"],
+    },
     "agg_equidepth_histogram": {
         # range-partitioned global rank + B-group agg (the gini shape)
         "require": ["Exchange rangepartitioning", "partial_", "Broadcast"],

@@ -158,6 +158,10 @@ _NEXT: list[str] = [
     "text_bpe_train_merges",
     # ANALYZE-style exact equi-depth histogram via the global rank
     "agg_equidepth_histogram",
+    # 2×2 difference-in-differences with large-sample SE, one-pass cells
+    "events_diff_in_diff",
+    # experiment sizing: MDE + required n per arm from one-pass moments
+    "events_power_mde",
 ]
 
 

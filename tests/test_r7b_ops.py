@@ -558,3 +558,65 @@ def test_equidepth_histogram_depth_and_coverage(spark):
     for a, b in zip(rows, rows[1:]):
         assert b["lo"] >= a["hi"] or b["lo"] == a["hi"]  # ties may straddle
         assert a["lo"] <= a["hi"]
+
+
+def test_diff_in_diff_planted_2x2(spark):
+    """Planted 2×2: treated delta 10, control delta 2 → DiD = 8; each
+    cell [m−1, m+1, m, m] so var = 2/3 per cell, se = √(2/3), t ≈ 9.8 →
+    significant. Boundary: treated = even user_id, post = ≥ Jan 16."""
+    from clusterindices_spark.operators.analytics import DID_SPLIT_MS
+
+    PRE, POST = DID_SPLIT_MS - 5 * DAY, DID_SPLIT_MS + 5 * DAY
+    cells = [
+        (2, PRE, 10), (4, PRE, 10),      # treated-pre
+        (2, POST, 20), (4, POST, 20),    # treated-post
+        (1, PRE, 10), (3, PRE, 10),      # control-pre
+        (1, POST, 12), (3, POST, 12),    # control-post
+    ]
+    rows, eid = [], 0
+    for uid, t0, m in cells:
+        for dv in (-1.0, 1.0, 0.0, 0.0):
+            eid += 1
+            rows.append((eid, t0 + eid * 1000, uid, "view", m + dv))
+    tmp = _write_events(spark, rows, "ci-did-")
+    from clusterindices_spark.operators.analytics import q_events_diff_in_diff
+
+    (r,) = q_events_diff_in_diff(spark, tmp).collect()
+    assert r["n_tpre"] == r["n_tpost"] == r["n_cpre"] == r["n_cpost"] == 8
+    assert r["delta_treated"] == 10.0 and r["delta_control"] == 2.0
+    assert r["did_estimate"] == 8.0
+    # each cell: 8 values mean m, ss = 4 → var 4/7; se² = 4·(4/7)/8
+    import math
+
+    se = math.sqrt(4 * (4 / 7) / 8)
+    assert abs(r["se"] - se) < 1e-6
+    assert r["is_significant"] is True
+
+
+def test_power_mde_replays_closed_form(spark):
+    """One planted type: the output must replay the closed forms from its
+    own mean/sd/n (z constants interpolated from the module)."""
+    import math
+
+    from clusterindices_spark.operators.analytics import (
+        MDE_REL_TARGET,
+        Z_ALPHA,
+        Z_BETA,
+        q_events_power_mde,
+    )
+
+    vals = [8.0, 10.0, 12.0, 10.0, 9.0, 11.0]
+    rows = [(i + 1, i * 1000, 1, "view", v) for i, v in enumerate(vals)]
+    tmp = _write_events(spark, rows, "ci-mde-")
+    (r,) = q_events_power_mde(spark, tmp).collect()
+    n = len(vals)
+    mean = sum(vals) / n
+    var = sum((v - mean) ** 2 for v in vals) / (n - 1)
+    sd = math.sqrt(var)
+    zsum = Z_ALPHA + Z_BETA
+    mde = zsum * sd * math.sqrt(2.0 / (n // 2))
+    assert r["n"] == n and r["n_arm"] == n // 2
+    assert abs(r["mean"] - mean) < 1e-6 and abs(r["sd"] - sd) < 1e-6
+    assert abs(r["mde_abs"] - mde) < 1e-5
+    n_req = math.ceil(2.0 * var * zsum * zsum / (MDE_REL_TARGET * mean) ** 2)
+    assert r["n_required_per_arm"] == n_req
