@@ -232,6 +232,7 @@ HEADLINE = [
     "agg_equidepth_histogram",
     "events_diff_in_diff",
     "events_power_mde",
+    "events_cuped",
 ]
 
 # Per-key recall floors (VERDICT r5 item 3): the bench FAILS — explicit

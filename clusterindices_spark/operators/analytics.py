@@ -1659,6 +1659,62 @@ def q_events_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013) — the standard trick
+    that makes A/B tests read out faster: each user's PRE-period activity
+    (value sum before the Jan-16 split) is the covariate for their POST
+    metric; θ = cov(pre, post)/var(pre), and the adjusted metric's
+    variance shrinks by ρ² — reported as the variance-reduction share a
+    deployment would bank.
+
+    Exactness: per-user pre/post sums are exact integer MILLIS (micros
+    would overflow BIGINT in the cross-products at corpus scale — the
+    milli² device), all five user-level moments (Σx Σy Σxy Σxx Σyy) are
+    exact BIGINTs, and the θ/ρ arithmetic is the same double-op sequence
+    both engines run, then round6.
+
+    Scale: one user-keyed conditional agg (map-side combined), then a
+    scalar moment agg whose exchange moves five partial tuples (q6
+    shape). The corpus is scanned once."""
+    from clusterindices_spark.functions.aggregates import round6_stable
+
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    mm = F.floor(F.col("value") * F.lit(1e3) + F.lit(0.5)).cast("bigint")
+    post = F.unix_millis("ts") >= DID_SPLIT_MS
+    z = F.lit(0).cast("bigint")
+    pu = e.groupBy("user_id").agg(
+        F.sum(F.when(~post, mm).otherwise(z)).alias("x"),
+        F.sum(F.when(post, mm).otherwise(z)).alias("y"),
+    )
+    mom = pu.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov = F.col("sxy") / n - (F.col("sx") / n) * (F.col("sy") / n)
+    var_x = F.col("sxx") / n - (F.col("sx") / n) * (F.col("sx") / n)
+    var_y = F.col("syy") / n - (F.col("sy") / n) * (F.col("sy") / n)
+    theta = cov / var_x
+    rho2 = (cov * cov) / (var_x * var_y)
+    return mom.select(
+        F.col("n").alias("n_users"),
+        round6_stable(F.col("sy") / n / F.lit(1e3)).alias("mean_post"),
+        round6_stable(theta).alias("theta"),
+        round6_stable(rho2).alias("rho2"),
+        round6_stable(var_y / F.lit(1e6)).alias("var_post"),
+        round6_stable(var_y * (F.lit(1.0) - rho2) / F.lit(1e6)).alias(
+            "var_adjusted"
+        ),
+        round6_stable(rho2 * F.lit(100.0)).alias("var_reduction_pct"),
+    )
+
+
 CUSUM_ALLOWANCE_DIV = 4  # allowance k = mean/4 (micros, integer-derived)
 CUSUM_H_MULT = 3  # alarm threshold h = 3·mean
 
@@ -1910,6 +1966,7 @@ QUERIES = {
     "events_gini_activity": q_events_gini_activity,
     "events_diff_in_diff": q_events_diff_in_diff,
     "events_power_mde": q_events_power_mde,
+    "events_cuped": q_events_cuped,
     "events_user_overlap": q_events_user_overlap,
     "events_rollup_hierarchy": q_events_rollup_hierarchy,
     "events_ewma_smooth": q_events_ewma_smooth,
@@ -2304,6 +2361,45 @@ SELECT a.event_type, a.n,
        b.ms[{BOOT_LO_IDX + 1}] AS ci_lo,
        b.ms[{BOOT_HI_IDX + 1}] AS ci_hi
 FROM actual a JOIN boots b USING (event_type)
+""",
+    "events_cuped": f"""
+WITH pu AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN epoch_ms(CAST(ts AS TIMESTAMP)) < {DID_SPLIT_MS}
+           THEN CAST(floor(value * 1000.0 + 0.5) AS BIGINT) ELSE 0 END)
+           AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN epoch_ms(CAST(ts AS TIMESTAMP)) >= {DID_SPLIT_MS}
+           THEN CAST(floor(value * 1000.0 + 0.5) AS BIGINT) ELSE 0 END)
+           AS BIGINT) AS y
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pu
+),
+d AS (
+  SELECT n,
+         sxy / CAST(n AS DOUBLE) - (sx / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)) AS cov,
+         sxx / CAST(n AS DOUBLE) - (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE)) AS var_x,
+         syy / CAST(n AS DOUBLE) - (sy / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)) AS var_y,
+         sy / CAST(n AS DOUBLE) / 1000.0 AS mean_post
+  FROM mom
+)
+SELECT n AS n_users,
+       {SQL_ROUND6.format(x="mean_post")} AS mean_post,
+       {SQL_ROUND6.format(x="cov / var_x")} AS theta,
+       {SQL_ROUND6.format(x="(cov * cov) / (var_x * var_y)")} AS rho2,
+       {SQL_ROUND6.format(x="var_y / 1000000.0")} AS var_post,
+       {SQL_ROUND6.format(x="var_y * (1.0 - (cov * cov) / (var_x * var_y)) / 1000000.0")}
+         AS var_adjusted,
+       {SQL_ROUND6.format(x="(cov * cov) / (var_x * var_y) * 100.0")}
+         AS var_reduction_pct
+FROM d
 """,
     "events_diff_in_diff": f"""
 WITH e AS (

@@ -789,6 +789,12 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
             "Exchange SinglePartition",
         ],
     },
+    "events_cuped": {
+        # user-keyed conditional agg + scalar moment agg (q6 shape)
+        "require": ["partial_"],
+        "forbid": ["CartesianProduct", "SortMergeJoin",
+                   "BroadcastHashJoin", "Window"],
+    },
     "events_diff_in_diff": {
         # ONE conditional-aggregation pass (12 map-side partials); the
         # scalar agg's SinglePartition exchange moves partial rows only

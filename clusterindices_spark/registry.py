@@ -162,6 +162,8 @@ _NEXT: list[str] = [
     "events_diff_in_diff",
     # experiment sizing: MDE + required n per arm from one-pass moments
     "events_power_mde",
+    # CUPED variance reduction from exact user-level integer moments
+    "events_cuped",
 ]
 
 

@@ -620,3 +620,28 @@ def test_power_mde_replays_closed_form(spark):
     assert abs(r["mde_abs"] - mde) < 1e-5
     n_req = math.ceil(2.0 * var * zsum * zsum / (MDE_REL_TARGET * mean) ** 2)
     assert r["n_required_per_arm"] == n_req
+
+
+def test_cuped_perfect_and_zero_correlation(spark):
+    """User with post = 2·pre exactly across users → ρ² = 1, adjusted
+    variance 0; and θ replays cov/var from the planted numbers."""
+    from clusterindices_spark.operators.analytics import (
+        DID_SPLIT_MS,
+        q_events_cuped,
+    )
+
+    PRE, POST = DID_SPLIT_MS - DAY, DID_SPLIT_MS + DAY
+    rows, eid = [], 0
+    for uid, pre_v in [(1, 10.0), (2, 20.0), (3, 30.0)]:
+        eid += 1
+        rows.append((eid, PRE + eid * 1000, uid, "view", pre_v))
+        eid += 1
+        rows.append((eid, POST + eid * 1000, uid, "view", 2 * pre_v))
+    tmp = _write_events(spark, rows, "ci-cuped-")
+    (r,) = q_events_cuped(spark, tmp).collect()
+    assert r["n_users"] == 3
+    assert r["theta"] == 2.0
+    assert r["rho2"] == 1.0
+    assert r["var_adjusted"] == 0.0
+    assert r["var_reduction_pct"] == 100.0
+    assert r["mean_post"] == 40.0
