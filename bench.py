@@ -233,6 +233,8 @@ HEADLINE = [
     "events_diff_in_diff",
     "events_power_mde",
     "events_cuped",
+    "curation_anneal_mixture",
+    "scalar_ipv4_cidr",
 ]
 
 # Per-key recall floors (VERDICT r5 item 3): the bench FAILS — explicit

@@ -756,7 +756,54 @@ def q_curation_waterfill_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANNEAL_STEPS = 10
+
+
+def q_curation_anneal_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum annealing schedule: per training step t ∈ 1..T, the
+    per-source sampling weight interpolates linearly from UNIFORM (every
+    source equally, the early-training exploration mix) to the corpus
+    TOKEN-SHARE target (the late-training natural mix):
+    w_s(t) = (1 − t/T)/K + (t/T)·share_s. Emits the full step × source
+    schedule a data loader would consume, plus each row's expected tokens
+    per million sampled. Weights are exact rationals of integer token
+    counts rendered round6; every step's weights sum to 1 by construction.
+
+    Scale: one corpus token agg (map-side combined) to K source rows, a
+    K×T Generate, and pure arithmetic — no joins, no windows beyond the
+    K-row frame."""
+    from clusterindices_spark.functions.aggregates import round6_stable
+    from clusterindices_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    src = d.select(
+        "source", F.size(tokens(F.col("text"))).alias("n_toks")
+    ).groupBy("source").agg(F.sum("n_toks").alias("toks"))
+    total = src.agg(F.sum("toks")).collect()[0][0]
+    k = src.count()
+    share = F.col("toks") / F.lit(float(total))
+    steps = F.explode(
+        F.array(*[F.lit(t) for t in range(1, ANNEAL_STEPS + 1)])
+    ).alias("step")
+    frac = F.col("step") / F.lit(float(ANNEAL_STEPS))
+    w = (F.lit(1.0) - frac) / F.lit(float(k)) + frac * F.col("share")
+    return (
+        src.select("source", share.alias("share"), "toks")
+        .select("source", "share", steps)
+        .select(
+            "step",
+            "source",
+            round6_stable(F.col("share")).alias("target_share"),
+            round6_stable(w).alias("weight"),
+            F.floor(w * F.lit(1_000_000.0)).cast("bigint").alias(
+                "tokens_per_million"
+            ),
+        )
+    )
+
+
 QUERIES = {
+    "curation_anneal_mixture": q_curation_anneal_mixture,
     "curation_waterfill_budget": q_curation_waterfill_budget,
     "curation_dsir_weights": q_curation_dsir_weights,
     "curation_domain_caps": q_curation_domain_caps,
@@ -801,6 +848,28 @@ def _sql_marker_hits() -> str:
 
 
 ORACLES = {
+    "curation_anneal_mixture": f"""
+WITH src AS (
+  SELECT source, CAST(SUM(len({_TOKS})) AS BIGINT) AS toks
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(toks) AS BIGINT) AS total, COUNT(*) AS k FROM src
+),
+g AS (
+  SELECT s.source, s.toks, t.total, t.k,
+         unnest(range(1, {ANNEAL_STEPS} + 1)) AS step
+  FROM src s, tot t
+)
+SELECT CAST(step AS INT) AS step, source,
+       {SQL_ROUND6.format(x="toks / CAST(total AS DOUBLE)")} AS target_share,
+       {SQL_ROUND6.format(x=f"(1.0 - step / {ANNEAL_STEPS}.0) / k + step / {ANNEAL_STEPS}.0 * (toks / CAST(total AS DOUBLE))")}
+         AS weight,
+       CAST(floor(((1.0 - step / {ANNEAL_STEPS}.0) / k
+                   + step / {ANNEAL_STEPS}.0 * (toks / CAST(total AS DOUBLE)))
+                  * 1000000.0) AS BIGINT) AS tokens_per_million
+FROM g
+""",
     "curation_waterfill_budget": f"""
 WITH sizes AS (
   SELECT source, CAST(SUM(len({SQL_TOKENS.format(col="text")})) AS BIGINT) AS s

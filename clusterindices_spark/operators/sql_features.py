@@ -226,7 +226,64 @@ def q_scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IP_PLANE = 4_294_967_296  # 2^32
+IP_HASH_MOD = 9_999_991
+IP_HASH_A = 2_654_435_761
+
+
+def q_scalar_ipv4_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 toolkit (web-log pipelines bucket/filter by address space
+    constantly): deterministic hash-derived 32-bit addresses are rendered
+    dotted-quad (ntoa: shift+mask), PARSED BACK from the string (aton:
+    split + positional arithmetic — the roundtrip column proves both
+    directions agree bit-exactly), bucketed to their /16 CIDR, and
+    flagged for the RFC-1918 private ranges. Pure scan-side integer/string
+    arithmetic, zero exchanges."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    h = (
+        (F.col("doc_id") % IP_HASH_MOD) * IP_HASH_A + 5
+    ) % IP_PLANE
+    o = [
+        F.shiftright(F.col("ip_int"), s).bitwiseAND(F.lit(255))
+        for s in (24, 16, 8, 0)
+    ]
+    ip = F.concat_ws(".", *[x.cast("string") for x in o])
+    parts = F.split(F.col("ip"), r"\.")
+    back = (
+        F.get(parts, 0).cast("bigint") * 16_777_216
+        + F.get(parts, 1).cast("bigint") * 65_536
+        + F.get(parts, 2).cast("bigint") * 256
+        + F.get(parts, 3).cast("bigint")
+    )
+    is_private = (
+        (o[0] == 10)
+        | ((o[0] == 172) & (o[1] >= 16) & (o[1] <= 31))
+        | ((o[0] == 192) & (o[1] == 168))
+    )
+    return (
+        d.select("doc_id", h.alias("ip_int"))
+        .select(
+            "doc_id",
+            "ip_int",
+            ip.alias("ip"),
+            F.concat_ws(
+                ".", o[0].cast("string"), o[1].cast("string"), F.lit("0.0/16")
+            ).alias("cidr16"),
+            is_private.alias("is_private"),
+        )
+        .select(
+            "doc_id",
+            "ip_int",
+            "ip",
+            "cidr16",
+            "is_private",
+            back.alias("ip_roundtrip"),
+        )
+    )
+
+
 QUERIES = {
+    "scalar_ipv4_cidr": q_scalar_ipv4_cidr,
     "scalar_url_parse": q_scalar_url_parse,
     "sql_pipe_syntax": q_sql_pipe_syntax,
     "scalar_interval_arith": q_scalar_interval_arith,
@@ -238,6 +295,35 @@ QUERIES = {
 }
 
 ORACLES = {
+    "scalar_ipv4_cidr": f"""
+WITH d AS (
+  SELECT doc_id,
+         ((doc_id % {IP_HASH_MOD}) * {IP_HASH_A} + 5) % {IP_PLANE} AS ip_int
+  FROM documents
+),
+o AS (
+  SELECT doc_id, ip_int,
+         (ip_int >> 24) & 255 AS o1, (ip_int >> 16) & 255 AS o2,
+         (ip_int >> 8) & 255 AS o3, ip_int & 255 AS o4
+  FROM d
+),
+s AS (
+  SELECT doc_id, ip_int, o1, o2,
+         o1 || '.' || o2 || '.' || o3 || '.' || o4 AS ip
+  FROM o
+)
+SELECT doc_id,
+       CAST(ip_int AS BIGINT) AS ip_int,
+       ip,
+       o1 || '.' || o2 || '.0.0/16' AS cidr16,
+       (o1 = 10) OR (o1 = 172 AND o2 >= 16 AND o2 <= 31)
+         OR (o1 = 192 AND o2 = 168) AS is_private,
+       CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+         + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+         + CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+         + CAST(string_split(ip, '.')[4] AS BIGINT) AS ip_roundtrip
+FROM s
+""",
     "scalar_url_parse": """
 WITH u AS (
   SELECT doc_id,

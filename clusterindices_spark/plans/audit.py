@@ -789,6 +789,19 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
             "Exchange SinglePartition",
         ],
     },
+    "curation_anneal_mixture": {
+        # one map-side token agg to K source rows + a K×T Generate;
+        # totals are driver-side literals
+        "require": ["partial_", "Generate"],
+        "forbid": ["CartesianProduct", "SortMergeJoin",
+                   "BroadcastHashJoin", "Window",
+                   "Exchange SinglePartition"],
+    },
+    "scalar_ipv4_cidr": {
+        # pure codegen scan: shift/mask ntoa, split aton, zero exchanges
+        "require": ["*("],
+        "forbid": ["Exchange", "Join", "CartesianProduct"],
+    },
     "events_cuped": {
         # user-keyed conditional agg + scalar moment agg (q6 shape)
         "require": ["partial_"],

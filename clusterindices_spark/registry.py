@@ -164,6 +164,10 @@ _NEXT: list[str] = [
     "events_power_mde",
     # CUPED variance reduction from exact user-level integer moments
     "events_cuped",
+    # curriculum annealing schedule: uniform → token-share target
+    "curation_anneal_mixture",
+    # IPv4 ntoa/aton roundtrip + /16 CIDR + RFC-1918 flags
+    "scalar_ipv4_cidr",
 ]
 
 

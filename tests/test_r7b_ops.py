@@ -645,3 +645,46 @@ def test_cuped_perfect_and_zero_correlation(spark):
     assert r["var_adjusted"] == 0.0
     assert r["var_reduction_pct"] == 100.0
     assert r["mean_post"] == 40.0
+
+
+def test_anneal_mixture_conserves_and_interpolates(spark):
+    """Every step's weights must sum to 1 (linear blend of two unit
+    vectors); step 1 ≈ 90% uniform + 10% target, step T = exactly the
+    target shares."""
+    from clusterindices_spark.operators.curation import (
+        ANNEAL_STEPS,
+        q_curation_anneal_mixture,
+    )
+
+    rows = q_curation_anneal_mixture(spark, "/root/testdata/sf0.001").collect()
+    by_step = {}
+    for r in rows:
+        by_step.setdefault(r["step"], []).append(r)
+    assert set(by_step) == set(range(1, ANNEAL_STEPS + 1))
+    k = len(by_step[1])
+    for step, grp in by_step.items():
+        assert abs(sum(r["weight"] for r in grp) - 1.0) < 1e-4
+    for r in by_step[ANNEAL_STEPS]:
+        assert abs(r["weight"] - r["target_share"]) < 2e-6
+    for r in by_step[1]:
+        want = 0.9 / k + 0.1 * r["target_share"]
+        assert abs(r["weight"] - want) < 2e-6
+
+
+def test_ipv4_roundtrip_and_flags(spark):
+    """aton(ntoa(x)) must equal x for every row; CIDR prefixes must match
+    the rendered address; the private flag must replay the RFC-1918 rules
+    recomputed from the integer."""
+    from clusterindices_spark.operators.sql_features import q_scalar_ipv4_cidr
+
+    rows = q_scalar_ipv4_cidr(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert r["ip_roundtrip"] == r["ip_int"]
+        o1, o2 = (r["ip_int"] >> 24) & 255, (r["ip_int"] >> 16) & 255
+        assert r["ip"].startswith(f"{o1}.{o2}.")
+        assert r["cidr16"] == f"{o1}.{o2}.0.0/16"
+        want_priv = (
+            o1 == 10 or (o1 == 172 and 16 <= o2 <= 31) or (o1 == 192 and o2 == 168)
+        )
+        assert r["is_private"] is want_priv
