@@ -235,6 +235,7 @@ HEADLINE = [
     "events_cuped",
     "curation_anneal_mixture",
     "scalar_ipv4_cidr",
+    "agg_bitmap_distinct",
 ]
 
 # Per-key recall floors (VERDICT r5 item 3): the bench FAILS — explicit

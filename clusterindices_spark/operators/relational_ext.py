@@ -628,6 +628,40 @@ def q_join_spatial_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT DISTINCT via bitmap words — the roaring-bitmap pattern
+    every warehouse ships for dense-id domains: per (event_type, id-word)
+    the 64 users sharing ⌊id/64⌋ OR into ONE BIGINT (bit_or map-side
+    combines like any agg), then popcounts sum per type. Two rounds of
+    tiny shuffles — (type, word) then type — instead of the
+    distinct-shuffle of raw ids: the shuffled bytes shrink 64× on dense
+    domains, and the words themselves are the mergeable distinct SKETCH
+    (exact, unlike HLL) that rollups can OR again at coarser grains.
+
+    The oracle is the DEFINITIONAL ``COUNT(DISTINCT user_id)`` — the gate
+    certifies algorithm ≡ definition. The sign bit is load-bearing: id%64
+    = 63 sets bit 63 (negative BIGINT) and both engines' two's-complement
+    bit_or/bit_count agree bit-for-bit."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    word = F.floor(F.col("user_id") / F.lit(64)).cast("bigint")
+    # F.shiftleft only takes a LITERAL bit count — column positions go
+    # through call_function (the getbit convention)
+    bit = F.call_function(
+        "shiftleft",
+        F.lit(1).cast("bigint"),
+        (F.col("user_id") % 64).cast("int"),
+    )
+    words = e.groupBy("event_type", word.alias("w")).agg(
+        F.bit_or(bit).alias("bits")
+    )
+    return words.groupBy("event_type").agg(
+        F.sum(F.bit_count("bits")).alias("n_distinct_users"),
+        F.count(F.lit(1)).alias("n_words"),
+    )
+
+
 EQUIDEPTH_BUCKETS = 8
 
 
@@ -1156,6 +1190,7 @@ QUERIES = {
     "agg_incremental_mv": q_agg_incremental_mv,
     "join_spatial_radius": q_join_spatial_radius,
     "agg_equidepth_histogram": q_agg_equidepth_histogram,
+    "agg_bitmap_distinct": q_agg_bitmap_distinct,
     "agg_grouping_sets": q_agg_grouping_sets,
     "agg_cube": q_agg_cube,
     "agg_stats": q_agg_stats,
@@ -1375,6 +1410,13 @@ e AS (
 )
 SELECT click_id, error_id, e_ms - c_ms AS delta_ms
 FROM c JOIN e ON abs(c_ms - e_ms) <= {INTERVAL_TOLERANCE_MS}
+""",
+    "agg_bitmap_distinct": """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_users,
+       CAST(COUNT(DISTINCT user_id // 64) AS BIGINT) AS n_words
+FROM events WHERE user_id IS NOT NULL
+GROUP BY event_type
 """,
     "agg_equidepth_histogram": f"""
 WITH r AS (

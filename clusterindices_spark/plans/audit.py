@@ -823,6 +823,14 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
                    "BroadcastHashJoin", "Window",
                    "Exchange SinglePartition"],
     },
+    "agg_bitmap_distinct": {
+        # two map-side-combined agg rounds ((type,word) → type); the raw
+        # ids never shuffle — only OR'd words do
+        "require": ["partial_"],
+        "forbid": ["CartesianProduct", "SortMergeJoin",
+                   "BroadcastHashJoin", "Window",
+                   "Exchange SinglePartition"],
+    },
     "agg_equidepth_histogram": {
         # range-partitioned global rank + B-group agg (the gini shape)
         "require": ["Exchange rangepartitioning", "partial_", "Broadcast"],

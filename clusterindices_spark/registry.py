@@ -168,6 +168,8 @@ _NEXT: list[str] = [
     "curation_anneal_mixture",
     # IPv4 ntoa/aton roundtrip + /16 CIDR + RFC-1918 flags
     "scalar_ipv4_cidr",
+    # bitmap-word exact distinct vs definitional COUNT(DISTINCT)
+    "agg_bitmap_distinct",
 ]
 
 

@@ -688,3 +688,21 @@ def test_ipv4_roundtrip_and_flags(spark):
             o1 == 10 or (o1 == 172 and 16 <= o2 <= 31) or (o1 == 192 and o2 == 168)
         )
         assert r["is_private"] is want_priv
+
+
+def test_bitmap_distinct_sign_bit_and_duplicates(spark):
+    """Users 0..63 of one word (including id 63 → the SIGN bit) plus
+    duplicates and a second word must count exactly; agreement with
+    countDistinct is the operator's whole contract."""
+    rows, eid = [], 0
+    for uid in list(range(64)) + [5, 63, 63, 100, 101]:
+        eid += 1
+        rows.append((eid, eid * 1000, uid, "view", 0.0))
+    tmp = _write_events(spark, rows, "ci-bitmap-")
+    from clusterindices_spark.operators.relational_ext import (
+        q_agg_bitmap_distinct,
+    )
+
+    (r,) = q_agg_bitmap_distinct(spark, tmp).collect()
+    assert r["n_distinct_users"] == 66  # 0..63 plus 100, 101
+    assert r["n_words"] == 2
