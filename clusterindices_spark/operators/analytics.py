@@ -578,10 +578,13 @@ def q_events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     EQUALLY across all its non-purchase touches in the 7-day lookback
     (complementing last-touch's winner-takes-all), then rolled up per
     channel. Revenue quantizes to integer micros once and each touch gets
-    floor(rev_micros / n_touches) — the remainder (< n_touches µ-units per
+    rev_micros div n_touches — the remainder (< n_touches µ-units per
     purchase) is deliberately dropped rather than assigned by position,
     keeping every share independent of touch enumeration order (exact
     BIGINT arithmetic end-to-end; the only float is the final /1e6).
+    The per-touch share is integer ``div`` on BOTH engines — bigint ``/``
+    evaluates in double, and past 2⁵³ µ floor-of-double can differ from
+    integer floor-div by 1 µ (ADVICE r7).
 
     Scale: the purchase⋈touch window join is the last_touch shape (user-
     keyed equi component + time-range predicate); the per-purchase touch
@@ -612,11 +615,11 @@ def q_events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (t.t_t >= p.p_t - F.lit(ATTR_WINDOW_MS)),
     )
     w = Window.partitionBy("purchase_id")
-    share = F.floor(
-        F.col("rev_micros") / F.count(F.lit(1)).over(w)
-    ).cast("bigint")
+    # integer div, not bigint/bigint (double) — see docstring
+    share = F.expr("rev_micros div n_t")
     return (
-        j.select("purchase_id", "channel", share.alias("share_micros"))
+        j.withColumn("n_t", F.count(F.lit(1)).over(w))
+        .select("purchase_id", "channel", share.alias("share_micros"))
         .groupBy("channel")
         .agg(
             F.count(F.lit(1)).alias("n_touches"),
@@ -1553,7 +1556,8 @@ MDE_REL_TARGET = 0.05  # size the n_required column for a 5% lift
 def q_events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Difference-in-differences estimator — the quasi-experimental
     readout when treatment wasn't randomized at event level: treated =
-    even user_id (deterministic), post = ts ≥ 2024-07-01, outcome =
+    even user_id (deterministic), post = ts ≥ 2024-01-16 (DID_SPLIT_MS —
+    the events fixture spans only 2024-01-01..01-30), outcome =
     event value. DiD = (T̄post − T̄pre) − (C̄post − C̄pre) with the
     large-sample SE √(Σ s²ᵍ/nᵍ) over the four cells. All four cells'
     moments come from ONE conditional-aggregation pass (exact integer
@@ -1671,7 +1675,12 @@ def q_events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     would overflow BIGINT in the cross-products at corpus scale — the
     milli² device), all five user-level moments (Σx Σy Σxy Σxx Σyy) are
     exact BIGINTs, and the θ/ρ arithmetic is the same double-op sequence
-    both engines run, then round6.
+    both engines run, then round6. ASSUMED BOUND (the ab_ttest device):
+    each user's per-period milli sum |x|,|y| must stay ≤ ~3.0e9 (≈3M
+    value-units/user, vs the fixture's ≤ ~1e6) so x·y ≤ 9.2e18 < 2⁶³;
+    past it Spark wraps/ANSI-errors while DuckDB promotes to HUGEINT and
+    the engines diverge — clamp or re-quantize per-user sums before the
+    moment products if a corpus can breach it (ADVICE r7).
 
     Scale: one user-keyed conditional agg (map-side combined), then a
     scalar moment agg whose exchange moves five partial tuples (q6
@@ -2061,8 +2070,7 @@ j AS (
 ),
 sh AS (
   SELECT purchase_id, channel,
-         CAST(floor(CAST(rev_micros AS DOUBLE) / n) AS BIGINT)
-           AS share_micros
+         CAST(rev_micros // n AS BIGINT) AS share_micros
   FROM j
 )
 SELECT channel,

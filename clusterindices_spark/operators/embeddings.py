@@ -760,14 +760,27 @@ def q_embedding_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion is a LOCAL 2016-row relation. ZERO data-scale exchange — the
     old posexplode → vec_id self-join (corpus×D rows shuffled on both
     sides) survives only as dim_covariance_selfjoin, the definitional twin
-    asserted bit-identical at gate SFs in tests."""
+    asserted bit-identical at gate SFs in tests.
+
+    NOTE: the driver-collect-then-local-relation shape means CONSTRUCTING
+    this plan already runs the full corpus Gram pass (first() + mapInArrow
+    collect) — callers that only want to explain/audit still pay one scan.
+    Accepted: the returned plan itself is exchange-free by design and the
+    audit suite budgets for it."""
     import numpy as np
     import pyarrow as pa
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("embedding").alias("x")
     )
-    dim = len(emb.first()["x"])
+    first = emb.first()
+    if first is None:  # empty corpus → empty 8-column frame (ADVICE r7)
+        return spark.createDataFrame(
+            [],
+            "dim_a INT, dim_b INT, n BIGINT, sa BIGINT, sb BIGINT, "
+            "sab BIGINT, saa BIGINT, sbb BIGINT",
+        ).transform(_dim_cov_finalize)
+    dim = len(first["x"])
 
     def partials(batches):
         n = 0

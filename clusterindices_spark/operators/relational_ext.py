@@ -641,11 +641,17 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is the DEFINITIONAL ``COUNT(DISTINCT user_id)`` — the gate
     certifies algorithm ≡ definition. The sign bit is load-bearing: id%64
     = 63 sets bit 63 (negative BIGINT) and both engines' two's-complement
-    bit_or/bit_count agree bit-for-bit."""
+    bit_or/bit_count agree bit-for-bit.
+
+    The word index is integer ``div`` — BIGINT ``/`` in Spark is DOUBLE
+    division, and past 2⁵³ the quotient loses low bits, so two distinct
+    snowflake-scale ids can collapse onto one (word, bit) and silently
+    undercount (the events_ewma_smooth integer-div rule; boundary test
+    plants 2⁵³+1 / 2⁵³+2 in tests/test_relational_ext.py)."""
     e = load_table(spark, sf_dir, "events").where(
         F.col("user_id").isNotNull()
     )
-    word = F.floor(F.col("user_id") / F.lit(64)).cast("bigint")
+    word = F.expr("user_id div 64")
     # F.shiftleft only takes a LITERAL bit count — column positions go
     # through call_function (the getbit convention)
     bit = F.call_function(

@@ -18,17 +18,23 @@ from pyspark.sql import DataFrame, SparkSession
 # TemporaryDirectory's finalizer. The roundtrip queries previously
 # mkdtemp'd a fresh directory per plan construction and never removed it,
 # so every gate/bench/driver invocation leaked a directory (ADVICE r6).
-# Subpaths are keyed by (format, sf basename) so repeat invocations reuse
-# and overwrite ONE location, and two scale factors never collide.
+# Subpaths are keyed by (format, sf basename, full-path hash) so repeat
+# invocations reuse and overwrite ONE location, two scale factors never
+# collide, and two DIFFERENT fixture roots sharing a basename (/a/sf0.1
+# vs /b/sf0.1) never overwrite each other's roundtrip data (ADVICE r7).
 _SESSION_TMP: tempfile.TemporaryDirectory | None = None
 
 
 def _roundtrip_path(kind: str, sf_dir: str) -> str:
+    import hashlib
+
     global _SESSION_TMP
     if _SESSION_TMP is None:
         _SESSION_TMP = tempfile.TemporaryDirectory(prefix="ci-roundtrip-")
-    sf = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return os.path.join(_SESSION_TMP.name, f"{kind}-{sf}")
+    norm = os.path.normpath(os.path.abspath(sf_dir))
+    sf = os.path.basename(norm) or "sf"
+    tag = hashlib.sha256(norm.encode()).hexdigest()[:8]
+    return os.path.join(_SESSION_TMP.name, f"{kind}-{sf}-{tag}")
 
 
 def read_csv(

@@ -706,3 +706,25 @@ def test_bitmap_distinct_sign_bit_and_duplicates(spark):
     (r,) = q_agg_bitmap_distinct(spark, tmp).collect()
     assert r["n_distinct_users"] == 66  # 0..63 plus 100, 101
     assert r["n_words"] == 2
+
+
+def test_bitmap_distinct_past_2_53(spark):
+    """Snowflake-scale ids: at 2⁵⁹ doubles are spaced 128 apart, so a
+    double-division word index maps BOTH 2⁵⁹ and 2⁵⁹+64 (true words 2⁵³
+    and 2⁵³+1, both bit 0) onto word 2⁵³ and bit_or silently undercounts
+    2 as 1. Integer ``div`` must keep them distinct (VERDICT r7 wrong #1;
+    red under the old F.floor(user_id / 64) form)."""
+    big = 1 << 59
+    rows = [
+        (1, 1000, big, "view", 0.0),
+        (2, 2000, big + 64, "view", 0.0),
+        (3, 3000, big + 64, "view", 0.0),  # duplicate must not inflate
+    ]
+    tmp = _write_events(spark, rows, "ci-bitmap53-")
+    from clusterindices_spark.operators.relational_ext import (
+        q_agg_bitmap_distinct,
+    )
+
+    (r,) = q_agg_bitmap_distinct(spark, tmp).collect()
+    assert r["n_distinct_users"] == 2
+    assert r["n_words"] == 2
