@@ -504,6 +504,17 @@ def main() -> None:
     top10 = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
     )
+    # self-describing recall block (VERDICT r7 item 5): measured value,
+    # floor, and pass/fail per tier IN the parsed line — a recall
+    # regression shows in the BENCH_r{N}.json diff without reading bench.py
+    recall_block = {
+        k: {
+            "recall": ann_recall[k],
+            "floor": RECALL_FLOORS.get(k),
+            "ok": k not in recall_fail,
+        }
+        for k in sorted(ann_recall)
+    }
     print(
         json.dumps(
             {
@@ -512,7 +523,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": top10,
                 "n_queries": len(timings),
-                "ann_recall": ann_recall,
+                "recall": recall_block,
                 "recall_fail": recall_fail,
                 "full_record": "reports/bench_full.json",
                 "sf": sf_val,

@@ -49,128 +49,80 @@ _MODULES = [
     "clusterindices_spark.sql",
 ]
 
-# Round-7 driver-window priority (VERDICT r6 "Next round" #1). Exactly 50
-# keys = the driver's per-round check budget: the 23 round-6 keys the driver
-# has never reached (r6's _NEXT, all judge-verified green in the r6
-# independent 256-key gate), then 27 re-confirmations of stable greens —
-# preferring keys whose code paths are touched this round (embeddings.py
-# dim-covariance Gram path, analytics.py bootstrap hash/wn=0 fixes, dedup.py
-# round6_stable jaccard, readers.py session tempdir, streams.py CUSUM
-# ordering). After this window lands, cumulative driver-green = 237/237
-# oracle-backed — every oracle-backed key has a passing CORRECTNESS row.
+# Round-8 driver-window priority (VERDICT r7 "Next round" #1). Exactly 50
+# keys = the driver's per-round check budget: the 23 round-7 oracle-backed
+# keys the driver has never reached (r7's _NEXT, all judge-verified green in
+# the r7 independent 282-key gate), then the 7 rows-only approx/ML keys
+# whose LATEST driver row is still the r2 hash-fail from before the driver
+# learned the rows-only class (VERDICT r7 wrong #2 — one window slot each so
+# no key's latest driver status is a fail), then 20 re-confirmations —
+# r8-touched paths first (relational_ext.py bitmap div, analytics.py
+# attribution div, readers.py tempdir keying, embeddings.py dim-covariance
+# guard), then the oldest stable greens. After this window lands, cumulative
+# driver-green = 260/260 oracle-backed.
 _FRONT = [
-    # the 23 oracle-backed round-6 keys with no driver row yet (r6 _NEXT)
-    "similarity_hamming_recall_audit",
-    "embedding_int8_cosine_err",
-    "events_cusum",
-    "text_ngram_novelty",
-    "curation_dsir_weights",
-    "embedding_dim_covariance",
-    "source_orc_roundtrip",
+    # the 23 oracle-backed round-7 keys with no driver row yet (r7 _NEXT)
+    "dedup_cluster_keep_best",
+    "events_streak_lengths",
+    "events_changepoint_loc",
+    "events_interarrival_fit",
+    "agg_incremental_mv",
+    "dedup_url_canonical",
+    "text_code_detect",
+    "embedding_random_projection",
+    "join_spatial_radius",
+    "events_attribution_linear",
+    "source_jsonl_roundtrip",
+    "text_pmi_bigrams",
+    "events_pattern_match",
+    "events_gini_activity",
+    "versioned_snapshot_diff",
+    "text_bpe_train_merges",
+    "agg_equidepth_histogram",
+    "events_diff_in_diff",
+    "events_power_mde",
+    "events_cuped",
+    "curation_anneal_mixture",
+    "scalar_ipv4_cidr",
+    "agg_bitmap_distinct",
+    # the 7 stale rows-only keys (latest driver row = r2 hash-fail; the
+    # driver's rows-only check now records them correctly)
+    "kmeans_sweep_small",
+    "kmeans_sweep_best_k",
+    "agg_approx",
+    "dedup_near_minhash",
+    "dedup_simhash",
+    "similarity_ann_lsh",
+    "similarity_ann_ivf",
+    # 20 re-confirmations — r8-touched paths first, then stable greens
     "source_csv_roundtrip",
-    "text_rake_keywords",
-    "events_ab_ttest",
-    "events_bootstrap_ci",
-    "dedup_graph_kcore",
-    "events_survival_km",
-    "scd2_status_intervals",
-    "agg_weighted_median",
-    "agg_quantiles_bucketed",
-    "dedup_minhash_pr_curve",
-    "multimodal_near_dup_report",
-    "events_markov_entropy",
-    "text_burstiness",
-    "curation_waterfill_budget",
-    "join_salted_skew",
-    "dedup_simhash_est",
-    # 27 re-confirmations — touched-path keys first (this round edits
-    # embeddings.py, analytics.py, dedup.py, readers.py, streams.py,
-    # skew.py), then the oldest stable greens
-    "dedup_ngram_jaccard",
-    "dedup_minhash_est",
-    "dedup_ngram_containment",
-    "embedding_pair_distance_hist",
-    "embedding_dim_stats",
-    "embedding_quantize_int8",
-    "embedding_normalize",
-    "similarity_hamming_topk",
-    "embedding_matryoshka",
-    "embedding_binary_quantize",
+    "source_orc_roundtrip",
     "source_xml_roundtrip",
+    "embedding_dim_covariance",
+    "index_suite",
+    "silhouette_exact",
+    "dedup_exact",
+    "dedup_components",
     "tpch_q1",
-    "tpch_q6",
     "tpch_q3",
+    "tpch_q6",
     "agg_basic",
     "window_rank",
     "join_asof",
     "scan_project_filter",
-    "filter_predicates",
     "topk_orders",
-    "scalar_string",
     "text_tokens_stats",
     "text_langid",
-    "dedup_exact",
-    "dedup_components",
-    "index_suite",
-    "silhouette_exact",
+    "similarity_topk_exact",
+    "events_cusum",
 ]
 
-# Immediately after the 50-slot window: new round-7 oracle-backed keys that
+# Immediately after the 50-slot window: new round-8 oracle-backed keys that
 # should be the FIRST to get driver rows if the window is wider than 50 (and
-# the head of round 8's window otherwise). Rows-only keys stay at the very
-# end so they never burn a driver slot. Round 7 is a depth round (VERDICT r6
-# #7: gap-closers over breadth) — new keys land here as they are added.
-_NEXT: list[str] = [
-    # near-dup survivor selection: components fixpoint + keep-best argmax,
-    # oracle = the components CTE extended with the same window
-    "dedup_cluster_keep_best",
-    # gaps-and-islands daily activity streaks (sessions.py)
-    "events_streak_lengths",
-    # binary-segmentation step 1: exact-integer argmax CUSUM split
-    "events_changepoint_loc",
-    # binned KS test of exponential interarrivals (scalable-vs-definitional
-    # at the declared bin grain)
-    "events_interarrival_fit",
-    # O(|delta|) aggregate-MV refresh vs full-recompute oracle
-    "agg_incremental_mv",
-    # web-crawl URL canonicalization dedup tier
-    "dedup_url_canonical",
-    # code-vs-prose routing heuristic (pre-training mixture lanes)
-    "text_code_detect",
-    # training-free JL projection: hash-derived Achlioptas signs, exact
-    # integer matmul in mapInArrow vs definitional unnest-join oracle
-    "embedding_random_projection",
-    # grid-cell radius join (pigeonhole-complete) vs brute-force oracle
-    "join_spatial_radius",
-    # equal-split multi-touch attribution, exact integer shares
-    "events_attribution_linear",
-    # JSONL write→escape→parse roundtrip (training-data interchange)
-    "source_jsonl_roundtrip",
-    # PMI collocation mining over min-count bigrams
-    "text_pmi_bigrams",
-    # MATCH_RECOGNIZE-shaped row-pattern matching over per-user sequences
-    "events_pattern_match",
-    # exact Gini of user activity via the range-partitioned global rank
-    "events_gini_activity",
-    # generic time-travel snapshot diff vs rule-derived oracle
-    "versioned_snapshot_diff",
-    # BPE merge training over the vocab table, iterative-CTE oracle
-    "text_bpe_train_merges",
-    # ANALYZE-style exact equi-depth histogram via the global rank
-    "agg_equidepth_histogram",
-    # 2×2 difference-in-differences with large-sample SE, one-pass cells
-    "events_diff_in_diff",
-    # experiment sizing: MDE + required n per arm from one-pass moments
-    "events_power_mde",
-    # CUPED variance reduction from exact user-level integer moments
-    "events_cuped",
-    # curriculum annealing schedule: uniform → token-share target
-    "curation_anneal_mixture",
-    # IPv4 ntoa/aton roundtrip + /16 CIDR + RFC-1918 flags
-    "scalar_ipv4_cidr",
-    # bitmap-word exact distinct vs definitional COUNT(DISTINCT)
-    "agg_bitmap_distinct",
-]
+# the head of round 9's window otherwise). Rows-only keys stay at the very
+# end so they never burn a driver slot. Round 8 is a hardening round
+# (VERDICT r7 #6: gap-closers over breadth) — new keys land here as added.
+_NEXT: list[str] = []
 
 
 def _load():

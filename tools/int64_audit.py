@@ -1,0 +1,209 @@
+"""Static int64-hazard audit over the registry's ANALYZED plans (VERDICT r7
+item 3).
+
+Two hazard classes, both invisible at gate SFs and both real at id scale:
+
+(a) BIGINT double-division — Spark plans ``bigint / anything`` as
+    ``cast(x as double) / cast(y as double)``; past 2^53 the cast loses low
+    bits, so quotients (and anything keyed on them, e.g. the
+    agg_bitmap_distinct word index before round 8) silently collapse.
+    Detector: any ``/`` whose 120-char context contains a bigint column
+    (``name#NL``) cast to double.
+
+(b) BIGINT × BIGINT products — exact until the product (or its SUM) crosses
+    2^63, then ANSI-errors in Spark while DuckDB promotes to HUGEINT and the
+    engines diverge (the CUPED milli lesson). Detector: ``*`` whose operands
+    both carry bigint columns and no double cast.
+
+Classification: a hit whose operand NAMES are id-scale (user_id, vec_id,
+*_key, purchase ids, …) is HIGH and must appear in ALLOW with a one-line
+justification (documented bound, boundary test, or deliberate definition) —
+an unallowlisted HIGH hit exits non-zero. Value-scale hits (sums, counts,
+micro/milli-quantized metrics) are LOW: ratios of metrics are double BY
+INTENT, and quantized-metric products carry their documented per-operator
+bounds (each operator's docstring; the audit lists them for review, it does
+not re-prove the bounds).
+
+The oracle SQL gets the mirror sweep (DuckDB ``/`` is float division too;
+``//`` is the integer form) so a definitional oracle can't hide the same
+hazard.
+
+Run: python tools/int64_audit.py [--sf /root/testdata/sf0.001]
+Report: reports/int64_audit.md. Exits 1 on unexplained HIGH hits.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ID_LIKE = re.compile(
+    r"^(user_id|event_id|vec_id|doc_id|purchase_id|touch_id|cluster_id"
+    r"|[a-z]+_?(cust|supp|part|order|nation|region)key"
+    r"|node|src|dst|id|ip_int|word|w)$"
+)
+
+# bigint column token in an analyzed-plan string: name#123L
+COL = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)#\d+L\b")
+DOUBLE_CAST_COL = re.compile(r"cast\([^()]*?([A-Za-z_][A-Za-z0-9_]*)#\d+L[^()]*? as double\)")
+
+# (key, substring-of-signature) -> justification. A HIGH hit is explained if
+# any ALLOW entry's key matches and its substring occurs in the signature.
+ALLOW: dict[tuple[str, str], str] = {
+    # ip_int is a 32-bit value by construction (hash % 2^32,
+    # sql_features.q_scalar_ipv4_cidr) — products/divisions stay < 2^53.
+    ("scalar_ipv4_cidr", "ip_int"): "ip_int < 2^32 by construction",
+    # spatial coords are hash-reduced mod SPATIAL_PLANE_M (~2^23 m plane);
+    # d^2 <= 2*(2^23)^2 ~ 2^47 — docstring relational_ext.q_join_spatial_radius
+    ("join_spatial_radius", "x#"): "coords < 2^23 (mod plane), d2 < 2^47",
+    ("join_spatial_radius", "y#"): "coords < 2^23 (mod plane), d2 < 2^47",
+}
+
+
+def signature(fragment: str) -> str:
+    """Strip expr ids so identical shapes dedup across keys/runs."""
+    return re.sub(r"#\d+", "#", fragment).strip()
+
+
+def context_hits(plan: str, op: str) -> list[str]:
+    out = []
+    start = 0
+    while True:
+        i = plan.find(f" {op} ", start)
+        if i < 0:
+            break
+        frag = plan[max(0, i - 110) : i + 110]
+        out.append(frag)
+        start = i + 3
+    return out
+
+
+def classify(names: set[str]) -> str:
+    return "HIGH" if any(ID_LIKE.match(n) for n in names) else "LOW"
+
+
+def audit_plan(key: str, plan: str):
+    """Yield (kind, severity, names, signature) hits for one plan."""
+    seen = set()
+    for frag in context_hits(plan, "/"):
+        # the division is hazardous only if a bigint col feeds it via a
+        # double cast (pure double/double division never sees int64 loss)
+        names = set(DOUBLE_CAST_COL.findall(frag))
+        if not names:
+            continue
+        sig = signature(frag)
+        if ("div", sig) in seen:
+            continue
+        seen.add(("div", sig))
+        yield ("bigint/ as double", classify(names), names, sig)
+    for frag in context_hits(plan, "*"):
+        if "as double" in frag:
+            continue  # double math; covered by the / sweep if relevant
+        left, _, right = frag.partition(" * ")
+        ln, rn = set(COL.findall(left[-60:])), set(COL.findall(right[:60]))
+        if not ln or not rn:
+            continue
+        sig = signature(frag)
+        if ("mul", sig) in seen:
+            continue
+        seen.add(("mul", sig))
+        yield ("bigint*bigint", classify(ln | rn), ln | rn, sig)
+
+
+SQL_DIV = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)\s*/\s*([A-Za-z_][A-Za-z0-9_]*)")
+
+
+def audit_oracle(key: str, sql: str):
+    for m in SQL_DIV.finditer(sql):
+        a, b = m.group(1), m.group(2)
+        if ID_LIKE.match(a) or ID_LIKE.match(b):
+            yield ("oracle /", "HIGH", {a, b}, m.group(0))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("keys", nargs="*")
+    args = ap.parse_args()
+
+    from clusterindices_spark import registry
+    from clusterindices_spark.session import get_spark
+
+    queries, oracles = registry._load()
+    keys = args.keys or list(queries)
+    spark = get_spark()
+
+    rows = []  # (key, kind, severity, names, sig, allowed_reason|None)
+    errors = []
+    for key in keys:
+        try:
+            plan = (
+                queries[key](spark, args.sf)
+                ._jdf.queryExecution()
+                .analyzed()
+                .toString()
+            )
+        except Exception as ex:  # a key that can't build is its own bug
+            errors.append((key, repr(ex)[:200]))
+            continue
+        hits = list(audit_plan(key, plan))
+        if key in oracles:
+            hits += list(audit_oracle(key, oracles[key]))
+        for kind, sev, names, sig in hits:
+            reason = None
+            if sev == "HIGH":
+                for (k, sub), why in ALLOW.items():
+                    if k == key and sub in sig:
+                        reason = why
+                        break
+            rows.append((key, kind, sev, sorted(names), sig, reason))
+
+    high_bad = [r for r in rows if r[2] == "HIGH" and r[5] is None]
+    high_ok = [r for r in rows if r[2] == "HIGH" and r[5] is not None]
+    low = [r for r in rows if r[2] == "LOW"]
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = os.path.join(repo, "reports", "int64_audit.md")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        f.write("# int64 hazard audit (analyzed plans + oracle SQL)\n\n")
+        f.write(
+            f"keys scanned: {len(keys)}; build errors: {len(errors)}; "
+            f"HIGH unexplained: {len(high_bad)}; HIGH allowlisted: "
+            f"{len(high_ok)}; LOW (value-scale, double-by-intent or "
+            f"documented-bound): {len(low)}\n\n"
+        )
+        if high_bad:
+            f.write("## HIGH — UNEXPLAINED (fix or pin in ALLOW)\n\n")
+            for key, kind, _, names, sig, _ in high_bad:
+                f.write(f"- **{key}** [{kind}] {names}: `{sig[:160]}`\n")
+            f.write("\n")
+        if high_ok:
+            f.write("## HIGH — allowlisted\n\n")
+            for key, kind, _, names, sig, why in high_ok:
+                f.write(f"- {key} [{kind}] {names}: {why}\n")
+            f.write("\n")
+        f.write("## LOW — value-scale hits (for review)\n\n")
+        for key, kind, _, names, sig, _ in low:
+            f.write(f"- {key} [{kind}] {names}: `{sig[:120]}`\n")
+        if errors:
+            f.write("\n## build errors\n\n")
+            for key, ex in errors:
+                f.write(f"- {key}: {ex}\n")
+
+    print(
+        f"{len(keys)} keys: {len(high_bad)} HIGH unexplained, "
+        f"{len(high_ok)} HIGH allowlisted, {len(low)} LOW, "
+        f"{len(errors)} build errors -> {out}"
+    )
+    for key, kind, _, names, sig, _ in high_bad:
+        print(f"HIGH {key} [{kind}] {sorted(names)}: {sig[:140]}")
+    return 1 if (high_bad or errors) else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
