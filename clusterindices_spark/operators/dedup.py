@@ -1555,7 +1555,9 @@ def q_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the exact-dedup shuffle shape; no joins, no windows.
     """
     d = load_table(spark, sf_dir, "documents").select("doc_id")
-    n = F.floor(F.col("doc_id") / 4).cast("bigint")
+    # integer div (oracle: doc_id // 4) — bigint / is double division and
+    # collapses page ids past 2^53 (the agg_bitmap_distinct hazard class)
+    n = F.expr("doc_id div 4")
     v = F.col("doc_id") % 4
     hostb = F.concat(
         F.lit("site"), (n % 7).cast("string"), F.lit(".example.com")

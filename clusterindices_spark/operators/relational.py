@@ -436,7 +436,9 @@ def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt("l_extendedprice"), 6).alias("sq"),
         F.round(F.log("l_extendedprice"), 6).alias("lg"),
         F.round(F.exp("l_discount"), 6).alias("ex"),
-        F.floor(F.col("l_orderkey") / 7.0).cast("bigint").alias("idiv"),
+        # integer div, not floor-of-double: bigint / is double division
+        # and loses low bits past 2^53 (the agg_bitmap_distinct class)
+        F.expr("l_orderkey div 7").alias("idiv"),
         (F.col("l_linenumber") % 3).alias("md"),
     )
 
@@ -682,7 +684,7 @@ SELECT l_orderkey,
        ROUND(sqrt(l_extendedprice), 6) AS sq,
        ROUND(ln(l_extendedprice), 6) AS lg,
        ROUND(exp(l_discount), 6) AS ex,
-       CAST(FLOOR(l_orderkey / 7.0) AS BIGINT) AS idiv,
+       CAST(l_orderkey // 7 AS BIGINT) AS idiv,
        l_linenumber % 3 AS md
 FROM lineitem WHERE l_linenumber = 1
 """,

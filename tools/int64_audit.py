@@ -47,20 +47,24 @@ ID_LIKE = re.compile(
     r"|node|src|dst|id|ip_int|word|w)$"
 )
 
-# bigint column token in an analyzed-plan string: name#123L
-COL = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)#\d+L\b")
-DOUBLE_CAST_COL = re.compile(r"cast\([^()]*?([A-Za-z_][A-Za-z0-9_]*)#\d+L[^()]*? as double\)")
+# Adjacent-operand extractors (a 120-char context window grabs NEIGHBOR
+# columns of a Project list and false-positives; only the tokens touching
+# the operator are the operands)
+CAST_D_END = re.compile(r"cast\([^()]*?([A-Za-z_]\w*)#\d+L[^()]*? as double\)\)*$")
+CAST_D_BEG = re.compile(r"^\(*cast\([^()]*?([A-Za-z_]\w*)#\d+L[^()]*? as double\)")
+COL_END = re.compile(r"([A-Za-z_]\w*)#\d+L\)*$")
+COL_BEG = re.compile(r"^\(*([A-Za-z_]\w*)#\d+L")
+LIT_END = re.compile(r"cast\((\d+) as bigint\)\)*$|(\d+)\)*$")
+LIT_BEG = re.compile(r"^\(*cast\((\d+) as bigint\)|^\(*(\d+)[^.\d]")
 
 # (key, substring-of-signature) -> justification. A HIGH hit is explained if
 # any ALLOW entry's key matches and its substring occurs in the signature.
 ALLOW: dict[tuple[str, str], str] = {
-    # ip_int is a 32-bit value by construction (hash % 2^32,
-    # sql_features.q_scalar_ipv4_cidr) — products/divisions stay < 2^53.
-    ("scalar_ipv4_cidr", "ip_int"): "ip_int < 2^32 by construction",
-    # spatial coords are hash-reduced mod SPATIAL_PLANE_M (~2^23 m plane);
-    # d^2 <= 2*(2^23)^2 ~ 2^47 — docstring relational_ext.q_join_spatial_radius
-    ("join_spatial_radius", "x#"): "coords < 2^23 (mod plane), d2 < 2^47",
-    ("join_spatial_radius", "y#"): "coords < 2^23 (mod plane), d2 < 2^47",
+    # minhash affine permutations: fp = rolling_fingerprint mod
+    # FNV_MOD (1e9), multiplier (2i+1) <= 31 -> product <= 3.1e10 << 2^63
+    # (functions/text.py:13, dedup._mh_perm)
+    ("dedup_minhash_est", "* fp#"): "fp < FNV_MOD=1e9; (2i+1)*fp <= 3.1e10",
+    ("dedup_minhash_pr_curve", "* fp#"): "fp < FNV_MOD=1e9; (2i+1)*fp <= 3.1e10",
 }
 
 
@@ -69,16 +73,17 @@ def signature(fragment: str) -> str:
     return re.sub(r"#\d+", "#", fragment).strip()
 
 
-def context_hits(plan: str, op: str) -> list[str]:
+def sides(plan: str, op: str):
+    """(left-context, right-context) for each infix occurrence of op."""
     out = []
     start = 0
+    pat = f" {op} "
     while True:
-        i = plan.find(f" {op} ", start)
+        i = plan.find(pat, start)
         if i < 0:
             break
-        frag = plan[max(0, i - 110) : i + 110]
-        out.append(frag)
-        start = i + 3
+        out.append((plan[max(0, i - 130) : i], plan[i + len(pat) : i + 130]))
+        start = i + len(pat)
     return out
 
 
@@ -89,29 +94,48 @@ def classify(names: set[str]) -> str:
 def audit_plan(key: str, plan: str):
     """Yield (kind, severity, names, signature) hits for one plan."""
     seen = set()
-    for frag in context_hits(plan, "/"):
-        # the division is hazardous only if a bigint col feeds it via a
-        # double cast (pure double/double division never sees int64 loss)
-        names = set(DOUBLE_CAST_COL.findall(frag))
+    for left, right in sides(plan, "/"):
+        # hazardous only when a bigint col feeds the division THROUGH a
+        # double cast as the adjacent operand (pure double/double division
+        # never sees int64 loss)
+        names = set()
+        m = CAST_D_END.search(left.rstrip())
+        if m:
+            names.add(m.group(1))
+        m = CAST_D_BEG.match(right.lstrip())
+        if m:
+            names.add(m.group(1))
         if not names:
             continue
-        sig = signature(frag)
+        sig = signature(left[-80:] + " / " + right[:80])
         if ("div", sig) in seen:
             continue
         seen.add(("div", sig))
         yield ("bigint/ as double", classify(names), names, sig)
-    for frag in context_hits(plan, "*"):
-        if "as double" in frag:
+    for left, right in sides(plan, "*"):
+        ls, rs = left.rstrip(), right.lstrip()
+        if ls.endswith("as double)") or rs.startswith("cast(") and "as double)" in rs[:60]:
             continue  # double math; covered by the / sweep if relevant
-        left, _, right = frag.partition(" * ")
-        ln, rn = set(COL.findall(left[-60:])), set(COL.findall(right[:60]))
-        if not ln or not rn:
-            continue
-        sig = signature(frag)
+        lc, rc = COL_END.search(ls), COL_BEG.match(rs)
+        ll = LIT_END.search(ls) if not lc else None
+        rl = LIT_BEG.match(rs) if not rc else None
+        sig = signature(left[-80:] + " * " + right[:80])
         if ("mul", sig) in seen:
             continue
         seen.add(("mul", sig))
-        yield ("bigint*bigint", classify(ln | rn), ln | rn, sig)
+        if lc and rc:  # col * col
+            names = {lc.group(1), rc.group(1)}
+            yield ("bigint*bigint", classify(names), names, sig)
+        elif (lc and rl) or (rc and ll):  # col * literal
+            col = (lc or rc).group(1)
+            lit = next(g for g in (rl or ll).groups() if g is not None)
+            # the Knuth-multiply lesson: id * big-literal overflows at
+            # snowflake scale; small literals (<= 64) stay inside int64
+            # for any id < 2^57
+            if ID_LIKE.match(col) and int(lit) > 64:
+                yield ("bigint*lit", "HIGH", {col, lit}, sig)
+            else:
+                yield ("bigint*lit", "LOW", {col, lit}, sig)
 
 
 SQL_DIV = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)\s*/\s*([A-Za-z_][A-Za-z0-9_]*)")

@@ -1,0 +1,236 @@
+"""Synthetic scale-stress for the dedup/CC/ANN tiers (VERDICT r7 item 4).
+
+The gate SFs prove CORRECTNESS; this sidebar drives the three 100 TB-posture
+claims at the largest scale local[32] can hold — the skew_stress pattern:
+deterministic id-derived fixtures (no rand()), wall + per-partition task-row
+distribution per stage, one JSON line per stress. Results are recorded in
+BASELINE.md ("Scale stress").
+
+1. star-CC at ~10^7 edges over ~5M nodes — a worst-case mix for label
+   propagation (long chains: O(diameter)) that the large/small-star engine
+   must close in O(log n) rounds with localCheckpoint'ed lineage. Validates
+   chain components exactly (each chain block's component = its min node).
+2. MinHash banded-LSH at millions of synthetic docs — measures the REAL
+   operator (shingle → 16 seeded xxhash64 mins → 8 bands → bucket join →
+   exact-Jaccard verify) with planted duplicate groups; reports band-bucket
+   occupancy (the quadratic hazard) and verified-pair recall on the plant.
+3. IVF under a CLUSTERED distribution — 90% of vectors in one Voronoi cell:
+   build wall, cell histogram (max/mean skew), and hot-vs-cold probe search
+   wall, since a skewed inverted list is the ANN analogue of a hot join key.
+
+Run: python tools/scale_stress.py [cc|minhash|ivf ...]
+Env: SPARK_GRAFT_CPUS, CC_NODES (default 5M), MH_DOCS (3M), IVF_VECS (5M).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+def _part_rows(df, cols) -> dict:
+    per = df.groupBy(F.spark_partition_id().alias("pid")).agg(
+        F.count(F.lit(1)).alias("rows")
+    ).collect()
+    rows = [r["rows"] for r in per] or [0]
+    return {"n_partitions": len(per), "max_task_rows": max(rows)}
+
+
+def stress_cc(spark) -> dict:
+    """~10M edges / ~5M nodes: 10 chains of 100k (diameter killers for
+    label-prop) + hash-random edges forming one giant component over the
+    rest. Chain blocks are validated exactly."""
+    from clusterindices_spark.operators.dedup import connected_components_star
+
+    n_nodes = int(os.environ.get("CC_NODES", "5000000"))
+    n_chain = n_nodes // 5  # 20% of nodes in 10 diameter-killer chains
+    block = n_chain // 10
+    n_rand = n_nodes * 2 - n_chain  # → ~2 edges/node total
+    chain = spark.range(0, n_chain).where(
+        (F.col("id") % block) != block - 1
+    ).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    rnd = spark.range(0, n_rand).select(
+        (F.pmod(F.xxhash64("id"), F.lit(n_nodes - n_chain)) + n_chain).alias(
+            "src"
+        ),
+        (
+            F.pmod(F.xxhash64(F.col("id") + 1_000_000_007), F.lit(n_nodes - n_chain))
+            + n_chain
+        ).alias("dst"),
+    )
+    edges = chain.unionByName(rnd).persist()
+    n_edges = edges.count()
+    nodes = spark.range(0, n_nodes).select(F.col("id").alias("node")).persist()
+    nodes.count()
+
+    t0 = time.monotonic()
+    comp = connected_components_star(nodes, edges).persist()
+    n_comp = comp.select("component").distinct().count()
+    sec = time.monotonic() - t0
+
+    # chains must resolve exactly: block b's nodes all label min = b*block
+    bad_chain = comp.where(
+        (F.col("node") < n_chain)
+        & (
+            F.col("component")
+            != (F.col("node") - F.pmod(F.col("node"), F.lit(block)))
+        )
+    ).count()
+    big = comp.groupBy("component").count().agg(F.max("count")).first()[0]
+    part = _part_rows(comp, ["node"])
+    comp.unpersist(), edges.unpersist(), nodes.unpersist()
+    return {
+        "metric": "cc_star_stress",
+        "n_nodes": n_nodes,
+        "n_edges": n_edges,
+        "wall_sec": round(sec, 1),
+        "n_components": n_comp,
+        "max_component": big,
+        "chain_label_errors": bad_chain,
+        **part,
+    }
+
+
+def stress_minhash(spark) -> dict:
+    """Millions of synthetic ~25-word docs through the REAL minhash_pairs
+    operator. 2% of docs are planted duplicates (groups of 2 sharing
+    content hash-seeded by the group), the rest unique. Reports the
+    band-bucket occupancy tail — the quadratic candidate hazard — and
+    plant recall."""
+    from clusterindices_spark.operators.dedup import minhash_pairs
+
+    n_docs = int(os.environ.get("MH_DOCS", "3000000"))
+    vocab = 50_000
+    # seed: dup pairs are (2g, 2g+1) for g % 50 == 0 → 1% of ids pair up
+    seed = F.when(
+        (F.floor(F.col("id") / 2) % 50 == 0), F.floor(F.col("id") / 2) * 2
+    ).otherwise(F.col("id"))
+    word = lambda j: F.concat(  # noqa: E731
+        F.lit("w"),
+        F.pmod(F.xxhash64(seed * 31 + j), F.lit(vocab)).cast("string"),
+    )
+    docs = spark.range(0, n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", *[word(F.lit(j)) for j in range(25)]
+        ).alias("text"),
+    ).persist()
+    docs.count()
+    expected_pairs = n_docs // 100  # (2g, 2g+1) groups
+
+    t0 = time.monotonic()
+    pairs = minhash_pairs(docs, threshold=0.9).persist()
+    n_pairs = pairs.count()
+    sec = time.monotonic() - t0
+    hit = pairs.where(
+        (F.col("doc_b") == F.col("doc_a") + 1)
+        & (F.col("doc_a") % 100 == 0)
+    ).count()
+
+    from clusterindices_spark.operators.dedup import (
+        MINHASH_BAND_ROWS,
+        MINHASH_SEEDS,
+    )
+
+    part = _part_rows(pairs, ["doc_a"])
+    pairs.unpersist(), docs.unpersist()
+    return {
+        "metric": "minhash_stress",
+        "n_docs": n_docs,
+        "wall_sec": round(sec, 1),
+        "n_verified_pairs": n_pairs,
+        "planted_pairs": expected_pairs,
+        "plant_recall": round(hit / expected_pairs, 4),
+        "bands": MINHASH_SEEDS // MINHASH_BAND_ROWS,
+        **part,
+    }
+
+
+def stress_ivf(spark) -> dict:
+    """5M 16-dim vectors, 90% packed into ONE cluster: the inverted list
+    for that cell is the ANN hot key. Measures build wall, the cell-size
+    skew the bucketed layout would inherit, and hot-vs-cold probe walls."""
+    from clusterindices_spark.operators.similarity import (
+        _ivf_search,
+        ivf_build,
+    )
+
+    n_vecs = int(os.environ.get("IVF_VECS", "5000000"))
+    dim = 16
+    # cluster 0 gets 90%; 1..7 split the rest. center(c)[j] = 10c; noise
+    # in [-0.5, 0.5) from a per-(id, j) hash — fully deterministic.
+    cl = F.when(F.pmod(F.col("id"), F.lit(10)) < 9, F.lit(0)).otherwise(
+        F.pmod(F.xxhash64("id"), F.lit(7)) + 1
+    )
+    x = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (
+            F.col("cl") * 10.0
+            + (F.pmod(F.xxhash64(F.col("id") * 17 + j), F.lit(1000)) - 500)
+            / 1000.0
+        ),
+    )
+    emb = (
+        spark.range(0, n_vecs)
+        .withColumn("cl", cl)
+        .select(F.col("id").alias("vec_id"), x.alias("x"))
+        .persist()
+    )
+    emb.count()
+
+    t0 = time.monotonic()
+    cents, index = ivf_build(emb, n_cells=8, lloyd_iters=2)
+    index = index.persist()
+    hist = index.groupBy("cell").count().collect()
+    build_sec = time.monotonic() - t0
+    sizes = sorted((r["count"] for r in hist), reverse=True)
+
+    def search(probe_ids):
+        # _probe_cells renames (vec_id, x) -> (probe_id, xa) itself
+        probes = emb.where(F.col("vec_id").isin(probe_ids))
+        t = time.monotonic()
+        _ivf_search(cents, index, probes, k=10, n_probe_cells=1).count()
+        return round(time.monotonic() - t, 1)
+
+    # vec_id % 10 < 9 → cluster 0 (hot); vec_id % 10 == 9 → cold cells
+    hot_ids = [i * 10 for i in range(32)]
+    cold_ids = [i * 10 + 9 for i in range(32)]
+    search(hot_ids)  # warm codegen
+    hot_sec = search(hot_ids)
+    cold_sec = search(cold_ids)
+    part = _part_rows(index, ["cell"])
+    emb.unpersist(), index.unpersist()
+    return {
+        "metric": "ivf_skew_stress",
+        "n_vecs": n_vecs,
+        "dim": dim,
+        "build_sec": round(build_sec, 1),
+        "cell_sizes_desc": sizes,
+        "cell_skew_max_over_mean": round(sizes[0] / (n_vecs / len(sizes)), 2),
+        "hot_probe_sec": hot_sec,
+        "cold_probe_sec": cold_sec,
+        **part,
+    }
+
+
+def main() -> None:
+    from clusterindices_spark.session import get_spark
+
+    which = sys.argv[1:] or ["cc", "minhash", "ivf"]
+    spark = get_spark("scale-stress", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("ERROR")
+    fns = {"cc": stress_cc, "minhash": stress_minhash, "ivf": stress_ivf}
+    for name in which:
+        out = fns[name](spark)
+        print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
