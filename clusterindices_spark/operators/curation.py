@@ -272,12 +272,16 @@ def q_curation_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = n_chars — longer documents proportionally likelier, the standard
     size-weighted corpus subsample.
 
-    u is a pure-ARITHMETIC hash, (doc_id·A mod M + 0.5)/M (Knuth
+    u is a pure-ARITHMETIC hash, ((doc_id mod M)·A mod M + 0.5)/M (Knuth
     multiplicative; +0.5 keeps u in (0,1) so ln never sees 0): unlike
     xxhash64 it is computable verbatim in any SQL engine, so selection is
-    replay-deterministic AND oracle-checkable. ln/division on identical
-    doubles order identically in both engines; u is injective only below
-    M, so the rank carries a doc_id tie-break for >1M-doc corpora.
+    replay-deterministic AND oracle-checkable. The id is mod-reduced
+    BEFORE the multiply — identical by modular arithmetic, but raw
+    doc_id·A overflows BIGINT past doc_id ≈ 3.47e9 (ANSI error; the
+    events_bootstrap_ci lesson), while (M−1)·A ≈ 2.7e15 ≪ 2⁶³.
+    ln/division on identical doubles order identically in both engines;
+    u is injective only below M, so the rank carries a doc_id tie-break
+    for >1M-doc corpora.
 
     Scale: same WindowGroupLimit shape as curation_sample_topk — per-
     partition top-K prune BEFORE the exchange, shuffle carries O(K·strata)
@@ -288,7 +292,10 @@ def q_curation_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     u = (
-        F.pmod(F.col("doc_id") * F.lit(_ES_A), F.lit(_ES_M)).cast("double")
+        F.pmod(
+            F.pmod(F.col("doc_id"), F.lit(_ES_M)) * F.lit(_ES_A),
+            F.lit(_ES_M),
+        ).cast("double")
         + F.lit(0.5)
     ) / F.lit(float(_ES_M))
     w_col = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
@@ -1161,11 +1168,11 @@ SELECT doc_id, lang, n_chars,
        CAST(rk AS INT) AS rk
 FROM (
   SELECT doc_id, lang, n_chars,
-         -ln(((doc_id * {_ES_A}) % {_ES_M} + 0.5) / {_ES_M}.0)
+         -ln((((doc_id % {_ES_M}) * {_ES_A}) % {_ES_M} + 0.5) / {_ES_M}.0)
            / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS es_key,
          row_number() OVER (
            PARTITION BY lang
-           ORDER BY -ln(((doc_id * {_ES_A}) % {_ES_M} + 0.5) / {_ES_M}.0)
+           ORDER BY -ln((((doc_id % {_ES_M}) * {_ES_A}) % {_ES_M} + 0.5) / {_ES_M}.0)
                     / CAST(GREATEST(n_chars, 1) AS DOUBLE) ASC,
                     doc_id ASC
          ) AS rk

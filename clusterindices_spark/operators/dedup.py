@@ -597,7 +597,10 @@ def connected_components(
 
 
 def connected_components_star(
-    nodes: DataFrame, edges: DataFrame, max_iters: int = 15
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_iters: int = 15,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star rounds —
     the O(log n)-round upgrade over min-label propagation (O(diameter)) for
@@ -635,7 +638,9 @@ def connected_components_star(
         .localCheckpoint(eager=True)
     )
     prev = None
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         # large-star over the symmetric view
         sym = e.unionByName(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -671,6 +676,8 @@ def connected_components_star(
         if cur == prev:
             break
         prev = cur
+    if stats is not None:  # observability for scale stress / callers
+        stats["rounds"] = rounds
     labels = e.groupBy("u").agg(F.min("v").alias("component"))
     out = (
         nodes.join(labels, nodes.node == labels.u, "left")

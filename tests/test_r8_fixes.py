@@ -37,6 +37,32 @@ def test_roundtrip_path_distinct_roots_same_basename():
     assert _roundtrip_path("json", a) != pa_  # format-keyed
 
 
+def test_sample_weighted_snowflake_ids(spark):
+    """doc_id = 5e9 breaks the raw Knuth multiply (5e9 * 2654435761 >
+    2^63 → ANSI error / wrap); the mod-before-multiply form must select
+    fine and by modular arithmetic pick the same clocks as small ids with
+    the same residue (int64_audit HIGH hit, round 8)."""
+    from clusterindices_spark.operators.curation import (
+        _ES_M,
+        q_curation_sample_weighted,
+    )
+
+    big = 5_000_000_000
+    rows = [
+        (big + i, "en", 100, "x" * 10) for i in range(5)
+    ] + [((big + i) % _ES_M, "fr", 100, "y" * 10) for i in range(5)]
+    tmp = tempfile.mkdtemp(prefix="ci-esample-")
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, lang STRING, n_chars INT, text STRING"
+    ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    out = q_curation_sample_weighted(spark, tmp).collect()
+    en = sorted(
+        (r["es_key"] for r in out if r["lang"] == "en")
+    )
+    fr = sorted((r["es_key"] for r in out if r["lang"] == "fr"))
+    assert len(en) == 5 and en == fr  # same residues → same clocks
+
+
 def test_attribution_share_is_integer_div(spark):
     """Planted purchase with 3 touches: 10 µ-revenue splits as
     div(10,3)=3 per touch, remainder dropped — 9 µ attributed total.

@@ -71,7 +71,8 @@ def stress_cc(spark) -> dict:
     nodes.count()
 
     t0 = time.monotonic()
-    comp = connected_components_star(nodes, edges).persist()
+    st: dict = {}
+    comp = connected_components_star(nodes, edges, stats=st).persist()
     n_comp = comp.select("component").distinct().count()
     sec = time.monotonic() - t0
 
@@ -91,6 +92,7 @@ def stress_cc(spark) -> dict:
         "n_nodes": n_nodes,
         "n_edges": n_edges,
         "wall_sec": round(sec, 1),
+        "rounds": st.get("rounds"),
         "n_components": n_comp,
         "max_component": big,
         "chain_label_errors": bad_chain,
