@@ -532,7 +532,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def connected_components(
-    nodes: DataFrame, edges: DataFrame, max_iters: int = 25
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_iters: int = 25,
+    strict: bool = True,
 ) -> DataFrame:
     """Min-label propagation over undirected edges → (node, component) with
     component = smallest node id reachable. Deterministic.
@@ -564,6 +567,7 @@ def connected_components(
     )
     labels = nodes.select(F.col("node"), F.col("node").alias("label")).persist()
     prev_sum = labels.agg(F.sum("label")).first()[0]
+    converged = False
     for i in range(max_iters):
         neighbor_labels = (
             sym.join(labels, sym.src == labels.node)
@@ -583,8 +587,22 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:  # labels only ever decrease; sum is a fixpoint witness
+            converged = True
             break
         prev_sum = new_sum
+    # O(diameter) truncation is WRONG labels, not an approximation — fail
+    # loudly and point at the O(log n) engine (the round-8 CC stress lesson)
+    if not converged:
+        msg = (
+            f"connected_components did not converge in {max_iters} rounds "
+            f"(diameter > rounds); use connected_components_star or raise "
+            f"max_iters"
+        )
+        if strict:
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, stacklevel=2)
     # sym stays materialized under its pin (released by the next
     # invocation's _repin or clear_pins). The loop-materialized label table
     # registers via pin_materialized — replacement MUST be same-plan-aware
@@ -599,8 +617,9 @@ def connected_components(
 def connected_components_star(
     nodes: DataFrame,
     edges: DataFrame,
-    max_iters: int = 15,
+    max_iters: int = 40,
     stats: dict | None = None,
+    strict: bool = True,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star rounds —
     the O(log n)-round upgrade over min-label propagation (O(diameter)) for
@@ -639,6 +658,7 @@ def connected_components_star(
     )
     prev = None
     rounds = 0
+    converged = False
     for _ in range(max_iters):
         rounds += 1
         # large-star over the symmetric view
@@ -674,10 +694,26 @@ def connected_components_star(
         e = ss
         cur = tuple(state)
         if cur == prev:
+            converged = True
             break
         prev = cur
     if stats is not None:  # observability for scale stress / callers
         stats["rounds"] = rounds
+        stats["converged"] = converged
+    # Hitting the cap without the fixpoint means the labels are WRONG, not
+    # merely approximate (the round-8 5M-node/100k-chain stress returned
+    # 672k bad labels silently at the old cap of 15) — fail loudly. The
+    # cap exists only to bound a pathological input, not as an answer.
+    if not converged:
+        msg = (
+            f"connected_components_star did not reach its fixpoint in "
+            f"{max_iters} rounds — labels would be wrong; raise max_iters"
+        )
+        if strict:
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, stacklevel=2)
     labels = e.groupBy("u").agg(F.min("v").alias("component"))
     out = (
         nodes.join(labels, nodes.node == labels.u, "left")

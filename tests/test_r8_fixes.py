@@ -37,6 +37,75 @@ def test_roundtrip_path_distinct_roots_same_basename():
     assert _roundtrip_path("json", a) != pa_  # format-keyed
 
 
+def test_cc_nonconvergence_raises(spark):
+    """A chain needs ~2·log₂(len) star rounds; a cap below that must RAISE,
+    never return silently-wrong labels (the round-8 5M-node stress found
+    672k bad labels under the old silent truncation)."""
+    import pytest
+
+    from clusterindices_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n = 64
+    nodes = spark.range(0, n).selectExpr("id AS node")
+    edges = spark.range(0, n - 1).selectExpr("id AS src", "id+1 AS dst")
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components_star(nodes, edges, max_iters=2)
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(nodes, edges, max_iters=3)
+    # and with enough rounds both close the chain exactly
+    st: dict = {}
+    out = connected_components_star(nodes, edges, stats=st)
+    assert st["converged"] and st["rounds"] > 2
+    assert out.where("component != 0").count() == 0
+
+
+def test_url_canonical_past_2_53(spark):
+    """Page id = doc_id div 4 must stay exact past 2^53: at 2^55 doubles
+    are spaced 8 apart, so floor-of-double maps doc_id 2^55+4 (true page
+    2^53+1) onto page 2^53 and MERGES two different pages' URLs. The
+    integer-div form must keep the two variant-groups separate."""
+    from clusterindices_spark.operators.dedup import q_dedup_url_canonical
+
+    big = 1 << 55
+    # docs 0-3 -> page big/4; docs 4-7 -> page big/4+1. Per page, variants
+    # 0+1 canonicalize together and 2+3 canonicalize together -> 2 dup
+    # groups of 2 per page, 4 groups total; a double-division page
+    # collapse re-buckets doc big+3 onto the next page and breaks the
+    # pairing.
+    rows = [(big + i, "en", 10, "t") for i in range(8)]
+    tmp = tempfile.mkdtemp(prefix="ci-url53-")
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, lang STRING, n_chars INT, text STRING"
+    ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    out = q_dedup_url_canonical(spark, tmp).collect()
+    assert len(out) == 4
+    assert all(r["n_copies"] == 2 for r in out)
+    pages = {r["canonical_url"].split("/page/")[1].split("?")[0] for r in out}
+    assert pages == {str(big // 4), str(big // 4 + 1)}
+
+
+def test_scalar_math_idiv_past_2_53(spark):
+    """idiv = l_orderkey div 7 must be the exact integer quotient at
+    snowflake scale (floor(x/7.0) in double drifts once x > 2^53)."""
+    from clusterindices_spark.operators.relational import q_scalar_math
+
+    # x = 2^53+23: x ≡ 6 (mod 7) and double(x) ties-to-even UP to x+1,
+    # a multiple of 7 — so floor(double(x)/7.0) lands on true_quotient+1
+    # (red under the old form); integer div must give the true quotient
+    big = (1 << 53) + 23
+    tmp = tempfile.mkdtemp(prefix="ci-idiv53-")
+    spark.createDataFrame(
+        [(big, 1, 100.0, 1.0, 0.05)],
+        "l_orderkey BIGINT, l_linenumber INT, l_extendedprice DOUBLE, "
+        "l_quantity DOUBLE, l_discount DOUBLE",
+    ).write.mode("overwrite").parquet(f"{tmp}/lineitem.parquet")
+    (r,) = q_scalar_math(spark, tmp).collect()
+    assert r["idiv"] == big // 7
+
+
 def test_sample_weighted_snowflake_ids(spark):
     """doc_id = 5e9 breaks the raw Knuth multiply (5e9 * 2654435761 >
     2^63 → ANSI error / wrap); the mod-before-multiply form must select

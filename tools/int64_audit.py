@@ -59,13 +59,12 @@ LIT_BEG = re.compile(r"^\(*cast\((\d+) as bigint\)|^\(*(\d+)[^.\d]")
 
 # (key, substring-of-signature) -> justification. A HIGH hit is explained if
 # any ALLOW entry's key matches and its substring occurs in the signature.
-ALLOW: dict[tuple[str, str], str] = {
-    # minhash affine permutations: fp = rolling_fingerprint mod
-    # FNV_MOD (1e9), multiplier (2i+1) <= 31 -> product <= 3.1e10 << 2^63
-    # (functions/text.py:13, dedup._mh_perm)
-    ("dedup_minhash_est", "* fp#"): "fp < FNV_MOD=1e9; (2i+1)*fp <= 3.1e10",
-    ("dedup_minhash_pr_curve", "* fp#"): "fp < FNV_MOD=1e9; (2i+1)*fp <= 3.1e10",
-}
+# Empty as of round 8: the four real hits the first sweep surfaced
+# (agg_bitmap_distinct, dedup_url_canonical, scalar_math double-division;
+# curation_sample_weighted raw Knuth multiply) were all FIXED rather than
+# pinned, and the bounded col*lit forms (minhash permutations: fp < 1e9,
+# multiplier <= 31) classify as LOW on their small literals.
+ALLOW: dict[tuple[str, str], str] = {}
 
 
 def signature(fragment: str) -> str:
