@@ -165,6 +165,7 @@ def stress_ivf(spark) -> dict:
     )
 
     n_vecs = int(os.environ.get("IVF_VECS", "5000000"))
+    n_cells = int(os.environ.get("IVF_CELLS", "8"))
     dim = 16
     # cluster 0 gets 90%; 1..7 split the rest. center(c)[j] = 10c; noise
     # in [-0.5, 0.5) from a per-(id, j) hash — fully deterministic.
@@ -188,7 +189,7 @@ def stress_ivf(spark) -> dict:
     emb.count()
 
     t0 = time.monotonic()
-    cents, index = ivf_build(emb, n_cells=8, lloyd_iters=2)
+    cents, index = ivf_build(emb, n_cells=n_cells, lloyd_iters=2)
     index = index.persist()
     hist = index.groupBy("cell").count().collect()
     build_sec = time.monotonic() - t0
@@ -212,9 +213,10 @@ def stress_ivf(spark) -> dict:
     return {
         "metric": "ivf_skew_stress",
         "n_vecs": n_vecs,
+        "n_cells": n_cells,
         "dim": dim,
         "build_sec": round(build_sec, 1),
-        "cell_sizes_desc": sizes,
+        "cell_sizes_desc": sizes[:10],
         "cell_skew_max_over_mean": round(sizes[0] / (n_vecs / len(sizes)), 2),
         "hot_probe_sec": hot_sec,
         "cold_probe_sec": cold_sec,
