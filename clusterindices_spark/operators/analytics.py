@@ -584,7 +584,13 @@ def q_events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT arithmetic end-to-end; the only float is the final /1e6).
     The per-touch share is integer ``div`` on BOTH engines — bigint ``/``
     evaluates in double, and past 2⁵³ µ floor-of-double can differ from
-    integer floor-div by 1 µ (ADVICE r7).
+    integer floor-div by 1 µ (ADVICE r7). Note ``div`` TRUNCATES toward
+    zero (Spark div == DuckDB //, so parity holds either way): for
+    refund-scale NEGATIVE rev_micros the dropped remainder is ≤ 0 — i.e.
+    shares round toward zero, not floor — and the "remainder < n_touches
+    µ-units dropped" bound reads in absolute value (ADVICE r9). The
+    events fixture's purchase values are non-negative, so the gate only
+    ever sees the floor==truncate regime.
 
     Scale: the purchase⋈touch window join is the last_touch shape (user-
     keyed equi component + time-range predicate); the per-purchase touch

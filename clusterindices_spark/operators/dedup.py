@@ -599,6 +599,11 @@ def connected_components(
             f"max_iters"
         )
         if strict:
+            # release the per-round persist before bailing — the raise path
+            # skips pin_materialized, so without this the final label table
+            # leaks cached partitions for the rest of the session (r9
+            # ADVICE); sym's pin is released by the next _repin/clear_pins
+            labels.unpersist()
             raise RuntimeError(msg)
         import warnings
 

@@ -647,7 +647,7 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     division, and past 2⁵³ the quotient loses low bits, so two distinct
     snowflake-scale ids can collapse onto one (word, bit) and silently
     undercount (the events_ewma_smooth integer-div rule; boundary test
-    plants 2⁵³+1 / 2⁵³+2 in tests/test_relational_ext.py)."""
+    plants 2⁵³+1 / 2⁵³+2 in tests/test_r7b_ops.py)."""
     e = load_table(spark, sf_dir, "events").where(
         F.col("user_id").isNotNull()
     )

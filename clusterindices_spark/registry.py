@@ -49,79 +49,81 @@ _MODULES = [
     "clusterindices_spark.sql",
 ]
 
-# Round-8 driver-window priority (VERDICT r7 "Next round" #1). Exactly 50
-# keys = the driver's per-round check budget: the 23 round-7 oracle-backed
-# keys the driver has never reached (r7's _NEXT, all judge-verified green in
-# the r7 independent 282-key gate), then the 7 rows-only approx/ML keys
-# whose LATEST driver row is still the r2 hash-fail from before the driver
-# learned the rows-only class (VERDICT r7 wrong #2 — one window slot each so
-# no key's latest driver status is a fail), then 20 re-confirmations —
-# r8-touched paths first (relational_ext.py bitmap div, analytics.py
-# attribution div, readers.py tempdir keying, embeddings.py dim-covariance
-# guard), then the oldest stable greens. After this window lands, cumulative
-# driver-green = 260/260 oracle-backed.
+# Round-9 driver-window priority (VERDICT r8 "Next round" #2 — finish
+# driver coverage). Exactly 50 keys: the 15 rows-only keys that have NEVER
+# had a driver row (all green as ROWS in the judge's independent r8 gate;
+# one slot each closes the last coverage gap — with these recorded, every
+# key in the registry has a driver row whose latest status is
+# green-or-ROWS), then the 2 keys int64-FIXED in r8 AFTER their latest
+# driver rows (scalar_math r1 row predates the l_orderkey div fix;
+# curation_sample_weighted r4 row predates the mod-before-multiply fix —
+# both judge-green post-fix, rotate in for a post-fix driver row), then 33
+# re-confirmations — r9-touched paths first (dedup.py CC strict-raise
+# unpersist, analytics.py attribution truncation-semantics note, IVF build
+# path), then the stalest stable greens (r1 rows oldest-first, then r2).
 _FRONT = [
-    # the 23 oracle-backed round-7 keys with no driver row yet (r7 _NEXT)
-    "dedup_cluster_keep_best",
-    "events_streak_lengths",
-    "events_changepoint_loc",
-    "events_interarrival_fit",
-    "agg_incremental_mv",
-    "dedup_url_canonical",
-    "text_code_detect",
-    "embedding_random_projection",
-    "join_spatial_radius",
-    "events_attribution_linear",
-    "source_jsonl_roundtrip",
-    "text_pmi_bigrams",
-    "events_pattern_match",
-    "events_gini_activity",
-    "versioned_snapshot_diff",
-    "text_bpe_train_merges",
-    "agg_equidepth_histogram",
-    "events_diff_in_diff",
-    "events_power_mde",
-    "events_cuped",
-    "curation_anneal_mixture",
-    "scalar_ipv4_cidr",
-    "agg_bitmap_distinct",
-    # the 7 stale rows-only keys (latest driver row = r2 hash-fail; the
-    # driver's rows-only check now records them correctly)
-    "kmeans_sweep_small",
-    "kmeans_sweep_best_k",
-    "agg_approx",
-    "dedup_near_minhash",
-    "dedup_simhash",
-    "similarity_ann_lsh",
-    "similarity_ann_ivf",
-    # 20 re-confirmations — r8-touched paths first, then stable greens
-    "source_csv_roundtrip",
-    "source_orc_roundtrip",
-    "source_xml_roundtrip",
-    "embedding_dim_covariance",
-    "index_suite",
-    "silhouette_exact",
-    "dedup_exact",
+    # the 15 rows-only keys with no driver row in r1-r8 (VERDICT r8 list)
+    "bisecting_sweep_small",
+    "gmm_sweep_small",
+    "gap_statistic",
+    "dedup_semantic_clusters_ann",
+    "similarity_ivf_nprobe_curve",
+    "similarity_knn_graph",
+    "embedding_pq_codes",
+    "similarity_ann_pq",
+    "similarity_pq_expand_curve",
+    "similarity_ann_ivfpq",
+    "embedding_pca_project",
+    "embedding_whiten",
+    "agg_quantiles_approx",
+    "text_heavy_hitters_cms",
+    "agg_hll_partitioned_merge",
+    # int64-fixed in r8 after their latest driver rows — record post-fix
+    "scalar_math",
+    "curation_sample_weighted",
+    # 33 re-confirmations — r9-touched paths first, then stalest greens
     "dedup_components",
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q6",
-    "agg_basic",
-    "window_rank",
-    "join_asof",
-    "scan_project_filter",
-    "topk_orders",
-    "text_tokens_stats",
-    "text_langid",
-    "similarity_topk_exact",
-    "events_cusum",
+    "dedup_components_star",
+    "events_attribution_linear",
+    "similarity_ann_ivf",
+    "join_broadcast",
+    "join_sortmerge",
+    "join_semi_anti",
+    "agg_rollup",
+    "window_frame",
+    "set_ops",
+    "scalar_datetime",
+    "scalar_array",
+    "scalar_json",
+    "tpch_q5",
+    "tpch_q10",
+    "tpch_q14",
+    "tpch_q18",
+    "tpch_q7",
+    "tpch_q13",
+    "tpch_q19",
+    "tpch_q22",
+    "tpch_q4",
+    "tpch_q15",
+    "tpch_q17",
+    "agg_grouping_sets",
+    "agg_stats",
+    "pivot_wide",
+    "unpivot_long",
+    "subquery_scalar",
+    "centroids_by_label",
+    "intra_cluster_stats",
+    "inter_centroid_min",
+    "bd_silhouette",
 ]
 
-# Immediately after the 50-slot window: new round-8 oracle-backed keys that
+# Immediately after the 50-slot window: new round-9 oracle-backed keys that
 # should be the FIRST to get driver rows if the window is wider than 50 (and
-# the head of round 9's window otherwise). Rows-only keys stay at the very
-# end so they never burn a driver slot. Round 8 is a hardening round
-# (VERDICT r7 #6: gap-closers over breadth) — new keys land here as added.
+# the head of round 10's window otherwise). Round 9 is a hardening round
+# (VERDICT r8 #7: gap-closers only) — new keys land here as added. NOTE the
+# usual "rows-only keys never burn a driver slot" rule is deliberately
+# suspended for the r9 _FRONT above: VERDICT r8 missing #1 asks for exactly
+# those 15 rows-only driver rows to complete 282/282 coverage.
 _NEXT: list[str] = []
 
 

@@ -10,9 +10,17 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
 
 def test_fixed_keys_stay_clean(spark):
+    import pytest
+
     from int64_audit import ALLOW, audit_plan
 
     from clusterindices_spark import registry
+
+    # env-portable fixture root (ADVICE r9: hard-coding the path made this
+    # guard ERROR instead of SKIP on hosts without the driver's testdata)
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+    if not os.path.isdir(sf_dir):
+        pytest.skip(f"fixture dir {sf_dir} absent")
 
     queries, _ = registry._load()
     keys = [
@@ -24,7 +32,7 @@ def test_fixed_keys_stay_clean(spark):
     ]
     for key in keys:
         plan = (
-            queries[key](spark, "/root/testdata/sf0.001")
+            queries[key](spark, sf_dir)
             ._jdf.queryExecution()
             .analyzed()
             .toString()

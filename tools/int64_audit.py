@@ -90,6 +90,30 @@ def classify(names: set[str]) -> str:
     return "HIGH" if any(ID_LIKE.match(n) for n in names) else "LOW"
 
 
+def _leading_double_cast(rs: str) -> bool:
+    """True iff the RIGHT operand itself is ``cast(... as double)`` —
+    matched on the cast's OWN balanced parens, not a substring scan of the
+    context window. The old ``"as double)" in rs[:60]`` heuristic could
+    suppress a genuine bigint*bigint hit when the operand was
+    ``cast(x as bigint)`` and an unrelated double cast appeared later in
+    the 60-char window (ADVICE r9 — audit false negative)."""
+    rs = rs.lstrip("(")  # grouping parens around the operand
+    if not rs.startswith("cast("):
+        return False
+    depth = 0
+    for i, ch in enumerate(rs):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return rs[: i + 1].endswith(" as double)")
+    # cast( truncated by the 130-char context window — fall back to the
+    # conservative answer (NOT a double cast ⇒ the hit is kept, never
+    # silently suppressed)
+    return False
+
+
 def audit_plan(key: str, plan: str):
     """Yield (kind, severity, names, signature) hits for one plan."""
     seen = set()
@@ -113,7 +137,7 @@ def audit_plan(key: str, plan: str):
         yield ("bigint/ as double", classify(names), names, sig)
     for left, right in sides(plan, "*"):
         ls, rs = left.rstrip(), right.lstrip()
-        if ls.endswith("as double)") or rs.startswith("cast(") and "as double)" in rs[:60]:
+        if ls.endswith("as double)") or _leading_double_cast(rs):
             continue  # double math; covered by the / sweep if relevant
         lc, rc = COL_END.search(ls), COL_BEG.match(rs)
         ll = LIT_END.search(ls) if not lc else None
