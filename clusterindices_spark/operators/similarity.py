@@ -525,10 +525,29 @@ def ivf_build(
     emb: DataFrame,
     n_cells: int = 8,
     lloyd_iters: int = 2,
+    sample_cap: int | None = 100_000,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF index build: coarse-quantize vectors into ``n_cells`` Voronoi
     cells (seeds = lowest vec_ids, refined with ``lloyd_iters`` pure-
     DataFrame Lloyd passes — fully deterministic, no MLlib randomness).
+
+    Sampled fit (VERDICT r8 item 4 — the scale-correct BUILD path): Lloyd
+    refinement is O(n·K) distance evaluations PER ROUND, the one place the
+    IVF pipeline paid superlinearly in K at corpus scale (measured 166 s
+    at n_cells=64 over 5M vecs in the r8 stress). Centroid FIT now runs on
+    a deterministic hash-sample of at most ``sample_cap`` rows (overflow-
+    safe Knuth mod-reduce on vec_id — the r7 portable-hash convention; no
+    rand()), and the FULL corpus is distance-evaluated exactly once, at
+    the final index assignment. Build cost drops from O(n·K·iters + n·K)
+    to O(s·K·iters + n·K) with s = sample_cap: at 100 TB the fit cost is
+    CONSTANT in corpus size while assignment stays a single embarrassingly
+    parallel broadcast pass. Centroid quality is a sample estimate of the
+    same Voronoi means — recall floors are re-verified by the standing
+    bench gate (>=0.90) and the A/B lives in tools/scale_stress.py
+    (IVF_SAMPLE_CAP env). ``sample_cap=None`` restores full-corpus fit.
+    Gate/bench SFs (<=80k vecs) sit under the default cap, so their
+    builds — and every oracle/recall artifact — are bit-identical to the
+    unsampled path.
 
     Returns ``(folded_cents, index)``: the 1-row folded centroid table
     (``unfold_cents`` gives the K-row form) and the inverted file
@@ -547,7 +566,7 @@ def ivf_build(
 
     pts = emb.select("vec_id", "x").persist(StorageLevel.MEMORY_AND_DISK)
     spark = emb.sparkSession
-    params = (n_cells, lloyd_iters)
+    params = (n_cells, lloyd_iters, sample_cap)
     prev = _IVF_TRAINED.get(params)
     if prev is not None and same_plan(prev[0], pts):
         # return the ONE literal DataFrame created at training time — in
@@ -586,9 +605,25 @@ def ivf_build(
     # re-executes the whole Lloyd chain per consumer (measured ~0.8 s of
     # duplicated stages at sf0.1). One row of K×dim doubles —
     # driver-scale by construction.
+    # fit set: the full corpus under the cap, else a deterministic hash
+    # slice of ~sample_cap rows (fraction from ONE count over the persisted
+    # points — the count doubles as the persist materializer). The filter
+    # re-evaluates over cached pts per Lloyd reference: cheaper than a
+    # second cache entry.
+    fit = pts
+    if sample_cap is not None:
+        n = pts.count()
+        if n > sample_cap:
+            thresh = max(1, (1_000_003 * sample_cap) // n)
+            fit = pts.where(
+                F.expr(
+                    "((vec_id % 1000003) * 2654435761) % 1000003"
+                    f" < {thresh}"
+                )
+            )
     folded = seeds
     for _ in range(lloyd_iters):
-        folded = _centroids_folded(_assign_folded(pts, folded))
+        folded = _centroids_folded(_assign_folded(fit, folded))
     rows = folded.collect()
     folded = spark.createDataFrame(rows, folded.schema)
     _IVF_TRAINED[params] = (pts, folded)

@@ -166,6 +166,7 @@ def stress_ivf(spark) -> dict:
 
     n_vecs = int(os.environ.get("IVF_VECS", "5000000"))
     n_cells = int(os.environ.get("IVF_CELLS", "8"))
+    sample_cap = int(os.environ.get("IVF_SAMPLE_CAP", "100000"))
     dim = 16
     # cluster 0 gets 90%; 1..7 split the rest. center(c)[j] = 10c; noise
     # in [-0.5, 0.5) from a per-(id, j) hash — fully deterministic.
@@ -188,34 +189,70 @@ def stress_ivf(spark) -> dict:
     )
     emb.count()
 
+    # Build A/B (VERDICT r8 item 4): sampled-fit Lloyd (cap rows) vs the
+    # full-corpus fit. Same seeds, same round count — the only difference
+    # is the point set the centroid means are estimated from. A throwaway
+    # 2-cell build absorbs the one-time codegen/stage warmup so neither arm
+    # pays it (first-build-runs-cold confounded the walls otherwise).
+    ivf_build(emb, n_cells=2, lloyd_iters=1, sample_cap=sample_cap)[1].count()
     t0 = time.monotonic()
-    cents, index = ivf_build(emb, n_cells=n_cells, lloyd_iters=2)
+    cents, index = ivf_build(
+        emb, n_cells=n_cells, lloyd_iters=2, sample_cap=sample_cap
+    )
     index = index.persist()
     hist = index.groupBy("cell").count().collect()
     build_sec = time.monotonic() - t0
     sizes = sorted((r["count"] for r in hist), reverse=True)
 
-    def search(probe_ids):
+    t0 = time.monotonic()
+    cents_full, index_full = ivf_build(
+        emb, n_cells=n_cells, lloyd_iters=2, sample_cap=None
+    )
+    index_full = index_full.persist()
+    index_full.count()
+    build_full_sec = time.monotonic() - t0
+
+    def search(cents_, index_, probe_ids, n_probe_cells=1):
         # _probe_cells renames (vec_id, x) -> (probe_id, xa) itself
         probes = emb.where(F.col("vec_id").isin(probe_ids))
         t = time.monotonic()
-        _ivf_search(cents, index, probes, k=10, n_probe_cells=1).count()
-        return round(time.monotonic() - t, 1)
+        got = _ivf_search(
+            cents_, index_, probes, k=10, n_probe_cells=n_probe_cells
+        ).select("probe_id", "neighbor_id").collect()
+        return round(time.monotonic() - t, 1), {
+            (r["probe_id"], r["neighbor_id"]) for r in got
+        }
 
     # vec_id % 10 < 9 → cluster 0 (hot); vec_id % 10 == 9 → cold cells
     hot_ids = [i * 10 for i in range(32)]
     cold_ids = [i * 10 + 9 for i in range(32)]
-    search(hot_ids)  # warm codegen
-    hot_sec = search(hot_ids)
-    cold_sec = search(cold_ids)
+    search(cents, index, hot_ids)  # warm codegen
+    hot_sec, _ = search(cents, index, hot_ids)
+    cold_sec, _ = search(cents, index, cold_ids)
+
+    # recall floor at the stress scale: nprobe=n_cells IS exact top-k
+    # (bit-identical round + tie-break — the r7 one-scan lesson), so the
+    # exact ground truth reuses the same search kernel. Either index works
+    # as the exact oracle (every cell probed ⇒ every vector scanned).
+    probe_ids = hot_ids + cold_ids
+    _, exact = search(cents, index, probe_ids, n_probe_cells=n_cells)
+    _, got_sampled = search(cents, index, probe_ids)
+    _, got_full = search(cents_full, index_full, probe_ids)
+    recall_sampled = round(len(got_sampled & exact) / len(exact), 4)
+    recall_full = round(len(got_full & exact) / len(exact), 4)
+
     part = _part_rows(index, ["cell"])
-    emb.unpersist(), index.unpersist()
+    emb.unpersist(), index.unpersist(), index_full.unpersist()
     return {
         "metric": "ivf_skew_stress",
         "n_vecs": n_vecs,
         "n_cells": n_cells,
         "dim": dim,
+        "sample_cap": sample_cap,
         "build_sec": round(build_sec, 1),
+        "build_full_sec": round(build_full_sec, 1),
+        "recall_at10_nprobe1_sampled": recall_sampled,
+        "recall_at10_nprobe1_full": recall_full,
         "cell_sizes_desc": sizes[:10],
         "cell_skew_max_over_mean": round(sizes[0] / (n_vecs / len(sizes)), 2),
         "hot_probe_sec": hot_sec,
