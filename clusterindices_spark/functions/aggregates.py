@@ -62,7 +62,17 @@ def round6_stable(col):
     to round half-away-from-zero without changing SQL_ROUND6 in lockstep,
     or parity breaks. Where the conventional sign-symmetric rounding is
     wanted for presentation, negate-round-negate as text_zipf_fit does
-    (ADVICE r4)."""
+    (ADVICE r4).
+
+    int64 LOW-class accuracy bound (pinned r9, the shared choke point for
+    every ``bigint/ as double`` audit hit): a BIGINT numerator/denominator
+    cast to double is exact up to 2⁵³ and correct to 1 ulp beyond; since
+    BOTH engines evaluate the identical double expression, parity holds at
+    ANY magnitude — past 2⁵³ the only effect is that the 6th decimal may
+    differ from infinite-precision by ≤1 µ-unit, identically on both
+    sides. This is an accuracy bound, never a divergence bound; the
+    silent-divergence class is quotient-KEYING (integer `div` rule,
+    tools/int64_audit.py HIGH class)."""
     from pyspark.sql import functions as F
 
     c = F.col(col) if isinstance(col, str) else col

@@ -308,6 +308,11 @@ def q_events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     skipped, documented). All regression sums are exact BIGINT products
     of integer counts — order-free — so only the final correlation
     division is floating point, identical in both engines, then r6.
+    BOUND (int64, pinned r9): Σ x·y ≤ max-hourly-count × per-type total,
+    so the moment sums stay exact while max_hourly × total < 2⁶³
+    (≈9.2e18 — e.g. 10M events/hour sustained against a 9e11-event type);
+    past it Spark ANSI-errors LOUDLY while DuckDB promotes to HUGEINT
+    (boundary behavior tested in tests/test_int64_bounds.py).
     Shuffles: one hourly agg, one per-type equi self-join on (type,
     hour+lag), one T×lag-row agg."""
     from clusterindices_spark.functions.aggregates import round6_stable
@@ -692,6 +697,10 @@ def q_events_gini_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked ascending (ties → user_id), G = (2·Σ rk·c − (n+1)·Σc)/(n·Σc).
     EVERY sum is exact BIGINT (rank-weighted count sums), so the only
     float is the final ratio — zero cross-engine drift surface.
+    BOUND (int64, pinned r9): Σ rk·c ≤ n·Σc and the closing expression
+    multiplies n·Σc directly, so exactness requires n_users ×
+    total_events < 2⁶³ (e.g. 1e9 users × 9e9 events); past it Spark
+    ANSI-errors LOUDLY, never a silent wrap (tests/test_int64_bounds.py).
 
     Scale: per-user counts (map-side combined), then the RANGE-PARTITIONED
     global rank (functions/ranking.py — parallel local sorts + P-row
@@ -799,8 +808,13 @@ def q_events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events_outliers / _seasonal) assume stationarity. Moments come from
     rolling integer-micro sums over a ROWS frame — exact, order-free —
     and the variance clamps at 0 before sqrt (DuckDB hard-errors on
-    negative sqrt). One event_type shuffle shared by the agg and the
-    frame."""
+    negative sqrt). BOUND (int64, pinned r9): the squared moment sums
+    per-bucket MILLI totals over a 24-bucket frame, exact while each
+    bucket's |Σvalue| ≤ ~6.2e5 units (milli ≤ 6.2e8 ⇒ 24·milli² <
+    2⁶³); past it Spark ANSI-errors LOUDLY while DuckDB promotes to
+    HUGEINT — boundary test drives the REAL operator both sides of the
+    line (tests/test_int64_bounds.py). One event_type shuffle shared by
+    the agg and the frame."""
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "events")
@@ -1111,6 +1125,10 @@ def q_events_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     π-weighted sum of those exact micro entropies — the weighting uses
     integer transition counts, so the only floats are the final /1e6
     renderings plus one division per term.
+    BOUND (int64, pinned r9): the π-weighting multiplies per-state
+    transition counts by micro-entropies ≤ log₂|types|·1e6 (≈5e6 at 32
+    types), exact while total transitions × 5e6 < 2⁶³ ⇒ ~1.8e12
+    transitions; past it Spark ANSI-errors LOUDLY.
 
     Scale: reuses the transition-count shape — one user_id lag window +
     a |types|²-key agg; everything after is broadcast-scale."""
@@ -1681,12 +1699,16 @@ def q_events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     would overflow BIGINT in the cross-products at corpus scale — the
     milli² device), all five user-level moments (Σx Σy Σxy Σxx Σyy) are
     exact BIGINTs, and the θ/ρ arithmetic is the same double-op sequence
-    both engines run, then round6. ASSUMED BOUND (the ab_ttest device):
-    each user's per-period milli sum |x|,|y| must stay ≤ ~3.0e9 (≈3M
-    value-units/user, vs the fixture's ≤ ~1e6) so x·y ≤ 9.2e18 < 2⁶³;
-    past it Spark wraps/ANSI-errors while DuckDB promotes to HUGEINT and
-    the engines diverge — clamp or re-quantize per-user sums before the
-    moment products if a corpus can breach it (ADVICE r7).
+    both engines run, then round6. ASSUMED BOUND (the ab_ttest device,
+    TIGHTENED r9 — the r8 form bounded each product but the moment sums
+    ADD across users, which the boundary test caught): the aggregate
+    Σ_u x², Σ_u x·y must stay < 2⁶³, so each user's per-period milli sum
+    |x|,|y| must stay ≤ ~3.0e9/√n_users (with the fixture's ≤ ~1e6-milli
+    users the headroom is ≥ 9 billion users); past it Spark ANSI-errors
+    LOUDLY while DuckDB promotes to HUGEINT and the engines diverge —
+    clamp or re-quantize per-user sums before the moment products if a
+    corpus can breach it (ADVICE r7; two-sided boundary test
+    tests/test_int64_bounds.py).
 
     Scale: one user-keyed conditional agg (map-side combined), then a
     scalar moment agg whose exchange moves five partial tuples (q6
@@ -1817,6 +1839,10 @@ def q_events_changepoint_loc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the division multiplied away so the statistic is EXACT BIGINT (no
     float drift in the argmax). Ties break to the earliest hour via
     max(struct(stat, −hour)) — the registry's modal-argmax convention.
+    BOUND (int64, pinned r9): |C_t·T − t·S| ≤ S·T, so the exact-argmax
+    contract holds while per-type total events × #hours < 2⁶³ (a year is
+    8784 hours ⇒ totals up to ~1.0e15 events/type); past it Spark
+    ANSI-errors LOUDLY (tests/test_int64_bounds.py).
     The last hour is excluded (a proper split needs a non-empty right
     side). Pre/post means are the only floats, rendered round6 at the end.
 

@@ -60,7 +60,11 @@ def q_cluster_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     validation): χ² = Σ_cells (O−E)²/E over the FULL K×L grid (zero-observed
     cells still contribute E), E = row·col/N. The grid is built by cross-
     joining the two marginal tables — K×L ≤ 100 rows, driver-scale math kept
-    distributed anyway for shape consistency."""
+    distributed anyway for shape consistency.
+    BOUND (int64, pinned r9): E's numerator row·col is a BIGINT product of
+    marginals ≤ N each — exact while N < ~3.0e9 points; past it Spark
+    ANSI-errors LOUDLY (tests/test_int64_bounds.py). Same bound governs
+    the n·(n−1) pair counts in external_agreement / agreement_ext below."""
     cont = q_cluster_label_contingency(spark, sf_dir)
     row_tot = cont.groupBy("cluster").agg(F.sum("n").alias("row_n"))
     col_tot = cont.groupBy("label").agg(F.sum("n").alias("col_n"))
@@ -93,7 +97,11 @@ def external_agreement(cont: DataFrame) -> DataFrame:
 
     - ARI (Hubert–Arabie): pair-counting index from ΣC(n_ij,2) and the
       marginal pair sums; every pair count is an exact BIGINT, only the
-      final ratio is floating.
+      final ratio is floating. BOUND (int64, pinned r9): C(n,2) =
+      n·(n−1) div 2 is exact while every marginal/cell count n < ~3.0e9
+      (n² < 2⁶³); past it Spark ANSI-errors LOUDLY. The pr·pl product
+      under ARI's sqrt is cast to double BEFORE multiplying — by intent
+      (it only feeds a float normalizer).
     - NMI (sqrt normalization): MI = (Σ n·ln n over cells − rows − cols
       + N·ln N)/N, H from the marginals — the n·ln n formulation keeps
       every term a function of an integer count, so both engines feed ln

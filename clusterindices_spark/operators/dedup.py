@@ -769,6 +769,9 @@ def triangle_census(edges: DataFrame) -> DataFrame:
 
     Output (1 row): n_nodes, n_edges, n_triangles, n_wedges (= Σ C(deg,2),
     integer-exact), transitivity = 3·triangles / wedges.
+    BOUND (int64, pinned r9): C(deg,2) = deg·(deg−1) div 2 is exact while
+    every node degree < ~3.0e9 (deg² < 2⁶³) — i.e. a single document with
+    3 billion near-duplicates; past it Spark ANSI-errors LOUDLY.
     """
     e = edges.select(F.col("a"), F.col("b"))
     deg = (

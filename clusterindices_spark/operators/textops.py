@@ -873,6 +873,10 @@ def q_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: counts are integers, so VMR = (N·Σc² − S²)/(N·S) needs NO
     micro-quantization anywhere — the two divisions at the end are the
     only floats (identical sequence both engines, then round6).
+    BOUND (int64, pinned r9): S² and N·Σc² stay exact while a term's
+    corpus-wide count S < ~3.0e9 AND n_docs·Σc² < 2⁶³; past either,
+    Spark ANSI-errors LOUDLY (tests/test_int64_bounds.py). A term with
+    3e9 occurrences is ~30× the full English Wikipedia's "the".
 
     Scale: one explode → (doc, term) agg → term agg (both map-side
     combined), 1-row doc-count broadcast; zeros never materialize (they

@@ -228,7 +228,11 @@ def c_index_of(
     """Hubert–Levin C-index. n_w comes from cluster counts (Σ n_k(n_k−1)/2,
     no pair scan); one pass over the i<j pair distances ranks them both
     ways (single-partition window — acceptable only because cap_quadratic
-    bounds the input; this tier is the yardstick, not the scale path)."""
+    bounds the input; this tier is the yardstick, not the scale path).
+    BOUND (int64, pinned r9): the n_k·(n_k−1) pair counts need n_k <
+    ~3.0e9 — structurally unreachable here because cap_quadratic bounds
+    total rows to QUADRATIC_MAX_ROWS long before any cluster count nears
+    the line; the bound is inherited, not load-bearing."""
     from clusterindices_spark.functions.guards import (
         QUADRATIC_MAX_ROWS,
         cap_quadratic,

@@ -1,0 +1,220 @@
+#!/usr/bin/env python
+"""Adversarial differential gate (VERDICT r8 item 1).
+
+Runs every registry key through the SAME Spark-vs-DuckDB comparison as
+tools/check_oracle.py, but over the hostile fixture dirs produced by
+tools/hostile_fixtures.py (empty tables, NULL floods, degenerate groups,
+unicode boundary text, 2^53/2^62-adjacent ids, maximal skew) — the input
+classes the well-formed gate fixtures can never produce. The r8 int64
+audit proved this hazard class is real ("invisible at gate SF"); this gate
+makes hunting it systematic instead of piecemeal.
+
+Outcome taxonomy per (variant, key):
+
+- PASS    — oracle hash-equal (count + schema + typed multiset), like the
+            driver's gate.
+- ROWS    — rows-only key ran without error (count recorded).
+- CLOSE   — values within 1e-9 but not bit-equal: counted as DIVERGE (the
+            driver's hash would fail).
+- XERR    — BOTH engines raised. Consistent rejection (e.g. ANSI overflow
+            vs DuckDB OUT_OF_RANGE) — explained only when pinned in ALLOW
+            with a one-line justification, otherwise counted as a finding.
+- DIVERGE — one engine raised while the other answered, or both answered
+            with different results. A real finding: fix with a red-before
+            test, or pin in ALLOW as a documented engine boundary.
+
+Exit 0 iff zero unexplained DIVERGE/XERR. Report: reports/hostile_gate.md.
+
+Usage: python tools/hostile_gate.py [--root /tmp/hostile]
+           [--variants empty,edge,bigid] [--report reports/hostile_gate.md]
+           [keys...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+import traceback
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from check_oracle import _eq, _rows  # reuse the driver-faithful comparators
+
+from clusterindices_spark.sources.fixtures import TABLES
+
+# (variant, key) -> one-line justification. An ALLOW'd XERR/DIVERGE is
+# "explained": a documented engine boundary (never a silent-wrong-answer),
+# with the docstring or test that pins it. Keep this SHORT — the default
+# answer to a finding is a fix.
+ALLOW: dict[tuple[str, str], str] = {}
+
+
+def _load_allow_extra():
+    """ALLOW entries contributed by operators' own modules would create a
+    circular-review smell; keep the single authority here."""
+    return ALLOW
+
+
+def run_gate(variants, keys, root, spark=None):
+    from clusterindices_spark.session import get_spark
+
+    import __spark_entry__ as e
+
+    spark = spark or get_spark("hostile-gate")
+    qs, oracles = e.queries(), e.oracle_sql()
+    keys = keys or list(qs)
+    results = []  # (variant, key, outcome, detail)
+    for variant in variants:
+        sf = os.path.join(root, variant)
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS "
+                f"SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+            )
+        for k in keys:
+            t0 = time.monotonic()
+            serr = derr = None
+            scols = srows = dcols = drows = None
+            try:
+                df = qs[k](spark, sf)
+                scols, srows = df.columns, df.collect()
+            except Exception as ex:
+                serr = f"{type(ex).__name__}: {str(ex)[:300]}"
+            if k not in oracles:
+                out = (
+                    ("SERR", serr)
+                    if serr
+                    else ("ROWS", f"{len(srows)} rows")
+                )
+            else:
+                try:
+                    res = con.execute(oracles[k])
+                    dcols = [d[0] for d in res.description]
+                    drows = res.fetchall()
+                except Exception as ex:
+                    derr = f"{type(ex).__name__}: {str(ex)[:300]}"
+                if serr and derr:
+                    out = ("XERR", f"spark[{serr}] duck[{derr}]")
+                elif serr:
+                    out = ("DIVERGE", f"spark raised, duck answered "
+                                      f"{len(drows)} rows: {serr}")
+                elif derr:
+                    out = ("DIVERGE", f"duck raised, spark answered "
+                                      f"{len(srows)} rows: {derr}")
+                else:
+                    out = _compare(scols, srows, dcols, drows)
+            results.append((variant, k, *out, round(time.monotonic() - t0, 1)))
+            print(f"{out[0]:7s} {variant}/{k}"
+                  + (f": {out[1]}" if out[0] not in ("PASS", "ROWS") else ""),
+                  flush=True)
+        con.close()
+    return results
+
+
+def _compare(scols, srows, dcols, drows):
+    problems = []
+    if sorted(scols) != sorted(dcols):
+        return ("DIVERGE",
+                f"schema: spark={sorted(scols)} duck={sorted(dcols)}")
+    if len(srows) != len(drows):
+        return ("DIVERGE", f"rowcount: spark={len(srows)} duck={len(drows)}")
+    sn = _rows(scols, [tuple(r) for r in srows])
+    dn = _rows(dcols, drows)
+    cols_sorted = sorted(scols)
+    for ci, cname in enumerate(cols_sorted):
+        st = {type(r[ci]).__name__ for r in sn if r[ci] is not None}
+        dt = {type(r[ci]).__name__ for r in dn if r[ci] is not None}
+        if st != dt:
+            problems.append(f"TYPE {cname}: spark={sorted(st)} duck={sorted(dt)}")
+    if problems:
+        return ("DIVERGE", " | ".join(problems))
+    if sn == dn:
+        return ("PASS", f"{len(sn)} rows")
+    close = all(
+        len(x) == len(y) and all(_eq(a, b) for a, b in zip(x, y))
+        for x, y in zip(sn, dn)
+    )
+    if close:
+        return ("DIVERGE", f"CLOSE: within 1e-9, not bit-equal ({len(sn)} rows)")
+    diffs = [
+        (x, y)
+        for x, y in zip(sn, dn)
+        if not (len(x) == len(y) and all(_eq(a, b) for a, b in zip(x, y)))
+    ][:2]
+    return ("DIVERGE", f"values differ; first: {diffs}"[:400])
+
+
+def write_report(results, path):
+    allow = _load_allow_extra()
+    lines = ["# Hostile differential gate (tools/hostile_gate.py)", ""]
+    n = {"PASS": 0, "ROWS": 0, "XERR": 0, "DIVERGE": 0, "SERR": 0}
+    unexplained = []
+    for variant, k, out, detail, sec in results:
+        n[out] += 1
+        if out in ("DIVERGE", "XERR", "SERR"):
+            if (variant, k) in allow:
+                continue
+            unexplained.append((variant, k, out, detail))
+    lines.append(
+        f"checked: {len(results)} (variant,key) cells — "
+        + ", ".join(f"{v} {c}" for c, v in sorted(
+            ((c, v) for v, c in n.items()), reverse=True))
+    )
+    lines.append(f"unexplained findings: {len(unexplained)}")
+    lines.append("")
+    if unexplained:
+        lines.append("## UNEXPLAINED (fix or pin in ALLOW)")
+        lines.append("")
+        for variant, k, out, detail in unexplained:
+            lines.append(f"- **{variant}/{k}** [{out}]: {detail}")
+        lines.append("")
+    if allow:
+        lines.append("## Pinned engine boundaries (ALLOW)")
+        lines.append("")
+        for (variant, k), why in sorted(allow.items()):
+            hit = next(
+                (d for v2, k2, o, d, _ in results
+                 if (v2, k2) == (variant, k) and o in ("DIVERGE", "XERR", "SERR")),
+                None,
+            )
+            lines.append(f"- **{variant}/{k}** — {why}"
+                         + (f" (observed: {hit[:160]})" if hit else
+                            " (did not fire this run)"))
+        lines.append("")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return len(unexplained)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/hostile")
+    ap.add_argument("--variants", default="empty,edge,bigid")
+    ap.add_argument("--report", default="reports/hostile_gate.md")
+    ap.add_argument("keys", nargs="*")
+    args = ap.parse_args()
+    variants = args.variants.split(",")
+    for v in variants:
+        if not os.path.isdir(os.path.join(args.root, v)):
+            print(f"fixture dir {args.root}/{v} missing — run "
+                  f"tools/hostile_fixtures.py first")
+            return 2
+    try:
+        results = run_gate(variants, args.keys, args.root)
+    except Exception:
+        traceback.print_exc()
+        return 2
+    bad = write_report(results, args.report)
+    print(f"\nreport: {args.report}; unexplained findings: {bad}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -57,6 +57,103 @@ COL_BEG = re.compile(r"^\(*([A-Za-z_]\w*)#\d+L")
 LIT_END = re.compile(r"cast\((\d+) as bigint\)\)*$|(\d+)\)*$")
 LIT_BEG = re.compile(r"^\(*cast\((\d+) as bigint\)|^\(*(\d+)[^.\d]")
 
+# LOW-class bound pins (VERDICT r8 item 3): every LOW hit is annotated in
+# the report with where its bound lives. Resolution: (key, kind) first,
+# then the (kind,) blanket. "pinned @" names the docstring that documents
+# the bound; boundary behavior for the riskiest sites is exercised by
+# tests/test_int64_bounds.py (loud-not-silent past the line).
+BOUND_PINS: dict[tuple, str] = {
+    # blanket classes
+    ("bigint/ as double",): (
+        "double-by-intent: BOTH engines evaluate the identical double "
+        "expression, so parity is exact at any magnitude; accuracy past "
+        "the 2^53 cast horizon is bounded at 1 ulp — pinned @ "
+        "clusterindices_spark/functions/aggregates.py (round6_stable "
+        "docstring, shared rendering choke point)"
+    ),
+    ("bigint*lit",): (
+        "small-literal quantizer/weight product; bound lit*max(col) < "
+        "2^63 documented per operator (minhash perms: fp<1e9 * mult<=31; "
+        "ewma: weight ladder bound @ analytics.py q_events_ewma_smooth; "
+        "equi-depth: n_rows*n_buckets; hamming popcount word literals)"
+    ),
+    # per-key pins for the bigint*bigint class (each docstring carries the
+    # derived bound and the loud-failure statement)
+    ("events_autocorr", "bigint*bigint"): (
+        "bound pinned @ analytics.py q_events_autocorr docstring: "
+        "max_hourly*per-type-total < 2^63; boundary test "
+        "tests/test_int64_bounds.py"
+    ),
+    ("events_changepoint_loc", "bigint*bigint"): (
+        "bound pinned @ analytics.py q_events_changepoint_loc docstring: "
+        "per-type total*#hours < 2^63; boundary test "
+        "tests/test_int64_bounds.py"
+    ),
+    ("events_gini_activity", "bigint*bigint"): (
+        "bound pinned @ analytics.py q_events_gini_activity docstring: "
+        "n_users*total_events < 2^63; boundary test "
+        "tests/test_int64_bounds.py"
+    ),
+    ("events_cuped", "bigint*bigint"): (
+        "bound pinned @ analytics.py q_events_cuped docstring (r8): "
+        "per-user period milli sums <= ~3.0e9; END-TO-END boundary test "
+        "tests/test_int64_bounds.py"
+    ),
+    ("events_rolling_zscore", "bigint*bigint"): (
+        "bound pinned @ analytics.py q_events_rolling_zscore docstring: "
+        "per-bucket |sum(value)| <= ~6.2e5 units; END-TO-END boundary "
+        "test tests/test_int64_bounds.py"
+    ),
+    ("events_markov_entropy", "bigint*bigint"): (
+        "bound pinned @ analytics.py q_events_markov_entropy docstring: "
+        "total transitions < ~1.8e12"
+    ),
+    ("text_burstiness", "bigint*bigint"): (
+        "bound pinned @ textops.py q_text_burstiness docstring: per-term "
+        "corpus count < ~3.0e9 and n_docs*sum(c^2) < 2^63; boundary test "
+        "tests/test_int64_bounds.py"
+    ),
+    ("cluster_chi2", "bigint*bigint"): (
+        "bound pinned @ assignment.py q_cluster_chi2 docstring: N < "
+        "~3.0e9 points; boundary test tests/test_int64_bounds.py"
+    ),
+    ("cluster_external_agreement", "bigint*bigint"): (
+        "bound pinned @ assignment.py external_agreement docstring: "
+        "marginal/cell counts < ~3.0e9; boundary test "
+        "tests/test_int64_bounds.py"
+    ),
+    ("cluster_agreement_ext", "bigint*bigint"): (
+        "bound pinned @ assignment.py external_agreement docstring "
+        "(shared n*(n-1) device): counts < ~3.0e9"
+    ),
+    ("c_index", "bigint*bigint"): (
+        "bound pinned @ validity.py c_index_of docstring: inherited from "
+        "cap_quadratic (QUADRATIC_MAX_ROWS), structurally unreachable"
+    ),
+    ("dedup_graph_triangles", "bigint*bigint"): (
+        "bound pinned @ dedup.py triangle_census docstring: node degree "
+        "< ~3.0e9"
+    ),
+    ("join_spatial_radius", "bigint*bigint"): (
+        "bound pinned @ relational_ext.py q_join_spatial_radius "
+        "docstring (r7b): planar integer-meter coords bounded by "
+        "construction, d^2 <= ~1.3e13"
+    ),
+    ("agg_quantiles_bucketed", "bigint*bigint"): (
+        "bound pinned @ relational_ext.py q_agg_quantiles_bucketed "
+        "docstring: rank*bucket products bounded by n_rows*n_buckets"
+    ),
+    ("events_rolling_zscore", "bigint*lit"): (
+        "milli re-quantization literal (div 1000) — see the q_events_"
+        "rolling_zscore bound above"
+    ),
+}
+
+
+def bound_pin(key: str, kind: str) -> str | None:
+    return BOUND_PINS.get((key, kind)) or BOUND_PINS.get((kind,))
+
+
 # (key, substring-of-signature) -> justification. A HIGH hit is explained if
 # any ALLOW entry's key matches and its substring occurs in the signature.
 # Empty as of round 8: the four real hits the first sweep surfaced
@@ -234,9 +331,16 @@ def main() -> int:
             for key, kind, _, names, sig, why in high_ok:
                 f.write(f"- {key} [{kind}] {names}: {why}\n")
             f.write("\n")
-        f.write("## LOW — value-scale hits (for review)\n\n")
+        f.write("## LOW — value-scale hits (bound-pinned per class)\n\n")
+        unpinned = 0
         for key, kind, _, names, sig, _ in low:
-            f.write(f"- {key} [{kind}] {names}: `{sig[:120]}`\n")
+            pin = bound_pin(key, kind)
+            if pin is None:
+                unpinned += 1
+            f.write(
+                f"- {key} [{kind}] {names}: `{sig[:120]}`\n"
+                f"  - {'bound pinned: ' + pin if pin else 'UNPINNED'}\n"
+            )
         if errors:
             f.write("\n## build errors\n\n")
             for key, ex in errors:
@@ -244,8 +348,8 @@ def main() -> int:
 
     print(
         f"{len(keys)} keys: {len(high_bad)} HIGH unexplained, "
-        f"{len(high_ok)} HIGH allowlisted, {len(low)} LOW, "
-        f"{len(errors)} build errors -> {out}"
+        f"{len(high_ok)} HIGH allowlisted, {len(low)} LOW "
+        f"({unpinned} unpinned), {len(errors)} build errors -> {out}"
     )
     for key, kind, _, names, sig, _ in high_bad:
         print(f"HIGH {key} [{kind}] {sorted(names)}: {sig[:140]}")
