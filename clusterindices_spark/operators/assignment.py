@@ -25,10 +25,24 @@ from clusterindices_spark.operators.indices import (
 def assign(pts: DataFrame, cents: DataFrame) -> DataFrame:
     """(vec_id, cluster, assigned_cluster): argmin_cl ‖x − c_cl‖², ties broken
     by smallest cluster id via lexicographic struct min — deterministic in
-    both engines."""
+    both engines.
+
+    The argmin compares ROUND6-quantized d2 (r9 hostile gate): an argmin is
+    a threshold decision, and raw float d2 exposes it to aggregation-order
+    ulp noise — DuckDB's parallel SUM in the oracle's `pc` CTE is
+    order-nondeterministic at the last bit, so exact-tie duplicates (two
+    identical vectors under different labels) flip assignments BETWEEN RUNS
+    of the same oracle. Quantizing both sides (here + the oracle's
+    ORDER BY floor(d2·1e6+0.5)) makes ulps irrelevant; genuine sub-1e-6
+    ties fall to the stable cluster-id tie-break."""
+    from clusterindices_spark.functions.aggregates import round6_stable
+
     best = F.array_min(
         F.transform(
-            F.col("d2s"), lambda s: F.struct(s["d2"].alias("d2"), s["cl"].alias("cl"))
+            F.col("d2s"),
+            lambda s: F.struct(
+                round6_stable(s["d2"]).alias("d2"), s["cl"].alias("cl")
+            ),
         )
     )
     return with_dist_array(pts, cents).select(
@@ -282,7 +296,7 @@ QUERIES = {
 _PC = """
 WITH pts AS (
   SELECT vec_id, label AS cluster, CAST(embedding AS DOUBLE[]) AS x
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL
 ),
 dimvals AS (
   SELECT vec_id, cluster, unnest(range(len(x))) AS dim, unnest(x) AS val FROM pts
@@ -299,7 +313,12 @@ assigned AS (
   SELECT vec_id, cluster, CAST(cl AS INT) AS assigned_cluster
   FROM (
     SELECT vec_id, cluster, cl,
-           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+           -- round6-quantized argmin: see assign()'s docstring (ulp-stable
+           -- under DuckDB's order-nondeterministic parallel float SUM)
+           row_number() OVER (
+             PARTITION BY vec_id
+             ORDER BY floor(d2 * 1000000.0 + 0.5), cl
+           ) AS rn
     FROM pc
   )
   WHERE rn = 1

@@ -58,7 +58,14 @@ def labeled_points(
     df = load_table(spark, sf_dir, "embeddings")
     if fan:
         df = fan_out(df)
-    return df.select(
+    # NULL-vector contract (r9 hostile gate): rows with no embedding carry
+    # no geometry — they are excluded from ALL vector math in BOTH engines
+    # (the oracle _PREFIX pts CTE filters identically). Without this, a
+    # NULL x poisons centroid means/assignments asymmetrically between the
+    # engines (edge-variant divergences across the whole validity family).
+    return df.where(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    ).select(
         "vec_id", F.col("label").alias("cluster"), F.col("embedding").alias("x")
     )
 
@@ -630,7 +637,7 @@ QUERIES = {
 _PREFIX = """
 WITH pts AS (
   SELECT vec_id, label AS cluster, CAST(embedding AS DOUBLE[]) AS x
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL
 ),
 dimvals AS (
   SELECT vec_id, cluster, unnest(range(len(x))) AS dim, unnest(x) AS val FROM pts

@@ -190,11 +190,27 @@ def _attach_clicks(purch: pd.DataFrame, clk: pd.DataFrame) -> pd.DataFrame:
         .rename(columns={"event_id": "click_id", "ms": "click_ms"})
         .drop(columns=["user_id"])
     )
-    out = pd.merge_asof(
-        p, c, left_on="purchase_ms", right_on="click_ms", direction="backward"
-    )
-    out["click_id"] = out["click_id"].astype("Int64")
-    out["click_ms"] = out["click_ms"].astype("Int64")
+    # int64-exact as-of: pd.merge_asof fills unmatched rows with NaN, which
+    # forces the WHOLE click column to float64 — odd ids past 2^53 round to
+    # the nearest even (9007199254741103 -> ...104) and the later
+    # astype("Int64") locks the corruption in. The r9 hostile bigid gate
+    # caught it; searchsorted on raw int64 arrays never leaves integers
+    # (tests/test_r9_fixes.py plants the exact id).
+    import numpy as np
+
+    cms = c["click_ms"].to_numpy(dtype="int64")
+    cid = c["click_id"].to_numpy(dtype="int64")
+    idx = (
+        np.searchsorted(
+            cms, p["purchase_ms"].to_numpy(dtype="int64"), side="right"
+        )
+        - 1
+    )  # last click_ms <= purchase_ms; ties resolved by sort order
+    matched = idx >= 0
+    take = np.clip(idx, 0, None)
+    out = p.copy()
+    out["click_id"] = pd.arrays.IntegerArray(cid[take], mask=~matched)
+    out["click_ms"] = pd.arrays.IntegerArray(cms[take], mask=~matched)
     return out[cols]
 
 
