@@ -788,6 +788,16 @@ def q_curation_anneal_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("source").agg(F.sum("n_toks").alias("toks"))
     total = src.agg(F.sum("toks")).collect()[0][0]
     k = src.count()
+    if not total or k == 0:
+        # empty corpus: no sources to schedule (oracle yields 0 rows) —
+        # return the empty schedule instead of float(None) (r9 hostile)
+        return src.where(F.lit(False)).select(
+            F.lit(0).alias("step"),
+            "source",
+            F.lit(0.0).alias("target_share"),
+            F.lit(0.0).alias("weight"),
+            F.lit(0).cast("bigint").alias("tokens_per_million"),
+        )
     share = F.col("toks") / F.lit(float(total))
     steps = F.explode(
         F.array(*[F.lit(t) for t in range(1, ANNEAL_STEPS + 1)])

@@ -931,6 +931,15 @@ def graph_pagerank(
     localCheckpoints exactly like connected_components (at 100 TB swap
     for checkpoint() to reliable storage)."""
     n = nodes.count()
+    if n == 0:
+        # empty graph: the per-node base share PR_SCALE // n is undefined
+        # and the oracle returns 0 rows — emit the same empty frame
+        # instead of a driver-side ZeroDivisionError (r9 hostile gate)
+        return nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("pr_units"),
+            F.lit(0.0).alias("pr"),
+        )
     sym = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )

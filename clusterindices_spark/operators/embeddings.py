@@ -83,7 +83,8 @@ def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return emb.select(
         "vec_id",
-        F.when(n == 0.0, F.lit(None).cast("string"))
+        # NULL embedding emits NULL, not concat_ws's '' (r9 hostile edge)
+        F.when(x.isNull() | (n == 0.0), F.lit(None).cast("string"))
         .otherwise(_int_csv(micros))
         .alias("unit_micros"),
         F.round(n, 6).alias("l2_norm"),
@@ -103,7 +104,8 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return emb.select(
         "vec_id",
-        F.when(mx == mn, F.lit(None).cast("string"))
+        # NULL embedding emits NULL, not concat_ws's '' (r9 hostile edge)
+        F.when(x.isNull() | (mx == mn), F.lit(None).cast("string"))
         .otherwise(_int_csv(q))
         .alias("qvec_csv"),
         F.round(mn, 6).alias("q_min"),
@@ -259,9 +261,15 @@ def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-eigensolve-based → rows-only check; properties (orthonormality,
     variance ordering, determinism, reconstruction) are pinned in
     tests/test_embeddings_pca.py."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").alias("x")
-    )
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()  # no geometry, no projection (r9)
+    ).select("vec_id", F.col("embedding").alias("x"))
+    if emb.first() is None:  # empty corpus: nothing to fit (r9 hostile)
+        return spark.createDataFrame(
+            [], "vec_id BIGINT, " + ", ".join(
+                f"pc{i + 1} DOUBLE" for i in range(PCA_K)
+            )
+        )
     comps, mean, _, _ = pca_fit(emb)
     mean_lit = F.array(*[F.lit(float(v)) for v in mean])
     centered = F.zip_with(F.col("x"), mean_lit, lambda a, b: a - b)
@@ -298,9 +306,11 @@ def q_embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (vec_id, w_micros) with the whitened vector comma-joined as
     integer micros (the registry's sortable-string vector encoding)."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").alias("x")
-    )
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()  # no geometry, no projection (r9)
+    ).select("vec_id", F.col("embedding").alias("x"))
+    if emb.first() is None:  # empty corpus: nothing to fit (r9 hostile)
+        return spark.createDataFrame([], "vec_id BIGINT, w_micros STRING")
     comps, mean, _, eigvals = pca_fit(emb, k=WHITEN_K)
     mean_lit = F.array(*[F.lit(float(v)) for v in mean])
     centered = F.zip_with(F.col("x"), mean_lit, lambda a, b: a - b)
@@ -770,9 +780,9 @@ def q_embedding_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pyarrow as pa
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        F.col("embedding").alias("x")
-    )
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()  # oracle's unnest drops NULLs too
+    ).select(F.col("embedding").alias("x"))
     first = emb.first()
     if first is None:  # empty corpus → empty 8-column frame (ADVICE r7)
         return spark.createDataFrame(
@@ -863,9 +873,9 @@ def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame
     import numpy as np
     import pyarrow as pa
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").alias("x")
-    )
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()  # oracle's unnest drops NULLs too
+    ).select("vec_id", F.col("embedding").alias("x"))
     dim = RP_IN_DIM
     ii = np.arange(dim, dtype=np.int64)[:, None]
     jj = np.arange(RP_OUT_DIM, dtype=np.int64)[None, :]

@@ -152,7 +152,20 @@ def pq_train_encode(
     src = _unit(emb) if normalize else emb.select("vec_id", "x")
     tag = "pq_sub" if normalize else "pq_sub_resid"
     sub = repin(tag, _subvectors(src, m))
-    d_sub = len(sub.select("sub").first()["sub"])
+    first = sub.select("sub").first()
+    if first is None:
+        # empty corpus: nothing to train or encode — empty codebook/codes
+        # with the contract schemas instead of first()[0] crashing (r9
+        # hostile empty gate); every downstream search yields 0 rows
+        spark = emb.sparkSession
+        folded = spark.createDataFrame(
+            [], "m INT, book ARRAY<STRUCT<code: INT, c: ARRAY<DOUBLE>>>"
+        )
+        codes = spark.createDataFrame(
+            [], "vec_id BIGINT, codes ARRAY<INT>"
+        )
+        return folded, codes
+    d_sub = len(first["sub"])
     spark = emb.sparkSession
     # size-1 codebook memo keyed by plan identity: the Lloyd chain + collect
     # is ~5 s of tiny-stage overhead at fixture scale, and repeat

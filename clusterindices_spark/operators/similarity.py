@@ -37,6 +37,12 @@ TOP_K = 5
 # sf0.01); 0.4 exercises the operator with non-empty output. Real corpora
 # would use ~0.95+.
 COSINE_DUP_THRESHOLD = 0.4
+# placeholder dimension for NULL vectors in the LSH paths: Spark's UDF
+# pull-out evaluates array_to_vector AND the LSHModel hash UDF below the
+# norm>0 filter, so dropped rows still flow through both UDFs — the
+# placeholder must be a VALID vector of the model's dimension (fixture
+# dim, FIXTURES.md; callers on other corpora already filter NULLs)
+NULL_VEC_PLACEHOLDER_DIM = 64
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -344,8 +350,20 @@ def semantic_pairs_ann(
     # where cos with a zero vector never crosses the threshold). See
     # ann_lsh_topk's unit() for why the normalization must be total.
     n = norm(F.col("x"))
-    safe = F.transform(
-        "x", lambda v: F.when(n > 0, v / n).otherwise(F.lit(0.0))
+    # outer CASE: total on NULL x too, with a full-dimension placeholder
+    # — see ann_lsh_topk's unit() (the UDF pull-out evaluates both the
+    # array_to_vector and LSH hash UDFs below the filter)
+    safe = F.when(
+        n > 0,
+        F.transform("x", lambda v: v / n),
+    ).otherwise(
+        F.transform(
+            F.coalesce(
+                F.col("x"),
+                F.array_repeat(F.lit(0.0), NULL_VEC_PLACEHOLDER_DIM),
+            ),
+            lambda v: F.lit(0.0),
+        )
     )
     b = emb.where(n > 0).select(
         "vec_id", array_to_vector(safe).alias("features")
@@ -357,6 +375,12 @@ def semantic_pairs_ann(
         numHashTables=num_tables,
         seed=seed,
     )
+    if b.isEmpty():  # MLlib fit crashes on an empty corpus (r9 hostile)
+        return b.select(
+            F.lit(None).cast("bigint").alias("vec_a"),
+            F.lit(None).cast("bigint").alias("vec_b"),
+            F.lit(None).cast("double").alias("cos"),
+        )
     model = lsh.fit(b)
     d_max = math.sqrt(2.0 * (1.0 - threshold))
     joined = model.approxSimilarityJoin(b, b, threshold=d_max, distCol="dist")
@@ -409,8 +433,24 @@ def ann_lsh_topk(
     # conjunct removes it from every result.
     def unit(df: DataFrame, idc: str, xc: str) -> DataFrame:
         n = norm(F.col("x"))
-        safe = F.transform(
-            "x", lambda v: F.when(n > 0, v / n).otherwise(F.lit(0.0))
+        # `safe` must be a NON-NULL, FULL-DIMENSION vector on every row:
+        # the UDF pull-out evaluates array_to_vector and the LSH hash UDF
+        # below the n>0 filter (r9 hostile edge — array_to_vector(NULL)
+        # NPEs; a short placeholder crashes the hash), so filtered-out
+        # rows still need a hashable stand-in of the model's dimension
+        safe = F.when(
+            n > 0,
+            F.transform("x", lambda v: v / n),
+        ).otherwise(
+            F.transform(
+                F.coalesce(
+                    F.col("x"),
+                    F.array_repeat(
+                        F.lit(0.0), NULL_VEC_PLACEHOLDER_DIM
+                    ),
+                ),
+                lambda v: F.lit(0.0),
+            )
         )
         return df.where(n > 0).select(F.col("vec_id").alias(idc), safe.alias(xc))
     a = unit(probes, "probe_id", "xa").select(
@@ -419,6 +459,12 @@ def ann_lsh_topk(
     b = unit(emb, "neighbor_id", "xb").select(
         "neighbor_id", array_to_vector("xb").alias("features")
     )
+    if b.isEmpty():  # MLlib fit crashes on an empty corpus (r9 hostile)
+        return b.select(
+            F.lit(None).cast("bigint").alias("probe_id"),
+            F.lit(None).cast("bigint").alias("neighbor_id"),
+            F.lit(None).cast("double").alias("sim"),
+        )
     lsh = BucketedRandomProjectionLSH(
         inputCol="features",
         outputCol="hashes",

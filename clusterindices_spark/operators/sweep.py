@@ -33,6 +33,12 @@ from clusterindices_spark.operators.indices import (
 )
 
 
+_SWEEP_SCHEMA = (
+    "k INT, bd_silhouette DOUBLE, bd_dunn DOUBLE, davies_bouldin DOUBLE, "
+    "wssse DOUBLE, time_s DOUBLE"
+)
+
+
 def kmeans_sweep(
     spark: SparkSession,
     sf_dir: str,
@@ -51,7 +57,9 @@ def kmeans_sweep(
         .withColumn("fv", array_to_vector("x"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    pts.count()  # materialize once before timing per-K work
+    if pts.count() == 0:  # empty corpus: no K can be fit (r9 hostile gate)
+        pts.unpersist()
+        return spark.createDataFrame([], _SWEEP_SCHEMA)
     results = []
     try:
         for k in range(k_min, k_max + 1):
@@ -220,6 +228,9 @@ def clusterer_sweep(
         .withColumn("fv", array_to_vector("x"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if pts.isEmpty():  # empty corpus: no K can be fit (r9 hostile gate)
+        pts.unpersist()
+        return spark.createDataFrame([], _SWEEP_SCHEMA)
     if algo == "gmm":
         n_dim = len(pts.select("x").first()["x"])
         if n_dim > gmm_pca_dim:
@@ -324,7 +335,14 @@ def gap_statistic(
     from pyspark.sql import functions as F
 
     base = labeled_points(spark, sf_dir)
-    ndim = len(base.select("x").first()["x"])
+    first = base.select("x").first()
+    if first is None:  # empty corpus (r9 hostile gate)
+        return spark.createDataFrame(
+            [],
+            "k INT, log_w DOUBLE, exp_log_w_ref DOUBLE, gap DOUBLE, "
+            "sd_ref DOUBLE, pick INT",
+        )
+    ndim = len(first["x"])
     bounds = base.select(
         F.array(
             *[F.min(F.get("x", d)) for d in range(ndim)]

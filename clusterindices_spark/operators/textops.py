@@ -1040,6 +1040,11 @@ def q_text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("freq").alias("cnt"))
         )
         best = pairs.orderBy(F.col("cnt").desc(), F.col("pair")).limit(1).first()
+        if best is None:
+            # empty corpus / no adjacent pairs left: the oracle's scalar
+            # subqueries produce no merge rows — stop emitting rounds
+            # instead of crashing on best["pair"] (r9 hostile empty gate)
+            break
         merged = best["pair"].replace(" ", "")
         merges.append(
             Row(

@@ -58,13 +58,23 @@ def _seq_dot(mat: np.ndarray, vec: np.ndarray) -> np.ndarray:
 def q_udf_scalar_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar Arrow pandas UDF: cosine of every embedding vs a fixed probe
     vector (the shape of batch model scoring / query-vector search)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    probe = np.array(
-        emb.where(F.col("vec_id") == PROBE_VEC_ID)
-        .select("embedding")
-        .first()[0],
-        dtype=np.float64,
+    # NULL-vector contract (r9 hostile gate): rows without vectors are
+    # excluded on BOTH sides (np.stack crashes on None; the oracle pts CTE
+    # filters identically)
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
     )
+    probe_row = (
+        emb.where(F.col("vec_id") == PROBE_VEC_ID).select("embedding").first()
+    )
+    if probe_row is None:
+        # no probe vector in this corpus: the oracle's probe CTE is empty,
+        # so its cross join yields 0 rows — return the same empty frame
+        # instead of crashing on first()[0] (r9 hostile empty/bigid gate)
+        return emb.where(F.lit(False)).select(
+            "vec_id", F.lit(None).cast("double").alias("cos_probe")
+        )
+    probe = np.array(probe_row[0], dtype=np.float64)
     probe_norm = float(np.sqrt(_seq_dot(probe.reshape(1, -1), probe)[0]))
 
     @pandas_udf("double")
@@ -249,7 +259,8 @@ QUERIES = {
 
 ORACLES = {
     "udf_scalar_cosine": f"""
-WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+             FROM embeddings WHERE embedding IS NOT NULL),
 probe AS (SELECT x AS p FROM pts WHERE vec_id = {PROBE_VEC_ID})
 SELECT a.vec_id,
        ROUND(list_sum(list_transform(range(len(a.x)), i -> a.x[i+1] * probe.p[i+1]))

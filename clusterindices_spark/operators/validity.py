@@ -272,8 +272,11 @@ def c_index_of(
         F.row_number().over(Window.orderBy("d")).alias("rn_asc"),
         F.row_number().over(Window.orderBy(F.desc("d"))).alias("rn_desc"),
     )
-    agg = ranked.crossJoin(F.broadcast(n_w_row)).agg(
-        F.max("n_w").alias("n_w"),
+    # groupBy(n_w), not a global agg: on an EMPTY pair set a global agg
+    # still emits its one NULL row while the oracle's `FROM ranked, nw
+    # GROUP BY n_w` yields zero — grouping matches the engines (n_w is a
+    # single value, so the group is unique on any non-empty input)
+    agg = ranked.crossJoin(F.broadcast(n_w_row)).groupBy("n_w").agg(
         F.sum(F.when(F.col("w") == 1, F.col("d"))).alias("s_w"),
         F.sum(F.when(F.col("rn_asc") <= F.col("n_w"), F.col("d"))).alias("s_min"),
         F.sum(F.when(F.col("rn_desc") <= F.col("n_w"), F.col("d"))).alias("s_max"),
