@@ -163,7 +163,12 @@ def q_events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("event_type").orderBy("bucket_ms")
+    # asc_nulls_last: DuckDB windows default NULLS LAST, Spark NULLS
+    # FIRST — a NULL time bucket (NULL-ts events) would shift every lag
+    # (r9 hostile edge)
+    w = Window.partitionBy("event_type").orderBy(
+        F.asc_nulls_last("bucket_ms")
+    )
     num = F.lit(0).cast("bigint")
     den = F.lit(0).cast("bigint")
     for j in range(EWMA_LAGS):
@@ -185,7 +190,10 @@ def q_events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket_ms",
         "n",
         "hour_sum",
-        F.expr("_num div _den").alias("ewma_micros"),
+        # nullif: a bucket whose every value is NULL sums to NULL vm ->
+        # every lag NULL -> den 0; the EWMA is undefined there (NULL in
+        # both engines), not an ANSI divide-by-zero (r9 hostile edge)
+        F.expr("_num div nullif(_den, 0)").alias("ewma_micros"),
     )
 
 
@@ -833,7 +841,7 @@ def q_events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("vmil", F.expr("vm div 1000"))
     w = (
         Window.partitionBy("event_type")
-        .orderBy("bucket_ms")
+        .orderBy(F.asc_nulls_last("bucket_ms"))  # NULLS LAST parity (r9)
         .rowsBetween(-ROLL_WINDOW, -1)
     )
     cnt = F.count(F.lit(1)).over(w)
@@ -1367,7 +1375,8 @@ def q_events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("censored"), 1).otherwise(0)).cast("bigint").alias("c"),
     )
     w_prev = (
-        Window.orderBy("t")
+        Window.orderBy(F.asc_nulls_last("t"))  # NULLS LAST parity (r9):
+        # an all-NULL-ts user has NULL lifetime; DuckDB sorts it last
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     total = u.agg(F.count(F.lit(1)).alias("n_users"))
@@ -1391,7 +1400,7 @@ def q_events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.lit(1e6)
         + F.lit(0.5)
     ).cast("bigint")
-    w_cum = Window.orderBy("t").rowsBetween(
+    w_cum = Window.orderBy(F.asc_nulls_last("t")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     curve = at_risk.withColumn(
@@ -1862,13 +1871,15 @@ def q_events_changepoint_loc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_run = (
         Window.partitionBy("event_type")
-        .orderBy("hour")
+        .orderBy(F.asc_nulls_last("hour"))  # NULLS LAST parity (r9)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_all = Window.partitionBy("event_type").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    w_ord = Window.partitionBy("event_type").orderBy("hour")
+    w_ord = Window.partitionBy("event_type").orderBy(
+        F.asc_nulls_last("hour")
+    )
     c = h.select(
         "event_type",
         "hour",
@@ -2832,7 +2843,7 @@ lagged AS (
 SELECT event_type, bucket_ms, n,
        CAST(vm AS DOUBLE) / 1000000.0 AS hour_sum,
        CAST((COALESCE(l0 * 128, 0) + COALESCE(l1 * 64, 0) + COALESCE(l2 * 32, 0) + COALESCE(l3 * 16, 0) + COALESCE(l4 * 8, 0) + COALESCE(l5 * 4, 0) + COALESCE(l6 * 2, 0) + COALESCE(l7 * 1, 0))
-            // ((CASE WHEN l0 IS NOT NULL THEN 128 ELSE 0 END) + (CASE WHEN l1 IS NOT NULL THEN 64 ELSE 0 END) + (CASE WHEN l2 IS NOT NULL THEN 32 ELSE 0 END) + (CASE WHEN l3 IS NOT NULL THEN 16 ELSE 0 END) + (CASE WHEN l4 IS NOT NULL THEN 8 ELSE 0 END) + (CASE WHEN l5 IS NOT NULL THEN 4 ELSE 0 END) + (CASE WHEN l6 IS NOT NULL THEN 2 ELSE 0 END) + (CASE WHEN l7 IS NOT NULL THEN 1 ELSE 0 END))
+            // NULLIF((CASE WHEN l0 IS NOT NULL THEN 128 ELSE 0 END) + (CASE WHEN l1 IS NOT NULL THEN 64 ELSE 0 END) + (CASE WHEN l2 IS NOT NULL THEN 32 ELSE 0 END) + (CASE WHEN l3 IS NOT NULL THEN 16 ELSE 0 END) + (CASE WHEN l4 IS NOT NULL THEN 8 ELSE 0 END) + (CASE WHEN l5 IS NOT NULL THEN 4 ELSE 0 END) + (CASE WHEN l6 IS NOT NULL THEN 2 ELSE 0 END) + (CASE WHEN l7 IS NOT NULL THEN 1 ELSE 0 END), 0)
             AS BIGINT) AS ewma_micros
 FROM lagged
 """,

@@ -103,16 +103,22 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
     sy, syy = F.col("sy").cast("double"), F.col("syy").cast("double")
     sxy = F.col("sxy").cast("double")
-    var_x = (sxx - sx * sx / n) / (n - 1)
-    var_y = (syy - sy * sy / n) / (n - 1)
-    cov = (sxy - sx * sy / n) / (n - 1)
+    # nullif guards (r9 hostile edge): single-row groups have undefined
+    # sample moments — NULL in both engines, not an ANSI DIVIDE_BY_ZERO
+    # (Spark ANSI raises on /0 even for doubles; oracle mirrors NULLIF)
+    nm1 = F.nullif(n - 1, F.lit(0.0))
+    var_x = (sxx - sx * sx / n) / nm1
+    var_y = (syy - sy * sy / n) / nm1
+    cov = (sxy - sx * sy / n) / nm1
     return agg.select(
         "l_returnflag",
         F.col("n").alias("n_rows"),
         F.round(var_x, 6).alias("var_qty"),
         F.round(F.sqrt(var_x), 6).alias("stddev_qty"),
         F.round(cov, 6).alias("covar_qty_disc"),
-        F.round(cov / F.sqrt(var_x * var_y), 6).alias("corr_qty_disc"),
+        F.round(
+            cov / F.nullif(F.sqrt(var_x * var_y), F.lit(0.0)), 6
+        ).alias("corr_qty_disc"),
         F.round("med", 6).alias("median_qty"),
     )
 
@@ -1546,12 +1552,12 @@ WITH s AS (
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_returnflag, n AS n_rows,
-       ROUND((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n) / (n-1), 6) AS var_qty,
-       ROUND(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n) / (n-1)), 6) AS stddev_qty,
-       ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/n) / (n-1), 6) AS covar_qty_disc,
-       ROUND(((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/n) / (n-1))
-             / sqrt(((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n) / (n-1))
-                  * ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)/n) / (n-1))), 6) AS corr_qty_disc,
+       ROUND((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n) / NULLIF(n-1, 0), 6) AS var_qty,
+       ROUND(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n) / NULLIF(n-1, 0)), 6) AS stddev_qty,
+       ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/n) / NULLIF(n-1, 0), 6) AS covar_qty_disc,
+       ROUND(((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)/n) / NULLIF(n-1, 0))
+             / NULLIF(sqrt(((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n) / NULLIF(n-1, 0))
+                  * ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)/n) / NULLIF(n-1, 0))), 0), 6) AS corr_qty_disc,
        ROUND(med, 6) AS median_qty
 FROM s
 """,

@@ -560,6 +560,8 @@ SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
        COUNT(*) AS n,
        {sql_exact_sum('value')} AS sum_value
 FROM {_EV}
+WHERE ts IS NOT NULL  -- event-time semantics: Spark's window() drops
+                      -- rows without event time (r9 hostile edge)
 GROUP BY 1, 2
 """,
     "stream_sliding_agg": f"""
@@ -567,6 +569,7 @@ SELECT epoch_ms(time_bucket(INTERVAL '15 minutes', ts) - o * INTERVAL '15 minute
        event_type,
        COUNT(*) AS n
 FROM {_EV}, (SELECT unnest([0, 1, 2, 3]) AS o)
+WHERE ts IS NOT NULL  -- event-time semantics (see tumbling twin)
 GROUP BY 1, 2
 """,
     "stream_session_windows": f"""

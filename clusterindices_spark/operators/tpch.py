@@ -524,7 +524,12 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair_w = Window.partitionBy("l_partkey", "l_suppkey")
     li = li.withColumn(
         "ps_supplycost",
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).over(pair_w),
+        # nullif: zero/NULL-quantity lines have no unit cost — they drop
+        # from the MIN instead of ANSI DIVIDE_BY_ZERO (r9 hostile edge);
+        # oracle mirrors NULLIF(l_quantity, 0)
+        F.min(
+            F.col("l_extendedprice") / F.nullif(F.col("l_quantity"), F.lit(0.0))
+        ).over(pair_w),
     )
     p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
     s = load_table(spark, sf_dir, "supplier")
@@ -785,7 +790,7 @@ QUERIES = {
 
 _SQL_PS = """
   SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-         MIN(l_extendedprice / l_quantity) AS ps_supplycost,
+         MIN(l_extendedprice / NULLIF(l_quantity, 0)) AS ps_supplycost,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS ps_qty
   FROM lineitem GROUP BY 1, 2
 """
