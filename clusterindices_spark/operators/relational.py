@@ -355,7 +355,10 @@ def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     running sum uses the decimal pattern inside the frame so the cumulative
     value is exact at every row."""
     o = load_table(spark, sf_dir, "orders")
-    order_w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # asc_nulls_last: DuckDB window ORDER BY defaults NULLS LAST (r9)
+    order_w = Window.partitionBy("o_custkey").orderBy(
+        F.asc_nulls_last("o_orderdate"), "o_orderkey"
+    )
     frame_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return o.select(
         "o_custkey",
@@ -433,8 +436,17 @@ def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("l_extendedprice", 2).alias("r2"),
         F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("ab"),
         F.round(F.pow("l_quantity", F.lit(2)), 6).alias("p2"),
-        F.round(F.sqrt("l_extendedprice"), 6).alias("sq"),
-        F.round(F.log("l_extendedprice"), 6).alias("lg"),
+        # domain guards (r9 hostile edge): ln/sqrt of non-positive inputs
+        # are NULL by contract in both engines — Spark's ln already returns
+        # NULL there but sqrt gives NaN, and DuckDB ERRORS on both; the
+        # CASE/WHEN guard makes the two engines identical
+        F.round(
+            F.when(F.col("l_extendedprice") >= 0, F.sqrt("l_extendedprice")),
+            6,
+        ).alias("sq"),
+        F.round(
+            F.when(F.col("l_extendedprice") > 0, F.log("l_extendedprice")), 6
+        ).alias("lg"),
         F.round(F.exp("l_discount"), 6).alias("ex"),
         # integer div, not floor-of-double: bigint / is double division
         # and loses low bits past 2^53 (the agg_bitmap_distinct class)
@@ -681,8 +693,8 @@ SELECT l_orderkey,
        ROUND(l_extendedprice, 2) AS r2,
        ROUND(abs(l_discount - 0.05), 6) AS ab,
        ROUND(pow(l_quantity, 2), 6) AS p2,
-       ROUND(sqrt(l_extendedprice), 6) AS sq,
-       ROUND(ln(l_extendedprice), 6) AS lg,
+       ROUND(CASE WHEN l_extendedprice >= 0 THEN sqrt(l_extendedprice) END, 6) AS sq,
+       ROUND(CASE WHEN l_extendedprice > 0 THEN ln(l_extendedprice) END, 6) AS lg,
        ROUND(exp(l_discount), 6) AS ex,
        CAST(l_orderkey // 7 AS BIGINT) AS idiv,
        l_linenumber % 3 AS md
@@ -699,7 +711,9 @@ SELECT vec_id,
 FROM embeddings
 """,
     "scalar_json": """
-SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+SELECT event_id,
+       CASE WHEN props IS NOT NULL AND json_valid(props)
+            THEN CAST(json_extract_string(props, '$.k') AS INT) END AS k
 FROM events
 """,
 }

@@ -206,7 +206,10 @@ def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    # asc_nulls_last: DuckDB window ORDER BY defaults NULLS LAST (r9)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.asc_nulls_last("c_acctbal"), "c_custkey"
+    )
     full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return c.select(
         "c_custkey",
@@ -358,13 +361,16 @@ def q_scalar_array_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     head = F.slice(toks, 1, 12)
     tail = F.slice(toks, 7, 12)
     all_toks = F.array_sort(F.array_distinct(F.flatten(F.array(head, tail))))
+    nn = F.col("text").isNotNull()
+    # NULL text -> NULL outputs (concat_ws/size would render ''/-1 while
+    # the oracle NULL-propagates — r9 hostile edge)
     return d.select(
         "doc_id",
-        F.size(F.array_intersect(head, tail)).alias("n_inter"),
-        F.size(F.array_union(head, tail)).alias("n_union"),
-        F.size(F.array_except(head, tail)).alias("n_except"),
-        F.arrays_overlap(head, tail).alias("overlaps"),
-        F.concat_ws(",", all_toks).alias("all_toks_csv"),
+        F.when(nn, F.size(F.array_intersect(head, tail))).alias("n_inter"),
+        F.when(nn, F.size(F.array_union(head, tail))).alias("n_union"),
+        F.when(nn, F.size(F.array_except(head, tail))).alias("n_except"),
+        F.when(nn, F.arrays_overlap(head, tail)).alias("overlaps"),
+        F.when(nn, F.concat_ws(",", all_toks)).alias("all_toks_csv"),
     )
 
 
@@ -375,13 +381,21 @@ def q_scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_scalar_array_set."""
     e = load_table(spark, sf_dir, "events")
     m = F.from_json("props", "MAP<STRING, INT>")
+    # NULL-map guard (r9 hostile edge): malformed / non-object / NULL
+    # props parse to a NULL map, and concat_ws would render that as ''
+    # while the oracle's guarded CASE yields NULL — emit NULL explicitly
     return e.select(
         "event_id",
-        F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("keys_csv"),
-        F.concat_ws(
-            ",",
-            F.transform(
-                F.array_sort(F.map_values(m)), lambda v: v.cast("string")
+        F.when(
+            m.isNotNull(), F.concat_ws(",", F.array_sort(F.map_keys(m)))
+        ).alias("keys_csv"),
+        F.when(
+            m.isNotNull(),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.map_values(m)), lambda v: v.cast("string")
+                ),
             ),
         ).alias("vals_csv"),
         m.getItem("k").alias("k_val"),
@@ -695,7 +709,13 @@ def q_agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clusterindices_spark.functions.aggregates import exact_sum
     from clusterindices_spark.functions.ranking import ranked as _gl_ranked
 
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    # histograms are statistics over NON-NULL values (null_frac is a
+    # separate statistic) — standard ANALYZE semantics, both engines (r9)
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice").isNotNull())
+        .select("o_orderkey", "o_totalprice")
+    )
     r = _gl_ranked(
         o,
         [F.col("o_totalprice"), F.col("o_orderkey")],
@@ -937,17 +957,26 @@ def q_scalar_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     JSON rendering is byte-identical across engines."""
     c = load_table(spark, sf_dir, "customer")
     s = F.struct(
-        F.col("c_custkey").cast("int").alias("key"),
+        # BIGINT, not INT: snowflake-scale custkeys overflow an INT cast
+        # with an ANSI error (r9 hostile bigid)
+        F.col("c_custkey").alias("key"),
         F.col("c_mktsegment").alias("seg"),
     )
     per = c.select(
         "c_nationkey",
         s.alias("s"),
-        F.struct(
-            # floor then cast: double→int CAST truncates in Spark but
-            # rounds in DuckDB — floor() agrees everywhere
-            F.floor(F.col("c_acctbal")).cast("int").alias("bal_int"),
-            F.col("c_custkey").cast("int").alias("key"),
+        # NULL-balance rows can't win top-balance: a NULL first field
+        # sorts SMALLEST in Spark struct order but LARGEST in DuckDB —
+        # excluding them (CASE → NULL struct, ignored by MAX in both
+        # engines) pins one semantic (r9 hostile edge)
+        F.when(
+            F.col("c_acctbal").isNotNull(),
+            F.struct(
+                # floor then cast: double→int CAST truncates in Spark but
+                # rounds in DuckDB — floor() agrees everywhere
+                F.floor(F.col("c_acctbal")).cast("bigint").alias("bal_int"),
+                F.col("c_custkey").alias("key"),
+            ),
         ).alias("ranked"),
     )
     return per.groupBy("c_nationkey").agg(
@@ -995,7 +1024,10 @@ def q_scd2_status_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").cast("date").alias("d"),
         "o_orderstatus",
     )
-    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    # asc_nulls_last: undated orders sort last in both engines (r9)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc_nulls_last("d"), "o_orderkey"
+    )
     chg = (
         F.lag("o_orderstatus").over(w).isNull()
         | (F.col("o_orderstatus") != F.lag("o_orderstatus").over(w))
@@ -1124,7 +1156,8 @@ def q_agg_quantiles_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     The ORACLE is the definitional form (smallest value whose cumulative
     count reaches the rank, over the full sorted CDF) — the gate
     certifies algorithm ≡ definition (the weighted-median contract)."""
-    ev = load_table(spark, sf_dir, "events")
+    # quantiles are over NON-NULL values (oracle mirrors; r9 hostile edge)
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     vm = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("bigint")
     ex = ev.select(F.col("event_type").alias("et"), vm.alias("vm"))
     b = ex.withColumn(
@@ -1232,7 +1265,7 @@ ORACLES = {
 WITH ex AS (
   SELECT event_type AS et,
          CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vm
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ),
 pw AS (SELECT et, vm, CAST(COUNT(*) AS BIGINT) AS pw FROM ex GROUP BY 1, 2),
 c AS (
@@ -1365,9 +1398,10 @@ FROM flags f JOIN modal USING (o_orderpriority)
 """,
     "scalar_struct": """
 SELECT c_nationkey, COUNT(*) AS n,
-       MIN(CAST(c_custkey AS INT)) AS min_key,
-       to_json(MAX(struct_pack(bal_int := CAST(floor(c_acctbal) AS INT),
-                               key := CAST(c_custkey AS INT)))) AS top_bal_json
+       MIN(c_custkey) AS min_key,
+       to_json(MAX(CASE WHEN c_acctbal IS NOT NULL THEN
+                 struct_pack(bal_int := CAST(floor(c_acctbal) AS BIGINT),
+                             key := c_custkey) END)) AS top_bal_json
 FROM customer GROUP BY c_nationkey
 """,
     "agg_quantiles": f"""
@@ -1434,8 +1468,8 @@ GROUP BY event_type
 WITH r AS (
   SELECT o_totalprice,
          row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rk,
-         (SELECT COUNT(*) FROM orders) AS n
-  FROM orders
+         (SELECT COUNT(*) FROM orders WHERE o_totalprice IS NOT NULL) AS n
+  FROM orders WHERE o_totalprice IS NOT NULL
 )
 SELECT CAST(ceil(rk * {EQUIDEPTH_BUCKETS} / CAST(n AS DOUBLE)) AS INT)
          AS bucket,
@@ -1684,17 +1718,32 @@ SELECT doc_id,
        CAST(len(list_distinct(head || tail)) AS INT) AS n_union,
        CAST(len(list_distinct(list_filter(head, x -> NOT list_contains(tail, x)))) AS INT) AS n_except,
        len(list_distinct(list_filter(head, x -> list_contains(tail, x)))) > 0 AS overlaps,
-       array_to_string(list_sort(list_distinct(head || tail)), ',') AS all_toks_csv
+       CASE WHEN head IS NULL THEN NULL ELSE
+         COALESCE(array_to_string(list_sort(list_distinct(head || tail)), ','), '')
+       END AS all_toks_csv
 FROM hs
 """,
     "scalar_map": """
+WITH g AS (
+  SELECT event_id,
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+                   AND json_type(props) = 'OBJECT'
+              THEN props END AS p
+  FROM events
+)
 SELECT event_id,
-       array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
-       array_to_string(list_sort(list_transform(json_keys(props),
-                 k -> CAST(json_extract_string(props, '$.' || k) AS INT))), ',') AS vals_csv,
-       CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
-       list_contains(json_keys(props), 'k') AS has_k
-FROM events
+       -- DuckDB array_to_string([]) is NULL while Spark concat_ws is '':
+       -- coalesce only when an object was parsed (empty object -> '')
+       CASE WHEN p IS NOT NULL THEN
+         COALESCE(array_to_string(list_sort(json_keys(p)), ','), '') END
+         AS keys_csv,
+       CASE WHEN p IS NOT NULL THEN
+         COALESCE(array_to_string(list_sort(list_transform(json_keys(p),
+                 k -> CAST(json_extract_string(p, '$.' || k) AS INT))), ','), '')
+         END AS vals_csv,
+       CAST(json_extract_string(p, '$.k') AS INT) AS k_val,
+       list_contains(json_keys(p), 'k') AS has_k
+FROM g
 """,
     "window_range_frame": """
 SELECT o_custkey, o_orderkey,

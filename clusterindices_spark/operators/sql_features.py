@@ -206,12 +206,19 @@ def q_scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle re-extracts the same parts with anchored regexes — a
     parse_url semantics change would break the hash. Scan-shaped."""
     d = load_table(spark, sf_dir, "documents")
-    url = F.concat_ws(
-        "",
+    # F.concat (not concat_ws): a NULL source/lang yields a NULL url in
+    # both engines — concat_ws SKIPS nulls and built phantom URLs from
+    # docs with no source (r9 hostile edge); oracle uses || which
+    # NULL-propagates identically
+    # NULLIF('') like NULL: an empty source builds 'https://.example.com'
+    # whose host is an invalid label — Spark's parse_url answers NULL
+    # while a regex happily extracts it; defining empty-as-missing keeps
+    # the engines identical (r9 hostile edge)
+    url = F.concat(
         F.lit("https://"),
-        F.col("source"),
+        F.nullif(F.col("source"), F.lit("")),
         F.lit(".example.com/"),
-        F.col("lang"),
+        F.nullif(F.col("lang"), F.lit("")),
         F.lit("/doc/"),
         F.col("doc_id").cast("string"),
         F.lit("?ref="),
@@ -327,7 +334,7 @@ FROM s
     "scalar_url_parse": """
 WITH u AS (
   SELECT doc_id,
-         'https://' || source || '.example.com/' || lang || '/doc/'
+         'https://' || NULLIF(source, '') || '.example.com/' || NULLIF(lang, '') || '/doc/'
            || CAST(doc_id AS VARCHAR) || '?ref='
            || CAST(doc_id % 7 AS VARCHAR) AS url
   FROM documents
