@@ -339,7 +339,12 @@ def q_curation_mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
-    src_num = F.substring("source", 4, 10).cast("int")
+    # regexp-extract + NULLIF, not a bare substring cast: a malformed or
+    # empty source name ANSI-errors the INT cast in BOTH engines (r9
+    # hostile edge XERR); unparseable sources fall to the tail stride
+    src_num = F.nullif(
+        F.regexp_extract("source", r"^src([0-9]+)$", 1), F.lit("")
+    ).cast("int")
     stride = (
         F.when(src_num <= 4, F.lit(1))
         .when(src_num <= 9, F.lit(2))
@@ -1197,8 +1202,8 @@ WITH ranked AS (
            PARTITION BY source
            ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
          ) AS INT) AS rk,
-         CAST(CASE WHEN CAST(substr(source, 4) AS INT) <= 4 THEN 1
-                   WHEN CAST(substr(source, 4) AS INT) <= 9 THEN 2
+         CAST(CASE WHEN CAST(NULLIF(regexp_extract(source, '^src([0-9]+)$', 1), '') AS INT) <= 4 THEN 1
+                   WHEN CAST(NULLIF(regexp_extract(source, '^src([0-9]+)$', 1), '') AS INT) <= 9 THEN 2
                    ELSE 4 END AS INT) AS stride
   FROM documents
 )

@@ -1572,27 +1572,29 @@ def q_dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ndocs") >= 2)
         .select("cfp")
     )
-    flagged = fp.join(F.broadcast(dupset), "cfp", "left_semi").groupBy(
-        "source"
-    ).agg(
-        F.count(F.lit(1)).alias("dup_chunks"),
-        F.sum("chunk_toks").alias("dup_chunk_tokens"),
+    # ONE grouped pass with a per-chunk dup marker — the old base⋈flagged
+    # self-join keyed on `source` silently dropped the NULL-source group's
+    # dup counts (NULL join keys never match; r9 hostile edge), and the
+    # single pass is one less shuffle anyway. cfp is never NULL, so the
+    # marker join is NULL-safe by construction.
+    marked = fp.join(
+        F.broadcast(dupset.withColumn("_dup", F.lit(1))), "cfp", "left"
     )
-    base = fp.groupBy("source").agg(
+    return marked.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum("chunk_toks").alias("total_chunk_tokens"),
-    )
-    return base.join(flagged, "source", "left").select(
+        F.sum(F.when(F.col("_dup") == 1, 1).otherwise(0)).alias("dup_chunks"),
+        F.sum(
+            F.when(F.col("_dup") == 1, F.col("chunk_toks")).otherwise(0)
+        ).alias("dup_chunk_tokens"),
+    ).select(
         "source",
         "n_chunks",
         "total_chunk_tokens",
-        F.coalesce(F.col("dup_chunks"), F.lit(0)).alias("dup_chunks"),
-        F.coalesce(F.col("dup_chunk_tokens"), F.lit(0)).alias(
-            "dup_chunk_tokens"
-        ),
+        "dup_chunks",
+        "dup_chunk_tokens",
         round6_stable(
-            F.coalesce(F.col("dup_chunk_tokens"), F.lit(0))
-            / F.col("total_chunk_tokens")
+            F.col("dup_chunk_tokens") / F.col("total_chunk_tokens")
         ).alias("dup_chunk_frac"),
     )
 

@@ -52,6 +52,11 @@ def with_binary_payload(d: DataFrame, fan: bool = True) -> DataFrame:
     shuffle every payload byte twice."""
     if fan:
         d = fan_out(d)
+    # media-payload contract (r9 hostile edge): a document without text
+    # has no payload — excluded here and in every multimodal oracle
+    # (WHERE text IS NOT NULL), so the Arrow UDFs never see a None
+    # payload (they crashed on len(None) across the whole family)
+    d = d.where(F.col("text").isNotNull())
     return d.select(
         "doc_id",
         F.encode(F.col("text"), "UTF-8").alias("payload"),
@@ -882,7 +887,7 @@ WITH cp AS (
   SELECT doc_id, octet_length(encode(text)) AS n_bytes,
          CASE WHEN length(text) = 0 THEN NULL
               ELSE unicode(substr(text, 1, 1)) END AS c
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 )
 SELECT doc_id,
        CAST(n_bytes AS BIGINT) AS n_bytes,
@@ -902,7 +907,7 @@ WITH cp AS (
               ELSE unicode(substr(text, 1, 1)) END AS hc,
          CASE WHEN length(text) = 0 THEN NULL
               ELSE unicode(substr(text, length(text), 1)) END AS tc
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 )
 SELECT doc_id,
        CAST(n_bytes AS BIGINT) AS n_bytes,
@@ -928,8 +933,8 @@ WITH f AS (
   SELECT doc_id, text,
          unnest(range(0, CAST(ceil(length(text) / {FRAME_CHARS}.0) AS BIGINT),
                       {FRAME_STRIDE})) AS frame_idx
-  FROM documents
-  WHERE length(text) > 0
+  FROM documents WHERE text IS NOT NULL
+    AND length(text) > 0
 )
 SELECT doc_id,
        CAST(frame_idx AS INT) AS frame_idx,
@@ -990,8 +995,8 @@ WITH f AS (
   SELECT doc_id, text,
          unnest(range(0, CAST(ceil(length(text) / {FRAME_CHARS}.0) AS BIGINT),
                       {FRAME_STRIDE})) AS frame_idx
-  FROM documents
-  WHERE length(text) > 0
+  FROM documents WHERE text IS NOT NULL
+    AND length(text) > 0
 ),
 e AS (
   SELECT doc_id, frame_idx,
@@ -1023,7 +1028,7 @@ ORACLES["multimodal_audio_window"] = f"""
 WITH w AS (
   SELECT doc_id, text,
          unnest(range(0, length(text), {AUDIO_HOP})) AS win_start
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 seg AS (
   SELECT doc_id, win_start, {_SEG_EXPR} AS seg,
@@ -1034,7 +1039,7 @@ seg AS (
 SELECT doc_id,
        CAST(win_start AS INT) AS win_start,
        CAST(length(seg) AS INT) AS win_len,
-       CAST(COALESCE(list_sum(list_transform(codes, c -> c * c)), 0)
+       CAST(COALESCE(list_sum(list_transform(codes, c -> CAST(c AS BIGINT) * c)), 0)
             AS BIGINT) AS energy,
        CAST(COALESCE(list_max(codes), 0) AS INT) AS peak
 FROM seg
@@ -1044,7 +1049,7 @@ ORACLES["multimodal_audio_fingerprint"] = (
     ORACLES["multimodal_audio_window"].split("SELECT doc_id,\n")[0]
     + """, en AS (
   SELECT doc_id, win_start,
-         CAST(COALESCE(list_sum(list_transform(codes, c -> c * c)), 0)
+         CAST(COALESCE(list_sum(list_transform(codes, c -> CAST(c AS BIGINT) * c)), 0)
               AS BIGINT) AS energy
   FROM seg
 ),
@@ -1070,8 +1075,8 @@ FROM fp GROUP BY afp
 ORACLES["multimodal_resize"] = f"""
 WITH g AS (
   SELECT doc_id, text, length(text) // {RESIZE_SRC_W} AS h
-  FROM documents
-  WHERE length(text) // {RESIZE_SRC_W} >= 1
+  FROM documents WHERE text IS NOT NULL
+    AND length(text) // {RESIZE_SRC_W} >= 1
 ),
 px AS (
   SELECT doc_id, CAST(h AS INT) AS src_h,

@@ -1580,9 +1580,12 @@ SELECT doc_id,
        CAST(len(toks) - len(list_filter(toks,
             t -> t NOT IN ({", ".join(f"'{b}'" for b in BLOCKLIST)}))) AS INT)
          AS n_removed,
-       array_to_string(list_filter(toks,
-            t -> t NOT IN ({", ".join(f"'{b}'" for b in BLOCKLIST)})), ' ')
-         AS clean_text
+       -- DuckDB array_to_string([]) is NULL, Spark array_join is '':
+       -- coalesce only when the doc tokenized (NULL text stays NULL)
+       CASE WHEN toks IS NULL THEN NULL ELSE
+         COALESCE(array_to_string(list_filter(toks,
+            t -> t NOT IN ({", ".join(f"'{b}'" for b in BLOCKLIST)})), ' '), '')
+       END AS clean_text
 FROM t
 """,
     "text_burstiness": f"""

@@ -135,7 +135,13 @@ class SplitSentences:
             s = raw.strip(" ")
             if not s:
                 continue
-            yield idx, s, len(s.split())
+            # ASCII-whitespace split (NOT str.split(): Python treats \xa0
+            # and friends as whitespace, but Java's and RE2's \s are
+            # ASCII-only — the engines' tokenizers both keep NBSP-joined
+            # words as one token; r9 hostile edge)
+            yield idx, s, len(
+                [t for t in re.split(r"[ \t\n\x0b\f\r]+", s) if t]
+            )
             idx += 1
 
 
