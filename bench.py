@@ -8,6 +8,17 @@ on local[$SPARK_GRAFT_CPUS] and prints
 Per-query time excludes SparkSession startup and includes full
 materialization (count() for wide results, collect() for small ones —
 BASELINE.md note). A warmup query primes the JVM/codegen caches first.
+
+ROUND-CLOSE CHECKLIST (run before the end-of-round commit):
+  1. python -m pytest tests/ -q                  # full suite green
+  2. python tools/check_oracle.py                # full gate, sf0.01
+  3. python tools/check_oracle.py --sf /root/testdata/sf0.1 \
+       > reports/oracle_local_rN_sf01.txt        # 10x-SF sweep (VERDICT r8 #6)
+  4. python tools/hostile_fixtures.py && python tools/hostile_gate.py
+                                                 # adversarial differential gate
+  5. python tools/int64_audit.py                 # 0 HIGH unexplained, 0 unpinned LOW
+  6. python tools/lint_refs.py                   # no dangling file references
+  7. python bench.py                             # recall floors + JSON line
 """
 
 from __future__ import annotations

@@ -8,7 +8,7 @@ the test lives in tests/test_r7b_ops.py. Docstring pointers are
 how the judge (and future maintainers) find the evidence for a claimed
 bound, so a dangling one is a broken audit trail even when the test itself
 is green. This lint makes the class impossible to reintroduce: it is part
-of the round-close checklist (see bench.py --help epilogue) and exits 1 on
+of the round-close checklist (bench.py module docstring) and exits 1 on
 any dangling reference.
 
 Scope: *.py and *.md under clusterindices_spark/, tools/, examples/,
