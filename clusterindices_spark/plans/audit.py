@@ -1150,9 +1150,12 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "forbid": ["CartesianProduct", "SortMergeJoin"],
     },
     "dedup_chunk_exact": {
-        # chunk explode + hash agg; the boilerplate filter is a broadcast
-        # semi join against the repeated-chunk table
-        "require": ["Generate", "LeftSemi", "partial"],
+        # chunk explode + hash agg; the boilerplate marker is a broadcast
+        # LEFT OUTER join against the repeated-chunk table (r9: the old
+        # semi+base self-join dropped the NULL-source group — one grouped
+        # pass with a dup marker now; surveyed executed plan shows
+        # BroadcastHashJoin ... LeftOuter)
+        "require": ["Generate", "LeftOuter", "partial"],
         "forbid": ["CartesianProduct", "Exchange SinglePartition"],
     },
     "stream_session_windows": {
