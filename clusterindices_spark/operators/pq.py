@@ -130,8 +130,19 @@ def pq_train_encode(
     k: int = PQ_K,
     lloyd_iters: int = 2,
     normalize: bool = True,
+    sample_cap: int | None = 100_000,
 ) -> tuple[DataFrame, DataFrame]:
     """Train per-subspace codebooks and encode the corpus.
+
+    Sampled fit (r9 — the ivf_build pattern): codebook Lloyd refinement
+    is O(n·m·k) distance evaluations per round; the FIT now runs on a
+    deterministic hash-sample of at most ``sample_cap`` vectors (Knuth
+    mod-reduce on vec_id — no rand()) while the full corpus is encoded
+    exactly once. At fixed cap the training cost is constant in corpus
+    size; the encode stays one embarrassingly-parallel broadcast pass.
+    Gate/bench SFs sit under the default cap, so every oracle/recall
+    artifact is bit-identical to the unsampled path; ``None`` restores
+    full-corpus fit. Memo keys include the cap.
 
     Returns ``(codebook, codes)``: codebook = M rows (m, book), codes =
     (vec_id, codes ARRAY<INT> length M), both materialized (codebook is a
@@ -172,7 +183,7 @@ def pq_train_encode(
     # invocations on the same corpus (bench warmup→timed, registry sweeps)
     # derive an identical codebook by construction. Same fixtures-immutable
     # assumption as every pin (functions/pins.py).
-    params = (m, k, lloyd_iters, normalize)
+    params = (m, k, lloyd_iters, normalize, sample_cap)
     prev = _TRAINED.get(params)
     if prev is not None and same_plan(prev[0], sub):
         # the ONE literal codebook DataFrame from training time — a fresh
@@ -181,8 +192,28 @@ def pq_train_encode(
         # pin's reuse and re-encoding the corpus on every warm query
         folded = prev[1]
     else:
-        seeds = sub.join(
-            F.broadcast(emb.select("vec_id").orderBy("vec_id").limit(k)),
+        # fit set: full sub-vector frame under the cap, else a hash slice
+        # of ~sample_cap vectors (fraction from one count over the pinned
+        # frame; the filter re-evaluates over it per Lloyd reference)
+        sub_fit = sub
+        if sample_cap is not None:
+            n = sub.select("vec_id").distinct().count()
+            if n > sample_cap:
+                thresh = max(1, (1_000_003 * sample_cap) // n)
+                sub_fit = sub.where(
+                    F.expr(
+                        "((vec_id % 1000003) * 2654435761) % 1000003"
+                        f" < {thresh}"
+                    )
+                )
+        # seeds = the FIT SET's k lowest vec_ids — seeding from the full
+        # corpus's lowest ids would lose every seed the hash sample
+        # dropped, silently shrinking the codebook below k (measured:
+        # recall@5 0.825 vs 1.0 at a 1/3 sample before this fix)
+        seeds = sub_fit.join(
+            F.broadcast(
+                sub_fit.select("vec_id").distinct().orderBy("vec_id").limit(k)
+            ),
             "vec_id",
         )
         cents0 = seeds.groupBy("m").agg(
@@ -199,7 +230,7 @@ def pq_train_encode(
         )
         for _ in range(lloyd_iters):
             folded = _fold_codebook(
-                _update_codebook(_assign_codes(sub, folded), d_sub)
+                _update_codebook(_assign_codes(sub_fit, folded), d_sub)
             )
         rows = folded.collect()
         folded = spark.createDataFrame(rows, folded.schema)

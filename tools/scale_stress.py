@@ -261,13 +261,72 @@ def stress_ivf(spark) -> dict:
     }
 
 
+def stress_pq(spark) -> dict:
+    """PQ codebook-training A/B at corpus scale: sampled fit (the r9
+    ivf_build pattern applied to pq_train_encode) vs full-corpus fit.
+    Train+encode wall for each arm plus recall@5 of the deployed
+    ADC-over-retrieve search against exact cosine top-k."""
+    from clusterindices_spark.operators.pq import (
+        _TRAINED,
+        pq_topk_reranked,
+        pq_train_encode,
+    )
+    from clusterindices_spark.operators.similarity import topk_exact
+
+    n_vecs = int(os.environ.get("PQ_VECS", "2000000"))
+    sample_cap = int(os.environ.get("PQ_SAMPLE_CAP", "100000"))
+    dim = 16  # divisible by M_SUBSPACES=8 (d_sub=2)
+    x = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (F.pmod(F.xxhash64(F.col("vec_id") * 31 + j),
+                          F.lit(2000)) - 1000) / 1000.0,
+    )
+    emb = (
+        spark.range(0, n_vecs)
+        .select(F.col("id").alias("vec_id"))
+        .withColumn("x", x)
+        .persist()
+    )
+    emb.count()
+    probes = emb.where(F.col("vec_id") % (n_vecs // 32) == 0)
+    exact = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in topk_exact(emb, probes, k=5).collect()
+    }
+
+    walls, recalls = {}, {}
+    for arm, cap in (("sampled", sample_cap), ("full", None)):
+        _TRAINED.clear()  # cold fit per arm
+        t0 = time.monotonic()
+        codebook, codes = pq_train_encode(emb, sample_cap=cap)
+        walls[arm] = round(time.monotonic() - t0, 1)
+        got = {
+            (r["probe_id"], r["neighbor_id"])
+            for r in pq_topk_reranked(
+                codebook, codes, emb, probes, k=5
+            ).collect()
+        }
+        recalls[arm] = round(len(got & exact) / max(len(exact), 1), 4)
+    emb.unpersist()
+    return {
+        "metric": "pq_build_stress",
+        "n_vecs": n_vecs,
+        "dim": dim,
+        "sample_cap": sample_cap,
+        "train_encode_sec_sampled": walls["sampled"],
+        "train_encode_sec_full": walls["full"],
+        "recall_at5_sampled": recalls["sampled"],
+        "recall_at5_full": recalls["full"],
+    }
+
+
 def main() -> None:
     from clusterindices_spark.session import get_spark
 
     which = sys.argv[1:] or ["cc", "minhash", "ivf"]
     spark = get_spark("scale-stress", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("ERROR")
-    fns = {"cc": stress_cc, "minhash": stress_minhash, "ivf": stress_ivf}
+    fns = {"cc": stress_cc, "minhash": stress_minhash, "ivf": stress_ivf, "pq": stress_pq}
     for name in which:
         out = fns[name](spark)
         print(json.dumps(out), flush=True)
