@@ -117,14 +117,63 @@ _FRONT = [
     "bd_silhouette",
 ]
 
-# Immediately after the 50-slot window: new round-9 oracle-backed keys that
-# should be the FIRST to get driver rows if the window is wider than 50 (and
-# the head of round 10's window otherwise). Round 9 is a hardening round
-# (VERDICT r8 #7: gap-closers only) — new keys land here as added. NOTE the
-# usual "rows-only keys never burn a driver slot" rule is deliberately
-# suspended for the r9 _FRONT above: VERDICT r8 missing #1 asks for exactly
-# those 15 rows-only driver rows to complete 282/282 coverage.
-_NEXT: list[str] = []
+# Immediately after the 50-slot window. Round 9 added no keys (VERDICT r8
+# #7: gap-closers only); _NEXT instead queues the r9-TOUCHED oracle-backed
+# keys — every operator or oracle the hostile-gate fixes modified — so the
+# r10 window rotation (fresh post-fix driver rows first, then stalest
+# greens) is mechanical. All were re-gated green at sf0.01 AND sf0.1 and
+# through the 846-cell hostile sweep this round. NOTE the usual "rows-only
+# keys never burn a driver slot" rule was deliberately suspended for the
+# r9 _FRONT above (VERDICT r8 missing #1: the 15 rows-only driver rows
+# complete 282/282 coverage).
+_NEXT: list[str] = [
+    "udf_cogrouped_asof",       # int64-exact as-of rewrite
+    "dedup_chunk_exact",        # NULL-source group fix + plan change
+    "scalar_struct",            # BIGINT keys + NULL-balance MAX
+    "scalar_json",
+    "scalar_map",
+    "scalar_math",              # ln/sqrt domain guards
+    "scalar_array_set",
+    "scalar_url_parse",
+    "window_frame",
+    "window_distribution",
+    "agg_stats",
+    "agg_equidepth_histogram",
+    "agg_quantiles_bucketed",
+    "scd2_status_intervals",
+    "events_ewma_smooth",
+    "events_rolling_zscore",
+    "events_changepoint_loc",
+    "events_survival_km",
+    "events_cuped",             # tightened aggregate bound (doc-only)
+    "stream_tumbling_agg",
+    "stream_sliding_agg",
+    "tpch_q9",
+    "curation_mixture_interleave",
+    "udtf_sentences",
+    "udf_scalar_cosine",
+    "text_scrub_blocklist",
+    "embedding_normalize",
+    "embedding_quantize_int8",
+    "embedding_random_projection",
+    "embedding_dim_covariance",
+    "assign_nearest_centroid",
+    "cluster_label_contingency",
+    "cluster_chi2",
+    "cluster_external_agreement",
+    "cluster_agreement_ext",
+    "ratkowsky_lance",
+    "c_index",
+    "pair_validity",
+    "dedup_graph_pagerank",
+    "text_bpe_train_merges",
+    "curation_anneal_mixture",
+    "multimodal_meta",
+    "multimodal_bytes_arrow",
+    "multimodal_audio_window",
+    "multimodal_audio_fingerprint",
+    "multimodal_type_routing",
+]
 
 
 def _load():
