@@ -793,7 +793,7 @@ def q_curation_anneal_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("source").agg(F.sum("n_toks").alias("toks"))
     total = src.agg(F.sum("toks")).collect()[0][0]
     k = src.count()
-    if not total or k == 0:
+    if k == 0:
         # empty corpus: no sources to schedule (oracle yields 0 rows) —
         # return the empty schedule instead of float(None) (r9 hostile)
         return src.where(F.lit(False)).select(
@@ -803,7 +803,15 @@ def q_curation_anneal_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0).alias("weight"),
             F.lit(0).cast("bigint").alias("tokens_per_million"),
         )
-    share = F.col("toks") / F.lit(float(total))
+    # sources exist but the token total is 0/NULL (all texts empty/NULL):
+    # the oracle still emits k×T rows, with NULL share/weight/tpm (DuckDB
+    # x/0.0 and x/NULL are both NULL). Mirror that with an explicit NULL
+    # share — Spark's ANSI division-by-zero would error, and guarding the
+    # whole schedule away was an r9 row-count divergence (r10 advice).
+    if not total:
+        share = F.lit(None).cast("double")
+    else:
+        share = F.col("toks") / F.lit(float(total))
     steps = F.explode(
         F.array(*[F.lit(t) for t in range(1, ANNEAL_STEPS + 1)])
     ).alias("step")

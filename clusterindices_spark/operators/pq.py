@@ -200,9 +200,13 @@ def pq_train_encode(
             n = sub.select("vec_id").distinct().count()
             if n > sample_cap:
                 thresh = max(1, (1_000_003 * sample_cap) // n)
+                # pmod, not %: Spark's % is sign-preserving, so a negative
+                # vec_id would yield a negative remainder that is ALWAYS
+                # under the threshold — sweeping every negative-id vector
+                # into the fit set and defeating the cap (r10 advice)
                 sub_fit = sub.where(
                     F.expr(
-                        "((vec_id % 1000003) * 2654435761) % 1000003"
+                        "pmod(pmod(vec_id, 1000003) * 2654435761, 1000003)"
                         f" < {thresh}"
                     )
                 )

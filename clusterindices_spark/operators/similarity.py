@@ -37,12 +37,24 @@ TOP_K = 5
 # sf0.01); 0.4 exercises the operator with non-empty output. Real corpora
 # would use ~0.95+.
 COSINE_DUP_THRESHOLD = 0.4
-# placeholder dimension for NULL vectors in the LSH paths: Spark's UDF
-# pull-out evaluates array_to_vector AND the LSHModel hash UDF below the
-# norm>0 filter, so dropped rows still flow through both UDFs — the
-# placeholder must be a VALID vector of the model's dimension (fixture
-# dim, FIXTURES.md; callers on other corpora already filter NULLs)
+# fallback placeholder dimension for NULL vectors in the LSH paths when
+# the corpus has no non-null vector to measure (fixture dim, FIXTURES.md)
 NULL_VEC_PLACEHOLDER_DIM = 64
+
+
+def _corpus_dim(emb: DataFrame, col: str = "x") -> int:
+    """Dimension of the corpus's vectors, read from the first non-null row
+    (LIMIT-1 scan — short-circuits at the first qualifying row). Spark's
+    UDF pull-out evaluates array_to_vector AND the LSHModel hash UDF below
+    the norm>0 filter, so NULL-x rows still flow through both UDFs and
+    need a placeholder of the MODEL'S dimension — a hardcoded constant
+    crashes the hash on any other-dimension corpus (r10 advice)."""
+    row = (
+        emb.where(F.col(col).isNotNull())
+        .select(F.size(col).alias("d"))
+        .first()
+    )
+    return int(row["d"]) if row is not None else NULL_VEC_PLACEHOLDER_DIM
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -352,7 +364,9 @@ def semantic_pairs_ann(
     n = norm(F.col("x"))
     # outer CASE: total on NULL x too, with a full-dimension placeholder
     # — see ann_lsh_topk's unit() (the UDF pull-out evaluates both the
-    # array_to_vector and LSH hash UDFs below the filter)
+    # array_to_vector and LSH hash UDFs below the filter); the dimension
+    # is measured from the corpus, not assumed (_corpus_dim)
+    dim = _corpus_dim(emb)
     safe = F.when(
         n > 0,
         F.transform("x", lambda v: v / n),
@@ -360,7 +374,7 @@ def semantic_pairs_ann(
         F.transform(
             F.coalesce(
                 F.col("x"),
-                F.array_repeat(F.lit(0.0), NULL_VEC_PLACEHOLDER_DIM),
+                F.array_repeat(F.lit(0.0), dim),
             ),
             lambda v: F.lit(0.0),
         )
@@ -431,13 +445,16 @@ def ann_lsh_topk(
     # CASE WHEN evaluates branches conditionally per row — the zero row
     # speculatively maps to a valid all-zero vector, then the guard
     # conjunct removes it from every result.
+    dim = _corpus_dim(emb)
+
     def unit(df: DataFrame, idc: str, xc: str) -> DataFrame:
         n = norm(F.col("x"))
         # `safe` must be a NON-NULL, FULL-DIMENSION vector on every row:
         # the UDF pull-out evaluates array_to_vector and the LSH hash UDF
         # below the n>0 filter (r9 hostile edge — array_to_vector(NULL)
         # NPEs; a short placeholder crashes the hash), so filtered-out
-        # rows still need a hashable stand-in of the model's dimension
+        # rows still need a hashable stand-in of the MODEL'S dimension —
+        # measured from the corpus (_corpus_dim), never assumed
         safe = F.when(
             n > 0,
             F.transform("x", lambda v: v / n),
@@ -445,9 +462,7 @@ def ann_lsh_topk(
             F.transform(
                 F.coalesce(
                     F.col("x"),
-                    F.array_repeat(
-                        F.lit(0.0), NULL_VEC_PLACEHOLDER_DIM
-                    ),
+                    F.array_repeat(F.lit(0.0), dim),
                 ),
                 lambda v: F.lit(0.0),
             )
@@ -661,9 +676,11 @@ def ivf_build(
         n = pts.count()
         if n > sample_cap:
             thresh = max(1, (1_000_003 * sample_cap) // n)
+            # pmod, not %: sign-preserving % sweeps every negative-id
+            # vector into the fit set unconditionally (r10 advice)
             fit = pts.where(
                 F.expr(
-                    "((vec_id % 1000003) * 2654435761) % 1000003"
+                    "pmod(pmod(vec_id, 1000003) * 2654435761, 1000003)"
                     f" < {thresh}"
                 )
             )

@@ -197,6 +197,10 @@ def _attach_clicks(purch: pd.DataFrame, clk: pd.DataFrame) -> pd.DataFrame:
     p = purch.sort_values(["ms", "event_id"]).rename(
         columns={"event_id": "purchase_id", "ms": "purchase_ms"}
     )
+    # NULL-ts purchases arrive as NaN (float64 column): pin to nullable
+    # Int64 here so every return path hands Arrow a proper NA instead of
+    # an unsafe NaN->bigint cast
+    p["purchase_ms"] = p["purchase_ms"].astype("Int64")
     if clk.empty:
         p["click_id"] = pd.Series([pd.NA] * len(p), dtype="Int64")
         p["click_ms"] = pd.Series([pd.NA] * len(p), dtype="Int64")
@@ -206,6 +210,17 @@ def _attach_clicks(purch: pd.DataFrame, clk: pd.DataFrame) -> pd.DataFrame:
         .rename(columns={"event_id": "click_id", "ms": "click_ms"})
         .drop(columns=["user_id"])
     )
+    # NULL-ts clicks arrive as NaN ms (Arrow nulls make the column
+    # float64). NaN sorts LAST, and NaN->int64 is undefined (numpy yields
+    # INT64_MIN) — so without this drop the searchsorted array ends with
+    # INT64_MIN (unsorted) and every purchase silently attributes to the
+    # NULL-ts click. The oracle's `click_ms <= purchase_ms` never matches
+    # NULL, so these rows must not participate at all.
+    c = c[c["click_ms"].notna()]
+    if c.empty:
+        p["click_id"] = pd.Series([pd.NA] * len(p), dtype="Int64")
+        p["click_ms"] = pd.Series([pd.NA] * len(p), dtype="Int64")
+        return p[cols]
     # int64-exact as-of: pd.merge_asof fills unmatched rows with NaN, which
     # forces the WHOLE click column to float64 — odd ids past 2^53 round to
     # the nearest even (9007199254741103 -> ...104) and the later
@@ -216,13 +231,17 @@ def _attach_clicks(purch: pd.DataFrame, clk: pd.DataFrame) -> pd.DataFrame:
 
     cms = c["click_ms"].to_numpy(dtype="int64")
     cid = c["click_id"].to_numpy(dtype="int64")
+    # NULL-ts purchases (NaN after Arrow) are unmatched by the oracle's
+    # NULL-never-compares predicate: mask them out of the search instead
+    # of letting NaN->int64 cast garbage drive the lookup, and surface
+    # purchase_ms itself as a proper NA (not an unsafe NaN->bigint cast
+    # at the Arrow boundary).
+    pvalid = p["purchase_ms"].notna().to_numpy()
+    pms = p["purchase_ms"].fillna(0).to_numpy(dtype="int64")
     idx = (
-        np.searchsorted(
-            cms, p["purchase_ms"].to_numpy(dtype="int64"), side="right"
-        )
-        - 1
+        np.searchsorted(cms, pms, side="right") - 1
     )  # last click_ms <= purchase_ms; ties resolved by sort order
-    matched = idx >= 0
+    matched = pvalid & (idx >= 0)
     take = np.clip(idx, 0, None)
     out = p.copy()
     out["click_id"] = pd.arrays.IntegerArray(cid[take], mask=~matched)

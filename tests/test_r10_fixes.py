@@ -1,0 +1,207 @@
+"""Regression guards for the round-10 advisor fixes (ADVICE.md r10).
+
+Four classes, all cross-engine divergences or latent crashes the r9
+hostile gate's fixtures didn't reach:
+
+1. NULL-ts clicks/purchases through the cogrouped as-of UDF (NaN ms cast
+   NaN->int64 made the searchsorted array unsorted — purchases silently
+   attributed to the NULL-ts click).
+2. curation_anneal_mixture on a non-empty corpus whose token total is 0:
+   the oracle emits k*T NULL-valued rows, the old guard emitted 0 rows.
+3. NULL-vector LSH placeholder hardcoded the fixture dim (64) — any
+   other-dimension corpus with NULL vectors crashed the hash UDF.
+4. Sign-preserving % in the fit-sample hash swept every negative-id
+   vector into the fit set unconditionally.
+"""
+
+import os
+import sys
+import tempfile
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+REF_SF = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+
+
+def test_cogrouped_asof_ignores_null_ts_clicks(spark):
+    """ADVICE r10 high: purchase@3000 with clicks@2000,1000,NaN must
+    attribute to the click@2000, never the NULL-ts click."""
+    from clusterindices_spark.operators.udfs import _attach_clicks
+
+    purch = pd.DataFrame(
+        {"user_id": [1], "event_id": [900], "ms": [3000.0]}
+    )
+    clk = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1],
+            "event_id": [10, 11, 12],
+            "ms": [2000.0, 1000.0, float("nan")],  # Arrow nulls -> NaN
+        }
+    )
+    out = _attach_clicks(purch, clk)
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["click_id"] == 10 and r["click_ms"] == 2000
+
+
+def test_cogrouped_asof_null_ts_purchase_unmatched(spark):
+    """NULL-ts purchase: the oracle's click_ms <= NULL never matches —
+    emit the purchase row with NA purchase_ms/click, not a NaN->int64
+    garbage lookup."""
+    from clusterindices_spark.operators.udfs import _attach_clicks
+
+    purch = pd.DataFrame(
+        {"user_id": [1, 1], "event_id": [900, 901],
+         "ms": [float("nan"), 3000.0]}
+    )
+    clk = pd.DataFrame(
+        {"user_id": [1], "event_id": [10], "ms": [2000.0]}
+    )
+    out = _attach_clicks(purch, clk)
+    by_pid = {r.purchase_id: r for r in out.itertuples()}
+    assert pd.isna(by_pid[900].purchase_ms)
+    assert pd.isna(by_pid[900].click_id)
+    assert by_pid[901].click_id == 10
+
+
+def test_cogrouped_asof_all_clicks_null_ts(spark):
+    """All clicks NULL-ts: equivalent to no clicks at all."""
+    from clusterindices_spark.operators.udfs import _attach_clicks
+
+    purch = pd.DataFrame({"user_id": [1], "event_id": [900], "ms": [3000.0]})
+    clk = pd.DataFrame(
+        {"user_id": [1, 1], "event_id": [10, 11],
+         "ms": [float("nan"), float("nan")]}
+    )
+    out = _attach_clicks(purch, clk)
+    assert len(out) == 1 and pd.isna(out.iloc[0]["click_id"])
+
+
+def _write_docs(d: str, rows: list[tuple]) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(f"{REF_SF}/documents.parquet").remove_metadata()
+    tbl = pa.Table.from_arrays(
+        [pa.array([r[i] for r in rows], type=f.type)
+         for i, f in enumerate(schema)],
+        schema=schema,
+    )
+    pq.write_table(tbl, f"{d}/documents.parquet")
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_SF), reason="driver testdata absent")
+def test_anneal_mixture_zero_token_corpus_matches_oracle(spark):
+    """ADVICE r10 medium: sources exist but every text is empty/NULL —
+    the oracle emits k*ANNEAL_STEPS rows with NULL share/weight/tpm;
+    the old `if not total` guard emitted 0 rows."""
+    import duckdb
+
+    from clusterindices_spark.operators.curation import (
+        ANNEAL_STEPS,
+        ORACLES,
+        q_curation_anneal_mixture,
+    )
+
+    rows = [
+        (1, "", "en", "srcA", 0),
+        (2, None, "en", "srcA", 0),
+        (3, "", "en", "srcB", 0),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(d, rows)
+        got = q_curation_anneal_mixture(spark, d).collect()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS "
+            f"SELECT * FROM read_parquet('{d}/documents.parquet')"
+        )
+        want = con.execute(ORACLES["curation_anneal_mixture"]).fetchall()
+    assert len(got) == 2 * ANNEAL_STEPS == len(want)
+    for r in got:
+        assert r["target_share"] is None
+        assert r["weight"] is None
+        assert r["tokens_per_million"] is None
+    for w in want:
+        assert w[2] is None and w[3] is None and w[4] is None
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_SF), reason="driver testdata absent")
+def test_anneal_mixture_empty_corpus_still_empty(spark):
+    from clusterindices_spark.operators.curation import (
+        q_curation_anneal_mixture,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(d, [])
+        assert q_curation_anneal_mixture(spark, d).count() == 0
+
+
+def test_corpus_dim_measured_not_assumed(spark):
+    from clusterindices_spark.operators.similarity import (
+        NULL_VEC_PLACEHOLDER_DIM,
+        _corpus_dim,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, None), (2, [1.0] * 16), (3, [2.0] * 16)],
+        "vec_id bigint, x array<double>",
+    )
+    assert _corpus_dim(emb) == 16
+    all_null = spark.createDataFrame(
+        [(1, None)], "vec_id bigint, x array<double>"
+    )
+    assert _corpus_dim(all_null) == NULL_VEC_PLACEHOLDER_DIM
+
+
+def test_lsh_paths_survive_null_vectors_on_16dim_corpus(spark):
+    """ADVICE r10 low: a non-64-dim corpus with NULL vectors used to feed
+    a wrong-length placeholder to the LSH hash UDF and crash."""
+    from clusterindices_spark.operators.similarity import (
+        ann_lsh_topk,
+        semantic_pairs_ann,
+    )
+
+    rows = [(i, [float((i * 7 + j * 3) % 5) for j in range(16)])
+            for i in range(1, 9)]
+    rows.append((9, None))
+    rows.append((10, [0.0] * 16))  # zero-norm
+    emb = spark.createDataFrame(rows, "vec_id bigint, x array<double>")
+    pairs = semantic_pairs_ann(emb, threshold=0.99)
+    pairs.collect()  # must not crash; content is threshold-dependent
+    topk = ann_lsh_topk(emb, emb.where(F.col("vec_id") == 1), k=2)
+    got = topk.collect()
+    assert all(r["probe_id"] == 1 for r in got)
+
+
+def test_fit_sample_hash_pmod_on_negative_ids(spark):
+    """ADVICE r10 low: the fit-sample filter must reduce NEGATIVE ids
+    into [0, 1000003) so the cap holds; sign-preserving % passed every
+    negative id. Pins both the expression semantics and that the source
+    sites use pmod."""
+    expr = "pmod(pmod(vec_id, 1000003) * 2654435761, 1000003)"
+    df = spark.range(-4000, 0).withColumnRenamed("id", "vec_id")
+    lo, hi, n_under = (
+        df.select(F.expr(expr).alias("h"))
+        .agg(
+            F.min("h"), F.max("h"),
+            F.sum(F.when(F.col("h") < 50000, 1).otherwise(0)),
+        )
+        .first()
+    )
+    assert lo >= 0 and hi < 1000003
+    # ~5% expected at thresh 50000; the broken form selected 100%
+    assert n_under < 4000 * 0.25
+    import inspect
+
+    from clusterindices_spark.operators import pq as pqmod
+    from clusterindices_spark.operators import similarity as simmod
+
+    for mod in (pqmod, simmod):
+        src = inspect.getsource(mod)
+        assert "pmod(pmod(vec_id" in src
+        assert "(vec_id % 1000003) * 2654435761" not in src

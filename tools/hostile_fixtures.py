@@ -204,6 +204,11 @@ def gen_edge(out: str) -> None:
         ev.append((i, _ts(1 + i % 28, i % 24, i % 60), 11 + i % 4,
                    ["view", "click", "error", "signup", "purchase"][i % 5],
                    float(i % 100) / 4.0, '{"k": %d}' % (i % 100)))
+    # NULL-ts click for a user who ALSO has a valid click and a later
+    # purchase: as-of attribution must ignore it (r10 advice — NaN ms
+    # cast NaN->int64 made the searchsorted array end with INT64_MIN,
+    # silently attributing every purchase to the NULL-ts click)
+    ev.append((240, None, 10, "click", 1.0, '{"k": 8}'))
     _write(out, "events", {
         "event_id": [e[0] for e in ev],
         "ts": [e[1] for e in ev],
