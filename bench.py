@@ -31,6 +31,28 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _hist_medians(
+    repo_dir: str, sf_val, last_n: int = 8
+) -> dict[str, float]:
+    """Per-key median over the last ``last_n`` bench_history entries at the
+    same sf — the noise-robust reference for the auto-rerun trigger."""
+    import statistics
+
+    path = os.path.join(repo_dir, "reports", "bench_history.jsonl")
+    per_key: dict[str, list[float]] = {}
+    try:
+        with open(path) as f:
+            entries = [json.loads(line) for line in f if line.strip()]
+    except (OSError, ValueError):
+        return {}
+    entries = [e for e in entries if e.get("sf") == sf_val]
+    for e in entries[-last_n:] if last_n else entries:
+        for k, v in (e.get("queries") or {}).items():
+            if isinstance(v, (int, float)):
+                per_key.setdefault(k, []).append(float(v))
+    return {k: round(statistics.median(v), 3) for k, v in per_key.items()}
+
+
 def _git_sha(repo_dir: str) -> str | None:
     import subprocess
 
@@ -290,6 +312,12 @@ def main() -> None:
     spark = get_spark("clusterindices-bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
 
     # warmup: prime codegen/JIT per query at the smallest scale factor (not
     # timed). A single generic warmup query leaves each headline query paying
@@ -315,6 +343,52 @@ def main() -> None:
         out = sidebar if name in SIDEBAR else timings
         out[name] = round(time.monotonic() - t0, 3)
         print(f"# {name}: {out[name]}s ({n} rows)", file=sys.stderr)
+
+    # Noise-robust regression detection (VERDICT r10 item 2): single-shot
+    # totals on this box swing ±30%+ from hypervisor CPU steal (r7 logged
+    # 72–193 s for the same suite; r9's wemmert ×3.7 was a pure noise
+    # artifact adjudicated with three isolated sessions — BASELINE.md
+    # "Measured r10"). Any key whose single shot reads >1.5× its
+    # bench_history median (same sf) AND >0.3 s over it is re-run twice
+    # more in-session; the recorded time becomes the median-of-3 and the
+    # raw samples are kept in a `reruns` block, so a steal spike costs two
+    # extra executions instead of a round of false archaeology. Keys
+    # without history (new keys) establish their baseline untouched. The
+    # rerun budget is capped: a session where MANY keys trigger is
+    # session-level steal, and the worst offenders carry the signal.
+    hist = _hist_medians(repo_dir, sf_val)
+    triggered = [
+        name
+        for name, t in timings.items()
+        if name in hist and t > 1.5 * hist[name] and t - hist[name] > 0.3
+    ]
+    triggered.sort(key=lambda k: timings[k] - hist[k], reverse=True)
+    RERUN_CAP = 12
+    reruns: dict[str, dict] = {}
+    for name in triggered[:RERUN_CAP]:
+        samples = [timings[name]]
+        for _ in range(2):
+            t0 = time.monotonic()
+            queries[name](spark, sf_dir).count()
+            samples.append(round(time.monotonic() - t0, 3))
+        med = round(sorted(samples)[1], 3)
+        reruns[name] = {
+            "samples": samples,
+            "hist_median": hist[name],
+            "recorded": med,
+        }
+        timings[name] = med
+        print(
+            f"# rerun {name}: samples={samples} hist={hist[name]} -> {med}",
+            file=sys.stderr,
+        )
+    reruns_skipped = triggered[RERUN_CAP:]
+    if reruns_skipped:
+        print(
+            f"# rerun budget hit ({RERUN_CAP}); session-level steal likely; "
+            f"not rerun: {reruns_skipped}",
+            file=sys.stderr,
+        )
 
     # ANN build/query split (VERDICT r3 item 4): index BUILD (Lloyd training
     # + encode) is an offline job at scale, but the registry keys charge it
@@ -452,12 +526,6 @@ def main() -> None:
     except Exception as ex:
         print(f"# ann_split ivf_bucketed failed: {ex}", file=sys.stderr)
 
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    try:
-        sf_val: float | str = float(sf)
-    except ValueError:
-        sf_val = sf
-
     # Driver contract (VERDICT r4 item 3): the driver records only the LAST
     # 2000 chars of output — r4's single JSON line outgrew that as the
     # headline set hit 69 keys, leaving the round with "parsed": null. The
@@ -474,9 +542,10 @@ def main() -> None:
         "ann_recall": ann_recall,
         "recall_floors": RECALL_FLOORS,
         "recall_fail": recall_fail,
+        "reruns": reruns,
+        "reruns_skipped": reruns_skipped,
         "sf": sf_val,
     }
-    repo_dir = os.path.dirname(os.path.abspath(__file__))
     full_path = os.path.join(repo_dir, "reports", "bench_full.json")
     try:
         os.makedirs(os.path.dirname(full_path), exist_ok=True)
@@ -506,6 +575,8 @@ def main() -> None:
                         "queries": timings,
                         "ann_recall": ann_recall,
                         "recall_fail": recall_fail,
+                        "reruns": reruns,
+                        "reruns_skipped": reruns_skipped,
                     }
                 )
                 + "\n"
@@ -536,6 +607,12 @@ def main() -> None:
                 "n_queries": len(timings),
                 "recall": recall_block,
                 "recall_fail": recall_fail,
+                # cap the stdout rerun block: the driver tail-captures
+                # 2000 chars; the full per-key samples live in the record
+                "n_reruns": len(reruns),
+                "reruns": {
+                    k: v["samples"] for k, v in list(reruns.items())[:6]
+                },
                 "full_record": "reports/bench_full.json",
                 "sf": sf_val,
             }

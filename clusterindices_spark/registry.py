@@ -49,85 +49,22 @@ _MODULES = [
     "clusterindices_spark.sql",
 ]
 
-# Round-9 driver-window priority (VERDICT r8 "Next round" #2 — finish
-# driver coverage). Exactly 50 keys: the 15 rows-only keys that have NEVER
-# had a driver row (all green as ROWS in the judge's independent r8 gate;
-# one slot each closes the last coverage gap — with these recorded, every
-# key in the registry has a driver row whose latest status is
-# green-or-ROWS), then the 2 keys int64-FIXED in r8 AFTER their latest
-# driver rows (scalar_math r1 row predates the l_orderkey div fix;
-# curation_sample_weighted r4 row predates the mod-before-multiply fix —
-# both judge-green post-fix, rotate in for a post-fix driver row), then 33
-# re-confirmations — r9-touched paths first (dedup.py CC strict-raise
-# unpersist, analytics.py attribution truncation-semantics note, IVF build
-# path), then the stalest stable greens (r1 rows oldest-first, then r2).
+# Round-10 driver-window priority (VERDICT r9 "Next round" #3 — rotate
+# mechanically from the r9 _NEXT queue). Exactly 50 keys: the 2 keys whose
+# OPERATORS changed in r10 (advice fixes: udf_cogrouped_asof's NULL-ts
+# as-of handling, curation_anneal_mixture's zero-token schedule) lead so
+# their latest driver rows postdate the fixes; then the remaining 44
+# r9-touched oracle-backed keys queued by r9's _NEXT (hostile-gate fix
+# paths — every one re-gated green at sf0.01+sf0.1 and through the
+# 846-cell sweep in r9); then 4 stalest stable greens (latest driver rows
+# from r2) to fill the window. The r10 similarity/pq advice fixes touch
+# only rows-only ANN keys (placeholder dim, fit-sample pmod), which never
+# burn driver slots — their guards are tests/test_r10_fixes.py.
 _FRONT = [
-    # the 15 rows-only keys with no driver row in r1-r8 (VERDICT r8 list)
-    "bisecting_sweep_small",
-    "gmm_sweep_small",
-    "gap_statistic",
-    "dedup_semantic_clusters_ann",
-    "similarity_ivf_nprobe_curve",
-    "similarity_knn_graph",
-    "embedding_pq_codes",
-    "similarity_ann_pq",
-    "similarity_pq_expand_curve",
-    "similarity_ann_ivfpq",
-    "embedding_pca_project",
-    "embedding_whiten",
-    "agg_quantiles_approx",
-    "text_heavy_hitters_cms",
-    "agg_hll_partitioned_merge",
-    # int64-fixed in r8 after their latest driver rows — record post-fix
-    "scalar_math",
-    "curation_sample_weighted",
-    # 33 re-confirmations — r9-touched paths first, then stalest greens
-    "dedup_components",
-    "dedup_components_star",
-    "events_attribution_linear",
-    "similarity_ann_ivf",
-    "join_broadcast",
-    "join_sortmerge",
-    "join_semi_anti",
-    "agg_rollup",
-    "window_frame",
-    "set_ops",
-    "scalar_datetime",
-    "scalar_array",
-    "scalar_json",
-    "tpch_q5",
-    "tpch_q10",
-    "tpch_q14",
-    "tpch_q18",
-    "tpch_q7",
-    "tpch_q13",
-    "tpch_q19",
-    "tpch_q22",
-    "tpch_q4",
-    "tpch_q15",
-    "tpch_q17",
-    "agg_grouping_sets",
-    "agg_stats",
-    "pivot_wide",
-    "unpivot_long",
-    "subquery_scalar",
-    "centroids_by_label",
-    "intra_cluster_stats",
-    "inter_centroid_min",
-    "bd_silhouette",
-]
-
-# Immediately after the 50-slot window. Round 9 added no keys (VERDICT r8
-# #7: gap-closers only); _NEXT instead queues the r9-TOUCHED oracle-backed
-# keys — every operator or oracle the hostile-gate fixes modified — so the
-# r10 window rotation (fresh post-fix driver rows first, then stalest
-# greens) is mechanical. All were re-gated green at sf0.01 AND sf0.1 and
-# through the 846-cell hostile sweep this round. NOTE the usual "rows-only
-# keys never burn a driver slot" rule was deliberately suspended for the
-# r9 _FRONT above (VERDICT r8 missing #1: the 15 rows-only driver rows
-# complete 282/282 coverage).
-_NEXT: list[str] = [
-    "udf_cogrouped_asof",       # int64-exact as-of rewrite
+    # r10-fixed operators — driver rows must postdate the fixes
+    "udf_cogrouped_asof",       # NULL-ts click/purchase as-of semantics
+    "curation_anneal_mixture",  # zero-token NULL schedule parity
+    # the 44 remaining r9-touched oracle-backed keys (r9 _NEXT order)
     "dedup_chunk_exact",        # NULL-source group fix + plan change
     "scalar_struct",            # BIGINT keys + NULL-balance MAX
     "scalar_json",
@@ -167,12 +104,71 @@ _NEXT: list[str] = [
     "pair_validity",
     "dedup_graph_pagerank",
     "text_bpe_train_merges",
-    "curation_anneal_mixture",
     "multimodal_meta",
     "multimodal_bytes_arrow",
     "multimodal_audio_window",
     "multimodal_audio_fingerprint",
     "multimodal_type_routing",
+    # stalest stable greens (latest driver rows r2) — window fill
+    "bd_dunn",
+    "davies_bouldin",
+    "wssse",
+    "calinski_harabasz",
+]
+
+# Immediately after the 50-slot window: the r11 rotation queue. Round 10
+# added no keys (VERDICT r9 #7: gap-closers only), so _NEXT continues the
+# stalest-green re-confirmation ladder — oracle-backed keys whose latest
+# driver rows date to r2, oldest first (derived from CORRECTNESS_r01–r09
+# latest-round-per-key). Any r10half/r11 operator fix should be PREPENDED
+# here so its post-fix driver row lands in the next window.
+_NEXT: list[str] = [
+    "xie_beni",
+    "silhouette_sqeuclid",
+    "index_suite_ext",
+    "text_tfidf_topterms",
+    "text_fingerprint",
+    "text_token_count",
+    "text_unigram_logprob",
+    "text_repetition_stats",
+    "multimodal_frame_sample",
+    "embedding_centroid_drift",
+    "multimodal_resize",
+    "udf_grouped_agg_median",
+    "stream_dedup",
+    "stream_join_clicks",
+    "events_retention",
+    "curation_split",
+    "curation_pack_greedy",
+    "curation_pipeline",
+    "curation_sample_stratified",
+    "curation_sample_topk",
+    "profile_orders",
+    "events_histogram",
+    "events_outliers",
+    "events_outliers_mad",
+    "events_path_trigrams",
+    "tpch_q2",
+    "tpch_q8",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q16",
+    "tpch_q20",
+    "tpch_q21",
+    "null_semantics",
+    "join_interval_binned",
+    "merge_upsert_cdc",
+    "agg_cube",
+    "subquery_in",
+    "explode_lateral",
+    "sequence_dates",
+    "cond_expr",
+    "distinct_latest",
+    "string_distance",
+    "window_range_frame",
+    "join_full_outer",
+    "window_fill_forward",
+    "join_range",
 ]
 
 

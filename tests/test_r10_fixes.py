@@ -205,3 +205,30 @@ def test_fit_sample_hash_pmod_on_negative_ids(spark):
         src = inspect.getsource(mod)
         assert "pmod(pmod(vec_id" in src
         assert "(vec_id % 1000003) * 2654435761" not in src
+
+
+def test_bench_hist_medians_same_sf_only(tmp_path):
+    """VERDICT r10 item 2: the auto-rerun trigger reads per-key medians
+    from bench_history.jsonl, filtered to the SAME sf before the last-N
+    window is taken (a window over mixed sfs would starve the target sf)."""
+    import json as _json
+
+    import bench
+
+    repo = tmp_path
+    (repo / "reports").mkdir()
+    lines = [
+        {"sf": 0.1, "queries": {"k1": 1.0, "k2": 5.0}},
+        {"sf": 0.01, "queries": {"k1": 99.0}},  # other sf: ignored
+        {"sf": 0.1, "queries": {"k1": 2.0}},
+        {"sf": 0.1, "queries": {"k1": 3.0}},
+    ]
+    with open(repo / "reports" / "bench_history.jsonl", "w") as f:
+        for e in lines:
+            f.write(_json.dumps(e) + "\n")
+    h = bench._hist_medians(str(repo), 0.1)
+    assert h == {"k1": 2.0, "k2": 5.0}
+    assert bench._hist_medians(str(repo), 0.5) == {}
+    # last_n window applies AFTER the sf filter
+    h2 = bench._hist_medians(str(repo), 0.1, last_n=2)
+    assert h2 == {"k1": 2.5}
