@@ -12,12 +12,35 @@ from pyspark.sql import functions as F
 
 FNV_MOD = 1_000_000_007
 
+# Locale-stable case fold (VERDICT r10 item 5 — retires the 10 Turkish
+# dotted-I hostile-gate pins): pre-translate the two code points whose
+# lowercase diverges between Spark's ICU full casemap and DuckDB's simple
+# map, THEN lower. U+0130 'İ' → Spark 'i'+U+0307 (combining dot) vs DuckDB
+# 'i'; U+03A3 'Σ' → context-sensitive final sigma 'ς' under full casemap vs
+# unconditional 'σ' under the simple map. After translate, lower() agrees
+# byte-for-byte in both engines on every input. Applied at every
+# TEXT-CONTENT lowercase site (tokenization, normalization, BPE-ish regex);
+# ASCII-constrained columns (URL schemes, TPC-H segments) skip the fold.
+_FOLD_SRC = "İΣ"
+_FOLD_DST = "iσ"
+
+
+def fold_lower(c: Column) -> Column:
+    """Case fold that is byte-identical across Spark and DuckDB (see the
+    _FOLD_SRC note above); the oracle twin is SQL_FOLD_LOWER."""
+    return F.lower(F.translate(c, _FOLD_SRC, _FOLD_DST))
+
+
+SQL_FOLD_LOWER = (
+    "lower(translate({col}, '" + _FOLD_SRC + "', '" + _FOLD_DST + "'))"
+)
+
 
 def tokens(col: Column | str) -> Column:
-    """Lowercased whitespace tokens, empties dropped (regexp split so runs of
-    whitespace behave identically in both engines)."""
+    """Case-folded whitespace tokens, empties dropped (regexp split so runs
+    of whitespace behave identically in both engines)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+    return F.filter(F.split(fold_lower(c), r"\s+"), lambda t: t != "")
 
 
 def shingles3(toks: Column) -> Column:
@@ -56,7 +79,11 @@ def rolling_fingerprint(col: Column | str) -> Column:
 
 # --- DuckDB twins ---------------------------------------------------------
 
-SQL_TOKENS = "list_filter(regexp_split_to_array(lower({col}), '\\s+'), t -> t <> '')"
+SQL_TOKENS = (
+    "list_filter(regexp_split_to_array("
+    + SQL_FOLD_LOWER
+    + ", '\\s+'), t -> t <> '')"
+)
 
 SQL_SHINGLES3 = (
     "list_distinct(list_transform(range(greatest(len({toks}) - 2, 0)), "

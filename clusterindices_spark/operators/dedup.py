@@ -95,8 +95,10 @@ def q_dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     many distinct byte-level texts collapsed into each canonical form —
     the yield signal for whether this tier is worth running on a corpus."""
     d = load_table(spark, sf_dir, "documents")
+    from clusterindices_spark.functions.text import fold_lower
+
     norm = F.trim(
-        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+        F.regexp_replace(fold_lower(F.col("text")), "[^a-z0-9]+", " ")
     )
     return (
         d.select("doc_id", F.sha2(norm, 256).alias("norm_hash"),
@@ -1793,7 +1795,8 @@ GROUP BY source
     "dedup_normalized_exact": """
 WITH n AS (
   SELECT doc_id,
-         sha256(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+         sha256(trim(regexp_replace(lower(translate(text, 'İΣ', 'iσ')),
+                                    '[^a-z0-9]+', ' ', 'g')))
            AS norm_hash,
          sha256(text) AS raw_hash
   FROM documents

@@ -1707,7 +1707,7 @@ FROM {_EV}
     "scalar_array_set": """
 WITH t AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+         list_filter(regexp_split_to_array(lower(translate(text, 'İΣ', 'iσ')), '\\s+'), x -> x <> '') AS toks
   FROM documents WHERE doc_id < 100
 ),
 hs AS (

@@ -18,7 +18,9 @@ from pyspark.sql import functions as F
 from clusterindices_spark.functions.aggregates import SQL_ROUND6
 from clusterindices_spark.functions.text import (
     SQL_FINGERPRINT,
+    SQL_FOLD_LOWER,
     SQL_TOKENS,
+    fold_lower,
     rolling_fingerprint,
     tokens,
 )
@@ -157,7 +159,7 @@ def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenizer cost, still pure scan-side expression work — no UDF, no
     vocab)."""
     d = load_table(spark, sf_dir, "documents")
-    low = F.lower(F.col("text"))
+    low = fold_lower(F.col("text"))
     bpe = F.regexp_extract_all(low, F.lit(BPE_ISH_PATTERN), 0)
     n_bpe = F.size(bpe)
     return d.select(
@@ -1567,9 +1569,9 @@ FROM documents
     "text_token_count": f"""
 SELECT doc_id,
        CAST(len({_TOKS}) AS INT) AS n_ws_tokens,
-       CAST(len(regexp_extract_all(lower(text), '{BPE_ISH_PATTERN.replace("'", "''")}')) AS INT)
+       CAST(len(regexp_extract_all({SQL_FOLD_LOWER.format(col='text')}, '{BPE_ISH_PATTERN.replace("'", "''")}')) AS INT)
          AS n_bpe_tokens,
-       ROUND(length(text) / NULLIF(CAST(len(regexp_extract_all(lower(text), '{BPE_ISH_PATTERN.replace("'", "''")}')) AS DOUBLE), 0.0), 6)
+       ROUND(length(text) / NULLIF(CAST(len(regexp_extract_all({SQL_FOLD_LOWER.format(col='text')}, '{BPE_ISH_PATTERN.replace("'", "''")}')) AS DOUBLE), 0.0), 6)
          AS chars_per_token
 FROM documents
 """,

@@ -232,3 +232,33 @@ def test_bench_hist_medians_same_sf_only(tmp_path):
     # last_n window applies AFTER the sf filter
     h2 = bench._hist_medians(str(repo), 0.1, last_n=2)
     assert h2 == {"k1": 2.5}
+
+
+def test_fold_lower_cross_engine_parity(spark):
+    """VERDICT r10 item 5: the locale-stable fold makes Spark (ICU full
+    casemap) and DuckDB (simple map) agree on the special-casing code
+    points U+0130 and U+03A3 — previously 10 permanent hostile-gate pins."""
+    import duckdb
+
+    from clusterindices_spark.functions.text import (
+        SQL_FOLD_LOWER,
+        fold_lower,
+    )
+
+    texts = ["İstanbul Iı", "ΣΙΣΥΦΟΣ", "mixed İ and Σ here", "plain ascii"]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = [r["f"] for r in
+           df.select(fold_lower(F.col("t")).alias("f")).collect()]
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            "SELECT " + SQL_FOLD_LOWER.format(col="?::VARCHAR"), [t]
+        ).fetchone()[0]
+        for t in texts
+    ]
+    assert got == want
+    # the exact divergence the pins covered: bare lower() disagrees
+    bare_spark = df.select(F.lower(F.col("t")).alias("f")).collect()
+    bare_duck = [con.execute("SELECT lower(?::VARCHAR)", [t]).fetchone()[0]
+                 for t in texts]
+    assert [r["f"] for r in bare_spark][0] != bare_duck[0]  # İ case

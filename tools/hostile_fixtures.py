@@ -372,12 +372,120 @@ def gen_bigid(out: str) -> None:
     })
 
 
+def gen_scale(out: str) -> None:
+    """Hostile distribution at STRESS scale (VERDICT r10 item 4): the r8 CC
+    truncation proved silent-wrongness classes exist that only manifest at
+    scale, so this composes the hostile-gate's input classes with
+    scale_stress's row counts — >=1M documents + >=1M embeddings carrying,
+    simultaneously: maximal key skew (80% of docs in one source; 10% of
+    the corpus sharing ONE text — every one of its shingles blows the
+    stop-shingle cap; 90% of vectors in one tight blob = one hot IVF
+    cell), NULL floods (text/lang/source/embedding/label), empty and
+    whitespace-only texts, zero-norm vectors, and 2^53-adjacent id blocks.
+    Only documents + embeddings are populated (the shuffle-heavy family
+    under differential test reads nothing else); the other 8 tables are
+    schema-correct empties so the gate's DuckDB views resolve.
+
+    Deterministic structure the differential can exercise:
+    - ~16.7k planted exact-dup groups of 18 docs (residues 5..7 of each
+      60-block): their id-bearing shingles have df=18 (under the cap) so
+      each group must come out of BOTH engines as one 18-clique component;
+      the group texts' shared non-id shingles have df~300k and must be
+      dropped by the cap in both engines.
+    - the mega-text block (10% of corpus): every shingle hot ->
+      singletons by design in both engines (the cap IS the 100 TB
+      quadratic guard; this pins it at scale).
+    Sizes: HS_DOCS (default 1M), HS_VECS (default 1M)."""
+    import numpy as np
+
+    n = int(os.environ.get("HS_DOCS", "1000000"))
+    ids, texts, langs, sources, nchars = [], [], [], [], []
+    mega = ("mega hot duplicate text shared verbatim by a tenth of the "
+            "corpus blowing every shingle past the stop cap")
+    p53_block = n - 50_000  # last 50k ids straddle 2^53
+    for i in range(n):
+        ids.append(i + 1 if i < p53_block else P53 - 25_000 + (i - p53_block))
+        m = i % 10
+        if m < 5:
+            t = (f"unique doc {i} alpha{i % 97} beta{i % 31} "
+                 f"gamma{i % 13} delta epsilon")
+        elif m < 8:
+            t = (f"duplicate group {i // 60} shared content block "
+                 f"words repeated here")
+        elif m == 8:
+            t = mega
+        else:
+            t = (None, "", " ")[(i // 10) % 3]
+        texts.append(t)
+        nchars.append(len(t) if t else 0)
+        langs.append(None if i % 997 == 0
+                     else ("en", "de", "es", "fr", "zh")[i % 5])
+        sources.append(None if i % 991 == 0
+                       else ("src0" if m < 8 else f"src{i % 5}"))
+    _write(out, "documents", {
+        "doc_id": ids, "text": texts, "lang": langs,
+        "source": sources, "n_chars": nchars,
+    })
+    del ids, texts, langs, sources, nchars
+
+    nv = int(os.environ.get("HS_VECS", "1000000"))
+    i = np.arange(nv, dtype=np.int64)
+    vid = np.where(i < nv - 10_000, i + 1, P53 - 5_000 + (i - (nv - 10_000)))
+    # 90% hot blob around e0 with id-derived jitter; 10% spread directions
+    vals = np.zeros((nv, DIM), dtype=np.float32)
+    hot = (i % 10) < 9
+    vals[hot, 0] = 1.0
+    vals[hot, (i[hot] % 8) + 1] += ((i[hot] % 101) / 1000.0).astype(
+        np.float32
+    )
+    cold = ~hot
+    vals[cold, i[cold] % DIM] = 1.0 + ((i[cold] % 17) / 10.0).astype(
+        np.float32
+    )
+    vals[cold, (i[cold] * 7) % DIM] += ((i[cold] % 13) / 10.0).astype(
+        np.float32
+    )
+    vals[i % 997 == 0] = 0.0  # zero-norm flood
+    null_mask = (i % 1009) == 0  # NULL embedding flood
+    # null list rows must be ZERO-length in the offsets (parquet writer
+    # rejects non-empty null components) — cumsum of per-row lengths with
+    # null rows' values excluded from the flat buffer
+    lengths = np.where(null_mask, 0, DIM).astype(np.int64)
+    offsets = pa.array(
+        np.concatenate([[0], np.cumsum(lengths)]).astype(np.int32)
+    )
+    emb = pa.ListArray.from_arrays(
+        offsets, pa.array(vals[~null_mask].reshape(-1)),
+        mask=pa.array(null_mask),
+    )
+    labels = pa.array(
+        np.where((i % 499) == 0, -1, i % 16).astype(np.int32),
+        mask=(i % 499) == 0,
+    )
+    schema = _schema("embeddings")
+    tbl = pa.Table.from_arrays(
+        [pa.array(vid), emb.cast(schema.field("embedding").type), labels],
+        schema=schema,
+    )
+    os.makedirs(out, exist_ok=True)
+    pq.write_table(tbl, f"{out}/embeddings.parquet")
+    for t in TABLES:
+        if t not in ("documents", "embeddings"):
+            _write(out, t, {f.name: [] for f in _schema(t)})
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/hostile")
+    ap.add_argument(
+        "--scale", action="store_true",
+        help="also write the >=1M-row scale variant (HS_DOCS/HS_VECS)",
+    )
     args = ap.parse_args()
-    for name, fn in (("empty", gen_empty), ("edge", gen_edge),
-                     ("bigid", gen_bigid)):
+    gens = [("empty", gen_empty), ("edge", gen_edge), ("bigid", gen_bigid)]
+    if args.scale:
+        gens.append(("scale", gen_scale))
+    for name, fn in gens:
         d = os.path.join(args.out, name)
         fn(d)
         print(f"wrote {d}")
