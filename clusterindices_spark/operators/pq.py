@@ -57,6 +57,12 @@ PQ_EXPAND = 64
 # hyperparams → (sub_frame, collected_rows, schema) — see pq_train_encode;
 # keyed so the plain-PQ and residual (ivfpq) tiers don't evict each other
 _TRAINED: dict[tuple, tuple] = {}
+# diagnostics for the last COLD codebook fit (zero extra actions — all
+# values are computed by the fit anyway): n = distinct fit-universe size,
+# cap = sample_cap, sampled = whether the hash slice engaged. Read by
+# tools/scale_stress.py's ivfpq arm to prove BOTH composed legs hit their
+# sampled-fit paths at stress scale (VERDICT r10 item 6).
+_LAST_FIT: dict = {"n": None, "cap": None, "sampled": False}
 
 
 def _unit(emb: DataFrame) -> DataFrame:
@@ -196,8 +202,10 @@ def pq_train_encode(
         # of ~sample_cap vectors (fraction from one count over the pinned
         # frame; the filter re-evaluates over it per Lloyd reference)
         sub_fit = sub
+        _LAST_FIT.update(n=None, cap=sample_cap, sampled=False)
         if sample_cap is not None:
             n = sub.select("vec_id").distinct().count()
+            _LAST_FIT.update(n=n, sampled=n > sample_cap)
             if n > sample_cap:
                 thresh = max(1, (1_000_003 * sample_cap) // n)
                 # pmod, not %: Spark's % is sign-preserving, so a negative

@@ -32,6 +32,9 @@ N_PROBES = 10
 # folded-centroid memo for ivf_build, keyed by (n_cells, lloyd_iters) and
 # guarded by plan identity — the IVF twin of pq.py's _TRAINED codebook memo
 _IVF_TRAINED: dict[tuple, tuple] = {}
+# last COLD centroid-fit diagnostics (pq.py's _LAST_FIT twin; zero extra
+# actions) — proves the sampled-fit path engaged at stress scale
+_LAST_FIT: dict = {"n": None, "cap": None, "sampled": False}
 TOP_K = 5
 # synthetic embeddings are near-orthogonal (max pairwise cos ≈ 0.51 at
 # sf0.01); 0.4 exercises the operator with non-empty output. Real corpora
@@ -672,8 +675,10 @@ def ivf_build(
     # re-evaluates over cached pts per Lloyd reference: cheaper than a
     # second cache entry.
     fit = pts
+    _LAST_FIT.update(n=None, cap=sample_cap, sampled=False)
     if sample_cap is not None:
         n = pts.count()
+        _LAST_FIT.update(n=n, sampled=n > sample_cap)
         if n > sample_cap:
             thresh = max(1, (1_000_003 * sample_cap) // n)
             # pmod, not %: sign-preserving % sweeps every negative-id
@@ -1030,7 +1035,7 @@ def q_similarity_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame
 def knn_graph(
     emb: DataFrame,
     k: int = 5,
-    n_cells: int = 16,
+    n_cells: int | None = 16,
     n_probe_cells: int = 2,
     lloyd_iters: int = 2,
 ) -> DataFrame:
@@ -1051,7 +1056,27 @@ def knn_graph(
     partial+final WindowGroupLimit — the rank shuffle moves O(n·k) rows,
     not all candidates. Approximate by construction (boundary neighbors in
     unprobed cells are missed) → rows-only check + recall property test
-    vs brute force."""
+    vs brute force.
+
+    ``n_cells=None`` enacts the √n sizing this docstring used to only
+    advise: K = max(16, isqrt(n)) balances the O(n·K) assignment against
+    the O(n·p·n/K) candidate join at ~n^1.5 total — the r10 hostile-scale
+    gate showed a FIXED K is quadratic (n²·p/K) on any corpus big enough,
+    hot blob or not (tools/scale_stress.py knn arm measures the A/B).
+    The registry key keeps K=16 for stable gate/bench artifacts at gate
+    SFs, where 16 > isqrt(n) anyway.
+
+    NULL/zero-norm contract (r10): vectors with no direction are excluded
+    from BOTH sides — as probes they'd emit all-NULL sims ranked below
+    every real candidate (junk rows), and as index members they'd pad
+    candidate lists with NULL-sim noise; the exact/LSH tiers already
+    exclude them, so the graph tiers now agree."""
+    n_valid = F.col("x").isNotNull() & (norm(F.col("x")) > 0)
+    emb = emb.where(n_valid)
+    if n_cells is None:
+        import math
+
+        n_cells = max(16, math.isqrt(emb.count()))
     folded, index = ivf_build(emb, n_cells=n_cells, lloyd_iters=lloyd_iters)
     # norms precomputed ONCE per side before the join: cosine_sim inside
     # the pair projection would re-derive ‖xa‖ and ‖xb‖ per CANDIDATE row

@@ -262,3 +262,22 @@ def test_fold_lower_cross_engine_parity(spark):
     bare_duck = [con.execute("SELECT lower(?::VARCHAR)", [t]).fetchone()[0]
                  for t in texts]
     assert [r["f"] for r in bare_spark][0] != bare_duck[0]  # İ case
+
+
+def test_knn_graph_excludes_null_and_zero_norm_vectors(spark):
+    """r10 NULL/zero-norm contract for the graph tier (aligns with the
+    exact/LSH tiers): directionless vectors appear on NEITHER side —
+    previously a NULL-x probe emitted k junk rows with NULL sims."""
+    from clusterindices_spark.operators.similarity import knn_graph
+
+    rows = [(i, [float((i * 7 + j * 3) % 5) for j in range(8)])
+            for i in range(1, 30)]
+    rows += [(30, None), (31, [0.0] * 8)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, x array<double>")
+    got = knn_graph(emb, k=3, n_cells=4).collect()
+    ids = {r["probe_id"] for r in got} | {r["neighbor_id"] for r in got}
+    assert 30 not in ids and 31 not in ids
+    assert all(r["sim"] is not None for r in got)
+    # auto cell sizing floors at 16
+    auto = knn_graph(emb, k=3, n_cells=None)
+    assert auto.count() > 0

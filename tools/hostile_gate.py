@@ -220,7 +220,12 @@ SCALE_KEYS = [
     "dedup_minhash_est",       # signature/estimate parity over 2.5M pairs
     "dedup_ngram_jaccard",     # the shared candidate pipeline itself
     "dedup_near_minhash",      # banded-LSH production tier (rows-only)
-    "similarity_knn_graph",    # hot-IVF-cell + NULL/zero vecs (rows-only)
+    # similarity_knn_graph is deliberately NOT here: the registry key's
+    # fixed 16 cells is n²·p/16 in candidates (the first scale-gate run
+    # proved it by hanging at 20k fixture rows) — its hostile-at-scale
+    # coverage is tools/scale_stress.py's `knn` arm, which runs the
+    # √n-sized graph over the same hostile distribution (NULL/zero-norm
+    # floods, hot blob, 2^53 ids) with a measured candidate-volume A/B.
 ]
 
 

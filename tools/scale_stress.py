@@ -320,13 +320,200 @@ def stress_pq(spark) -> dict:
     }
 
 
+def stress_ivfpq(spark) -> dict:
+    """IVF-PQ composed-build stress (VERDICT r10 item 6): one end-to-end
+    ivfpq_topk at corpus scale, proving BOTH legs (coarse-quantizer Lloyd
+    via ivf_build, residual codebooks via pq_train_encode) engage their
+    sampled-fit paths — read from the legs' _LAST_FIT diagnostics, not
+    assumed — and that the composed recall vs exact cosine top-k holds the
+    bench floor (0.85) with two stacked sample estimates."""
+    from clusterindices_spark.functions.pins import clear_pins
+    from clusterindices_spark.operators import pq as pqmod
+    from clusterindices_spark.operators import similarity as simmod
+    from clusterindices_spark.operators.pq import ivfpq_topk
+    from clusterindices_spark.operators.similarity import topk_exact
+
+    n_vecs = int(os.environ.get("IVFPQ_VECS", "2000000"))
+    dim = 16  # divisible by M_SUBSPACES=8
+    x = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (F.pmod(F.xxhash64(F.col("vec_id") * 31 + j),
+                          F.lit(2000)) - 1000) / 1000.0,
+    )
+    emb = (
+        spark.range(0, n_vecs)
+        .select(F.col("id").alias("vec_id"))
+        .withColumn("x", x)
+        .persist()
+    )
+    emb.count()
+    probes = emb.where(F.col("vec_id") % (n_vecs // 32) == 0)
+    # cosine is normalization-invariant, so exact top-k over the raw
+    # vectors is the ground truth for the unit-normalized composite too
+    exact = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in topk_exact(emb, probes, k=5).collect()
+    }
+    pqmod._TRAINED.clear()
+    simmod._IVF_TRAINED.clear()
+    clear_pins()
+    t0 = time.monotonic()
+    got = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in ivfpq_topk(emb, probes, k=5).collect()
+    }
+    wall = round(time.monotonic() - t0, 1)
+    fit = {"ivf": dict(simmod._LAST_FIT), "pq": dict(pqmod._LAST_FIT)}
+    emb.unpersist()
+    return {
+        "metric": "ivfpq_composed_build_stress",
+        "n_vecs": n_vecs,
+        "dim": dim,
+        "build_search_sec": wall,
+        "recall_at5_vs_exact": round(len(got & exact) / max(len(exact), 1), 4),
+        "ivf_fit": fit["ivf"],
+        "pq_fit": fit["pq"],
+        "both_legs_sampled": bool(
+            fit["ivf"]["sampled"] and fit["pq"]["sampled"]
+        ),
+    }
+
+
+def stress_knn(spark) -> dict:
+    """k-NN graph under the HOSTILE embedding distribution (r10: the
+    scale-hostile gate showed fixed-K knn_graph is quadratic on a hot
+    corpus — candidates = n·p·n/K — so the key hung at 20k fixture rows).
+    This arm (a) runs the √n-sized graph end-to-end at KNN_VECS rows over
+    the hostile distribution (90% one tight blob, NULL + zero-norm vector
+    floods, a 2^53-adjacent id block), (b) checks probe-subset recall vs
+    exact cosine, (c) computes the fixed-16-cell arm's CANDIDATE VOLUME
+    from cell histograms (two cheap aggregations — executing that join
+    would be the quadratic it demonstrates), and (d) asserts the NULL/
+    zero-norm exclusion contract held."""
+    import math
+
+    from clusterindices_spark.operators import similarity as simmod
+    from clusterindices_spark.operators.similarity import (
+        _probe_cells,
+        ivf_build,
+        knn_graph,
+        norm,
+        topk_exact,
+    )
+
+    n_vecs = int(os.environ.get("KNN_VECS", "100000"))
+    dim = 64
+    hot = F.pmod(F.col("id"), F.lit(10)) < 9
+    # hot blob: FULL-RANK jitter around 10·e0 (every dim perturbed — a
+    # rank-deficient blob collapses onto few distinct positions, Lloyd
+    # can't balance cells, and exact ties pollute the recall check; the
+    # first smoke of this arm measured exactly that). Cold 10%: spread.
+    x = F.when(
+        F.pmod(F.col("id"), F.lit(1009)) == 0, F.lit(None)  # NULL flood
+    ).otherwise(
+        F.when(F.pmod(F.col("id"), F.lit(997)) == 0,
+               F.array_repeat(F.lit(0.0), dim)).otherwise(  # zero-norm
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda j: F.when(
+                    hot,
+                    F.when(j == 0, 10.0).otherwise(F.lit(0.0))
+                    + (F.pmod(F.xxhash64(F.col("id") * 17 + j),
+                              F.lit(200)) - 100) / 1000.0,
+                ).otherwise(
+                    (F.pmod(F.xxhash64(F.col("id") * 29 + j),
+                            F.lit(2000)) - 1000) / 100.0
+                ),
+            )
+        )
+    )
+    p53 = 2 ** 53
+    vid = F.when(
+        F.col("id") < n_vecs - 10_000, F.col("id") + 1
+    ).otherwise(F.lit(p53 - 5_000) + (F.col("id") - (n_vecs - 10_000)))
+    emb = (
+        spark.range(0, n_vecs)
+        .select(vid.alias("vec_id"), x.alias("x"))
+        .persist()
+    )
+    n_geom = emb.where(
+        F.col("x").isNotNull() & (norm(F.col("x")) > 0)
+    ).count()
+
+    auto_k = max(16, math.isqrt(n_geom))
+    simmod._IVF_TRAINED.clear()
+    t0 = time.monotonic()
+    g = knn_graph(emb, k=5, n_cells=None).persist()
+    n_edges = g.count()
+    wall = round(time.monotonic() - t0, 1)
+    probes_all = {r["probe_id"] for r in g.select("probe_id").distinct().collect()}
+    excluded_ok = emb.where(
+        F.col("x").isNull() | (norm(F.col("x")) == 0)
+    ).count() + len(probes_all) <= n_vecs
+
+    # recall on a 32-probe subset vs exact cosine (whole-corpus exact is
+    # the n² this operator exists to avoid)
+    probe_ids = [i * (n_vecs // 32) + 1 for i in range(32)]
+    probes = emb.where(F.col("vec_id").isin(probe_ids))
+    exact = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in topk_exact(
+            emb.where(F.col("x").isNotNull() & (norm(F.col("x")) > 0)),
+            probes.where(F.col("x").isNotNull() & (norm(F.col("x")) > 0)),
+            k=5,
+        ).collect()
+    }
+    got = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in g.where(F.col("probe_id").isin(probe_ids)).collect()
+    }
+    recall = round(len(got & exact) / max(len(exact), 1), 4)
+
+    # candidate-volume A/B from cell histograms: sum over cells of
+    # (probe expansions in cell) x (index members in cell)
+    def cand_volume(n_cells: int) -> int:
+        simmod._IVF_TRAINED.clear()
+        geom = emb.where(F.col("x").isNotNull() & (norm(F.col("x")) > 0))
+        folded, index = ivf_build(geom, n_cells=n_cells)
+        m = index.groupBy("cell").agg(F.count(F.lit(1)).alias("m"))
+        p = (
+            _probe_cells(geom, folded, 2)
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("p"))
+        )
+        return int(
+            m.join(p, "cell")
+            .agg(F.sum(F.col("m") * F.col("p")))
+            .collect()[0][0]
+        )
+
+    vol_fixed16 = cand_volume(16)
+    vol_auto = cand_volume(auto_k)
+    g.unpersist(), emb.unpersist()
+    return {
+        "metric": "knn_graph_hostile_stress",
+        "n_vecs": n_vecs,
+        "n_geometric": n_geom,
+        "dim": dim,
+        "auto_n_cells": auto_k,
+        "wall_sec_auto": wall,
+        "n_edges": n_edges,
+        "recall_at5_probe_subset": recall,
+        "candidates_fixed16": vol_fixed16,
+        "candidates_auto": vol_auto,
+        "candidate_cut_x": round(vol_fixed16 / max(vol_auto, 1), 1),
+        "null_zero_excluded_ok": bool(excluded_ok),
+    }
+
+
 def main() -> None:
     from clusterindices_spark.session import get_spark
 
     which = sys.argv[1:] or ["cc", "minhash", "ivf"]
     spark = get_spark("scale-stress", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("ERROR")
-    fns = {"cc": stress_cc, "minhash": stress_minhash, "ivf": stress_ivf, "pq": stress_pq}
+    fns = {"cc": stress_cc, "minhash": stress_minhash, "ivf": stress_ivf,
+           "pq": stress_pq, "ivfpq": stress_ivfpq, "knn": stress_knn}
     for name in which:
         out = fns[name](spark)
         print(json.dumps(out), flush=True)
