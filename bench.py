@@ -16,6 +16,9 @@ ROUND-CLOSE CHECKLIST (run before the end-of-round commit):
        > reports/oracle_local_rN_sf01.txt        # 10x-SF sweep (VERDICT r8 #6)
   4. python tools/hostile_fixtures.py && python tools/hostile_gate.py
                                                  # adversarial differential gate
+  4b. python tools/hostile_fixtures.py --scale   # >=1M-row hostile distribution
+      python tools/hostile_gate.py --variants scale \
+        --report reports/hostile_gate_scale.md   # shuffle-heavy family diff'd at scale
   5. python tools/int64_audit.py                 # 0 HIGH unexplained, 0 unpinned LOW
   6. python tools/lint_refs.py                   # no dangling file references
   7. python bench.py                             # recall floors + JSON line

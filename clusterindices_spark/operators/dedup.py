@@ -43,6 +43,18 @@ from clusterindices_spark.sources.fixtures import fan_out, load_table
 # minhashes often enough to make ~20% of ALL pairs candidates.
 MINHASH_SEEDS = 16
 MINHASH_BAND_ROWS = 2
+# Hot-bucket cap for the BANDED candidate tiers (minhash_pairs /
+# simhash_pairs) — the band-join twin of MAX_SHINGLE_DF (r10 scale-hostile
+# gate): a bucket holding B docs contributes C(B,2) candidate rows, so one
+# exact-dup clique of 100k docs (identical signatures → same bucket in
+# EVERY band) is 5e9 pairs × n_bands before distinct — the all-pairs
+# blowup banding exists to prevent. Buckets over the cap are dropped from
+# the join: a bucket that hot is an exact-duplicate class, which the
+# exact/normalized dedup tier already collapses at one-hash-shuffle cost
+# (run it first — the standing pipeline contract); near-dup banding is
+# for the non-identical tail. Planted near-dup groups at gate scale are
+# ≤18 docs, far under the cap.
+MAX_BAND_BUCKET = 100
 SIMHASH_BITS = 63  # 63 keeps the packed value inside a signed int64
 JACCARD_THRESHOLD = 0.2
 # Stop-shingle cap for the exact-Jaccard tier: a shingle appearing in more
@@ -409,6 +421,16 @@ def minhash_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bh")
+    # hot-bucket cap (MAX_BAND_BUCKET note): occupancy is one map-side
+    # combined agg over the band rows; the anti-join broadcast is
+    # hot-bucket-scale (tiny by construction)
+    hot_b = (
+        bands.groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .where(F.col("occ") > MAX_BAND_BUCKET)
+        .select("band", "bh")
+    )
+    bands = bands.join(F.broadcast(hot_b), ["band", "bh"], "left_anti")
     ca = bands.select(F.col("doc_id").alias("doc_a"), "band", "bh")
     cb = bands.select(F.col("doc_id").alias("doc_b"), "band", "bh")
     cands = (
@@ -509,6 +531,15 @@ def simhash_pairs(d: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.bv")
+    # hot-bucket cap — same hazard and remedy as minhash_pairs
+    # (MAX_BAND_BUCKET note): an exact-dup clique shares every band value
+    hot_b = (
+        bands.groupBy("band", "bv")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .where(F.col("occ") > MAX_BAND_BUCKET)
+        .select("band", "bv")
+    )
+    bands = bands.join(F.broadcast(hot_b), ["band", "bv"], "left_anti")
     a = bands.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"), "band", "bv"
     )

@@ -281,3 +281,35 @@ def test_knn_graph_excludes_null_and_zero_norm_vectors(spark):
     # auto cell sizing floors at 16
     auto = knn_graph(emb, k=3, n_cells=None)
     assert auto.count() > 0
+
+
+def test_banded_tiers_drop_hot_buckets(spark):
+    """r10 scale-hostile finding: an exact-dup clique puts identical
+    signatures in ONE bucket of EVERY band — C(clique,2)·n_bands candidate
+    rows (4e13 at the 100k mega-group) with no cap. Buckets over
+    MAX_BAND_BUCKET are now dropped (the stop-shingle precedent): the
+    mega-clique emits no banded pairs (exact-dedup-tier work by contract)
+    while small near-dup groups still match."""
+    from clusterindices_spark.operators.dedup import (
+        MAX_BAND_BUCKET,
+        minhash_pairs,
+        simhash_pairs,
+    )
+
+    mega = [(i, "identical mega duplicate text block shared verbatim",
+             "en", "src0", 48) for i in range(1000, 1000 + MAX_BAND_BUCKET + 50)]
+    small = [(j, f"near duplicate group text variant {j % 2} tail words",
+              "en", "src0", 40) for j in range(10, 28)]
+    d = spark.createDataFrame(
+        mega + small,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    mh = minhash_pairs(d, threshold=0.5).collect()
+    mega_ids = {r[0] for r in mega}
+    assert not any(r["doc_a"] in mega_ids or r["doc_b"] in mega_ids
+                   for r in mh), "mega clique must not emit banded pairs"
+    assert any(r["doc_a"] >= 10 and r["doc_b"] < 30 for r in mh), \
+        "small near-dup group must still pair"
+    sh = simhash_pairs(d).collect()
+    assert not any(r["doc_a"] in mega_ids or r["doc_b"] in mega_ids
+                   for r in sh)
