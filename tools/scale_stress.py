@@ -380,16 +380,27 @@ def stress_ivfpq(spark) -> dict:
 
 
 def stress_knn(spark) -> dict:
-    """k-NN graph under the HOSTILE embedding distribution (r10: the
-    scale-hostile gate showed fixed-K knn_graph is quadratic on a hot
-    corpus — candidates = n·p·n/K — so the key hung at 20k fixture rows).
-    This arm (a) runs the √n-sized graph end-to-end at KNN_VECS rows over
-    the hostile distribution (90% one tight blob, NULL + zero-norm vector
-    floods, a 2^53-adjacent id block), (b) checks probe-subset recall vs
-    exact cosine, (c) computes the fixed-16-cell arm's CANDIDATE VOLUME
-    from cell histograms (two cheap aggregations — executing that join
-    would be the quadratic it demonstrates), and (d) asserts the NULL/
-    zero-norm exclusion contract held."""
+    """k-NN graph at stress scale (r10: the scale-hostile gate proved the
+    fixed-16-cell registry instantiation is quadratic in candidates —
+    n²·p/K — by hanging at 20k hostile rows). Two sub-arms over KNN_VECS
+    vectors, both carrying NULL + zero-norm floods and a 2^53-adjacent id
+    block:
+
+    - uniform: hash-uniform corpus — √n auto sizing balances cells, the
+      graph EXECUTES end-to-end; reports wall + probe-subset recall vs
+      exact cosine and the fixed-16 vs auto candidate-volume A/B (volumes
+      from cell histograms: two cheap aggs, never the join itself).
+    - hostile blob (90% of vectors in one tight isotropic ball): Lloyd
+      means inside the ball CONVERGE TOWARD ITS CENTER, so even √n cells
+      collapse the ball's membership into few cells — measured here as
+      candidate volumes (the graph only executes if the volume fits
+      KNN_CAND_BUDGET; a collapsed blob is ~occ² and is reported, not
+      executed). Voronoi quantization cannot split a collapse-prone dense
+      region; the production candidate source for that regime is the
+      random-projection LSH tier (semantic_pairs_ann / hamming), which
+      partitions isotropically regardless of density — documented in
+      BASELINE.md with this arm's numbers.
+    """
     import math
 
     from clusterindices_spark.operators import similarity as simmod
@@ -401,19 +412,24 @@ def stress_knn(spark) -> dict:
         topk_exact,
     )
 
-    n_vecs = int(os.environ.get("KNN_VECS", "60000"))
+    n_vecs = int(os.environ.get("KNN_VECS", "30000"))
+    budget = int(os.environ.get("KNN_CAND_BUDGET", "200000000"))
     dim = 64
-    hot = F.pmod(F.col("id"), F.lit(10)) < 9
-    # hot blob: FULL-RANK jitter around 10·e0 (every dim perturbed — a
-    # rank-deficient blob collapses onto few distinct positions, Lloyd
-    # can't balance cells, and exact ties pollute the recall check; the
-    # first smoke of this arm measured exactly that). Cold 10%: spread.
-    x = F.when(
-        F.pmod(F.col("id"), F.lit(1009)) == 0, F.lit(None)  # NULL flood
-    ).otherwise(
-        F.when(F.pmod(F.col("id"), F.lit(997)) == 0,
-               F.array_repeat(F.lit(0.0), dim)).otherwise(  # zero-norm
-            F.transform(
+    p53 = 2 ** 53
+    vid = F.when(
+        F.col("id") < n_vecs - 5_000, F.col("id") + 1
+    ).otherwise(F.lit(p53 - 2_500) + (F.col("id") - (n_vecs - 5_000)))
+
+    def corpus(kind: str):
+        hot = F.pmod(F.col("id"), F.lit(10)) < 9
+        if kind == "uniform":
+            core = F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda j: (F.pmod(F.xxhash64(F.col("id") * 29 + j),
+                                  F.lit(2000)) - 1000) / 100.0,
+            )
+        else:  # hostile blob: 90% in a radius-~0.8 ball at 10*e0
+            core = F.transform(
                 F.sequence(F.lit(0), F.lit(dim - 1)),
                 lambda j: F.when(
                     hot,
@@ -425,90 +441,82 @@ def stress_knn(spark) -> dict:
                             F.lit(2000)) - 1000) / 100.0
                 ),
             )
+        x = F.when(
+            F.pmod(F.col("id"), F.lit(1009)) == 0, F.lit(None)
+        ).otherwise(
+            F.when(F.pmod(F.col("id"), F.lit(997)) == 0,
+                   F.array_repeat(F.lit(0.0), dim)).otherwise(core)
         )
-    )
-    p53 = 2 ** 53
-    vid = F.when(
-        F.col("id") < n_vecs - 10_000, F.col("id") + 1
-    ).otherwise(F.lit(p53 - 5_000) + (F.col("id") - (n_vecs - 10_000)))
-    emb = (
-        spark.range(0, n_vecs)
-        .select(vid.alias("vec_id"), x.alias("x"))
-        .persist()
-    )
-    n_geom = emb.where(
-        F.col("x").isNotNull() & (norm(F.col("x")) > 0)
-    ).count()
+        e = (spark.range(0, n_vecs)
+             .select(vid.alias("vec_id"), x.alias("x")).persist())
+        e.count()
+        return e
 
-    auto_k = max(16, math.isqrt(n_geom))
-    simmod._IVF_TRAINED.clear()
-    t0 = time.monotonic()
-    g = knn_graph(emb, k=5, n_cells=None).persist()
-    n_edges = g.count()
-    wall = round(time.monotonic() - t0, 1)
-    probes_all = {r["probe_id"] for r in g.select("probe_id").distinct().collect()}
-    excluded_ok = emb.where(
-        F.col("x").isNull() | (norm(F.col("x")) == 0)
-    ).count() + len(probes_all) <= n_vecs
+    geom_filter = F.col("x").isNotNull() & (norm(F.col("x")) > 0)
 
-    # recall on a 32-probe subset vs exact cosine (whole-corpus exact is
-    # the n² this operator exists to avoid)
-    probe_ids = [i * (n_vecs // 32) + 1 for i in range(32)]
-    probes = emb.where(F.col("vec_id").isin(probe_ids))
-    exact = {
-        (r["probe_id"], r["neighbor_id"])
-        for r in topk_exact(
-            emb.where(F.col("x").isNotNull() & (norm(F.col("x")) > 0)),
-            probes.where(F.col("x").isNotNull() & (norm(F.col("x")) > 0)),
-            k=5,
-        ).collect()
-    }
-    got = {
-        (r["probe_id"], r["neighbor_id"])
-        for r in g.where(F.col("probe_id").isin(probe_ids)).collect()
-    }
-    recall = round(len(got & exact) / max(len(exact), 1), 4)
-
-    # candidate-volume A/B from cell histograms: sum over cells of
-    # (probe expansions in cell) x (index members in cell)
-    def cand_volume(n_cells: int, clear: bool) -> int:
-        # clear=False rides the warm _IVF_TRAINED memo from the knn run
-        # (interpreted-HOF Lloyd is the wall here — ~1e8 elem-ops/s
-        # measured; a redundant rebuild at auto_k costs more than the
-        # volume aggregation it feeds)
-        if clear:
-            simmod._IVF_TRAINED.clear()
-        geom = emb.where(F.col("x").isNotNull() & (norm(F.col("x")) > 0))
+    def volumes(emb, n_cells: int) -> tuple[int, int]:
+        """(total candidate volume, max cell occupancy) for this sizing —
+        from histograms over one build; never executes the pair join."""
+        simmod._IVF_TRAINED.clear()
+        geom = emb.where(geom_filter)
         folded, index = ivf_build(geom, n_cells=n_cells)
         m = index.groupBy("cell").agg(F.count(F.lit(1)).alias("m"))
-        p = (
-            _probe_cells(geom, folded, 2)
-            .groupBy("cell")
-            .agg(F.count(F.lit(1)).alias("p"))
-        )
-        return int(
-            m.join(p, "cell")
-            .agg(F.sum(F.col("m") * F.col("p")))
-            .collect()[0][0]
-        )
+        p = (_probe_cells(geom, folded, 2)
+             .groupBy("cell").agg(F.count(F.lit(1)).alias("p")))
+        row = (m.join(p, "cell")
+               .agg(F.sum(F.col("m") * F.col("p")).alias("v"),
+                    F.max("m").alias("occ")).collect()[0])
+        return int(row["v"]), int(row["occ"])
 
-    vol_auto = cand_volume(auto_k, clear=False)
-    vol_fixed16 = cand_volume(16, clear=True)
-    g.unpersist(), emb.unpersist()
-    return {
-        "metric": "knn_graph_hostile_stress",
-        "n_vecs": n_vecs,
-        "n_geometric": n_geom,
-        "dim": dim,
-        "auto_n_cells": auto_k,
-        "wall_sec_auto": wall,
-        "n_edges": n_edges,
-        "recall_at5_probe_subset": recall,
-        "candidates_fixed16": vol_fixed16,
-        "candidates_auto": vol_auto,
-        "candidate_cut_x": round(vol_fixed16 / max(vol_auto, 1), 1),
-        "null_zero_excluded_ok": bool(excluded_ok),
-    }
+    out: dict = {"metric": "knn_graph_stress", "n_vecs": n_vecs,
+                 "dim": dim, "cand_budget": budget, "arms": {}}
+    for kind in ("uniform", "hostile_blob"):
+        emb = corpus(kind)
+        n_geom = emb.where(geom_filter).count()
+        auto_k = max(16, math.isqrt(n_geom))
+        vol16, occ16 = volumes(emb, 16)
+        vol_auto, occ_auto = volumes(emb, auto_k)  # memo stays warm for knn
+        arm = {
+            "n_geometric": n_geom, "auto_n_cells": auto_k,
+            "candidates_fixed16": vol16, "max_occ_fixed16": occ16,
+            "candidates_auto": vol_auto, "max_occ_auto": occ_auto,
+            "candidate_cut_x": round(vol16 / max(vol_auto, 1), 1),
+        }
+        if vol_auto <= budget:
+            t0 = time.monotonic()
+            g = knn_graph(emb, k=5, n_cells=None).persist()
+            arm["n_edges"] = g.count()
+            arm["wall_sec_auto"] = round(time.monotonic() - t0, 1)
+            probe_ids = [i * (n_vecs // 32) + 1 for i in range(32)]
+            probes = emb.where(F.col("vec_id").isin(probe_ids))
+            exact = {
+                (r["probe_id"], r["neighbor_id"])
+                for r in topk_exact(
+                    emb.where(geom_filter),
+                    probes.where(geom_filter), k=5
+                ).collect()
+            }
+            got = {
+                (r["probe_id"], r["neighbor_id"])
+                for r in g.where(F.col("probe_id").isin(probe_ids)).collect()
+            }
+            arm["recall_at5_probe_subset"] = round(
+                len(got & exact) / max(len(exact), 1), 4
+            )
+            bad = g.select(
+                F.max(F.col("sim").isNull().cast("int")).alias("b")
+            ).collect()[0]["b"]
+            arm["null_sims"] = int(bad or 0)
+            g.unpersist()
+        else:
+            arm["graph_executed"] = False
+            arm["why"] = ("auto-sized candidate volume exceeds budget: "
+                          "collapse-prone dense region — Voronoi cells "
+                          "cannot split it; use the LSH candidate tier")
+        out["arms"][kind] = arm
+        emb.unpersist()
+        print(f"# knn arm {kind}: {arm}", file=sys.stderr)
+    return out
 
 
 def main() -> None:
