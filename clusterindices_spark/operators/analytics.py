@@ -445,7 +445,10 @@ def q_events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("user_id").isNotNull())
         .distinct()
     )
-    w = Window.partitionBy("user_id").orderBy("week")
+    # asc_nulls_last: a NULL-ts event yields a NULL week bucket; it must
+    # sort LAST as in DuckDB or the user's first REAL week misreads its
+    # lag as the NULL row and double-counts n_new (r10 hostile edge)
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("week"))
     tagged = uw.select(
         "week",
         "user_id",
@@ -1817,9 +1820,12 @@ def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev_neg = (
         F.col("mean_micros") - F.col("n") * F.lit(1_000_000) - F.col("k_micros")
     )
+    # asc_nulls_last: a NULL-ts event forms a NULL hour bucket; NULLS
+    # FIRST would prepend its deviation to EVERY prefix sum, shifting the
+    # whole CUSUM chart vs DuckDB's NULLS LAST (r10 hostile edge)
     w = (
         Window.partitionBy("event_type")
-        .orderBy("hour")
+        .orderBy(F.asc_nulls_last("hour"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     c = with_mu.withColumn("cp", F.sum(dev_pos).over(w)).withColumn(

@@ -334,9 +334,14 @@ def q_window_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     value — the canonical sparse-signal propagation pattern."""
     e = load_table(spark, sf_dir, "events")
     purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    # asc_nulls_last: Spark windows default NULLS FIRST, DuckDB NULLS
+    # LAST — a NULL-ts event must sort after every timed one in BOTH
+    # engines or its fill reads "before the first purchase" here and
+    # "after the last" there (r10 hostile edge, the r9 window-order
+    # lesson applied to this key)
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(F.asc_nulls_last("ts"), "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return e.select(
@@ -904,7 +909,13 @@ def q_window_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis(F.col("ts")).alias("t"),
     )
     end = F.col("t") + F.lit(MERGE_HORIZON_MS)
-    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    # asc_nulls_last (r10 hostile edge): a NULL-ts event must sort LAST as
+    # in DuckDB — NULLS FIRST makes it open a phantom island AND breaks
+    # the next row (its pme is NULL+horizon = NULL); last, it joins the
+    # final island identically in both engines (pme < NULL → ELSE 0)
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("t"), "event_id"
+    )
     prev_max_end = F.max(end).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
     )

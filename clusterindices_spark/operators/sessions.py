@@ -70,8 +70,15 @@ def sessionize(e: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
     event arriving exactly gap after the previous one — its per-event range
     [ts, ts+gap] is end-inclusive for the overlap test; see
     tests/test_streaming.py boundary test). Millisecond arithmetic so both
-    engines compare identical integers."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    engines compare identical integers.
+
+    NULL-ts events (r10 hostile edge): asc_nulls_last matches DuckDB's
+    default — the row sorts LAST and joins the final session (its gap vs
+    prev is NULL → not a new session in either engine); NULLS FIRST made
+    it open a phantom session in Spark."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), "event_id"
+    )
     ms = F.unix_millis("ts")
     prev_ms = F.lag(ms).over(w)
     new_sess = F.when(
@@ -115,7 +122,11 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dropDuplicatesWithinWatermark — collapses at-least-once redelivery of
     the SAME event; this collapses distinct events sharing a key)."""
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    # asc_nulls_last: "earliest" must not elect a NULL-ts event (DuckDB
+    # sorts it last; Spark's NULLS FIRST made it win rn=1 — r10 edge)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.asc_nulls_last("ts"), "event_id"
+    )
     return (
         e.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)

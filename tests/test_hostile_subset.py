@@ -25,6 +25,10 @@ KEYS = [
     "scalar_json",           # malformed-JSON validity guard
     "scalar_struct",         # BIGINT keys + NULL-field struct MAX
     "events_ewma_smooth",    # NULL-ts bucket ordering + zero denominator
+    "stream_dedup",          # NULL-ts must not win "earliest" (r10)
+    "window_fill_forward",   # NULL-ts fill position (r10)
+    "stream_session_windows",  # NULL-ts phantom session (r10)
+    "events_cusum",          # NULL hour bucket prefix position (r10)
     "dedup_chunk_exact",     # NULL-source group (NULL join keys)
     "udf_cogrouped_asof",    # odd ids past 2^53 through pandas
     "cluster_chi2",          # NULL vector/label contract + quantized argmin
