@@ -123,6 +123,15 @@ _FRONT = [
 # latest-round-per-key). Any r10half/r11 operator fix should be PREPENDED
 # here so its post-fix driver row lands in the next window.
 _NEXT: list[str] = [
+    # six NULL-ts window-order fixes (late r10, hostile edge) — post-fix
+    # driver rows first in the r11 window; gate-SF outputs are bit-equal
+    # (NULL-free fixtures) but the discipline stands
+    "stream_dedup",
+    "window_fill_forward",
+    "stream_session_windows",
+    "events_user_lifecycle",
+    "events_cusum",
+    "window_interval_merge",
     "xie_beni",
     "silhouette_sqeuclid",
     "index_suite_ext",
@@ -135,7 +144,6 @@ _NEXT: list[str] = [
     "embedding_centroid_drift",
     "multimodal_resize",
     "udf_grouped_agg_median",
-    "stream_dedup",
     "stream_join_clicks",
     "events_retention",
     "curation_split",
@@ -167,7 +175,6 @@ _NEXT: list[str] = [
     "string_distance",
     "window_range_frame",
     "join_full_outer",
-    "window_fill_forward",
     "join_range",
 ]
 
