@@ -428,6 +428,53 @@ def gen_scale(out: str) -> None:
     })
     del ids, texts, langs, sources, nchars
 
+    # events at scale (late r10 — re-verifies the six NULL-order window
+    # fixes at 1M rows): one user owns 50% of all events inside ONE hour
+    # (max key + time skew through every user-partitioned window), NULL
+    # ts/user/value/props floods, duplicate (user, ts) tie blocks,
+    # negative values, malformed JSON, 2^53-adjacent event ids.
+    ne = int(os.environ.get("HS_EVENTS", "1000000"))
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    eids, tss, uids, etypes, vals, props = [], [], [], [], [], []
+    types = ("view", "click", "purchase", "error", "signup")
+    p53_ev = ne - 20_000
+    for i in range(ne):
+        eids.append(i + 1 if i < p53_ev else P53 - 10_000 + (i - p53_ev))
+        m = i % 10
+        if m < 5:  # the hot block: user 0, one hour, duplicate seconds
+            tss.append(base + dt.timedelta(hours=10, seconds=(i // 10) % 3600))
+            uids.append(0)
+            etypes.append(types[i % 2])  # view/click only: type skew too
+        elif m == 5:  # NULL-ts flood INCLUDING clicks and purchases
+            tss.append(None)
+            uids.append(1 + (i // 10) % 500)
+            etypes.append(types[i % 5])
+        elif m == 6:  # NULL user
+            tss.append(base + dt.timedelta(
+                days=1 + (i // 10) % 28, seconds=i % 86_400))
+            uids.append(None)
+            etypes.append(types[i % 5])
+        else:  # background: 500 normal users across the month
+            tss.append(base + dt.timedelta(
+                days=1 + (i // 10) % 28, seconds=(i * 7) % 86_400))
+            uids.append(1 + (i // 10) % 500)
+            etypes.append(types[i % 5])
+        vals.append(
+            None if i % 17 == 0
+            else (-50.0 if i % 23 == 0 else float(i % 100) / 4.0)
+        )
+        props.append(
+            None if i % 13 == 0
+            else ("{" if i % 29 == 0 else '{"k": %d}' % (i % 9))
+        )
+    _write(out, "events", {
+        "event_id": eids, "ts": tss, "user_id": uids,
+        "event_type": etypes, "value": vals, "props": props,
+    })
+    del eids, tss, uids, etypes, vals, props
+
     nv = int(os.environ.get("HS_VECS", "1000000"))
     i = np.arange(nv, dtype=np.int64)
     vid = np.where(i < nv - 10_000, i + 1, P53 - 5_000 + (i - (nv - 10_000)))
@@ -470,7 +517,7 @@ def gen_scale(out: str) -> None:
     os.makedirs(out, exist_ok=True)
     pq.write_table(tbl, f"{out}/embeddings.parquet")
     for t in TABLES:
-        if t not in ("documents", "embeddings"):
+        if t not in ("documents", "embeddings", "events"):
             _write(out, t, {f.name: [] for f in _schema(t)})
 
 

@@ -226,6 +226,16 @@ SCALE_KEYS = [
     # coverage is tools/scale_stress.py's `knn` arm, which runs the
     # √n-sized graph over the same hostile distribution (NULL/zero-norm
     # floods, hot blob, 2^53 ids) with a measured candidate-volume A/B.
+    # events window family at 1M rows (late r10): the six NULL-order
+    # fixes re-verified at scale under a 500k-event single-user single-
+    # hour hot block driving every user-partitioned window
+    "stream_dedup",
+    "window_fill_forward",
+    "stream_session_windows",
+    "events_user_lifecycle",
+    "events_cusum",
+    "window_interval_merge",
+    "udf_cogrouped_asof",      # the advice fix, at 1M with 2^53 ids
 ]
 
 
