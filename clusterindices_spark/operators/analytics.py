@@ -954,18 +954,25 @@ def q_events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.collect_list("e")).alias("arr")
     )
     types = F.transform(F.col("arr"), lambda x: x.event_type)
+    # F.concat, not concat_ws: concat_ws SKIPS NULL elements, so a window
+    # containing a NULL event_type silently rendered as a bigram-looking
+    # string while the oracle's || nullified it (r10 hostile edge). With
+    # NULL-propagating concat both engines agree the trigram is NULL, and
+    # both exclude it: a window over an unknown type is no path evidence.
     tri = F.transform(
         F.sequence(F.lit(0), F.size("arr") - 3),
-        lambda i: F.concat_ws(
-            ">",
+        lambda i: F.concat(
             F.get(types, i),
+            F.lit(">"),
             F.get(types, i + 1),
+            F.lit(">"),
             F.get(types, i + 2),
         ),
     )
     return (
         seqs.where(F.size("arr") >= 3)
         .select(F.explode(tri).alias("trigram"))
+        .where(F.col("trigram").isNotNull())
         .groupBy("trigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), "trigram")
@@ -1675,17 +1682,26 @@ def q_events_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(micros).alias("s1"),
         F.sum(millis * millis).alias("s2m"),
     )
+    # nullif guards (r10 hostile edge — a singleton group, e.g. the one
+    # NULL-type event, has n=1 so n-1 and n_arm are both 0): ANSI Spark
+    # errors on /0 while DuckDB yields NULL — NULL sizing stats for a
+    # group too small to size is the shared semantic
     mean = F.col("s1") / F.col("n") / F.lit(1e6)
-    var = (F.col("s2m") / F.lit(1e6) - F.col("n") * mean * mean) / (
-        F.col("n") - 1
+    var = (F.col("s2m") / F.lit(1e6) - F.col("n") * mean * mean) / F.nullif(
+        (F.col("n") - 1).cast("double"), F.lit(0.0)
     )
     sd = F.sqrt(var)
     n_arm = F.floor(F.col("n") / F.lit(2)).cast("bigint")
     zsum = F.lit(Z_ALPHA + Z_BETA)
-    mde_abs = zsum * sd * F.sqrt(F.lit(2.0) / n_arm)
+    mde_abs = zsum * sd * F.sqrt(
+        F.lit(2.0) / F.nullif(n_arm.cast("double"), F.lit(0.0))
+    )
     n_req = F.ceil(
         F.lit(2.0) * var * zsum * zsum
-        / (F.lit(MDE_REL_TARGET) * mean * (F.lit(MDE_REL_TARGET) * mean))
+        / F.nullif(
+            F.lit(MDE_REL_TARGET) * mean * (F.lit(MDE_REL_TARGET) * mean),
+            F.lit(0.0),
+        )
     ).cast("bigint")
     return m.select(
         "event_type",
@@ -1694,7 +1710,9 @@ def q_events_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         round6_stable(mean).alias("mean"),
         round6_stable(sd).alias("sd"),
         round6_stable(mde_abs).alias("mde_abs"),
-        round6_stable(mde_abs / mean).alias("mde_rel"),
+        round6_stable(
+            mde_abs / F.nullif(mean, F.lit(0.0))
+        ).alias("mde_rel"),
         n_req.alias("n_required_per_arm"),
     )
 
@@ -3013,7 +3031,8 @@ tri AS (
   FROM seqs WHERE len(types) >= 3
 )
 SELECT trigram, COUNT(*) AS n
-FROM tri GROUP BY trigram
+FROM tri WHERE trigram IS NOT NULL
+GROUP BY trigram
 ORDER BY n DESC, trigram
 LIMIT {TRIGRAM_TOP}
 """,

@@ -1204,8 +1204,21 @@ def q_agg_quantiles_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tot",
         )
     )
-    in_b = b.join(F.broadcast(cand), "et").where(
-        F.col("bucket") == F.col("b_star")
+    # eqNullSafe, not a bare equi-join: a NULL event_type forms a real
+    # group in the CDF pass, and the refinement join must carry it — NULL
+    # join keys never match, so `join(..., "et")` silently dropped the
+    # NULL group's quantiles while the definitional oracle emitted them
+    # (r10 hostile edge; the r9 dedup_chunk_exact lesson's join form)
+    cand_r = cand.select(
+        F.col("et").alias("cet"), "p", "b_star", "prev_cum", "r", "tot"
+    )
+    in_b = (
+        b.join(
+            F.broadcast(cand_r),
+            F.col("et").eqNullSafe(F.col("cet"))
+            & (F.col("bucket") == F.col("b_star")),
+        )
+        .drop("cet")
     )
     pw = in_b.groupBy("et", "p", "vm", "prev_cum", "r", "tot").agg(
         F.count(F.lit(1)).alias("pw")

@@ -313,3 +313,90 @@ def test_banded_tiers_drop_hot_buckets(spark):
     sh = simhash_pairs(d).collect()
     assert not any(r["doc_a"] in mega_ids or r["doc_b"] in mega_ids
                    for r in sh)
+
+
+def test_path_trigrams_null_type_nullifies_window(spark):
+    """r10 NULL-event_type detector: concat_ws SKIPS NULL elements, so a
+    trigram window containing a NULL type rendered as a fake bigram while
+    the oracle's || nullified it. Both engines now drop such windows."""
+    from clusterindices_spark.operators.analytics import (
+        q_events_path_trigrams,
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(f"{REF_SF}/events.parquet").remove_metadata()
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 7, "view", 1.0, "{}"),
+        (2, base, 7, "purchase", 1.0, "{}"),
+        (3, base, 7, None, 1.0, "{}"),   # NULL type mid-path
+        (4, base, 7, "click", 1.0, "{}"),
+        (5, base, 7, "purchase", 1.0, "{}"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        tbl = pa.Table.from_arrays(
+            [pa.array([r[i] for r in rows], type=f.type)
+             for i, f in enumerate(schema)],
+            schema=schema,
+        )
+        pq.write_table(tbl, f"{d}/events.parquet")
+        got = {r["trigram"] for r in q_events_path_trigrams(spark, d).collect()}
+    # only the one NULL-free window survives; no fake 2-part strings
+    assert got == {"click>purchase"} or got == set() or all(
+        t.count(">") == 2 for t in got
+    )
+    assert "purchase>click" not in got  # the old concat_ws rendering
+
+
+def test_power_mde_singleton_group_null_stats(spark):
+    """r10: a singleton group (n=1 -> n-1 = 0, n_arm = 0) must yield NULL
+    sizing stats, not an ANSI divide-by-zero crash."""
+    from clusterindices_spark.operators.analytics import q_events_power_mde
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import datetime as dt
+
+    schema = pq.read_schema(f"{REF_SF}/events.parquet").remove_metadata()
+    base = dt.datetime(2024, 1, 1)
+    rows = [(1, base, 7, "signup", 2.0, "{}")]
+    with tempfile.TemporaryDirectory() as d:
+        tbl = pa.Table.from_arrays(
+            [pa.array([r[i] for r in rows], type=f.type)
+             for i, f in enumerate(schema)],
+            schema=schema,
+        )
+        pq.write_table(tbl, f"{d}/events.parquet")
+        out = q_events_power_mde(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n"] == 1 and r["sd"] is None and r["mde_abs"] is None
+
+
+def test_quantiles_bucketed_keeps_null_type_group(spark):
+    """r10: the bucketed-CDF refinement join keyed on event_type silently
+    dropped the NULL-type group's quantiles (NULL join keys never match);
+    eqNullSafe carries it — parity with the definitional oracle."""
+    from clusterindices_spark.operators.relational_ext import (
+        q_agg_quantiles_bucketed,
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import datetime as dt
+
+    schema = pq.read_schema(f"{REF_SF}/events.parquet").remove_metadata()
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base, 7, None if i % 2 else "view", float(i), "{}")
+            for i in range(1, 21)]
+    with tempfile.TemporaryDirectory() as d:
+        tbl = pa.Table.from_arrays(
+            [pa.array([r[i] for r in rows], type=f.type)
+             for i, f in enumerate(schema)],
+            schema=schema,
+        )
+        pq.write_table(tbl, f"{d}/events.parquet")
+        out = q_agg_quantiles_bucketed(spark, d).collect()
+    types = {r["event_type"] for r in out}
+    assert None in types and "view" in types

@@ -209,6 +209,10 @@ def gen_edge(out: str) -> None:
     # cast NaN->int64 made the searchsorted array end with INT64_MIN,
     # silently attributing every purchase to the NULL-ts click)
     ev.append((240, None, 10, "click", 1.0, '{"k": 8}'))
+    # NULL event_type for an active user (late r10): type-keyed groupBys,
+    # funnels, and type-partitioned windows must treat the NULL type
+    # group identically in both engines
+    ev.append((241, _ts(6, 2), 10, None, 2.0, '{"k": 9}'))
     _write(out, "events", {
         "event_id": [e[0] for e in ev],
         "ts": [e[1] for e in ev],
