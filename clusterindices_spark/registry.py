@@ -123,9 +123,12 @@ _FRONT = [
 # latest-round-per-key). Any r10half/r11 operator fix should be PREPENDED
 # here so its post-fix driver row lands in the next window.
 _NEXT: list[str] = [
-    # six NULL-ts window-order fixes (late r10, hostile edge) — post-fix
-    # driver rows first in the r11 window; gate-SF outputs are bit-equal
-    # (NULL-free fixtures) but the discipline stands
+    # nine late-r10 NULL-semantics fixes (hostile edge detectors) —
+    # post-fix driver rows first in the r11 window; gate-SF outputs are
+    # bit-equal (NULL-free fixtures) but the discipline stands.
+    # agg_quantiles_bucketed (the tenth) already sits in _FRONT.
+    "events_path_trigrams",
+    "events_power_mde",
     "stream_dedup",
     "window_fill_forward",
     "stream_session_windows",
@@ -155,7 +158,6 @@ _NEXT: list[str] = [
     "events_histogram",
     "events_outliers",
     "events_outliers_mad",
-    "events_path_trigrams",
     "tpch_q2",
     "tpch_q8",
     "tpch_q11",
