@@ -213,6 +213,11 @@ def gen_edge(out: str) -> None:
     # funnels, and type-partitioned windows must treat the NULL type
     # group identically in both engines
     ev.append((241, _ts(6, 2), 10, None, 2.0, '{"k": 9}'))
+    # NULL value on a PURCHASE for an active user (late r10): revenue
+    # sums/means in LTV, attribution, funnels, and t-tests must skip it
+    # identically — distinct from event 203's NULL value (error type,
+    # NULL user), which most revenue paths never reach
+    ev.append((242, _ts(8, 1), 10, "purchase", None, '{"k": 10}'))
     _write(out, "events", {
         "event_id": [e[0] for e in ev],
         "ts": [e[1] for e in ev],
@@ -241,6 +246,11 @@ def gen_edge(out: str) -> None:
     for i in range(len(docs), 30):  # filler so stats have mass; all src0
         docs.append((i, f"filler doc number {i} shared corpus words",
                      "en", "src0", 38))
+    # NULL n_chars for a real text (late r10): size-weighted packing,
+    # keep-best char accounting, and SUM(n_chars) windows must treat the
+    # unknown-size doc identically in both engines
+    docs.append((30, "detector doc with unknown size words here",
+                 "en", "src1", None))
     _write(out, "documents", {
         "doc_id": [d[0] for d in docs],
         "text": [d[1] for d in docs],
