@@ -395,11 +395,14 @@ def stress_knn(spark) -> dict:
       collapse the ball's membership into few cells — measured here as
       candidate volumes (the graph only executes if the volume fits
       KNN_CAND_BUDGET; a collapsed blob is ~occ² and is reported, not
-      executed). Voronoi quantization cannot split a collapse-prone dense
-      region; the production candidate source for that regime is the
-      random-projection LSH tier (semantic_pairs_ann / hamming), which
-      partitions isotropically regardless of density — documented in
-      BASELINE.md with this arm's numbers.
+      executed). No candidate-generation scheme splits a region denser
+      than its partition scale (LSH buckets collapse on a ball tighter
+      than the bucket length the same way), and k-NN inside an isotropic
+      dense ball is concentration-degenerate — the dedup question the
+      ball actually poses is answered by the exact-dup + capped-banded +
+      star-CC tiers. Volume-gating here makes the engine refuse loudly
+      instead of melting quietly — regimes documented in BASELINE.md
+      ("knn_graph at stress scale") with this arm's numbers.
     """
     import math
 
@@ -511,8 +514,13 @@ def stress_knn(spark) -> dict:
         else:
             arm["graph_executed"] = False
             arm["why"] = ("auto-sized candidate volume exceeds budget: "
-                          "collapse-prone dense region — Voronoi cells "
-                          "cannot split it; use the LSH candidate tier")
+                          "collapse-prone dense region — no partition "
+                          "scheme splits a region denser than its "
+                          "partition scale, and k-NN inside an isotropic "
+                          "dense ball is concentration-degenerate; the "
+                          "dedup question it poses is answered by the "
+                          "exact-dup + capped-banded + star-CC tiers "
+                          "(BASELINE.md knn regime 3)")
         out["arms"][kind] = arm
         emb.unpersist()
         print(f"# knn arm {kind}: {arm}", file=sys.stderr)
