@@ -194,6 +194,15 @@ def _attach_clicks(purch: pd.DataFrame, clk: pd.DataFrame) -> pd.DataFrame:
     if "ms" not in clk.columns:
         clk = clk.iloc[0:0].assign(ms=pd.Series([], dtype="int64"),
                                    event_id=pd.Series([], dtype="int64"))
+    # NULL-user group: Spark's cogroup keys NULL like a regular value (so
+    # NULL-user purchases and NULL-user clicks land in ONE group here), but
+    # the oracle's equi-join predicate `c.user_id = p.user_id` never
+    # matches NULL — the purchases keep their rows (LEFT JOIN), the clicks
+    # must not participate at all. Caught by the randomized differential
+    # gate (tools/fuzz_gate.py seed 101000: big-id regime + NULL-user
+    # flood); the fixed hostile fixtures never drew this combination.
+    if purch["user_id"].isna().any():
+        clk = clk.iloc[0:0]
     p = purch.sort_values(["ms", "event_id"]).rename(
         columns={"event_id": "purchase_id", "ms": "purchase_ms"}
     )

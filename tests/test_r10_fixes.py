@@ -400,3 +400,33 @@ def test_quantiles_bucketed_keeps_null_type_group(spark):
         out = q_agg_quantiles_bucketed(spark, d).collect()
     types = {r["event_type"] for r in out}
     assert None in types and "view" in types
+
+
+def test_cogrouped_asof_null_user_group_never_attributes():
+    """r10½ (fuzz gate seed 101000): Spark's cogroup keys NULL user_id like
+    a regular value, so NULL-user purchases landed in one group with
+    NULL-user clicks and got attributed; the oracle's equi-join
+    (c.user_id = p.user_id) never matches NULL. Purchases keep their rows
+    (LEFT JOIN cardinality), clicks must not participate."""
+    import numpy as np
+    import pandas as pd
+
+    from clusterindices_spark.operators.udfs import _attach_clicks
+
+    purch = pd.DataFrame(
+        {"user_id": [np.nan, np.nan], "event_id": [10.0, 11.0],
+         "ms": [3000.0, 5000.0]}
+    )
+    clk = pd.DataFrame(
+        {"user_id": [np.nan], "event_id": [20.0], "ms": [2000.0]}
+    )
+    out = _attach_clicks(purch, clk)
+    assert len(out) == 2
+    assert out["click_id"].isna().all() and out["click_ms"].isna().all()
+    # non-NULL groups unaffected
+    purch2 = pd.DataFrame(
+        {"user_id": [7, 7], "event_id": [10, 11], "ms": [3000, 5000]}
+    )
+    clk2 = pd.DataFrame({"user_id": [7], "event_id": [20], "ms": [2000]})
+    out2 = _attach_clicks(purch2, clk2)
+    assert out2["click_id"].tolist() == [20, 20]

@@ -1,0 +1,450 @@
+#!/usr/bin/env python
+"""Seeded randomized differential fuzz gate (round 10½).
+
+The hostile gate (tools/hostile_gate.py) sweeps FIXED adversarial fixtures —
+it catches the input classes someone thought to plant. This gate SAMPLES the
+input space: each trial draws, from a seeded RNG, per-column NULL
+probabilities, vocabulary mixes (fixture values + boundary strings + junk),
+key skew, duplicate rates, timestamp tie rates, id regimes (small / negative
+/ 2^53-adjacent), and table sizes; writes schema-exact parquet (schemas
+mirrored from the driver fixture footers, like tools/hostile_fixtures.py);
+and runs registry keys through the SAME Spark-vs-DuckDB comparison as
+tools/check_oracle.py. A finding is replayable from its seed alone.
+
+Contract envelopes honored (FIXTURES.md / hostile_fixtures.py), so a finding
+is a real divergence and never a violated input contract:
+
+- events.ts stays inside Jan 2024 (sessionization/DiD month envelope);
+  o_orderdate in 1995..2001, l_shipdate in 1995..2001.
+- value/price magnitudes stay ≤1e9 (the pinned int64 quantization bounds,
+  tests/test_int64_bounds.py); ids stay under BIG ≈ 2^62/1000003·1000.
+- NaN/Inf are NOT generated — engine NaN-ordering is a known boundary class,
+  out of scope here; NULL floods cover the missing-value axis.
+- No fully-empty tables — the hostile `empty` variant pins that class
+  deterministically; the fuzzer explores the populated space (filtered-to-
+  empty intermediates still occur freely).
+- Embedding corpora are single-dimension per trial, drawn from {16, 32, 64}
+  (exercises the r10 _corpus_dim fix beyond the fixture's 64).
+
+Findings taxonomy = hostile_gate's (PASS/ROWS/XERR/DIVERGE). Known engine
+boundaries are explained by PREDICATE pins (the fuzzer's variants are
+dynamic, so (variant,key) pins can't work): see EXPLAIN below. Exit 0 iff
+zero unexplained findings.
+
+Usage:
+  python tools/fuzz_gate.py --trials 20 --base-seed 101000   # campaign
+  python tools/fuzz_gate.py --seeds 101007                   # replay one
+  python tools/fuzz_gate.py --seeds 101007 dedup_chunk_exact # one cell
+Report: reports/fuzz_gate.md (append-summary per campaign).
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import os
+import re
+import shutil
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hostile_fixtures import REF_SF, TABLES, BIG, P53  # noqa: E402
+
+P53 = int(P53)
+BIG = int(BIG)
+
+# ---------------------------------------------------------------------------
+# string pools
+# ---------------------------------------------------------------------------
+
+WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo "
+    "lima mike november oscar papa quebec romeo sierra tango uniform victor "
+    "whiskey xray yankee zulu data spark plan shuffle join scan the and of"
+).split()
+
+BOUNDARY_TEXTS = [
+    "",
+    " ",
+    "\t\n\r",
+    "café résumé naïve",                      # combining accents
+    "\U0001f30d\U0001f680 rocket \U0001f9ea", # 4-byte emoji
+    "مرحبا بالعالم",                           # RTL
+    "a​b c‍d",                      # zero-width space / joiner
+    "中文文本没有空格",                         # CJK, no spaces
+    "nbsp separated words",
+    "ßÆœ İstanbul Iı",                        # special casing points
+    "x" * 4000,                               # one giant token
+    ("tok " * 600).strip(),                   # long many-token doc
+    "'; DROP TABLE docs; --",                 # quoting hazard
+    'quote " and \\ backslash',
+]
+
+LANGS = ["de", "en", "es", "fr", "zh", "xx", "", None]
+SOURCES = [f"src{i}" for i in range(20)] + ["", "weird source", None]
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view",
+               "unknown_t", "", None]
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY",
+            "", None]
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+              "", None]
+PROPS_POOL = ['{"k": %d}', '{"k": %d, "j": 1}', "{}", "[1,2]", "not json",
+              "", None, '{"k": null}']
+
+
+# ---------------------------------------------------------------------------
+# per-trial generation
+# ---------------------------------------------------------------------------
+
+def _schema(table: str) -> pa.Schema:
+    return pq.read_schema(f"{REF_SF}/{table}.parquet").remove_metadata()
+
+
+def _write(out_dir: str, table: str, columns: dict[str, list]) -> None:
+    schema = _schema(table)
+    arrays = [pa.array(columns[f.name], type=f.type) for f in schema]
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(pa.Table.from_arrays(arrays, schema=schema),
+                   f"{out_dir}/{table}.parquet")
+
+
+def _null_mask(rng, n, p):
+    return rng.random(n) < p
+
+
+def _maybe_null(rng, values, p):
+    m = _null_mask(rng, len(values), p)
+    return [None if mi else v for v, mi in zip(values, m)]
+
+
+def _ids(rng, n, regime):
+    """Id column under one of three regimes; always unique."""
+    base = np.arange(n, dtype=np.int64)
+    if regime == "small":
+        return (base * int(rng.integers(1, 7)) + int(rng.integers(0, 5)))
+    if regime == "negative":
+        # mixed sign — exercises pmod/hash sign handling
+        return base * 3 - n
+    # "big": a 2^53-adjacent block plus a 2^62-scale block, rest small
+    out = base.copy()
+    k = max(1, n // 4)
+    out[:k] = P53 - k // 2 + np.arange(k, dtype=np.int64)
+    out[k:2 * k] = BIG - np.arange(k, dtype=np.int64) * 997
+    return out
+
+
+def _texts(rng, n, dup_rate, boundary_rate):
+    out = []
+    for i in range(n):
+        r = rng.random()
+        if out and r < dup_rate:
+            out.append(out[int(rng.integers(0, len(out)))])  # exact dup
+        elif r < dup_rate + boundary_rate:
+            out.append(BOUNDARY_TEXTS[int(rng.integers(0, len(BOUNDARY_TEXTS)))])
+        else:
+            k = int(rng.integers(1, 30))
+            words = rng.choice(WORDS, size=k)
+            out.append(" ".join(words))
+    return out
+
+
+def _skewed_choice(rng, pool, n, skew):
+    """With probability `skew`, the hot head element; else uniform."""
+    hot = pool[0]
+    picks = rng.integers(0, len(pool), size=n)
+    mask = rng.random(n) < skew
+    return [hot if m else pool[int(i)] for m, i in zip(mask, picks)]
+
+
+def gen_trial(out: str, seed: int) -> dict:
+    """Write all ten tables for one trial; returns the drawn knobs."""
+    rng = np.random.default_rng(seed)
+    knobs = {
+        "null_p": float(rng.choice([0.0, 0.05, 0.2, 0.4])),
+        "id_regime": str(rng.choice(["small", "small", "negative", "big"])),
+        "skew": float(rng.choice([0.0, 0.5, 0.85])),
+        "dup_rate": float(rng.choice([0.0, 0.1, 0.35])),
+        "tie_rate": float(rng.choice([0.0, 0.3])),
+        "dim": int(rng.choice([16, 32, 64])),
+        "orphan_p": float(rng.choice([0.0, 0.15])),
+    }
+    np_ = knobs["null_p"]
+
+    # --- region / nation (small dims; names fuzzed, keys dense) ---
+    nr = int(rng.integers(2, 6))
+    _write(out, "region", {
+        "r_regionkey": list(range(nr)),
+        "r_name": _maybe_null(rng, _texts(rng, nr, 0, 0.4), np_ / 2),
+    })
+    nn = int(rng.integers(3, 26))
+    _write(out, "nation", {
+        "n_nationkey": list(range(nn)),
+        "n_name": _maybe_null(rng, _texts(rng, nn, 0.1, 0.4), np_ / 2),
+        "n_regionkey": [int(x) for x in rng.integers(0, nr, size=nn)],
+    })
+
+    # --- customer / supplier / part ---
+    nc = int(rng.integers(5, 60))
+    ckeys = _ids(rng, nc, knobs["id_regime"])
+    _write(out, "customer", {
+        "c_custkey": [int(x) for x in ckeys],
+        "c_name": _maybe_null(rng, _texts(rng, nc, 0.2, 0.3), np_),
+        "c_nationkey": [int(x) for x in rng.integers(0, nn, size=nc)],
+        "c_acctbal": _maybe_null(
+            rng, [round(float(x), 2) for x in
+                  rng.normal(1000, 3000, size=nc)], np_),
+        "c_mktsegment": _skewed_choice(rng, SEGMENTS, nc, knobs["skew"]),
+    })
+    ns = int(rng.integers(2, 11))
+    skeys = _ids(rng, ns, knobs["id_regime"])
+    _write(out, "supplier", {
+        "s_suppkey": [int(x) for x in skeys],
+        "s_name": _maybe_null(rng, _texts(rng, ns, 0, 0.3), np_),
+        "s_nationkey": [int(x) for x in rng.integers(0, nn, size=ns)],
+        "s_acctbal": _maybe_null(
+            rng, [round(float(x), 2) for x in
+                  rng.normal(5000, 2000, size=ns)], np_),
+    })
+    npart = int(rng.integers(5, 50))
+    pkeys = _ids(rng, npart, knobs["id_regime"])
+    _write(out, "part", {
+        "p_partkey": [int(x) for x in pkeys],
+        "p_name": _maybe_null(rng, _texts(rng, npart, 0.1, 0.3), np_),
+        "p_brand": _skewed_choice(
+            rng, [f"Brand#{i}" for i in range(1, 6)] + ["", None],
+            npart, knobs["skew"]),
+        "p_type": _skewed_choice(
+            rng, ["STANDARD", "SMALL", "MEDIUM", "LARGE", "ECONOMY",
+                  "PROMO", None], npart, knobs["skew"]),
+        "p_size": _maybe_null(
+            rng, [int(x) for x in rng.integers(1, 51, size=npart)], np_),
+        "p_retailprice": _maybe_null(
+            rng, [round(float(x), 2) for x in
+                  rng.uniform(1, 2000, size=npart)], np_),
+    })
+
+    # --- orders / lineitem (referential, some orphans) ---
+    no = int(rng.integers(20, 250))
+    okeys = _ids(rng, no, knobs["id_regime"])
+    ocust = rng.choice(ckeys, size=no)
+    orphan = _null_mask(rng, no, knobs["orphan_p"])
+    ocust = [int(c) + (10 ** 9 if o and knobs["id_regime"] != "big" else 0)
+             for c, o in zip(ocust, orphan)]
+    year = rng.integers(1995, 2002, size=no)
+    month = rng.integers(1, 13, size=no)
+    day = rng.integers(1, 28, size=no)
+    _write(out, "orders", {
+        "o_orderkey": [int(x) for x in okeys],
+        "o_custkey": ocust,
+        "o_orderstatus": _skewed_choice(rng, ["F", "O", "P", "", None],
+                                        no, knobs["skew"]),
+        "o_totalprice": _maybe_null(
+            rng, [round(float(x), 2) for x in
+                  rng.uniform(-500, 500000, size=no)], np_),
+        "o_orderdate": [dt.datetime(int(y), int(m), int(d))
+                        for y, m, d in zip(year, month, day)],
+        "o_orderpriority": _skewed_choice(rng, PRIORITIES, no, knobs["skew"]),
+    })
+    nl = int(rng.integers(50, 700))
+    lok = _skewed_choice(rng, [int(x) for x in okeys], nl, knobs["skew"])
+    yearl = rng.integers(1995, 2002, size=nl)
+    monthl = rng.integers(1, 13, size=nl)
+    dayl = rng.integers(1, 28, size=nl)
+    _write(out, "lineitem", {
+        "l_orderkey": lok,
+        "l_partkey": [int(x) for x in rng.choice(pkeys, size=nl)],
+        "l_suppkey": [int(x) for x in rng.choice(skeys, size=nl)],
+        "l_linenumber": [int(x) for x in rng.integers(1, 8, size=nl)],
+        "l_quantity": _maybe_null(
+            rng, [float(x) for x in rng.integers(1, 51, size=nl)], np_),
+        "l_extendedprice": _maybe_null(
+            rng, [round(float(x), 2) for x in
+                  rng.uniform(0, 100000, size=nl)], np_),
+        "l_discount": _maybe_null(
+            rng, [round(float(x), 2) for x in
+                  rng.uniform(0, 0.1, size=nl)], np_),
+        "l_tax": _maybe_null(
+            rng, [round(float(x), 2) for x in
+                  rng.uniform(0, 0.08, size=nl)], np_),
+        "l_returnflag": _skewed_choice(rng, ["A", "N", "R", "", None],
+                                       nl, knobs["skew"]),
+        "l_linestatus": _skewed_choice(rng, ["F", "O", None],
+                                       nl, knobs["skew"]),
+        "l_shipdate": [dt.datetime(int(y), int(m), int(d))
+                       for y, m, d in zip(yearl, monthl, dayl)],
+    })
+
+    # --- events (Jan-2024 envelope; ties; skewed users; junk props) ---
+    ne = int(rng.integers(50, 500))
+    ekeys = _ids(rng, ne, knobs["id_regime"])
+    users = _skewed_choice(
+        rng, [int(x) for x in _ids(rng, max(3, ne // 20),
+                                   knobs["id_regime"])],
+        ne, knobs["skew"])
+    day_e = rng.integers(1, 31, size=ne)
+    sec_e = rng.integers(0, 86400, size=ne)
+    ts = [dt.datetime(2024, 1, int(d)) + dt.timedelta(seconds=int(s))
+          for d, s in zip(day_e, sec_e)]
+    # timestamp ties: copy a previous row's ts
+    for i in range(1, ne):
+        if rng.random() < knobs["tie_rate"]:
+            ts[i] = ts[int(rng.integers(0, i))]
+    props = []
+    for i in range(ne):
+        p = PROPS_POOL[int(rng.integers(0, len(PROPS_POOL)))]
+        props.append(p % int(rng.integers(0, 100)) if p and "%d" in p else p)
+    _write(out, "events", {
+        "event_id": [int(x) for x in ekeys],
+        "ts": _maybe_null(rng, ts, np_ / 2),
+        "user_id": _maybe_null(rng, users, np_ / 2),
+        "event_type": _skewed_choice(rng, EVENT_TYPES, ne, knobs["skew"]),
+        "value": _maybe_null(
+            rng, [round(float(x), 3) for x in
+                  rng.normal(50, 60, size=ne)], np_),
+        "props": props,
+    })
+
+    # --- documents (dups, boundary texts, n_chars consistent) ---
+    nd = int(rng.integers(20, 200))
+    dkeys = _ids(rng, nd, knobs["id_regime"])
+    texts = _maybe_null(
+        rng, _texts(rng, nd, knobs["dup_rate"], 0.25), np_ / 2)
+    _write(out, "documents", {
+        "doc_id": [int(x) for x in dkeys],
+        "text": texts,
+        "lang": _skewed_choice(rng, LANGS, nd, knobs["skew"]),
+        "source": _skewed_choice(rng, SOURCES, nd, knobs["skew"]),
+        "n_chars": [None if t is None else len(t) for t in texts],
+    })
+
+    # --- embeddings (one dim per trial; zero/dup/NULL vectors) ---
+    nv = int(rng.integers(20, 200))
+    vkeys = _ids(rng, nv, knobs["id_regime"])
+    dim = knobs["dim"]
+    vecs = rng.normal(0, 1, size=(nv, dim)).astype(np.float32)
+    for i in range(nv):
+        r = rng.random()
+        if r < 0.05:
+            vecs[i] = 0.0                      # zero-norm
+        elif r < 0.05 + knobs["dup_rate"] / 2 and i > 0:
+            vecs[i] = vecs[int(rng.integers(0, i))]  # identical vector
+    emb = _maybe_null(rng, [list(map(float, v)) for v in vecs], np_ / 3)
+    _write(out, "embeddings", {
+        "vec_id": [int(x) for x in vkeys],
+        "embedding": emb,
+        "label": _maybe_null(
+            rng, [int(x) for x in rng.integers(0, 10, size=nv)], np_ / 3),
+    })
+    return knobs
+
+
+# ---------------------------------------------------------------------------
+# explanation predicates (dynamic-variant ALLOW)
+# ---------------------------------------------------------------------------
+
+_GROUPING_KEYS = {"agg_rollup", "agg_grouping_sets", "agg_cube"}
+
+
+def _explain(key: str, out: str, detail: str) -> str | None:
+    """Return a one-line justification if (key, detail) is a pinned engine
+    boundary, else None (a real finding). Mirrors hostile_gate.ALLOW but by
+    predicate, since fuzz variants are dynamic."""
+    if key in _GROUPING_KEYS and re.search(
+            r"rowcount: spark=0 duck=[1-9]", detail or ""):
+        return ("Spark emits zero rows for ROLLUP/CUBE/GROUPING SETS over an "
+                "empty (post-filter) relation; DuckDB emits the SQL-standard "
+                "grand-total row — pinned engine boundary (hostile_gate "
+                "ALLOW, r9)")
+    return None
+
+
+# ---------------------------------------------------------------------------
+# campaign driver
+# ---------------------------------------------------------------------------
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/fuzz")
+    ap.add_argument("--trials", type=int, default=0)
+    ap.add_argument("--base-seed", type=int, default=101000)
+    ap.add_argument("--seeds", default="",
+                    help="comma-separated explicit seeds (replay)")
+    ap.add_argument("--report", default="reports/fuzz_gate.md")
+    ap.add_argument("--keep", action="store_true",
+                    help="keep trial parquet dirs")
+    ap.add_argument("keys", nargs="*")
+    args = ap.parse_args()
+
+    if args.seeds:
+        seeds = [int(s) for s in args.seeds.split(",")]
+    else:
+        n = args.trials or 10
+        seeds = [args.base_seed + i for i in range(n)]
+
+    from hostile_gate import run_gate  # after sys.path setup
+    from clusterindices_spark.session import get_spark
+
+    spark = get_spark("fuzz-gate")
+    all_results = []   # (seed, key, out, detail, sec)
+    knob_log = {}
+    for seed in seeds:
+        variant = f"fz{seed}"
+        trial_dir = os.path.join(args.root, variant)
+        if os.path.isdir(trial_dir):
+            shutil.rmtree(trial_dir)
+        knob_log[seed] = gen_trial(trial_dir, seed)
+        print(f"--- seed {seed} knobs={knob_log[seed]}", flush=True)
+        res = run_gate([variant], args.keys, args.root, spark=spark)
+        for v, k, out, detail, sec in res:
+            all_results.append((seed, k, out, detail, sec))
+        if not args.keep:
+            shutil.rmtree(trial_dir, ignore_errors=True)
+
+    # classify
+    n = {"PASS": 0, "ROWS": 0, "XERR": 0, "DIVERGE": 0, "SERR": 0}
+    unexplained, explained = [], []
+    for seed, k, out, detail, sec in all_results:
+        n[out] += 1
+        if out in ("DIVERGE", "XERR", "SERR"):
+            why = _explain(k, out, detail)
+            (explained if why else unexplained).append(
+                (seed, k, out, detail, why))
+
+    lines = ["# Randomized differential fuzz gate (tools/fuzz_gate.py)", ""]
+    lines.append(f"seeds: {seeds[0]}..{seeds[-1]} ({len(seeds)} trials), "
+                 f"cells: {len(all_results)} — "
+                 + ", ".join(f"{v} {c}" for c, v in n.items()))
+    lines.append(f"unexplained findings: {len(unexplained)}")
+    lines.append("")
+    if unexplained:
+        lines.append("## UNEXPLAINED (replay: python tools/fuzz_gate.py "
+                     "--seeds <seed> <key>)")
+        lines.append("")
+        for seed, k, out, detail, why in unexplained:
+            lines.append(f"- **seed {seed} / {k}** [{out}]: {detail}")
+        lines.append("")
+    if explained:
+        lines.append("## Explained (pinned engine boundaries)")
+        lines.append("")
+        for seed, k, out, detail, why in explained:
+            lines.append(f"- seed {seed} / {k} [{out}] — {why}")
+        lines.append("")
+    lines.append("## Trial knobs")
+    lines.append("")
+    for seed in seeds:
+        lines.append(f"- {seed}: {knob_log[seed]}")
+    os.makedirs(os.path.dirname(args.report), exist_ok=True)
+    with open(args.report, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"\nreport: {args.report}; unexplained: {len(unexplained)}")
+    return 1 if unexplained else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
