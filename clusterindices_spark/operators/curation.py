@@ -1097,7 +1097,11 @@ GROUP BY doc_id
     "curation_pack_greedy": f"""
 WITH RECURSIVE toks AS (
   SELECT doc_id,
-         CAST(doc_id % {PACK_GROUPS} AS INT) AS grp,
+         -- pmod, not %: DuckDB's % is sign-preserving, so a negative
+         -- doc_id would land in a negative group while Spark's pmod
+         -- partition id is always in [0, G) (fuzz gate seed 101001)
+         CAST(((doc_id % {PACK_GROUPS}) + {PACK_GROUPS}) % {PACK_GROUPS}
+              AS INT) AS grp,
          CAST(LEAST(len({_TOKS}), {PACK_CAPACITY}) AS INT) AS t
   FROM documents
 ),
@@ -1191,15 +1195,23 @@ SELECT doc_id, lang, n_chars,
        CAST(rk AS INT) AS rk
 FROM (
   SELECT doc_id, lang, n_chars,
-         -ln((((doc_id % {_ES_M}) * {_ES_A}) % {_ES_M} + 0.5) / {_ES_M}.0)
+         -ln((hm + 0.5) / {_ES_M}.0)
            / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS es_key,
          row_number() OVER (
            PARTITION BY lang
-           ORDER BY -ln((((doc_id % {_ES_M}) * {_ES_A}) % {_ES_M} + 0.5) / {_ES_M}.0)
+           ORDER BY -ln((hm + 0.5) / {_ES_M}.0)
                     / CAST(GREATEST(n_chars, 1) AS DOUBLE) ASC,
                     doc_id ASC
          ) AS rk
-  FROM documents
+  FROM (
+    -- pmod at BOTH reduction steps, not %: DuckDB's sign-preserving %
+    -- hands ln() a negative argument for negative doc_ids (hard error)
+    -- while Spark's pmod stays in [0, M) (fuzz gate seed 101001)
+    SELECT doc_id, lang, n_chars,
+           ((((doc_id % {_ES_M}) + {_ES_M}) % {_ES_M} * {_ES_A})
+            % {_ES_M} + {_ES_M}) % {_ES_M} AS hm
+    FROM documents
+  )
 )
 WHERE rk <= {WEIGHTED_K}
 """,

@@ -886,11 +886,23 @@ def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame
     def project(batches):
         for batch in batches:
             ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-            xs = _batch_xs(batch, dim)
+            col = batch.column("x")
+            if len(col) == 0:
+                continue
+            # corpus dim measured from the DATA, not assumed 64: the
+            # oracle's sign join is INNER on i, so any dim d projects its
+            # first min(d, 64) components — a hardcoded reshape crashed on
+            # a 16-dim corpus (fuzz gate seed 101001; same class as the
+            # r10 _corpus_dim advice fix)
+            d = len(col[0].as_py() or [])
+            if d == 0:
+                continue
+            xs = _batch_xs(batch, d)
             if xs.size == 0:
                 continue
-            u = np.floor(xs * 1e6 + 0.5)  # integer micros in float64
-            acc = u @ sgn  # exact: integer values ≪ 2^53
+            d_eff = min(d, dim)
+            u = np.floor(xs[:, :d_eff] * 1e6 + 0.5)  # integer micros
+            acc = u @ sgn[:d_eff]  # exact: integer values ≪ 2^53
             val = np.floor((acc / 1e6) * scale * 1e6 + 0.5) / 1e6
             n, k = val.shape
             yield pa.RecordBatch.from_arrays(

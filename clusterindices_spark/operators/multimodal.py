@@ -488,7 +488,10 @@ def q_multimodal_audio_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clusterindices_spark.functions.aggregates import round6_stable
 
     d = load_table(spark, sf_dir, "documents").select("doc_id").where(
-        F.col("doc_id") % 2 == 1
+        # pmod parity, matching the Python synth router's % (pmod-like):
+        # Spark's sign-preserving % gives -1 for negative odds and
+        # silently dropped them from the WAV tier (fuzz gate 101001)
+        F.pmod(F.col("doc_id"), F.lit(2)) == 1
     )
     out = audio_silence(synth_media(fan_out(d)))
     return out.select(
@@ -961,10 +964,13 @@ GROUP BY CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'wav' END
 
 ORACLES["multimodal_audio_silence"] = f"""
 WITH s AS (
+  -- pmod forms + <>0 parity: the synth runs in PYTHON, whose % is
+  -- pmod-like, while DuckDB's % is sign-preserving — negative doc_ids
+  -- diverged in both membership and sample values (fuzz gate 101001)
   SELECT doc_id, i,
-         ((doc_id * 13 + i * 5) % 65536) - 32768 AS v
+         (((doc_id * 13 + i * 5) % 65536) + 65536) % 65536 - 32768 AS v
   FROM (SELECT doc_id, unnest(range({WAV_N})) AS i
-        FROM documents WHERE doc_id % 2 = 1)
+        FROM documents WHERE doc_id % 2 <> 0)
 ),
 q AS MATERIALIZED (
   SELECT doc_id, i, (abs(v) < {SILENCE_THRESHOLD}) AS quiet FROM s
@@ -1146,16 +1152,20 @@ FROM b h LEFT JOIN near n ON n.doc_a = h.doc_id
 # (header walk, endianness, chunk alignment) to land on the same sums.
 ORACLES["multimodal_decode_real"] = f"""
 WITH ppm AS (
+  -- pmod forms + <>0 parity: the synth runs in PYTHON (% is pmod-like);
+  -- DuckDB's sign-preserving % diverged on negative doc_ids (fuzz 101001)
   SELECT doc_id,
          list_transform(range({PPM_W * PPM_H * 3}),
-                        i -> (doc_id * 31 + i * 7) % 256) AS vals
+                        i -> ((doc_id * 31 + i * 7) % 256 + 256) % 256)
+           AS vals
   FROM documents WHERE doc_id % 2 = 0
 ),
 wav AS (
   SELECT doc_id,
          list_transform(range({WAV_N}),
-                        i -> ((doc_id * 13 + i * 5) % 65536) - 32768) AS vals
-  FROM documents WHERE doc_id % 2 = 1
+                        i -> (((doc_id * 13 + i * 5) % 65536) + 65536)
+                             % 65536 - 32768) AS vals
+  FROM documents WHERE doc_id % 2 <> 0
 )
 SELECT doc_id, 'ppm' AS fmt,
        CAST({PPM_W} AS INT) AS width, CAST({PPM_H} AS INT) AS height,

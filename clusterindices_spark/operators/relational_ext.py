@@ -561,8 +561,19 @@ def q_agg_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dn").alias("dn"), F.sum("ds").alias("ds")
     )
     zero = F.lit(0).cast("decimal(28,6)")
-    combined = base_mv.join(delta, "o_orderstatus", "full_outer").select(
-        "o_orderstatus",
+    # eqNullSafe, not USING: the base MV and the delta both carry a NULL
+    # status GROUP (GROUP BY keys NULLs together), but an equi-join key
+    # never matches NULL — the two NULL-group rows stayed split while the
+    # oracle's full recompute unifies them (fuzz gate seed 101001).
+    b, d = base_mv.alias("b"), delta.alias("d")
+    combined = b.join(
+        d,
+        F.col("b.o_orderstatus").eqNullSafe(F.col("d.o_orderstatus")),
+        "full_outer",
+    ).select(
+        F.coalesce(
+            F.col("b.o_orderstatus"), F.col("d.o_orderstatus")
+        ).alias("o_orderstatus"),
         (
             F.coalesce(F.col("n"), F.lit(0))
             + F.coalesce(F.col("dn"), F.lit(0))
@@ -940,8 +951,20 @@ def q_agg_bool_modal(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = o.groupBy("o_orderpriority", "o_orderstatus").agg(
         F.count(F.lit(1)).alias("cnt")
     )
+    # tie-break struct carries an explicit has-status flag: on a count
+    # tie between a NULL status and a real one, a NULL second field
+    # sorts SMALLEST in Spark's struct order but LARGEST in DuckDB's —
+    # the boolean decides the tie identically in both engines before
+    # either reaches the NULL field (fuzz gate seed 101001; same engine
+    # boundary scalar_struct pins on its first field).
     modal = sc.groupBy("o_orderpriority").agg(
-        F.max(F.struct("cnt", "o_orderstatus")).alias("m")
+        F.max(
+            F.struct(
+                "cnt",
+                F.col("o_orderstatus").isNotNull().alias("has"),
+                "o_orderstatus",
+            )
+        ).alias("m")
     )
     flags = o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
@@ -1005,7 +1028,13 @@ def q_scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     k = F.col("o_orderkey")
     bucket = F.pmod(k, F.lit(251)).cast("bigint")
-    packed = F.shiftleft(k, 8).bitwiseOR(F.pmod(bucket, F.lit(256)))
+    # pack the pmod-normalized key, not the raw one: DuckDB hard-errors on
+    # left-shifting a negative number while Spark wraps two's-complement
+    # (fuzz gate seed 101001). 44 bits << 8 stays inside bigint in both
+    # engines; &, xor, bit_count, >> agree on raw negatives (probed) and
+    # keep the raw key.
+    nk = F.pmod(k, F.lit(1 << 44))
+    packed = F.shiftleft(nk, 8).bitwiseOR(F.pmod(bucket, F.lit(256)))
     return o.select(
         "o_orderkey",
         k.bitwiseAND(F.lit(255)).alias("low_byte"),
@@ -1094,6 +1123,14 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents"),
         F.floor(F.col("l_quantity") + F.lit(0.5)).cast("bigint").alias("w"),
+    ).where(
+        # NULL-price rows can't join the median's value axis: Spark's cum
+        # window (ORDER BY bucket ASC) puts the NULL bucket FIRST while
+        # DuckDB's (ORDER BY cents ASC) puts NULL LAST — the CDF prefix
+        # would differ whenever NULL-price rows carry weight (fuzz gate
+        # seed 101001). Median-of-known-prices is the pinned contract,
+        # WHERE cents IS NOT NULL in the oracle.
+        F.col("cents").isNotNull()
     )
     b = li.withColumn(
         "bucket", F.floor(F.col("cents") / F.lit(WM_BUCKET_CENTS)).cast("bigint")
@@ -1119,8 +1156,16 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tot",
         )
     )
-    in_b = b.join(F.broadcast(cand), "rf").where(
-        F.col("bucket") == F.col("b_star")
+    # eqNullSafe: the NULL return-flag GROUP is legitimate (GROUP BY keys
+    # NULLs together) but an equi-join on rf silently dropped it from
+    # pass 2 while the oracle kept it (fuzz gate seed 101001).
+    in_b = (
+        b.join(
+            F.broadcast(cand.withColumnRenamed("rf", "rf_c")),
+            F.col("rf").eqNullSafe(F.col("rf_c")),
+        )
+        .drop("rf_c")
+        .where(F.col("bucket") == F.col("b_star"))
     )
     pw = in_b.groupBy("rf", "cents", "prev_cum", "tot").agg(
         F.sum("w").alias("pw")
@@ -1322,6 +1367,7 @@ WITH li AS (
          CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
          CAST(floor(l_quantity + 0.5) AS BIGINT) AS w
   FROM lineitem
+  WHERE l_extendedprice IS NOT NULL
 ),
 pw AS (SELECT rf, cents, CAST(SUM(w) AS BIGINT) AS pw FROM li GROUP BY 1, 2),
 c AS (
@@ -1370,14 +1416,23 @@ SELECT o_custkey, island AS version, status, valid_from,
 FROM runs
 """,
     "scalar_bitwise": """
+WITH b AS (
+  -- pmod forms of the bucket and the pack base (Spark pmod ≡
+  -- ((x % m) + m) % m); raw-key &/xor/bit_count/>> agree on negatives
+  SELECT o_orderkey,
+         ((o_orderkey % 251) + 251) % 251 AS bucket,
+         ((o_orderkey % 17592186044416) + 17592186044416)
+           % 17592186044416 AS nk
+  FROM orders
+)
 SELECT o_orderkey,
        o_orderkey & 255 AS low_byte,
-       xor(o_orderkey, o_orderkey % 251) AS xor_bucket,
+       xor(o_orderkey, bucket) AS xor_bucket,
        CAST(bit_count(o_orderkey) AS INT) AS popcount,
-       (o_orderkey << 8) | ((o_orderkey % 251) % 256) AS packed,
-       ((o_orderkey << 8) | ((o_orderkey % 251) % 256)) >> 8 AS unpacked_key,
-       ((o_orderkey << 8) | ((o_orderkey % 251) % 256)) & 255 AS unpacked_bucket
-FROM orders
+       (nk << 8) | (bucket % 256) AS packed,
+       ((nk << 8) | (bucket % 256)) >> 8 AS unpacked_key,
+       ((nk << 8) | (bucket % 256)) & 255 AS unpacked_bucket
+FROM b
 """,
     "window_interval_merge": """
 WITH e AS (
@@ -1406,7 +1461,9 @@ WITH sc AS (
 ),
 modal AS (
   SELECT o_orderpriority,
-         MAX(struct_pack(cnt := cnt, o_orderstatus := o_orderstatus)) AS m
+         MAX(struct_pack(cnt := cnt,
+                         has := o_orderstatus IS NOT NULL,
+                         o_orderstatus := o_orderstatus)) AS m
   FROM sc GROUP BY o_orderpriority
 ),
 flags AS (

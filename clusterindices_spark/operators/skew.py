@@ -102,7 +102,10 @@ ORACLES = {
     # is partitioning-only
     "join_salted_skew": """
 WITH dim AS (
-  SELECT user_id, 'tier' || CAST(user_id % 3 AS VARCHAR) AS tier
+  -- pmod, not %: negative user_ids would label 'tier-1'/'tier-2' here
+  -- while Spark's pmod tier is always tier0..tier2 (fuzz gate 101001)
+  SELECT user_id,
+         'tier' || CAST(((user_id % 3) + 3) % 3 AS VARCHAR) AS tier
   FROM (SELECT user_id FROM events GROUP BY user_id)
 )
 SELECT e.event_type, d.tier,

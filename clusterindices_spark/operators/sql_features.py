@@ -214,11 +214,20 @@ def q_scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whose host is an invalid label — Spark's parse_url answers NULL
     # while a regex happily extracts it; defining empty-as-missing keeps
     # the engines identical (r9 hostile edge)
+    # URL-safe charset guard, shared with the oracle: a source like
+    # 'weird source' (embedded space) builds an INVALID url — Spark's
+    # parse_url hard-errors under ANSI while a regex extracts happily
+    # (fuzz gate seed 101001). Components outside [A-Za-z0-9._~-]+ are
+    # treated as missing → NULL url in both engines; try_parse_url
+    # backstops anything a future input class sneaks through.
+    safe = "^[A-Za-z0-9._~-]+$"
+    src = F.when(F.col("source").rlike(safe), F.col("source"))
+    lng = F.when(F.col("lang").rlike(safe), F.col("lang"))
     url = F.concat(
         F.lit("https://"),
-        F.nullif(F.col("source"), F.lit("")),
+        src,
         F.lit(".example.com/"),
-        F.nullif(F.col("lang"), F.lit("")),
+        lng,
         F.lit("/doc/"),
         F.col("doc_id").cast("string"),
         F.lit("?ref="),
@@ -227,9 +236,9 @@ def q_scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         url.alias("url"),
-        F.parse_url(url, F.lit("HOST")).alias("host"),
-        F.parse_url(url, F.lit("PATH")).alias("path"),
-        F.parse_url(url, F.lit("QUERY"), F.lit("ref")).alias("ref"),
+        F.try_parse_url(url, F.lit("HOST")).alias("host"),
+        F.try_parse_url(url, F.lit("PATH")).alias("path"),
+        F.try_parse_url(url, F.lit("QUERY"), F.lit("ref")).alias("ref"),
     )
 
 
@@ -333,8 +342,16 @@ FROM s
 """,
     "scalar_url_parse": """
 WITH u AS (
+  -- URL-safe charset guard + -? in the ref regex: mirrors the Spark
+  -- side's invalid-component-as-NULL contract and negative doc_ids
   SELECT doc_id,
-         'https://' || NULLIF(source, '') || '.example.com/' || NULLIF(lang, '') || '/doc/'
+         'https://'
+           || CASE WHEN regexp_matches(source, '^[A-Za-z0-9._~-]+$')
+                   THEN source END
+           || '.example.com/'
+           || CASE WHEN regexp_matches(lang, '^[A-Za-z0-9._~-]+$')
+                   THEN lang END
+           || '/doc/'
            || CAST(doc_id AS VARCHAR) || '?ref='
            || CAST(doc_id % 7 AS VARCHAR) AS url
   FROM documents
@@ -342,7 +359,7 @@ WITH u AS (
 SELECT doc_id, url,
        regexp_extract(url, 'https://([^/]+)', 1) AS host,
        regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
-       regexp_extract(url, 'ref=([0-9]+)', 1) AS ref
+       regexp_extract(url, 'ref=(-?[0-9]+)', 1) AS ref
 FROM u
 """,
     "sql_pipe_syntax": """
