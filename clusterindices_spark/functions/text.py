@@ -36,6 +36,18 @@ SQL_FOLD_LOWER = (
 )
 
 
+def fold_upper(c: Column) -> Column:
+    """Uppercase twin of fold_lower: pre-replace U+00DF 'ß' → 'ss' (the one
+    code point in the fixture/hostile alphabets whose UPPERCASE diverges —
+    ICU full casemap gives 'SS' while DuckDB's simple map gives U+1E9E 'ẞ');
+    after the replace, upper() agrees byte-for-byte in both engines (fuzz
+    gate seed 101001). The oracle twin is SQL_FOLD_UPPER."""
+    return F.upper(F.replace(c, F.lit("ß"), F.lit("ss")))
+
+
+SQL_FOLD_UPPER = "upper(replace({col}, 'ß', 'ss'))"
+
+
 def tokens(col: Column | str) -> Column:
     """Case-folded whitespace tokens, empties dropped (regexp split so runs
     of whitespace behave identically in both engines)."""

@@ -610,15 +610,26 @@ def q_curation_source_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         p * (F.log(F.lit(1.0) / p) / F.log(F.lit(2.0))) * F.lit(1e6)
         + F.lit(0.5)
     ).cast("bigint")
-    per = sl.join(tot, "source").select(
+    # eqNullSafe: the NULL-source group is a legitimate GROUP BY group;
+    # an equi-join silently dropped it in both engines (fuzz gate 101001)
+    per = sl.join(
+        tot.withColumnRenamed("source", "source_t"),
+        F.col("source").eqNullSafe(F.col("source_t")),
+    ).drop("source_t").select(
         "source", "lang", "n", "n_docs", term_micros.alias("tm")
+    )
+    # has-lang bool in the argmax struct: on a count tie between a NULL
+    # lang and a real one, NULL sorts smallest in Spark's struct order
+    # but largest in DuckDB's (the bool_modal class, fuzz gate 101001)
+    maj = F.max(
+        F.struct("n", F.col("lang").isNotNull().alias("has"), "lang")
     )
     return per.groupBy("source").agg(
         F.max("n_docs").alias("n_docs"),
         F.count(F.lit(1)).alias("n_langs"),
-        F.max(F.struct("n", "lang")).getField("lang").alias("majority_lang"),
+        maj.getField("lang").alias("majority_lang"),
         round6_stable(
-            F.max(F.struct("n", "lang")).getField("n") / F.max("n_docs")
+            maj.getField("n") / F.max("n_docs")
         ).alias("majority_share"),
         (F.sum("tm") / F.lit(1e6)).alias("lang_entropy_bits"),
     )
@@ -727,7 +738,13 @@ def q_curation_waterfill_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size("toks")).cast("bigint").alias("s")
     )
     w_all = Window.partitionBy()
-    w_ord = Window.partitionBy().orderBy("s", "source")
+    # asc_nulls_last on BOTH keys: a NULL source group (and a NULL s from
+    # an all-NULL-text source) sorts FIRST in Spark but LAST in DuckDB —
+    # the rank/prefix-sum shift moved the computed water level (fuzz gate
+    # seed 101001)
+    w_ord = Window.partitionBy().orderBy(
+        F.asc_nulls_last("s"), F.asc_nulls_last("source")
+    )
     w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranked = (
         sizes.withColumn("total", F.sum("s").over(w_all))
@@ -1005,13 +1022,16 @@ per AS (
          CAST(floor((CAST(n AS DOUBLE) / n_docs)
                     * (ln(1.0 / (CAST(n AS DOUBLE) / n_docs)) / ln(2.0))
                     * 1e6 + 0.5) AS BIGINT) AS tm
-  FROM sl JOIN tot t USING (source)
+  -- IS NOT DISTINCT FROM keeps the NULL-source group; has-lang bool
+  -- pins the count-tie between NULL and real langs (fuzz gate 101001)
+  FROM sl JOIN tot t ON sl.source IS NOT DISTINCT FROM t.source
 )
 SELECT source,
        MAX(n_docs) AS n_docs,
        CAST(COUNT(*) AS BIGINT) AS n_langs,
-       MAX(struct_pack(n := n, lang := lang)).lang AS majority_lang,
-       {SQL_ROUND6.format(x="CAST(MAX(struct_pack(n := n, lang := lang)).n AS DOUBLE) / MAX(n_docs)")}
+       MAX(struct_pack(n := n, has := lang IS NOT NULL,
+                       lang := lang)).lang AS majority_lang,
+       {SQL_ROUND6.format(x="CAST(MAX(struct_pack(n := n, has := lang IS NOT NULL, lang := lang)).n AS DOUBLE) / MAX(n_docs)")}
          AS majority_share,
        CAST(SUM(tm) AS DOUBLE) / 1e6 AS lang_entropy_bits
 FROM per GROUP BY source

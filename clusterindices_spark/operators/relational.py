@@ -23,6 +23,7 @@ from clusterindices_spark.functions.aggregates import (
     sql_exact_avg,
     sql_exact_sum,
 )
+from clusterindices_spark.functions.text import fold_upper
 from clusterindices_spark.sources.fixtures import load_table
 
 # ---------------------------------------------------------------------------
@@ -406,7 +407,9 @@ def q_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "p_partkey",
         F.substring("p_name", 1, 8).alias("prefix"),
-        F.upper("p_name").alias("up"),
+        # fold_upper, not raw upper: ICU uppercases 'ß' to 'SS' while
+        # DuckDB's simple map gives 'ẞ' (fuzz gate seed 101001)
+        fold_upper(F.col("p_name")).alias("up"),
         F.length("p_name").alias("len"),
         F.regexp_extract("p_name", r"([0-9]+)", 1).alias("digits"),
         F.split(F.col("p_name"), " ").getItem(0).alias("first_tok"),
@@ -671,7 +674,7 @@ SELECT c_custkey, 'except_' AS op FROM (SELECT * FROM rich EXCEPT SELECT * FROM 
     "scalar_string": """
 SELECT p_partkey,
        substr(p_name, 1, 8) AS prefix,
-       upper(p_name) AS up,
+       upper(replace(p_name, 'ß', 'ss')) AS up,
        CAST(length(p_name) AS INT) AS len,
        regexp_extract(p_name, '([0-9]+)', 1) AS digits,
        string_split(p_name, ' ')[1] AS first_tok,

@@ -194,11 +194,20 @@ def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey") % 5 == 0
     ).select("c_custkey", "c_mktsegment", "c_acctbal")
     path = _roundtrip_path("csv", sf_dir)
-    c.write.mode("overwrite").option("header", True).csv(path)
+    # explicit NULL sentinel: CSV's default writes NULL and '' as the
+    # same empty field, so the read merged the empty-string segment
+    # group into the NULL group — a silent group-loss the parquet oracle
+    # catches (fuzz gate seed 101001). \\N on write + matching read
+    # nullValue keeps '' (quoted) and NULL (sentinel) distinct.
+    c.write.mode("overwrite").option("header", True).option(
+        "nullValue", "\\N"
+    ).csv(path)
     back = (
         spark.read.schema("c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE")
         .option("header", True)
         .option("mode", "FAILFAST")
+        .option("nullValue", "\\N")
+        .option("emptyValue", "")
         .csv(path)
     )
     return back.groupBy("c_mktsegment").agg(
