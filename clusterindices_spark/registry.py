@@ -123,6 +123,26 @@ _FRONT = [
 # latest-round-per-key). Any r10half/r11 operator fix should be PREPENDED
 # here so its post-fix driver row lands in the next window.
 _NEXT: list[str] = [
+    # r10½ randomized-fuzz-gate fixes (tools/fuzz_gate.py seed 101001:
+    # NULL group keys, pmod-vs-% oracles, engine error asymmetries,
+    # fold_upper, CSV NULL sentinel) — post-fix driver rows first in the
+    # r11 window; gate-SF outputs are bit-equal (well-formed fixtures)
+    # but the discipline stands. udf_cogrouped_asof, scalar_url_parse,
+    # embedding_random_projection, multimodal_type_routing already sit
+    # in _FRONT, so their post-fix rows land this round.
+    "agg_incremental_mv",
+    "agg_weighted_median",
+    "agg_bool_modal",
+    "curation_pack_greedy",
+    "curation_sample_weighted",
+    "curation_waterfill_budget",
+    "curation_source_lang_mix",
+    "join_salted_skew",
+    "scalar_bitwise",
+    "scalar_string",
+    "source_csv_roundtrip",
+    "multimodal_decode_real",
+    "multimodal_audio_silence",
     # nine late-r10 NULL-semantics fixes (hostile edge detectors) —
     # post-fix driver rows first in the r11 window; gate-SF outputs are
     # bit-equal (NULL-free fixtures) but the discipline stands.
@@ -150,7 +170,7 @@ _NEXT: list[str] = [
     "stream_join_clicks",
     "events_retention",
     "curation_split",
-    "curation_pack_greedy",
+    # curation_pack_greedy moved to the r10½ fuzz-fix head above
     "curation_pipeline",
     "curation_sample_stratified",
     "curation_sample_topk",
