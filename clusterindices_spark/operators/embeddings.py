@@ -1130,7 +1130,7 @@ SELECT label,
        CAST(COUNT(*) AS BIGINT) AS n,
        {SQL_ROUND6.format(x="CAST(SUM(CAST(share6 AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)")} AS mean_share,
        MIN(share6) AS min_share,
-       {SQL_ROUND6.format(x="CAST(SUM(CASE WHEN share6 >= 0.5 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)")} AS frac_majority
+       {SQL_ROUND6.format(x="CAST(SUM(CASE WHEN share6 >= 0.5 THEN 1 WHEN share6 IS NOT NULL THEN 0 END) AS DOUBLE) / COUNT(*)")} AS frac_majority
 FROM s GROUP BY label
 """,
     "embedding_binary_quantize": f"""

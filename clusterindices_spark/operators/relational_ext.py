@@ -970,7 +970,11 @@ def q_agg_bool_modal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
         F.bool_or(F.col("o_totalprice") > 400000).alias("any_jumbo"),
-        F.sum((F.col("o_orderstatus") == "F").cast("bigint")).alias("n_f"),
+        # count-form, not sum-of-bool-cast: an all-NULL-status priority
+        # group sums to NULL in Spark (NULL bools are skipped) while the
+        # oracle's CASE ... ELSE 0 yields 0 — COUNT is 0 in both (the
+        # matryoshka frac_majority class, fuzz gate seed 101002)
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_f"),
     )
     return flags.join(F.broadcast(modal), "o_orderpriority").select(
         "o_orderpriority",
