@@ -370,7 +370,9 @@ def _explain(key: str, out: str, detail: str) -> str | None:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--root", default="/tmp/fuzz")
+    # default root is per-process: a replay sharing a campaign's root
+    # deletes trial dirs out from under it (observed: 6 spurious SERRs)
+    ap.add_argument("--root", default=f"/tmp/fuzz-{os.getpid()}")
     ap.add_argument("--trials", type=int, default=0)
     ap.add_argument("--base-seed", type=int, default=101000)
     ap.add_argument("--seeds", default="",
