@@ -633,7 +633,12 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_linestatus")
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+            # when(high, 0).otherwise(1), NOT when(~high, 1).otherwise(0):
+            # a NULL priority makes ~high NULL, falling to 0 — but the
+            # oracle's CASE ... ELSE 1 counts it LOW. The two-way split is
+            # total: every row is high or low, unknown priority = low
+            # (fuzz gate seed 101005)
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
         )
     )
 
