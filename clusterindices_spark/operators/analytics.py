@@ -1564,17 +1564,25 @@ def q_events_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean_a = F.col("s1a") / F.col("na") / F.lit(1e6)
     mean_b = F.col("s1b") / F.col("nb") / F.lit(1e6)
     # unbiased sample variance from the integer moments: (s2/1e6 − n·m²)/(n−1)
-    var_a = (F.col("s2a") / F.lit(1e6) - F.col("na") * mean_a * mean_a) / (
-        F.col("na") - 1
-    )
-    var_b = (F.col("s2b") / F.lit(1e6) - F.col("nb") * mean_b * mean_b) / (
-        F.col("nb") - 1
-    )
+    # nullif on every n−1 and on the zero SE: a singleton arm (n=1) or a
+    # zero-variance pair divides by zero — ANSI Spark errors while
+    # DuckDB's x/0 is NULL, cascading to NULL t and welch_df→0 via the
+    # shared COALESCE (fuzz gate seed 101006, max-skew event types)
+    dof_a = F.nullif(F.col("na") - 1, F.lit(0))
+    dof_b = F.nullif(F.col("nb") - 1, F.lit(0))
+    var_a = (
+        F.col("s2a") / F.lit(1e6) - F.col("na") * mean_a * mean_a
+    ) / dof_a
+    var_b = (
+        F.col("s2b") / F.lit(1e6) - F.col("nb") * mean_b * mean_b
+    ) / dof_b
     se2_a = var_a / F.col("na")
     se2_b = var_b / F.col("nb")
-    t = (mean_a - mean_b) / F.sqrt(se2_a + se2_b)
+    t = (mean_a - mean_b) / F.nullif(
+        F.sqrt(se2_a + se2_b), F.lit(0.0)
+    )
     df = ((se2_a + se2_b) * (se2_a + se2_b)) / F.nullif(
-        se2_a * se2_a / (F.col("na") - 1) + se2_b * se2_b / (F.col("nb") - 1),
+        se2_a * se2_a / dof_a + se2_b * se2_b / dof_b,
         F.lit(0.0),
     )
     return p.select(
@@ -1634,23 +1642,32 @@ def q_events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         *cell("cpost", ~treated & post),
     )
 
+    # nullif on every cell count, n−1, and the zero SE: an empty or
+    # singleton DiD cell (max-skew fixture: one user owns the corpus)
+    # divides by zero — ANSI Spark errors while DuckDB's x/0 is NULL,
+    # cascading NULL estimates exactly like the oracle (fuzz gate
+    # seed 101007)
     def mean(g):
-        return F.col(f"s1_{g}") / F.col(f"n_{g}") / F.lit(1e6)
+        return (
+            F.col(f"s1_{g}")
+            / F.nullif(F.col(f"n_{g}"), F.lit(0))
+            / F.lit(1e6)
+        )
 
     def var(g):
         m = mean(g)
-        return (F.col(f"s2_{g}") / F.lit(1e6) - F.col(f"n_{g}") * m * m) / (
-            F.col(f"n_{g}") - 1
-        )
+        return (
+            F.col(f"s2_{g}") / F.lit(1e6) - F.col(f"n_{g}") * m * m
+        ) / F.nullif(F.col(f"n_{g}") - 1, F.lit(0))
 
     did = (mean("tpost") - mean("tpre")) - (mean("cpost") - mean("cpre"))
     se = F.sqrt(
-        var("tpre") / F.col("n_tpre")
-        + var("tpost") / F.col("n_tpost")
-        + var("cpre") / F.col("n_cpre")
-        + var("cpost") / F.col("n_cpost")
+        var("tpre") / F.nullif(F.col("n_tpre"), F.lit(0))
+        + var("tpost") / F.nullif(F.col("n_tpost"), F.lit(0))
+        + var("cpre") / F.nullif(F.col("n_cpre"), F.lit(0))
+        + var("cpost") / F.nullif(F.col("n_cpost"), F.lit(0))
     )
-    t = did / se
+    t = did / F.nullif(se, F.lit(0.0))
     return agg.select(
         "n_tpre",
         "n_tpost",

@@ -202,7 +202,9 @@ def q_dedup_token_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         round6_stable(
             F.sum(F.when(F.col("is_dup"), F.col("n_tokens")).otherwise(0))
-            / F.sum("n_tokens")
+            # nullif: an all-empty-text source has total_tokens 0 —
+            # ANSI Spark errors while DuckDB x/0 is NULL (fuzz 101006)
+            / F.nullif(F.sum("n_tokens"), F.lit(0))
         ).alias("dup_token_frac"),
     )
 
