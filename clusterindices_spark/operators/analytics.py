@@ -295,7 +295,12 @@ def q_events_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p0 = F.col("big_e").cast("double") / F.col("big_n")
     rate = F.col("n_err").cast("double") / F.col("n")
-    z = (rate - p0) / F.sqrt(p0 * (F.lit(1.0) - p0) / F.col("n"))
+    # nullif: a corpus with zero errors overall (p0=0, common in tiny
+    # slices) or all-errors (p0=1) zeroes the binomial SE — ANSI Spark
+    # errors on 0/0 while DuckDB's x/0 is NULL (the ab_ttest class)
+    z = (rate - p0) / F.nullif(
+        F.sqrt(p0 * (F.lit(1.0) - p0) / F.col("n")), F.lit(0.0)
+    )
     return per.crossJoin(F.broadcast(tot)).select(
         "hour",
         "n",
@@ -1784,8 +1789,11 @@ def q_events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov = F.col("sxy") / n - (F.col("sx") / n) * (F.col("sy") / n)
     var_x = F.col("sxx") / n - (F.col("sx") / n) * (F.col("sx") / n)
     var_y = F.col("syy") / n - (F.col("sy") / n) * (F.col("sy") / n)
-    theta = cov / var_x
-    rho2 = (cov * cov) / (var_x * var_y)
+    # nullif: a constant pre- or post-period metric (one user, or max-skew
+    # all-post traffic) makes the variance 0 — ANSI Spark errors on the
+    # 0/0 while DuckDB's x/0 is NULL (the ab_ttest singleton class)
+    theta = cov / F.nullif(var_x, F.lit(0.0))
+    rho2 = (cov * cov) / F.nullif(var_x * var_y, F.lit(0.0))
     return mom.select(
         F.col("n").alias("n_users"),
         round6_stable(F.col("sy") / n / F.lit(1e3)).alias("mean_post"),
