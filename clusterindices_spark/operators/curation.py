@@ -197,7 +197,11 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_ok = F.col("quality") >= QUALITY_MIN
     l_ok = F.col("marker_hits") >= 1
     retained = q_ok & l_ok & F.col("is_canon")
-    bcount = lambda c: F.sum(c.cast("int")).cast("bigint")  # noqa: E731
+    # count-form, not sum-of-bool-cast: NULL-text docs have NULL quality,
+    # so an all-NULL lang group summed to NULL in Spark while the
+    # oracle's CASE ... ELSE 0 yields 0 (the matryoshka NULL-vote class,
+    # fuzz gate seed 101008)
+    bcount = lambda c: F.count(F.when(c, 1)).cast("bigint")  # noqa: E731
     return fl.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         bcount(q_ok).alias("n_quality_ok"),
