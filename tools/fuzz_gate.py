@@ -154,6 +154,20 @@ def _texts(rng, n, dup_rate, boundary_rate):
     return out
 
 
+def _spiked_values(rng, n, spike_p):
+    """Normal values with occasional spikes at the pinned quantization
+    bounds: ±1e9 (the int64-audit magnitude cap), exact 0.0, and -0.0 —
+    the values where floor-micro integerization and engine zero-sign
+    conventions are most load-bearing (wave-2 knob)."""
+    vals = [round(float(x), 3) for x in rng.normal(50, 60, size=n)]
+    if spike_p > 0:  # wave-1 seeds consume zero extra randomness
+        spikes = [1e9, -1e9, 0.0, -0.0]
+        for i in range(n):
+            if rng.random() < spike_p:
+                vals[i] = spikes[int(rng.integers(0, 4))]
+    return vals
+
+
 def _skewed_choice(rng, pool, n, skew):
     """With probability `skew`, the hot head element; else uniform."""
     hot = pool[0]
@@ -165,14 +179,24 @@ def _skewed_choice(rng, pool, n, skew):
 def gen_trial(out: str, seed: int) -> dict:
     """Write all ten tables for one trial; returns the drawn knobs."""
     rng = np.random.default_rng(seed)
+    # Knob schema is VERSIONED BY SEED RANGE so wave-1 seeds keep
+    # replaying bit-identically (a changed draw sequence would orphan
+    # every recorded finding): seeds < 102000 draw exactly the wave-1
+    # knobs; 102000+ adds total skew (1.0), value spikes at the pinned
+    # quantization bounds (±1e9, 0.0, -0.0), and envelope-boundary
+    # timestamps. Wave-2 draws happen AFTER all wave-1 draws, and the
+    # spike loops consume no randomness when spike_p == 0.
+    wave2 = seed >= 102000
     knobs = {
         "null_p": float(rng.choice([0.0, 0.05, 0.2, 0.4])),
         "id_regime": str(rng.choice(["small", "small", "negative", "big"])),
-        "skew": float(rng.choice([0.0, 0.5, 0.85])),
+        "skew": float(rng.choice([0.0, 0.5, 0.85, 1.0] if wave2
+                                 else [0.0, 0.5, 0.85])),
         "dup_rate": float(rng.choice([0.0, 0.1, 0.35])),
         "tie_rate": float(rng.choice([0.0, 0.3])),
         "dim": int(rng.choice([16, 32, 64])),
         "orphan_p": float(rng.choice([0.0, 0.15])),
+        "spike_p": float(rng.choice([0.05, 0.15])) if wave2 else 0.0,
     }
     np_ = knobs["null_p"]
 
@@ -291,6 +315,15 @@ def gen_trial(out: str, seed: int) -> dict:
     sec_e = rng.integers(0, 86400, size=ne)
     ts = [dt.datetime(2024, 1, int(d)) + dt.timedelta(seconds=int(s))
           for d, s in zip(day_e, sec_e)]
+    # envelope-boundary timestamps (wave-2): the exact first and last
+    # representable instants of the Jan-2024 envelope. Guarded so wave-1
+    # seeds consume zero extra randomness.
+    if knobs["spike_p"] > 0:
+        _TS_EDGES = [dt.datetime(2024, 1, 1, 0, 0, 0, 0),
+                     dt.datetime(2024, 1, 30, 23, 59, 59, 999999)]
+        for i in range(ne):
+            if rng.random() < knobs["spike_p"] / 2:
+                ts[i] = _TS_EDGES[int(rng.integers(0, 2))]
     # timestamp ties: copy a previous row's ts
     for i in range(1, ne):
         if rng.random() < knobs["tie_rate"]:
@@ -305,8 +338,7 @@ def gen_trial(out: str, seed: int) -> dict:
         "user_id": _maybe_null(rng, users, np_ / 2),
         "event_type": _skewed_choice(rng, EVENT_TYPES, ne, knobs["skew"]),
         "value": _maybe_null(
-            rng, [round(float(x), 3) for x in
-                  rng.normal(50, 60, size=ne)], np_),
+            rng, _spiked_values(rng, ne, knobs["spike_p"]), np_),
         "props": props,
     })
 
