@@ -176,8 +176,15 @@ def _skewed_choice(rng, pool, n, skew):
     return [hot if m else pool[int(i)] for m, i in zip(mask, picks)]
 
 
-def gen_trial(out: str, seed: int) -> dict:
-    """Write all ten tables for one trial; returns the drawn knobs."""
+def gen_trial(out: str, seed: int, scale: int = 1) -> dict:
+    """Write all ten tables for one trial; returns the drawn knobs.
+
+    ``scale`` multiplies the big-table row ranges (events / documents /
+    embeddings / lineitem / orders); dims and the small tables stay
+    small. scale=2000 puts events/lineitem near 1M rows — the fuzz
+    counterpart of tools/hostile_fixtures.py --scale, for the key family
+    whose failure modes only appear at volume (the r8 CC-truncation
+    class)."""
     rng = np.random.default_rng(seed)
     # Knob schema is VERSIONED BY SEED RANGE so wave-1 seeds keep
     # replaying bit-identically (a changed draw sequence would orphan
@@ -187,6 +194,9 @@ def gen_trial(out: str, seed: int) -> dict:
     # timestamps. Wave-2 draws happen AFTER all wave-1 draws, and the
     # spike loops consume no randomness when spike_p == 0.
     wave2 = seed >= 102000
+    s_doc = s_ev = scale
+    s_li = s_ord = min(scale, 50)
+    s_emb = min(scale, 10)
     knobs = {
         "null_p": float(rng.choice([0.0, 0.05, 0.2, 0.4])),
         "id_regime": str(rng.choice(["small", "small", "negative", "big"])),
@@ -254,7 +264,7 @@ def gen_trial(out: str, seed: int) -> dict:
     })
 
     # --- orders / lineitem (referential, some orphans) ---
-    no = int(rng.integers(20, 250))
+    no = int(rng.integers(20, 250)) * s_ord
     okeys = _ids(rng, no, knobs["id_regime"])
     ocust = rng.choice(ckeys, size=no)
     orphan = _null_mask(rng, no, knobs["orphan_p"])
@@ -275,7 +285,7 @@ def gen_trial(out: str, seed: int) -> dict:
                         for y, m, d in zip(year, month, day)],
         "o_orderpriority": _skewed_choice(rng, PRIORITIES, no, knobs["skew"]),
     })
-    nl = int(rng.integers(50, 700))
+    nl = int(rng.integers(50, 700)) * s_li
     lok = _skewed_choice(rng, [int(x) for x in okeys], nl, knobs["skew"])
     yearl = rng.integers(1995, 2002, size=nl)
     monthl = rng.integers(1, 13, size=nl)
@@ -305,7 +315,7 @@ def gen_trial(out: str, seed: int) -> dict:
     })
 
     # --- events (Jan-2024 envelope; ties; skewed users; junk props) ---
-    ne = int(rng.integers(50, 500))
+    ne = int(rng.integers(50, 500)) * s_ev
     ekeys = _ids(rng, ne, knobs["id_regime"])
     users = _skewed_choice(
         rng, [int(x) for x in _ids(rng, max(3, ne // 20),
@@ -343,7 +353,7 @@ def gen_trial(out: str, seed: int) -> dict:
     })
 
     # --- documents (dups, boundary texts, n_chars consistent) ---
-    nd = int(rng.integers(20, 200))
+    nd = int(rng.integers(20, 200)) * s_doc
     dkeys = _ids(rng, nd, knobs["id_regime"])
     texts = _maybe_null(
         rng, _texts(rng, nd, knobs["dup_rate"], 0.25), np_ / 2)
@@ -356,7 +366,7 @@ def gen_trial(out: str, seed: int) -> dict:
     })
 
     # --- embeddings (one dim per trial; zero/dup/NULL vectors) ---
-    nv = int(rng.integers(20, 200))
+    nv = int(rng.integers(20, 200)) * s_emb
     vkeys = _ids(rng, nv, knobs["id_regime"])
     dim = knobs["dim"]
     vecs = rng.normal(0, 1, size=(nv, dim)).astype(np.float32)
@@ -412,6 +422,9 @@ def main() -> int:
     ap.add_argument("--report", default="reports/fuzz_gate.md")
     ap.add_argument("--keep", action="store_true",
                     help="keep trial parquet dirs")
+    ap.add_argument("--scale", type=int, default=1,
+                    help="big-table row multiplier (2000 ≈ 1M events); "
+                         "defaults keys to hostile_gate.SCALE_KEYS")
     ap.add_argument("keys", nargs="*")
     args = ap.parse_args()
 
@@ -424,6 +437,12 @@ def main() -> int:
     from hostile_gate import run_gate  # after sys.path setup
     from clusterindices_spark.session import get_spark
 
+    if args.scale > 1 and not args.keys:
+        # at volume, only the shuffle-heavy family is worth the wall —
+        # same scoping rationale as hostile_gate's scale variant
+        from hostile_gate import SCALE_KEYS
+        args.keys = list(SCALE_KEYS)
+
     spark = get_spark("fuzz-gate")
     all_results = []   # (seed, key, out, detail, sec)
     knob_log = {}
@@ -432,7 +451,7 @@ def main() -> int:
         trial_dir = os.path.join(args.root, variant)
         if os.path.isdir(trial_dir):
             shutil.rmtree(trial_dir)
-        knob_log[seed] = gen_trial(trial_dir, seed)
+        knob_log[seed] = gen_trial(trial_dir, seed, scale=args.scale)
         print(f"--- seed {seed} knobs={knob_log[seed]}", flush=True)
         res = run_gate([variant], args.keys, args.root, spark=spark)
         for v, k, out, detail, sec in res:
