@@ -16,8 +16,12 @@ is a real divergence and never a violated input contract:
 
 - events.ts stays inside Jan 2024 (sessionization/DiD month envelope);
   o_orderdate in 1995..2001, l_shipdate in 1995..2001.
-- value/price magnitudes stay ≤1e9 (the pinned int64 quantization bounds,
-  tests/test_int64_bounds.py); ids stay under BIG ≈ 2^62/1000003·1000.
+- background value/price magnitudes stay small; wave-2 spikes probe BOTH
+  sides of the documented per-family quantization bounds
+  (tests/test_int64_bounds.py): ±6e5 is large-but-legal (silent-divergence
+  probe), ±1e9 is past the milli²-family loud bounds — those cells verify
+  both engines REJECT out-of-envelope magnitudes (consistent XERR, pinned
+  by _explain). ids stay under BIG ≈ 2^62/1000003·1000.
 - NaN/Inf are NOT generated — engine NaN-ordering is a known boundary class,
   out of scope here; NULL floods cover the missing-value axis.
 - No fully-empty tables — the hostile `empty` variant pins that class
@@ -161,10 +165,15 @@ def _spiked_values(rng, n, spike_p):
     conventions are most load-bearing (wave-2 knob)."""
     vals = [round(float(x), 3) for x in rng.normal(50, 60, size=n)]
     if spike_p > 0:  # wave-1 seeds consume zero extra randomness
-        spikes = [1e9, -1e9, 0.0, -0.0]
+        # ±1e9 sits PAST the milli²-family loud bounds (int64 audit:
+        # e.g. rolling_zscore per-bucket ≤ ~6.2e5) — those cells verify
+        # both engines REJECT out-of-bound magnitudes (XERR, pinned by
+        # _explain); ±6e5 is large-but-legal and probes for silent
+        # divergence inside the documented envelope
+        spikes = [1e9, -1e9, 6e5, -6e5, 0.0, -0.0]
         for i in range(n):
             if rng.random() < spike_p:
-                vals[i] = spikes[int(rng.integers(0, 4))]
+                vals[i] = spikes[int(rng.integers(0, len(spikes)))]
     return vals
 
 
@@ -393,6 +402,12 @@ def gen_trial(out: str, seed: int, scale: int = 1) -> dict:
 _GROUPING_KEYS = {"agg_rollup", "agg_grouping_sets", "agg_cube"}
 
 
+_OVERFLOW_SPARK = re.compile(
+    r"ARITHMETIC_OVERFLOW|long overflow|Py4JJavaError")
+_OVERFLOW_DUCK = re.compile(
+    r"Out of Range|out of range|OUT_OF_RANGE|Conversion Error|Overflow")
+
+
 def _explain(key: str, out: str, detail: str) -> str | None:
     """Return a one-line justification if (key, detail) is a pinned engine
     boundary, else None (a real finding). Mirrors hostile_gate.ALLOW but by
@@ -403,6 +418,16 @@ def _explain(key: str, out: str, detail: str) -> str | None:
                 "empty (post-filter) relation; DuckDB emits the SQL-standard "
                 "grand-total row — pinned engine boundary (hostile_gate "
                 "ALLOW, r9)")
+    if out == "XERR" and detail:
+        m = re.match(r"spark\[(?P<s>.*)\] duck\[(?P<d>.*)\]", detail,
+                     re.DOTALL)
+        if (m and _OVERFLOW_SPARK.search(m.group("s"))
+                and _OVERFLOW_DUCK.search(m.group("d"))):
+            return ("both engines LOUDLY reject a value magnitude past the "
+                    "documented integer-quantization bound (int64 audit / "
+                    "tests/test_int64_bounds.py _expect_loud) — the "
+                    "contracted out-of-envelope behavior, not a silent "
+                    "divergence")
     return None
 
 
