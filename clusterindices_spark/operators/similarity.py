@@ -1117,20 +1117,25 @@ def q_similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clusterindices_spark.functions.aggregates import round6_stable
+
     emb = load_table(spark, sf_dir, "embeddings")
     x = F.col("embedding")
+    # round6_stable, not F.round: the decimal-sum/count quotient can land
+    # exactly on a .xxxxxx5 boundary where the engines' ROUND conventions
+    # flip the 6th decimal (fuzz gate seed 102004: mean_norm 4.1801685 →
+    # 4.180169 vs 4.180168) — the text_quality class
     return (
         emb.select("label", x.alias("x"), norm(x).alias("nrm"))
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(
+            round6_stable(
                 F.sum(F.col("nrm").cast("decimal(18,6)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
+                / F.count(F.lit(1))
             ).alias("mean_norm"),
-            F.round(F.max("nrm"), 6).alias("max_norm"),
-            F.round(F.min("nrm"), 6).alias("min_norm"),
+            round6_stable(F.max("nrm")).alias("max_norm"),
+            round6_stable(F.min("nrm")).alias("min_norm"),
         )
     )
 
@@ -1193,9 +1198,10 @@ WITH pts AS (
 )
 SELECT label,
        COUNT(*) AS n,
-       ROUND(CAST(SUM(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_norm,
-       ROUND(MAX(nrm), 6) AS max_norm,
-       ROUND(MIN(nrm), 6) AS min_norm
+       (floor(CAST(SUM(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+              * 1000000.0 + 0.5) / 1000000.0) AS mean_norm,
+       (floor(MAX(nrm) * 1000000.0 + 0.5) / 1000000.0) AS max_norm,
+       (floor(MIN(nrm) * 1000000.0 + 0.5) / 1000000.0) AS min_norm
 FROM pts GROUP BY label
 """,
 }
