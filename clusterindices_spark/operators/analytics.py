@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from clusterindices_spark.functions.aggregates import SQL_ROUND6
+from clusterindices_spark.functions.aggregates import SQL_ROUND6, round6_stable
 from clusterindices_spark.sources.fixtures import load_table
 
 
@@ -923,10 +923,14 @@ def q_events_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s2") / F.col("n") / F.lit(1000000.0) - mean * mean,
         F.lit(0.0),
     )
+    # round6_stable, not F.round: the integer-micro mean s1/n lands on
+    # manufactured .xxxxxx5 half-boundaries (n even) where the engines'
+    # ROUND conventions flip the 6th decimal (the vector_stats class,
+    # fuzz gate seed 102004)
     enriched = ev.join(F.broadcast(stats), "event_type").select(
         "event_id",
         "event_type",
-        F.round("value", 6).alias("value"),
+        round6_stable(F.col("value")).alias("value"),
         mean.alias("mean"),
         F.sqrt(var).alias("std"),
     )
@@ -942,8 +946,8 @@ def q_events_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "event_type",
             "value",
-            F.round("mean", 6).alias("mean"),
-            F.round("std", 6).alias("std"),
+            round6_stable(F.col("mean")).alias("mean"),
+            round6_stable(F.col("std")).alias("std"),
         )
     )
 
@@ -1022,9 +1026,9 @@ def q_events_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id",
             "event_type",
-            F.round("value", 6).alias("value"),
-            F.round("med", 6).alias("med"),
-            F.round("mad", 6).alias("mad"),
+            round6_stable(F.col("value")).alias("value"),
+            round6_stable(F.col("med")).alias("med"),
+            round6_stable(F.col("mad")).alias("mad"),
         )
     )
 
@@ -1283,9 +1287,9 @@ def q_events_outliers_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         F.col("hh").cast("int").alias("hh"),
-        F.round("value", 6).alias("value"),
-        F.round(mean, 6).alias("mean"),
-        F.round(F.sqrt(var), 6).alias("std"),
+        round6_stable(F.col("value")).alias("value"),
+        round6_stable(mean).alias("mean"),
+        round6_stable(F.sqrt(var)).alias("std"),
     )
     z = (F.col("value") - F.col("mean")) / F.nullif(F.col("std"), F.lit(0.0))
     return enriched.where(F.abs(z) > Z_THRESHOLD)
@@ -3004,10 +3008,11 @@ m AS (
              * (CAST(s1 AS DOUBLE) / n / 1000000.0), 0.0) AS var
   FROM stats
 )
-SELECT event_id, e.event_type, e.hh, ROUND(value, 6) AS value,
-       ROUND(mean, 6) AS mean, ROUND(sqrt(var), 6) AS std
+SELECT event_id, e.event_type, e.hh, (floor((value) * 1000000.0 + 0.5) / 1000000.0) AS value,
+       (floor((mean) * 1000000.0 + 0.5) / 1000000.0) AS mean, (floor((sqrt(var)) * 1000000.0 + 0.5) / 1000000.0) AS std
 FROM ev e JOIN m ON e.event_type = m.event_type AND e.hh = m.hh
-WHERE abs(ROUND(value, 6) - ROUND(mean, 6)) / NULLIF(ROUND(sqrt(var), 6), 0.0) > {Z_THRESHOLD}
+WHERE abs((floor((value) * 1000000.0 + 0.5) / 1000000.0) - (floor((mean) * 1000000.0 + 0.5) / 1000000.0))
+      / NULLIF((floor((sqrt(var)) * 1000000.0 + 0.5) / 1000000.0), 0.0) > {Z_THRESHOLD}
 """,
     "events_outliers": f"""
 WITH stats AS (
@@ -3024,10 +3029,10 @@ m AS (
              * (CAST(s1 AS DOUBLE) / n / 1000000.0), 0.0) AS var
   FROM stats
 )
-SELECT event_id, e.event_type, ROUND(value, 6) AS value,
-       ROUND(mean, 6) AS mean, ROUND(sqrt(var), 6) AS std
+SELECT event_id, e.event_type, (floor((value) * 1000000.0 + 0.5) / 1000000.0) AS value,
+       (floor((mean) * 1000000.0 + 0.5) / 1000000.0) AS mean, (floor((sqrt(var)) * 1000000.0 + 0.5) / 1000000.0) AS std
 FROM events e JOIN m ON e.event_type = m.event_type
-WHERE abs(ROUND(value, 6) - mean) / NULLIF(sqrt(var), 0.0) > {Z_THRESHOLD}
+WHERE abs((floor((value) * 1000000.0 + 0.5) / 1000000.0) - mean) / NULLIF(sqrt(var), 0.0) > {Z_THRESHOLD}
 """,
     "events_outliers_mad": f"""
 WITH med AS (
@@ -3039,8 +3044,8 @@ mad AS (
   FROM events e JOIN med m USING (event_type)
   GROUP BY e.event_type
 )
-SELECT event_id, e.event_type, ROUND(value, 6) AS value,
-       ROUND(med, 6) AS med, ROUND(mad, 6) AS mad
+SELECT event_id, e.event_type, (floor((value) * 1000000.0 + 0.5) / 1000000.0) AS value,
+       (floor((med) * 1000000.0 + 0.5) / 1000000.0) AS med, (floor((mad) * 1000000.0 + 0.5) / 1000000.0) AS mad
 FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
 WHERE abs({MAD_C} * (value - med) / NULLIF(mad, 0.0)) > {MAD_Z}
 """,
