@@ -884,30 +884,19 @@ def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame
     scale = math.sqrt(3.0 / RP_OUT_DIM)
 
     def project(batches):
-        for batch in batches:
-            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-            col = batch.column("x")
-            if len(col) == 0:
-                continue
-            # corpus dim measured from the DATA, not assumed 64: the
-            # oracle's sign join is INNER on i, so any dim d projects its
-            # first min(d, 64) components — a hardcoded reshape crashed on
-            # a 16-dim corpus (fuzz gate seed 101001; same class as the
-            # r10 _corpus_dim advice fix)
-            d = len(col[0].as_py() or [])
-            if d == 0:
-                continue
-            xs = _batch_xs(batch, d)
-            if xs.size == 0:
-                continue
+        import pyarrow.compute as pc
+
+        def _emit(ids_g, xs, d):
+            # oracle's sign join is INNER on i, so a length-d row projects
+            # its first min(d, 64) components
             d_eff = min(d, dim)
             u = np.floor(xs[:, :d_eff] * 1e6 + 0.5)  # integer micros
             acc = u @ sgn[:d_eff]  # exact: integer values ≪ 2^53
             val = np.floor((acc / 1e6) * scale * 1e6 + 0.5) / 1e6
             n, k = val.shape
-            yield pa.RecordBatch.from_arrays(
+            return pa.RecordBatch.from_arrays(
                 [
-                    pa.array(np.repeat(ids, k), type=pa.int64()),
+                    pa.array(np.repeat(ids_g, k), type=pa.int64()),
                     pa.array(
                         np.tile(np.arange(k, dtype=np.int32), n),
                         type=pa.int32(),
@@ -916,6 +905,35 @@ def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame
                 ],
                 names=["vec_id", "out_dim", "val"],
             )
+
+        for batch in batches:
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            col = batch.column("x")
+            if len(col) == 0:
+                continue
+            # corpus dim measured PER ROW, not from row 0 (ADVICE r10:
+            # probing row 0 meant a leading empty-list row silently
+            # dropped the WHOLE batch, where the oracle's unnest drops
+            # only that row; mixed dims within one batch hit the ragged
+            # to_pylist fallback, which raises on inhomogeneous lists).
+            # Rows group by length; each group projects its own
+            # min(d, 64) components — exactly the oracle's INNER-join-
+            # on-i semantics. Zero-length rows emit nothing, matching
+            # the unnest of an empty list.
+            lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+            lens = np.asarray(lens, dtype=np.int64)
+            uniq = np.unique(lens[lens > 0])
+            if uniq.size == 0:
+                continue
+            if uniq.size == 1 and int(uniq[0]) * len(col) == int(lens.sum()):
+                # uniform-dim fast path: zero-copy flatten reshape
+                yield _emit(ids, _batch_xs(batch, int(uniq[0])), int(uniq[0]))
+                continue
+            pylist = col.to_pylist()
+            for d in uniq:
+                idx = np.nonzero(lens == d)[0]
+                xs = np.asarray([pylist[i] for i in idx], dtype=np.float64)
+                yield _emit(ids[idx], xs, int(d))
 
     return emb.mapInArrow(
         project, schema="vec_id bigint, out_dim int, val double"

@@ -1028,7 +1028,15 @@ def q_scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitwise scalar surface: AND/OR/XOR, shifts, popcount, and the
     pack-two-fields-into-one-bigint idiom (key ≪ 8 | bucket) with its
     unpack — the bit-level toolkit behind flag columns, composite keys,
-    and signature comparisons. Pure scan-side expression work."""
+    and signature comparisons. Pure scan-side expression work.
+
+    OUTPUT CONTRACT (since the r10½ fuzz fix, seed 101001): ``packed`` /
+    ``unpacked_key`` encode ``pmod(o_orderkey, 2^44)``, NOT the raw key —
+    DuckDB hard-errors on left-shifting a negative number while Spark
+    wraps two's-complement, so the pack normalizes first. Consequently
+    ``unpacked_key == o_orderkey`` holds only for keys in [0, 2^44);
+    negative or >= 2^44 keys do NOT round-trip (consumers needing the raw
+    key have it in the ``o_orderkey`` column carried alongside)."""
     o = load_table(spark, sf_dir, "orders")
     k = F.col("o_orderkey")
     bucket = F.pmod(k, F.lit(251)).cast("bigint")

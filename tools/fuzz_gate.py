@@ -402,8 +402,14 @@ def gen_trial(out: str, seed: int, scale: int = 1) -> dict:
 _GROUPING_KEYS = {"agg_rollup", "agg_grouping_sets", "agg_cube"}
 
 
+# Overflow-SPECIFIC markers only (ADVICE r10): the generic 'Py4JJavaError'
+# matched every Spark exception, so any XERR cell whose DuckDB side looked
+# like overflow was auto-explained even when Spark failed for an unrelated
+# reason (ANSI divide, cast, codegen) — masking real findings.
 _OVERFLOW_SPARK = re.compile(
-    r"ARITHMETIC_OVERFLOW|long overflow|Py4JJavaError")
+    r"ARITHMETIC_OVERFLOW|long overflow|CAST_OVERFLOW"
+    r"|NUMERIC_VALUE_OUT_OF_RANGE|BinaryArithmetic overflow"
+    r"|Overflow in function|CANNOT_CHANGE_DECIMAL_PRECISION")
 _OVERFLOW_DUCK = re.compile(
     r"Out of Range|out of range|OUT_OF_RANGE|Conversion Error|Overflow")
 
