@@ -17,35 +17,132 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+_PINF = float("inf")
+_NINF = float("-inf")
+
+
+def _nonfinite_flags(c: Column):
+    """(has_nan, has_pinf, has_ninf) 0/1 aggregate flags over a group —
+    the IEEE-special bookkeeping for exact_sum/exact_avg. NULL rows hit no
+    flag (isnan(NULL) and NULL==inf are NULL → otherwise(0))."""
+    return (
+        F.max(F.when(F.isnan(c), 1).otherwise(0)),
+        F.max(F.when(c == F.lit(_PINF), 1).otherwise(0)),
+        F.max(F.when(c == F.lit(_NINF), 1).otherwise(0)),
+    )
+
+
+def _finite_or_zero(c: Column) -> Column:
+    """The value if finite, else 0 (a placeholder — the flags decide the
+    group's special result). Branch is specials→0 / otherwise→c so a NULL
+    input (condition NULL) falls through as NULL and an all-NULL group
+    still sums to NULL, not 0 (the inverted form zeroed NULLs)."""
+    return F.when(
+        F.isnan(c) | (c == F.lit(_PINF)) | (c == F.lit(_NINF)), F.lit(0.0)
+    ).otherwise(c)
+
+
+def _ieee_special(c: Column, finite_result: Column) -> Column:
+    """Wrap an aggregate with IEEE-754 sum special semantics: NaN if any
+    NaN (or both infinities present), else ±Inf if one side present, else
+    the finite result. Order-independent by construction — exactly the
+    value a double sum would converge to, made deterministic.
+
+    Why: Spark's ANSI double→decimal cast silently maps NaN/±Inf to NULL
+    (dropping them from the sum) while DuckDB raises loudly — the fuzz
+    wave-3 float-specials knob exposed the silent-drop. Propagating the
+    special is the honest IEEE semantics, centralized here and in the
+    sql_* twins in lockstep."""
+    has_nan, has_pinf, has_ninf = _nonfinite_flags(c)
+    return (
+        F.when((has_nan == 1) | ((has_pinf == 1) & (has_ninf == 1)),
+               F.lit(float("nan")))
+        .when(has_pinf == 1, F.lit(_PINF))
+        .when(has_ninf == 1, F.lit(_NINF))
+        .otherwise(finite_result)
+    )
+
 
 def exact_sum(col: Column | str, alias: str | None = None) -> Column:
-    """Order-independent sum of a double expression, rounded to 6dp."""
+    """Order-independent sum of a double expression, rounded to 6dp.
+    IEEE-transparent on non-finite inputs (NaN/±Inf propagate)."""
     c = F.col(col) if isinstance(col, str) else col
-    out = F.round(F.sum(c.cast("decimal(18,6)")).cast("double"), 6)
+    out = _ieee_special(
+        c,
+        F.round(
+            F.sum(_finite_or_zero(c).cast("decimal(18,6)")).cast("double"), 6
+        ),
+    )
     return out.alias(alias) if alias else out
 
 
 def exact_avg(col: Column | str, alias: str | None = None) -> Column:
     """Order-independent mean: exact decimal sum ÷ count, rounded to 6dp.
+    IEEE-transparent on non-finite inputs (NaN/±Inf propagate — count
+    includes the non-finite rows, as IEEE mean would).
 
-    Oracle: ROUND(CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE)/COUNT(x), 6).
+    Oracle: sql_exact_avg (the CASE-wrapped twin).
     """
     c = F.col(col) if isinstance(col, str) else col
-    out = F.round(
-        F.sum(c.cast("decimal(18,6)")).cast("double") / F.count(c), 6
+    # nullif(count, 0): an all-NULL group is NULL/0, which ANSI division
+    # raises on while DuckDB yields NULL — latent until the wave-3
+    # degenerate-table knob; NULL÷NULL → NULL matches the oracle
+    out = _ieee_special(
+        c,
+        F.round(
+            F.sum(_finite_or_zero(c).cast("decimal(18,6)")).cast("double")
+            / F.nullif(F.count(c), F.lit(0)),
+            6,
+        ),
     )
     return out.alias(alias) if alias else out
 
 
+_SQL_NAN = "'NaN'::DOUBLE"
+_SQL_PINF = "'Infinity'::DOUBLE"
+_SQL_NINF = "'-Infinity'::DOUBLE"
+
+
+def _sql_flag(expr: str, probe: str) -> str:
+    return f"MAX(CASE WHEN ({expr}) {probe} THEN 1 ELSE 0 END)"
+
+
+def _sql_ieee_special(expr: str, finite_sql: str) -> str:
+    # NOT x != x: DuckDB's total-order comparison makes NaN = NaN TRUE
+    # (probed), so the classic self-inequality idiom misses NaN there
+    nan_f = f"MAX(CASE WHEN isnan({expr}) THEN 1 ELSE 0 END)"
+    pinf_f = _sql_flag(expr, f"= {_SQL_PINF}")
+    ninf_f = _sql_flag(expr, f"= {_SQL_NINF}")
+    return (
+        f"(CASE WHEN {nan_f} = 1 OR ({pinf_f} = 1 AND {ninf_f} = 1) "
+        f"THEN {_SQL_NAN} "
+        f"WHEN {pinf_f} = 1 THEN {_SQL_PINF} "
+        f"WHEN {ninf_f} = 1 THEN {_SQL_NINF} "
+        f"ELSE {finite_sql} END)"
+    )
+
+
+def _sql_finite_or_zero(expr: str) -> str:
+    return (
+        f"(CASE WHEN isnan({expr}) OR ({expr}) = {_SQL_PINF} "
+        f"OR ({expr}) = {_SQL_NINF} THEN 0.0 ELSE ({expr}) END)"
+    )
+
+
 def sql_exact_sum(expr: str) -> str:
-    return f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE), 6)"
+    fin = (
+        f"ROUND(CAST(SUM(CAST({_sql_finite_or_zero(expr)} "
+        f"AS DECIMAL(18,6))) AS DOUBLE), 6)"
+    )
+    return _sql_ieee_special(expr, fin)
 
 
 def sql_exact_avg(expr: str) -> str:
-    return (
-        f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
-        f" / COUNT({expr}), 6)"
+    fin = (
+        f"ROUND(CAST(SUM(CAST({_sql_finite_or_zero(expr)} "
+        f"AS DECIMAL(18,6))) AS DOUBLE) / COUNT({expr}), 6)"
     )
+    return _sql_ieee_special(expr, fin)
 
 
 def round6_stable(col):
@@ -72,11 +169,22 @@ def round6_stable(col):
     differ from infinite-precision by ≤1 µ-unit, identically on both
     sides. This is an accuracy bound, never a divergence bound; the
     silent-divergence class is quotient-KEYING (integer `div` rule,
-    tools/int64_audit.py HIGH class)."""
+    tools/int64_audit.py HIGH class).
+
+    Non-finite transparency (fuzz wave 3): Spark's floor(double) returns
+    BIGINT and silently maps NaN→0 and ±Inf→±Long.MAX, while DuckDB's
+    floor stays DOUBLE and propagates the special — a silent cross-engine
+    divergence on any NaN/Inf input. Pass specials through untouched
+    (NaN→NaN, ±Inf→±Inf), exactly what SQL_ROUND6 computes in DuckDB
+    (floor(nan)=nan, nan/1e6=nan). One scan-side CASE, codegen-friendly,
+    no-op on finite data."""
     from pyspark.sql import functions as F
 
     c = F.col(col) if isinstance(col, str) else col
-    return F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    nonfinite = F.isnan(c) | (c == F.lit(_PINF)) | (c == F.lit(_NINF))
+    return F.when(nonfinite, c).otherwise(
+        F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    )
 
 
 SQL_ROUND6 = "(floor(({x}) * 1000000.0 + 0.5) / 1000000.0)"

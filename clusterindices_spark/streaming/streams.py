@@ -21,6 +21,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from clusterindices_spark.functions.aggregates import exact_sum
 from clusterindices_spark.operators.sessions import SESSION_GAP_MIN
 
 EVENTS_STREAM_SCHEMA = (
@@ -50,9 +51,7 @@ def tumbling_agg_stream(events: DataFrame, watermark: str = "10 minutes") -> Dat
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(
-                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
-            ).alias("sum_value"),
+            exact_sum("value", "sum_value"),
         )
         .select(
             F.unix_millis(F.col("w.start")).alias("window_start_ms"),
@@ -72,9 +71,7 @@ def sliding_agg_stream(events: DataFrame, watermark: str = "10 minutes") -> Data
         .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(
-                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
-            ).alias("sum_value"),
+            exact_sum("value", "sum_value"),
         )
         .select(
             F.unix_millis(F.col("w.start")).alias("window_start_ms"),
@@ -128,9 +125,7 @@ def session_window_stream(
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(
-                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
-            ).alias("sum_value"),
+            exact_sum("value", "sum_value"),
         )
         .select(
             "user_id",

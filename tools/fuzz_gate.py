@@ -22,11 +22,19 @@ is a real divergence and never a violated input contract:
   probe), ±1e9 is past the milli²-family loud bounds — those cells verify
   both engines REJECT out-of-envelope magnitudes (consistent XERR, pinned
   by _explain). ids stay under BIG ≈ 2^62/1000003·1000.
-- NaN/Inf are NOT generated — engine NaN-ordering is a known boundary class,
-  out of scope here; NULL floods cover the missing-value axis.
-- No fully-empty tables — the hostile `empty` variant pins that class
-  deterministically; the fuzzer explores the populated space (filtered-to-
-  empty intermediates still occur freely).
+- NaN/Inf: wave-1/2 seeds (< 103000) do NOT generate them. Wave-3 seeds
+  (>= 103000) DO spike NaN/±Inf/subnormal/-0.0 into the scalar measure
+  doubles (events.value, *_acctbal, prices, l_* rates) — the float-specials
+  knob VERDICT r10 asked for. Embedding vectors stay finite by declared
+  envelope (the vector tier's zero-norm/NULL exclusion contract extends to
+  non-finite: a NaN component poisons every distance, an input-contract
+  question rather than an engine-divergence one); they do get subnormal
+  and -0.0 components, which must quantize identically.
+- Fully-empty tables: wave-1/2 never generate them (the hostile `empty`
+  variant pins the all-empty class). Wave-3's degenerate-table knob
+  truncates ONE randomly chosen table to 0 or 1 rows per trial — the
+  mixed-degeneracy positions (empty dim × populated fact and vice versa)
+  that neither the all-empty variant nor the populated fuzz space reaches.
 - Embedding corpora are single-dimension per trial, drawn from {16, 32, 64}
   (exercises the r10 _corpus_dim fix beyond the fixture's 64).
 
@@ -100,6 +108,44 @@ PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
               "", None]
 PROPS_POOL = ['{"k": %d}', '{"k": %d, "j": 1}', "{}", "[1,2]", "not json",
               "", None, '{"k": null}']
+
+# ---- wave-3 (seeds >= 103000) mutation tables -----------------------------
+_W3_SPECIALS = [
+    float("nan"), float("inf"), float("-inf"),
+    5e-324,                      # smallest subnormal
+    2.2250738585072014e-308,     # smallest normal
+    -0.0,
+]
+_W3_DOUBLE_COLS = {
+    "events": ("value",),
+    "customer": ("c_acctbal",),
+    "supplier": ("s_acctbal",),
+    "part": ("p_retailprice",),
+    "orders": ("o_totalprice",),
+    "lineitem": ("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+}
+_W3_TEXT_COLS = {
+    "documents": ("text",),
+    "customer": ("c_name",),
+    "part": ("p_name",),
+}
+_W3_TS_EDGES = [
+    dt.datetime(2024, 1, 1, 0, 0, 0, 0),            # first envelope instant
+    dt.datetime(2024, 1, 31, 23, 59, 59, 999999),   # last envelope instant
+    dt.datetime(2024, 1, 15, 12, 0, 0, 999500),     # ms-rounding hazard ↑
+    dt.datetime(2024, 1, 15, 12, 0, 0, 499),        # ms-rounding hazard ↓
+    dt.datetime(2024, 1, 15, 12, 0, 1, 0),          # exact second
+]
+_W3_DATE_EDGES = [
+    dt.datetime(1995, 1, 1),     # envelope start
+    dt.datetime(2001, 12, 31),   # envelope end
+    dt.datetime(1996, 2, 29),    # leap day
+    dt.datetime(2000, 2, 29),    # century leap day
+    dt.datetime(2000, 2, 28),
+    dt.datetime(2000, 3, 1),
+    dt.datetime(1999, 12, 31),   # Y2K boundary pair
+    dt.datetime(2000, 1, 1),
+]
 
 
 # ---------------------------------------------------------------------------
@@ -219,14 +265,101 @@ def gen_trial(out: str, seed: int, scale: int = 1) -> dict:
     }
     np_ = knobs["null_p"]
 
+    # ---- wave-3 knobs (seeds >= 103000): float specials, timestamp
+    # precision/boundary regimes, date edges, NFC/NFD unicode mixing, and
+    # degenerate 0/1-row tables. ALL wave-3 randomness comes from a
+    # SEPARATE rng (rng3) and mutations run as a post-pass over each
+    # table's built columns, so wave-1/2 seeds replay bit-identically
+    # (their base-rng draw sequence is untouched and rng3 never spins).
+    wave3 = seed >= 103000
+    rng3 = np.random.default_rng(seed * 9973 + 3) if wave3 else None
+    if wave3:
+        k3 = {
+            "w3_special_p": float(rng3.choice([0.0, 0.04, 0.12])),
+            "w3_ts_regime": str(rng3.choice(["none", "micros", "edges"])),
+            "w3_date_edge_p": float(rng3.choice([0.0, 0.12])),
+            "w3_nfd_p": float(rng3.choice([0.0, 0.2])),
+        }
+        if rng3.random() < 0.3:
+            k3["w3_tiny"] = "none"
+        else:
+            t = TABLES[int(rng3.integers(0, len(TABLES)))]
+            k3["w3_tiny"] = (
+                ("empty:" if rng3.random() < 0.5 else "one:") + t
+            )
+        knobs.update(k3)
+    else:
+        k3 = {"w3_special_p": 0.0, "w3_ts_regime": "none",
+              "w3_date_edge_p": 0.0, "w3_nfd_p": 0.0, "w3_tiny": "none"}
+
+    def w3(table: str, cols: dict[str, list]) -> dict[str, list]:
+        """Wave-3 post-pass mutator; identity for wave-1/2 seeds."""
+        if not wave3:
+            return cols
+        nrow = len(next(iter(cols.values())))
+        sp = k3["w3_special_p"]
+        if sp > 0:
+            for cname in _W3_DOUBLE_COLS.get(table, ()):
+                vals = list(cols[cname])
+                for i in range(nrow):
+                    if vals[i] is not None and rng3.random() < sp:
+                        vals[i] = _W3_SPECIALS[
+                            int(rng3.integers(0, len(_W3_SPECIALS)))]
+                cols[cname] = vals
+        nfd = k3["w3_nfd_p"]
+        if nfd > 0:
+            import unicodedata
+            for cname in _W3_TEXT_COLS.get(table, ()):
+                vals = list(cols[cname])
+                for i in range(nrow):
+                    if vals[i] and rng3.random() < nfd:
+                        vals[i] = unicodedata.normalize("NFD", vals[i])
+                cols[cname] = vals
+            if table == "documents":
+                # n_chars stays consistent with the (possibly re-normalized)
+                # text — the fixture invariant
+                cols["n_chars"] = [
+                    None if t is None else len(t) for t in cols["text"]]
+        if table == "events" and k3["w3_ts_regime"] != "none":
+            vals = list(cols["ts"])
+            if k3["w3_ts_regime"] == "micros":
+                for i in range(nrow):
+                    if vals[i] is not None:
+                        vals[i] = vals[i] + dt.timedelta(
+                            microseconds=int(rng3.integers(0, 1_000_000)))
+            else:  # "edges": envelope-boundary + ms-rounding-hazard instants
+                for i in range(nrow):
+                    if vals[i] is not None and rng3.random() < 0.12:
+                        vals[i] = _W3_TS_EDGES[
+                            int(rng3.integers(0, len(_W3_TS_EDGES)))]
+            cols["ts"] = vals
+        de = k3["w3_date_edge_p"]
+        if de > 0:
+            for cname in ("o_orderdate", "l_shipdate"):
+                if cname in cols:
+                    vals = list(cols[cname])
+                    for i in range(nrow):
+                        if vals[i] is not None and rng3.random() < de:
+                            vals[i] = _W3_DATE_EDGES[
+                                int(rng3.integers(0, len(_W3_DATE_EDGES)))]
+                    cols[cname] = vals
+        if k3["w3_tiny"] == f"empty:{table}":
+            cols = {c: [] for c in cols}
+        elif k3["w3_tiny"] == f"one:{table}":
+            cols = {c: v[:1] for c, v in cols.items()}
+        return cols
+
+    def _w(table: str, cols: dict[str, list]) -> None:
+        _write(out, table, w3(table, cols))
+
     # --- region / nation (small dims; names fuzzed, keys dense) ---
     nr = int(rng.integers(2, 6))
-    _write(out, "region", {
+    _w("region", {
         "r_regionkey": list(range(nr)),
         "r_name": _maybe_null(rng, _texts(rng, nr, 0, 0.4), np_ / 2),
     })
     nn = int(rng.integers(3, 26))
-    _write(out, "nation", {
+    _w("nation", {
         "n_nationkey": list(range(nn)),
         "n_name": _maybe_null(rng, _texts(rng, nn, 0.1, 0.4), np_ / 2),
         "n_regionkey": [int(x) for x in rng.integers(0, nr, size=nn)],
@@ -235,7 +368,7 @@ def gen_trial(out: str, seed: int, scale: int = 1) -> dict:
     # --- customer / supplier / part ---
     nc = int(rng.integers(5, 60))
     ckeys = _ids(rng, nc, knobs["id_regime"])
-    _write(out, "customer", {
+    _w("customer", {
         "c_custkey": [int(x) for x in ckeys],
         "c_name": _maybe_null(rng, _texts(rng, nc, 0.2, 0.3), np_),
         "c_nationkey": [int(x) for x in rng.integers(0, nn, size=nc)],
@@ -246,7 +379,7 @@ def gen_trial(out: str, seed: int, scale: int = 1) -> dict:
     })
     ns = int(rng.integers(2, 11))
     skeys = _ids(rng, ns, knobs["id_regime"])
-    _write(out, "supplier", {
+    _w("supplier", {
         "s_suppkey": [int(x) for x in skeys],
         "s_name": _maybe_null(rng, _texts(rng, ns, 0, 0.3), np_),
         "s_nationkey": [int(x) for x in rng.integers(0, nn, size=ns)],
@@ -256,7 +389,7 @@ def gen_trial(out: str, seed: int, scale: int = 1) -> dict:
     })
     npart = int(rng.integers(5, 50))
     pkeys = _ids(rng, npart, knobs["id_regime"])
-    _write(out, "part", {
+    _w("part", {
         "p_partkey": [int(x) for x in pkeys],
         "p_name": _maybe_null(rng, _texts(rng, npart, 0.1, 0.3), np_),
         "p_brand": _skewed_choice(
@@ -282,7 +415,7 @@ def gen_trial(out: str, seed: int, scale: int = 1) -> dict:
     year = rng.integers(1995, 2002, size=no)
     month = rng.integers(1, 13, size=no)
     day = rng.integers(1, 28, size=no)
-    _write(out, "orders", {
+    _w("orders", {
         "o_orderkey": [int(x) for x in okeys],
         "o_custkey": ocust,
         "o_orderstatus": _skewed_choice(rng, ["F", "O", "P", "", None],
@@ -299,7 +432,7 @@ def gen_trial(out: str, seed: int, scale: int = 1) -> dict:
     yearl = rng.integers(1995, 2002, size=nl)
     monthl = rng.integers(1, 13, size=nl)
     dayl = rng.integers(1, 28, size=nl)
-    _write(out, "lineitem", {
+    _w("lineitem", {
         "l_orderkey": lok,
         "l_partkey": [int(x) for x in rng.choice(pkeys, size=nl)],
         "l_suppkey": [int(x) for x in rng.choice(skeys, size=nl)],
@@ -351,7 +484,7 @@ def gen_trial(out: str, seed: int, scale: int = 1) -> dict:
     for i in range(ne):
         p = PROPS_POOL[int(rng.integers(0, len(PROPS_POOL)))]
         props.append(p % int(rng.integers(0, 100)) if p and "%d" in p else p)
-    _write(out, "events", {
+    _w("events", {
         "event_id": [int(x) for x in ekeys],
         "ts": _maybe_null(rng, ts, np_ / 2),
         "user_id": _maybe_null(rng, users, np_ / 2),
@@ -366,7 +499,7 @@ def gen_trial(out: str, seed: int, scale: int = 1) -> dict:
     dkeys = _ids(rng, nd, knobs["id_regime"])
     texts = _maybe_null(
         rng, _texts(rng, nd, knobs["dup_rate"], 0.25), np_ / 2)
-    _write(out, "documents", {
+    _w("documents", {
         "doc_id": [int(x) for x in dkeys],
         "text": texts,
         "lang": _skewed_choice(rng, LANGS, nd, knobs["skew"]),
@@ -386,7 +519,7 @@ def gen_trial(out: str, seed: int, scale: int = 1) -> dict:
         elif r < 0.05 + knobs["dup_rate"] / 2 and i > 0:
             vecs[i] = vecs[int(rng.integers(0, i))]  # identical vector
     emb = _maybe_null(rng, [list(map(float, v)) for v in vecs], np_ / 3)
-    _write(out, "embeddings", {
+    _w("embeddings", {
         "vec_id": [int(x) for x in vkeys],
         "embedding": emb,
         "label": _maybe_null(

@@ -1,0 +1,805 @@
+#!/usr/bin/env python
+"""Stream≡batch differential gate over hostile/fuzzed event streams
+(VERDICT r10 "Next round" item 2).
+
+The unit suite (tests/test_streaming.py) asserts the standing stream≡batch
+equalities for the 9 stateful processors, but only over the FIXED gate
+fixture — the r10 edge detectors found six NULLS-order bugs in *batch*
+twins that the streaming forms never saw. This gate replays an ARBITRARY
+events table (a fuzz_gate trial dir, a hostile fixture dir, or a gate
+fixture dir) through each processor as file-source microbatches
+(maxFilesPerTrigger=1 over a multi-file JSON replay) and re-asserts the
+same equalities against the batch twins computed on the SAME table.
+
+Processors covered (streams.py):
+  tumbling, sliding, session, error_rate, dedup, join_clicks (inner),
+  left_join (outer, with far-future sentinel batches), user_stats
+  (applyInPandasWithState), funnel, anomaly, cusum, bootstrap,
+  census (foreachBatch + external state), rollup (foreachBatch + versioned
+  MV), cdc_mv (retraction stream over the trial's orders table).
+
+Outcome per (source, processor): PASS / DIFF (equality violated — a real
+finding) / SERR (stream raised) / SKIP (precondition absent, e.g. no
+non-NULL timestamps at all). Exit 0 iff zero DIFF/SERR.
+
+JSON replay semantics: NULL ts / NULL user_id rows round-trip through the
+JSON sink-source (schema-pinned read), so the NULL-flood knobs reach the
+watermark/state operators — exactly the composition no other gate covers.
+
+Usage:
+  python tools/stream_gate.py --seeds 103000,103001      # fuzz trials
+  python tools/stream_gate.py --dirs /root/testdata/sf0.001
+  python tools/stream_gate.py --seeds 103000 tumbling cusum  # subset
+Report: reports/stream_fuzz_gate.md
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import tempfile
+import time
+import traceback
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def _canon_rows(df):
+    """Order-insensitive canonical multiset with NaN/-0.0 folding (same
+    rationale as check_oracle._norm — NaN != NaN breaks tuple equality)."""
+    import math
+
+    def norm(v):
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN(canon)"
+            if v == 0.0:
+                return 0.0
+        return v
+
+    return sorted(
+        (tuple(norm(v) for v in r) for r in df.collect()), key=repr
+    )
+
+
+def _replay(spark, events, tmp, n_files=2):
+    """Write events as an n_files JSON dir (the microbatch replay source).
+    repartition (not coalesce) so the file count really is n_files."""
+    d = os.path.join(tmp, "replay")
+    events.repartition(n_files).write.mode("overwrite").json(d)
+    return d
+
+
+def _final_per_key(got, key_cols, order_col):
+    """update-mode streams re-emit a row per key per microbatch; final
+    state = the row with the highest order_col per key."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+    return (
+        got.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _events(spark, sf_dir):
+    from clusterindices_spark.sources.fixtures import load_table
+
+    return load_table(spark, sf_dir, "events")
+
+
+# ---------------------------------------------------------------------------
+# checks: each returns (status, detail)
+# ---------------------------------------------------------------------------
+
+
+def _diff(got_rows, want_rows, label=""):
+    if got_rows == want_rows:
+        return ("PASS", f"{len(got_rows)} rows")
+    only_g = [r for r in got_rows if r not in want_rows][:2]
+    only_w = [r for r in want_rows if r not in got_rows][:2]
+    return (
+        "DIFF",
+        f"{label} stream={len(got_rows)} batch={len(want_rows)} rows; "
+        f"stream-only: {only_g} batch-only: {only_w}"[:400],
+    )
+
+
+def check_tumbling(spark, sf_dir, tmp, mfpt):
+    from clusterindices_spark.operators.sessions import q_stream_tumbling_agg
+    from clusterindices_spark.streaming.streams import (
+        events_file_stream,
+        run_to_completion,
+        tumbling_agg_stream,
+    )
+
+    stream = events_file_stream(
+        spark, _replay(spark, _events(spark, sf_dir), tmp), mfpt
+    )
+    got = run_to_completion(
+        tumbling_agg_stream(stream), "g_tumbling", mode="complete"
+    )
+    return _diff(
+        _canon_rows(got), _canon_rows(q_stream_tumbling_agg(spark, sf_dir))
+    )
+
+
+def check_sliding(spark, sf_dir, tmp, mfpt):
+    from clusterindices_spark.operators.sessions import q_stream_sliding_agg
+    from clusterindices_spark.streaming.streams import (
+        events_file_stream,
+        run_to_completion,
+        sliding_agg_stream,
+    )
+
+    stream = events_file_stream(
+        spark, _replay(spark, _events(spark, sf_dir), tmp), mfpt
+    )
+    got = run_to_completion(
+        sliding_agg_stream(stream), "g_sliding", mode="complete"
+    )
+    want = q_stream_sliding_agg(spark, sf_dir)
+    return _diff(
+        _canon_rows(got.select(*sorted(got.columns))),
+        _canon_rows(want.select(*sorted(want.columns))),
+    )
+
+
+def check_session(spark, sf_dir, tmp, mfpt):
+    """session_window vs gaps-and-islands agree on: session count, per-user
+    session counts, total events, total sum_value (starts can differ by
+    merge-order inside ties — the documented boundary contract)."""
+    from clusterindices_spark.operators.sessions import (
+        q_stream_session_windows,
+    )
+    from clusterindices_spark.streaming.streams import (
+        events_file_stream,
+        run_to_completion,
+        session_window_stream,
+    )
+
+    stream = events_file_stream(
+        spark, _replay(spark, _events(spark, sf_dir), tmp), mfpt
+    )
+    got = run_to_completion(
+        session_window_stream(stream), "g_session", mode="complete"
+    )
+    want = q_stream_session_windows(spark, sf_dir)
+    g = _canon_rows(
+        got.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+    w = _canon_rows(
+        want.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+    return _diff(g, w, "per-user session/event counts:")
+
+
+def check_error_rate(spark, sf_dir, tmp, mfpt):
+    from clusterindices_spark.operators.analytics import q_events_error_rate
+    from clusterindices_spark.streaming.streams import (
+        error_rate_stream,
+        events_file_stream,
+        run_to_completion,
+    )
+
+    stream = events_file_stream(
+        spark, _replay(spark, _events(spark, sf_dir), tmp), mfpt
+    )
+    got = run_to_completion(
+        error_rate_stream(stream), "g_errrate", mode="complete"
+    )
+    want = q_events_error_rate(spark, sf_dir).select(
+        (F.col("hour") * 3_600_000).alias("hour_ms"), "n", "n_err", "err_rate"
+    )
+    return _diff(_canon_rows(got), _canon_rows(want))
+
+
+def check_dedup(spark, sf_dir, tmp, mfpt):
+    """dropDuplicatesWithinWatermark ≡ the batch q_stream_dedup twin's
+    surviving id multiset (fuzz event_ids are unique, so this degenerates
+    to 'no row lost, none duplicated' — the NULL-ts drop behavior is the
+    interesting axis and must match the batch twin's)."""
+    from clusterindices_spark.operators.sessions import q_stream_dedup
+    from clusterindices_spark.streaming.streams import (
+        dedup_stream,
+        events_file_stream,
+        run_to_completion,
+    )
+
+    stream = events_file_stream(
+        spark, _replay(spark, _events(spark, sf_dir), tmp), mfpt
+    )
+    got = run_to_completion(dedup_stream(stream), "g_dedup", mode="append")
+    g = _canon_rows(got.select("event_id"))
+    w = _canon_rows(q_stream_dedup(spark, sf_dir).select("event_id"))
+    return _diff(g, w, "surviving event_ids:")
+
+
+def check_join_clicks(spark, sf_dir, tmp, mfpt):
+    from clusterindices_spark.streaming.streams import (
+        click_purchase_join_stream,
+        events_file_stream,
+        run_to_completion,
+    )
+
+    stream = events_file_stream(
+        spark, _replay(spark, _events(spark, sf_dir), tmp), mfpt
+    )
+    got = run_to_completion(
+        click_purchase_join_stream(stream), "g_ssjoin", mode="append"
+    )
+    e = _events(spark, sf_dir)
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    want = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 5 MINUTES")),
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        F.unix_millis(F.col("p_ts")).alias("purchase_ts_ms"),
+        F.round("p_value", 6).alias("p_value"),
+    )
+    return _diff(_canon_rows(got), _canon_rows(want))
+
+
+def check_left_join(spark, sf_dir, tmp, mfpt):
+    from clusterindices_spark.streaming.streams import (
+        EVENTS_STREAM_SCHEMA,
+        purchase_click_left_join_stream,
+        run_to_completion,
+    )
+
+    replay = _replay(spark, _events(spark, sf_dir), tmp)
+    far = "2031-01-01 00:00:00"
+    for i in range(2):
+        time.sleep(1.1)  # file source orders batches by modTime
+        spark.createDataFrame(
+            [
+                (10_000_000_000 + 2 * i, far, -1, "click", 0.0, "{}"),
+                (10_000_000_001 + 2 * i, far, -1, "purchase", 0.0, "{}"),
+            ],
+            EVENTS_STREAM_SCHEMA.replace("ts TIMESTAMP", "ts STRING"),
+        ).selectExpr(
+            "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+            "event_type", "value", "props",
+        ).coalesce(1).write.mode("append").json(replay)
+    stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).json(replay)
+    got = run_to_completion(
+        purchase_click_left_join_stream(stream), "g_louter", mode="append"
+    )
+    got_rows = sorted(
+        (r["purchase_id"], r["click_id"])
+        for r in got.collect()
+        if r["purchase_id"] < 10_000_000_000
+    )
+    e = _events(spark, sf_dir)
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    want = sorted(
+        (r["purchase_id"], r["click_id"])
+        for r in purchases.join(
+            clicks,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 5 MINUTES")),
+            "leftOuter",
+        ).collect()
+    )
+    return _diff(got_rows, want, "purchase→click attribution:")
+
+
+def check_user_stats(spark, sf_dir, tmp, mfpt):
+    from clusterindices_spark.streaming.streams import (
+        events_file_stream,
+        run_to_completion,
+        stateful_user_stats_stream,
+    )
+
+    stream = events_file_stream(
+        spark, _replay(spark, _events(spark, sf_dir), tmp), mfpt
+    )
+    got = run_to_completion(
+        stateful_user_stats_stream(stream), "g_ustats", mode="update"
+    )
+    final = _final_per_key(got, ["user_id"], "n_events").select(
+        "user_id", "n_events"
+    )
+    want = (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return _diff(_canon_rows(final), _canon_rows(want), "per-user counts:")
+
+
+def check_funnel(spark, sf_dir, tmp, mfpt):
+    from clusterindices_spark.operators.sessions import funnel_of
+    from clusterindices_spark.streaming.streams import (
+        events_file_stream,
+        funnel_state_stream,
+        run_to_completion,
+    )
+
+    stream = events_file_stream(
+        spark, _replay(spark, _events(spark, sf_dir), tmp), mfpt
+    )
+    got = run_to_completion(
+        funnel_state_stream(stream), "g_funnel", mode="update"
+    )
+    stages = {r["user_id"]: r["stage"] for r in got.collect()}
+    g = (
+        sum(1 for s in stages.values() if s >= 1),
+        sum(1 for s in stages.values() if s >= 2),
+        sum(1 for s in stages.values() if s >= 3),
+    )
+    want = funnel_of(_events(spark, sf_dir)).collect()[0]
+    w = (want["n_view"], want["n_click"], want["n_purchase"])
+    return _diff([g], [w], "funnel stage counts:")
+
+
+def check_anomaly(spark, sf_dir, tmp, mfpt):
+    from clusterindices_spark.operators.analytics import q_events_outliers
+    from clusterindices_spark.streaming.streams import (
+        anomaly_state_stream,
+        events_file_stream,
+        run_to_completion,
+    )
+
+    stream = events_file_stream(
+        spark, _replay(spark, _events(spark, sf_dir), tmp), mfpt
+    )
+    got = run_to_completion(
+        anomaly_state_stream(stream), "g_anom", mode="update"
+    )
+    final = _canon_rows(
+        _final_per_key(got, ["event_type"], "n").select(
+            "event_type", "n", "s1", "s2"
+        )
+    )
+    ev = _events(spark, sf_dir)
+    micros = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast(  # noqa: E731
+        "bigint"
+    )
+    want = _canon_rows(
+        ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(micros(F.col("value"))).alias("s1"),
+            F.sum(micros(F.col("value") * F.col("value"))).alias("s2"),
+        )
+    )
+    st = _diff(final, want, "moments:")
+    if st[0] != "PASS":
+        return st
+    # flag totals vs the batch outlier key
+    flags = _canon_rows(
+        _final_per_key(got, ["event_type"], "n").select(
+            "event_type", "n_anomalies"
+        )
+    )
+    outl = q_events_outliers(spark, sf_dir).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_anomalies")
+    )
+    # eqNullSafe: a NULL event_type is a legitimate state key on both
+    # sides — an equi-join would split it (the r10½ fuzz NULL-group class)
+    base = (
+        _events(spark, sf_dir)
+        .select("event_type")
+        .distinct()
+        .alias("b")
+        .join(
+            outl.alias("o"),
+            F.col("b.event_type").eqNullSafe(F.col("o.event_type")),
+            "left",
+        )
+        .select(
+            F.col("b.event_type").alias("event_type"),
+            F.coalesce("o.n_anomalies", F.lit(0)).alias("n_anomalies"),
+        )
+    )
+    return _diff(flags, _canon_rows(base), "anomaly flags:")
+
+
+def check_cusum(spark, sf_dir, tmp, mfpt):
+    from clusterindices_spark.operators.analytics import q_events_cusum
+    from clusterindices_spark.streaming.streams import (
+        _duration_ms,
+        cusum_state_stream,
+        events_file_stream,
+        run_to_completion,
+    )
+
+    ev = _events(spark, sf_dir)
+    hour = F.floor(F.unix_millis(F.col("ts")) / F.lit(3_600_000)).cast(
+        "bigint"
+    )
+    h = ev.where(F.col("ts").isNotNull()).groupBy(
+        "event_type", hour.alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    ref = {
+        r["event_type"]: int(r["m"])
+        for r in h.groupBy("event_type")
+        .agg(
+            F.floor(F.sum("n") * F.lit(1_000_000.0) / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("m")
+        )
+        .collect()
+    }
+    if not ref:
+        return ("SKIP", "no non-NULL timestamps")
+    batch = sorted(
+        q_events_cusum(spark, sf_dir).collect(),
+        key=lambda r: (repr(r["event_type"]), r["hour"]),
+    )
+    by_type = {}
+    for r in batch:
+        by_type.setdefault(r["event_type"], []).append(r)
+    delta_ms = _duration_ms("30 minutes")
+    max_ts = {
+        r["event_type"]: r["mt"]
+        for r in ev.where(F.col("ts").isNotNull())
+        .groupBy("event_type")
+        .agg(F.max(F.unix_millis("ts")).alias("mt"))
+        .collect()
+    }
+    stream = events_file_stream(spark, _replay(spark, ev, tmp), mfpt)
+    got = run_to_completion(
+        cusum_state_stream(stream, ref), "g_cusum", mode="update"
+    )
+    final = {
+        r["event_type"]: r
+        for r in _final_per_key(got, ["event_type"], "hours_finalized")
+        .collect()
+    }
+    probs = []
+    for et, rows in by_type.items():
+        g = final.get(et)
+        if g is None:
+            probs.append(f"{et!r}: missing from stream")
+            continue
+        cutoff = max_ts[et] - delta_ms
+        closed = [r for r in rows if (r["hour"] + 1) * 3_600_000 <= cutoff]
+        if g["hours_finalized"] != len(closed):
+            probs.append(
+                f"{et!r}: finalized {g['hours_finalized']} != {len(closed)}"
+            )
+            continue
+        if closed and (
+            g["s_pos"] != closed[-1]["s_pos"]
+            or g["s_neg"] != closed[-1]["s_neg"]
+        ):
+            probs.append(f"{et!r}: s_pos/s_neg mismatch at last closed hour")
+        if closed and g["n_alarm_hours"] != sum(
+            r["is_alarm"] for r in closed
+        ):
+            probs.append(f"{et!r}: alarm count mismatch")
+    if probs:
+        return ("DIFF", "; ".join(probs)[:400])
+    return ("PASS", f"{len(by_type)} types")
+
+
+def check_bootstrap(spark, sf_dir, tmp, mfpt):
+    from clusterindices_spark.operators.analytics import q_events_bootstrap_ci
+    from clusterindices_spark.streaming.streams import (
+        bootstrap_state_stream,
+        events_file_stream,
+        run_to_completion,
+    )
+
+    want = _canon_rows(
+        q_events_bootstrap_ci(spark, sf_dir).select(
+            "event_type", "n", "mean_value", "ci_lo", "ci_hi"
+        )
+    )
+    stream = events_file_stream(
+        spark, _replay(spark, _events(spark, sf_dir), tmp), mfpt
+    )
+    got = run_to_completion(
+        bootstrap_state_stream(stream), "g_boot", mode="update"
+    )
+    final = _canon_rows(
+        _final_per_key(got, ["event_type"], "n_seen").select(
+            "event_type",
+            F.col("n_seen").alias("n"),
+            "mean_value",
+            "ci_lo",
+            "ci_hi",
+        )
+    )
+    return _diff(final, want, "bootstrap CI:")
+
+
+def check_census(spark, sf_dir, tmp, mfpt):
+    from clusterindices_spark.streaming.streams import (
+        distinct_users_census_foreach_batch,
+        events_file_stream,
+    )
+
+    replay = _replay(spark, _events(spark, sf_dir), tmp)
+    stream = events_file_stream(spark, replay, max_files_per_trigger=1)
+    q = distinct_users_census_foreach_batch(
+        stream,
+        state_dir=os.path.join(tmp, "state"),
+        out_dir=os.path.join(tmp, "out"),
+        ckpt_dir=os.path.join(tmp, "ckpt"),
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(os.path.join(tmp, "out"))
+    final = _canon_rows(
+        _final_per_key(out, ["event_type"], "batch_id").select(
+            "event_type", "distinct_users"
+        )
+    )
+    want = _canon_rows(
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("distinct_users"))
+    )
+    return _diff(final, want, "census:")
+
+
+def check_rollup(spark, sf_dir, tmp, mfpt):
+    from clusterindices_spark.operators.analytics import (
+        q_events_rollup_hierarchy,
+    )
+    from clusterindices_spark.streaming.streams import (
+        events_file_stream,
+        hourly_rollup_foreach_batch,
+        read_hourly_rollup,
+    )
+
+    replay = _replay(spark, _events(spark, sf_dir), tmp)
+    root = os.path.join(tmp, "rollup")
+    q = hourly_rollup_foreach_batch(
+        events_file_stream(spark, replay, max_files_per_trigger=1),
+        root,
+        os.path.join(tmp, "ckpt_r"),
+    )
+    q.awaitTermination()
+    got = _canon_rows(
+        read_hourly_rollup(spark, root).select(
+            "event_type", "bucket_ms", "n", F.round("sum_value", 6).alias("s")
+        )
+    )
+    want = _canon_rows(
+        q_events_rollup_hierarchy(spark, sf_dir)
+        .where(F.col("grain") == "hour")
+        .select(
+            "event_type", "bucket_ms", "n", F.round("sum_value", 6).alias("s")
+        )
+    )
+    return _diff(got, want, "hourly rollup:")
+
+
+def check_cdc_mv(spark, sf_dir, tmp, mfpt):
+    """Retraction-stream MV over the trial's ORDERS table (base snapshot +
+    change batch) ≡ the batch incremental-MV recurrence applied to the
+    same post-change state — the test's construction, parameterized."""
+    from clusterindices_spark.sources.fixtures import load_table
+    from clusterindices_spark.streaming.streams import (
+        cdc_file_stream,
+        cdc_mv_foreach_batch,
+        read_cdc_mv,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    if o.count() == 0:
+        return ("SKIP", "orders empty")
+    base = o.select(
+        F.lit("I").alias("op"),
+        "o_orderkey",
+        "o_orderstatus",
+        F.lit(None).cast("string").alias("old_status"),
+        "o_totalprice",
+        F.lit(None).cast("double").alias("old_price"),
+    )
+    deletes = o.where(F.pmod(F.col("o_orderkey"), F.lit(23)) == 3)
+    upd = o.where(F.pmod(F.col("o_orderkey"), F.lit(10)) == 0).join(
+        deletes.select("o_orderkey"), "o_orderkey", "left_anti"
+    )
+    cdc = deletes.select(
+        F.lit("D").alias("op"),
+        "o_orderkey",
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.col("o_orderstatus").alias("old_status"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.col("o_totalprice").alias("old_price"),
+    ).unionByName(
+        upd.select(
+            F.lit("U").alias("op"),
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            F.col("o_orderstatus").alias("old_status"),
+            (F.coalesce(F.col("o_totalprice"), F.lit(0.0)) + F.lit(1.0))
+            .alias("o_totalprice"),
+            F.col("o_totalprice").alias("old_price"),
+        )
+    )
+    replay = os.path.join(tmp, "cdc")
+    base.coalesce(1).write.mode("overwrite").json(replay)
+    time.sleep(1.1)
+    cdc.coalesce(1).write.mode("append").json(replay)
+    q = cdc_mv_foreach_batch(
+        cdc_file_stream(spark, replay, max_files_per_trigger=1),
+        os.path.join(tmp, "mv"),
+        os.path.join(tmp, "ckpt_c"),
+    )
+    q.awaitTermination()
+    got = _canon_rows(read_cdc_mv(spark, os.path.join(tmp, "mv")))
+    # post-change truth: orders minus deletes, updates applied
+    survivors = o.join(
+        deletes.select("o_orderkey"), "o_orderkey", "left_anti"
+    )
+    upd_keys = upd.select("o_orderkey")
+    final_state = survivors.join(
+        upd_keys.withColumn("_u", F.lit(1)), "o_orderkey", "left"
+    ).select(
+        F.when(F.col("_u") == 1, F.lit("U"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(
+            F.col("_u") == 1,
+            F.coalesce(F.col("o_totalprice"), F.lit(0.0)) + F.lit(1.0),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    from clusterindices_spark.functions.aggregates import exact_sum
+
+    want = _canon_rows(
+        final_state.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("o_totalprice", "sum_price"),
+        )
+    )
+    return _diff(got, want, "cdc mv:")
+
+
+CHECKS = {
+    "tumbling": check_tumbling,
+    "sliding": check_sliding,
+    "session": check_session,
+    "error_rate": check_error_rate,
+    "dedup": check_dedup,
+    "join_clicks": check_join_clicks,
+    "left_join": check_left_join,
+    "user_stats": check_user_stats,
+    "funnel": check_funnel,
+    "anomaly": check_anomaly,
+    "cusum": check_cusum,
+    "bootstrap": check_bootstrap,
+    "census": check_census,
+    "rollup": check_rollup,
+    "cdc_mv": check_cdc_mv,
+}
+
+
+def run_stream_gate(spark, sources, names, mfpt=1):
+    """sources: list of (label, sf_dir). Returns (label, name, status,
+    detail, sec) tuples."""
+    results = []
+    for label, sf_dir in sources:
+        for name in names:
+            t0 = time.monotonic()
+            tmp = tempfile.mkdtemp(prefix=f"sg_{name}_")
+            try:
+                status, detail = CHECKS[name](spark, sf_dir, tmp, mfpt)
+            except Exception as ex:
+                status = "SERR"
+                detail = f"{type(ex).__name__}: {str(ex)[:300]}"
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+            sec = round(time.monotonic() - t0, 1)
+            results.append((label, name, status, detail, sec))
+            print(
+                f"{status:5s} {label}/{name}"
+                + (f": {detail}" if status not in ("PASS",) else ""),
+                flush=True,
+            )
+    return results
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", default="", help="fuzz_gate trial seeds")
+    ap.add_argument("--dirs", default="", help="comma-separated fixture dirs")
+    ap.add_argument("--report", default="reports/stream_fuzz_gate.md")
+    ap.add_argument("--mfpt", type=int, default=1,
+                    help="maxFilesPerTrigger for the replay")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    from clusterindices_spark.session import get_spark
+
+    spark = get_spark("stream-gate")
+    sources = []
+    keep_root = tempfile.mkdtemp(prefix="sg_trials_")
+    if args.seeds:
+        from fuzz_gate import gen_trial
+
+        for s in args.seeds.split(","):
+            seed = int(s)
+            d = os.path.join(keep_root, f"fz{seed}")
+            knobs = gen_trial(d, seed)
+            print(f"--- seed {seed} knobs={knobs}", flush=True)
+            sources.append((f"fz{seed}", d))
+    for d in (x for x in args.dirs.split(",") if x):
+        sources.append((os.path.basename(d.rstrip("/")), d))
+    if not sources:
+        sources = [("sf0.001", "/root/testdata/sf0.001")]
+
+    names = args.names or list(CHECKS)
+    results = run_stream_gate(spark, sources, names, mfpt=args.mfpt)
+    shutil.rmtree(keep_root, ignore_errors=True)
+
+    n = {}
+    bad = []
+    for label, name, status, detail, sec in results:
+        n[status] = n.get(status, 0) + 1
+        if status in ("DIFF", "SERR"):
+            bad.append((label, name, status, detail))
+    lines = [
+        "# Stream≡batch gate over hostile/fuzzed events "
+        "(tools/stream_gate.py)",
+        "",
+        f"cells: {len(results)} — "
+        + ", ".join(f"{v} {c}" for c, v in sorted(n.items())),
+        f"unexplained findings: {len(bad)}",
+        "",
+    ]
+    if bad:
+        lines.append("## FINDINGS (replay: python tools/stream_gate.py "
+                     "--seeds <seed> <name>)")
+        lines.append("")
+        for label, name, status, detail in bad:
+            lines.append(f"- **{label}/{name}** [{status}]: {detail}")
+        lines.append("")
+    lines.append("## Cells")
+    lines.append("")
+    for label, name, status, detail, sec in results:
+        lines.append(f"- {label}/{name}: {status} ({sec}s)")
+    os.makedirs(os.path.dirname(args.report), exist_ok=True)
+    with open(args.report, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"\nreport: {args.report}; findings: {len(bad)}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
