@@ -98,6 +98,33 @@ def exact_avg(col: Column | str, alias: str | None = None) -> Column:
     return out.alias(alias) if alias else out
 
 
+def finite_or_null(col: Column | str) -> Column:
+    """Treat a non-finite measure as MISSING (NULL) — the policy for every
+    integer-micro quantized operator (fuzz wave 3): those paths cannot
+    represent NaN/Inf, and the engines disagree silently (Spark floor(NaN)
+    = 0 and floor(±Inf) = ±Long.MAX vs DuckDB's loud casts). NaN/±Inf are
+    non-measurements, excluded exactly like NULL; the FINITE magnitude
+    envelope is unchanged (values past the documented per-family bounds
+    still go loud in both engines). SQL twin: sql_finite / the
+    `* REPLACE` table rewrite SQL_EVENTS_FINITE_VALUE."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(
+        ~(F.isnan(c) | (c == F.lit(_PINF)) | (c == F.lit(_NINF))), c
+    )
+
+
+def sql_finite(expr: str) -> str:
+    return f"(CASE WHEN isfinite({expr}) THEN ({expr}) END)"
+
+
+# Drop-in replacement for a bare `events` table reference in oracle SQL:
+# identical schema, value finite-filtered (DuckDB `SELECT * REPLACE`).
+SQL_EVENTS_FINITE_VALUE = (
+    "(SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) "
+    "AS value) FROM events) events"
+)
+
+
 _SQL_NAN = "'NaN'::DOUBLE"
 _SQL_PINF = "'Infinity'::DOUBLE"
 _SQL_NINF = "'-Infinity'::DOUBLE"

@@ -33,7 +33,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from clusterindices_spark.functions.aggregates import SQL_ROUND6, round6_stable
+from clusterindices_spark.functions.aggregates import (
+    SQL_ROUND6,
+    finite_or_null,
+    round6_stable,
+)
 from clusterindices_spark.sources.fixtures import load_table
 
 
@@ -112,7 +116,11 @@ def q_events_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: both grains stacked with a grain tag, bucket epoch-ms, count,
     and the value sum recovered to a 6dp double."""
-    e = load_table(spark, sf_dir, "events").select(
+    e = load_table(spark, sf_dir, "events").withColumn(
+        # non-finite measures are missing data (fuzz wave-3 policy;
+        # oracle twin applies the identical * REPLACE finite filter)
+        "value", finite_or_null("value")
+    ).select(
         "event_type",
         F.unix_millis(F.col("ts")).alias("t"),
         _micros(F.col("value")).alias("vm"),
@@ -152,7 +160,11 @@ def q_events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     and in any partitioning. Head-of-series rows renormalize over the
     lags that exist. One shuffle by event_type for the hourly agg; the
     lag window rides the same partitioning."""
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").withColumn(
+        # non-finite measures are missing data (fuzz wave-3 policy;
+        # oracle twin applies the identical * REPLACE finite filter)
+        "value", finite_or_null("value")
+    )
     hour = (
         F.floor(F.unix_millis(F.col("ts")) / F.lit(3_600_000))
         * F.lit(3_600_000)
@@ -620,7 +632,11 @@ def q_events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     K-row agg."""
     from clusterindices_spark.functions.aggregates import round6_stable
 
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").withColumn(
+        # non-finite measures are missing data (fuzz wave-3 policy;
+        # oracle twin applies the identical * REPLACE finite filter)
+        "value", finite_or_null("value")
+    )
     p = e.where(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         F.col("user_id").alias("p_user"),
@@ -833,7 +849,11 @@ def q_events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     the agg and the frame."""
     from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").withColumn(
+        # non-finite measures are missing data (fuzz wave-3 policy;
+        # oracle twin applies the identical * REPLACE finite filter)
+        "value", finite_or_null("value")
+    )
     hour = (
         F.floor(F.unix_millis(F.col("ts")) / F.lit(3_600_000))
         * F.lit(3_600_000)
@@ -899,7 +919,15 @@ def q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _micros(col):
-    return F.floor(col * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+    """floor-micro quantization with a LOUD out-of-range guard: Spark's
+    floor(double) silently SATURATES to ±Long.MAX past int64 range where
+    DuckDB's CAST raises — a single saturated spike in a group answered
+    silently (fuzz wave-3 seed 103000, events_outliers). The zero-valued
+    ANSI-checked cast makes the loudness count-independent: any magnitude
+    past int64 raises CAST_OVERFLOW here, matching the oracle's loud CAST
+    (tests/test_int64_bounds.py loudness contract)."""
+    x = col * F.lit(1000000.0) + F.lit(0.5)
+    return F.floor(x) + x.cast("bigint") * F.lit(0)
 
 
 def q_events_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -907,7 +935,11 @@ def q_events_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-type moments computed from exact integer-micro sufficient
     statistics (population variance). Returns the outlier events with
     their z-scores."""
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        # non-finite measures are missing data (fuzz wave-3 policy;
+        # oracle twin applies the identical * REPLACE finite filter)
+        "value", finite_or_null("value")
+    ).select(
         "event_id", "event_type", "value"
     )
     stats = ev.groupBy("event_type").agg(
@@ -1267,7 +1299,11 @@ def q_events_outliers_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: 24× the stats rows, still broadcastable; hour extraction is
     scan-side and safe at any timestamp grain (ns↔µs truncation never
     moves an hour)."""
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        # non-finite measures are missing data (fuzz wave-3 policy;
+        # oracle twin applies the identical * REPLACE finite filter)
+        "value", finite_or_null("value")
+    ).select(
         "event_id",
         "event_type",
         F.hour("ts").alias("hh"),
@@ -1474,7 +1510,11 @@ def q_events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-pass uncertainty estimate."""
     from clusterindices_spark.functions.aggregates import round6_stable
 
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").withColumn(
+        # non-finite measures are missing data (fuzz wave-3 policy;
+        # oracle twin applies the identical * REPLACE finite filter)
+        "value", finite_or_null("value")
+    )
     micros = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("bigint")
     rep = F.explode(
         F.sequence(F.lit(0), F.lit(BOOT_B - 1))
@@ -1549,7 +1589,11 @@ def q_events_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of how many pairs are tested."""
     from clusterindices_spark.functions.aggregates import round6_stable
 
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").withColumn(
+        # non-finite measures are missing data (fuzz wave-3 policy;
+        # oracle twin applies the identical * REPLACE finite filter)
+        "value", finite_or_null("value")
+    )
     micros = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("bigint")
     millis = F.floor(F.col("value") * F.lit(1e3) + F.lit(0.5)).cast("bigint")
     m = e.groupBy("event_type").agg(
@@ -1626,7 +1670,11 @@ def q_events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     moment tuples (the q6 shape)."""
     from clusterindices_spark.functions.aggregates import round6_stable
 
-    e = load_table(spark, sf_dir, "events").where(
+    e = load_table(spark, sf_dir, "events").withColumn(
+        # non-finite measures are missing data (fuzz wave-3 policy;
+        # oracle twin applies the identical * REPLACE finite filter)
+        "value", finite_or_null("value")
+    ).where(
         F.col("user_id").isNotNull()
     )
     micros = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("bigint")
@@ -1700,7 +1748,11 @@ def q_events_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-pass exact integer sums as ab_ttest; one K-row output."""
     from clusterindices_spark.functions.aggregates import round6_stable
 
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").withColumn(
+        # non-finite measures are missing data (fuzz wave-3 policy;
+        # oracle twin applies the identical * REPLACE finite filter)
+        "value", finite_or_null("value")
+    )
     micros = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("bigint")
     millis = F.floor(F.col("value") * F.lit(1e3) + F.lit(0.5)).cast("bigint")
     m = e.groupBy("event_type").agg(
@@ -1771,7 +1823,11 @@ def q_events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape). The corpus is scanned once."""
     from clusterindices_spark.functions.aggregates import round6_stable
 
-    e = load_table(spark, sf_dir, "events").where(
+    e = load_table(spark, sf_dir, "events").withColumn(
+        # non-finite measures are missing data (fuzz wave-3 policy;
+        # oracle twin applies the identical * REPLACE finite filter)
+        "value", finite_or_null("value")
+    ).where(
         F.col("user_id").isNotNull()
     )
     mm = F.floor(F.col("value") * F.lit(1e3) + F.lit(0.5)).cast("bigint")
@@ -3152,3 +3208,37 @@ JOIN marg ma ON ma.l_partkey = part_a
 JOIN marg mb ON mb.l_partkey = part_b
 CROSS JOIN tot
 """
+
+
+# fuzz wave-3 non-finite policy: the keys above quantize `value` into
+# integer micros, a representation NaN/Inf cannot enter; Spark's floor()
+# silently maps NaN->0 / Inf->Long.MAX while DuckDB casts loudly, so BOTH
+# sides now exclude non-finite values like NULLs (finite_or_null on the
+# Spark side, `* REPLACE` isfinite rewrite here). Finite out-of-envelope
+# magnitudes still go loud in both engines (tests/test_int64_bounds.py).
+_FINITE_EVENTS_SQL = (
+    "(SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) "
+    "AS value) FROM events)"
+)
+_FINITE_VALUE_KEYS = ['events_ewma_smooth', 'events_rolling_zscore', 'events_cuped', 'events_power_mde', 'events_outliers', 'events_outliers_seasonal', 'events_diff_in_diff', 'events_ab_ttest', 'events_bootstrap_ci', 'events_attribution_linear', 'events_rollup_hierarchy']
+for _k in _FINITE_VALUE_KEYS:
+    ORACLES[_k] = ORACLES[_k].replace(
+        "FROM events", f"FROM {_FINITE_EVENTS_SQL}")
+
+# compute-what-you-join alignment (fuzz wave-3 seed 103000): Spark infers
+# `group_key IS NOT NULL` from the downstream equi/inequality self-join and
+# pushes it BELOW the moment aggregation, so the NULL-key group's (possibly
+# loud-overflowing) quantization is never evaluated; DuckDB computes the
+# never-joinable NULL group and raises on the same data. Make the exclusion
+# explicit in the oracle's moment CTE — output rows are identical either
+# way (a NULL key can never survive the join).
+ORACLES["events_outliers"] = ORACLES["events_outliers"].replace(
+    "FROM events) GROUP BY event_type",
+    "FROM events) WHERE event_type IS NOT NULL GROUP BY event_type")
+ORACLES["events_ab_ttest"] = ORACLES["events_ab_ttest"].replace(
+    "FROM events) GROUP BY event_type",
+    "FROM events) WHERE event_type IS NOT NULL GROUP BY event_type")
+ORACLES["events_outliers_seasonal"] = ORACLES["events_outliers_seasonal"].replace(
+    "FROM ev GROUP BY event_type, hh",
+    "FROM ev WHERE event_type IS NOT NULL AND hh IS NOT NULL "
+    "GROUP BY event_type, hh")

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clusterindices_spark.functions.aggregates import (
+    finite_or_null,
     SQL_ROUND6,
     exact_sum,
     sql_exact_sum,
@@ -82,7 +83,7 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample variance / stddev / correlation / covariance derived from
     exact decimal sums, plus exact interpolated median. Raw VAR_SAMP/CORR
     are float-order-dependent across engines; this formulation is not."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").withColumn("l_quantity", finite_or_null("l_quantity")).withColumn("l_discount", finite_or_null("l_discount"))
     dec = lambda c: F.col(c).cast("decimal(28,6)")  # noqa: E731
     agg = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
@@ -1129,7 +1130,7 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ALGORITHM equals the definition, not merely that two engines ran
     the same expressions. All arithmetic is exact integer cents/weights;
     the only float is the final cents/100 rendering."""
-    li = load_table(spark, sf_dir, "lineitem").select(
+    li = load_table(spark, sf_dir, "lineitem").withColumn("l_extendedprice", finite_or_null("l_extendedprice")).withColumn("l_quantity", finite_or_null("l_quantity")).select(
         F.col("l_returnflag").alias("rf"),
         F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
         .cast("bigint")
@@ -1225,7 +1226,7 @@ def q_agg_quantiles_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     count reaches the rank, over the full sorted CDF) — the gate
     certifies algorithm ≡ definition (the weighted-median contract)."""
     # quantiles are over NON-NULL values (oracle mirrors; r9 hostile edge)
-    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    ev = load_table(spark, sf_dir, "events").withColumn("value", finite_or_null("value")).where(F.col("value").isNotNull())
     vm = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("bigint")
     ex = ev.select(F.col("event_type").alias("et"), vm.alias("vm"))
     b = ex.withColumn(
@@ -1859,3 +1860,14 @@ SELECT p_partkey,
 FROM part WHERE p_partkey < 500
 """,
 }
+
+# fuzz wave-3 non-finite policy (see operators/analytics.py tail note):
+# quantized/decimal measure paths exclude NaN/Inf like NULLs, in both
+# engines, via finite_or_null on the Spark side and the * REPLACE
+# isfinite rewrite here.
+ORACLES["agg_stats"] = ORACLES["agg_stats"].replace(
+    "FROM lineitem", "FROM (SELECT * REPLACE ((CASE WHEN isfinite(l_quantity) THEN l_quantity END) AS l_quantity, (CASE WHEN isfinite(l_discount) THEN l_discount END) AS l_discount) FROM lineitem)")
+ORACLES["agg_weighted_median"] = ORACLES["agg_weighted_median"].replace(
+    "FROM lineitem", "FROM (SELECT * REPLACE ((CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END) AS l_extendedprice, (CASE WHEN isfinite(l_quantity) THEN l_quantity END) AS l_quantity) FROM lineitem)")
+ORACLES["agg_quantiles_bucketed"] = ORACLES["agg_quantiles_bucketed"].replace(
+    "FROM events", "FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events)")

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clusterindices_spark.functions.aggregates import (
+    finite_or_null,
     SQL_ROUND6,
     exact_sum,
     round6_stable,
@@ -273,7 +274,7 @@ def q_events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from clusterindices_spark.functions.aggregates import round6_stable
 
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").withColumn("value", finite_or_null("value"))
     first = e.groupBy("user_id").agg(
         F.min("ts").cast("date").alias("cohort")
     )
@@ -619,3 +620,10 @@ FROM (
 WHERE rn = 1
 """,
 }
+
+# fuzz wave-3 non-finite policy (see operators/analytics.py tail note):
+# quantized/decimal measure paths exclude NaN/Inf like NULLs, in both
+# engines, via finite_or_null on the Spark side and the * REPLACE
+# isfinite rewrite here.
+ORACLES["events_cohort_ltv"] = ORACLES["events_cohort_ltv"].replace(
+    "FROM events", "FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events)")

@@ -64,10 +64,10 @@ def q_join_salted_skew(spark, sf_dir: str):
     n_salts× (pick n_salts ≈ hot-key rows / target task rows), the big
     side never replicates, and the hottest user's rows land on 8 tasks
     instead of one."""
-    from clusterindices_spark.functions.aggregates import round6_stable
+    from clusterindices_spark.functions.aggregates import finite_or_null, round6_stable
     from clusterindices_spark.sources.fixtures import load_table
 
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").withColumn("value", finite_or_null("value"))
     dim = (
         e.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -117,3 +117,10 @@ FROM events e JOIN dim d USING (user_id)
 GROUP BY e.event_type, d.tier
 """,
 }
+
+# fuzz wave-3 non-finite policy (see operators/analytics.py tail note):
+# quantized/decimal measure paths exclude NaN/Inf like NULLs, in both
+# engines, via finite_or_null on the Spark side and the * REPLACE
+# isfinite rewrite here.
+ORACLES["join_salted_skew"] = ORACLES["join_salted_skew"].replace(
+    "FROM events", "FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events)")

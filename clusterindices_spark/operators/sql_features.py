@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from clusterindices_spark.functions.aggregates import finite_or_null
+
 from clusterindices_spark.sources.fixtures import load_table
 
 _RECURSIVE_MONTHS_SPARK = """
@@ -106,7 +108,7 @@ def q_sql_udf_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
     UDF it costs nothing and stays inside whole-stage codegen; this is the
     sanctioned way to share scalar business logic across queries. The
     oracle inlines the same expression by hand."""
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+    load_table(spark, sf_dir, "lineitem").withColumn("l_extendedprice", finite_or_null("l_extendedprice")).withColumn("l_discount", finite_or_null("l_discount")).createOrReplaceTempView(
         "lineitem_udf"
     )
     spark.sql(
@@ -441,3 +443,10 @@ SELECT o_orderkey,
 FROM orders
 """,
 }
+
+# fuzz wave-3 non-finite policy (see operators/analytics.py tail note):
+# quantized/decimal measure paths exclude NaN/Inf like NULLs, in both
+# engines, via finite_or_null on the Spark side and the * REPLACE
+# isfinite rewrite here.
+ORACLES["sql_udf_inline"] = ORACLES["sql_udf_inline"].replace(
+    "FROM lineitem", "FROM (SELECT * REPLACE ((CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END) AS l_extendedprice, (CASE WHEN isfinite(l_discount) THEN l_discount END) AS l_discount) FROM lineitem)")

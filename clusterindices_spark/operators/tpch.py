@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from clusterindices_spark.functions.aggregates import (
+    finite_or_null,
     exact_avg,
     exact_sum,
     sql_exact_avg,
@@ -569,7 +570,7 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     one region vs a scalar fraction of the regional total — the classic
     HAVING-over-scalar-subquery shape; the scalar folds to a one-row
     broadcast so the plan stays a single fact-scale shuffle."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").withColumn("l_extendedprice", finite_or_null("l_extendedprice")).withColumn("l_quantity", finite_or_null("l_quantity"))
     ps = _derived_partsupp(li)
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
@@ -674,7 +675,7 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantity for the (part, supplier) pair exceeding half the part's total
     H1-1996 shipments). Two windowed aggregates over the same fact, joined
     on partkey, semi-joined back to suppliers — dims broadcast."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").withColumn("l_quantity", finite_or_null("l_quantity"))
     half = (
         li.where(
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -1117,3 +1118,12 @@ WHERE p_brand = 'Brand#3'
   )
 """,
 }
+
+# fuzz wave-3 non-finite policy (see operators/analytics.py tail note):
+# quantized/decimal measure paths exclude NaN/Inf like NULLs, in both
+# engines, via finite_or_null on the Spark side and the * REPLACE
+# isfinite rewrite here.
+ORACLES["tpch_q11"] = ORACLES["tpch_q11"].replace(
+    "FROM lineitem", "FROM (SELECT * REPLACE ((CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END) AS l_extendedprice, (CASE WHEN isfinite(l_quantity) THEN l_quantity END) AS l_quantity) FROM lineitem)")
+ORACLES["tpch_q20"] = ORACLES["tpch_q20"].replace(
+    "FROM lineitem", "FROM (SELECT * REPLACE ((CASE WHEN isfinite(l_quantity) THEN l_quantity END) AS l_quantity) FROM lineitem)")

@@ -535,6 +535,91 @@ def gen_scale(out: str) -> None:
             _write(out, t, {f.name: [] for f in _schema(t)})
 
 
+def gen_scale10m(out: str) -> None:
+    """Events-only hostile arm at >=10M rows (VERDICT r10 item 4): the
+    sort-heavy user-partitioned window/lag family (lifecycle, cusum,
+    interval_merge, gap_stats, fill_forward, sessionization, keyed dedup)
+    under a 5M-row SINGLE-USER hot key — one window partition holding half
+    the table, the spill/sort regime the 1M gate can't reach. Vectorized
+    numpy generation (a Python row loop at 10M rows costs minutes).
+
+    Structure (deterministic, index formulas):
+    - 50% of rows: user 0, timestamps marching second-by-second through
+      Jan 2024 with duplicate-second tie blocks every 7th row — one
+      5M-row window partition with heavy ordering ties.
+    - 10% NULL-ts flood, 10% NULL-user flood (both across all types).
+    - 30% background: 2000 normal users across the month.
+    - values: NULL every 17th, negative every 23rd, else small rationals;
+      props: NULL every 13th, malformed '{' every 29th;
+      event ids: last 20k straddle 2^53.
+    Only events is populated; the other 9 tables are schema-correct
+    empties so the gate's DuckDB views resolve."""
+    import numpy as np
+
+    ne = int(os.environ.get("HS10_EVENTS", "10000000"))
+    i = np.arange(ne, dtype=np.int64)
+    eid = np.where(i < ne - 20_000, i + 1, P53 - 10_000 + (i - (ne - 20_000)))
+    m = i % 10
+
+    base_ms = np.int64(1_704_067_200_000)  # 2024-01-01T00:00:00Z
+    month_s = 28 * 86_400
+    # hot user: consecutive seconds, every 7th row repeats the previous
+    # second (tie blocks inside the 5M-row partition)
+    hot_sec = (i // 2) % month_s
+    hot_sec = np.maximum(hot_sec - (i % 7 == 0).astype(np.int64), 0)
+    # background: 2000 users, scattered
+    bg_sec = (i * 7919) % month_s
+    sec = np.where(m < 5, hot_sec, bg_sec)
+    # hot pairs share identical ms (exact (user, ts) ties through every
+    # ordered window); background keeps sub-second spread
+    ms = np.where(m < 5, (i - (i % 2)) % 1000, i % 1000)
+    ts_ms = base_ms + sec * 1000 + ms
+    ts_null = (m == 5) | (m == 6)
+
+    user = np.where(m < 5, 0, 1 + (i % 2000))
+    user_null = m == 7
+
+    types = np.array(["view", "click", "purchase", "error", "signup"])
+    etype = types[(i % 5).astype(np.int64)]
+    etype = np.where(m < 5, types[(i % 2).astype(np.int64)], etype)
+
+    val = np.where(i % 23 == 0, -50.0, (i % 100) / 4.0)
+    val_null = i % 17 == 0
+
+    schema = _schema("events")
+    # int64→timestamp cast interprets the integer IN the target unit —
+    # scale ms to whatever unit the mirrored schema carries (us or ns)
+    unit_mult = {"s": 1, "ms": 1, "us": 1_000, "ns": 1_000_000}[
+        schema.field("ts").type.unit]
+    ts_arr = pa.array(
+        (ts_ms * unit_mult).astype("int64"), mask=ts_null, type=pa.int64()
+    ).cast(schema.field("ts").type)
+    props = np.where(
+        i % 29 == 0, "{", np.char.add(
+            np.char.add('{"k": ', (i % 9).astype(str)), "}")
+    )
+    tbl = pa.Table.from_arrays(
+        [
+            pa.array(eid),
+            ts_arr,
+            pa.array(user, mask=user_null, type=pa.int64()),
+            pa.array(etype.astype(object), type=schema.field("event_type").type),
+            pa.array(val, mask=val_null, type=pa.float64()),
+            pa.array(
+                props.astype(object),
+                mask=i % 13 == 0,
+                type=schema.field("props").type,
+            ),
+        ],
+        schema=schema,
+    )
+    os.makedirs(out, exist_ok=True)
+    pq.write_table(tbl, f"{out}/events.parquet")
+    for t in TABLES:
+        if t != "events":
+            _write(out, t, {f.name: [] for f in _schema(t)})
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/hostile")
@@ -542,10 +627,17 @@ def main() -> None:
         "--scale", action="store_true",
         help="also write the >=1M-row scale variant (HS_DOCS/HS_VECS)",
     )
+    ap.add_argument(
+        "--scale10m", action="store_true",
+        help="also write the >=10M-row events window-family arm "
+             "(HS10_EVENTS)",
+    )
     args = ap.parse_args()
     gens = [("empty", gen_empty), ("edge", gen_edge), ("bigid", gen_bigid)]
     if args.scale:
         gens.append(("scale", gen_scale))
+    if args.scale10m:
+        gens.append(("scale10m", gen_scale10m))
     for name, fn in gens:
         d = os.path.join(args.out, name)
         fn(d)
