@@ -1080,7 +1080,7 @@ def q_analytics_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot flip on a cross-engine last-ulp difference."""
     from clusterindices_spark.functions.aggregates import round6_stable
 
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").withColumn("o_totalprice", finite_or_null("o_totalprice"))
     cust = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
@@ -3242,3 +3242,9 @@ ORACLES["events_outliers_seasonal"] = ORACLES["events_outliers_seasonal"].replac
     "FROM ev GROUP BY event_type, hh",
     "FROM ev WHERE event_type IS NOT NULL AND hh IS NOT NULL "
     "GROUP BY event_type, hh")
+
+# fuzz wave-3 non-finite policy (see operators/analytics.py tail note):
+# o_totalprice consumers below quantize/decimal-sum the measure; both
+# engines exclude NaN/Inf like NULLs.
+ORACLES["analytics_rfm"] = ORACLES["analytics_rfm"].replace(
+    "FROM orders", "FROM (SELECT * REPLACE ((CASE WHEN isfinite(o_totalprice) THEN o_totalprice END) AS o_totalprice) FROM orders)")

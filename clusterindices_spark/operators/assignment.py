@@ -164,8 +164,12 @@ def external_agreement(cont: DataFrame) -> DataFrame:
     )
     j = cells.join(F.broadcast(rows_m)).join(F.broadcast(cols_m))
     n = F.col("n_points").cast("double")
+    # nullif: a 1-point corpus (fuzz wave-3 one:embeddings) makes the pair
+    # denominator 0 — ANSI Spark raises where DuckDB's x/0 is NULL; the
+    # degenerate contract is NULL indices, matching the oracle
     exp_idx = (
-        F.col("pr").cast("double") * F.col("pl").cast("double") / (n * (n - 1) / 2)
+        F.col("pr").cast("double") * F.col("pl").cast("double")
+        / F.nullif(n * (n - 1) / 2, F.lit(0.0))
     )
     max_idx = (F.col("pr") + F.col("pl")).cast("double") / 2
     mi = (F.col("nln_c") - F.col("nln_r") - F.col("nln_l")) / n + F.log(n)

@@ -24,6 +24,7 @@ from clusterindices_spark.functions.aggregates import (
     sql_exact_sum,
 )
 from clusterindices_spark.functions.text import fold_upper
+from clusterindices_spark.functions.aggregates import finite_or_null
 from clusterindices_spark.sources.fixtures import load_table
 
 # ---------------------------------------------------------------------------
@@ -269,7 +270,7 @@ def q_agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANSI FILTER-clause aggregates: per-group conditional counts/sums
     without CASE noise — one scan, every FILTER folds into the same
     partial+final hash agg."""
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_fc")
+    load_table(spark, sf_dir, "orders").withColumn("o_totalprice", finite_or_null("o_totalprice")).createOrReplaceTempView("orders_fc")
     return spark.sql(
         """
         SELECT o_orderpriority,
@@ -355,7 +356,7 @@ def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running revenue per customer + lag/lead, explicit ROWS frame. The
     running sum uses the decimal pattern inside the frame so the cumulative
     value is exact at every row."""
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").withColumn("o_totalprice", finite_or_null("o_totalprice"))
     # asc_nulls_last: DuckDB window ORDER BY defaults NULLS LAST (r9)
     order_w = Window.partitionBy("o_custkey").orderBy(
         F.asc_nulls_last("o_orderdate"), "o_orderkey"
@@ -720,3 +721,11 @@ SELECT event_id,
 FROM events
 """,
 }
+
+# fuzz wave-3 non-finite policy (see operators/analytics.py tail note):
+# o_totalprice consumers below quantize/decimal-sum the measure; both
+# engines exclude NaN/Inf like NULLs.
+ORACLES["agg_filter_clause"] = ORACLES["agg_filter_clause"].replace(
+    "FROM orders", "FROM (SELECT * REPLACE ((CASE WHEN isfinite(o_totalprice) THEN o_totalprice END) AS o_totalprice) FROM orders)")
+ORACLES["window_frame"] = ORACLES["window_frame"].replace(
+    "FROM orders", "FROM (SELECT * REPLACE ((CASE WHEN isfinite(o_totalprice) THEN o_totalprice END) AS o_totalprice) FROM orders)")

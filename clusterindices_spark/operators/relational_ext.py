@@ -413,7 +413,7 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-based RANGE frame: per customer, revenue of all orders within
     the 30 days preceding each order (inclusive). Ordered on epoch days so
     both engines share exact numeric frame semantics."""
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").withColumn("o_totalprice", finite_or_null("o_totalprice"))
     day = F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("bigint")
     w = (
         Window.partitionBy("o_custkey")
@@ -519,7 +519,7 @@ def q_agg_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     refresh costs O(|delta|), never O(|base|); the base_mv branch here
     stands in for the stored MV table a real deployment would read.
     """
-    o = load_table(spark, sf_dir, "orders").select(
+    o = load_table(spark, sf_dir, "orders").withColumn("o_totalprice", finite_or_null("o_totalprice")).select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
     dec = F.col("o_totalprice").cast("decimal(18,6)")
@@ -812,7 +812,7 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     must survive), COUNT(*) vs COUNT(col), null-skipping SUM/AVG, COALESCE,
     and a null-safe-equality self-join (Spark eqNullSafe ≡ SQL IS NOT
     DISTINCT FROM) counted per group on a bounded slice."""
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").withColumn("o_totalprice", finite_or_null("o_totalprice"))
     k = F.nullif(F.col("o_orderkey") % 7, F.lit(3))
     s = F.when(F.col("o_orderkey") % 5 == 0, F.lit(None)).otherwise(
         F.col("o_orderstatus")
@@ -1871,3 +1871,13 @@ ORACLES["agg_weighted_median"] = ORACLES["agg_weighted_median"].replace(
     "FROM lineitem", "FROM (SELECT * REPLACE ((CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END) AS l_extendedprice, (CASE WHEN isfinite(l_quantity) THEN l_quantity END) AS l_quantity) FROM lineitem)")
 ORACLES["agg_quantiles_bucketed"] = ORACLES["agg_quantiles_bucketed"].replace(
     "FROM events", "FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events)")
+
+# fuzz wave-3 non-finite policy (see operators/analytics.py tail note):
+# o_totalprice consumers below quantize/decimal-sum the measure; both
+# engines exclude NaN/Inf like NULLs.
+ORACLES["window_range_frame"] = ORACLES["window_range_frame"].replace(
+    "FROM orders", "FROM (SELECT * REPLACE ((CASE WHEN isfinite(o_totalprice) THEN o_totalprice END) AS o_totalprice) FROM orders)")
+ORACLES["agg_incremental_mv"] = ORACLES["agg_incremental_mv"].replace(
+    "FROM orders", "FROM (SELECT * REPLACE ((CASE WHEN isfinite(o_totalprice) THEN o_totalprice END) AS o_totalprice) FROM orders)")
+ORACLES["null_semantics"] = ORACLES["null_semantics"].replace(
+    "FROM orders", "FROM (SELECT * REPLACE ((CASE WHEN isfinite(o_totalprice) THEN o_totalprice END) AS o_totalprice) FROM orders)")

@@ -50,7 +50,7 @@ GROUP BY m
 
 
 def q_sql_recursive_months(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "orders").withColumn("o_totalprice", finite_or_null("o_totalprice")).createOrReplaceTempView("orders")
     return spark.sql(_RECURSIVE_MONTHS_SPARK)
 
 
@@ -167,7 +167,7 @@ def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads top-to-bottom instead of inside-out. Same Catalyst plan as the
     ANSI equivalent (the oracle IS that equivalent, so the gate pins the
     two forms produce identical results). Scan + one partial-agg shuffle."""
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_pipe")
+    load_table(spark, sf_dir, "orders").withColumn("o_totalprice", finite_or_null("o_totalprice")).createOrReplaceTempView("orders_pipe")
     return spark.sql(
         """
         FROM orders_pipe
@@ -450,3 +450,13 @@ FROM orders
 # isfinite rewrite here.
 ORACLES["sql_udf_inline"] = ORACLES["sql_udf_inline"].replace(
     "FROM lineitem", "FROM (SELECT * REPLACE ((CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END) AS l_extendedprice, (CASE WHEN isfinite(l_discount) THEN l_discount END) AS l_discount) FROM lineitem)")
+
+# fuzz wave-3 non-finite policy (see operators/analytics.py tail note):
+# o_totalprice consumers below quantize/decimal-sum the measure; both
+# engines exclude NaN/Inf like NULLs.
+ORACLES["sql_pipe_syntax"] = ORACLES["sql_pipe_syntax"].replace(
+    "FROM orders", "FROM (SELECT * REPLACE ((CASE WHEN isfinite(o_totalprice) THEN o_totalprice END) AS o_totalprice) FROM orders)")
+ORACLES["sql_recursive_months"] = ORACLES["sql_recursive_months"].replace(
+    "LEFT JOIN orders",
+    "LEFT JOIN (SELECT * REPLACE ((CASE WHEN isfinite(o_totalprice) "
+    "THEN o_totalprice END) AS o_totalprice) FROM orders) orders")

@@ -57,12 +57,16 @@ def kmeans_sweep(
         .withColumn("fv", array_to_vector("x"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    if pts.count() == 0:  # empty corpus: no K can be fit (r9 hostile gate)
+    # cap K at the point count: MLlib refuses k > n fits (a 1-row corpus —
+    # fuzz wave-3 one:embeddings — crashed every sweep); an empty candidate
+    # range degrades to the empty frame like the r9 empty-corpus guard
+    n_pts = pts.count()
+    if n_pts < k_min:
         pts.unpersist()
         return spark.createDataFrame([], _SWEEP_SCHEMA)
     results = []
     try:
-        for k in range(k_min, k_max + 1):
+        for k in range(k_min, min(k_max, n_pts) + 1):
             t0 = time.monotonic()
             model = KMeans(
                 k=k, seed=seed, maxIter=max_iter, featuresCol="fv"
@@ -228,9 +232,14 @@ def clusterer_sweep(
         .withColumn("fv", array_to_vector("x"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    if pts.isEmpty():  # empty corpus: no K can be fit (r9 hostile gate)
+    # K capped at the point count (k > n fits refuse); GMM additionally
+    # needs >= 2 rows for its covariance. A too-small corpus (fuzz wave-3
+    # one:embeddings) degrades to the empty frame, like the r9 empty guard.
+    n_pts = pts.count()
+    if n_pts < k_min or (algo == "gmm" and n_pts < 2):
         pts.unpersist()
         return spark.createDataFrame([], _SWEEP_SCHEMA)
+    k_max = min(k_max, n_pts)
     if algo == "gmm":
         n_dim = len(pts.select("x").first()["x"])
         if n_dim > gmm_pca_dim:
@@ -354,7 +363,17 @@ def gap_statistic(
     pts = base.withColumn("fv", array_to_vector("x")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    pts.count()
+    # K capped at the point count (k > n fits refuse — fuzz wave-3
+    # one:embeddings); an empty candidate range yields the empty frame
+    n_pts = pts.count()
+    k_max = min(k_max, n_pts)
+    if k_max < k_min:
+        pts.unpersist()
+        return spark.createDataFrame(
+            [],
+            "k INT, log_w DOUBLE, exp_log_w_ref DOUBLE, gap DOUBLE, "
+            "sd_ref DOUBLE, pick INT",
+        )
 
     def _ref(b: int) -> DataFrame:
         # u01(vec_id, dim, b) = pmod(xxhash64(...), 2^20) / 2^20 — pure

@@ -69,6 +69,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from clusterindices_spark.functions.aggregates import finite_or_null
+
 
 def _manifest_dir(root: str) -> str:
     return os.path.join(root, "_manifests")
@@ -455,7 +457,7 @@ def q_versioned_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from clusterindices_spark.sources.fixtures import load_table
 
-    o = load_table(spark, sf_dir, "orders").select(
+    o = load_table(spark, sf_dir, "orders").withColumn("o_totalprice", finite_or_null("o_totalprice")).select(
         F.col("o_orderkey").alias("k"),
         F.col("o_orderstatus").alias("status"),
         F.col("o_totalprice").alias("price"),
@@ -496,7 +498,7 @@ def q_versioned_mor_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from clusterindices_spark.sources.fixtures import load_table
 
-    o = load_table(spark, sf_dir, "orders").select(
+    o = load_table(spark, sf_dir, "orders").withColumn("o_totalprice", finite_or_null("o_totalprice")).select(
         F.col("o_orderkey").alias("k"),
         F.col("o_orderstatus").alias("status"),
         F.col("o_totalprice").alias("price"),
@@ -695,3 +697,11 @@ after2 AS (
 SELECT k, status, floor(price * 100.0 + 0.5) / 100.0 AS price FROM after2
 """,
 }
+
+# fuzz wave-3 non-finite policy (see operators/analytics.py tail note):
+# o_totalprice consumers below quantize/decimal-sum the measure; both
+# engines exclude NaN/Inf like NULLs.
+ORACLES["versioned_merge_snapshot"] = ORACLES["versioned_merge_snapshot"].replace(
+    "FROM orders", "FROM (SELECT * REPLACE ((CASE WHEN isfinite(o_totalprice) THEN o_totalprice END) AS o_totalprice) FROM orders)")
+ORACLES["versioned_mor_snapshot"] = ORACLES["versioned_mor_snapshot"].replace(
+    "FROM orders", "FROM (SELECT * REPLACE ((CASE WHEN isfinite(o_totalprice) THEN o_totalprice END) AS o_totalprice) FROM orders)")

@@ -214,7 +214,11 @@ def stateful_user_stats_stream(events: DataFrame, watermark: str = "30 minutes")
         for pdf in pdf_iter:
             n += len(pdf)
             s += float(pdf["value"].sum())
-            mx = max(mx, int(pdf["ts"].astype("int64").max() // 1_000_000))
+            # NaT → int64 is INT_MIN garbage; max over the non-null subset
+            # only (hostile/fuzz streams carry NULL-ts rows)
+            ts_ok = pdf["ts"].dropna()
+            if len(ts_ok):
+                mx = max(mx, int(ts_ok.astype("int64").max() // 1_000_000))
         state.update((n, s, mx))
         yield pd.DataFrame(
             {
@@ -411,13 +415,28 @@ def funnel_state_stream(events: DataFrame, watermark: str = "30 minutes") -> Dat
         # the // 1_000_000 ms conversion below is only correct for ns
         # input — guard against a pandas/Arrow version delivering µs
         assert str(ev["ts"].dtype).startswith("datetime64[ns"), ev["ts"].dtype
+        # stream ≡ batch on hostile keys/timestamps (funnel_of semantics):
+        # - a NULL-ts view counts the user as viewed but blocks progression
+        #   (batch: min(ts) skips NULLs → t_view NULL → ts > NULL joins
+        #   nothing); sentinel v = -1 = "viewed, time unknown".
+        # - NULL-ts clicks/purchases never advance (ts > t_prev is NULL).
+        # - a NULL user_id group can reach stage 1 only (batch: the click
+        #   equi-join on user_id never matches NULL).
+        null_key = key[0] is None
+        nat = ev["ts"].isna()
+        if nat.any() and (ev.loc[nat, "event_type"] == "view").any():
+            if v == 0:
+                v = -1
+        ev = ev[~nat]
         for ts, typ in zip(ev["ts"].astype("int64"), ev["event_type"]):
             t = int(ts)  # ns since epoch from pandas; keep units consistent
-            if typ == "view" and (v == 0 or t < v):
+            if typ == "view" and (v <= 0 or t < v):
                 v = t
-            elif typ == "click" and v and t > v and (c == 0 or t < c):
+            elif null_key:
+                continue
+            elif typ == "click" and v > 0 and t > v and (c == 0 or t < c):
                 c = t
-            elif typ == "purchase" and c and t > c and (p == 0 or t < p):
+            elif typ == "purchase" and c > 0 and t > c and (p == 0 or t < p):
                 p = t
         state.update((v, c, p))
         stage = 3 if p else 2 if c else 1 if v else 0
@@ -475,8 +494,13 @@ def anomaly_state_stream(events: DataFrame, watermark: str = "30 minutes") -> Da
         for pdf in frames:
             v = pdf["value"].to_numpy(dtype="float64")
             n += len(v)
-            s1 += int(np.floor(v * 1e6 + 0.5).astype("int64").sum())
-            s2 += int(np.floor(v * v * 1e6 + 0.5).astype("int64").sum())
+            # batch-twin parity on hostile values: NULL (NaN here) and
+            # non-finite measures are excluded from the moment sums but
+            # counted in n — exactly q_events_outliers' COUNT(*) +
+            # SUM(micros-of-finite) after the wave-3 finite_or_null policy
+            vf = v[np.isfinite(v)]
+            s1 += int(np.floor(vf * 1e6 + 0.5).astype("int64").sum())
+            s2 += int(np.floor(vf * vf * 1e6 + 0.5).astype("int64").sum())
         state.update((n, s1, s2))
         mean = s1 / n / 1e6 if n else 0.0
         var = max(s2 / n / 1e6 - mean * mean, 0.0) if n else 0.0
@@ -484,6 +508,7 @@ def anomaly_state_stream(events: DataFrame, watermark: str = "30 minutes") -> Da
         if std > 0.0:
             for pdf in frames:
                 v = pdf["value"].to_numpy(dtype="float64")
+                v = v[np.isfinite(v)]  # NULL/non-finite can't be outliers
                 flags += int((np.abs(v - mean) > ANOMALY_Z * std).sum())
         yield pd.DataFrame(
             {
@@ -589,12 +614,24 @@ def cusum_state_stream(
         else:
             hours, cp, cpm, cn, cnm, n_al, max_ts = 0, 0, 0, 0, 0, 0, -1
             buf = {}
+        # defensive late-row horizon: rows targeting hours already closed
+        # under the PRE-batch cutoff are dropped — the engine does NOT
+        # late-filter rows ahead of applyInPandasWithState, so a heavily
+        # disordered replay would otherwise re-open (and double-finalize)
+        # a closed hour (stream gate r11, repartitioned replay). Mirrors
+        # the watermark the docstring assumed: cutoff lags one batch.
+        entry_cutoff = max_ts - delta_ms
         for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            pdf = pdf[pdf["ts"].notna()]  # NULL-ts rows carry no hour
             if not len(pdf):
                 continue
             ts_ms = pdf["ts"].to_numpy(dtype="datetime64[ms]").astype("int64")
             max_ts = max(max_ts, int(ts_ms.max()))
             for hr, c in pd.Series(ts_ms // 3_600_000).value_counts().items():
+                if (int(hr) + 1) * 3_600_000 <= entry_cutoff:
+                    continue  # beyond-horizon late row: dropped
                 buf[int(hr)] = buf.get(int(hr), 0) + int(c)
         # close every buffered hour the watermark has passed; process in
         # ascending hour order so the prefix sums see the true sequence
@@ -690,9 +727,13 @@ def bootstrap_state_stream(
             if not len(pdf):
                 continue
             ids = pdf["event_id"].to_numpy(dtype="int64")
-            vm = np.floor(
-                pdf["value"].to_numpy(dtype="float64") * 1e6 + 0.5
-            ).astype(np.int64)
+            # batch parity on hostile values: NULL/non-finite vm is 0 here
+            # ≡ the batch's SUM(w*vm) skipping NULL terms (w*0 adds the
+            # same nothing), and the actual-mean s1 likewise skips them
+            vals = pdf["value"].to_numpy(dtype="float64")
+            fin = np.isfinite(vals)
+            vm = np.zeros(len(vals), dtype=np.int64)
+            vm[fin] = np.floor(vals[fin] * 1e6 + 0.5).astype(np.int64)
             # mod-reduce ids first (mirrors the batch operator): keeps the
             # product ≤ 2.7e15 so int64 never wraps for any event_id
             u = (
@@ -837,6 +878,8 @@ def hourly_rollup_foreach_batch(
         latest_version,
     )
 
+    from clusterindices_spark.functions.aggregates import finite_or_null
+
     micros = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("bigint")  # noqa: E731
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -847,7 +890,9 @@ def hourly_rollup_foreach_batch(
                     F.floor(F.unix_millis(F.col("ts")) / F.lit(3_600_000))
                     * F.lit(3_600_000)
                 ).cast("bigint").alias("bucket_ms"),
-                micros(F.col("value")).alias("vm"),
+                # non-finite measures are missing (wave-3 policy — matches
+                # q_events_rollup_hierarchy's finite_or_null)
+                micros(finite_or_null(F.col("value"))).alias("vm"),
             )
             .groupBy("event_type", "bucket_ms")
             .agg(F.count(F.lit(1)).alias("n"), F.sum("vm").alias("svm"))

