@@ -49,112 +49,72 @@ _MODULES = [
     "clusterindices_spark.sql",
 ]
 
-# Round-10 driver-window priority (VERDICT r9 "Next round" #3 — rotate
-# mechanically from the r9 _NEXT queue). Exactly 50 keys: the 2 keys whose
-# OPERATORS changed in r10 (advice fixes: udf_cogrouped_asof's NULL-ts
-# as-of handling, curation_anneal_mixture's zero-token schedule) lead so
-# their latest driver rows postdate the fixes; then the remaining 44
-# r9-touched oracle-backed keys queued by r9's _NEXT (hostile-gate fix
-# paths — every one re-gated green at sf0.01+sf0.1 and through the
-# 846-cell sweep in r9); then 4 stalest stable greens (latest driver rows
-# from r2) to fill the window. The r10 similarity/pq advice fixes touch
-# only rows-only ANN keys (placeholder dim, fit-sample pmod), which never
-# burn driver slots — their guards are tests/test_r10_fixes.py.
+# Round-11 driver-window priority (VERDICT r10 "Next round" #3 — rotate
+# mechanically; r11-fixed operators' driver rows must postdate their fixes).
+# Exactly 50 keys: the 35 oracle-backed keys whose OPERATORS or shared
+# helpers changed in r11 — the 2 advice fixes (per-row projection dims,
+# bitwise pack contract), the 30 fuzz-wave-3 non-finite-policy keys, and
+# the 3 windowed-stream batch twins whose exact_sum became IEEE-special-
+# transparent — then 15 keys continuing the r10 _NEXT stalest-green
+# ladder. Rows-only keys never burn driver slots (derived sink in _load).
 _FRONT = [
-    # r10-fixed operators — driver rows must postdate the fixes
-    "udf_cogrouped_asof",       # NULL-ts click/purchase as-of semantics
-    "curation_anneal_mixture",  # zero-token NULL schedule parity
-    # the 44 remaining r9-touched oracle-backed keys (r9 _NEXT order)
-    "dedup_chunk_exact",        # NULL-source group fix + plan change
-    "scalar_struct",            # BIGINT keys + NULL-balance MAX
-    "scalar_json",
-    "scalar_map",
-    "scalar_math",              # ln/sqrt domain guards
-    "scalar_array_set",
-    "scalar_url_parse",
-    "window_frame",
-    "window_distribution",
-    "agg_stats",
-    "agg_equidepth_histogram",
-    "agg_quantiles_bucketed",
-    "scd2_status_intervals",
+    "embedding_random_projection",
+    "scalar_bitwise",
     "events_ewma_smooth",
     "events_rolling_zscore",
-    "events_changepoint_loc",
-    "events_survival_km",
-    "events_cuped",             # tightened aggregate bound (doc-only)
+    "events_cuped",
+    "events_power_mde",
+    "events_outliers",
+    "events_outliers_seasonal",
+    "events_diff_in_diff",
+    "events_ab_ttest",
+    "events_bootstrap_ci",
+    "events_attribution_linear",
+    "events_rollup_hierarchy",
+    "events_cohort_ltv",
+    "agg_stats",
+    "agg_quantiles_bucketed",
+    "agg_weighted_median",
+    "join_salted_skew",
+    "tpch_q11",
+    "tpch_q20",
+    "sql_udf_inline",
+    "window_frame",
+    "window_range_frame",
+    "agg_incremental_mv",
+    "null_semantics",
+    "agg_filter_clause",
+    "sql_pipe_syntax",
+    "sql_recursive_months",
+    "analytics_rfm",
+    "versioned_merge_snapshot",
+    "versioned_mor_snapshot",
+    "cluster_external_agreement",
     "stream_tumbling_agg",
     "stream_sliding_agg",
-    "tpch_q9",
-    "curation_mixture_interleave",
-    "udtf_sentences",
-    "udf_scalar_cosine",
-    "text_scrub_blocklist",
-    "embedding_normalize",
-    "embedding_quantize_int8",
-    "embedding_random_projection",
-    "embedding_dim_covariance",
-    "assign_nearest_centroid",
-    "cluster_label_contingency",
-    "cluster_chi2",
-    "cluster_external_agreement",
-    "cluster_agreement_ext",
-    "ratkowsky_lance",
-    "c_index",
-    "pair_validity",
-    "dedup_graph_pagerank",
-    "text_bpe_train_merges",
-    "multimodal_meta",
-    "multimodal_bytes_arrow",
-    "multimodal_audio_window",
-    "multimodal_audio_fingerprint",
-    "multimodal_type_routing",
-    # stalest stable greens (latest driver rows r2) — window fill
-    "bd_dunn",
-    "davies_bouldin",
-    "wssse",
-    "calinski_harabasz",
-]
-
-# Immediately after the 50-slot window: the r11 rotation queue. Round 10
-# added no keys (VERDICT r9 #7: gap-closers only), so _NEXT continues the
-# stalest-green re-confirmation ladder — oracle-backed keys whose latest
-# driver rows date to r2, oldest first (derived from CORRECTNESS_r01–r09
-# latest-round-per-key). Any r10half/r11 operator fix should be PREPENDED
-# here so its post-fix driver row lands in the next window.
-_NEXT: list[str] = [
-    # r10½ randomized-fuzz-gate fixes (tools/fuzz_gate.py seed 101001:
-    # NULL group keys, pmod-vs-% oracles, engine error asymmetries,
-    # fold_upper, CSV NULL sentinel) — post-fix driver rows first in the
-    # r11 window; gate-SF outputs are bit-equal (well-formed fixtures)
-    # but the discipline stands. udf_cogrouped_asof, scalar_url_parse,
-    # embedding_random_projection, multimodal_type_routing already sit
-    # in _FRONT, so their post-fix rows land this round.
-    "agg_incremental_mv",
-    "agg_weighted_median",
+    "stream_session_windows",
     "agg_bool_modal",
     "curation_pack_greedy",
     "curation_sample_weighted",
     "curation_waterfill_budget",
     "curation_source_lang_mix",
-    "join_salted_skew",
-    "scalar_bitwise",
     "scalar_string",
     "source_csv_roundtrip",
     "multimodal_decode_real",
     "multimodal_audio_silence",
-    # nine late-r10 NULL-semantics fixes (hostile edge detectors) —
-    # post-fix driver rows first in the r11 window; gate-SF outputs are
-    # bit-equal (NULL-free fixtures) but the discipline stands.
-    # agg_quantiles_bucketed (the tenth) already sits in _FRONT.
     "events_path_trigrams",
-    "events_power_mde",
     "stream_dedup",
     "window_fill_forward",
-    "stream_session_windows",
     "events_user_lifecycle",
     "events_cusum",
     "window_interval_merge",
+]
+
+# Immediately after the 50-slot window: the r12 rotation queue — the
+# remainder of the r10 ladder (r11 consumed its head into _FRONT). Any
+# r11½/r12 operator fix should be PREPENDED here so its post-fix driver
+# row lands in the next window.
+_NEXT: list[str] = [
     "xie_beni",
     "silhouette_sqeuclid",
     "index_suite_ext",
@@ -170,22 +130,17 @@ _NEXT: list[str] = [
     "stream_join_clicks",
     "events_retention",
     "curation_split",
-    # curation_pack_greedy moved to the r10½ fuzz-fix head above
     "curation_pipeline",
     "curation_sample_stratified",
     "curation_sample_topk",
     "profile_orders",
     "events_histogram",
-    "events_outliers",
     "events_outliers_mad",
     "tpch_q2",
     "tpch_q8",
-    "tpch_q11",
     "tpch_q12",
     "tpch_q16",
-    "tpch_q20",
     "tpch_q21",
-    "null_semantics",
     "join_interval_binned",
     "merge_upsert_cdc",
     "agg_cube",
@@ -195,7 +150,6 @@ _NEXT: list[str] = [
     "cond_expr",
     "distinct_latest",
     "string_distance",
-    "window_range_frame",
     "join_full_outer",
     "join_range",
 ]

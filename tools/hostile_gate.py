@@ -239,6 +239,22 @@ SCALE_KEYS = [
 ]
 
 
+# The >=10M-row events arm (VERDICT r10 item 4): ONLY the sort-heavy
+# user-partitioned window/lag family — a 5M-row single-user partition is
+# the spill/sort regime the 1M gate can't reach; everything else gains
+# nothing from more events rows.
+SCALE10M_KEYS = [
+    "events_user_lifecycle",
+    "events_cusum",
+    "window_interval_merge",
+    "window_fill_forward",
+    "events_gap_stats",
+    "stream_dedup",
+    "stream_session_windows",
+    "udf_cogrouped_asof",
+]
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="/tmp/hostile")
@@ -256,6 +272,8 @@ def main() -> int:
     keys = args.keys
     if not keys and variants == ["scale"]:
         keys = SCALE_KEYS
+    if not keys and variants == ["scale10m"]:
+        keys = SCALE10M_KEYS
     try:
         results = run_gate(variants, keys, args.root)
     except Exception:
