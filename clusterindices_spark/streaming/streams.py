@@ -422,7 +422,9 @@ def funnel_state_stream(events: DataFrame, watermark: str = "30 minutes") -> Dat
         # - NULL-ts clicks/purchases never advance (ts > t_prev is NULL).
         # - a NULL user_id group can reach stage 1 only (batch: the click
         #   equi-join on user_id never matches NULL).
-        null_key = key[0] is None
+        # the NULL group key arrives as None OR NaN depending on the Arrow
+        # conversion path — pd.isna covers both
+        null_key = key[0] is None or pd.isna(key[0])
         nat = ev["ts"].isna()
         if nat.any() and (ev.loc[nat, "event_type"] == "view").any():
             if v == 0:
