@@ -19,6 +19,12 @@ ROUND-CLOSE CHECKLIST (run before the end-of-round commit):
   4b. python tools/hostile_fixtures.py --scale   # >=1M-row hostile distribution
       python tools/hostile_gate.py --variants scale \
         --report reports/hostile_gate_scale.md   # shuffle-heavy family diff'd at scale
+  4c. python tools/hostile_fixtures.py --scale10m
+      python tools/hostile_gate.py --variants scale10m \
+        --report reports/hostile_gate_scale10m.md  # >=10M events window/lag arm
+  4d. python tools/fuzz_gate.py --trials 3 --base-seed <fresh>  # fuzz spot-check
+  4e. python tools/stream_gate.py --seeds <fresh>,<fresh>       # stream≡batch
+  4f. python tools/soak_gate.py                  # 2-pass session soak, bounded caches
   5. python tools/int64_audit.py                 # 0 HIGH unexplained, 0 unpinned LOW
   6. python tools/lint_refs.py                   # no dangling file references
   7. python bench.py                             # recall floors + JSON line

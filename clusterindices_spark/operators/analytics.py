@@ -899,7 +899,7 @@ def q_events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram of event values: bucket = clamped
     floor((x-lo)/width); emits bucket bounds and counts."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").withColumn("value", finite_or_null("value"))
     width = (HIST_HI - HIST_LO) / HIST_BINS
     raw = F.floor((F.col("value") - F.lit(HIST_LO)) / F.lit(width))
     bucket = F.least(
@@ -1035,7 +1035,7 @@ def q_events_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     each folding to ≤ |event_type| rows that broadcast back over the scan —
     same no-wide-shuffle posture as the z-score pass, one extra pass for
     the second median."""
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = load_table(spark, sf_dir, "events").withColumn("value", finite_or_null("value")).select(
         "event_id", "event_type", "value"
     )
     med = ev.groupBy("event_type").agg(
@@ -3248,3 +3248,15 @@ ORACLES["events_outliers_seasonal"] = ORACLES["events_outliers_seasonal"].replac
 # engines exclude NaN/Inf like NULLs.
 ORACLES["analytics_rfm"] = ORACLES["analytics_rfm"].replace(
     "FROM orders", "FROM (SELECT * REPLACE ((CASE WHEN isfinite(o_totalprice) THEN o_totalprice END) AS o_totalprice) FROM orders)")
+
+# fuzz wave-3 non-finite policy, batch 3 (seeds 103003/103004): beyond the
+# quantized-sum class, THRESHOLD COMPARISONS on measure doubles are also
+# non-finite-hostile — Spark's parquet filter pushdown silently DROPS NaN
+# rows for `>` predicates while its in-memory evaluator KEEPS them (probed:
+# same where() returns [] pushed vs [NaN rows] with filterPushdown=false),
+# and DuckDB keeps NaN (total order). finite_or_null makes NaN/Inf missing
+# on both sides, independent of which layer evaluates the predicate.
+ORACLES["events_histogram"] = ORACLES["events_histogram"].replace(
+    "FROM events", "FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events)")
+ORACLES["events_outliers_mad"] = ORACLES["events_outliers_mad"].replace(
+    "FROM events", "FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events)")

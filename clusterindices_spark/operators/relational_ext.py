@@ -186,7 +186,7 @@ def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IN / NOT IN subqueries (planned as semi/anti joins)."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_in")
-    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_in")
+    load_table(spark, sf_dir, "customer").withColumn("c_acctbal", finite_or_null("c_acctbal")).createOrReplaceTempView("customer_in")
     return spark.sql(
         """
         SELECT o_orderkey, 'rich_customer' AS bucket
@@ -308,13 +308,13 @@ def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-outer join: per-nation customer vs supplier presence, keeping
     nations that have only one side (null-filled counts)."""
     c = (
-        load_table(spark, sf_dir, "customer")
+        load_table(spark, sf_dir, "customer").withColumn("c_acctbal", finite_or_null("c_acctbal"))
         .where(F.col("c_acctbal") > 9000)
         .groupBy(F.col("c_nationkey").alias("nk"))
         .agg(F.count(F.lit(1)).alias("n_rich_cust"))
     )
     s = (
-        load_table(spark, sf_dir, "supplier")
+        load_table(spark, sf_dir, "supplier").withColumn("s_acctbal", finite_or_null("s_acctbal"))
         .where(F.col("s_acctbal") > 0)
         .groupBy(F.col("s_nationkey").alias("nk"))
         .agg(F.count(F.lit(1)).alias("n_supp"))
@@ -869,7 +869,7 @@ def q_agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile only on pre-aggregated or sampled inputs."""
     from clusterindices_spark.functions.aggregates import round6_stable
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").withColumn("value", finite_or_null("value"))
     ps = {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p90": 0.9, "p99": 0.99}
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -994,7 +994,7 @@ def q_scalar_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     JSON rendering. Output structs are serialized with to_json (the driver
     canonicalizer hashes scalar cells only); fields are INT/STRING so the
     JSON rendering is byte-identical across engines."""
-    c = load_table(spark, sf_dir, "customer")
+    c = load_table(spark, sf_dir, "customer").withColumn("c_acctbal", finite_or_null("c_acctbal"))
     s = F.struct(
         # BIGINT, not INT: snowflake-scale custkeys overflow an INT cast
         # with an ANSI error (r9 hostile bigid)
@@ -1881,3 +1881,21 @@ ORACLES["agg_incremental_mv"] = ORACLES["agg_incremental_mv"].replace(
     "FROM orders", "FROM (SELECT * REPLACE ((CASE WHEN isfinite(o_totalprice) THEN o_totalprice END) AS o_totalprice) FROM orders)")
 ORACLES["null_semantics"] = ORACLES["null_semantics"].replace(
     "FROM orders", "FROM (SELECT * REPLACE ((CASE WHEN isfinite(o_totalprice) THEN o_totalprice END) AS o_totalprice) FROM orders)")
+
+# fuzz wave-3 non-finite policy, batch 3 (seeds 103003/103004): beyond the
+# quantized-sum class, THRESHOLD COMPARISONS on measure doubles are also
+# non-finite-hostile — Spark's parquet filter pushdown silently DROPS NaN
+# rows for `>` predicates while its in-memory evaluator KEEPS them (probed:
+# same where() returns [] pushed vs [NaN rows] with filterPushdown=false),
+# and DuckDB keeps NaN (total order). finite_or_null makes NaN/Inf missing
+# on both sides, independent of which layer evaluates the predicate.
+ORACLES["subquery_in"] = ORACLES["subquery_in"].replace(
+    "FROM customer", "FROM (SELECT * REPLACE ((CASE WHEN isfinite(c_acctbal) THEN c_acctbal END) AS c_acctbal) FROM customer)")
+ORACLES["join_full_outer"] = ORACLES["join_full_outer"].replace(
+    "FROM customer", "FROM (SELECT * REPLACE ((CASE WHEN isfinite(c_acctbal) THEN c_acctbal END) AS c_acctbal) FROM customer)")
+ORACLES["join_full_outer"] = ORACLES["join_full_outer"].replace(
+    "FROM supplier", "FROM (SELECT * REPLACE ((CASE WHEN isfinite(s_acctbal) THEN s_acctbal END) AS s_acctbal) FROM supplier)")
+ORACLES["scalar_struct"] = ORACLES["scalar_struct"].replace(
+    "FROM customer", "FROM (SELECT * REPLACE ((CASE WHEN isfinite(c_acctbal) THEN c_acctbal END) AS c_acctbal) FROM customer)")
+ORACLES["agg_quantiles"] = ORACLES["agg_quantiles"].replace(
+    "FROM events", "FROM (SELECT * REPLACE ((CASE WHEN isfinite(value) THEN value END) AS value) FROM events)")

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from clusterindices_spark.functions.aggregates import finite_or_null
+
 from clusterindices_spark.sources.fixtures import load_table
 
 BLOOM_BITS = 1 << 14  # m: filter size in bits
@@ -102,7 +104,7 @@ def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange; at 100 TB that is the difference between shuffling the full
     fact table and shuffling ~selectivity of it."""
     o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer").where(
+    c = load_table(spark, sf_dir, "customer").withColumn("c_acctbal", finite_or_null("c_acctbal")).where(
         F.col("c_acctbal") > RICH_BAL
     )
     pre = bloom_prefilter(o, "o_custkey", c.select("c_custkey"), "c_custkey")
@@ -252,3 +254,15 @@ WHERE c_acctbal > {RICH_BAL}
     # text_heavy_hitters_cms: xxhash64 bucket layout is engine-specific →
     # rows-only; guarantees pinned in tests/test_sketches.py
 }
+
+# fuzz wave-3 non-finite policy, batch 3 (seeds 103003/103004): beyond the
+# quantized-sum class, THRESHOLD COMPARISONS on measure doubles are also
+# non-finite-hostile — Spark's parquet filter pushdown silently DROPS NaN
+# rows for `>` predicates while its in-memory evaluator KEEPS them (probed:
+# same where() returns [] pushed vs [NaN rows] with filterPushdown=false),
+# and DuckDB keeps NaN (total order). finite_or_null makes NaN/Inf missing
+# on both sides, independent of which layer evaluates the predicate.
+ORACLES["join_bloom_prefilter"] = ORACLES["join_bloom_prefilter"].replace(
+    "JOIN customer",
+    "JOIN (SELECT * REPLACE ((CASE WHEN isfinite(c_acctbal) "
+    "THEN c_acctbal END) AS c_acctbal) FROM customer) customer")

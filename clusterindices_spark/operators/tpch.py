@@ -155,7 +155,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Promotion effect: PROMO revenue share in a month. Two decimal sums →
     one scalar; part side broadcast."""
-    li = load_table(spark, sf_dir, "lineitem").where(
+    li = load_table(spark, sf_dir, "lineitem").withColumn("l_extendedprice", finite_or_null("l_extendedprice")).withColumn("l_discount", finite_or_null("l_discount")).where(
         (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
     )
@@ -1127,3 +1127,13 @@ ORACLES["tpch_q11"] = ORACLES["tpch_q11"].replace(
     "FROM lineitem", "FROM (SELECT * REPLACE ((CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END) AS l_extendedprice, (CASE WHEN isfinite(l_quantity) THEN l_quantity END) AS l_quantity) FROM lineitem)")
 ORACLES["tpch_q20"] = ORACLES["tpch_q20"].replace(
     "FROM lineitem", "FROM (SELECT * REPLACE ((CASE WHEN isfinite(l_quantity) THEN l_quantity END) AS l_quantity) FROM lineitem)")
+
+# fuzz wave-3 non-finite policy, batch 3 (seeds 103003/103004): beyond the
+# quantized-sum class, THRESHOLD COMPARISONS on measure doubles are also
+# non-finite-hostile — Spark's parquet filter pushdown silently DROPS NaN
+# rows for `>` predicates while its in-memory evaluator KEEPS them (probed:
+# same where() returns [] pushed vs [NaN rows] with filterPushdown=false),
+# and DuckDB keeps NaN (total order). finite_or_null makes NaN/Inf missing
+# on both sides, independent of which layer evaluates the predicate.
+ORACLES["tpch_q14"] = ORACLES["tpch_q14"].replace(
+    "FROM lineitem", "FROM (SELECT * REPLACE ((CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END) AS l_extendedprice, (CASE WHEN isfinite(l_discount) THEN l_discount END) AS l_discount) FROM lineitem)")

@@ -150,9 +150,10 @@ def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     stripe-parallel, identical posture to the parquet tables."""
     from pyspark.sql import functions as F
 
+    from clusterindices_spark.functions.aggregates import finite_or_null
     from clusterindices_spark.sources.fixtures import load_table
 
-    o = load_table(spark, sf_dir, "orders").where(
+    o = load_table(spark, sf_dir, "orders").withColumn("o_totalprice", finite_or_null("o_totalprice")).where(
         F.col("o_orderkey") % 7 == 0
     ).select("o_orderkey", "o_orderpriority", "o_totalprice")
     path = _roundtrip_path("orc", sf_dir)
@@ -299,3 +300,9 @@ FROM customer WHERE c_custkey % 5 = 0
 GROUP BY c_mktsegment
 """,
 }
+
+# fuzz wave-3 batch 3: non-finite prices are missing on both sides —
+# the pushed-down ORC/parquet `>` predicate silently drops NaN where the
+# in-memory evaluator keeps it (see relational_ext.py batch-3 note)
+ORACLES["source_orc_roundtrip"] = ORACLES["source_orc_roundtrip"].replace(
+    "FROM orders", "FROM (SELECT * REPLACE ((CASE WHEN isfinite(o_totalprice) THEN o_totalprice END) AS o_totalprice) FROM orders)")

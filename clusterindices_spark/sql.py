@@ -40,7 +40,14 @@ def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
 PORTABLE_DEMO_SQL = """
 SELECT n_name,
        COUNT(*) AS n_customers,
-       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 6)
+       ROUND(CAST(SUM(CAST(
+           -- portable finite filter (fuzz wave-3 batch 3): abs(x) <= DBL_MAX
+           -- is FALSE for NaN and ±Inf in BOTH engines (Spark sorts NaN
+           -- greatest; DuckDB total order), so non-finite balances are
+           -- missing on both sides without an engine-specific isfinite()
+           CASE WHEN abs(c_acctbal) <= 1.7976931348623157e308
+                THEN c_acctbal END
+         AS DECIMAL(18,6))) AS DOUBLE), 6)
          AS total_acctbal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey

@@ -40,6 +40,22 @@ CASES = {
         "tpch_q20",
         "sql_udf_inline",
     ],
+    # batch 3: threshold comparisons on measure doubles — Spark's parquet
+    # pushdown silently drops NaN rows for `>` where its in-memory
+    # evaluator keeps them (and DuckDB keeps them); plus more quantized
+    # consumers (histogram bins, MAD medians, interpolated quantiles)
+    103003: [
+        "scalar_struct",
+        "tpch_q14",
+        "agg_quantiles",
+        "source_orc_roundtrip",
+        "sql_interface",
+        "events_histogram",
+        "events_outliers_mad",
+        "join_bloom_prefilter",
+        "subquery_in",
+        "join_full_outer",
+    ],
     103002: [
         "window_frame",
         "window_range_frame",
