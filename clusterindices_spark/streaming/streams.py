@@ -501,8 +501,18 @@ def anomaly_state_stream(events: DataFrame, watermark: str = "30 minutes") -> Da
             # counted in n — exactly q_events_outliers' COUNT(*) +
             # SUM(micros-of-finite) after the wave-3 finite_or_null policy
             vf = v[np.isfinite(v)]
-            s1 += int(np.floor(vf * 1e6 + 0.5).astype("int64").sum())
-            s2 += int(np.floor(vf * vf * 1e6 + 0.5).astype("int64").sum())
+            if np.any(np.abs(vf) > 3.03e6):
+                # beyond the micro² int64 envelope: the batch twin
+                # loud-rejects (ANSI overflow); numpy would WRAP silently
+                raise ValueError(
+                    "anomaly_state_stream: |value| beyond the integer-"
+                    "micro² envelope (~3e6); batch twin rejects loudly too"
+                )
+            # per-row int64 micros are envelope-safe; the SUMS accumulate
+            # as Python ints so a cross-batch overflow hits the BIGINT
+            # state schema loudly instead of wrapping in numpy
+            s1 += int(np.floor(vf * 1e6 + 0.5).astype("int64").astype(object).sum())
+            s2 += int(np.floor(vf * vf * 1e6 + 0.5).astype("int64").astype(object).sum())
         state.update((n, s1, s2))
         mean = s1 / n / 1e6 if n else 0.0
         var = max(s2 / n / 1e6 - mean * mean, 0.0) if n else 0.0
@@ -734,19 +744,37 @@ def bootstrap_state_stream(
             # same nothing), and the actual-mean s1 likewise skips them
             vals = pdf["value"].to_numpy(dtype="float64")
             fin = np.isfinite(vals)
+            if np.any(np.abs(vals[fin]) > 3.03e6):
+                # beyond the micro-family int64 envelope: the batch twin
+                # loud-rejects (ANSI sum overflow); numpy would WRAP
+                # silently — raise instead (int64-audit loudness contract)
+                raise ValueError(
+                    "bootstrap_state_stream: |value| beyond the integer-"
+                    "micro envelope (~3e6); batch twin rejects loudly too"
+                )
             vm = np.zeros(len(vals), dtype=np.int64)
             vm[fin] = np.floor(vals[fin] * 1e6 + 0.5).astype(np.int64)
-            # mod-reduce ids first (mirrors the batch operator): keeps the
-            # product ≤ 2.7e15 so int64 never wraps for any event_id
-            u = (
-                (ids[:, None] % BOOT_MOD) * BOOT_HASH_A
-                + reps[None, :] * BOOT_HASH_B
-            ) % BOOT_MOD
+
+            # SIGN-PRESERVING mod, not numpy's pmod: Spark's % (and the
+            # DuckDB oracle's) keeps the dividend's sign, so a negative
+            # event_id must hash identically here or the replicate
+            # weights diverge (stream gate r11, negative-id fuzz seed)
+            def smod(a, m):
+                return np.sign(a) * (np.abs(a) % m)
+
+            u = smod(
+                smod(ids[:, None], BOOT_MOD) * BOOT_HASH_A
+                + reps[None, :] * BOOT_HASH_B,
+                BOOT_MOD,
+            )
             w = np.zeros_like(u)
             for t in BOOT_POISSON_CUM:
                 w += u >= t
-            wn += w.sum(axis=0)
-            ws += (w * vm[:, None]).sum(axis=0)
+            # per-batch int64 partials are envelope-safe; accumulate
+            # cross-batch in Python ints so overflow hits the BIGINT
+            # state schema loudly instead of wrapping in numpy
+            wn = wn + w.sum(axis=0).astype(object)
+            ws = ws + (w * vm[:, None]).sum(axis=0).astype(object)
             n += len(ids)
             s1 += int(vm.sum())
         state.update((int(n), int(s1), [int(x) for x in wn], [int(x) for x in ws]))
@@ -956,8 +984,16 @@ def cdc_mv_foreach_batch(cdc_stream: DataFrame, root: str, ckpt_dir: str):
             latest_version,
         )
 
-        new_dec = F.col("o_totalprice").cast("decimal(18,6)")
-        old_dec = F.col("old_price").cast("decimal(18,6)")
+        from clusterindices_spark.functions.aggregates import (
+            finite_or_null,
+        )
+
+        # non-finite prices are missing (the MV family's wave-3 policy —
+        # matches agg_incremental_mv; retraction algebra is undefined for
+        # ±Inf anyway: +inf on insert − inf on delete is NaN, not zero).
+        # EXPLICIT finite filter, not the silent ANSI NaN→NULL cast.
+        new_dec = finite_or_null(F.col("o_totalprice")).cast("decimal(18,6)")
+        old_dec = finite_or_null(F.col("old_price")).cast("decimal(18,6)")
         neg_old = batch_df.where(F.col("op").isin("U", "D")).select(
             F.col("old_status").alias("o_orderstatus"),
             F.lit(-1).alias("dn"),

@@ -136,6 +136,32 @@ def _diff(got_rows, want_rows, label=""):
     )
 
 
+def _loud_stream_vs_batch(spark, sf_dir, stream_ex):
+    """Anomaly stream raised: consistent iff the batch moment computation
+    is loud on the same data (out-of-envelope magnitudes)."""
+    from clusterindices_spark.functions.aggregates import finite_or_null
+    from clusterindices_spark.operators.analytics import _micros
+
+    fv = finite_or_null(F.col("value"))
+    try:
+        _events(spark, sf_dir).groupBy("event_type").agg(
+            F.sum(_micros(fv)).alias("s1"),
+            F.sum(_micros(fv * fv)).alias("s2"),
+        ).collect()
+    except Exception:
+        return ("PASS", "both sides loud-reject out-of-envelope "
+                        "magnitudes (int64 loudness contract)")
+    return ("SERR", f"stream raised where batch answered: "
+                    f"{type(stream_ex).__name__}: {str(stream_ex)[:200]}")
+
+
+def _both_loud(batch_ex, got, label):
+    """Batch moments raised after the stream answered — a loudness
+    asymmetry (the stream should have rejected the same data)."""
+    return ("DIFF", f"{label}: stream answered where the batch twin "
+                    f"loud-rejects: {str(batch_ex)[:160]}")
+
+
 def check_tumbling(spark, sf_dir, tmp, mfpt):
     from clusterindices_spark.operators.sessions import q_stream_tumbling_agg
     from clusterindices_spark.streaming.streams import (
@@ -183,9 +209,7 @@ def check_session(spark, sf_dir, tmp, mfpt):
     """session_window vs gaps-and-islands agree on: session count, per-user
     session counts, total events, total sum_value (starts can differ by
     merge-order inside ties — the documented boundary contract)."""
-    from clusterindices_spark.operators.sessions import (
-        q_stream_session_windows,
-    )
+    from clusterindices_spark.operators.sessions import sessionize
     from clusterindices_spark.streaming.streams import (
         events_file_stream,
         run_to_completion,
@@ -198,7 +222,14 @@ def check_session(spark, sf_dir, tmp, mfpt):
     got = run_to_completion(
         session_window_stream(stream), "g_session", mode="complete"
     )
-    want = q_stream_session_windows(spark, sf_dir)
+    # NULL-ts events carry no event time — no streaming engine can
+    # sessionize them (the watermark drops them); the batch comparison is
+    # over the timestamped subset
+    want = (
+        sessionize(_events(spark, sf_dir).where(F.col("ts").isNotNull()))
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
     g = _canon_rows(
         got.groupBy("user_id").agg(
             F.count(F.lit(1)).alias("n_sessions"),
@@ -228,7 +259,11 @@ def check_error_rate(spark, sf_dir, tmp, mfpt):
     got = run_to_completion(
         error_rate_stream(stream), "g_errrate", mode="complete"
     )
-    want = q_events_error_rate(spark, sf_dir).select(
+    # the batch key carries a NULL-hour row for NULL-ts events; the
+    # watermark drops those rows in the stream — compare timed hours only
+    want = q_events_error_rate(spark, sf_dir).where(
+        F.col("hour").isNotNull()
+    ).select(
         (F.col("hour") * 3_600_000).alias("hour_ms"), "n", "n_err", "err_rate"
     )
     return _diff(_canon_rows(got), _canon_rows(want))
@@ -333,7 +368,11 @@ def check_left_join(spark, sf_dir, tmp, mfpt):
         F.col("event_id").alias("click_id"),
         F.col("ts").alias("c_ts"),
     )
-    purchases = e.where(F.col("event_type") == "purchase").select(
+    # NULL-ts purchases can't be watermarked — the stream never emits
+    # them, even as outer rows; compare the timed subset
+    purchases = e.where(
+        (F.col("event_type") == "purchase") & F.col("ts").isNotNull()
+    ).select(
         F.col("user_id").alias("p_user"),
         F.col("event_id").alias("purchase_id"),
         F.col("ts").alias("p_ts"),
@@ -411,25 +450,32 @@ def check_anomaly(spark, sf_dir, tmp, mfpt):
     stream = events_file_stream(
         spark, _replay(spark, _events(spark, sf_dir), tmp), mfpt
     )
-    got = run_to_completion(
-        anomaly_state_stream(stream), "g_anom", mode="update"
-    )
+    try:
+        got = run_to_completion(
+            anomaly_state_stream(stream), "g_anom", mode="update"
+        )
+    except Exception as ex:
+        return _loud_stream_vs_batch(spark, sf_dir, ex)
     final = _canon_rows(
         _final_per_key(got, ["event_type"], "n").select(
             "event_type", "n", "s1", "s2"
         )
     )
     ev = _events(spark, sf_dir)
-    micros = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast(  # noqa: E731
-        "bigint"
-    )
-    want = _canon_rows(
-        ev.groupBy("event_type").agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(micros(F.col("value"))).alias("s1"),
-            F.sum(micros(F.col("value") * F.col("value"))).alias("s2"),
+    from clusterindices_spark.functions.aggregates import finite_or_null
+    from clusterindices_spark.operators.analytics import _micros
+
+    fv = finite_or_null(F.col("value"))
+    try:
+        want = _canon_rows(
+            ev.groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(_micros(fv)).alias("s1"),
+                F.sum(_micros(fv * fv)).alias("s2"),
+            )
         )
-    )
+    except Exception as ex:
+        return _both_loud(ex, got, "anomaly moments")
     st = _diff(final, want, "moments:")
     if st[0] != "PASS":
         return st
@@ -507,7 +553,10 @@ def check_cusum(spark, sf_dir, tmp, mfpt):
         return ("SKIP", "no non-NULL timestamps")
     batch = sorted(
         q_events_cusum(spark, sf_dir).collect(),
-        key=lambda r: (repr(r["event_type"]), r["hour"]),
+        # NULL hour sorts last (matches the chart's asc_nulls_last) and
+        # must not TypeError against ints
+        key=lambda r: (repr(r["event_type"]), r["hour"] is None,
+                       r["hour"] or 0),
     )
     by_type = {}
     for r in batch:
@@ -569,17 +618,31 @@ def check_bootstrap(spark, sf_dir, tmp, mfpt):
         run_to_completion,
     )
 
-    want = _canon_rows(
-        q_events_bootstrap_ci(spark, sf_dir).select(
-            "event_type", "n", "mean_value", "ci_lo", "ci_hi"
+    try:
+        want = _canon_rows(
+            q_events_bootstrap_ci(spark, sf_dir).select(
+                "event_type", "n", "mean_value", "ci_lo", "ci_hi"
+            )
         )
-    )
+        batch_err = None
+    except Exception as ex:
+        want, batch_err = None, ex
     stream = events_file_stream(
         spark, _replay(spark, _events(spark, sf_dir), tmp), mfpt
     )
-    got = run_to_completion(
-        bootstrap_state_stream(stream), "g_boot", mode="update"
-    )
+    try:
+        got = run_to_completion(
+            bootstrap_state_stream(stream), "g_boot", mode="update"
+        )
+    except Exception as ex:
+        if batch_err is not None:
+            return ("PASS", "both sides loud-reject out-of-envelope "
+                            "magnitudes (int64 loudness contract)")
+        return ("SERR", f"stream raised where batch answered: "
+                        f"{type(ex).__name__}: {str(ex)[:200]}")
+    if batch_err is not None:
+        return ("DIFF", "stream answered where the batch twin loud-"
+                        f"rejects: {str(batch_err)[:160]}")
     final = _canon_rows(
         _final_per_key(got, ["event_type"], "n_seen").select(
             "event_type",
@@ -716,6 +779,12 @@ def check_cdc_mv(spark, sf_dir, tmp, mfpt):
         deletes.select("o_orderkey"), "o_orderkey", "left_anti"
     )
     upd_keys = upd.select("o_orderkey")
+    from clusterindices_spark.functions.aggregates import finite_or_null
+
+    o = o.withColumn("o_totalprice", finite_or_null("o_totalprice"))
+    survivors = o.join(
+        deletes.select("o_orderkey"), "o_orderkey", "left_anti"
+    )
     final_state = survivors.join(
         upd_keys.withColumn("_u", F.lit(1)), "o_orderkey", "left"
     ).select(
