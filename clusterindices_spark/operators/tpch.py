@@ -418,7 +418,7 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-quantity-order revenue: lineitems below 20% of their part's
     average quantity. The correlated AVG de-correlates to a pre-aggregation
     re-joined on partkey (grouping on the join key → exchange reuse)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").withColumn("l_extendedprice", finite_or_null("l_extendedprice")).withColumn("l_quantity", finite_or_null("l_quantity"))
     p = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3")
     # decimal-exact mean so the 0.2×avg threshold is bit-identical in both
     # engines (a float avg's fold order could flip boundary rows)
@@ -1137,3 +1137,11 @@ ORACLES["tpch_q20"] = ORACLES["tpch_q20"].replace(
 # on both sides, independent of which layer evaluates the predicate.
 ORACLES["tpch_q14"] = ORACLES["tpch_q14"].replace(
     "FROM lineitem", "FROM (SELECT * REPLACE ((CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END) AS l_extendedprice, (CASE WHEN isfinite(l_discount) THEN l_discount END) AS l_discount) FROM lineitem)")
+
+# fuzz wave-3 batch 4 (seeds 103005/103006): same non-finite policy.
+# q17's correlated subquery references the OUTER table by name
+# (lineitem.l_partkey), so the outer rewrite must keep the alias; the
+# inner scan carries its own `i` alias already.
+ORACLES["tpch_q17"] = ORACLES["tpch_q17"].replace(
+    "FROM lineitem\nJOIN part", "FROM (SELECT * REPLACE ((CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END) AS l_extendedprice, (CASE WHEN isfinite(l_quantity) THEN l_quantity END) AS l_quantity) FROM lineitem) lineitem\nJOIN part").replace(
+    "FROM lineitem i", "FROM (SELECT * REPLACE ((CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END) AS l_extendedprice, (CASE WHEN isfinite(l_quantity) THEN l_quantity END) AS l_quantity) FROM lineitem) i")

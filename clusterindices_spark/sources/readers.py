@@ -115,9 +115,11 @@ def q_source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit schema is what keeps the scan single-pass."""
     from pyspark.sql import functions as F
 
+    from clusterindices_spark.functions.aggregates import finite_or_null
+
     from clusterindices_spark.sources.fixtures import load_table
 
-    o = load_table(spark, sf_dir, "orders").where(
+    o = load_table(spark, sf_dir, "orders").withColumn("o_totalprice", finite_or_null("o_totalprice")).where(
         F.col("o_orderkey") % 10 == 0
     ).select("o_orderkey", "o_orderstatus", "o_totalprice")
     path = _roundtrip_path("xml", sf_dir)
@@ -305,4 +307,8 @@ GROUP BY c_mktsegment
 # the pushed-down ORC/parquet `>` predicate silently drops NaN where the
 # in-memory evaluator keeps it (see relational_ext.py batch-3 note)
 ORACLES["source_orc_roundtrip"] = ORACLES["source_orc_roundtrip"].replace(
+    "FROM orders", "FROM (SELECT * REPLACE ((CASE WHEN isfinite(o_totalprice) THEN o_totalprice END) AS o_totalprice) FROM orders)")
+
+# fuzz wave-3 batch 4 (seeds 103005/103006): same non-finite policy
+ORACLES["source_xml_roundtrip"] = ORACLES["source_xml_roundtrip"].replace(
     "FROM orders", "FROM (SELECT * REPLACE ((CASE WHEN isfinite(o_totalprice) THEN o_totalprice END) AS o_totalprice) FROM orders)")

@@ -744,13 +744,15 @@ def bootstrap_state_stream(
             # same nothing), and the actual-mean s1 likewise skips them
             vals = pdf["value"].to_numpy(dtype="float64")
             fin = np.isfinite(vals)
-            if np.any(np.abs(vals[fin]) > 3.03e6):
-                # beyond the micro-family int64 envelope: the batch twin
-                # loud-rejects (ANSI sum overflow); numpy would WRAP
-                # silently — raise instead (int64-audit loudness contract)
+            if np.any(np.abs(vals[fin]) > 9.0e12):
+                # per-row micro cast bound (|v|*1e6 < 2^63): numpy would
+                # WRAP silently past it; there is no v**2 term here, so
+                # the bound is the micro family's, NOT the micro**2 one
+                # (a 3e6 guard mistakenly rejected legal 1e9 spikes the
+                # batch twin accepts — stream gate r11)
                 raise ValueError(
                     "bootstrap_state_stream: |value| beyond the integer-"
-                    "micro envelope (~3e6); batch twin rejects loudly too"
+                    "micro row envelope (~9e12)"
                 )
             vm = np.zeros(len(vals), dtype=np.int64)
             vm[fin] = np.floor(vals[fin] * 1e6 + 0.5).astype(np.int64)

@@ -357,10 +357,14 @@ def check_left_join(spark, sf_dir, tmp, mfpt):
     got = run_to_completion(
         purchase_click_left_join_stream(stream), "g_louter", mode="append"
     )
+    sentinel_ids = {10_000_000_000, 10_000_000_001,
+                    10_000_000_002, 10_000_000_003}
     got_rows = sorted(
         (r["purchase_id"], r["click_id"])
         for r in got.collect()
-        if r["purchase_id"] < 10_000_000_000
+        # drop ONLY the exact sentinel ids — a magnitude cut swallowed
+        # legitimate 2^53-regime purchase ids (stream gate r11)
+        if r["purchase_id"] not in sentinel_ids
     )
     e = _events(spark, sf_dir)
     clicks = e.where(F.col("event_type") == "click").select(
@@ -644,7 +648,12 @@ def check_bootstrap(spark, sf_dir, tmp, mfpt):
         return ("DIFF", "stream answered where the batch twin loud-"
                         f"rejects: {str(batch_err)[:160]}")
     final = _canon_rows(
-        _final_per_key(got, ["event_type"], "n_seen").select(
+        _final_per_key(got, ["event_type"], "n_seen")
+        # the batch key's actual⋈boots equi-join on event_type drops the
+        # NULL-type group from its OUTPUT (oracle-checked contract); the
+        # stream legitimately tracks that group — compare non-NULL types
+        .where(F.col("event_type").isNotNull())
+        .select(
             "event_type",
             F.col("n_seen").alias("n"),
             "mean_value",
@@ -728,9 +737,15 @@ def check_cdc_mv(spark, sf_dir, tmp, mfpt):
         read_cdc_mv,
     )
 
+    from clusterindices_spark.functions.aggregates import finite_or_null
+
+    # finite-filter BEFORE building the change set: the synthetic update
+    # bumps price via coalesce(price, 0) + 1, and coalesce(NaN, 0) is NaN
+    # (NaN is not NULL) — building from raw prices made the want side
+    # count +1 for special-price updates the stream filtered out
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
-    )
+    ).withColumn("o_totalprice", finite_or_null("o_totalprice"))
     if o.count() == 0:
         return ("SKIP", "orders empty")
     base = o.select(
@@ -779,9 +794,6 @@ def check_cdc_mv(spark, sf_dir, tmp, mfpt):
         deletes.select("o_orderkey"), "o_orderkey", "left_anti"
     )
     upd_keys = upd.select("o_orderkey")
-    from clusterindices_spark.functions.aggregates import finite_or_null
-
-    o = o.withColumn("o_totalprice", finite_or_null("o_totalprice"))
     survivors = o.join(
         deletes.select("o_orderkey"), "o_orderkey", "left_anti"
     )
