@@ -203,15 +203,21 @@ def round6_stable(col):
     floor stays DOUBLE and propagates the special — a silent cross-engine
     divergence on any NaN/Inf input. Pass specials through untouched
     (NaN→NaN, ±Inf→±Inf), exactly what SQL_ROUND6 computes in DuckDB
-    (floor(nan)=nan, nan/1e6=nan). One scan-side CASE, codegen-friendly,
-    no-op on finite data."""
+    (floor(nan)=nan, nan/1e6=nan).
+
+    Form: greatest(least(r, c+1), c−1) rather than a CASE — CaseWhen's
+    LAZY branches defeat whole-stage-codegen subexpression elimination,
+    so a hot caller's input expression (e.g. the pair-scan cosine in
+    embedding_pair_distance_hist: 2.28 s → 4.43 s at sf0.1) re-evaluated
+    per branch; least/greatest evaluate eagerly and CSE applies. The
+    clamp is exact: finite c has |r − c| ≤ 1e-6 so the bounds never bind;
+    NaN wins greatest (Spark sorts NaN greatest, least skips it); ±Inf
+    binds the matching bound. NULL propagates through all three legs."""
     from pyspark.sql import functions as F
 
     c = F.col(col) if isinstance(col, str) else col
-    nonfinite = F.isnan(c) | (c == F.lit(_PINF)) | (c == F.lit(_NINF))
-    return F.when(nonfinite, c).otherwise(
-        F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
-    )
+    r = F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    return F.greatest(F.least(r, c + F.lit(1.0)), c - F.lit(1.0))
 
 
 SQL_ROUND6 = "(floor(({x}) * 1000000.0 + 0.5) / 1000000.0)"
