@@ -538,12 +538,18 @@ def q_curation_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = s1 & F.col("p2")
     s3 = s2 & F.col("p3")
     s4 = s3 & F.col("p4")
+    # when/otherwise, not sum(bool cast): a NULL predicate (NULL text →
+    # NULL n_tok/awl on every row of a degenerate corpus) made the whole
+    # SUM NULL where the oracle's CASE WHEN ... THEN 1 ELSE 0 counts 0
+    # (fuzz seed 103030, one:documents) — NULL predicates don't survive,
+    # identically on both sides
+    cnt = lambda p: F.sum(F.when(p, 1).otherwise(0)).cast("bigint")  # noqa: E731
     agg = f.agg(
         F.count(F.lit(1)).alias("n0"),
-        F.sum(s1.cast("bigint")).alias("n1"),
-        F.sum(s2.cast("bigint")).alias("n2"),
-        F.sum(s3.cast("bigint")).alias("n3"),
-        F.sum(s4.cast("bigint")).alias("n4"),
+        cnt(s1).alias("n1"),
+        cnt(s2).alias("n2"),
+        cnt(s3).alias("n3"),
+        cnt(s4).alias("n4"),
     )
     row = lambda step, name, nin, nout: F.struct(  # noqa: E731
         F.lit(step).cast("int").alias("step"),

@@ -579,7 +579,14 @@ def q_agg_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n"), F.lit(0))
             + F.coalesce(F.col("dn"), F.lit(0))
         ).alias("n_orders"),
-        (
+        # all-NULL group (every price non-finite/NULL after the wave-3
+        # filter): SUM is NULL in the oracle's full recompute — coalescing
+        # both legs to 0 manufactured a 0.0 (fuzz seed 103035, empty:docs
+        # trial with an all-special status group)
+        F.when(
+            F.col("s").isNull() & F.col("ds").isNull(),
+            F.lit(None).cast("decimal(28,6)"),
+        ).otherwise(
             F.coalesce(F.col("s"), zero) + F.coalesce(F.col("ds"), zero)
         ).alias("s_new"),
     )

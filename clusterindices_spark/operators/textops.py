@@ -518,10 +518,13 @@ def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
     sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
     syy = F.col("syy").cast("double")
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    # nullif: a single-term vocabulary (1-doc corpus, fuzz seed 103030)
+    # zeroes the OLS denominators — ANSI Spark raises where DuckDB's x/0
+    # is NULL; the degenerate fit is NULL on both sides
+    slope = (n * sxy - sx * sy) / F.nullif(n * sxx - sx * sx, F.lit(0.0))
     intercept = (sy - slope * sx) / n
-    r2 = (n * sxy - sx * sy) * (n * sxy - sx * sy) / (
-        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    r2 = (n * sxy - sx * sy) * (n * sxy - sx * sy) / F.nullif(
+        (n * sxx - sx * sx) * (n * syy - sy * sy), F.lit(0.0)
     )
     return s.select(
         F.col("n").alias("n_terms"),

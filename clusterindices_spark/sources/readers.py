@@ -193,7 +193,9 @@ def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from clusterindices_spark.sources.fixtures import load_table
 
-    c = load_table(spark, sf_dir, "customer").where(
+    from clusterindices_spark.functions.aggregates import finite_or_null
+
+    c = load_table(spark, sf_dir, "customer").withColumn("c_acctbal", finite_or_null("c_acctbal")).where(
         F.col("c_custkey") % 5 == 0
     ).select("c_custkey", "c_mktsegment", "c_acctbal")
     path = _roundtrip_path("csv", sf_dir)
@@ -312,3 +314,7 @@ ORACLES["source_orc_roundtrip"] = ORACLES["source_orc_roundtrip"].replace(
 # fuzz wave-3 batch 4 (seeds 103005/103006): same non-finite policy
 ORACLES["source_xml_roundtrip"] = ORACLES["source_xml_roundtrip"].replace(
     "FROM orders", "FROM (SELECT * REPLACE ((CASE WHEN isfinite(o_totalprice) THEN o_totalprice END) AS o_totalprice) FROM orders)")
+
+# fuzz wave-3 batch 5 (targeted degenerate-position seeds)
+ORACLES["source_csv_roundtrip"] = ORACLES["source_csv_roundtrip"].replace(
+    "FROM customer", "FROM (SELECT * REPLACE ((CASE WHEN isfinite(c_acctbal) THEN c_acctbal END) AS c_acctbal) FROM customer)")

@@ -545,7 +545,7 @@ def q_versioned_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest (the interop seam note above)."""
     from clusterindices_spark.sources.fixtures import load_table
 
-    o = load_table(spark, sf_dir, "orders").select(
+    o = load_table(spark, sf_dir, "orders").withColumn("o_totalprice", finite_or_null("o_totalprice")).select(
         F.col("o_orderkey").alias("k"),
         F.col("o_orderstatus").alias("status"),
         F.col("o_totalprice").alias("price"),
@@ -704,4 +704,8 @@ SELECT k, status, floor(price * 100.0 + 0.5) / 100.0 AS price FROM after2
 ORACLES["versioned_merge_snapshot"] = ORACLES["versioned_merge_snapshot"].replace(
     "FROM orders", "FROM (SELECT * REPLACE ((CASE WHEN isfinite(o_totalprice) THEN o_totalprice END) AS o_totalprice) FROM orders)")
 ORACLES["versioned_mor_snapshot"] = ORACLES["versioned_mor_snapshot"].replace(
+    "FROM orders", "FROM (SELECT * REPLACE ((CASE WHEN isfinite(o_totalprice) THEN o_totalprice END) AS o_totalprice) FROM orders)")
+
+# fuzz wave-3 batch 5 (targeted degenerate-position seeds)
+ORACLES["versioned_snapshot_diff"] = ORACLES["versioned_snapshot_diff"].replace(
     "FROM orders", "FROM (SELECT * REPLACE ((CASE WHEN isfinite(o_totalprice) THEN o_totalprice END) AS o_totalprice) FROM orders)")

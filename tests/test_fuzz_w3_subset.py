@@ -80,6 +80,18 @@ CASES = {
         "tpch_q17",
         "source_xml_roundtrip",
     ],
+    # batch 5/6 (targeted degenerate-position seeds): MV all-NULL group
+    # sum, snapshot-diff + CSV roundtrip finite policy, 1-doc zipf OLS
+    # nullif, NULL-predicate funnel counting
+    103035: [
+        "agg_incremental_mv",
+        "versioned_snapshot_diff",
+        "source_csv_roundtrip",
+    ],
+    103030: [
+        "text_zipf_fit",
+        "curation_filter_funnel",
+    ],
 }
 
 
