@@ -115,6 +115,25 @@ _FRONT = [
 # r11½/r12 operator fix should be PREPENDED here so its post-fix driver
 # row lands in the next window.
 _NEXT: list[str] = [
+    # late-r11 fuzz batch-3..6 fixes whose keys are NOT already in _FRONT
+    # — post-fix driver rows lead the r12 window (agg_incremental_mv,
+    # agg_quantiles_bucketed etc. already sit in _FRONT this round)
+    "scalar_struct",
+    "tpch_q14",
+    "tpch_q17",
+    "agg_quantiles",
+    "source_orc_roundtrip",
+    "source_xml_roundtrip",
+    "source_csv_roundtrip",
+    "sql_interface",
+    "events_histogram",
+    "events_outliers_mad",
+    "join_bloom_prefilter",
+    "subquery_in",
+    "join_full_outer",
+    "versioned_snapshot_diff",
+    "text_zipf_fit",
+    "curation_filter_funnel",
     "xie_beni",
     "silhouette_sqeuclid",
     "index_suite_ext",
@@ -134,8 +153,6 @@ _NEXT: list[str] = [
     "curation_sample_stratified",
     "curation_sample_topk",
     "profile_orders",
-    "events_histogram",
-    "events_outliers_mad",
     "tpch_q2",
     "tpch_q8",
     "tpch_q12",
@@ -144,13 +161,11 @@ _NEXT: list[str] = [
     "join_interval_binned",
     "merge_upsert_cdc",
     "agg_cube",
-    "subquery_in",
     "explode_lateral",
     "sequence_dates",
     "cond_expr",
     "distinct_latest",
     "string_distance",
-    "join_full_outer",
     "join_range",
 ]
 
