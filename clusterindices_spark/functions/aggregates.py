@@ -210,9 +210,22 @@ def round6_stable(col):
     so a hot caller's input expression (e.g. the pair-scan cosine in
     embedding_pair_distance_hist: 2.28 s → 4.43 s at sf0.1) re-evaluated
     per branch; least/greatest evaluate eagerly and CSE applies. The
-    clamp is exact: finite c has |r − c| ≤ 1e-6 so the bounds never bind;
-    NaN wins greatest (Spark sorts NaN greatest, least skips it); ±Inf
-    binds the matching bound. NULL propagates through all three legs."""
+    clamp is exact for in-envelope inputs: finite |c| ≤ Long.MAX/1e6
+    (≈9.22e12) has |r − c| ≤ 1e-6 so the bounds never bind; NaN wins
+    greatest (Spark sorts NaN greatest, least skips it); ±Inf binds the
+    matching bound. NULL propagates through all three legs.
+
+    RESIDUAL out-of-envelope band (r11 ADVICE, documented by choice): for
+    finite |c| > Long.MAX/1e6 Spark's floor saturates to ±Long.MAX so
+    r ≈ ±9.22e12 and the clamp returns c ± 1, while DuckDB computes the
+    true rounding — a bounded ≤1-unit cross-engine divergence on inputs
+    ~6 orders of magnitude past any fixture/fuzz envelope. Making this
+    loud is deliberately rejected: an ANSI bigint cast raises on NaN,
+    breaking the non-finite transparency contract above, and a CaseWhen
+    guard around the hot input re-triggers the CSE-defeat perf incident
+    (embedding_pair_distance_hist 2.28→4.43 s). Callers whose inputs can
+    legitimately exceed 9.22e12 must pre-scale or use _micros-guarded
+    integer paths instead."""
     from pyspark.sql import functions as F
 
     c = F.col(col) if isinstance(col, str) else col

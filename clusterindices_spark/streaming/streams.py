@@ -390,7 +390,16 @@ FUNNEL_SCHEMA = (
     "user_id BIGINT, stage INT, t_view_ms BIGINT, t_click_ms BIGINT, "
     "t_purchase_ms BIGINT"
 )
-_FUNNEL_STATE_SCHEMA = "v BIGINT, c BIGINT, p BIGINT"
+_FUNNEL_STATE_SCHEMA = "v BIGINT, c BIGINT, p BIGINT, vu BOOLEAN"
+
+# "stage not reached" sentinel for the nanosecond state fields: int64 MIN is
+# pandas' reserved NaT bit pattern, so NO real datetime64[ns] value can ever
+# collide with it — unlike the old 0/-1 sentinels, which conflated "not
+# reached" / "viewed, time unknown" with legitimate epoch and pre-1970
+# timestamps and silently blocked progression the batch twin allows
+# (r11 ADVICE). "Viewed, time unknown" is its own boolean (vu), not a
+# timestamp-space sentinel.
+_T_UNSET = -(2**63)
 
 
 def funnel_state_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
@@ -402,14 +411,18 @@ def funnel_state_stream(events: DataFrame, watermark: str = "30 minutes") -> Dat
     additionally buffers events within the watermark before folding them
     into state (same pattern, more state), which this demo omits.
 
-    State per user is three NANOSECOND timestamps (0 = stage not reached) —
-    bytes, not event history, so state size is O(users) regardless of
-    traffic; the output converts to ms at emit time.
+    State per user is three NANOSECOND timestamps (_T_UNSET = stage not
+    reached) plus one "viewed, time unknown" boolean — bytes, not event
+    history, so state size is O(users) regardless of traffic; the output
+    converts to ms at emit time (NULL where the stage has no known time,
+    matching the batch twin's NULL t_view).
     """
     import pandas as pd  # noqa: PLC0415
 
     def update(key, pdf_iter, state):
-        v, c, p = state.get if state.exists else (0, 0, 0)
+        v, c, p, vu = (
+            state.get if state.exists else (_T_UNSET, _T_UNSET, _T_UNSET, False)
+        )
         ev = pd.concat(list(pdf_iter), ignore_index=True)
         ev = ev.sort_values("ts", kind="mergesort")
         # the // 1_000_000 ms conversion below is only correct for ns
@@ -418,7 +431,8 @@ def funnel_state_stream(events: DataFrame, watermark: str = "30 minutes") -> Dat
         # stream ≡ batch on hostile keys/timestamps (funnel_of semantics):
         # - a NULL-ts view counts the user as viewed but blocks progression
         #   (batch: min(ts) skips NULLs → t_view NULL → ts > NULL joins
-        #   nothing); sentinel v = -1 = "viewed, time unknown".
+        #   nothing); tracked as the vu boolean, NOT a timestamp sentinel,
+        #   so epoch/pre-1970 views progress exactly like the batch twin.
         # - NULL-ts clicks/purchases never advance (ts > t_prev is NULL).
         # - a NULL user_id group can reach stage 1 only (batch: the click
         #   equi-join on user_id never matches NULL).
@@ -427,28 +441,36 @@ def funnel_state_stream(events: DataFrame, watermark: str = "30 minutes") -> Dat
         null_key = key[0] is None or pd.isna(key[0])
         nat = ev["ts"].isna()
         if nat.any() and (ev.loc[nat, "event_type"] == "view").any():
-            if v == 0:
-                v = -1
+            vu = True
         ev = ev[~nat]
         for ts, typ in zip(ev["ts"].astype("int64"), ev["event_type"]):
             t = int(ts)  # ns since epoch from pandas; keep units consistent
-            if typ == "view" and (v <= 0 or t < v):
+            if typ == "view" and (v == _T_UNSET or t < v):
                 v = t
             elif null_key:
                 continue
-            elif typ == "click" and v > 0 and t > v and (c == 0 or t < c):
+            elif typ == "click" and v != _T_UNSET and t > v and (
+                c == _T_UNSET or t < c
+            ):
                 c = t
-            elif typ == "purchase" and c > 0 and t > c and (p == 0 or t < p):
+            elif typ == "purchase" and c != _T_UNSET and t > c and (
+                p == _T_UNSET or t < p
+            ):
                 p = t
-        state.update((v, c, p))
-        stage = 3 if p else 2 if c else 1 if v else 0
+        state.update((v, c, p, vu))
+        stage = (
+            3 if p != _T_UNSET
+            else 2 if c != _T_UNSET
+            else 1 if (v != _T_UNSET or vu) else 0
+        )
+        ms = lambda t: None if t == _T_UNSET else t // 1_000_000  # noqa: E731
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "stage": [stage],
-                "t_view_ms": [v // 1_000_000],
-                "t_click_ms": [c // 1_000_000],
-                "t_purchase_ms": [p // 1_000_000],
+                "t_view_ms": [ms(v)],
+                "t_click_ms": [ms(c)],
+                "t_purchase_ms": [ms(p)],
             }
         )
 
@@ -470,6 +492,13 @@ ANOMALY_SCHEMA = (
 )
 _ANOMALY_STATE_SCHEMA = "n BIGINT, s1 BIGINT, s2 BIGINT"
 ANOMALY_Z = 3.0
+
+# Exact integer-micro² int64 envelope: the batch twin's _micros(value²)
+# ANSI-raises once value²·1e6 + 0.5 exceeds Long.MAX, i.e. at
+# |value| = sqrt((2⁶³−1)/1e6) ≈ 3.0370e6. The old rounded 3.03e6 guard
+# loud-rejected values in (3.03e6, 3.037e6] that the batch twin computes
+# fine — a loud/accept asymmetry at the envelope edge (r11 ADVICE).
+_ANOMALY_ENVELOPE = ((2**63 - 1) / 1e6) ** 0.5
 
 
 def anomaly_state_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
@@ -501,12 +530,13 @@ def anomaly_state_stream(events: DataFrame, watermark: str = "30 minutes") -> Da
             # counted in n — exactly q_events_outliers' COUNT(*) +
             # SUM(micros-of-finite) after the wave-3 finite_or_null policy
             vf = v[np.isfinite(v)]
-            if np.any(np.abs(vf) > 3.03e6):
+            if np.any(np.abs(vf) > _ANOMALY_ENVELOPE):
                 # beyond the micro² int64 envelope: the batch twin
                 # loud-rejects (ANSI overflow); numpy would WRAP silently
                 raise ValueError(
                     "anomaly_state_stream: |value| beyond the integer-"
-                    "micro² envelope (~3e6); batch twin rejects loudly too"
+                    "micro² envelope (~3.037e6); batch twin rejects loudly"
+                    " at the same bound"
                 )
             # per-row int64 micros are envelope-safe; the SUMS accumulate
             # as Python ints so a cross-batch overflow hits the BIGINT
@@ -911,8 +941,14 @@ def hourly_rollup_foreach_batch(
     )
 
     from clusterindices_spark.functions.aggregates import finite_or_null
+    from clusterindices_spark.operators.analytics import _micros as micros
 
-    micros = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("bigint")  # noqa: E731
+    # micros is the LOUD batch-twin quantizer (analytics._micros): the old
+    # local floor+cast lambda silently saturated past-int64 finite values
+    # to ±Long.MAX where the batch twin raises CAST_OVERFLOW — a silent
+    # stream≠batch divergence (r11 ADVICE medium). Sharing the guarded form
+    # keeps the loudness contract (tests/test_int64_bounds.py) identical on
+    # both sides of the twin.
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         delta = (
