@@ -49,75 +49,14 @@ _MODULES = [
     "clusterindices_spark.sql",
 ]
 
-# Round-11 driver-window priority (VERDICT r10 "Next round" #3 — rotate
-# mechanically; r11-fixed operators' driver rows must postdate their fixes).
-# Exactly 50 keys: the 35 oracle-backed keys whose OPERATORS or shared
-# helpers changed in r11 — the 2 advice fixes (per-row projection dims,
-# bitwise pack contract), the 30 fuzz-wave-3 non-finite-policy keys, and
-# the 3 windowed-stream batch twins whose exact_sum became IEEE-special-
-# transparent — then 15 keys continuing the r10 _NEXT stalest-green
-# ladder. Rows-only keys never burn driver slots (derived sink in _load).
+# Round-12 driver-window priority (VERDICT r11 "Next round" #3 — mechanical
+# rotation from the r11 _NEXT queue). Exactly 50 keys: the 49 queued keys —
+# late-r11 fuzz-wave-3 batch-3..6 fixed operators first, so every fuzz-fixed
+# key's driver row postdates its fix, then the r10 stalest-green ladder
+# remainder — plus basket_pair_lift, the stalest oracle-backed green (last
+# driver row r4). Rows-only keys never burn driver slots (derived sink in
+# _load).
 _FRONT = [
-    "embedding_random_projection",
-    "scalar_bitwise",
-    "events_ewma_smooth",
-    "events_rolling_zscore",
-    "events_cuped",
-    "events_power_mde",
-    "events_outliers",
-    "events_outliers_seasonal",
-    "events_diff_in_diff",
-    "events_ab_ttest",
-    "events_bootstrap_ci",
-    "events_attribution_linear",
-    "events_rollup_hierarchy",
-    "events_cohort_ltv",
-    "agg_stats",
-    "agg_quantiles_bucketed",
-    "agg_weighted_median",
-    "join_salted_skew",
-    "tpch_q11",
-    "tpch_q20",
-    "sql_udf_inline",
-    "window_frame",
-    "window_range_frame",
-    "agg_incremental_mv",
-    "null_semantics",
-    "agg_filter_clause",
-    "sql_pipe_syntax",
-    "sql_recursive_months",
-    "analytics_rfm",
-    "versioned_merge_snapshot",
-    "versioned_mor_snapshot",
-    "cluster_external_agreement",
-    "stream_tumbling_agg",
-    "stream_sliding_agg",
-    "stream_session_windows",
-    "agg_bool_modal",
-    "curation_pack_greedy",
-    "curation_sample_weighted",
-    "curation_waterfill_budget",
-    "curation_source_lang_mix",
-    "scalar_string",
-    "source_csv_roundtrip",
-    "multimodal_decode_real",
-    "multimodal_audio_silence",
-    "events_path_trigrams",
-    "stream_dedup",
-    "window_fill_forward",
-    "events_user_lifecycle",
-    "events_cusum",
-    "window_interval_merge",
-]
-
-# Immediately after the 50-slot window: the r12 rotation queue — the
-# remainder of the r10 ladder (r11 consumed its head into _FRONT). Any
-# r11½/r12 operator fix should be PREPENDED here so its post-fix driver
-# row lands in the next window.
-_NEXT: list[str] = [
-    # late-r11 fuzz batch-3..6 fixes whose keys are NOT already in _FRONT
-    # — post-fix driver rows lead the r12 window (agg_incremental_mv,
-    # agg_quantiles_bucketed etc. already sit in _FRONT this round)
     "scalar_struct",
     "tpch_q14",
     "tpch_q17",
@@ -167,6 +106,64 @@ _NEXT: list[str] = [
     "distinct_latest",
     "string_distance",
     "join_range",
+    "basket_pair_lift",
+]
+
+# Immediately after the 50-slot window: the r13 rotation queue — the next-
+# stalest oracle-backed greens (last driver rows r4-r6), oldest first. Any
+# r12 operator fix should be PREPENDED here so its post-fix driver row lands
+# in the next window.
+_NEXT: list[str] = [
+    "dedup_graph_hops",
+    "dedup_span_coverage",
+    "events_funnel",
+    "events_funnel_latency",
+    "events_markov_transition",
+    "multimodal_dhash",
+    "s_dbw",
+    "scalar_variant",
+    "sd_index",
+    "source_python_datasource",
+    "text_bigram_logprob",
+    "text_pii_scrub",
+    "text_vocab_stats",
+    "wemmert_gancarski",
+    "curation_kfold",
+    "curation_mixture_temperature",
+    "dedup_normalized_exact",
+    "dedup_token_inflation",
+    "events_dau_wau",
+    "events_gap_stats",
+    "events_hour_of_week",
+    "events_last_touch",
+    "events_user_overlap",
+    "join_asof_forward",
+    "multimodal_scene_cut",
+    "scalar_collation",
+    "sql_session_vars",
+    "text_entropy",
+    "text_js_divergence",
+    "curation_decontaminate",
+    "curation_dedup_keep_best",
+    "curation_domain_caps",
+    "dedup_cross_source",
+    "dedup_embedding_cosine",
+    "dedup_graph_triangles",
+    "dedup_semantic_clusters",
+    "embedding_norm_audit",
+    "events_autocorr",
+    "events_error_rate",
+    "events_forecast_baseline",
+    "events_pareto_concentration",
+    "join_asof_nearest",
+    "multimodal_vector_stats",
+    "scalar_interval_arith",
+    "similarity_mmr_rerank",
+    "similarity_range_search",
+    "text_lang_confusion",
+    "text_lm_heldout_score",
+    "text_quality",
+    "text_readability",
 ]
 
 
