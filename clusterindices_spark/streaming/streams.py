@@ -361,6 +361,15 @@ def curation_funnel_foreach_batch(
     )
 
 
+# Per-drain StreamingQueryProgress dicts from the most recent
+# run_to_completion calls, appended in order (gate/test observability ONLY
+# — tools/stream_gate.py reads stateOperators[].numRowsTotal /
+# memoryUsedBytes to record peak state size per processor at the 10M scale
+# arm). Callers that care clear it before a drain and read it after;
+# production paths never touch it.
+LAST_QUERY_PROGRESS: list[dict] = []
+
+
 def run_to_completion(
     stream_df: DataFrame, name: str, mode: str = "complete"
 ) -> DataFrame:
@@ -371,6 +380,7 @@ def run_to_completion(
     advances the watermark past the final windows, silently dropping the
     tail of the data — the classic bounded-stream pitfall. Use append only
     for non-aggregating streams (e.g. dedup)."""
+    import json
     import tempfile
 
     ckpt = tempfile.mkdtemp(prefix="ci-ckpt-")
@@ -383,6 +393,12 @@ def run_to_completion(
         .start()
     )
     q.awaitTermination()
+    try:
+        # StreamingQueryProgress is a dict subclass whose nested values are
+        # objects; .json re-serializes to plain nested dicts
+        LAST_QUERY_PROGRESS.extend(json.loads(p.json) for p in q.recentProgress)
+    except Exception:
+        pass  # observability only — never fail a drain over metrics
     return stream_df.sparkSession.table(name)
 
 

@@ -68,6 +68,18 @@ def _canon_rows(df):
     )
 
 
+# Replay cache (10M scale arm): the chronological sort + JSON write of a
+# 10M-row events table costs minutes — doing it once per source instead of
+# once per check is the difference between a ~20 min and a ~3 h gate run.
+# run_stream_gate sets _REPLAY_SOURCE per source label and owns the
+# _REPLAY_ROOT lifetime; _replay keys the cache on (source, n_files). The
+# cached dir is shared read-only across checks — check_left_join, which
+# APPENDS sentinel batches, copies it into its own tmp first.
+_REPLAY_CACHE: dict[tuple[str, int], str] = {}
+_REPLAY_SOURCE: str | None = None
+_REPLAY_ROOT: str | None = None
+
+
 def _replay(spark, events, tmp, n_files=2):
     """Write events as n_files JSON chunk files in CHRONOLOGICAL order
     (NULL-ts rows first), written sequentially so the file source
@@ -80,10 +92,25 @@ def _replay(spark, events, tmp, n_files=2):
     row_number window is gate-scale-only."""
     import math
 
-    d = os.path.join(tmp, "replay")
+    key = None
+    if _REPLAY_SOURCE is not None and _REPLAY_ROOT is not None:
+        key = (_REPLAY_SOURCE, n_files)
+        cached = _REPLAY_CACHE.get(key)
+        if cached is not None:
+            return cached
+
+    d = (
+        os.path.join(tmp, "replay")
+        if key is None
+        else os.path.join(
+            _REPLAY_ROOT, f"{_REPLAY_SOURCE}_n{n_files}", "replay"
+        )
+    )
     n = events.count()
     if n == 0:
         events.limit(0).coalesce(1).write.mode("overwrite").json(d)
+        if key is not None:
+            _REPLAY_CACHE[key] = d
         return d
     chunk = math.ceil(n / n_files)
     ranked = events.withColumn(
@@ -99,7 +126,30 @@ def _replay(spark, events, tmp, n_files=2):
         if i:
             time.sleep(1.1)  # file source orders batches by modTime
         part.coalesce(1).write.mode("append").json(d)
+    if key is not None:
+        _REPLAY_CACHE[key] = d
     return d
+
+
+def _digest_diff(got_df, want_df, label=""):
+    """Data-scale comparator: count + order-free sum of per-row xxhash64
+    over the sorted column list, computed Spark-side — equality without
+    collecting millions of rows into the driver (the 10M dedup check's id
+    multiset). decimal(38,0) sum: 10M int64 hashes would ANSI-overflow a
+    bigint sum."""
+    def dig(df):
+        cols = sorted(df.columns)
+        h = F.xxhash64(*[F.col(c).cast("string") for c in cols])
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(h.cast("decimal(38,0)")).alias("hsum"),
+        ).collect()[0]
+        return (r["n"], r["hsum"])
+
+    g, w = dig(got_df), dig(want_df)
+    if g == w:
+        return ("PASS", f"{g[0]} rows (digest)")
+    return ("DIFF", f"{label} stream digest={g} batch digest={w}")
 
 
 def _final_per_key(got, key_cols, order_col):
@@ -285,8 +335,14 @@ def check_dedup(spark, sf_dir, tmp, mfpt):
         spark, _replay(spark, _events(spark, sf_dir), tmp), mfpt
     )
     got = run_to_completion(dedup_stream(stream), "g_dedup", mode="append")
+    want = _events(spark, sf_dir).select("event_id").distinct()
+    if want.count() > 200_000:
+        # data-scale output (10M arm): compare Spark-side digests instead
+        # of collecting the full id multiset into the driver
+        return _digest_diff(got.select("event_id"), want,
+                            "surviving event_ids:")
     g = _canon_rows(got.select("event_id"))
-    w = _canon_rows(_events(spark, sf_dir).select("event_id").distinct())
+    w = _canon_rows(want)
     return _diff(g, w, "surviving event_ids:")
 
 
@@ -337,7 +393,11 @@ def check_left_join(spark, sf_dir, tmp, mfpt):
         run_to_completion,
     )
 
-    replay = _replay(spark, _events(spark, sf_dir), tmp)
+    # this check APPENDS sentinel batches — never mutate the shared cached
+    # replay; copy it (copy2 preserves the modTime batch ordering)
+    replay_src = _replay(spark, _events(spark, sf_dir), tmp)
+    replay = os.path.join(tmp, "lj_replay")
+    shutil.copytree(replay_src, replay)
     far = "2031-01-01 00:00:00"
     for i in range(2):
         time.sleep(1.1)  # file source orders batches by modTime
@@ -840,28 +900,61 @@ CHECKS = {
 }
 
 
+def _peak_state(progress):
+    """Peak state-store footprint across a check's drained queries: max
+    stateOperators[].numRowsTotal / memoryUsedBytes over every progress
+    event run_to_completion recorded. (0, 0) for stateless/foreachBatch
+    checks."""
+    rows = mem = 0
+    for p in progress:
+        for so in p.get("stateOperators") or []:
+            rows = max(rows, int(so.get("numRowsTotal") or 0))
+            mem = max(mem, int(so.get("memoryUsedBytes") or 0))
+    return rows, mem
+
+
 def run_stream_gate(spark, sources, names, mfpt=1):
     """sources: list of (label, sf_dir). Returns (label, name, status,
-    detail, sec) tuples."""
+    detail, sec, state_rows, state_mem) tuples."""
+    global _REPLAY_SOURCE, _REPLAY_ROOT
+
+    from clusterindices_spark.streaming import streams as _streams
+
     results = []
-    for label, sf_dir in sources:
-        for name in names:
-            t0 = time.monotonic()
-            tmp = tempfile.mkdtemp(prefix=f"sg_{name}_")
-            try:
-                status, detail = CHECKS[name](spark, sf_dir, tmp, mfpt)
-            except Exception as ex:
-                status = "SERR"
-                detail = f"{type(ex).__name__}: {str(ex)[:300]}"
-            finally:
-                shutil.rmtree(tmp, ignore_errors=True)
-            sec = round(time.monotonic() - t0, 1)
-            results.append((label, name, status, detail, sec))
-            print(
-                f"{status:5s} {label}/{name}"
-                + (f": {detail}" if status not in ("PASS",) else ""),
-                flush=True,
-            )
+    _REPLAY_ROOT = tempfile.mkdtemp(prefix="sg_replays_")
+    try:
+        for label, sf_dir in sources:
+            _REPLAY_SOURCE = label
+            for name in names:
+                t0 = time.monotonic()
+                tmp = tempfile.mkdtemp(prefix=f"sg_{name}_")
+                _streams.LAST_QUERY_PROGRESS.clear()
+                try:
+                    status, detail = CHECKS[name](spark, sf_dir, tmp, mfpt)
+                except Exception as ex:
+                    status = "SERR"
+                    detail = f"{type(ex).__name__}: {str(ex)[:300]}"
+                finally:
+                    shutil.rmtree(tmp, ignore_errors=True)
+                sec = round(time.monotonic() - t0, 1)
+                st_rows, st_mem = _peak_state(_streams.LAST_QUERY_PROGRESS)
+                results.append(
+                    (label, name, status, detail, sec, st_rows, st_mem)
+                )
+                print(
+                    f"{status:5s} {label}/{name}"
+                    + (f" [state {st_rows} rows, "
+                       f"{st_mem / 1e6:.0f} MB]" if st_rows else "")
+                    + (f": {detail}" if status not in ("PASS",) else ""),
+                    flush=True,
+                )
+    finally:
+        root = _REPLAY_ROOT
+        _REPLAY_SOURCE = None
+        _REPLAY_ROOT = None
+        _REPLAY_CACHE.clear()
+        if root:
+            shutil.rmtree(root, ignore_errors=True)
     return results
 
 
@@ -900,7 +993,7 @@ def main() -> int:
 
     n = {}
     bad = []
-    for label, name, status, detail, sec in results:
+    for label, name, status, detail, sec, st_rows, st_mem in results:
         n[status] = n.get(status, 0) + 1
         if status in ("DIFF", "SERR"):
             bad.append((label, name, status, detail))
@@ -920,10 +1013,16 @@ def main() -> int:
         for label, name, status, detail in bad:
             lines.append(f"- **{label}/{name}** [{status}]: {detail}")
         lines.append("")
-    lines.append("## Cells")
+    lines.append("## Cells (peak state = max stateOperators rows/bytes "
+                 "across the check's drained queries; 0 for stateless/"
+                 "foreachBatch checks)")
     lines.append("")
-    for label, name, status, detail, sec in results:
-        lines.append(f"- {label}/{name}: {status} ({sec}s)")
+    for label, name, status, detail, sec, st_rows, st_mem in results:
+        state = (
+            f", peak state {st_rows:,} rows / {st_mem / 1e6:.1f} MB"
+            if st_rows else ""
+        )
+        lines.append(f"- {label}/{name}: {status} ({sec}s{state})")
     os.makedirs(os.path.dirname(args.report), exist_ok=True)
     with open(args.report, "w") as f:
         f.write("\n".join(lines) + "\n")
