@@ -1159,8 +1159,33 @@ def distinct_users_census_foreach_batch(
         # re-evaluated against a directory it is concurrently growing
         fresh = fresh.localCheckpoint(eager=True)
         fresh.write.mode("append").parquet(state_dir)
-        totals = (
+        # census domain = state pairs ∪ a NULL-user placeholder per type
+        # OBSERVED in this batch: a type whose every user_id is NULL never
+        # reaches the pair state, but the batch twin still emits
+        # (type, countDistinct = 0) for it — without the placeholder the
+        # stream dropped such types entirely (10M scale gate finding, r12:
+        # the scale10m fixture's only purchases sit in the NULL-user
+        # flood). count_distinct skips NULLs, so placeholder-only types
+        # census to 0 and placeholders never inflate a real count; NULL
+        # event_type placeholders merge into the NULL group key correctly
+        # (groupBy, unlike equi-joins, unifies NULL keys).
+        has_state = os.path.isdir(state_dir) and any(
+            e.endswith(".parquet") for e in os.listdir(state_dir)
+        )
+        state_pairs = (
             spark.read.parquet(state_dir)
+            if has_state
+            else spark.createDataFrame(
+                [], batch_df.select("event_type", "user_id").schema
+            )
+        )
+        observed = (
+            batch_df.select("event_type")
+            .distinct()
+            .withColumn("user_id", F.lit(None).cast("bigint"))
+        )
+        totals = (
+            state_pairs.unionByName(observed)
             .groupBy("event_type")
             .agg(F.count_distinct("user_id").alias("distinct_users"))
         )

@@ -194,3 +194,42 @@ def test_rollup_sink_in_envelope_unchanged(spark):
     h0 = 1704067200000  # 2024-01-01 00:00 UTC in ms
     assert got[("view", h0)] == (2, 3_750_000)
     assert got[("click", h0 + 3_600_000)] == (1, -750_000)  # floor(-749999.5)
+
+
+def test_census_emits_zero_for_all_null_user_type(spark):
+    """10M scale-gate finding (r12): an event type whose every user_id is
+    NULL never reaches the pair state, so the census stream emitted no row
+    for it while the batch twin emits (type, countDistinct=0). The
+    NULL-user placeholder per observed type fixes it."""
+    from clusterindices_spark.streaming.streams import (
+        distinct_users_census_foreach_batch,
+        events_file_stream,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "view", 1.0, "{}"),
+        (2, "2024-01-01 00:01:00", 2, "view", 1.0, "{}"),
+        # purchases exist but only with NULL users
+        (3, "2024-01-01 00:02:00", None, "purchase", 1.0, "{}"),
+        (4, "2024-01-01 00:03:00", None, "purchase", 2.0, "{}"),
+        # NULL event_type with a real user — NULL group key must census to 1
+        (5, "2024-01-01 00:04:00", 3, None, 1.0, "{}"),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        replay = os.path.join(tmp, "replay")
+        df = spark.createDataFrame(rows, EV_SCHEMA).withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+        df.coalesce(1).write.mode("overwrite").json(replay)
+        q = distinct_users_census_foreach_batch(
+            events_file_stream(spark, replay),
+            state_dir=os.path.join(tmp, "state"),
+            out_dir=os.path.join(tmp, "out"),
+            ckpt_dir=os.path.join(tmp, "ckpt"),
+        )
+        q.awaitTermination()
+        got = {
+            r["event_type"]: r["distinct_users"]
+            for r in spark.read.parquet(os.path.join(tmp, "out")).collect()
+        }
+    assert got == {"view": 2, "purchase": 0, None: 1}

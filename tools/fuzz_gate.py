@@ -147,6 +147,51 @@ _W3_DATE_EDGES = [
     dt.datetime(2000, 1, 1),
 ]
 
+# ---- wave-4 (seeds >= 104000) adversarial STRING STRUCTURE ----------------
+# Wave 3 covered value/NULL/time/unicode-normalization space; wave 4 probes
+# pathological string SHAPE for the regex/parse surface (pii_scrub,
+# token_count, langid, rake, repetition, code_detect, fingerprint, bpe,
+# scrub_blocklist, scalar_json/variant, CSV/XML/JSONL roundtrip payloads):
+# catastrophic-backtracking shapes, giant tokens/runs, PII-regex edge
+# forms, CSV/XML-hostile separators and control chars, format-string
+# hazards, case-fold traps.
+_W4_HOSTILE_TEXTS = [
+    "a" * 3000 + "!",                         # single-char run + mismatch tail
+    "(" * 500,                                # unbalanced deep open-nesting
+    "[" * 200 + "x" + "]" * 200,              # balanced deep nesting
+    "ab" * 1500 + "c",                        # alternating-pair run
+    "a@" * 800,                               # email-regex hostile repetition
+    "user@example.com reach me at user@example.com " * 40,  # dense PII hits
+    "x" + "." * 2000 + "@y.com",              # dot-run local part
+    "john.doe+tag-1_2@sub.domain.example.co.uk",  # legit complex email
+    "+1 (555) 000-1234 or 555-00-0000; card 4111 1111 1111 1111",
+    "9" * 300,                                # giant digit run
+    "999.999.999.999 1.2.3.4.5 01.02.003.4 256.1.1.1",  # IP-ish zoo
+    "see http://a.b/c?d=e&f=g#h and https://[::1]:8080/p%20q?x=1",
+    "﻿BOM prefixed text",                # BOM survives serialization?
+    "line1\r\nline2\rline3\nline4",           # CR/LF zoo (CSV hazard)
+    'comma, "quoted; semicolon" and \ttab | pipe',  # CSV delimiter/quote zoo
+    '<tag attr="v">&amp; ]]> </closed>',      # XML specials + CDATA-end
+    "%s%s%n{0}${HOME}\\x41\\u0041",           # format-string hazards
+    ("word " * 2000).strip(),                 # 2k-token document
+    "ẞßİIıi Σσς",  # case-fold traps
+    ".*+?^$()[]{}|\\ regex metachar soup .*+?",  # pattern-literal hazard
+]
+_W4_HOSTILE_PROPS = [
+    '{"a":' * 64 + "1" + "}" * 64,            # 64-deep nesting
+    '{"k":[' + "1," * 4999 + "1]}",           # 5k-element array
+    '{"k":1e999}',                            # overflows double → Inf/null?
+    '{"k":-0.0}',
+    '{"k":9223372036854775808}',              # int64 max + 1
+    '{"k":1,"k":2}',                          # duplicate keys
+    '{"k":"\\u00e9\\n\\t"}',                  # escapes in value
+    '   {"k":1}   ',                          # whitespace-padded
+    '{"k":1}trailing',                        # trailing garbage
+    '{"k:1}',                                 # broken quote
+    "nan",                                    # bare non-JSON token
+    '{"k":"' + "x" * 8000 + '"}',             # giant string value
+]
+
 
 # ---------------------------------------------------------------------------
 # per-trial generation
@@ -292,6 +337,55 @@ def gen_trial(out: str, seed: int, scale: int = 1) -> dict:
         k3 = {"w3_special_p": 0.0, "w3_ts_regime": "none",
               "w3_date_edge_p": 0.0, "w3_nfd_p": 0.0, "w3_tiny": "none"}
 
+    # ---- wave-4 knobs (seeds >= 104000): adversarial string structure.
+    # Separate rng (rng4) + post-pass BEFORE w3 (so w3's NFD pass and the
+    # documents n_chars fix-up see the final texts) — waves 1-3 replay
+    # bit-identically.
+    wave4 = seed >= 104000
+    rng4 = np.random.default_rng(seed * 9967 + 4) if wave4 else None
+    if wave4:
+        k4 = {
+            "w4_text_p": float(rng4.choice([0.0, 0.08, 0.2])),
+            "w4_props_p": float(rng4.choice([0.0, 0.15])),
+            "w4_giant": int(rng4.choice([0, 1])),
+        }
+        knobs.update(k4)
+    else:
+        k4 = {"w4_text_p": 0.0, "w4_props_p": 0.0, "w4_giant": 0}
+
+    def w4(table: str, cols: dict[str, list]) -> dict[str, list]:
+        """Wave-4 post-pass mutator; identity for wave-1/2/3 seeds."""
+        if not wave4:
+            return cols
+        nrow = len(next(iter(cols.values())))
+        tp = k4["w4_text_p"]
+        if tp > 0:
+            for cname in _W3_TEXT_COLS.get(table, ()):
+                vals = list(cols[cname])
+                for i in range(nrow):
+                    if vals[i] is not None and rng4.random() < tp:
+                        vals[i] = _W4_HOSTILE_TEXTS[
+                            int(rng4.integers(0, len(_W4_HOSTILE_TEXTS)))]
+                cols[cname] = vals
+        if table == "events" and k4["w4_props_p"] > 0:
+            vals = list(cols["props"])
+            for i in range(nrow):
+                if vals[i] is not None and rng4.random() < k4["w4_props_p"]:
+                    vals[i] = _W4_HOSTILE_PROPS[
+                        int(rng4.integers(0, len(_W4_HOSTILE_PROPS)))]
+            cols["props"] = vals
+        if table == "documents":
+            if k4["w4_giant"] and nrow:
+                # one ~200KB monster document (giant-token + giant-doc
+                # regimes at once)
+                cols["text"] = list(cols["text"])
+                cols["text"][int(rng4.integers(0, nrow))] = (
+                    ("lorem ipsum dolor " * 8000) + "y" * 50_000
+                )
+            cols["n_chars"] = [
+                None if t is None else len(t) for t in cols["text"]]
+        return cols
+
     def w3(table: str, cols: dict[str, list]) -> dict[str, list]:
         """Wave-3 post-pass mutator; identity for wave-1/2 seeds."""
         if not wave3:
@@ -350,7 +444,7 @@ def gen_trial(out: str, seed: int, scale: int = 1) -> dict:
         return cols
 
     def _w(table: str, cols: dict[str, list]) -> None:
-        _write(out, table, w3(table, cols))
+        _write(out, table, w3(table, w4(table, cols)))
 
     # --- region / nation (small dims; names fuzzed, keys dense) ---
     nr = int(rng.integers(2, 6))

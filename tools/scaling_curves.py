@@ -1,0 +1,279 @@
+#!/usr/bin/env python
+"""Per-family scaling curves: rows-vs-wall at three sizes with fitted
+exponents (VERDICT r11 "Next round" #5).
+
+The near-linear 100 TB-posture claim was previously pinned only for the
+dedup/knn/window families (skew_stress, scale_stress, scale10m_timing).
+This tool measures the top bench families on Spark-generated deterministic
+fixtures at three sizes, fits wall = c·n^e by least squares on
+(log n, log wall), and reports e per family. Anything meaningfully past
+O(n log n) (e ≳ 1.25 on this size range) needs a named cause or a fix.
+
+Fixtures are generated Spark-side (spark.range + id-derived columns — no
+rand(), no Python row loops) into tmp sf-dirs holding ONLY the table(s) a
+family reads, schema-matched to /root/testdata. Registry queries run
+unmodified against those dirs.
+
+Families (key → driving table, sizes):
+  documents (1M/3M/10M): dedup_exact, dedup_near_minhash, dedup_components,
+      text_tokens_stats, text_tfidf_topterms
+  embeddings (100k/300k/1M): similarity_knn_graph, similarity_ann_pq,
+      dedup_semantic_clusters_ann, embedding_whiten
+  events (1M/3M/10M): events_user_lifecycle, window_fill_forward,
+      events_rollup_hierarchy, stream_tumbling_agg
+
+Run: python tools/scaling_curves.py [family-or-key ...]
+Appends the table to reports/scaling_curves.md; summary line for
+BASELINE.md printed at the end.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+DOC_SIZES = [1_000_000, 3_000_000, 10_000_000]
+EMB_SIZES = [100_000, 300_000, 1_000_000]
+EV_SIZES = [1_000_000, 3_000_000, 10_000_000]
+
+FAMILIES = {
+    # key: (table, sizes)
+    "dedup_exact": ("documents", DOC_SIZES),
+    "dedup_near_minhash": ("documents", DOC_SIZES),
+    "dedup_components": ("documents", DOC_SIZES),
+    "text_tokens_stats": ("documents", DOC_SIZES),
+    "text_tfidf_topterms": ("documents", DOC_SIZES),
+    "similarity_knn_graph": ("embeddings", EMB_SIZES),
+    "similarity_ann_pq": ("embeddings", EMB_SIZES),
+    "dedup_semantic_clusters_ann": ("embeddings", EMB_SIZES),
+    "embedding_whiten": ("embeddings", EMB_SIZES),
+    "events_user_lifecycle": ("events", EV_SIZES),
+    "window_fill_forward": ("events", EV_SIZES),
+    "events_rollup_hierarchy": ("events", EV_SIZES),
+    "stream_tumbling_agg": ("events", EV_SIZES),
+}
+
+DIM = 32  # embeddings dim — fixture parity (sf dirs carry 32)
+
+
+def _gen_documents(spark, n, out):
+    """Deterministic docs: ~25% exact-dup rate (id-derived), 40-word texts
+    drawn from a 1k-word pool by hash — the dedup/text family regime."""
+    w = (
+        "concat_ws(' ', transform(sequence(1, 12 + int(pmod(h, 29))), "
+        "j -> concat('w', pmod(xxhash64(base, j), 1000))))"
+    )
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("doc_id"),
+            # 4 ids share one base in 25% of ids → planted exact dups
+            F.when(
+                F.pmod(F.xxhash64("id"), F.lit(4)) == 0, F.expr("id div 4")
+            )
+            .otherwise(F.col("id"))
+            .alias("base"),
+            F.pmod(F.xxhash64("id", F.lit(7)), F.lit(10_000)).alias("h"),
+        )
+        .select(
+            "doc_id",
+            F.expr(w).alias("text"),
+            F.element_at(
+                F.array(*[F.lit(x) for x in ("en", "de", "es", "fr", "zh")]),
+                (F.pmod(F.col("h"), F.lit(5)) + 1).cast("int"),
+            ).alias("lang"),
+            F.concat(
+                F.lit("src"), F.pmod(F.col("h"), F.lit(20)).cast("string")
+            ).alias("source"),
+        )
+        .withColumn("n_chars", F.length("text"))
+    )
+    df.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+
+
+def _gen_embeddings(spark, n, out):
+    """Deterministic vectors: hash-derived floats in [-1,1], 10% exact
+    duplicates, hash-planted cluster centers whose COUNT scales with n
+    (~200 vectors per center — constant cluster size, like a real corpus).
+    A fixed center count would make every LSH/IVF bucket O(n) deep and
+    fake a quadratic regime the production distribution doesn't have (the
+    dense-ball collapse the KNN_CAND_BUDGET volume gate exists to refuse)."""
+    centers = max(n // 200, 50)
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.when(
+                F.pmod(F.xxhash64("id"), F.lit(10)) == 0,
+                F.expr("id div 10"),
+            )
+            .otherwise(F.col("id"))
+            .alias("base"),
+        )
+        .select(
+            "vec_id",
+            F.expr(
+                f"transform(sequence(0, {DIM - 1}), j -> cast("
+                f" (pmod(xxhash64(pmod(base, {centers}), j), 1000) - 500)"
+                "  / 600.0"
+                "  + (pmod(xxhash64(base, j, 1), 200) - 100) / 500.0"
+                " as float))"
+            ).alias("embedding"),
+            F.pmod(F.xxhash64("base"), F.lit(10)).cast("int").alias("label"),
+        )
+    )
+    df.write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet")
+    )
+
+
+def _gen_events(spark, n, out):
+    """Deterministic events over Jan-2024: 10k users zipf-ish (user 0
+    carries ~10% of rows), second-grain timestamps with tie blocks."""
+    df = spark.range(n).select(
+        (F.col("id") + 1).alias("event_id"),
+        F.timestamp_millis(
+            F.lit(1_704_067_200_000)
+            + F.pmod(F.xxhash64("id", F.lit(3)), F.lit(28 * 86_400)) * 1000
+        ).alias("ts"),
+        F.when(F.pmod(F.xxhash64("id"), F.lit(10)) == 0, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("id", F.lit(1)), F.lit(10_000)))
+        .alias("user_id"),
+        F.element_at(
+            F.array(
+                *[
+                    F.lit(x)
+                    for x in ("view", "click", "purchase", "error", "signup")
+                ]
+            ),
+            (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(5)) + 1).cast("int"),
+        ).alias("event_type"),
+        (F.pmod(F.xxhash64("id", F.lit(4)), F.lit(10_000)) / 100.0).alias(
+            "value"
+        ),
+        F.concat(
+            F.lit('{"k": '),
+            F.pmod(F.xxhash64("id", F.lit(5)), F.lit(9)).cast("string"),
+            F.lit("}"),
+        ).alias("props"),
+    )
+    df.write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
+
+
+_GEN = {
+    "documents": _gen_documents,
+    "embeddings": _gen_embeddings,
+    "events": _gen_events,
+}
+
+
+def _fit_exponent(sizes, walls):
+    xs = [math.log(s) for s in sizes]
+    ys = [math.log(max(w, 1e-3)) for w in walls]
+    mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+    num = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    den = sum((x - mx) ** 2 for x in xs)
+    return num / den if den else float("nan")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--report", default="reports/scaling_curves.md")
+    ap.add_argument("--scale-div", type=int, default=1,
+                    help="divide all sizes by N (smoke runs)")
+    ap.add_argument("keys", nargs="*")
+    args = ap.parse_args()
+    if args.scale_div > 1:
+        for k, (t, sizes) in list(FAMILIES.items()):
+            FAMILIES[k] = (t, [max(s // args.scale_div, 1000) for s in sizes])
+
+    from clusterindices_spark.session import get_spark
+
+    import __spark_entry__ as e
+
+    spark = get_spark("scaling-curves")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = e.queries()
+    keys = args.keys or list(FAMILIES)
+
+    # generate each (table, size) fixture once, shared across families
+    root = tempfile.mkdtemp(prefix="scurve_")
+    fix = {}
+    needed = {
+        (FAMILIES[k][0], s) for k in keys for s in FAMILIES[k][1]
+    }
+    for table, size in sorted(needed):
+        d = os.path.join(root, f"{table}_{size}")
+        os.makedirs(d, exist_ok=True)
+        t0 = time.monotonic()
+        _GEN[table](spark, size, d)
+        fix[(table, size)] = d
+        print(
+            f"fixture {table}@{size:,}: {time.monotonic() - t0:.1f}s",
+            flush=True,
+        )
+
+    results = []  # (key, table, [(n, wall, out_rows)], exponent)
+    for k in keys:
+        table, sizes = FAMILIES[k]
+        pts = []
+        for s in sizes:
+            t0 = time.monotonic()
+            out_n = len(qs[k](spark, fix[(table, s)]).collect())
+            wall = time.monotonic() - t0
+            pts.append((s, wall, out_n))
+            print(f"{k} @{s:,}: {wall:.1f}s ({out_n} rows)", flush=True)
+        expo = _fit_exponent([p[0] for p in pts], [p[1] for p in pts])
+        results.append((k, table, pts, expo))
+        print(f"{k}: fitted exponent e={expo:.2f}", flush=True)
+
+    shutil.rmtree(root, ignore_errors=True)
+
+    lines = [
+        "# Per-family scaling curves (tools/scaling_curves.py)",
+        "",
+        "wall = c·n^e fit over three sizes; e ≲ 1.0 linear, ~1.1 "
+        "n log n-ish on this range. Spark-generated deterministic "
+        "fixtures (id-derived, no rand()); collect()-materialized; "
+        f"local[{spark.sparkContext.defaultParallelism}].",
+        "",
+        "| key | table | n → wall (s) | fitted e |",
+        "|---|---|---|---|",
+    ]
+    worst = []
+    for k, table, pts, expo in results:
+        cells = "; ".join(f"{s / 1e6:g}M → {w:.1f}" for s, w, _ in pts)
+        lines.append(f"| {k} | {table} | {cells} | **{expo:.2f}** |")
+        if expo > 1.25:
+            worst.append((k, expo))
+    lines.append("")
+    if worst:
+        lines.append(
+            "**families past ~O(n log n) (need a named cause or a fix): "
+            + ", ".join(f"{k} (e={x:.2f})" for k, x in worst)
+            + "**"
+        )
+    else:
+        lines.append(
+            "**all families ≤ ~O(n log n) on this range (max e "
+            f"{max(r[3] for r in results):.2f})**"
+        )
+    os.makedirs(os.path.dirname(args.report), exist_ok=True)
+    with open(args.report, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"\nreport: {args.report}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
