@@ -476,10 +476,23 @@ def q_scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction with an integer-literal gate. The gate is the
+    parity contract (fuzz wave-4 seed 104001): a non-numeric $.k (e.g. a
+    JSON string value "é\\n\\t") made BOTH engines raise on the bare CAST,
+    and bare TRY_CAST is no better — DuckDB coerces '2.9'→3, '-0.0'→0,
+    '0x10'→16 where Spark try_cast answers NULL. Only values matching
+    ^[+-]?[0-9]+$ are cast (try_cast still backstops int32 overflow, which
+    both engines NULL identically); everything else — floats, bools,
+    quoted strings, nested JSON, Infinity — is NULL in both engines.
+    Malformed records are data, not errors: one bad props cell must not
+    kill a corpus-scale scan."""
     e = load_table(spark, sf_dir, "events")
+    s = F.get_json_object("props", "$.k")
     return e.select(
         "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.when(
+            s.rlike("^[+-]?[0-9]+$"), F.expr("try_cast(get_json_object(props, '$.k') as int)")
+        ).alias("k"),
     )
 
 
@@ -715,9 +728,15 @@ SELECT vec_id,
 FROM embeddings
 """,
     "scalar_json": """
+-- integer-literal gate mirrors the Spark side (wave-4): bare CAST raises
+-- on string-typed $.k in both engines, and bare TRY_CAST diverges (DuckDB
+-- coerces '2.9'/'0x10'/'-0.0' where Spark NULLs); only ^[+-]?[0-9]+$
+-- values cast, TRY_CAST backstops int32 overflow identically.
 SELECT event_id,
        CASE WHEN props IS NOT NULL AND json_valid(props)
-            THEN CAST(json_extract_string(props, '$.k') AS INT) END AS k
+                 AND regexp_matches(
+                     json_extract_string(props, '$.k'), '^[+-]?[0-9]+$')
+            THEN TRY_CAST(json_extract_string(props, '$.k') AS INT) END AS k
 FROM events
 """,
 }

@@ -1825,26 +1825,52 @@ SELECT doc_id,
 FROM hs
 """,
     "scalar_map": """
+-- Spark from_json(MAP<STRING,INT>) is STRICT: the WHOLE map is NULL if
+-- ANY value is not a JSON integer fitting int32 (floats, bools, quoted
+-- strings, nested objects/arrays, >int32, 1e999) — only integer values
+-- and JSON nulls parse (fuzz wave-4 seed 104001: the old per-key CAST
+-- raised on a string value where Spark answered a NULL map, and it could
+-- not address empty-string keys at all). Mirror with the '$.*' wildcard
+-- value list + a per-value type/range predicate; duplicate keys survive
+-- in BOTH engines (json_keys ['k','k'] == map_keys), and
+-- json_extract_string('$.k') takes the FIRST duplicate exactly like
+-- Spark's map lookup.
 WITH g AS (
   SELECT event_id,
          CASE WHEN props IS NOT NULL AND json_valid(props)
                    AND json_type(props) = 'OBJECT'
               THEN props END AS p
   FROM events
+),
+v AS (
+  SELECT event_id, p,
+         CASE WHEN p IS NOT NULL THEN json_extract(p, '$.*') END AS vals,
+         CASE WHEN p IS NOT NULL THEN
+           len(list_filter(json_extract(p, '$.*'), x -> NOT (
+               x IS NULL
+               OR (json_type(x) IN ('UBIGINT', 'BIGINT')
+                   AND COALESCE(TRY_CAST(CAST(x AS VARCHAR) AS BIGINT)
+                       BETWEEN -2147483648 AND 2147483647, FALSE))
+           ))) = 0
+         ELSE FALSE END AS ok
+  FROM g
 )
 SELECT event_id,
        -- DuckDB array_to_string([]) is NULL while Spark concat_ws is '':
-       -- coalesce only when an object was parsed (empty object -> '')
-       CASE WHEN p IS NOT NULL THEN
+       -- coalesce only when the map parsed (empty object -> '')
+       CASE WHEN ok THEN
          COALESCE(array_to_string(list_sort(json_keys(p)), ','), '') END
          AS keys_csv,
-       CASE WHEN p IS NOT NULL THEN
-         COALESCE(array_to_string(list_sort(list_transform(json_keys(p),
-                 k -> CAST(json_extract_string(p, '$.' || k) AS INT))), ','), '')
+       -- array_to_string skips NULL elements == concat_ws skips NULL
+       -- values, so the JSON-null entries drop out identically
+       CASE WHEN ok THEN
+         COALESCE(array_to_string(list_sort(list_transform(vals,
+                 x -> TRY_CAST(CAST(x AS VARCHAR) AS INT))), ','), '')
          END AS vals_csv,
-       CAST(json_extract_string(p, '$.k') AS INT) AS k_val,
-       list_contains(json_keys(p), 'k') AS has_k
-FROM g
+       CASE WHEN ok
+            THEN TRY_CAST(json_extract_string(p, '$.k') AS INT) END AS k_val,
+       CASE WHEN ok THEN list_contains(json_keys(p), 'k') END AS has_k
+FROM v
 """,
     "window_range_frame": """
 SELECT o_custkey, o_orderkey,

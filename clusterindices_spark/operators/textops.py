@@ -1090,15 +1090,19 @@ w0 AS MATERIALIZED (
                 f"replace({rep}, ' ' || (SELECT pair FROM b{r}) || ' ', "
                 f"' ' || (SELECT merged FROM b{r}) || ' ')"
             )
+        # split ONCE into a toks column before the pair lambda: a
+        # string_split(seq, ...) INSIDE list_transform re-splits the whole
+        # seq per element — O(L²) per word, ~20 min on a wave-4 200KB
+        # monster doc (50k-symbol word) where the hoisted form is O(L)
+        # and runs in seconds (fuzz wave-4 seed 104006)
         blocks.append(
             f"""
 p{r} AS MATERIALIZED (
   SELECT p AS pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
     SELECT freq,
-           unnest(list_transform(range(len(string_split(seq, ' ')) - 1),
-             i -> string_split(seq, ' ')[i+1] || ' '
-                  || string_split(seq, ' ')[i+2])) AS p
-    FROM {prev}
+           unnest(list_transform(range(len(toks) - 1),
+             i -> toks[i+1] || ' ' || toks[i+2])) AS p
+    FROM (SELECT freq, string_split(seq, ' ') AS toks FROM {prev})
   ) GROUP BY p
 ),
 b{r} AS MATERIALIZED (

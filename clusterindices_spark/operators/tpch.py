@@ -598,9 +598,14 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     # grand total empties out as part count grows — 0 rows at sf0.1):
     # keep parts holding >1.5x the mean per-part stock value. Integer
     # sum / integer count → bit-identical double in both engines.
+    # nullif: an EMPTY per_part (fuzzed region table with no EUROPE row)
+    # makes count 0 — ANSI raises on NULL/0 where DuckDB answers NULL →
+    # 0 rows (fuzz wave-4 seed 104003); NULL threshold filters everything
+    # in both engines.
     total = per_part.agg(
         (
-            F.sum("micros_sum") / F.count(F.lit(1)) * F.lit(1.5)
+            F.sum("micros_sum") / F.nullif(F.count(F.lit(1)), F.lit(0))
+            * F.lit(1.5)
         ).alias("threshold_micros")
     )
     return (

@@ -114,6 +114,14 @@ _FRONT = [
 # r12 operator fix should be PREPENDED here so its post-fix driver row lands
 # in the next window.
 _NEXT: list[str] = [
+    # fuzz wave-4 fixes (r12): scalar_json/scalar_map integer-literal gate
+    # + strict-map oracle, tpch_q11 nullif(count) empty-region guard,
+    # text_bpe_train_merges oracle split-hoist — post-fix driver rows lead
+    # the r13 window
+    "scalar_json",
+    "scalar_map",
+    "tpch_q11",
+    "text_bpe_train_merges",
     "dedup_graph_hops",
     "dedup_span_coverage",
     "events_funnel",
