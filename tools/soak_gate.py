@@ -69,6 +69,59 @@ def _cache_snapshot(spark):
     }
 
 
+def _rss_mb(pid) -> float:
+    try:
+        with open(f"/proc/{pid}/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / 1024.0
+    except Exception:
+        pass
+    return -1.0
+
+
+def _mem_snapshot(spark) -> dict:
+    """Byte-level footprint (VERDICT r11 item 6): cache POPULATIONS are
+    bounded by _cache_snapshot, but Arrow buffers / broadcast cleanup /
+    py4j object leaks only show at the byte level. Sampled post-GC (the
+    caller runs _cache_snapshot first, which GCs both runtimes):
+
+    - py_rss_mb: the Python driver process RSS.
+    - jvm_heap_mb: JVM used heap (total - free) — in local mode the
+      executors are threads in the driver JVM, so this covers executor
+      state too.
+    - jvm_rss_mb: RSS of the JVM child process (native + heap + Arrow
+      off-heap), found as the java child of this driver."""
+    import os as _os
+
+    mem = {"py_rss_mb": round(_rss_mb(_os.getpid()), 1)}
+    try:
+        rt = spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
+        mem["jvm_heap_mb"] = round(
+            (rt.totalMemory() - rt.freeMemory()) / 1048576.0, 1
+        )
+    except Exception:
+        mem["jvm_heap_mb"] = -1.0
+    jvm_rss = -1.0
+    try:
+        me = str(_os.getpid())
+        for pid in _os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/stat") as f:
+                    parts = f.read().split()
+                if parts[3] == me and "java" in parts[1]:
+                    jvm_rss = _rss_mb(pid)
+                    break
+            except Exception:
+                continue
+    except Exception:
+        pass
+    mem["jvm_rss_mb"] = round(jvm_rss, 1)
+    return mem
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
@@ -102,12 +155,22 @@ def main() -> int:
 
     r1, t1, e1 = run_pass(1)
     snap1 = _cache_snapshot(spark)
+    mem1 = _mem_snapshot(spark)
     r2, t2, e2 = run_pass(2)
     snap2 = _cache_snapshot(spark)
+    mem2 = _mem_snapshot(spark)
 
     drift = [k for k in r1 if k in r2 and r1[k] != r2[k]]
     err_drift = sorted(set(e1) ^ set(e2))
     growth = {c: (snap1[c], snap2[c]) for c in snap1 if snap2[c] > snap1[c]}
+    # byte-level bounded growth: pass 2 may jitter (GC timing, arena
+    # reuse) but must not stack a second generation — allow the larger of
+    # +25% or +256 MB per metric before calling it a leak
+    mem_growth = {
+        c: (mem1[c], mem2[c])
+        for c in mem1
+        if mem1[c] >= 0 and mem2[c] > max(mem1[c] * 1.25, mem1[c] + 256)
+    }
     tot1, tot2 = sum(t1.values()), sum(t2.values())
     slow = tot2 > tot1 * 1.5
     # per-key pathological recompute check (the r3 dead-cache signature)
@@ -120,7 +183,10 @@ def main() -> int:
         key=lambda x: -x[2],
     )
 
-    ok = not drift and not err_drift and not growth and not slow
+    ok = (
+        not drift and not err_drift and not growth and not slow
+        and not mem_growth
+    )
     lines = [
         "# Session-soak / cache-hygiene gate (tools/soak_gate.py)",
         "",
@@ -135,9 +201,12 @@ def main() -> int:
         + (f" — {err_drift}" if err_drift else ""),
         f"**cache growth pass1→pass2: "
         f"{growth if growth else 'none (bounded)'}**",
+        f"**memory growth pass1→pass2 (leak = > max(+25%, +256 MB)): "
+        f"{mem_growth if mem_growth else 'none (bounded)'}**",
         "",
         "cache populations: "
         f"after pass1 {snap1} / after pass2 {snap2}",
+        f"memory (MB, post-GC): after pass1 {mem1} / after pass2 {mem2}",
     ]
     if slow_keys:
         lines += ["", "per-key >3x slowdowns (dead-cache suspects):"]
