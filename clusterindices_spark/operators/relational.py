@@ -525,6 +525,22 @@ QUERIES = {
 # arithmetic and epoch_ms agree bit-for-bit with Spark's µs timestamps.
 _EV = "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)"
 
+# Jackson (Spark's JSON parser — get_json_object, from_json, AND
+# try_parse_json) tolerates TRAILING GARBAGE: '{"k":1}trailing' parses as
+# {"k":1}. DuckDB is RFC-strict (json_valid → false), and Spark has no
+# UDF-free strict mode — so the oracle mirrors Jackson's
+# first-complete-value semantics instead: if the full string is invalid,
+# take the SHORTEST prefix that is valid JSON and ends with '}' (unique =
+# the first complete object, incl. the '{"k":"}"}garbage' brace-in-string
+# case — json_valid rejects every shorter cut). The O(L²) prefix scan runs
+# only in the ELSE branch, i.e. only for full-string-INVALID props (fuzz
+# wave-4 seed 104009 finding).
+SQL_JSON_LENIENT = """CASE WHEN {p} IS NULL THEN NULL
+  WHEN json_valid({p}) THEN {p}
+  ELSE list_filter(list_transform(range(1, CAST(length({p}) AS BIGINT) + 1),
+        i -> substr({p}, 1, CAST(i AS INT))),
+        s -> json_valid(s) AND right(s, 1) = '}}')[1] END"""
+
 ORACLES = {
     "scan_project_filter": """
 SELECT l_orderkey, l_partkey,
@@ -727,17 +743,22 @@ SELECT vec_id,
        CAST(len(list_filter(embedding, v -> v > 0)) AS INT) AS n_pos
 FROM embeddings
 """,
-    "scalar_json": """
+    "scalar_json": f"""
 -- integer-literal gate mirrors the Spark side (wave-4): bare CAST raises
 -- on string-typed $.k in both engines, and bare TRY_CAST diverges (DuckDB
 -- coerces '2.9'/'0x10'/'-0.0' where Spark NULLs); only ^[+-]?[0-9]+$
--- values cast, TRY_CAST backstops int32 overflow identically.
+-- values cast, TRY_CAST backstops int32 overflow identically. The
+-- lenient-prefix CTE mirrors Jackson's trailing-garbage tolerance (see
+-- SQL_JSON_LENIENT).
+WITH j AS (
+  SELECT event_id, {SQL_JSON_LENIENT.format(p='props')} AS p FROM events
+)
 SELECT event_id,
-       CASE WHEN props IS NOT NULL AND json_valid(props)
+       CASE WHEN p IS NOT NULL AND json_valid(p)
                  AND regexp_matches(
-                     json_extract_string(props, '$.k'), '^[+-]?[0-9]+$')
-            THEN TRY_CAST(json_extract_string(props, '$.k') AS INT) END AS k
-FROM events
+                     json_extract_string(p, '$.k'), '^[+-]?[0-9]+$')
+            THEN TRY_CAST(json_extract_string(p, '$.k') AS INT) END AS k
+FROM j
 """,
 }
 

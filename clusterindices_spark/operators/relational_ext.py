@@ -33,6 +33,7 @@ from clusterindices_spark.functions.aggregates import (
     exact_sum,
     sql_exact_sum,
 )
+from clusterindices_spark.operators.relational import SQL_JSON_LENIENT
 from clusterindices_spark.sources.fixtures import load_table
 
 # ---------------------------------------------------------------------------
@@ -1835,12 +1836,15 @@ FROM hs
 -- in BOTH engines (json_keys ['k','k'] == map_keys), and
 -- json_extract_string('$.k') takes the FIRST duplicate exactly like
 -- Spark's map lookup.
-WITH g AS (
+WITH j AS (
+  SELECT event_id, {lenient} AS jp FROM events
+),
+g AS (
   SELECT event_id,
-         CASE WHEN props IS NOT NULL AND json_valid(props)
-                   AND json_type(props) = 'OBJECT'
-              THEN props END AS p
-  FROM events
+         CASE WHEN jp IS NOT NULL AND json_valid(jp)
+                   AND json_type(jp) = 'OBJECT'
+              THEN jp END AS p
+  FROM j
 ),
 v AS (
   SELECT event_id, p,
@@ -1871,7 +1875,7 @@ SELECT event_id,
             THEN TRY_CAST(json_extract_string(p, '$.k') AS INT) END AS k_val,
        CASE WHEN ok THEN list_contains(json_keys(p), 'k') END AS has_k
 FROM v
-""",
+""".replace("{lenient}", SQL_JSON_LENIENT.format(p="props")),
     "window_range_frame": """
 SELECT o_custkey, o_orderkey,
        ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE), 6) AS rev_30d,
