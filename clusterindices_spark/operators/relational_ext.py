@@ -269,7 +269,23 @@ def q_sequence_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cond_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
+    """CASE/NULLIF/GREATEST/LEAST surface over customer balances.
+
+    Non-finite balances are MISSING DATA (the engine-wide wave-3 policy),
+    and here that is not just convention but a hard parity requirement:
+    DuckDB 1.0's parquet zone-map constant-folding is NaN-UNSOUND — on a
+    row group whose finite max sits between two CASE thresholds, a NaN
+    c_acctbal read from parquet evaluates `>= 7500` as False (folded from
+    stats that exclude NaN) but `>= 5000` as True (executed with
+    NaN-is-greatest total order), landing in the WRONG tier, while the
+    same literal NaN lands in the top tier (fuzz wave-4 seed 104012,
+    probed bare-engine: three different answers for one value depending
+    on evaluation path). finite_or_null + the oracle's isfinite REPLACE
+    rewrite pin one deterministic answer in both engines: NULL balance →
+    every threshold comparison NULL → 'delinquent' tier, NULL floor/cap."""
+    c = load_table(spark, sf_dir, "customer").withColumn(
+        "c_acctbal", finite_or_null("c_acctbal")
+    )
     return c.select(
         "c_custkey",
         F.when(F.col("c_acctbal") >= 7500, "platinum")
@@ -280,8 +296,17 @@ def q_cond_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(
             F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("OTHER")
         ).alias("seg_or_other"),
-        F.round(F.greatest(F.col("c_acctbal"), F.lit(0.0)), 6).alias("bal_floor"),
-        F.round(F.least(F.col("c_acctbal"), F.lit(9000.0)), 6).alias("bal_cap"),
+        # explicit NULL-gate: F.greatest/LEAST skip NULLs (would yield the
+        # literal bound for a missing balance) — a missing balance has no
+        # floor/cap in either engine
+        F.when(
+            F.col("c_acctbal").isNotNull(),
+            F.round(F.greatest(F.col("c_acctbal"), F.lit(0.0)), 6),
+        ).alias("bal_floor"),
+        F.when(
+            F.col("c_acctbal").isNotNull(),
+            F.round(F.least(F.col("c_acctbal"), F.lit(9000.0)), 6),
+        ).alias("bal_cap"),
     )
 
 
@@ -1763,15 +1788,26 @@ SELECT m.month_start,
 FROM months m LEFT JOIN per_month p USING (month_start)
 """,
     "cond_expr": """
+-- isfinite REPLACE = the Spark side's finite_or_null: DuckDB 1.0's
+-- parquet zone-map folding is NaN-unsound for threshold comparisons
+-- (wave-4 seed 104012) — a NaN balance must be missing data, not a
+-- path-dependent tier
+WITH c AS (
+  SELECT * REPLACE (CASE WHEN isfinite(c_acctbal) THEN c_acctbal END
+                    AS c_acctbal)
+  FROM customer
+)
 SELECT c_custkey,
        CASE WHEN c_acctbal >= 7500 THEN 'platinum'
             WHEN c_acctbal >= 5000 THEN 'gold'
             WHEN c_acctbal >= 0 THEN 'standard'
             ELSE 'delinquent' END AS tier,
        COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg_or_other,
-       ROUND(GREATEST(c_acctbal, 0.0), 6) AS bal_floor,
-       ROUND(LEAST(c_acctbal, 9000.0), 6) AS bal_cap
-FROM customer
+       CASE WHEN c_acctbal IS NOT NULL
+            THEN ROUND(GREATEST(c_acctbal, 0.0), 6) END AS bal_floor,
+       CASE WHEN c_acctbal IS NOT NULL
+            THEN ROUND(LEAST(c_acctbal, 9000.0), 6) END AS bal_cap
+FROM c
 """,
     "distinct_latest": f"""
 SELECT user_id, event_type, event_id, epoch_ms(ts) AS ts_ms,

@@ -38,6 +38,11 @@ CASES = {
     # DuckDB is RFC-strict; the oracle's SQL_JSON_LENIENT shortest-valid-
     # prefix CTE mirrors Jackson.
     104009: ["scalar_json", "scalar_map"],
+    # seed 104012: DuckDB 1.0 parquet zone-map folding is NaN-unsound for
+    # threshold comparisons (NaN >= 7500 folds False from stats while
+    # NaN >= 5000 executes True under total order) — cond_expr now applies
+    # the engine-wide finite_or_null policy on both sides.
+    104012: ["cond_expr"],
 }
 
 
