@@ -51,10 +51,20 @@ def _cache_snapshot(spark):
     from clusterindices_spark.sources import readers
 
     try:
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
-        _t.sleep(2)
-        n_rdd = spark.sparkContext._jsc.getPersistentRDDs().size()
+        # stabilize: localCheckpoint RDD release is ContextCleaner-async
+        # after the GC that collects the py4j reference — a single
+        # GC+sleep showed a transient ±1 count (r12 soak run). Loop until
+        # two consecutive GC'd counts agree (≤5 rounds).
+        prev = None
+        n_rdd = -1
+        for _ in range(5):
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            _t.sleep(2)
+            n_rdd = spark.sparkContext._jsc.getPersistentRDDs().size()
+            if n_rdd == prev:
+                break
+            prev = n_rdd
     except Exception:
         n_rdd = -1
     n_tmp = 0
