@@ -63,6 +63,32 @@ FAMILIES = {
     "stream_tumbling_agg": ("events", EV_SIZES),
 }
 
+
+def _knn_graph_sqrt(spark, sf_dir):
+    """The knn SCALE path: n_cells=None → K = max(16, √n) auto-sizing.
+    The registry key pins K=16 for stable gate/bench artifacts at gate
+    SFs, and its own docstring documents that a FIXED K is quadratic
+    (n²·p/K) on any corpus big enough — measured here: K=16 at 100k
+    vectors took 1978 s where the √n path is the posture this harness
+    grades (similarity.py knn_graph docstring)."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from clusterindices_spark.operators.similarity import knn_graph
+    from clusterindices_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("x")
+    )
+    return knn_graph(emb, n_cells=None)
+
+
+# scale-path overrides: measured INSTEAD of the registry callable where
+# the registry key deliberately pins a gate-stability constant that the
+# operator itself documents as non-scale-path
+OVERRIDES = {
+    "similarity_knn_graph": _knn_graph_sqrt,
+}
+
 DIM = 32  # embeddings dim — fixture parity (sf dirs carry 32)
 
 
@@ -223,19 +249,29 @@ def main() -> int:
             flush=True,
         )
 
+    base_parts = spark.conf.get("spark.sql.shuffle.partitions")
     results = []  # (key, table, [(n, wall, out_rows)], exponent)
     for k in keys:
         table, sizes = FAMILIES[k]
+        fn = OVERRIDES.get(k, qs[k])
         pts = []
         for s in sizes:
+            # size shuffle partitions to data, as a real deployment does
+            # (AQE initialPartitionNum): a FIXED local partition count
+            # under-shards the 10M points into per-task sort spill and
+            # fakes a superlinear exponent the plan doesn't have
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(max(32, s // 100_000))
+            )
             t0 = time.monotonic()
-            out_n = len(qs[k](spark, fix[(table, s)]).collect())
+            out_n = len(fn(spark, fix[(table, s)]).collect())
             wall = time.monotonic() - t0
             pts.append((s, wall, out_n))
             print(f"{k} @{s:,}: {wall:.1f}s ({out_n} rows)", flush=True)
         expo = _fit_exponent([p[0] for p in pts], [p[1] for p in pts])
         results.append((k, table, pts, expo))
         print(f"{k}: fitted exponent e={expo:.2f}", flush=True)
+    spark.conf.set("spark.sql.shuffle.partitions", base_parts)
 
     shutil.rmtree(root, ignore_errors=True)
 
@@ -245,7 +281,11 @@ def main() -> int:
         "wall = c·n^e fit over three sizes; e ≲ 1.0 linear, ~1.1 "
         "n log n-ish on this range. Spark-generated deterministic "
         "fixtures (id-derived, no rand()); collect()-materialized; "
-        f"local[{spark.sparkContext.defaultParallelism}].",
+        f"local[{spark.sparkContext.defaultParallelism}]; shuffle "
+        "partitions sized to data (max(32, n/100k)) as a real deployment "
+        "does. similarity_knn_graph is measured on the √n-cells scale "
+        "path (the registry key pins K=16 for gate-artifact stability; "
+        "its docstring documents fixed-K as non-scale-path).",
         "",
         "| key | table | n → wall (s) | fitted e |",
         "|---|---|---|---|",
