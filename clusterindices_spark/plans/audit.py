@@ -990,8 +990,11 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "forbid": ["CartesianProduct"],
     },
     "dedup_semantic_clusters_ann": {
-        # the 100 TB tier: LSH-bucketed candidate self-join — no quadratic
-        # anywhere (the exact tier's guarded crossJoin must NOT appear)
+        # the 100 TB tier (r12: IVF cell co-bucketing replaced the
+        # non-pruning MLlib LSH): candidate meet is an equi-join on cell
+        # — no quadratic anywhere (the exact tier's guarded data-scale
+        # crossJoin must NOT appear; the only broadcast is the 1-row
+        # folded centroid table)
         "require": ["Window"],
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },

@@ -38,9 +38,20 @@ def test_semantic_ann_pair_recall_gate_fixture(spark):
     assert recall >= 0.9, f"pair recall {recall:.3f} < 0.9"
 
 
-def test_semantic_ann_membership_matches_exact(spark):
-    """Full-recall candidate generation ⇒ identical components, canonical
-    picks, and member counts as the exact tier, on both gate fixtures."""
+def test_semantic_ann_membership_agreement_floor(spark):
+    """Membership agreement vs the exact tier on the gate fixtures
+    (documented contract: recall FLOOR on fixtures + IDENTITY only on
+    planted tight clusters — the next test).
+
+    r12 honesty note: this test used to assert bit-identical membership,
+    which only held because the old MLlib LSH tier was a disguised
+    all-pairs (bucketLength 2.0 on unit vectors ≈ 2 buckets per table —
+    it exhausted 75 GB of shuffle at 1M vectors). A genuinely pruning
+    candidate tier at the LOOSE default threshold (cos ≥ 0.4 — broadly
+    similar, not duplicates) misses a few boundary edges by design; the
+    contract is ≥98% per-row membership agreement here plus exact
+    identity on planted dup balls, where dedup correctness actually
+    lives."""
     from clusterindices_spark.operators.similarity import (
         q_dedup_semantic_clusters,
         q_dedup_semantic_clusters_ann,
@@ -55,7 +66,9 @@ def test_semantic_ann_membership_matches_exact(spark):
             (r["vec_id"], r["component_id"], r["is_canonical"], r["n_members"])
             for r in q_dedup_semantic_clusters_ann(spark, sf).collect()
         )
-        assert ex == an, f"membership diverges at {sf}"
+        assert len(ex) == len(an), f"row count diverges at {sf}"
+        agree = sum(1 for a, b in zip(ex, an) if a == b) / max(len(ex), 1)
+        assert agree >= 0.98, f"membership agreement {agree:.3f} < 0.98 at {sf}"
 
 
 def test_semantic_ann_planted_paraphrase_clusters(spark):
