@@ -481,9 +481,14 @@ def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     JSON string value "é\\n\\t") made BOTH engines raise on the bare CAST,
     and bare TRY_CAST is no better — DuckDB coerces '2.9'→3, '-0.0'→0,
     '0x10'→16 where Spark try_cast answers NULL. Only values matching
-    ^[+-]?[0-9]+$ are cast (try_cast still backstops int32 overflow, which
-    both engines NULL identically); everything else — floats, bools,
-    quoted strings, nested JSON, Infinity — is NULL in both engines.
+    the integer-literal pattern are cast (try_cast still backstops int32
+    overflow, which both engines NULL identically); everything else —
+    floats, bools, quoted strings, nested JSON, Infinity — is NULL in
+    both engines. The Spark pattern anchors with \\A...\\z (r13 advice):
+    Java's $ matches BEFORE a final line terminator, so '123\\n' passed
+    the ^...$ gate and cast to 123 while the oracle's RE2 $ (end-of-text
+    only) answered NULL — \\A/\\z gives RE2 whole-string semantics in
+    Java, covering \\r and Unicode terminators too.
     Malformed records are data, not errors: one bad props cell must not
     kill a corpus-scale scan."""
     e = load_table(spark, sf_dir, "events")
@@ -491,7 +496,7 @@ def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id",
         F.when(
-            s.rlike("^[+-]?[0-9]+$"), F.expr("try_cast(get_json_object(props, '$.k') as int)")
+            s.rlike(r"\A[+-]?[0-9]+\z"), F.expr("try_cast(get_json_object(props, '$.k') as int)")
         ).alias("k"),
     )
 

@@ -222,7 +222,11 @@ def q_scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (fuzz gate seed 101001). Components outside [A-Za-z0-9._~-]+ are
     # treated as missing → NULL url in both engines; try_parse_url
     # backstops anything a future input class sneaks through.
-    safe = "^[A-Za-z0-9._~-]+$"
+    # \A...\z, not ^...$: Java's $ matches before a final newline, so a
+    # source like 'abc\n' would pass this gate Spark-side and build a URL
+    # the RE2-semantics oracle rejects (r13 advice — same hazard class as
+    # the scalar_json integer gate)
+    safe = r"\A[A-Za-z0-9._~-]+\z"
     src = F.when(F.col("source").rlike(safe), F.col("source"))
     lng = F.when(F.col("lang").rlike(safe), F.col("lang"))
     url = F.concat(

@@ -49,75 +49,14 @@ _MODULES = [
     "clusterindices_spark.sql",
 ]
 
-# Round-12 driver-window priority (VERDICT r11 "Next round" #3 — mechanical
-# rotation from the r11 _NEXT queue). Exactly 50 keys: the 49 queued keys —
-# late-r11 fuzz-wave-3 batch-3..6 fixed operators first, so every fuzz-fixed
-# key's driver row postdates its fix, then the r10 stalest-green ladder
-# remainder — plus basket_pair_lift, the stalest oracle-backed green (last
-# driver row r4). Rows-only keys never burn driver slots (derived sink in
-# _load).
+# Round-13 driver-window priority (VERDICT r12 "Next round" #5 — mechanical
+# rotation from the r12 _NEXT queue, verbatim first-50). The fuzz-wave-4
+# fixed operators lead (scalar_json — whose integer-literal gate gained the
+# \A...\z anchor fix this round — scalar_map, tpch_q11,
+# text_bpe_train_merges), so every fixed key's driver row postdates its
+# fix; the rest is the r10/r11 stalest-green ladder continuation. Rows-only
+# keys never burn driver slots (derived sink in _load).
 _FRONT = [
-    "scalar_struct",
-    "tpch_q14",
-    "tpch_q17",
-    "agg_quantiles",
-    "source_orc_roundtrip",
-    "source_xml_roundtrip",
-    "source_csv_roundtrip",
-    "sql_interface",
-    "events_histogram",
-    "events_outliers_mad",
-    "join_bloom_prefilter",
-    "subquery_in",
-    "join_full_outer",
-    "versioned_snapshot_diff",
-    "text_zipf_fit",
-    "curation_filter_funnel",
-    "xie_beni",
-    "silhouette_sqeuclid",
-    "index_suite_ext",
-    "text_tfidf_topterms",
-    "text_fingerprint",
-    "text_token_count",
-    "text_unigram_logprob",
-    "text_repetition_stats",
-    "multimodal_frame_sample",
-    "embedding_centroid_drift",
-    "multimodal_resize",
-    "udf_grouped_agg_median",
-    "stream_join_clicks",
-    "events_retention",
-    "curation_split",
-    "curation_pipeline",
-    "curation_sample_stratified",
-    "curation_sample_topk",
-    "profile_orders",
-    "tpch_q2",
-    "tpch_q8",
-    "tpch_q12",
-    "tpch_q16",
-    "tpch_q21",
-    "join_interval_binned",
-    "merge_upsert_cdc",
-    "agg_cube",
-    "explode_lateral",
-    "sequence_dates",
-    "cond_expr",
-    "distinct_latest",
-    "string_distance",
-    "join_range",
-    "basket_pair_lift",
-]
-
-# Immediately after the 50-slot window: the r13 rotation queue — the next-
-# stalest oracle-backed greens (last driver rows r4-r6), oldest first. Any
-# r12 operator fix should be PREPENDED here so its post-fix driver row lands
-# in the next window.
-_NEXT: list[str] = [
-    # fuzz wave-4 fixes (r12): scalar_json/scalar_map integer-literal gate
-    # + strict-map oracle, tpch_q11 nullif(count) empty-region guard,
-    # text_bpe_train_merges oracle split-hoist — post-fix driver rows lead
-    # the r13 window
     "scalar_json",
     "scalar_map",
     "tpch_q11",
@@ -168,10 +107,63 @@ _NEXT: list[str] = [
     "scalar_interval_arith",
     "similarity_mmr_rerank",
     "similarity_range_search",
+]
+
+# Immediately after the 50-slot window: the r14 rotation queue — the 4 keys
+# that overflowed the r13 window, then the next-stalest oracle-backed
+# greens (latest driver rows r7-r8), oldest first. Any r13 operator fix
+# should be PREPENDED here so its post-fix driver row lands next window.
+_NEXT: list[str] = [
     "text_lang_confusion",
     "text_lm_heldout_score",
     "text_quality",
     "text_readability",
+    "curation_dsir_weights",
+    "dedup_graph_kcore",
+    "dedup_minhash_est",
+    "dedup_minhash_pr_curve",
+    "dedup_ngram_containment",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_est",
+    "embedding_binary_quantize",
+    "embedding_dim_stats",
+    "embedding_int8_cosine_err",
+    "embedding_matryoshka",
+    "embedding_pair_distance_hist",
+    "events_markov_entropy",
+    "filter_predicates",
+    "multimodal_near_dup_report",
+    "similarity_hamming_recall_audit",
+    "similarity_hamming_topk",
+    "text_burstiness",
+    "text_ngram_novelty",
+    "text_rake_keywords",
+    "agg_basic",
+    "agg_bitmap_distinct",
+    "dedup_cluster_keep_best",
+    "dedup_exact",
+    "dedup_url_canonical",
+    "events_gini_activity",
+    "events_interarrival_fit",
+    "events_pattern_match",
+    "events_streak_lengths",
+    "index_suite",
+    "join_asof",
+    "join_spatial_radius",
+    "scalar_ipv4_cidr",
+    "scan_project_filter",
+    "silhouette_exact",
+    "similarity_topk_exact",
+    "source_jsonl_roundtrip",
+    "text_code_detect",
+    "text_langid",
+    "text_pmi_bigrams",
+    "text_tokens_stats",
+    "topk_orders",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q6",
+    "window_rank",
 ]
 
 

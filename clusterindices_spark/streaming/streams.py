@@ -361,12 +361,14 @@ def curation_funnel_foreach_batch(
     )
 
 
-# Per-drain StreamingQueryProgress dicts from the most recent
-# run_to_completion calls, appended in order (gate/test observability ONLY
-# — tools/stream_gate.py reads stateOperators[].numRowsTotal /
+# Per-drain StreamingQueryProgress dicts from the MOST RECENT
+# run_to_completion call only (gate/test observability ONLY —
+# tools/stream_gate.py reads stateOperators[].numRowsTotal /
 # memoryUsedBytes to record peak state size per processor at the 10M scale
-# arm). Callers that care clear it before a drain and read it after;
-# production paths never touch it.
+# arm). run_to_completion clears it at the start of every drain (r13
+# advice): the old extend-forever contract grew without bound across a
+# long test/bench session and polluted peak-state readings for callers
+# that forgot to clear. Production paths never touch it.
 LAST_QUERY_PROGRESS: list[dict] = []
 
 
@@ -383,6 +385,8 @@ def run_to_completion(
     import json
     import tempfile
 
+    # per-drain semantics: the list holds THIS drain's progress only
+    LAST_QUERY_PROGRESS.clear()
     ckpt = tempfile.mkdtemp(prefix="ci-ckpt-")
     q = (
         stream_df.writeStream.trigger(availableNow=True)

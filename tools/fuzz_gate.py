@@ -185,6 +185,11 @@ _W4_HOSTILE_PROPS = [
     '{"k":9223372036854775808}',              # int64 max + 1
     '{"k":1,"k":2}',                          # duplicate keys
     '{"k":"\\u00e9\\n\\t"}',                  # escapes in value
+    '{"k":"123\\n"}',                         # digit string + trailing \n:
+    #   Java ^...$ matched (→123) where RE2 $ is end-of-text (→NULL);
+    #   pins the \A...\z anchor fix (r13 advice, relational.py scalar_json)
+    '{"k":"123\\r"}',                         # same hazard, \r terminator
+    '{"k":"-45\\u2028"}',                     # Unicode line separator
     '   {"k":1}   ',                          # whitespace-padded
     '{"k":1}trailing',                        # trailing garbage
     '{"k:1}',                                 # broken quote

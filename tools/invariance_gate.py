@@ -99,9 +99,17 @@ def main() -> int:
             if ref is None:
                 ref = (label, dg, canon)
             elif dg != ref[1]:
-                diffs = [
-                    (a, b) for a, b in zip(ref[2], canon) if a != b
-                ][:2]
+                # multiset symmetric difference, NOT positional zip (r13
+                # advice): one early insertion shifts alignment and makes
+                # every later pair "differ", hiding the actual drift rows
+                from collections import Counter  # noqa: PLC0415
+
+                # repr keys: canon rows can hold lists (unhashable)
+                ca = Counter(map(repr, ref[2]))
+                cb = Counter(map(repr, canon))
+                only_ref = sorted((ca - cb).elements())[:2]
+                only_cur = sorted((cb - ca).elements())[:2]
+                diffs = {"only_ref": only_ref, "only_cur": only_cur}
                 extra = abs(len(canon) - len(ref[2]))
                 status = "DRIFT"
                 detail = (

@@ -17,8 +17,12 @@ unmodified against those dirs.
 Families (key → driving table, sizes):
   documents (1M/3M/10M): dedup_exact, dedup_near_minhash, dedup_components,
       text_tokens_stats, text_tfidf_topterms
-  embeddings (100k/300k/1M): similarity_knn_graph, similarity_ann_pq,
-      dedup_semantic_clusters_ann, embedding_whiten
+  embeddings (100k/300k/1M): similarity_knn_graph_auto (the √n scale
+      path, a registry key since r13), similarity_ann_pq,
+      semantic_ann@prod_tau (τ=0.85/p=2/K=√n), embedding_whiten;
+      dedup_semantic_clusters_ann (loose-τ registry default) on
+      30k/100k/300k — its Θ(12·n^1.5) calibration is 6× the production
+      regime's constant
   events (1M/3M/10M): events_user_lifecycle, window_fill_forward,
       events_rollup_hierarchy, stream_tumbling_agg
 
@@ -44,6 +48,9 @@ from pyspark.sql import functions as F
 
 DOC_SIZES = [1_000_000, 3_000_000, 10_000_000]
 EMB_SIZES = [100_000, 300_000, 1_000_000]
+# the loose-τ default regime is Θ(12·n^1.5) by calibration — measured on a
+# 10× smaller range so the row is a fitted exponent, not an hour of wall
+EMB_SIZES_SMALL = [30_000, 100_000, 300_000]
 EV_SIZES = [1_000_000, 3_000_000, 10_000_000]
 
 FAMILIES = {
@@ -53,33 +60,22 @@ FAMILIES = {
     "dedup_components": ("documents", DOC_SIZES),
     "text_tokens_stats": ("documents", DOC_SIZES),
     "text_tfidf_topterms": ("documents", DOC_SIZES),
-    "similarity_knn_graph": ("embeddings", EMB_SIZES),
+    # the √n-cells scale path is a REGISTRY key since r13
+    # (similarity_knn_graph_auto) — no override needed
+    "similarity_knn_graph_auto": ("embeddings", EMB_SIZES),
     "similarity_ann_pq": ("embeddings", EMB_SIZES),
-    "dedup_semantic_clusters_ann": ("embeddings", EMB_SIZES),
+    # BOTH τ regimes of the r12-rewritten semantic dedup (VERDICT r13 #1):
+    # the registry default (τ=0.4, p=12, K=√n/2 — wide-probe calibration
+    # for fixture-recall richness) and the production regime (τ=0.85, p=2,
+    # K=√n — the Θ(2·n^1.5) configuration the docstring prescribes)
+    "dedup_semantic_clusters_ann": ("embeddings", EMB_SIZES_SMALL),
+    "semantic_ann@prod_tau": ("embeddings", EMB_SIZES),
     "embedding_whiten": ("embeddings", EMB_SIZES),
     "events_user_lifecycle": ("events", EV_SIZES),
     "window_fill_forward": ("events", EV_SIZES),
     "events_rollup_hierarchy": ("events", EV_SIZES),
     "stream_tumbling_agg": ("events", EV_SIZES),
 }
-
-
-def _knn_graph_sqrt(spark, sf_dir):
-    """The knn SCALE path: n_cells=None → K = max(16, √n) auto-sizing.
-    The registry key pins K=16 for stable gate/bench artifacts at gate
-    SFs, and its own docstring documents that a FIXED K is quadratic
-    (n²·p/K) on any corpus big enough — measured here: K=16 at 100k
-    vectors took 1978 s where the √n path is the posture this harness
-    grades (similarity.py knn_graph docstring)."""
-    from pyspark.sql import functions as F  # noqa: PLC0415
-
-    from clusterindices_spark.operators.similarity import knn_graph
-    from clusterindices_spark.sources.fixtures import load_table
-
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").alias("x")
-    )
-    return knn_graph(emb, n_cells=None)
 
 
 def _semantic_clusters_production(spark, sf_dir):
@@ -110,12 +106,11 @@ def _semantic_clusters_production(spark, sf_dir):
     return _clusters_from_pairs(emb, pairs)
 
 
-# scale-path overrides: measured INSTEAD of the registry callable where
-# the registry key deliberately pins a gate-stability constant that the
-# operator itself documents as non-scale-path
+# scale-path overrides: measured INSTEAD of a registry callable — used
+# only for configurations that are deliberately NOT a registry key
+# (the production-τ semantic dedup regime)
 OVERRIDES = {
-    "similarity_knn_graph": _knn_graph_sqrt,
-    "dedup_semantic_clusters_ann": _semantic_clusters_production,
+    "semantic_ann@prod_tau": _semantic_clusters_production,
 }
 
 # families whose DESIGN exponent is not ~1: flag only when measured e
@@ -125,9 +120,17 @@ EXPECTED_E = {
     # every vector is a probe, each meets ~√n·p candidates. Per-EXECUTOR
     # work stays ~linear on a cluster that grows K with n; the trade vs n²
     # brute force is the whole point (similarity.py knn_graph docstring).
-    "similarity_knn_graph": (1.5, "Θ(n^1.5·p) by design: n probes × √n·p "
-                                  "candidates each; per-executor linear "
-                                  "when the cluster grows K with n"),
+    "similarity_knn_graph_auto": (
+        1.5, "Θ(n^1.5·p) by design: n probes × √n·p candidates each; "
+             "per-executor linear when the cluster grows K with n"),
+    # both semantic-dedup regimes ride the same cell-equi-join skeleton:
+    # Θ(p·n^1.5) candidate volume (similarity.py semantic_pairs_ann)
+    "dedup_semantic_clusters_ann": (
+        1.5, "Θ(12·n^1.5) wide-probe calibration of the loose τ=0.4 "
+             "registry contract (fixture-recall richness)"),
+    "semantic_ann@prod_tau": (
+        1.5, "Θ(2·n^1.5) production regime: τ=0.85, p=2, K=√n — the "
+             "documented real-corpus dedup configuration"),
 }
 
 DIM = 32  # embeddings dim — fixture parity (sf dirs carry 32)
@@ -294,7 +297,7 @@ def main() -> int:
     results = []  # (key, table, [(n, wall, out_rows)], exponent)
     for k in keys:
         table, sizes = FAMILIES[k]
-        fn = OVERRIDES.get(k, qs[k])
+        fn = OVERRIDES[k] if k in OVERRIDES else qs[k]
         pts = []
         for s in sizes:
             # size shuffle partitions to data, as a real deployment does
@@ -324,9 +327,13 @@ def main() -> int:
         "fixtures (id-derived, no rand()); collect()-materialized; "
         f"local[{spark.sparkContext.defaultParallelism}]; shuffle "
         "partitions sized to data (max(32, n/100k)) as a real deployment "
-        "does. similarity_knn_graph is measured on the √n-cells scale "
-        "path (the registry key pins K=16 for gate-artifact stability; "
-        "its docstring documents fixed-K as non-scale-path).",
+        "does. similarity_knn_graph_auto IS the √n-cells scale path "
+        "(registry key since r13; the K=16 twin pins a gate-stability "
+        "constant its docstring documents as non-scale-path). "
+        "dedup_semantic_clusters_ann is measured at BOTH τ regimes: the "
+        "loose τ=0.4 registry default (wide-probe, on a 10× smaller size "
+        "range) and semantic_ann@prod_tau (τ=0.85, p=2, K=√n — the "
+        "production dedup configuration).",
         "",
         "| key | table | n → wall (s) | fitted e |",
         "|---|---|---|---|",
