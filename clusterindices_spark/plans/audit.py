@@ -296,6 +296,12 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "require": ["Broadcast", "WindowGroupLimit"],
         "forbid": ["CartesianProduct"],
     },
+    "similarity_knn_graph_auto": {
+        # same machinery as the K=16 twin on the sqrt-n cell sizing —
+        # identical plan shape, different (data-derived) cell count
+        "require": ["Broadcast", "WindowGroupLimit"],
+        "forbid": ["CartesianProduct"],
+    },
     "embedding_pq_codes": {
         # codebook rides broadcasts; the only wide exchanges are the
         # (m, code)-keyed Lloyd aggregates and the vec_id reassembly
