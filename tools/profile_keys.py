@@ -55,18 +55,12 @@ def main() -> None:
                 print(f"# warm {key} failed: {ex}", file=sys.stderr)
         walls, jobs = [], []
         for i in range(args.iters):
-            j0 = len(st.getJobIdsForGroup(None) or []) or 0
-            # job ids are global and monotonically increasing; snapshot via
-            # the allJobs list length is unreliable across groups, so use
-            # the SparkContext's monotonically increasing nextJobId via a
-            # probe: count jobs through the tracker's active+completed set
-            # is not exposed in PySpark; fall back to the JVM counter.
-            jvm_before = spark.sparkContext._jsc.sc().dagScheduler().nextJobId().get()
+            jvm_before = int(spark.sparkContext._jsc.sc().dagScheduler().nextJobId())
             spark.sparkContext.setJobDescription(f"profile:{key}#{i}")
             t0 = time.monotonic()
             run(key, args.sf)
             wall = round(time.monotonic() - t0, 3)
-            jvm_after = spark.sparkContext._jsc.sc().dagScheduler().nextJobId().get()
+            jvm_after = int(spark.sparkContext._jsc.sc().dagScheduler().nextJobId())
             spark.sparkContext.setJobDescription(None)
             walls.append(wall)
             jobs.append(jvm_after - jvm_before)
