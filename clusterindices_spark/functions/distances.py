@@ -49,3 +49,21 @@ def cosine_sim(a: Column | str, b: Column | str) -> Column:
     in Spark exactly as it does in DuckDB."""
     denom = F.nullif(norm(a) * norm(b), F.lit(0.0))
     return dot(a, b) / denom
+
+
+def cosine_sim_hoisted(
+    a: Column | str, b: Column | str, na: Column | str, nb: Column | str
+) -> Column:
+    """cosine_sim with the per-side norms precomputed BEFORE a pair join.
+
+    Inline cosine_sim re-evaluates sqrt(dot(x,x)) per PAIR — two extra
+    O(dim) HOF folds on every joined row for values that are per-vector
+    constants (the knn_graph r3 A/B measured this as the dominant per-pair
+    cost). Callers compute na = norm(a) / nb = norm(b) once per side row;
+    the quotient here is arithmetically IDENTICAL to cosine_sim — the same
+    sqrt(dot(x,x)) doubles are multiplied in the same order — so results
+    are bit-equal and oracle hashes are unchanged.
+    """
+    na = F.col(na) if isinstance(na, str) else na
+    nb = F.col(nb) if isinstance(nb, str) else nb
+    return dot(a, b) / F.nullif(na * nb, F.lit(0.0))

@@ -536,17 +536,26 @@ def q_embedding_pair_distance_hist(spark: SparkSession, sf_dir: str) -> DataFram
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("x")
     )
-    from clusterindices_spark.functions.distances import cosine_sim
+    from clusterindices_spark.functions.distances import (
+        cosine_sim_hoisted,
+        norm,
+    )
 
+    # norms hoisted per side, not per probes×n pair (guide §2.3);
+    # cosine_sim_hoisted is bit-identical to cosine_sim
     a = emb.where(F.col("vec_id") < HIST_PROBES).select(
         F.col("vec_id").alias("pa"), F.col("x").alias("xa")
-    )
-    b = emb.select(F.col("vec_id").alias("pb"), F.col("x").alias("xb"))
+    ).withColumn("na", norm(F.col("xa")))
+    b = emb.select(
+        F.col("vec_id").alias("pb"), F.col("x").alias("xb")
+    ).withColumn("nb", norm(F.col("xb")))
     # round6_stable (floor-based), not F.round: cos6 feeds a DISCRETE bin
     # decision, so a .xxxxxx5 half-boundary disagreement between Spark
     # HALF_UP and DuckDB's scaled-multiply ROUND would flip a bin count
     # (ADVICE r5 item 4). Same formulation on the oracle side.
-    cos6 = round6_stable(cosine_sim(F.col("xa"), F.col("xb")))
+    cos6 = round6_stable(
+        cosine_sim_hoisted(F.col("xa"), F.col("xb"), "na", "nb")
+    )
     bin_ = F.least(
         F.floor((cos6 + F.lit(1.0)) / F.lit(2.0 / HIST_BINS)),
         F.lit(HIST_BINS - 1),
@@ -632,7 +641,10 @@ def q_embedding_int8_cosine_err(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the mean rides exact integer micro-sums (no float accumulation
     order), only the final division floats."""
     from clusterindices_spark.functions.aggregates import round6_stable
-    from clusterindices_spark.functions.distances import cosine_sim
+    from clusterindices_spark.functions.distances import (
+        cosine_sim_hoisted,
+        norm,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("x")
@@ -647,21 +659,27 @@ def q_embedding_int8_cosine_err(spark: SparkSession, sf_dir: str) -> DataFrame:
         + mn,
     )
     pts = emb.where(mx > mn).select("vec_id", "x", deq.alias("d"))
+    # both the exact and the dequantized norms hoisted per side — four
+    # fewer O(dim) HOF folds per probes×n pair (guide §2.3); bit-identical
     a = pts.where(F.col("vec_id") < INT8_ERR_PROBES).select(
         F.col("vec_id").alias("probe_id"),
         F.col("x").alias("xa"),
         F.col("d").alias("da"),
+        norm(F.col("x")).alias("nxa"),
+        norm(F.col("d")).alias("nda"),
     )
     b = pts.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("x").alias("xb"),
         F.col("d").alias("db"),
+        norm(F.col("x")).alias("nxb"),
+        norm(F.col("d")).alias("ndb"),
     )
     r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
     err6 = r6(
         F.abs(
-            r6(cosine_sim(F.col("xa"), F.col("xb")))
-            - r6(cosine_sim(F.col("da"), F.col("db")))
+            r6(cosine_sim_hoisted(F.col("xa"), F.col("xb"), "nxa", "nxb"))
+            - r6(cosine_sim_hoisted(F.col("da"), F.col("db"), "nda", "ndb"))
         )
     )
     err_micros = F.floor(err6 * F.lit(1e6) + F.lit(0.5)).cast("bigint")

@@ -25,7 +25,11 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from clusterindices_spark.functions.distances import cosine_sim, l2sq, norm
+from clusterindices_spark.functions.distances import (
+    cosine_sim_hoisted,
+    l2sq,
+    norm,
+)
 from clusterindices_spark.sources.fixtures import fan_out, load_table
 
 N_PROBES = 10
@@ -72,15 +76,24 @@ def topk_exact(
     emb: DataFrame, probes: DataFrame, k: int = TOP_K
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each probe row (probe side broadcast)."""
-    a = probes.select(F.col("vec_id").alias("probe_id"), F.col("x").alias("xa"))
-    b = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("x").alias("xb"))
+    # norms hoisted per side (guide §2.3 / the knn_graph r3 A/B): inline
+    # cosine_sim would re-run two O(dim) HOF folds per PAIR for per-row
+    # constants; cosine_sim_hoisted is arithmetically identical.
+    a = probes.select(
+        F.col("vec_id").alias("probe_id"), F.col("x").alias("xa")
+    ).withColumn("na", norm(F.col("xa")))
+    b = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("x").alias("xb")
+    ).withColumn("nb", norm(F.col("xb")))
     sims = (
         b.crossJoin(F.broadcast(a))
         .where(F.col("probe_id") != F.col("neighbor_id"))
         .select(
             "probe_id",
             "neighbor_id",
-            F.round(cosine_sim(F.col("xa"), F.col("xb")), 6).alias("sim"),
+            F.round(
+                cosine_sim_hoisted(F.col("xa"), F.col("xb"), "na", "nb"), 6
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(
@@ -112,15 +125,22 @@ def range_search(
     rather than a fixed k. Probe side broadcasts; the corpus is scanned
     once and the τ-filter runs scan-side, so output is the only thing
     that scales with match density."""
-    a = probes.select(F.col("vec_id").alias("probe_id"), F.col("x").alias("xa"))
-    b = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("x").alias("xb"))
+    # norms hoisted per side — see topk_exact; bit-identical quotient
+    a = probes.select(
+        F.col("vec_id").alias("probe_id"), F.col("x").alias("xa")
+    ).withColumn("na", norm(F.col("xa")))
+    b = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("x").alias("xb")
+    ).withColumn("nb", norm(F.col("xb")))
     return (
         b.crossJoin(F.broadcast(a))
         .where(F.col("probe_id") != F.col("neighbor_id"))
         .select(
             "probe_id",
             "neighbor_id",
-            F.round(cosine_sim(F.col("xa"), F.col("xb")), 6).alias("sim"),
+            F.round(
+                cosine_sim_hoisted(F.col("xa"), F.col("xb"), "na", "nb"), 6
+            ).alias("sim"),
         )
         .where(F.col("sim") >= tau)
     )
@@ -141,26 +161,31 @@ def q_similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact top-MMR_POOL pool — pick 1 = most similar; pick t maximizes
     λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s) over the not-yet-picked pool
     (Carbonell-Goldstein '98, the de-dup-the-context step RAG stacks run
-    after retrieval). The greedy is INHERENTLY sequential, but K and the
-    pool are constants: each of the K−1 steps is one candidate-scale
-    join + max-agg + rank over (probes × pool) rows, unrolled into a
-    static plan exactly like the pagerank iteration — no driver loop over
-    data, and the DuckDB oracle unrolls the same steps CTE-for-CTE, so
-    every pick and score is hash-gated.
+    after retrieval).
 
-    Scale: pool selection is the topk_exact scan; everything after
-    operates on probes·POOL rows (candidate-scale, broadcastable);
-    scores floor-rounded at 6dp before ranking so ties break on cid
-    identically in both engines."""
-    from clusterindices_spark.functions.aggregates import round6_stable
+    r13 shape (guide §8 — decide with small rows): the CORPUS-scale work
+    (exact top-MMR_POOL pool per probe, the pool×pool sim matrix) stays
+    distributed; the greedy selection itself folds on the driver over the
+    collected pool — probes × pool² ≤ N_PROBES·MMR_POOL² rows, a CONSTANT
+    of the operator contract independent of corpus size (the same
+    sanctioned K-row-fold idiom as the other driver-scale folds in this
+    repo). The previous unrolled-plan formulation spent K−1 eager
+    localCheckpoints (46 Spark jobs, ~3.2 s min at sf0.1) scheduling
+    joins over ≤1000 rows. The fold replicates Spark expression semantics
+    exactly — IEEE-754 binary64 arithmetic, floor-stable 6dp rounding,
+    max-ignores-NULLs, DESC NULLS LAST / NaN-largest ordering, cid
+    tie-break — and the DuckDB oracle still unrolls the greedy
+    CTE-for-CTE, so every pick and score stays hash-gated.
+
+    Scale: pool selection is the topk_exact scan; the fold input is
+    bounded by construction, never data-scale."""
+    import math
 
     emb = _emb(spark, sf_dir)
     probes = emb.where(F.col("vec_id") < N_PROBES)
-    # localCheckpoint: the greedy's unrolled step chain references the
-    # candidate frames a growing number of times (selected_t reads
-    # selected_{t-1} twice); without a lineage cut each reference re-runs
-    # the CORPUS-scale top-k subtree — measured 19.3 s at sf0.1 vs ~2 s
-    # checkpointed. The checkpointed frames are probes×pool rows (tiny).
+    # localCheckpoint: pool is read by BOTH the cand collect and the pair
+    # tier; without the cut each reference re-runs the CORPUS-scale top-k
+    # subtree — measured 19.3 s at sf0.1 vs ~2 s checkpointed.
     cand = (
         topk_exact(emb, probes, k=MMR_POOL)
         .select("probe_id", F.col("neighbor_id").alias("cid"), "sim")
@@ -172,11 +197,20 @@ def q_similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cand), "cid")
         .localCheckpoint()
     )
-    a = pool.select(
-        "probe_id", F.col("cid").alias("cid_a"), F.col("xc").alias("va")
+    # pool norm computed ONCE per pool row, reused by both pair sides
+    # (guide §2.3); cosine_sim_hoisted is bit-identical to cosine_sim
+    pool_n = pool.withColumn("nc", norm(F.col("xc")))
+    a = pool_n.select(
+        "probe_id",
+        F.col("cid").alias("cid_a"),
+        F.col("xc").alias("va"),
+        F.col("nc").alias("nva"),
     )
-    b = pool.select(
-        "probe_id", F.col("cid").alias("cid_b"), F.col("xc").alias("vb")
+    b = pool_n.select(
+        "probe_id",
+        F.col("cid").alias("cid_b"),
+        F.col("xc").alias("vb"),
+        F.col("nc").alias("nvb"),
     )
     pairs = (
         a.join(b, "probe_id")
@@ -185,69 +219,85 @@ def q_similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "probe_id",
             "cid_a",
             "cid_b",
-            F.round(cosine_sim(F.col("va"), F.col("vb")), 6).alias("sim_ab"),
-        )
-        .localCheckpoint()
-    )
-    cands = pool.select("probe_id", "cid", "sim")
-    w1 = Window.partitionBy("probe_id").orderBy(
-        F.col("sim").desc(), F.col("cid")
-    )
-    selected = (
-        cands.withColumn("rn", F.row_number().over(w1))
-        .where(F.col("rn") == 1)
-        .select(
-            "probe_id",
-            "cid",
-            F.lit(1).alias("pick"),
-            "sim",
-            F.col("sim").alias("mmr_score"),
+            F.round(
+                cosine_sim_hoisted(F.col("va"), F.col("vb"), "nva", "nvb"), 6
+            ).alias("sim_ab"),
         )
     )
-    for t in range(2, MMR_K + 1):
-        rem = cands.join(
-            selected.select("probe_id", "cid"), ["probe_id", "cid"], "left_anti"
+    cand_rows = pool.select("probe_id", "cid", "sim").collect()
+    pair_rows = pairs.collect()
+
+    # ---- driver-scale greedy fold (bounded: ≤ N_PROBES·MMR_POOL² rows) --
+    def _desc_key(v, cid):
+        # Spark ORDER BY v DESC, cid ASC: NULLs LAST, NaN sorts as the
+        # LARGEST double (first under DESC)
+        if v is None:
+            return (2, 0.0, cid)
+        if isinstance(v, float) and math.isnan(v):
+            return (0, 0.0, cid)
+        return (1, -v, cid)
+
+    def _r6(x):
+        # round6_stable: floor(x·1e6 + 0.5)/1e6 in the same binary64 ops
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    by_probe: dict = {}
+    for r in cand_rows:
+        by_probe.setdefault(r["probe_id"], []).append((r["cid"], r["sim"]))
+    red_map = {
+        (r["probe_id"], r["cid_a"], r["cid_b"]): r["sim_ab"]
+        for r in pair_rows
+    }
+    lam, om = MMR_LAMBDA, 1.0 - MMR_LAMBDA
+    out_rows = []
+    for probe in sorted(by_probe):
+        cands = by_probe[probe]
+        first_cid, first_sim = min(cands, key=lambda c: _desc_key(c[1], c[0]))
+        picked = [(first_cid, 1, first_sim, first_sim)]
+        sel_ids = {first_cid}
+        for t in range(2, MMR_K + 1):
+            best = None
+            for cid, sim in cands:
+                if cid in sel_ids:
+                    continue
+                present = [
+                    red_map[k]
+                    for s in sel_ids
+                    if (k := (probe, cid, s)) in red_map
+                ]
+                if not present:
+                    # the unrolled plan's INNER join to the pair table:
+                    # a candidate with no pair row this step is not a
+                    # pick candidate at all
+                    continue
+                nn = [v for v in present if v is not None]
+                if any(isinstance(v, float) and math.isnan(v) for v in nn):
+                    red = math.nan  # Spark max: NaN is the largest double
+                elif nn:
+                    red = max(nn)
+                else:
+                    red = None  # max over all-NULL group
+                score = (
+                    None
+                    if red is None or sim is None
+                    else _r6(lam * sim - om * red)
+                )
+                key = _desc_key(score, cid)
+                if best is None or key < best[0]:
+                    best = (key, cid, sim, score)
+            if best is None:
+                break
+            _, cid, sim, score = best
+            picked.append((cid, t, sim, score))
+            sel_ids.add(cid)
+        out_rows.extend(
+            (probe, pick, cid, sim, score)
+            for cid, pick, sim, score in picked
         )
-        red = (
-            rem.join(
-                pairs.withColumnRenamed("cid_a", "cid"), ["probe_id", "cid"]
-            )
-            .join(
-                selected.select(
-                    "probe_id", F.col("cid").alias("cid_b")
-                ),
-                ["probe_id", "cid_b"],
-            )
-            .groupBy("probe_id", "cid", "sim")
-            .agg(F.max("sim_ab").alias("red"))
-        )
-        score = round6_stable(
-            F.lit(MMR_LAMBDA) * F.col("sim")
-            - F.lit(1.0 - MMR_LAMBDA) * F.col("red")
-        )
-        wt = Window.partitionBy("probe_id").orderBy(
-            F.col("mmr_score").desc(), F.col("cid")
-        )
-        pick = (
-            red.withColumn("mmr_score", score)
-            .withColumn("rn", F.row_number().over(wt))
-            .where(F.col("rn") == 1)
-            .select(
-                "probe_id",
-                "cid",
-                F.lit(t).alias("pick"),
-                "sim",
-                "mmr_score",
-            )
-        )
-        # per-step lineage cut: selected_{t} is read twice by step t+1
-        selected = selected.unionByName(pick).localCheckpoint()
-    return selected.select(
-        "probe_id",
-        F.col("pick").alias("pick_order"),
-        F.col("cid").alias("neighbor_id"),
-        "sim",
-        "mmr_score",
+    return spark.createDataFrame(
+        out_rows,
+        "probe_id BIGINT, pick_order INT, neighbor_id BIGINT, "
+        "sim DOUBLE, mmr_score DOUBLE",
     )
 
 
@@ -273,15 +323,24 @@ def dedup_embedding_cosine(
         max_rows=max_rows if max_rows is not None else QUADRATIC_MAX_ROWS,
         sample_fraction=sample_fraction,
     )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("x").alias("xa"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("x").alias("xb"))
+    # norm computed once per side row, not per PAIR (guide §2.3): the n²
+    # pair tier evaluated 3 O(dim) HOF folds per pair; hoisting leaves one
+    # (the dot). cosine_sim_hoisted is bit-identical to cosine_sim.
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("x").alias("xa")
+    ).withColumn("na", norm(F.col("xa")))
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("x").alias("xb")
+    ).withColumn("nb", norm(F.col("xb")))
     return (
         a.crossJoin(b)
         .where(F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",
             "vec_b",
-            F.round(cosine_sim(F.col("xa"), F.col("xb")), 6).alias("cos"),
+            F.round(
+                cosine_sim_hoisted(F.col("xa"), F.col("xb"), "na", "nb"), 6
+            ).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
     )
@@ -806,14 +865,22 @@ def _ivf_search(
     struct(d2, cl) keeps the same (d2, cell) tie-break. The probe side of
     the inverted-list join is broadcast: probes × n_probe_cells rows vs a
     corpus-scale index — at 100 TB the index never shuffles."""
+    # norms hoisted per side (probe side: probes×n_probe_cells rows; index
+    # side: once per inverted-list row) — bit-identical to inline cosine_sim
     sims = (
-        F.broadcast(_probe_cells(probes, folded_cents, n_probe_cells))
-        .join(index, "cell")
+        F.broadcast(
+            _probe_cells(probes, folded_cents, n_probe_cells).withColumn(
+                "na", norm(F.col("xa"))
+            )
+        )
+        .join(index.withColumn("nb", norm(F.col("xb"))), "cell")
         .where(F.col("probe_id") != F.col("neighbor_id"))
         .select(
             "probe_id",
             "neighbor_id",
-            F.round(cosine_sim(F.col("xa"), F.col("xb")), 6).alias("sim"),
+            F.round(
+                cosine_sim_hoisted(F.col("xa"), F.col("xb"), "na", "nb"), 6
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
@@ -952,13 +1019,17 @@ def ivf_search_bucketed(
         r["cell"] for r in probe_cells.select("cell").distinct().collect()
     )
     pruned = index.where(F.col("cell").isin(wanted_cells))
+    # norms hoisted per side — see _ivf_search; bit-identical quotient
     sims = (
-        F.broadcast(probe_cells).join(pruned, "cell")
+        F.broadcast(probe_cells.withColumn("na", norm(F.col("xa"))))
+        .join(pruned.withColumn("nb", norm(F.col("xb"))), "cell")
         .where(F.col("probe_id") != F.col("neighbor_id"))
         .select(
             "probe_id",
             "neighbor_id",
-            F.round(cosine_sim(F.col("xa"), F.col("xb")), 6).alias("sim"),
+            F.round(
+                cosine_sim_hoisted(F.col("xa"), F.col("xb"), "na", "nb"), 6
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
@@ -1034,15 +1105,18 @@ def q_similarity_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("cell_rank", "cell"),
         )
     )
+    # norms hoisted per side — see _ivf_search; bit-identical quotient
     sims = (
-        F.broadcast(ranked)
-        .join(index, "cell")
+        F.broadcast(ranked.withColumn("na", norm(F.col("xa"))))
+        .join(index.withColumn("nb", norm(F.col("xb"))), "cell")
         .where(F.col("probe_id") != F.col("neighbor_id"))
         .select(
             "probe_id",
             "neighbor_id",
             "cell_rank",
-            F.round(cosine_sim(F.col("xa"), F.col("xb")), 6).alias("sim"),
+            F.round(
+                cosine_sim_hoisted(F.col("xa"), F.col("xb"), "na", "nb"), 6
+            ).alias("sim"),
         )
     )
     grid = spark.createDataFrame(
