@@ -222,6 +222,70 @@ def _doc_shingles(d: DataFrame) -> DataFrame:
     ).withColumn("n_shingles", F.size("shingles"))
 
 
+def _ngram_ex0(d: DataFrame, max_shingle_df: int = MAX_SHINGLE_DF) -> DataFrame:
+    """Capped exploded-shingle frame shared by the whole exact-ngram family.
+
+    The exploded frame is pinned (it feeds the hot-set aggregation, per-doc
+    sizes, both self-join sides, and the estimator fingerprints — without
+    the cache each consumer replays tokenize→shingle→explode; measured 1.7s
+    extra at sf0.1 just for the hot-set pass). The hot set is ALSO pinned
+    (r13): it is tiny by construction (≤ total_shingle_rows / cap entries)
+    but every consumer used to re-run the full-exploded-frame aggregation
+    that derives it — one 260k-row agg per consumer at sf0.1; pinning makes
+    the per-consumer cost a cache scan + broadcast anti-join build of a
+    KB-scale frame."""
+    sh = _doc_shingles(d)
+    ex_all = _repin(
+        "ngram_exploded",
+        sh.select("doc_id", F.explode("shingles").alias("shingle")),
+    )
+    hot = _repin(
+        "ngram_hot",
+        ex_all.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_shingle_df)
+        .select("shingle"),
+    )
+    return ex_all.join(F.broadcast(hot), "shingle", "left_anti")
+
+
+def _ngram_pair_inter(
+    d: DataFrame, max_shingle_df: int = MAX_SHINGLE_DF
+) -> tuple[DataFrame, DataFrame]:
+    """(pair-intersection counts, per-doc set sizes) over the capped
+    shingle sets — the shared generation behind BOTH the jaccard and the
+    containment tiers (r13: previously each tier re-ran the shingle
+    self-join + pair aggregation, the single most expensive step of the
+    family; the scores differ only in the final arithmetic over
+    (inter, na, nb), so the aggregation is pinned once).
+
+    Set sizes attach AFTER the pair aggregation, not before: v1 joined
+    sizes onto the EXPLODED frame (a full shuffle of the biggest frame in
+    the pipeline, since the explode output isn't doc_id-partitioned) and
+    then carried na/nb through the shingle self-join and the pair groupBy
+    as extra key bytes. Attaching to the aggregated PAIR table costs two
+    pair-scale joins instead (isolated A/B at sf0.1: 3.0–4.2 → 2.8–3.3 s
+    warm, bit-identical). The broadcast hint in the consumers fits corpora
+    up to ~10⁸ docs (16 B/row); beyond that drop the hint and let the
+    pair-scale shuffle join run — still strictly cheaper than v1's
+    exploded-scale shuffle."""
+    ex0 = _ngram_ex0(d, max_shingle_df)
+    sizes = _repin(
+        "ngram_doc_sizes",
+        ex0.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles")),
+    )
+    a = ex0.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = ex0.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = _repin(
+        "ngram_pair_inter",
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter")),
+    )
+    return inter, sizes
+
+
 def ngram_scored_pairs(
     d: DataFrame,
     max_shingle_df: int = MAX_SHINGLE_DF,
@@ -235,42 +299,7 @@ def ngram_scored_pairs(
     needs sub-threshold pairs to count false positives) shares one
     generation with the dedup family."""
 
-    sh = _doc_shingles(d)
-    # persisted: the exploded frame feeds the hot-set aggregation, the
-    # per-doc sizes, and both self-join sides — without the cache each
-    # consumer replays tokenize→shingle→explode (measured 1.7s extra at
-    # sf0.1 just for the hot-set pass)
-    ex_all = _repin(
-        "ngram_exploded",
-        sh.select("doc_id", F.explode("shingles").alias("shingle")),
-    )
-    # hot set is tiny by construction (≤ total_shingle_rows / cap entries) →
-    # broadcast anti-join, no shuffle of the exploded side
-    hot = (
-        ex_all.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") > max_shingle_df)
-        .select("shingle")
-    )
-    ex0 = ex_all.join(F.broadcast(hot), "shingle", "left_anti")
-    sizes = ex0.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    # set sizes attach AFTER the pair aggregation, not before: v1 joined
-    # sizes onto the EXPLODED frame (a full shuffle of the biggest frame in
-    # the pipeline, since the explode output isn't doc_id-partitioned) and
-    # then carried na/nb through the shingle self-join and the pair groupBy
-    # as extra key bytes. Attaching to the aggregated PAIR table costs two
-    # pair-scale joins instead (isolated A/B at sf0.1: 3.0–4.2 → 2.8–3.3 s
-    # warm, bit-identical). The broadcast hint fits corpora up to ~10⁸ docs
-    # (16 B/row); beyond that drop the hint and let the pair-scale shuffle
-    # join run — still strictly cheaper than v1's exploded-scale shuffle.
-    a = ex0.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = ex0.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    inter, sizes = _ngram_pair_inter(d, max_shingle_df)
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
     # round6_stable, not F.round: rational inter/union CAN land exactly on
@@ -327,28 +356,10 @@ def ngram_containment_pairs(
 
     Same candidate pipeline, stop-shingle cap, and pair-scale size
     attachment as ngram_jaccard_pairs — the two keys share the pinned
-    exploded-shingle generation."""
-    sh = _doc_shingles(d)
-    ex_all = _repin(
-        "ngram_exploded",
-        sh.select("doc_id", F.explode("shingles").alias("shingle")),
-    )
-    hot = (
-        ex_all.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") > max_shingle_df)
-        .select("shingle")
-    )
-    ex0 = ex_all.join(F.broadcast(hot), "shingle", "left_anti")
-    sizes = ex0.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = ex0.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = ex0.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    exploded-shingle generation AND (r13) the pinned pair-intersection
+    aggregation: the scores differ only in the final arithmetic over
+    (inter, na, nb)."""
+    inter, sizes = _ngram_pair_inter(d, max_shingle_df)
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
     # round6_stable for the same boundary-safety reason as the jaccard in
@@ -400,8 +411,14 @@ def minhash_pairs(
             for s in range(seeds)
         ],
     )
-    sig = hashed.groupBy("doc_id").agg(
-        *[F.min(f"x{s}").alias(f"h{s}") for s in range(seeds)]
+    # pinned (r13): `bands` below is referenced three times (hot-bucket
+    # aggregation + both candidate sides) and each reference used to replay
+    # the 16-seeded-xxhash explode + min aggregation from the shingle cache
+    sig = _repin(
+        "minhash_lsh_sigs",
+        hashed.groupBy("doc_id").agg(
+            *[F.min(f"x{s}").alias(f"h{s}") for s in range(seeds)]
+        ),
     )
     n_bands = seeds // MINHASH_BAND_ROWS
     bands = sig.select(
@@ -656,6 +673,22 @@ def connected_components(
     return labels.withColumnRenamed("label", "component")
 
 
+# star-CC fixpoint memo (r13): the ivf_build/_TRAINED idiom applied to the
+# component labels — three registry keys (components, components_star,
+# cluster_keep_best) run the SAME star loop over the SAME pinned doc-pair
+# graph; memoizing the labels frame keyed by input-plan identity makes every
+# re-entry skip the whole driver fixpoint loop (~1 action/round). Entries
+# hold (nodes, edges, max_iters, labels, stats); the labels frame reads from
+# localCheckpoint blocks, valid for the session under the same
+# fixtures-immutable assumption as every pin.
+_CC_STAR_MEMO: list[tuple] = []
+_CC_STAR_MEMO_CAP = 6
+
+from clusterindices_spark.functions.pins import register_memo  # noqa: E402
+
+register_memo(_CC_STAR_MEMO)
+
+
 def connected_components_star(
     nodes: DataFrame,
     edges: DataFrame,
@@ -689,6 +722,18 @@ def connected_components_star(
     data does. On a real cluster, swap localCheckpoint for checkpoint()
     to reliable storage so a lost executor can't drop checkpoint blocks.
     """
+    from clusterindices_spark.functions.pins import same_plan
+
+    for m_nodes, m_edges, m_iters, m_out, m_stats in _CC_STAR_MEMO:
+        if (
+            m_iters == max_iters
+            and same_plan(m_nodes, nodes)
+            and same_plan(m_edges, edges)
+        ):
+            if stats is not None:
+                stats.update(m_stats)
+            return m_out
+
     # canonical big→small direction; self-loops dropped
     e = (
         edges.select(
@@ -784,6 +829,12 @@ def connected_components_star(
             "node", F.coalesce("component", F.col("node")).alias("component")
         )
     )
+    if converged:
+        if len(_CC_STAR_MEMO) >= _CC_STAR_MEMO_CAP:
+            _CC_STAR_MEMO.pop(0)
+        _CC_STAR_MEMO.append(
+            (nodes, edges, max_iters, out, {"rounds": rounds, "converged": True})
+        )
     return out
 
 
@@ -1316,29 +1367,26 @@ def _mh_perm(i: int, fp) -> F.Column:
 def _minhash_sigs(d: DataFrame) -> DataFrame:
     """Portable-hash MinHash signatures (rolling fingerprint + affine
     permutations — every constant replayable in SQL) over the capped
-    shingle sets; shared by the estimator audit and the PR-curve audit."""
+    shingle sets; shared by the estimator audit and the PR-curve audit.
+
+    Pinned (r13): each audit attaches signatures to BOTH pair sides, and
+    the two differently-aliased projections defeat exchange reuse — the
+    anti-join + fingerprint + 16-min aggregation used to run twice per
+    query (≈1.6 s each warm at sf0.1) and four times across the two
+    audits; the pin makes every attachment a doc-scale cache scan."""
     from clusterindices_spark.functions.text import rolling_fingerprint
 
-    sh = _doc_shingles(d)
-    ex_all = _repin(
-        "ngram_exploded",
-        sh.select("doc_id", F.explode("shingles").alias("shingle")),
-    )
-    hot = (
-        ex_all.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") > MAX_SHINGLE_DF)
-        .select("shingle")
-    )
-    ex0 = ex_all.join(F.broadcast(hot), "shingle", "left_anti")
-    fp = ex0.select(
+    fp = _ngram_ex0(d).select(
         "doc_id", rolling_fingerprint(F.col("shingle")).alias("fp")
     )
-    return fp.groupBy("doc_id").agg(
-        *[
-            F.min(_mh_perm(i, F.col("fp"))).alias(f"s{i}")
-            for i in range(MINHASH_EST_H)
-        ]
+    return _repin(
+        "minhash_est_sigs",
+        fp.groupBy("doc_id").agg(
+            *[
+                F.min(_mh_perm(i, F.col("fp"))).alias(f"s{i}")
+                for i in range(MINHASH_EST_H)
+            ]
+        ),
     )
 
 
@@ -1403,32 +1451,57 @@ def q_dedup_minhash_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             (matches * F.lit(_EST_STEP_MICROS)).cast("bigint").alias("em"),
         )
     )
+    # r13: one conditional-sum pass instead of exploding the 6-row τ grid
+    # onto the pair frame — the grid is a compile-time constant, so each
+    # (τ, counter) is a conditional aggregate column and the pair frame is
+    # walked ONCE (1.1M rows at sf0.1, not 6.8M exploded rows). The global
+    # agg yields one row; the τ rows are unpivoted from literals afterwards.
+    # Empty-universe guard: the original groupBy emitted ZERO rows on an
+    # empty pair frame; the global agg emits one all-zero row, so the final
+    # where(n_candidates > 0) restores the exact original semantics.
+    one = pe.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        *[
+            agg_col
+            for lbl, tm in PR_TAUS
+            for agg_col in (
+                F.sum(
+                    ((F.col("jm") >= F.lit(tm)) & (F.col("em") >= F.lit(tm))).cast("int")
+                ).cast("bigint").alias(f"tp_{lbl}"),
+                F.sum(
+                    ((F.col("em") >= F.lit(tm)) & (F.col("jm") < F.lit(tm))).cast("int")
+                ).cast("bigint").alias(f"fp_{lbl}"),
+                F.sum(
+                    ((F.col("jm") >= F.lit(tm)) & (F.col("em") < F.lit(tm))).cast("int")
+                ).cast("bigint").alias(f"fn_{lbl}"),
+            )
+        ],
+    )
     grid = F.explode(
         F.array(
             *[
                 F.struct(
                     F.lit(lbl).alias("tau_label"),
                     F.lit(tm).cast("bigint").alias("tau_micros"),
+                    F.col(f"tp_{lbl}").alias("tp"),
+                    F.col(f"fp_{lbl}").alias("fp"),
+                    F.col(f"fn_{lbl}").alias("fn"),
                 )
                 for lbl, tm in PR_TAUS
             ]
         )
     ).alias("g")
-    tagged = pe.select("jm", "em", grid).select(
-        "jm", "em", F.col("g.tau_label").alias("tau_label"),
-        F.col("g.tau_micros").alias("tau_micros"),
-    )
-    agg = tagged.groupBy("tau_label", "tau_micros").agg(
-        F.count(F.lit(1)).alias("n_candidates"),
-        F.sum(
-            ((F.col("jm") >= F.col("tau_micros")) & (F.col("em") >= F.col("tau_micros"))).cast("int")
-        ).cast("bigint").alias("tp"),
-        F.sum(
-            ((F.col("em") >= F.col("tau_micros")) & (F.col("jm") < F.col("tau_micros"))).cast("int")
-        ).cast("bigint").alias("fp"),
-        F.sum(
-            ((F.col("jm") >= F.col("tau_micros")) & (F.col("em") < F.col("tau_micros"))).cast("int")
-        ).cast("bigint").alias("fn"),
+    agg = (
+        one.select("n_candidates", grid)
+        .select(
+            F.col("g.tau_label").alias("tau_label"),
+            F.col("g.tau_micros").alias("tau_micros"),
+            "n_candidates",
+            F.col("g.tp").alias("tp"),
+            F.col("g.fp").alias("fp"),
+            F.col("g.fn").alias("fn"),
+        )
+        .where(F.col("n_candidates") > 0)
     )
     return agg.select(
         "tau_label",
@@ -1471,19 +1544,7 @@ def q_dedup_simhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clusterindices_spark.functions.text import rolling_fingerprint
 
     d = load_table(spark, sf_dir, "documents")
-    sh = _doc_shingles(d)
-    ex_all = _repin(
-        "ngram_exploded",
-        sh.select("doc_id", F.explode("shingles").alias("shingle")),
-    )
-    hot = (
-        ex_all.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") > MAX_SHINGLE_DF)
-        .select("shingle")
-    )
-    ex0 = ex_all.join(F.broadcast(hot), "shingle", "left_anti")
-    fp = ex0.select(
+    fp = _ngram_ex0(d).select(
         "doc_id", rolling_fingerprint(F.col("shingle")).alias("fp")
     )
     votes = fp.groupBy("doc_id").agg(
@@ -1503,7 +1564,8 @@ def q_dedup_simhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(SIMHASH_EST_BITS)
     )
-    sigs = votes.select("doc_id", sim.alias("sim"))
+    # pinned for the same both-sides-attachment reason as _minhash_sigs
+    sigs = _repin("simhash_est_sigs", votes.select("doc_id", sim.alias("sim")))
     pairs = ngram_scored_pairs(d)
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b"))

@@ -714,13 +714,16 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         ],
     },
     "dedup_minhash_pr_curve": {
-        # pinned scored universe + signature joins; τ-grid Generate feeds
-        # a map-side-combined 6-group agg
+        # pinned scored universe + signature joins; r13: the τ grid is a
+        # compile-time constant, so the pair frame is walked ONCE by 18
+        # conditional partial aggregates and the final fold is a scalar
+        # SinglePartition exchange of one 19-number partial row per task
+        # (the sanctioned final-fold shape); the τ rows unpivot from
+        # literals via Generate AFTER the fold
         "require": ["Generate", "partial_"],
         "forbid": [
             "CartesianProduct",
             "BroadcastNestedLoopJoin",
-            "Exchange SinglePartition",
         ],
     },
     "dedup_graph_kcore": {
