@@ -36,6 +36,15 @@ N_PROBES = 10
 # folded-centroid memo for ivf_build, keyed by (n_cells, lloyd_iters) and
 # guarded by plan identity — the IVF twin of pq.py's _TRAINED codebook memo
 _IVF_TRAINED: dict[tuple, tuple] = {}
+# semantic-cluster membership memo (r13): keyed by (nodes, edges) plan
+# identity in _clusters_from_pairs; registered with clear_pins like the
+# star-CC memo
+_SEM_CC_MEMO: list[tuple] = []
+
+from clusterindices_spark.functions.pins import register_memo  # noqa: E402
+
+register_memo(_SEM_CC_MEMO)
+register_memo(_IVF_TRAINED)
 # last COLD centroid-fit diagnostics (pq.py's _LAST_FIT twin; zero extra
 # actions) — proves the sampled-fit path engaged at stress scale
 _LAST_FIT: dict = {"n": None, "cap": None, "sampled": False}
@@ -353,11 +362,19 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _clusters_from_pairs(emb: DataFrame, pairs: DataFrame) -> DataFrame:
     """Shared cluster-construction contract for every semantic-dedup pair
     source: (vec_a, vec_b) edges → large/small-star components → per-vector
-    membership (vec_id, component_id, is_canonical, n_members). Edge list
-    is localCheckpointed: the star rounds consume it repeatedly and must
-    not re-run the pair scan."""
+    membership (vec_id, component_id, is_canonical, n_members).
+
+    r13: the edge list is handed to the star engine UN-checkpointed — the
+    engine's own canonicalize-distinct step lazily checkpoints it, so the
+    pair scan still runs exactly once (round 1's first action materializes
+    it) and the former eager outer checkpoint's EXTRA full pass over the
+    pair tier is gone. Memoized by input-plan identity (the star engine's
+    own memo keys on its post-canonicalization inputs, which a fresh
+    checkpoint RDD would always miss): repeat invocations on the same
+    corpus+pair source reuse the fixpoint."""
     from pyspark.sql import Window as W
 
+    from clusterindices_spark.functions.pins import same_plan
     from clusterindices_spark.operators.dedup import (
         connected_components_star,
     )
@@ -365,8 +382,16 @@ def _clusters_from_pairs(emb: DataFrame, pairs: DataFrame) -> DataFrame:
     nodes = emb.select(F.col("vec_id").alias("node"))
     edges = pairs.select(
         F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
-    ).localCheckpoint()
-    comp = connected_components_star(nodes, edges)
+    )
+    for m_nodes, m_edges, m_comp in _SEM_CC_MEMO:
+        if same_plan(m_nodes, nodes) and same_plan(m_edges, edges):
+            comp = m_comp
+            break
+    else:
+        comp = connected_components_star(nodes, edges)
+        if len(_SEM_CC_MEMO) >= 4:
+            _SEM_CC_MEMO.pop(0)
+        _SEM_CC_MEMO.append((nodes, edges, comp))
     w = W.partitionBy("component")
     return comp.select(
         F.col("node").alias("vec_id"),
