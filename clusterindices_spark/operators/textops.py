@@ -44,9 +44,40 @@ def _with_tokens(d: DataFrame, fan: bool = False) -> DataFrame:
     # doing heavy scan-stage work before any shuffle (unigram logprob's
     # per-token fold). The explode→groupBy ops shuffle immediately, which
     # already spreads the work — there the extra exchange measured net-loss.
+    # Kept for the SINGLE-PASS scan-shaped keys (langid/quality/scrub),
+    # whose plan contract is a pushdown scan with zero exchanges; the
+    # multi-pass token consumers use _toks_pinned below.
     if fan:
         d = fan_out(d)
     return d.withColumn("toks", tokens(F.col("text")))
+
+
+def _toks_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One tokenized generation (doc_id, lang, source, toks) shared by the
+    LM-scoring family (unigram/bigram logprob, heldout, pmi) — the keys
+    that walk the corpus three to four times per query (vocab agg + totals
+    + scoring join, pmi adds two plan-build driver counts) AND carried a
+    fan_out round-robin exchange on every pass. The pin tokenizes and
+    spreads once per session; every pass afterwards is a cache scan.
+
+    Scope pinned by isolated A/B (r13, min-of-4 at sf0.1): the pin wins
+    only where it replaces repeated fan-exchange+tokenize passes
+    (unigram 1.28→0.81 s, bigram 1.66→1.33 s, pmi 1.58→1.12 s); for the
+    plain-scan keys the cached array<string> decode costs as much as
+    re-tokenizing (rake 1.42→2.04 s, js_divergence 0.82→1.11 s REGRESSED),
+    so single-scan-shaped keys stay on _with_tokens. Same one-generation
+    machinery and fixtures-immutable assumption as the dedup family's
+    ngram_exploded pin; at 100 TB this is the standard tokenize-once
+    materialization (disk-backed)."""
+    from clusterindices_spark.functions.pins import repin
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    return repin(
+        "text_toks",
+        d.select(
+            "doc_id", "lang", "source", tokens(F.col("text")).alias("toks")
+        ),
+    )
 
 
 def q_text_tokens_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -221,7 +252,7 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the vocab (even millions of terms) still broadcasts; the
     per-doc agg shuffles by doc_id — the same key the explode preserved,
     so AQE coalesces it tightly."""
-    d = _with_tokens(load_table(spark, sf_dir, "documents"), fan=True)
+    d = _toks_pinned(spark, sf_dir)
     ex = d.select("doc_id", F.explode("toks").alias("term"))
     vocab = ex.groupBy("term").agg(F.count(F.lit(1)).alias("tc"))
     total = ex.agg(F.count(F.lit(1)).alias("n_total"))
@@ -263,7 +294,7 @@ def q_text_lm_heldout_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: train-half vocab shuffles by term (map-side combined) and then
     BROADCASTS; scoring is a left join of the exploded score half against
     it — corpus never shuffles except the final doc_id agg."""
-    d = _with_tokens(load_table(spark, sf_dir, "documents"), fan=True)
+    d = _toks_pinned(spark, sf_dir)
     train = d.where(F.col("doc_id") % 2 == 0)
     score = d.where(F.col("doc_id") % 2 == 1)
     tex = train.select(F.explode("toks").alias("term"))
@@ -589,7 +620,7 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: bigram counts shuffle by (w1,w2) with map-side combine (bigram
     vocab ≪ corpus positions); unigram vocab broadcasts; the per-doc agg
     shuffles by the explode-preserved doc_id."""
-    d = _with_tokens(load_table(spark, sf_dir, "documents"), fan=True)
+    d = _toks_pinned(spark, sf_dir)
     n_b = F.greatest(F.size("toks") - 1, F.lit(0))
     z = F.arrays_zip(
         F.slice("toks", 1, n_b).alias("w1"), F.slice("toks", 2, n_b).alias("w2")
@@ -1141,7 +1172,7 @@ def q_text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     the count agg is bigram-vocab-scale, never corpus-scale."""
     from clusterindices_spark.functions.aggregates import round6_stable
 
-    d = _with_tokens(load_table(spark, sf_dir, "documents"), fan=True)
+    d = _toks_pinned(spark, sf_dir)
     n_b = F.greatest(F.size("toks") - 1, F.lit(0))
     z = F.arrays_zip(
         F.slice("toks", 1, n_b).alias("w1"),
