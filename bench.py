@@ -373,10 +373,26 @@ def main() -> None:
     ]
     triggered.sort(key=lambda k: timings[k] - hist[k], reverse=True)
     RERUN_CAP = 12
+    # r13: repeat invocations of the CC-consuming keys ride the star-CC /
+    # semantic-membership RESULT memos (labels frames keyed by input-plan
+    # identity), so an un-cleared rerun sample would measure a memo read
+    # (0.3 s for a 6.5 s key) instead of the key's computation — the
+    # _clear_ann_state precedent, scoped to the result memos only: the
+    # intermediate PINS stay, because the first-pass timing legitimately
+    # rode pins built by earlier suite keys and the rerun must reproduce
+    # that same session state, not a colder or warmer one.
+    def _clear_result_memos() -> None:
+        from clusterindices_spark.operators import dedup as _dd
+        from clusterindices_spark.operators import similarity as _sm
+
+        _dd._CC_STAR_MEMO.clear()
+        _sm._SEM_CC_MEMO.clear()
+
     reruns: dict[str, dict] = {}
     for name in triggered[:RERUN_CAP]:
         samples = [timings[name]]
         for _ in range(2):
+            _clear_result_memos()
             t0 = time.monotonic()
             queries[name](spark, sf_dir).count()
             samples.append(round(time.monotonic() - t0, 3))

@@ -106,7 +106,9 @@ def main() -> int:
     )
     verdicts = {}
     with open("/root/repo/BENCH_r12.json") as f:
-        r12 = json.load(f)["queries"]
+        _b = json.load(f)
+        # the driver's BENCH_rN.json wraps the bench line under "parsed"
+        r12 = (_b.get("parsed") or _b)["queries"]
     for k in SUSPECTS:
         med = statistics.median(walls[k])
         lo, hi, _, n = _history_band(k)
