@@ -135,6 +135,11 @@ EXPECTED_E = {
 
 DIM = 32  # embeddings dim — fixture parity (sf dirs carry 32)
 
+# dedicated warm-fixture size: 997 (prime) can never collide with a
+# timed size (every timed size is >= 1000 even under --scale-div), so
+# the warm dir is always distinct and pins/memos never carry over
+WARM_N = 997
+
 
 def _gen_documents(spark, n, out):
     """Deterministic docs: ~25% exact-dup rate (id-derived), 40-word texts
@@ -282,6 +287,8 @@ def main() -> int:
     needed = {
         (FAMILIES[k][0], s) for k in keys for s in FAMILIES[k][1]
     }
+    # one tiny warm fixture per table (untimed codegen priming, below)
+    needed |= {(FAMILIES[k][0], WARM_N) for k in keys}
     for table, size in sorted(needed):
         d = os.path.join(root, f"{table}_{size}")
         os.makedirs(d, exist_ok=True)
@@ -299,6 +306,20 @@ def main() -> int:
         table, sizes = FAMILIES[k]
         fn = OVERRIDES[k] if k in OVERRIDES else qs[k]
         pts = []
+        # untimed warm pass on a DEDICATED tiny fixture (the bench.py
+        # warm-at-sf0.001 precedent): the first invocation of a key pays
+        # whole-stage codegen compile, which otherwise lands entirely on
+        # the smallest timed size and biases the fitted exponent DOWN —
+        # masking exactly the superlinearity this report exists to detect
+        # (measured: dedup_exact 9.2 s @1M cold vs 4.7 s @3M warm in one
+        # run). The warm fixture is a separate dir so session pins/memos
+        # (keyed by plan identity) built here can never serve a timed run.
+        try:
+            fn(spark, fix[(table, WARM_N)]).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as ex:
+            print(f"# warm {k} failed: {ex}", file=sys.stderr)
         for s in sizes:
             # size shuffle partitions to data, as a real deployment does
             # (AQE initialPartitionNum): a FIXED local partition count
@@ -307,9 +328,25 @@ def main() -> int:
             spark.conf.set(
                 "spark.sql.shuffle.partitions", str(max(32, s // 100_000))
             )
+            # timed sink = noop write (guide §1.4): full materialization
+            # of every column, nothing shipped to the driver — a collect()
+            # of a 10M-row output both trips spark.driver.maxResultSize
+            # (1g default; dedup_exact@10M returns ~10M hash rows ≈ 1 GB)
+            # and adds a driver-transfer wall that is not the operator's.
+            # fn() MUST be inside the timed region: iterative operators
+            # (CC fixpoint rounds, Lloyd training, pin materialization)
+            # run eager actions during construction, and timing only the
+            # final write measured a checkpoint re-read (0.5 s for a 30k
+            # semantic-clustering run whose honest cost is minutes)
+            spark.sparkContext.setJobDescription(f"scurve:{k}@{s}")
             t0 = time.monotonic()
-            out_n = len(fn(spark, fix[(table, s)]).collect())
+            df = fn(spark, fix[(table, s)])
+            df.write.format("noop").mode("overwrite").save()
             wall = time.monotonic() - t0
+            spark.sparkContext.setJobDescription(None)
+            # out_rows recorded UNTIMED (rides the session pins the timed
+            # run just built; cost is bounded and outside the measurement)
+            out_n = df.count()
             pts.append((s, wall, out_n))
             print(f"{k} @{s:,}: {wall:.1f}s ({out_n} rows)", flush=True)
         expo = _fit_exponent([p[0] for p in pts], [p[1] for p in pts])
@@ -324,7 +361,10 @@ def main() -> int:
         "",
         "wall = c·n^e fit over three sizes; e ≲ 1.0 linear, ~1.1 "
         "n log n-ish on this range. Spark-generated deterministic "
-        "fixtures (id-derived, no rand()); collect()-materialized; "
+        "fixtures (id-derived, no rand()); noop-sink-materialized "
+        "(guide §1.4 — every column computed, no driver transfer); "
+        "per-key untimed warm pass on a separate tiny fixture first "
+        "(codegen priming; pins cannot carry over across dirs); "
         f"local[{spark.sparkContext.defaultParallelism}]; shuffle "
         "partitions sized to data (max(32, n/100k)) as a real deployment "
         "does. similarity_knn_graph_auto IS the √n-cells scale path "
