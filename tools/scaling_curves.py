@@ -49,8 +49,11 @@ from pyspark.sql import functions as F
 DOC_SIZES = [1_000_000, 3_000_000, 10_000_000]
 EMB_SIZES = [100_000, 300_000, 1_000_000]
 # the loose-τ default regime is Θ(12·n^1.5) by calibration — measured on a
-# 10× smaller range so the row is a fitted exponent, not an hour of wall
-EMB_SIZES_SMALL = [30_000, 100_000, 300_000]
+# smaller range so the row is a fitted exponent, not hours of wall (the
+# first full-range attempt measured 51.8 s @30k → 679.5 s @100k, a ~2.1
+# local exponent that projects the 300k point past 2 h; the range shift
+# keeps the SAME curvature visible while bounding the sweep)
+EMB_SIZES_SMALL = [10_000, 30_000, 100_000]
 EV_SIZES = [1_000_000, 3_000_000, 10_000_000]
 
 FAMILIES = {
