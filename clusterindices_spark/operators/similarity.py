@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clusterindices_spark.functions.distances import (
+    cosine_sim,
     cosine_sim_hoisted,
     l2sq,
     norm,
@@ -490,35 +491,62 @@ def semantic_pairs_ann(
     folded, index = ivf_build(emb_v, n_cells=n_cells, lloyd_iters=lloyd_iters)
     occ = index.groupBy("cell").agg(F.count(F.lit(1)).alias("occ"))
     cap = max(64, hot_cell_factor * max(n // n_cells, 1))
-    hot = occ.where(F.col("occ") > cap).select("cell")
-    idx_n = index.join(F.broadcast(hot), "cell", "left_anti")
-    idx_h = index.join(F.broadcast(hot), "cell", "left_semi")
-    # norms hoisted per SIDE before the join (the knn_graph r3 A/B):
-    # cosine_sim inline would re-derive ‖xa‖/‖xb‖ per CANDIDATE row for
-    # values that are per-vector constants; sqrt(dot(x,x)) here is the
-    # IDENTICAL double expression, so the rounded cos — and therefore the
-    # zero-false-positive guarantee vs the exact tier — is bit-preserved.
+    # r14 (guide §8 — decide with small rows): the hot-cell set is
+    # hot-bucket-scale BY CONSTRUCTION (< K/hot_cell_factor cells can
+    # exceed hot_cell_factor × the mean), so it is collected once and the
+    # plan is specialized on it instead of paying two broadcast anti/semi
+    # joins plus the full (empty) hub-tier stage chain on every corpus:
+    # no hot cells → the anti-joins are no-ops and the hub tier emits
+    # nothing, so both vanish; few hot cells → IN-list filters replace the
+    # broadcast joins. Same candidate set row-for-row in every case.
+    hot_cells = sorted(
+        r["cell"] for r in occ.where(F.col("occ") > cap).collect()
+    )
+    probe_side = _probe_cells(emb_v, folded, n_probe_cells)
+    idx_n = index
+    if hot_cells:
+        probe_side = probe_side.where(~F.col("cell").isin(hot_cells))
+        idx_n = index.where(~F.col("cell").isin(hot_cells))
+    # r14 candidate scoring (guide §4.2): the per-pair interpreted HOF dot
+    # (~40 µs × n·p·(n/K) candidates — the family's measured wall) moves to
+    # a vectorized per-cell NumPy fold; each side ships through Arrow ONCE,
+    # cogrouped by cell. Python emits margin-survivors with their exact
+    # (dot, norm) doubles and the decisive expression below re-applies the
+    # ORIGINAL rounded-cosine filter in the JVM — bit-identical pair sets
+    # (see functions/pairdots.py; full-output equality verified at
+    # sf0.001/0.01/0.1).
+    from clusterindices_spark.functions.pairdots import (
+        PAIR_SCHEMA,
+        make_threshold_fold,
+    )
+
+    surv = (
+        probe_side.groupby("cell")
+        .cogroup(idx_n.groupby("cell"))
+        .applyInPandas(make_threshold_fold(threshold), PAIR_SCHEMA)
+    )
+    cos_parts = F.when(F.col("nn"), F.lit(float("nan"))).otherwise(
+        F.round(
+            F.col("d") / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0)), 6
+        )
+    )
+    normal = (
+        surv.select(
+            F.least("probe_id", "neighbor_id").alias("vec_a"),
+            F.greatest("probe_id", "neighbor_id").alias("vec_b"),
+            cos_parts.alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
+    if not hot_cells:
+        return normal.distinct()
     from clusterindices_spark.functions.distances import dot
 
-    probe_n = (
-        _probe_cells(emb_v, folded, n_probe_cells)
-        .join(F.broadcast(hot), "cell", "left_anti")
-        .withColumn("na", norm(F.col("xa")))
-    )
+    idx_h = index.where(F.col("cell").isin(hot_cells))
     cos = F.round(
         dot(F.col("xa"), F.col("xb"))
         / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0)),
         6,
-    )
-    normal = (
-        probe_n.join(idx_n.withColumn("nb", norm(F.col("xb"))), "cell")
-        .where(F.col("probe_id") != F.col("neighbor_id"))
-        .select(
-            F.least("probe_id", "neighbor_id").alias("vec_a"),
-            F.greatest("probe_id", "neighbor_id").alias("vec_b"),
-            cos.alias("cos"),
-        )
-        .where(F.col("cos") >= threshold)
     )
     hubs = idx_h.groupBy("cell").agg(F.min("neighbor_id").alias("hub"))
     hub_vecs = hubs.join(
@@ -778,6 +806,30 @@ def ivf_build(
             F.col("x").alias("xb"),
         )
         return folded, index
+    # r14: the FIT actions below (sizing count, seed selection, the Lloyd
+    # chain's single collect) run with AQE off. The fit subplan is bounded
+    # by operator constants at ANY corpus size — sample_cap rows in,
+    # K×dim aggregate rows out — so AQE's per-exchange stage
+    # materialization can never help it and only adds one scheduling job
+    # per exchange (measured: 12-14 jobs → 4, ~3.0 s → ~1.2 s at sf0.1).
+    # The corpus-scale consumers (index assignment, candidate joins) are
+    # built AFTER the restore and keep the session's AQE. Centroids are
+    # unchanged at every gate SF (full-output equality verified for all
+    # ivf_build consumers — the per-(cluster,dim) avg still merges the
+    # same per-task partials).
+    sess = spark.conf
+    aqe_prev = sess.get("spark.sql.adaptive.enabled", "true")
+    sess.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _ivf_fit_and_index(spark, pts, params, n_cells, lloyd_iters, sample_cap)
+    finally:
+        sess.set("spark.sql.adaptive.enabled", aqe_prev)
+
+
+def _ivf_fit_and_index(spark, pts, params, n_cells, lloyd_iters, sample_cap):
+    """The build-miss body of ivf_build (fit runs under the AQE-off scope
+    established by the caller; the returned index plan executes later under
+    the session's normal config)."""
     seeds = (
         pts.orderBy("vec_id")
         .limit(n_cells)
@@ -1130,18 +1182,23 @@ def q_similarity_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("cell_rank", "cell"),
         )
     )
-    # norms hoisted per side — see _ivf_search; bit-identical quotient
+    # r14: the r13 norm hoist is REVERTED at this site — candidates here
+    # are only probes × max_p × (n/K) rows (~20k at sf0.1, candidate-scale
+    # at any corpus: the probe set is an operator constant), so the hoist
+    # saved microseconds of HOF work while its extra projections on both
+    # join inputs cost real stage time. Interleaved min-of-7 A/B
+    # (reports/adjudicate_r14.md): inline 2.47/2.78 s vs hoisted
+    # 2.90/3.32 s (min/median) — the r13 driver regression (2.46 → 2.99 s,
+    # PERF_r13) reproduced and bisected to this hoist; outputs identical.
     sims = (
-        F.broadcast(ranked.withColumn("na", norm(F.col("xa"))))
-        .join(index.withColumn("nb", norm(F.col("xb"))), "cell")
+        F.broadcast(ranked)
+        .join(index, "cell")
         .where(F.col("probe_id") != F.col("neighbor_id"))
         .select(
             "probe_id",
             "neighbor_id",
             "cell_rank",
-            F.round(
-                cosine_sim_hoisted(F.col("xa"), F.col("xb"), "na", "nb"), 6
-            ).alias("sim"),
+            F.round(cosine_sim(F.col("xa"), F.col("xb")), 6).alias("sim"),
         )
     )
     grid = spark.createDataFrame(
@@ -1226,27 +1283,34 @@ def knn_graph(
 
         n_cells = max(16, math.isqrt(emb.count()))
     folded, index = ivf_build(emb, n_cells=n_cells, lloyd_iters=lloyd_iters)
-    # norms precomputed ONCE per side before the join: cosine_sim inside
-    # the pair projection would re-derive ‖xa‖ and ‖xb‖ per CANDIDATE row
-    # (the HOF lambdas are interpreted, and the candidate volume is
-    # n·n_probe·cell_size — 3× the per-pair element work for values that
-    # are per-vector constants; isolated A/B at sf0.1 below)
-    probe_side = _probe_cells(emb, folded, n_probe_cells).withColumn(
-        "na", norm(F.col("xa"))
+    # r14 candidate scoring (guide §4.2/§8): the cell equi-join's per-pair
+    # interpreted HOF dot (the measured wall of this key — ~40 µs ×
+    # n·p·(n/K) candidates inside the join filter) moves to a vectorized
+    # per-cell NumPy fold; each side crosses the Arrow boundary ONCE,
+    # cogrouped by cell. Python emits, per (probe, cell), the raw top-k
+    # padded by a rounding margin — provably a superset of the global
+    # top-k (each candidate meets in exactly one cell; see
+    # functions/pairdots.py) — and the JVM re-derives the ORIGINAL rounded
+    # sim and runs the same top-k window, so the emitted graph is
+    # bit-identical (full-output equality verified at sf0.001/0.01/0.1).
+    # The rank shuffle still moves only O(n·k) rows (WindowGroupLimit).
+    from clusterindices_spark.functions.pairdots import (
+        PAIR_SCHEMA,
+        make_topk_fold,
     )
-    index_side = index.withColumn("nb", norm(F.col("xb")))
-    from clusterindices_spark.functions.distances import dot
 
-    sim = F.round(
-        dot(F.col("xa"), F.col("xb"))
-        / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0)),
-        6,
+    probe_side = _probe_cells(emb, folded, n_probe_cells)
+    surv = (
+        probe_side.groupby("cell")
+        .cogroup(index.groupby("cell"))
+        .applyInPandas(make_topk_fold(k), PAIR_SCHEMA)
     )
-    cand = (
-        probe_side.join(index_side, "cell")
-        .where(F.col("probe_id") != F.col("neighbor_id"))
-        .select("probe_id", "neighbor_id", sim.alias("sim"))
+    sim = F.when(F.col("nn"), F.lit(float("nan"))).otherwise(
+        F.round(
+            F.col("d") / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0)), 6
+        )
     )
+    cand = surv.select("probe_id", "neighbor_id", sim.alias("sim"))
     w = Window.partitionBy("probe_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
     )
