@@ -153,6 +153,84 @@ def make_threshold_fold(threshold: float):
     return fold
 
 
+def make_allpairs_fold(threshold: float, blocks: int):
+    """applyInPandas fold for the EXACT all-pairs cosine tier, grouped by
+    unordered block pair (bi ≤ bj) with g = pmod(vec_id, blocks): group
+    (i, i) scores the within-block triangle (vec_a < vec_b), group (i, j)
+    scores only cross-block pairs — every unordered pair lands in exactly
+    one group. The caller pre-drops NULL-x / NULL-element rows (their HOF
+    dot is NULL ⇒ cosine NULL ⇒ they can never pass ``>=``), which keeps
+    the NULL-vs-NaN distinction out of the pandas boundary (pandas→Arrow
+    cannot carry it). Emission contract identical to make_threshold_fold:
+    (vec_a as probe_id, vec_b as neighbor_id, d, na, nb, nn) with vec_a <
+    vec_b, margin-padded; the JVM re-applies the exact rounded filter."""
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(_EMPTY)
+        bi = int(pdf["bi"].iloc[0])
+        bj = int(pdf["bj"].iloc[0])
+        ga = pdf["g"].to_numpy()
+        left = pdf[ga == bi]
+        right = pdf[ga == bj] if bj != bi else left
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(_EMPTY)
+        pa = left["vec_id"].to_numpy()
+        pb = right["vec_id"].to_numpy()
+        out = []
+        rgroups = _by_dim(right["x"])
+        for da, (ia, A) in _by_dim(left["x"]).items():
+            if da not in rgroups:
+                continue
+            ib, B = rgroups[da]
+            acc, na, nb = _dots_block(A, B)
+            denom = na[:, None] * nb[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                c = acc / denom
+            isnan = np.isnan(c)
+            keep = (
+                ((c >= threshold - MARGIN) | isnan)
+                & (denom != 0.0)
+                & (pa[ia][:, None] < pb[ib][None, :])
+            )
+            ii, jj = np.nonzero(keep)
+            out.append(
+                _frame(
+                    pa[ia][ii],
+                    pb[ib][jj],
+                    acc[ii, jj],
+                    na[ii],
+                    nb[jj],
+                    isnan[ii, jj],
+                )
+            )
+            if bi != bj:
+                # cross-block pairs where the RIGHT block holds the smaller
+                # id: same dot bits by IEEE commutativity of the per-element
+                # products; na/nb only ever feed the commutative product
+                keep2 = (
+                    ((c >= threshold - MARGIN) | isnan)
+                    & (denom != 0.0)
+                    & (pb[ib][None, :] < pa[ia][:, None])
+                )
+                ii, jj = np.nonzero(keep2)
+                out.append(
+                    _frame(
+                        pb[ib][jj],
+                        pa[ia][ii],
+                        acc[ii, jj],
+                        nb[jj],
+                        na[ii],
+                        isnan[ii, jj],
+                    )
+                )
+        if not out:
+            return pd.DataFrame(_EMPTY)
+        return pd.concat(out, ignore_index=True)
+
+    return fold
+
+
 def make_topk_fold(k: int):
     """Cogroup fold for the knn candidate tier: per (probe, cell), emit the
     margin-padded raw top-k (NaN as +inf — Spark's NaN-largest order) plus

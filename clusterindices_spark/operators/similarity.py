@@ -333,27 +333,54 @@ def dedup_embedding_cosine(
         max_rows=max_rows if max_rows is not None else QUADRATIC_MAX_ROWS,
         sample_fraction=sample_fraction,
     )
-    # norm computed once per side row, not per PAIR (guide §2.3): the n²
-    # pair tier evaluated 3 O(dim) HOF folds per pair; hoisting leaves one
-    # (the dot). cosine_sim_hoisted is bit-identical to cosine_sim.
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("x").alias("xa")
-    ).withColumn("na", norm(F.col("xa")))
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("x").alias("xb")
-    ).withColumn("nb", norm(F.col("xb")))
-    return (
-        a.crossJoin(b)
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(
-                cosine_sim_hoisted(F.col("xa"), F.col("xb"), "na", "nb"), 6
-            ).alias("cos"),
-        )
-        .where(F.col("cos") >= threshold)
+    # r14 (guide §4.2/§8): the n²/2 per-pair interpreted HOF dot was this
+    # tier's entire wall (~40 µs × 2M pairs at sf0.1 inside the crossJoin
+    # filter). Pairs are now scored in vectorized NumPy left-folds, grouped
+    # by unordered id-block pair (g = pmod(vec_id, B)): every row ships
+    # through Arrow B times (B·n·dim doubles — 8 MB at sf0.1, vs 2 GB of
+    # pair rows), each unordered pair is scored in exactly one group, and
+    # the JVM re-applies the ORIGINAL rounded-cosine filter on the emitted
+    # (dot, norm) doubles — bit-identical output (oracle hash re-verified;
+    # full-output equality at sf0.001/0.01/0.1). NULL-x / NULL-element rows
+    # are dropped before the boundary: their HOF dot is NULL ⇒ cosine NULL
+    # ⇒ they could never pass ``>=`` (pandas→Arrow cannot carry the
+    # NULL-vs-NaN distinction; NaN-bearing rows still flow and keep NaN
+    # cosine via the nn flag — Spark compares NaN as largest, so they pass
+    # the filter exactly as before).
+    from clusterindices_spark.functions.pairdots import (
+        PAIR_SCHEMA,
+        make_allpairs_fold,
     )
+
+    B = 8  # 36 unordered block pairs — balanced groups at any corpus size
+    pts = emb.select("vec_id", "x").where(
+        F.col("x").isNotNull() & ~F.exists("x", lambda e: e.isNull())
+    )
+    rep = pts.select(
+        "vec_id",
+        "x",
+        F.pmod(F.col("vec_id"), F.lit(B)).cast("int").alias("g"),
+        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("j"),
+    ).select(
+        "vec_id",
+        "x",
+        "g",
+        F.least("g", "j").alias("bi"),
+        F.greatest("g", "j").alias("bj"),
+    )
+    surv = rep.groupby("bi", "bj").applyInPandas(
+        make_allpairs_fold(threshold, B), PAIR_SCHEMA
+    )
+    cos_parts = F.when(F.col("nn"), F.lit(float("nan"))).otherwise(
+        F.round(
+            F.col("d") / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0)), 6
+        )
+    )
+    return surv.select(
+        F.col("probe_id").alias("vec_a"),
+        F.col("neighbor_id").alias("vec_b"),
+        cos_parts.alias("cos"),
+    ).where(F.col("cos") >= threshold)
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
