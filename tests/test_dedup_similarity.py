@@ -4,6 +4,8 @@ plant known duplicates/neighbors and require the pipelines to find them."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from clusterindices_spark.operators.dedup import (
@@ -551,6 +553,7 @@ def test_pagerank_hand_graph(spark):
     assert 0.9 * PR_SCALE <= total <= PR_SCALE
 
 
+@pytest.mark.slow  # second tier (VERDICT r13 item 2); round-close runs both
 def test_pagerank_deterministic_across_invocations(spark):
     from clusterindices_spark.operators.dedup import q_dedup_graph_pagerank
     from tests.conftest import SF_SMOKE

@@ -50,6 +50,7 @@ def hostile_root(tmp_path_factory):
     return str(root)
 
 
+@pytest.mark.slow  # second tier (VERDICT r13 item 2); round-close runs both
 def test_hostile_subset_all_green(spark, hostile_root):
     from hostile_gate import ALLOW, run_gate
 

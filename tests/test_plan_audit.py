@@ -2,11 +2,14 @@
 
 from __future__ import annotations
 
+import pytest
+
 from clusterindices_spark.plans.audit import audit_all
 
 from tests.conftest import SF_SMOKE
 
 
+@pytest.mark.slow  # second tier (VERDICT r13 item 2); round-close runs both
 def test_plan_shapes(spark):
     # blanket=True: every registry key without a per-key expectation still
     # gets the no-cartesian floor — FULL audit coverage (VERDICT r4 item 5)

@@ -182,6 +182,7 @@ def test_events_funnel_matches_python_replay(spark, events):
         unique_by=lambda t: (t[0], t[1]),
     )
 )
+@pytest.mark.slow  # second tier (VERDICT r13 item 2); round-close runs both
 def test_external_agreement_label_permutation_invariant(spark, cells):
     """ARI/NMI/V are functions of the PARTITION, not the label names:
     any bijective relabeling of cluster ids must leave all three fixed;
@@ -217,6 +218,7 @@ def test_external_agreement_label_permutation_invariant(spark, cells):
         unique_by=lambda p: p,
     ).map(lambda es: [e for e in es if e[0] != e[1]])
 )
+@pytest.mark.slow  # second tier (VERDICT r13 item 2); round-close runs both
 def test_triangle_census_relabel_invariant(spark, edges):
     """Triangle count / wedge count / transitivity are graph invariants:
     any id relabeling (here id -> 1000 - id, which REVERSES every id
@@ -297,6 +299,7 @@ def test_rfm_partition_invariance(spark):
         max_size=16,
     )
 )
+@pytest.mark.slow  # second tier (VERDICT r13 item 2); round-close runs both
 def test_validity_indices_match_numpy_bruteforce(spark, labeled):
     """WG, SD-Scat and C-index against a direct numpy evaluation of the
     published formulas, on arbitrary small labeled point sets."""

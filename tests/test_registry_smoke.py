@@ -4,9 +4,12 @@ stability and runnability under the same ANSI-on session the tests use)."""
 
 from __future__ import annotations
 
+import pytest
+
 from tests.conftest import SF_SMOKE
 
 
+@pytest.mark.slow  # second tier (VERDICT r13 item 2); round-close runs both
 def test_every_registry_key_runs(spark):
     from clusterindices_spark.registry import all_queries, all_oracles
 

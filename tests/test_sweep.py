@@ -3,6 +3,8 @@ should behave sensibly in K on the 10-label embeddings fixture."""
 
 from __future__ import annotations
 
+import pytest
+
 from clusterindices_spark.operators.assignment import assign
 from clusterindices_spark.operators.indices import centroids_of, labeled_points
 from clusterindices_spark.operators.sweep import kmeans_sweep
@@ -10,6 +12,7 @@ from clusterindices_spark.operators.sweep import kmeans_sweep
 from tests.conftest import SF_SMOKE
 
 
+@pytest.mark.slow  # second tier (VERDICT r13 item 2); round-close runs both
 def test_sweep_shape_and_wssse_monotonicity(spark):
     df = kmeans_sweep(spark, SF_SMOKE, k_min=2, k_max=10, max_iter=10)
     rows = {r["k"]: r for r in df.collect()}
@@ -22,6 +25,7 @@ def test_sweep_shape_and_wssse_monotonicity(spark):
         assert r["bd_dunn"] is not None
 
 
+@pytest.mark.slow  # second tier (VERDICT r13 item 2); round-close runs both
 def test_sweep_recovers_true_k_on_planted_blobs(spark, tmp_path):
     """Paper §4 methodology: on synthetic data with known true K, the index
     curves must select that K. 10 well-separated blobs in 8-D."""
@@ -150,6 +154,7 @@ def _planted_blobs(
     return out
 
 
+@pytest.mark.slow  # second tier (VERDICT r13 item 2); round-close runs both
 def test_bisecting_sweep_recovers_true_k(spark, tmp_path):
     from clusterindices_spark.operators.sweep import clusterer_sweep
 
@@ -159,6 +164,7 @@ def test_bisecting_sweep_recovers_true_k(spark, tmp_path):
     assert min(res, key=lambda r: r["davies_bouldin"])["k"] == 5
 
 
+@pytest.mark.slow  # second tier (VERDICT r13 item 2); round-close runs both
 def test_gmm_sweep_recovers_true_k(spark, tmp_path):
     from clusterindices_spark.operators.sweep import clusterer_sweep
 
@@ -197,6 +203,7 @@ def test_clusterer_sweep_rejects_unknown_algo(spark):
         clusterer_sweep(spark, SF_SMOKE, "dbscan")
 
 
+@pytest.mark.slow  # second tier (VERDICT r13 item 2); round-close runs both
 def test_gap_statistic_picks_true_k_and_is_deterministic(spark, tmp_path):
     """Tibshirani 1-SE rule on planted blobs: the picked K equals the true
     K, and the hash-based reference generation makes the whole frame

@@ -2,8 +2,8 @@
 """Dump executed .explain("formatted") plans for named registry keys.
 
 Usage: python tools/dump_plans.py <tag> key [key ...]
-Writes plans/r13/<key>_<tag>.txt (runs each query once so the AQE plan is
-final, mirroring tools/plan_report.py).
+Writes $SPARK_GRAFT_PLANS_DIR (default plans/r14)/<key>_<tag>.txt (runs each
+query once so the AQE plan is final, mirroring tools/plan_report.py).
 """
 import contextlib
 import io
@@ -23,14 +23,15 @@ def main() -> int:
     spark = get_spark("dump-plans", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
-    os.makedirs("plans/r13", exist_ok=True)
+    plans_dir = os.environ.get("SPARK_GRAFT_PLANS_DIR", "plans/r14")
+    os.makedirs(plans_dir, exist_ok=True)
     for key in keys:
         df = queries[key](spark, sf_dir)
         nrows = len(df.collect())  # finalize adaptive plan for THIS df
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
-        path = f"plans/r13/{key}_{tag}.txt"
+        path = f"{plans_dir}/{key}_{tag}.txt"
         with open(path, "w") as f:
             f.write(f"# {key} @ {sf_dir} rows={nrows}\n\n")
             f.write(buf.getvalue())

@@ -27,8 +27,13 @@ Families (key → driving table, sizes):
       events_rollup_hierarchy, stream_tumbling_agg
 
 Run: python tools/scaling_curves.py [family-or-key ...]
-Appends the table to reports/scaling_curves.md; summary line for
-BASELINE.md printed at the end.
+APPENDS a run-stamped table to reports/scaling_curves_raw.md (ADVICE r13:
+the committed reports/scaling_curves.md is HAND-ASSEMBLED — per-point steal
+adjudications, min-of-two picks — and must not be clobbered by a rerun).
+Per-key size overrides: --sizes key=n1,n2[,n3] reproduces reduced-range rows
+(e.g. the 2-point semantic_ann@prod_tau run). Summary line printed at the
+end. Row counts are skipped by default (--count-rows re-executes each plan
+untimed, which ~doubles sweep wall for non-memoized heavy families).
 """
 
 from __future__ import annotations
@@ -266,14 +271,31 @@ def _fit_exponent(sizes, walls):
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--report", default="reports/scaling_curves.md")
+    ap.add_argument("--report", default="reports/scaling_curves_raw.md")
     ap.add_argument("--scale-div", type=int, default=1,
                     help="divide all sizes by N (smoke runs)")
+    ap.add_argument("--count-rows", action="store_true",
+                    help="record output row counts (re-executes each plan "
+                         "untimed after the timed noop write — ~2x sweep "
+                         "wall for non-memoized heavy families)")
+    ap.add_argument("--sizes", action="append", default=[],
+                    metavar="KEY=N1,N2[,N3]",
+                    help="per-key size override (reproduces reduced-range "
+                         "rows, e.g. semantic_ann@prod_tau=30000,100000)")
     ap.add_argument("keys", nargs="*")
     args = ap.parse_args()
     if args.scale_div > 1:
         for k, (t, sizes) in list(FAMILIES.items()):
             FAMILIES[k] = (t, [max(s // args.scale_div, 1000) for s in sizes])
+    for spec in args.sizes:
+        k, _, ns = spec.partition("=")
+        if k not in FAMILIES:
+            ap.error(f"--sizes: unknown key {k!r}")
+        sz = [int(x) for x in ns.split(",")]
+        if any(s < 1000 for s in sz):
+            ap.error("--sizes: every size must be >= 1000 (the dedicated "
+                     f"warm fixture is {WARM_N} rows and must stay distinct)")
+        FAMILIES[k] = (FAMILIES[k][0], sz)
 
     from clusterindices_spark.session import get_spark
 
@@ -304,11 +326,13 @@ def main() -> int:
         )
 
     base_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    results = []  # (key, table, [(n, wall, out_rows)], exponent)
-    for k in keys:
+    results = []  # (key, table, [(n, wall, out_rows)], exponent, cold_biased)
+    try:
+      for k in keys:
         table, sizes = FAMILIES[k]
         fn = OVERRIDES[k] if k in OVERRIDES else qs[k]
         pts = []
+        cold_biased = False
         # untimed warm pass on a DEDICATED tiny fixture (the bench.py
         # warm-at-sf0.001 precedent): the first invocation of a key pays
         # whole-stage codegen compile, which otherwise lands entirely on
@@ -317,12 +341,21 @@ def main() -> int:
         # (measured: dedup_exact 9.2 s @1M cold vs 4.7 s @3M warm in one
         # run). The warm fixture is a separate dir so session pins/memos
         # (keyed by plan identity) built here can never serve a timed run.
+        # ADVICE r13: warm passes previously inherited the PREVIOUS
+        # family's largest-size shuffle-partition setting (e.g. 100
+        # partitions for the 997-row warm fixture); pin a small count first
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
         try:
             fn(spark, fix[(table, WARM_N)]).write.format("noop").mode(
                 "overwrite"
             ).save()
         except Exception as ex:
-            print(f"# warm {k} failed: {ex}", file=sys.stderr)
+            # ADVICE r13: a failed warm pass means the smallest timed point
+            # re-absorbs whole-stage-codegen compile — mark the row
+            # cold-biased instead of silently fitting a biased exponent
+            cold_biased = True
+            print(f"# warm {k} failed (row marked cold-biased): {ex}",
+                  file=sys.stderr)
         for s in sizes:
             # size shuffle partitions to data, as a real deployment does
             # (AQE initialPartitionNum): a FIXED local partition count
@@ -347,17 +380,22 @@ def main() -> int:
             df.write.format("noop").mode("overwrite").save()
             wall = time.monotonic() - t0
             spark.sparkContext.setJobDescription(None)
-            # out_rows recorded UNTIMED (rides the session pins the timed
-            # run just built; cost is bounded and outside the measurement)
-            out_n = df.count()
+            # out_rows OPTIONAL (ADVICE r13): the untimed count re-executes
+            # the full plan for non-memoized heavy families (~doubles sweep
+            # wall, e.g. dedup_near_minhash@10M ~420 s) — the "rides the
+            # session pins" economy only holds for pin/memo-backed operators
+            out_n = df.count() if args.count_rows else None
             pts.append((s, wall, out_n))
-            print(f"{k} @{s:,}: {wall:.1f}s ({out_n} rows)", flush=True)
+            rows = f" ({out_n} rows)" if out_n is not None else ""
+            print(f"{k} @{s:,}: {wall:.1f}s{rows}", flush=True)
         expo = _fit_exponent([p[0] for p in pts], [p[1] for p in pts])
-        results.append((k, table, pts, expo))
+        results.append((k, table, pts, expo, cold_biased))
         print(f"{k}: fitted exponent e={expo:.2f}", flush=True)
-    spark.conf.set("spark.sql.shuffle.partitions", base_parts)
-
-    shutil.rmtree(root, ignore_errors=True)
+    finally:
+        # ADVICE r13: restore the session conf and drop the tmp fixtures
+        # even when a family raises mid-loop
+        spark.conf.set("spark.sql.shuffle.partitions", base_parts)
+        shutil.rmtree(root, ignore_errors=True)
 
     lines = [
         "# Per-family scaling curves (tools/scaling_curves.py)",
@@ -383,11 +421,13 @@ def main() -> int:
     ]
     worst = []
     named = []
-    for k, table, pts, expo in results:
+    for k, table, pts, expo, cold_biased in results:
         cells = "; ".join(f"{s / 1e6:g}M → {w:.1f}" for s, w, _ in pts)
         exp_e, cause = EXPECTED_E.get(k, (1.0, None))
         lines.append(f"| {k} | {table} | {cells} | **{expo:.2f}**"
-                     + (f" (design {exp_e})" if cause else "") + " |")
+                     + (f" (design {exp_e})" if cause else "")
+                     + (" (cold-biased: warm pass failed)"
+                        if cold_biased else "") + " |")
         if expo > exp_e + 0.25:
             worst.append((k, expo))
         elif cause and expo > 1.25:
@@ -408,9 +448,14 @@ def main() -> int:
     for k, x, cause in named:
         lines.append(f"- {k} e={x:.2f}: {cause}")
     os.makedirs(os.path.dirname(args.report), exist_ok=True)
-    with open(args.report, "w") as f:
+    # ADVICE r13: APPEND a run-stamped block — never overwrite (the
+    # committed reports/scaling_curves.md is hand-assembled with per-point
+    # steal adjudications this tool cannot reproduce)
+    stamp = time.strftime("%Y-%m-%dT%H:%M:%S")
+    with open(args.report, "a") as f:
+        f.write(f"\n<!-- run {stamp} argv: {' '.join(sys.argv[1:])} -->\n")
         f.write("\n".join(lines) + "\n")
-    print(f"\nreport: {args.report}")
+    print(f"\nreport (appended): {args.report}")
     return 0
 
 
