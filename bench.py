@@ -409,10 +409,10 @@ def _isolated_main(keys: list[str], sf_dir: str, cpus: str) -> None:
 # one per driving table/shape, sized so each lands roughly 4-15 s at
 # local[32] (calibrated r14; see OPTIMIZATION_r14.md)
 SCALE_ARM_KEYS = [
-    ("dedup_near_minhash", "documents", 300_000),
-    ("text_tfidf_topterms", "documents", 500_000),
+    ("dedup_near_minhash", "documents", 600_000),
+    ("text_tfidf_topterms", "documents", 1_000_000),
     ("similarity_ann_pq", "embeddings", 100_000),
-    ("embedding_whiten", "embeddings", 1_000_000),
+    ("embedding_whiten", "embeddings", 2_000_000),
     ("similarity_knn_graph_auto", "embeddings", 30_000),
 ]
 

@@ -392,15 +392,25 @@ def decontaminate(d: DataFrame) -> DataFrame:
     drop to an equi-join keyed by shingle hash (same plan as
     dedup_ngram_jaccard's candidate stage, stop-shingle cap included).
     """
+    # r14 (guide §2.2/§2.3): dedup shingles PER DOC before the explode —
+    # (doc_id, sh) is then unique by construction, so the per-doc result is
+    # count(1) instead of count_distinct(sh), which removes the distinct
+    # aggregate's extra exchange+aggregate level (plan: 2 exchanges → 1
+    # after the probe join) and shrinks both the exploded row count and the
+    # bytes entering the broadcast probe. Values identical: count over
+    # per-doc-distinct matches = count_distinct over repeated matches, and
+    # the eval set was already a distinct.
     sh = d.select(
-        "doc_id", "is_eval", F.explode(F.col("shingles")).alias("sh")
+        "doc_id",
+        "is_eval",
+        F.explode(F.array_distinct(F.col("shingles"))).alias("sh"),
     )
     ev = sh.where(F.col("is_eval")).select("sh").distinct()
     return (
         sh.where(~F.col("is_eval"))
         .join(F.broadcast(ev), "sh")
         .groupBy("doc_id")
-        .agg(F.count_distinct(F.col("sh")).alias("n_shared_shingles"))
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
     )
 
 

@@ -833,13 +833,15 @@ def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: word scores floor to BIGINT micros BEFORE the per-phrase
     sum (deg/freq is one integer division — exact same double in both
     engines); ranking orders by the INTEGER micro score desc then phrase
-    asc, so ties cannot flip between engines.
+    asc, so ties cannot flip between engines. The r14 `grouped` pin is a
+    persist of an intermediate — values unchanged (oracle hash re-gated).
 
     Scale: every shuffle is doc_id-keyed (running stopword counter
     window, phrase agg, word-stats agg, score join, top-k window) — the
     explode preserves the key, AQE keeps the chain thin, and no global
     structure exists at all (RAKE is per-doc by construction)."""
     from clusterindices_spark.functions.aggregates import round6_stable
+    from clusterindices_spark.functions.pins import repin
 
     d = _with_tokens(load_table(spark, sf_dir, "documents"))
     ex = d.select(
@@ -850,9 +852,22 @@ def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("pos")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    grouped = ex.withColumn(
-        "grp", F.sum(F.col("is_stop").cast("int")).over(w_run)
-    ).where(~F.col("is_stop"))
+    # r14 (guide §5): `grouped` is referenced by THREE consumers (phrases,
+    # occ, the pscore join) — the executed plan ran the scan+tokenize+
+    # posexplode chain twice and the running-stopword window FOUR times
+    # (ReusedExchange covered only 2 of 4 references; plans/r14). Pinning
+    # the flat (doc_id, pos, tok, grp) frame computes it once; unlike the
+    # r13 token-pin A/B (REGRESSED: cached array<string> decode ≈
+    # re-tokenize), the pinned columns here are scalar, so the cache read
+    # is cheap. Isolated interleaved A/B in plans/r14 + OPTIMIZATION_r14.md.
+    grouped = repin(
+        "rake_grouped",
+        ex.withColumn(
+            "grp", F.sum(F.col("is_stop").cast("int")).over(w_run)
+        )
+        .where(~F.col("is_stop"))
+        .select("doc_id", "pos", "tok", "grp"),
+    )
     phrases = grouped.groupBy("doc_id", "grp").agg(
         F.count(F.lit(1)).alias("plen"),
         F.concat_ws(
