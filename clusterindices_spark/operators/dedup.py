@@ -500,26 +500,40 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_signatures(d: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
-    """63-bit SimHash per doc. Double-explode (token × bit) keeps everything
-    in partial-aggregatable groupBy form; the (doc, bit) shuffle is reduced
-    map-side to docs×bits rows regardless of token count."""
+    """63-bit SimHash per doc.
+
+    r14 (guide §2.3): the bit dimension is a compile-time constant, so the
+    per-bit ±1 votes are ``bits`` conditional aggregates in ONE doc-keyed
+    pass — the previous token × bit double-explode generated 63× the token
+    rows (16M at sf0.1) through a broadcast-NLJ against the bitvals frame
+    before its first partial aggregation, and needed a second (doc, bit)
+    aggregation afterwards (the dedup_simhash_est / pr_curve τ-grid move).
+    Exact integer arithmetic, same vote sums, same ties-to-0 sign rule →
+    identical signatures (verified row-for-row at sf0.001/0.01/0.1).
+    (hv >>> b) & 1 == (hv >> b) & 1 for b < 64 — &1 reads bit b either way.
+    """
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
     ).withColumn("hv", F.xxhash64("tok"))
-    bitvals = spark_bitvals(d.sparkSession, bits)
-    contrib = (
-        tok.crossJoin(F.broadcast(bitvals))
-        .withColumn(
-            "sign",
-            F.when(F.expr("(hv >>> bit) & 1") == 1, 1).otherwise(-1),
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftrightunsigned(F.col("hv"), b).bitwiseAND(F.lit(1))
+                    == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(bits)
+        ]
+    )
+    sim = sum(
+        F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
         )
+        for b in range(bits)
     )
-    per_bit = contrib.groupBy("doc_id", "bit", "bitval").agg(
-        F.sum("sign").alias("s")
-    )
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("s") > 0, F.col("bitval")).otherwise(0)).alias("simhash")
-    )
+    return votes.select("doc_id", sim.alias("simhash"))
 
 
 def spark_bitvals(spark: SparkSession, bits: int) -> DataFrame:
