@@ -49,14 +49,75 @@ _MODULES = [
     "clusterindices_spark.sql",
 ]
 
-# Round-13 driver-window priority (VERDICT r12 "Next round" #5 — mechanical
-# rotation from the r12 _NEXT queue, verbatim first-50). The fuzz-wave-4
-# fixed operators lead (scalar_json — whose integer-literal gate gained the
-# \A...\z anchor fix this round — scalar_map, tpch_q11,
-# text_bpe_train_merges), so every fixed key's driver row postdates its
-# fix; the rest is the r10/r11 stalest-green ladder continuation. Rows-only
-# keys never burn driver slots (derived sink in _load).
+# Round-14 driver-window rotation (the df2dffa/r13 convention, continued):
+# the keys this optimization round CHANGED lead — rake's grouped-tier pin,
+# the simhash conditional-aggregate votes, decontaminate's
+# distinct-before-explode, and the vectorized exact-cosine tier's four
+# oracle-backed consumers — so every changed key's driver row postdates its
+# change; the remainder is the r13 _NEXT stalest-green ladder, verbatim.
+# Rows-only keys never burn driver slots (derived sink in _load).
 _FRONT = [
+    "text_rake_keywords",
+    "dedup_simhash_est",
+    "curation_decontaminate",
+    "dedup_embedding_cosine",
+    "dedup_semantic_clusters",
+    "dedup_cluster_keep_best",
+    "dedup_cross_source",
+    "text_lang_confusion",
+    "text_lm_heldout_score",
+    "text_quality",
+    "text_readability",
+    "curation_dsir_weights",
+    "dedup_graph_kcore",
+    "dedup_minhash_est",
+    "dedup_minhash_pr_curve",
+    "dedup_ngram_containment",
+    "dedup_ngram_jaccard",
+    "embedding_binary_quantize",
+    "embedding_dim_stats",
+    "embedding_int8_cosine_err",
+    "embedding_matryoshka",
+    "embedding_pair_distance_hist",
+    "events_markov_entropy",
+    "filter_predicates",
+    "multimodal_near_dup_report",
+    "similarity_hamming_recall_audit",
+    "similarity_hamming_topk",
+    "text_burstiness",
+    "text_ngram_novelty",
+    "agg_basic",
+    "agg_bitmap_distinct",
+    "dedup_exact",
+    "dedup_url_canonical",
+    "events_gini_activity",
+    "events_interarrival_fit",
+    "events_pattern_match",
+    "events_streak_lengths",
+    "index_suite",
+    "join_asof",
+    "join_spatial_radius",
+    "scalar_ipv4_cidr",
+    "scan_project_filter",
+    "silhouette_exact",
+    "similarity_topk_exact",
+    "source_jsonl_roundtrip",
+    "text_code_detect",
+    "text_langid",
+    "text_pmi_bigrams",
+    "text_tokens_stats",
+    "topk_orders",
+]
+
+# Immediately after the 50-slot window: the r15 rotation queue — the r13
+# _NEXT overflow first, then the full r13/r14 window keys (freshest driver
+# rows, so they ladder back last). Any r14+ operator fix should be
+# PREPENDED here so its post-fix driver row lands next window.
+_NEXT: list[str] = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q6",
+    "window_rank",
     "scalar_json",
     "scalar_map",
     "tpch_q11",
@@ -90,13 +151,9 @@ _FRONT = [
     "sql_session_vars",
     "text_entropy",
     "text_js_divergence",
-    "curation_decontaminate",
     "curation_dedup_keep_best",
     "curation_domain_caps",
-    "dedup_cross_source",
-    "dedup_embedding_cosine",
     "dedup_graph_triangles",
-    "dedup_semantic_clusters",
     "embedding_norm_audit",
     "events_autocorr",
     "events_error_rate",
@@ -109,62 +166,6 @@ _FRONT = [
     "similarity_range_search",
 ]
 
-# Immediately after the 50-slot window: the r14 rotation queue — the 4 keys
-# that overflowed the r13 window, then the next-stalest oracle-backed
-# greens (latest driver rows r7-r8), oldest first. Any r13 operator fix
-# should be PREPENDED here so its post-fix driver row lands next window.
-_NEXT: list[str] = [
-    "text_lang_confusion",
-    "text_lm_heldout_score",
-    "text_quality",
-    "text_readability",
-    "curation_dsir_weights",
-    "dedup_graph_kcore",
-    "dedup_minhash_est",
-    "dedup_minhash_pr_curve",
-    "dedup_ngram_containment",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_est",
-    "embedding_binary_quantize",
-    "embedding_dim_stats",
-    "embedding_int8_cosine_err",
-    "embedding_matryoshka",
-    "embedding_pair_distance_hist",
-    "events_markov_entropy",
-    "filter_predicates",
-    "multimodal_near_dup_report",
-    "similarity_hamming_recall_audit",
-    "similarity_hamming_topk",
-    "text_burstiness",
-    "text_ngram_novelty",
-    "text_rake_keywords",
-    "agg_basic",
-    "agg_bitmap_distinct",
-    "dedup_cluster_keep_best",
-    "dedup_exact",
-    "dedup_url_canonical",
-    "events_gini_activity",
-    "events_interarrival_fit",
-    "events_pattern_match",
-    "events_streak_lengths",
-    "index_suite",
-    "join_asof",
-    "join_spatial_radius",
-    "scalar_ipv4_cidr",
-    "scan_project_filter",
-    "silhouette_exact",
-    "similarity_topk_exact",
-    "source_jsonl_roundtrip",
-    "text_code_detect",
-    "text_langid",
-    "text_pmi_bigrams",
-    "text_tokens_stats",
-    "topk_orders",
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q6",
-    "window_rank",
-]
 
 
 def _load():
