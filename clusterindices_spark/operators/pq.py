@@ -34,6 +34,8 @@ per 6G vectors.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -53,6 +55,15 @@ PQ_N_PROBES = 10
 # nprobe=4); nprobe was NOT the binding constraint (4→6 changed nothing
 # below expand 32) — ADC ordering quality was.
 PQ_EXPAND = 64
+
+# r14 kernel dispatch bound, in distinct fit/encode vectors: below it the
+# HOF code-assignment argmin (m×k evals over d_sub-dim subvectors) is
+# cheaper than the kernel's fixed Python-stage + per-round-collect cost
+# (isolated cold min-of-3: 2 000 vecs — embedding_pq_codes — HOF wins 3.82
+# vs 4.97 s; 100 000 vecs — the scale-arm size — kernel wins train+encode
+# 8.7 vs 5.7 s, profile_pq_phases min-of-2). Both forms are bit-identical
+# (cellassign contract + tests); env-parameterised for other hardware.
+PQ_KERNEL_MIN_VECS = int(os.environ.get("SPARK_GRAFT_PQ_KERNEL_MIN", "16384"))
 
 # hyperparams → (sub_frame, collected_rows, schema) — see pq_train_encode;
 # keyed so the plain-PQ and residual (ivfpq) tiers don't evict each other
@@ -115,6 +126,47 @@ def _assign_codes(sub: DataFrame, folded: DataFrame) -> DataFrame:
     return sub.join(F.broadcast(folded), "m").select(
         "vec_id", "m", "sub", best["code"].alias("code")
     )
+
+
+def _books_of(rows):
+    """{m: [(code, c), ...]} from collected codebook rows, or None when the
+    shape falls outside the kernel contract (a NULL m could never have come
+    from the posexplode that builds the subvector frame)."""
+    books = {}
+    for r in rows:
+        if r["m"] is None:
+            return None
+        books[int(r["m"])] = [(s["code"], s["c"]) for s in (r["book"] or [])]
+    return books
+
+
+def _assign_codes_any(
+    sub: DataFrame,
+    folded: DataFrame,
+    books=None,
+    with_sub: bool = False,
+    kernel: bool = True,
+) -> DataFrame:
+    """Per-subspace code assignment via the vectorized kernel (guide §4.2)
+    with the broadcast-join HOF argmin as the guarded fallback. ``books``
+    is the collected codebook when the caller already has it (fit loop,
+    training memo); otherwise the M-row table is collected here (M×K×d_sub
+    doubles — the payload the broadcast carried anyway). NOTE: the HOF
+    fallback always carries ``sub`` through; kernel callers that need it
+    must say so."""
+    from clusterindices_spark.functions import cellassign as _ck
+
+    if kernel and _ck.kernel_ok(sub, "sub"):
+        if books is None:
+            books = _books_of(folded.collect())
+        if books is not None:
+            try:
+                return _ck.assign_codes_kernel(
+                    sub, books, "vec_id", with_sub=with_sub
+                )
+            except _ck.Unsupported:
+                pass
+    return _assign_codes(sub, folded)
 
 
 def _update_codebook(assigned: DataFrame, d_sub: int) -> DataFrame:
@@ -196,15 +248,22 @@ def pq_train_encode(
         # createDataFrame over the same rows would NOT be sameResult
         # (Spark 4.1 LocalRelation canonicalization), killing the codes
         # pin's reuse and re-encoding the corpus on every warm query
-        folded = prev[1]
+        # the stored kernel decision is replayed so the memo-hit codes plan
+        # is sameResult with the miss-path plan (the pq_codes pin rides it)
+        folded, books, use_kernel = prev[1], prev[2], prev[3]
     else:
         # fit set: full sub-vector frame under the cap, else a hash slice
         # of ~sample_cap vectors (fraction from one count over the pinned
         # frame; the filter re-evaluates over it per Lloyd reference)
         sub_fit = sub
+        use_kernel = True
         _LAST_FIT.update(n=None, cap=sample_cap, sampled=False)
         if sample_cap is not None:
             n = sub.select("vec_id").distinct().count()
+            # size-adaptive kernel dispatch (see PQ_KERNEL_MIN_VECS): the
+            # distinct count was already paid for the sampling decision;
+            # sample_cap=None (stress paths) keeps the kernel
+            use_kernel = n >= PQ_KERNEL_MIN_VECS
             _LAST_FIT.update(n=n, sampled=n > sample_cap)
             if n > sample_cap:
                 thresh = max(1, (1_000_003 * sample_cap) // n)
@@ -240,15 +299,50 @@ def pq_train_encode(
                 ),
             ).alias("book"),
         )
-        for _ in range(lloyd_iters):
-            folded = _fold_codebook(
-                _update_codebook(_assign_codes(sub_fit, folded), d_sub)
-            )
-        rows = folded.collect()
-        folded = spark.createDataFrame(rows, folded.schema)
-        _TRAINED[params] = (sub, folded)
+        # r14 (guide §4.2): when the kernel contract holds, each Lloyd
+        # round's n·m×k interpreted argmin (the measured wall of the PQ
+        # family at scale-arm sizes: train+encode 7.2-8.0 s of the ~10 s
+        # key @100k) runs as a vectorized Arrow pass. The kernel needs the
+        # round's codebook driver-resident, so the single chained action
+        # becomes 1 + lloyd_iters tiny collects (M×k×d_sub doubles each);
+        # assignment values, row order and the (m, code) avg shuffle are
+        # identical, so every round's codebook is bit-equal to the chained
+        # HOF form (tests/test_cellassign.py; oracle/recall gates).
+        from clusterindices_spark.functions import cellassign as _ck
+
+        books = None
+        if use_kernel and _ck.kernel_ok(sub_fit, "sub"):
+            rows = folded.collect()
+            books = _books_of(rows)
+        if books is not None:
+            schema = folded.schema
+            for _ in range(lloyd_iters):
+                cdf = _fold_codebook(
+                    _update_codebook(
+                        _ck.assign_codes_kernel(
+                            sub_fit, books, "vec_id", with_sub=True
+                        ),
+                        d_sub,
+                    )
+                )
+                rows = cdf.collect()
+                # a NULL m can never come out of groupBy("m") over the
+                # posexploded frame, so books stays non-None
+                books = _books_of(rows)
+                schema = cdf.schema
+            folded = spark.createDataFrame(rows, schema)
+        else:
+            for _ in range(lloyd_iters):
+                folded = _fold_codebook(
+                    _update_codebook(_assign_codes(sub_fit, folded), d_sub)
+                )
+            rows = folded.collect()
+            folded = spark.createDataFrame(rows, folded.schema)
+            books = _books_of(rows)
+        use_kernel = books is not None and use_kernel
+        _TRAINED[params] = (sub, folded, books, use_kernel)
     codes = (
-        _assign_codes(sub, folded)
+        _assign_codes_any(sub, folded, books=books, kernel=use_kernel)
         .groupBy("vec_id")
         .agg(
             F.transform(
@@ -515,7 +609,7 @@ def ivfpq_topk(
     corpus-scale shuffles before the top-k; the full-precision re-rank
     join is candidate-scale. Approximate → rows-only + recall tests."""
     from clusterindices_spark.operators.similarity import (
-        _probe_cells,
+        _probe_cells_any,
         ivf_build,
         unfold_cents,
     )
@@ -557,7 +651,9 @@ def ivfpq_topk(
     )
 
     # probe side: n_probe nearest cells, residual q − c_cell per pair
-    pc = _probe_cells(_unit(probes), folded_cells, n_probe_cells)
+    pc = _probe_cells_any(
+        _unit(probes), folded_cells, n_probe_cells, kernel=False
+    )
     qresid = pc.join(F.broadcast(cells), "cell").select(
         "probe_id",
         "cell",

@@ -21,6 +21,7 @@ and exists only as oracle ground truth.
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -34,6 +35,15 @@ from clusterindices_spark.functions.distances import (
 from clusterindices_spark.sources.fixtures import fan_out, load_table
 
 N_PROBES = 10
+# r14 kernel dispatch bound, in corpus_rows × n_cells distance evaluations:
+# below it the interpreted HOF argmin is cheaper than the Arrow kernel's
+# fixed Python-stage cost (isolated cold min-of-3 at sf0.1, 2 000 vectors:
+# 16k evals — ann_ivf — HOF wins 2.20 vs 2.48 s; 32k — knn K=16 — wash
+# 2.76/2.74; 44k — semantic ann — kernel wins 6.55 vs 5.76; 88k — knn auto
+# — kernel wins 5.22 vs 2.78). Both forms are bit-identical (cellassign
+# contract + tests), so this is an adaptive plan choice like AQE's, not a
+# semantic switch; env-parameterised for other hardware.
+IVF_KERNEL_MIN_WORK = int(os.environ.get("SPARK_GRAFT_IVF_KERNEL_MIN", "32768"))
 # folded-centroid memo for ivf_build, keyed by (n_cells, lloyd_iters) and
 # guarded by plan identity — the IVF twin of pq.py's _TRAINED codebook memo
 _IVF_TRAINED: dict[tuple, tuple] = {}
@@ -529,7 +539,12 @@ def semantic_pairs_ann(
     hot_cells = sorted(
         r["cell"] for r in occ.where(F.col("occ") > cap).collect()
     )
-    probe_side = _probe_cells(emb_v, folded, n_probe_cells)
+    probe_side = _probe_cells_any(
+        emb_v,
+        folded,
+        n_probe_cells,
+        kernel=n * n_cells >= IVF_KERNEL_MIN_WORK,
+    )
     idx_n = index
     if hot_cells:
         probe_side = probe_side.where(~F.col("cell").isin(hot_cells))
@@ -705,7 +720,12 @@ def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _assign_folded(pts: DataFrame, folded: DataFrame) -> DataFrame:
     """(vec_id, cluster, x): per-row argmin over the broadcast 1-row folded
     centroid table — ZERO shuffle per Lloyd assignment. Tie-break (d2, cl)
-    matches min_by(struct(cluster,x), struct(d2, cluster))."""
+    matches min_by(struct(cluster,x), struct(d2, cluster)).
+
+    This is the HOF reference form; corpus-scale callers route through
+    _assign_any, which swaps in the vectorized Arrow kernel (bit-identical
+    — functions/cellassign.py) whenever the centroid rows are already
+    driver-resident and the column types fit the kernel contract."""
     best = F.array_min(
         F.transform(
             "cents",
@@ -718,6 +738,42 @@ def _assign_folded(pts: DataFrame, folded: DataFrame) -> DataFrame:
         pts.crossJoin(F.broadcast(folded))
         .select("vec_id", best["cl"].alias("cluster"), "x")
     )
+
+
+def _cents_of(rows):
+    """(cl, c) list from a collected 1-row folded centroid table, or None
+    when the shape falls outside the kernel contract (≠1 row — the
+    crossJoin form then isn't a per-row argmin at all)."""
+    if len(rows) != 1:
+        return None
+    cents = rows[0]["cents"]
+    if cents is None:
+        return []
+    return [(s["cl"], s["c"]) for s in cents]
+
+
+def _assign_any(
+    pts: DataFrame, folded: DataFrame, rows=None, kernel: bool = True
+) -> DataFrame:
+    """Nearest-cell assignment via the vectorized kernel (guide §4.2) with
+    the HOF crossJoin as the guarded fallback. ``rows`` is the collected
+    folded table when the caller already has it (build memo, fit loop);
+    otherwise the 1-row table is collected here (driver-bounded: K×dim
+    doubles — the same payload the broadcast carried). ``kernel=False``
+    keeps the HOF form — callers below the IVF_KERNEL_MIN_WORK crossover
+    (both forms are bit-identical; see the constant's rationale)."""
+    from clusterindices_spark.functions import cellassign as _ck
+
+    if kernel and _ck.kernel_ok(pts, "x"):
+        if rows is None:
+            rows = folded.collect()
+        cents = _cents_of(rows)
+        if cents is not None:
+            try:
+                return _ck.assign_cells(pts, cents, "vec_id", "x")
+            except _ck.Unsupported:
+                pass
+    return _assign_folded(pts, folded)
 
 
 def _centroids_folded(assigned: DataFrame) -> DataFrame:
@@ -826,8 +882,10 @@ def ivf_build(
         # sameResult (LocalRelation canonicalization), so recreating the
         # literal here silently broke every downstream pin's same-plan
         # reuse (the ivfpq warm path retrained per query until r5)
+        # the stored kernel decision is replayed so the memo-hit index plan
+        # is sameResult with the miss-path plan (downstream pins ride it)
         folded = prev[1]
-        index = _assign_folded(pts, folded).select(
+        index = _assign_any(pts, folded, rows=prev[2], kernel=prev[3]).select(
             F.col("vec_id").alias("neighbor_id"),
             F.col("cluster").alias("cell"),
             F.col("x").alias("xb"),
@@ -887,9 +945,15 @@ def _ivf_fit_and_index(spark, pts, params, n_cells, lloyd_iters, sample_cap):
     # re-evaluates over cached pts per Lloyd reference: cheaper than a
     # second cache entry.
     fit = pts
+    use_kernel = True
     _LAST_FIT.update(n=None, cap=sample_cap, sampled=False)
     if sample_cap is not None:
         n = pts.count()
+        # size-adaptive kernel dispatch (see IVF_KERNEL_MIN_WORK): the
+        # count was already paid for the sampling decision, so the
+        # crossover check is free. sample_cap=None (stress paths) skips
+        # the count and keeps the kernel — the scale posture.
+        use_kernel = n * n_cells >= IVF_KERNEL_MIN_WORK
         _LAST_FIT.update(n=n, sampled=n > sample_cap)
         if n > sample_cap:
             thresh = max(1, (1_000_003 * sample_cap) // n)
@@ -901,13 +965,39 @@ def _ivf_fit_and_index(spark, pts, params, n_cells, lloyd_iters, sample_cap):
                     f" < {thresh}"
                 )
             )
+    # r14 (guide §4.2): when the kernel contract holds, each Lloyd round's
+    # assignment runs as a vectorized Arrow pass instead of K interpreted
+    # l2sq folds per row — the measured wall of the fit at scale-arm sizes
+    # (knn_auto @30k: 6.16 s of the 8.9 s key). The kernel needs the
+    # round's centroids driver-resident, so the single chained action
+    # becomes 1 + lloyd_iters tiny collects (each one row of K×dim
+    # doubles); the assignment values, row order and the per-(cluster,dim)
+    # avg shuffle are identical, so every round's centroid row is
+    # bit-equal to the chained HOF form (full-output equality + oracle
+    # gates; tests/test_cellassign.py).
+    from clusterindices_spark.functions import cellassign as _ck
+
     folded = seeds
-    for _ in range(lloyd_iters):
-        folded = _centroids_folded(_assign_folded(fit, folded))
-    rows = folded.collect()
-    folded = spark.createDataFrame(rows, folded.schema)
-    _IVF_TRAINED[params] = (pts, folded)
-    index = _assign_folded(pts, folded).select(
+    schema = None
+    rows = None
+    use_kernel = use_kernel and _ck.kernel_ok(pts, "x")
+    if use_kernel:
+        rows = seeds.collect()
+        cents = _cents_of(rows)
+        schema = seeds.schema
+        for _ in range(lloyd_iters):
+            cdf = _centroids_folded(_ck.assign_cells(fit, cents, "vec_id", "x"))
+            rows = cdf.collect()
+            cents = _cents_of(rows)
+            schema = cdf.schema
+    else:
+        for _ in range(lloyd_iters):
+            folded = _centroids_folded(_assign_folded(fit, folded))
+        rows = folded.collect()
+        schema = folded.schema
+    folded = spark.createDataFrame(rows, schema)
+    _IVF_TRAINED[params] = (pts, folded, rows, use_kernel)
+    index = _assign_any(pts, folded, rows=rows, kernel=use_kernel).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("cluster").alias("cell"),
         F.col("x").alias("xb"),
@@ -950,6 +1040,37 @@ def _probe_cells(
     )
 
 
+def _probe_cells_any(
+    probes: DataFrame,
+    folded: DataFrame,
+    n_probe_cells: int,
+    rows=None,
+    kernel: bool = True,
+) -> DataFrame:
+    """Probe-cell selection via the vectorized kernel (guide §4.2) with the
+    HOF crossJoin form as the guarded fallback. ``rows`` is the collected
+    1-row folded table when the caller already has it; otherwise it is
+    collected here (driver-bounded: K×dim doubles — the payload the
+    broadcast carried anyway). ``kernel=False`` keeps the HOF form — used
+    by the probe-CONSTANT sites (_ivf_search / ivf_search_bucketed / ivfpq
+    query side: N_PROBES-scale rows at ANY corpus size, where a Python
+    stage is pure overhead forever) and below the size crossover."""
+    from clusterindices_spark.functions import cellassign as _ck
+
+    if kernel and _ck.kernel_ok(probes, "x"):
+        if rows is None:
+            rows = folded.collect()
+        cents = _cents_of(rows)
+        if cents is not None:
+            try:
+                return _ck.probe_cells_kernel(
+                    probes, cents, n_probe_cells, "vec_id", "x"
+                )
+            except _ck.Unsupported:
+                pass
+    return _probe_cells(probes, folded, n_probe_cells)
+
+
 def _ivf_search(
     folded_cents: DataFrame,
     index: DataFrame,
@@ -973,9 +1094,9 @@ def _ivf_search(
     # side: once per inverted-list row) — bit-identical to inline cosine_sim
     sims = (
         F.broadcast(
-            _probe_cells(probes, folded_cents, n_probe_cells).withColumn(
-                "na", norm(F.col("xa"))
-            )
+            _probe_cells_any(
+                probes, folded_cents, n_probe_cells, kernel=False
+            ).withColumn("na", norm(F.col("xa")))
         )
         .join(index.withColumn("nb", norm(F.col("xb"))), "cell")
         .where(F.col("probe_id") != F.col("neighbor_id"))
@@ -1066,8 +1187,9 @@ def ivf_append_bucketed(
             F.struct(F.col("cluster").alias("cl"), F.col("centroid").alias("c"))
         ).alias("cents")
     )
-    folded = spark.createDataFrame(folded.collect(), folded.schema)
-    rows = _assign_folded(new_emb.select("vec_id", "x"), folded).select(
+    frows = folded.collect()
+    folded = spark.createDataFrame(frows, folded.schema)
+    rows = _assign_any(new_emb.select("vec_id", "x"), folded, rows=frows).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("cluster").alias("cell"),
         F.col("x").alias("xb"),
@@ -1118,7 +1240,9 @@ def ivf_search_bucketed(
     """
     cents = spark.table(f"{table}_cents")
     index = spark.table(table)
-    probe_cells = _probe_cells(probes, fold_cents_table(cents), n_probe_cells)
+    probe_cells = _probe_cells_any(
+        probes, fold_cents_table(cents), n_probe_cells, kernel=False
+    )
     wanted_cells = sorted(
         r["cell"] for r in probe_cells.select("cell").distinct().collect()
     )
@@ -1326,7 +1450,7 @@ def knn_graph(
         make_topk_fold,
     )
 
-    probe_side = _probe_cells(emb, folded, n_probe_cells)
+    probe_side = _probe_cells_any(emb, folded, n_probe_cells)
     surv = (
         probe_side.groupby("cell")
         .cogroup(index.groupby("cell"))

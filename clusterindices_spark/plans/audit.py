@@ -291,21 +291,28 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "forbid": ["Join", "CartesianProduct"],
     },
     "similarity_knn_graph": {
-        # folded centroids broadcast; candidate meet is an equi-join on
-        # cell; per-probe top-k prunes before the rank shuffle
-        "require": ["Broadcast", "WindowGroupLimit"],
+        # r14: cell assignment/probing is the vectorized Arrow kernel
+        # (MapInArrow — the centroid table travels as a driver-bounded
+        # closure instead of a broadcast relation, still zero shuffle);
+        # candidate meet is an equi-join on cell; per-probe top-k prunes
+        # before the rank shuffle
+        "require": ["MapInArrow", "WindowGroupLimit"],
         "forbid": ["CartesianProduct"],
     },
     "similarity_knn_graph_auto": {
         # same machinery as the K=16 twin on the sqrt-n cell sizing —
         # identical plan shape, different (data-derived) cell count
-        "require": ["Broadcast", "WindowGroupLimit"],
+        "require": ["MapInArrow", "WindowGroupLimit"],
         "forbid": ["CartesianProduct"],
     },
     "embedding_pq_codes": {
-        # codebook rides broadcasts; the only wide exchanges are the
-        # (m, code)-keyed Lloyd aggregates and the vec_id reassembly
-        "require": ["Broadcast"],
+        # r14: the per-subspace encode argmin is size-dispatched — the
+        # broadcast-join HOF below PQ_KERNEL_MIN_VECS (gate SFs land here:
+        # Broadcast present), the vectorized Arrow kernel above it
+        # (MapInArrow, codebook = driver-bounded closure). Both are
+        # zero-shuffle on the corpus side; the only wide exchange is the
+        # vec_id reassembly agg, which stays two-phase
+        "require": ["partial"],
         "forbid": ["CartesianProduct", "SortMergeJoin"],
     },
     "similarity_ann_pq": {
